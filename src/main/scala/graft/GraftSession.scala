@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for every session conf the engine depends on.
+  *
+  * - `nanosAsLong`: the `events` fixture stores parquet TIMESTAMP(NANOS),
+  *   which Spark 4 refuses to read otherwise (FIXTURES.md gotcha #1).
+  * - UTC session TZ + English month names: reference formats all temporal
+  *   output with UTC getters (`/root/reference/src/listTables.tsx:158-167`).
+  * - 32 shuffle partitions: sized for local[32]; on a real cluster this is
+  *   overridden per-deploy (AQE coalesces the tail either way).
+  */
+object GraftSession {
+
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+
+  def local(threads: Int = 32): SparkSession = {
+    val spark = configure(
+      SparkSession.builder().master(s"local[$threads]").appName("graft")
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,45 @@
+package graft.cli
+
+import graft.GraftSession
+import graft.profile.Profiler
+import graft.render.TableRenderer
+
+/** CLI entry — the engine's analog of the reference's `listTables()`
+  * (`/root/reference/src/listTables.tsx:503-529`).
+  *
+  * Usage: `ProfileMain --data=/root/testdata/sf0.001 [--exact] [--threads=32]`
+  *
+  * Flags follow the reference's `parseArgs` shapes (`--flag`, `--key=value`,
+  * listTables.tsx:203-216). Top-level failures print to stderr and set a
+  * non-zero exit code (listTables.tsx:526-529).
+  */
+object ProfileMain {
+
+  case class Args(flags: Set[String], options: Map[String, String])
+
+  def parseArgs(argv: Seq[String]): Args = {
+    val (kvs, flags) = argv.filter(_.startsWith("--")).map(_.drop(2)).partition(_.contains("="))
+    Args(flags.toSet, kvs.map { s =>
+      val Array(k, v) = s.split("=", 2); k -> v
+    }.toMap)
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val args = parseArgs(argv.toSeq)
+    val data = args.options.getOrElse("data", "/root/testdata/sf0.001")
+    val exact = args.flags.contains("exact")
+    val threads = args.options.get("threads").map(_.toInt).getOrElse(32)
+    try {
+      val spark = GraftSession.local(threads)
+      try {
+        val profiles = Profiler.profileRoot(spark, data, exact)
+        val mode = if (exact) TableRenderer.Exact else TableRenderer.Estimated
+        print(TableRenderer.render(profiles, mode))
+      } finally spark.stop()
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"Failed to list tables: ${e.getMessage}")
+        sys.exit(1)
+    }
+  }
+}

@@ -1,0 +1,81 @@
+package graft.render
+
+import graft.profile._
+
+/** Deterministic text rendering of table profiles.
+  *
+  * Reproduces the reference's Ink layout (`/root/reference/src/listTables.tsx:363-469`)
+  * as plain strings: the mode banner, per-table title
+  * `schema.table — ~N rows, K cols` (with `~` only for estimates and
+  * `"error"` for failed exact counts), and the 4-column `name type range values`
+  * grid — per-table `padEnd` widths, range column min width 5, two-space
+  * gutters. ANSI colors and the rounded border are intentionally dropped
+  * (presentation chrome, not semantics).
+  */
+object TableRenderer {
+
+  sealed trait Mode
+  case object Estimated extends Mode
+  case object Exact extends Mode
+
+  def banner(mode: Mode): String = mode match {
+    case Estimated => "Tables (schema.table) — ~rows (estimated), columns:"
+    case Exact     => "Tables (schema.table) — rows (exact), columns:"
+  }
+
+  /** `~N` / `N` / `error` — `countLabelFor` (listTables.tsx:364-369). */
+  def countLabel(rows: RowCountResult): String = rows match {
+    case EstimatedRows(n) => s"~$n"
+    case ExactRows(n)     => n.toString
+    case CountError       => "error"
+  }
+
+  /** One column's rendered cells: (name, type, range, values). */
+  def columnCells(c: ColumnProfile): (String, String, String, String) = {
+    val typeLabel = c.clazz match {
+      case ColumnClass.TemporalNanos => TypeLabels.NanosLabel
+      case _                         => TypeLabels.label(c.dataType)
+    }
+    val range = (c.clazz, c.min, c.max) match {
+      case (ColumnClass.Numeric, Some(mn), Some(mx)) => RangeFormat.numericRange(mn, mx)
+      case (ColumnClass.Temporal | ColumnClass.TemporalNanos, Some(mn), Some(mx)) =>
+        RangeFormat.temporalRange(mn, mx).getOrElse("")
+      case _ => ""
+    }
+    val values = (c.clazz, c.trueCount, c.falseCount) match {
+      case (ColumnClass.Bool, Some(t), Some(f)) =>
+        val (tp, fp) = PercentFormat.booleanPercents(t, f)
+        s"Yes $t ($tp) | No $f ($fp)"
+      case _ => ""
+    }
+    (c.name, typeLabel, range, values)
+  }
+
+  /** Render one table block (title + grid). */
+  def renderTable(v: TableProfile): String = {
+    val sb = new StringBuilder
+    sb.append(s"${v.schema}.${v.table} — ${countLabel(v.rows)} rows, ${v.columnCount} cols\n")
+    if (v.columns.nonEmpty) {
+      val rows = v.columns.map(columnCells)
+      val nameW = rows.map(_._1.length).max
+      val typeW = rows.map(_._2.length).max
+      val rangeW = math.max(5, rows.map(_._3.length).max)
+      sb.append('\n')
+      sb.append(line("name".padTo(nameW, ' '), "type".padTo(typeW, ' '),
+        "range".padTo(rangeW, ' '), "values"))
+      rows.foreach { case (n, t, r, vals) =>
+        sb.append(line(n.padTo(nameW, ' '), t.padTo(typeW, ' '), r.padTo(rangeW, ' '), vals))
+      }
+    }
+    sb.result()
+  }
+
+  private def line(cells: String*): String =
+    cells.mkString("  ").replaceAll("\\s+$", "") + "\n"
+
+  /** Render the full catalog profile; `"No tables found."` on an empty
+    * catalog (listTables.tsx:509-512). */
+  def render(views: Seq[TableProfile], mode: Mode): String =
+    if (views.isEmpty) "No tables found.\n"
+    else (banner(mode) +: views.map(renderTable)).mkString("\n")
+}
