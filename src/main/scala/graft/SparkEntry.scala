@@ -1,13 +1,97 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+import graft.profile.ProfileQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator in SURVEY §2's inventory (and the LLM-pipeline extensions
+  * mandated by BASELINE.json) appears here as a named query with a DuckDB
+  * oracle twin in [[oracleSql]]. Column names/types are kept in lockstep
+  * between the Spark plan and the oracle SQL; float aggregates route through
+  * DECIMAL so both engines produce bit-identical doubles.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    Relational.revenueByRegion(spark, "/root/testdata/sf0.001")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ §7.4 extensions). */
+  def queries: Map[String, Q] = {
+    val profileStats: Map[String, Q] =
+      Fixtures.allTables.map { t =>
+        s"profile_stats_$t" -> ((s: SparkSession, dir: String) => ProfileQueries.stats(s, dir, t))
+      }.toMap
+    profileStats ++ Map[String, Q](
+      // profiling semantics (SURVEY §2.1 S5-S7, §2.4 A2-A6)
+      "profile_rowcounts" -> (ProfileQueries.rowCounts(_, _)),
+      "profile_bool_histogram" -> (ProfileQueries.boolHistogram(_, _)),
+      // relational coverage (SURVEY §2.2-§2.5)
+      "q1_pricing_summary" -> (Relational.q1PricingSummary(_, _)),
+      "q_revenue_by_region" -> (Relational.revenueByRegion(_, _)),
+      "q_customer_order_counts" -> (Relational.customerOrderCounts(_, _)),
+      "q_semi_join" -> (Relational.customersWithOrders(_, _)),
+      "q_anti_join" -> (Relational.customersWithoutOrders(_, _)),
+      "q_window_top_orders" -> (Relational.topOrdersPerCustomer(_, _)),
+      "q_top10_orders" -> (Relational.topOrdersGlobal(_, _)),
+      "q_except_nations" -> (Relational.customerOnlyNations(_, _)),
+      "q_intersect_nations" -> (Relational.sharedNations(_, _)),
+      // text analysis (BASELINE.json LLM-pipeline operators)
+      "text_token_counts" -> (TextAnalysis.tokenCounts(_, _)),
+      "text_quality" -> (TextAnalysis.qualityScores(_, _)),
+      "text_langid" -> (TextAnalysis.languageId(_, _)),
+      "text_fingerprints" -> (TextAnalysis.fingerprints(_, _)),
+      // dedup family
+      "dedup_exact_groups" -> (Dedup.exactDupGroups(_, _)),
+      "dedup_exact_keep_first" -> (Dedup.exactDedupKeepFirst(_, _)),
+      "dedup_minhash_pairs" -> (Dedup.minhashCandidatePairs(_, _)),
+      "dedup_simhash" -> (Dedup.simhashSignatures(_, _)),
+      "dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs(_, _)),
+      // similarity search
+      "ann_cosine_topk" -> (Similarity.cosineTopK(_, _)),
+      "embedding_near_dups" -> (Similarity.embeddingNearDups(_, _)),
+      // events / JSON / windows
+      "events_json_profile" -> (EventOps.jsonProfile(_, _)),
+      "events_hourly" -> (EventOps.hourlyRollup(_, _)),
+      // multimodal manifest
+      "multimodal_manifest" -> (Multimodal.mediaManifest(_, _)))
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. */
+  def oracleSql: Map[String, String] = {
+    val profileStats = Fixtures.allTables
+      .map(t => s"profile_stats_$t" -> ProfileQueries.statsOracle(t)).toMap
+    profileStats ++ Map(
+      "profile_rowcounts" -> ProfileQueries.rowCountsOracle,
+      "profile_bool_histogram" -> ProfileQueries.boolHistogramOracle,
+      "q1_pricing_summary" -> Relational.q1Oracle,
+      "q_revenue_by_region" -> Relational.revenueByRegionOracle,
+      "q_customer_order_counts" -> Relational.customerOrderCountsOracle,
+      "q_semi_join" -> Relational.customersWithOrdersOracle,
+      "q_anti_join" -> Relational.customersWithoutOrdersOracle,
+      "q_window_top_orders" -> Relational.topOrdersPerCustomerOracle,
+      "q_top10_orders" -> Relational.topOrdersGlobalOracle,
+      "q_except_nations" -> Relational.customerOnlyNationsOracle,
+      "q_intersect_nations" -> Relational.sharedNationsOracle,
+      "text_token_counts" -> TextAnalysis.tokenCountsOracle,
+      "text_quality" -> TextAnalysis.qualityScoresOracle,
+      "text_langid" -> TextAnalysis.languageIdOracle,
+      "text_fingerprints" -> TextAnalysis.fingerprintsOracle,
+      "dedup_exact_groups" -> Dedup.exactDupGroupsOracle,
+      "dedup_exact_keep_first" -> Dedup.exactDedupKeepFirstOracle,
+      "dedup_minhash_pairs" -> Dedup.minhashCandidatePairsOracle,
+      "dedup_simhash" -> Dedup.simhashSignaturesOracle,
+      "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsOracle,
+      "ann_cosine_topk" -> Similarity.cosineTopKOracle(),
+      "embedding_near_dups" -> Similarity.embeddingNearDupsOracle(),
+      "events_json_profile" -> EventOps.jsonProfileOracle,
+      "events_hourly" -> EventOps.hourlyRollupOracle,
+      "multimodal_manifest" -> Multimodal.mediaManifestOracle)
+  }
 }

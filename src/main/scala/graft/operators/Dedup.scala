@@ -1,0 +1,284 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Fixtures.table
+
+/** Deduplication operators for LLM-data pipelines: exact (hash group-by),
+  * MinHash+LSH banding, SimHash, and n-gram Jaccard verification.
+  *
+  * Scale design (the point of all of this at 100 TB):
+  *  - exact dedup is a single hash-partitioned group-by on a 128-bit digest
+  *    of the text, never on the text itself — the shuffle carries 16-byte
+  *    keys, not documents;
+  *  - MinHash/LSH turns all-pairs O(n²) into `explode(bands) → shuffle on
+  *    (band, hash) → within-bucket pairs`, which is linear in candidates;
+  *  - SimHash reduces each doc to a 16-bit signature whose buckets are
+  *    directly joinable;
+  *  - n-gram Jaccard runs only on LSH candidates, never all pairs.
+  *
+  * The test corpus has no true duplicates (FIXTURES.md), so the near-dup
+  * demos run over [[corpusWithNearDups]] — documents unioned with a
+  * deterministic perturbed copy (first word dropped, doc_id offset by 10⁶) —
+  * built identically in the DuckDB oracles.
+  */
+object Dedup {
+
+  private val IdOffset = 1000000L
+
+  /** documents ∪ perturbed(documents): plants one near-duplicate per doc. */
+  def corpusWithNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents").select("doc_id", "text")
+    d.unionAll(d.select(
+      (col("doc_id") + IdOffset).as("doc_id"),
+      expr("substring(text, instr(text, ' ') + 1)").as("text")))
+  }
+
+  private val corpusSql: String =
+    s"""SELECT doc_id, text FROM documents
+       |UNION ALL
+       |SELECT doc_id + $IdOffset AS doc_id, substr(text, strpos(text, ' ') + 1) AS text FROM documents""".stripMargin
+
+  /** Exact dedup: duplicate groups keyed by md5(text) — empty on the raw
+    * corpus (sanity: the pipeline must NOT invent dups), demonstrated
+    * against the derived corpus where each doc pairs with nothing (the
+    * perturbed copies differ) — so this returns groups only when texts
+    * truly collide. */
+  def exactDupGroups(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+
+  val exactDupGroupsOracle: String =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) HAVING count(*) > 1
+      |ORDER BY keep_id""".stripMargin
+
+  /** Exact dedup, keep-first policy: the surviving doc_ids after hashing the
+    * full corpus (including planted copies of identical texts if any). */
+  def exactDedupKeepFirst(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("text_hash").orderBy("doc_id")
+    table(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("text_hash"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  val exactDedupKeepFirstOracle: String =
+    """SELECT doc_id FROM (
+      |  SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- MinHash
+
+  private val NumHashes = 8
+  private val BandSize = 2 // 4 bands of 2 → catches J ≳ 0.6 pairs reliably
+
+  /** Word-level 3-gram shingles of a text column (1-based element_at).
+    * Precondition: the text has ≥3 words — callers must pre-filter
+    * (`sequence(1, n-2)` would run DESCENDING for shorter texts). */
+  def shingles(c: Column): Column = {
+    val ws = split(c, " ")
+    transform(
+      sequence(lit(1), size(ws) - 2),
+      i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))
+  }
+
+  /** ≥3-word guard matching the oracle's `WHERE len(...) >= 3`. */
+  private def hasShingles(c: Column): Column = size(split(c, " ")) >= 3
+
+  /** MinHash signature entry i: min over shingles of md5(i|shingle) — an
+    * md5-keyed hash family, identical on any engine. */
+  private def minhash(sh: Column, i: Int): Column =
+    array_min(transform(sh, s => md5(concat(lit(s"$i|"), s))))
+
+  /** LSH band table: (doc_id, band, band_hash) — one row per band per doc.
+    * Docs with <3 words have no shingles and drop out (null signature). */
+  def minhashBands(spark: SparkSession, dir: String): DataFrame = {
+    val withSig = corpusWithNearDups(spark, dir)
+      .filter(hasShingles(col("text")))
+      .withColumn("sh", shingles(col("text")))
+    val sigCols = (0 until NumHashes).map(i => minhash(col("sh"), i).as(s"h$i"))
+    val sig = withSig.select(col("doc_id") +: sigCols: _*)
+    val bands = (0 until NumHashes / BandSize).map { b =>
+      val parts = (0 until BandSize).map(j => col(s"h${b * BandSize + j}"))
+      struct(lit(b).as("band"), md5(concat(parts: _*)).as("band_hash"))
+    }
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"), col("bh.band_hash").as("band_hash"))
+  }
+
+  /** MinHash/LSH candidate pairs: same (band, band_hash) bucket, distinct.
+    * The shuffle key is the 16-byte band hash — linear in data, never n². */
+  def minhashCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(spark, dir)
+    val a = bands.select(col("band"), col("band_hash"), col("doc_id").as("id_a"))
+    val b = bands.select(col("band"), col("band_hash"), col("doc_id").as("id_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+
+  /** The same signature/band/pair pipeline in DuckDB SQL. */
+  val minhashCandidatePairsOracle: String = {
+    val sigExprs = (0 until NumHashes)
+      .map(i => s"list_min(list_transform(sh, s -> md5('$i|' || s))) AS h$i")
+      .mkString(",\n    ")
+    val bandRows = (0 until NumHashes / BandSize)
+      .map { b =>
+        val parts = (0 until BandSize).map(j => s"h${b * BandSize + j}").mkString(" || ")
+        s"SELECT doc_id, $b AS band, md5($parts) AS band_hash FROM sig"
+      }
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH corpus AS (
+       |  $corpusSql
+       |), shingled AS (
+       |  SELECT doc_id,
+       |    list_transform(
+       |      range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+       |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+       |    ) AS sh
+       |  FROM corpus
+       |  WHERE len(string_split(text, ' ')) >= 3
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $sigExprs
+       |  FROM shingled
+       |), bands AS (
+       |  $bandRows
+       |)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM bands a JOIN bands b USING (band, band_hash)
+       |WHERE a.doc_id < b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  private val SimBits = 16
+
+  /** 16-bit SimHash per document: word hashes are the portable rolling
+    * polynomial hash; bit b of the signature is the sign of the ±1 vote sum
+    * over words. Computed with explode → group-by (distributed, no UDF). */
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val exploded = corpusWithNearDups(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .withColumn("h", TextAnalysis.rollingHash(col("word")))
+    val voteSums = (0 until SimBits).map { b =>
+      sum(when(expr(s"(h div ${1L << b}) % 2") === 1, 1L).otherwise(-1L)).as(s"v$b")
+    }
+    val recombine = (0 until SimBits)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    exploded
+      .groupBy("doc_id")
+      .agg(voteSums.head, voteSums.tail: _*)
+      .select(col("doc_id"), recombine.as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val simhashSignaturesOracle: String = {
+    val votes = (0 until SimBits)
+      .map(b => s"sum(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n    ")
+    val recombine = (0 until SimBits)
+      .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH corpus AS (
+       |  $corpusSql
+       |), wordhash AS (
+       |  SELECT doc_id,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(list_filter(string_split(w.word, ''), c -> c != ''),
+       |                       c -> CAST(unicode(c) AS BIGINT))),
+       |      (a, b) -> (a * 31 + b) % 1000000007) AS h
+       |  FROM corpus, unnest(string_split(text, ' ')) AS w(word)
+       |  WHERE w.word != ''
+       |), votes AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM wordhash GROUP BY doc_id
+       |)
+       |SELECT doc_id, $recombine AS simhash
+       |FROM votes ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------- n-gram Jaccard verify
+
+  /** Verified near-dup pairs: the LSH band candidates re-scored with exact
+    * 3-gram Jaccard, kept at J ≥ 0.5 — the canonical candidate→verify
+    * composition. The expensive exact measure runs only on candidate pairs
+    * (never all pairs), and the candidates come from the banded join whose
+    * buckets stay small (a single-minhash block degenerates on a small
+    * vocabulary: one popular min-shingle ⇒ giant bucket ⇒ quadratic pairs). */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = corpusWithNearDups(spark, dir)
+      .filter(hasShingles(col("text")))
+      .withColumn("sh", array_distinct(shingles(col("text"))))
+      .select("doc_id", "sh")
+    val cands = minhashCandidatePairs(spark, dir)
+    cands
+      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  val ngramJaccardPairsOracle: String = {
+    val sigExprs = (0 until NumHashes)
+      .map(i => s"list_min(list_transform(sh, s -> md5('$i|' || s))) AS h$i")
+      .mkString(",\n    ")
+    val bandRows = (0 until NumHashes / BandSize)
+      .map { b =>
+        val parts = (0 until BandSize).map(j => s"h${b * BandSize + j}").mkString(" || ")
+        s"SELECT doc_id, $b AS band, md5($parts) AS band_hash FROM sig"
+      }
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH corpus AS (
+       |  $corpusSql
+       |), shingled AS (
+       |  SELECT doc_id,
+       |    list_transform(
+       |      range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+       |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+       |    ) AS sh
+       |  FROM corpus
+       |  WHERE len(string_split(text, ' ')) >= 3
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $sigExprs
+       |  FROM shingled
+       |), bands AS (
+       |  $bandRows
+       |), cands AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b USING (band, band_hash)
+       |  WHERE a.doc_id < b.doc_id
+       |), sets AS (
+       |  SELECT doc_id, list_distinct(sh) AS shd FROM shingled
+       |)
+       |SELECT id_a, id_b,
+       |  CAST(len(list_intersect(sa.shd, sb.shd)) AS DOUBLE) / len(list_distinct(list_concat(sa.shd, sb.shd))) AS jaccard
+       |FROM cands
+       |JOIN sets sa ON sa.doc_id = id_a
+       |JOIN sets sb ON sb.doc_id = id_b
+       |WHERE CAST(len(list_intersect(sa.shd, sb.shd)) AS DOUBLE) / len(list_distinct(list_concat(sa.shd, sb.shd))) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Fixtures.table
+
+/** Operators over the `events` stream table: JSON props profiling and
+  * tumbling-window rollups. `ts` arrives as bigint nanos-since-epoch
+  * (parquet TIMESTAMP(NANOS) under `nanosAsLong` — FIXTURES.md gotcha #1)
+  * and is converted with `timestamp_micros(ts div 1000)`, which lands on the
+  * same micro-precision instant DuckDB sees.
+  */
+object EventOps {
+
+  /** JSON profiling: the reference displays `jsonb` columns by type only
+    * (`/root/reference/src/listTables.tsx:113-119`); this looks inside —
+    * per-event-type stats of the numeric `$.k` field. */
+  def jsonProfile(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(col("k")).as("sum_k"))
+      .orderBy("event_type")
+
+  val jsonProfileOracle: String =
+    """SELECT event_type,
+      |  count(*) AS n_events,
+      |  count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k,
+      |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+      |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+      |  sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Tumbling 1-hour windows per event type: batch form of the streaming
+    * freshness/volume rollup (see graft.streaming). Sum of doubles goes
+    * through DECIMAL(28,10) so partial-agg order can't change the result. */
+  def hourlyRollup(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(28,10)")).cast("double").as("sum_value"))
+      .select(
+        col("window.start").cast("timestamp_ntz").as("hour_start"),
+        col("event_type"), col("n_events"), col("n_users"), col("sum_value"))
+      .orderBy("hour_start", "event_type")
+
+  val hourlyRollupOracle: String =
+    """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      |  count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users,
+      |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
+}

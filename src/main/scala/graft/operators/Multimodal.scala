@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Fixtures.table
+
+/** Multimodal column plumbing: media payloads ride as opaque `binary`
+  * columns with typed metadata, and decode/feature-extraction runs
+  * partition-wise over typed Datasets.
+  *
+  * The decode step itself is a DETERMINISTIC FAKE ([[FakeDecoder]]) — real
+  * image/audio codecs aren't in this container — but everything Spark-side
+  * is real and tested: the schema (binary + metadata), the typed Encoder
+  * path, the mapPartitions batch shape (decoder instantiated once per
+  * partition, not per row — exactly how a JNI/py-codec handle would be
+  * held), and the column pruning before the heavy stage.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  case class MediaRecord(doc_id: Long, payload: Array[Byte], media_type: String,
+      width: Int, height: Int)
+
+  /** Decoder output: fixed-shape feature vector + provenance. */
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, width: Int, height: Int,
+      feature: Array[Float])
+
+  /** The decode boundary. A real deployment plugs an image/audio codec in
+    * here; the contract (bytes + metadata in, fixed-dim features out) is
+    * what the pipeline depends on. */
+  trait MediaDecoder extends Serializable {
+    def featureDim: Int
+    def decode(payload: Array[Byte], width: Int, height: Int): Array[Float]
+  }
+
+  /** Deterministic stand-in for the codec: features derived from byte
+    * content via the rolling hash — stable across runs and engines. */
+  object FakeDecoder extends MediaDecoder {
+    val featureDim = 8
+    def decode(payload: Array[Byte], width: Int, height: Int): Array[Float] = {
+      var h = 0L
+      val out = new Array[Float](featureDim)
+      var i = 0
+      while (i < payload.length) {
+        h = (h * 31 + (payload(i) & 0xff)) % 1000000007L
+        out(i % featureDim) += ((h % 1000L) / 1000.0f)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Derive a media table from `documents`: payload = utf-8 bytes of the
+    * text, fake-but-deterministic raster metadata. (Stands in for reading a
+    * real image dataset; the binary-column plumbing is identical.) */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        lit("image/fake").as("media_type"),
+        (col("n_chars") % 640 + 1).cast("int").as("width"),
+        (col("n_chars") * 3 % 480 + 1).cast("int").as("height"))
+      .as[MediaRecord]
+  }
+
+  /** Partition-wise decode: one decoder per partition, rows streamed through
+    * it. This is the shape a Pandas-UDF/`mapInPandas` stage takes in
+    * PySpark; in Scala `mapPartitions` is the native equivalent. */
+  def extractFeatures(ds: Dataset[MediaRecord], decoder: MediaDecoder): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      // per-partition setup (codec init) happens here, once
+      rows.map { r =>
+        MediaFeatures(r.doc_id, r.payload.length.toLong, r.width, r.height,
+          decoder.decode(r.payload, r.width, r.height))
+      }
+    }
+  }
+
+  /** SQL-checkable slice of the pipeline (payload size, metadata, content
+    * fingerprint — everything except the opaque decode). */
+  def mediaManifest(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        octet_length(col("text")).cast("bigint").as("n_bytes"),
+        (col("n_chars") % 640 + 1).as("width"),
+        (col("n_chars") * 3 % 480 + 1).as("height"),
+        md5(col("text")).as("content_fp"))
+      .orderBy("doc_id")
+
+  val mediaManifestOracle: String =
+    """SELECT doc_id,
+      |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+      |  n_chars % 640 + 1 AS width,
+      |  n_chars * 3 % 480 + 1 AS height,
+      |  md5(text) AS content_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

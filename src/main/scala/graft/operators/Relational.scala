@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Fixtures.table
+
+/** Relational operator coverage (SURVEY §2.2 P*, §2.3 J*, §2.4 A*, §2.5):
+  * joins (inner/left/semi/anti/broadcast), group-by aggregation, window
+  * functions, sort+limit, set ops — each with a DuckDB oracle twin.
+  *
+  * Cross-engine float determinism: every SUM over doubles goes through
+  * DECIMAL so partial-aggregation order can't change the result
+  * (decimal addition is exact and associative; double addition is not).
+  * The final cast back to DOUBLE is then bit-identical on both engines.
+  * At scale this costs nothing — decimal sums still partial-aggregate
+  * map-side.
+  */
+object Relational {
+
+  /** `sum(x)` computed exactly: cast to decimal, sum, cast back to double. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  /** Exact revenue term: decimal multiply keeps it order-independent. */
+  private def revenueTerm(price: Column, discount: Column): Column =
+    price.cast("decimal(18,2)") * (lit(1).cast("decimal(18,2)") - discount.cast("decimal(18,2)"))
+
+  /** TPC-H Q1-shaped pricing summary: partial-agg-friendly group-by over the
+    * fact table, no joins — the canonical "does aggregation scale" probe. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(revenueTerm(col("l_extendedprice"), col("l_discount"))).cast("double").as("sum_disc_price"),
+        (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Star-schema rollup: fact ⨝ 3 dims → revenue per region. The dimension
+    * tables are broadcast (region/nation always; customer is small relative
+    * to lineitem at every SF — at true 100 TB customer would flip to a
+    * shuffle join, which AQE decides from runtime sizes). */
+  def revenueByRegion(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val o = table(spark, dir, "orders")
+    val c = table(spark, dir, "customer")
+    val n = table(spark, dir, "nation")
+    val r = table(spark, dir, "region")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        sum(revenueTerm(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name")
+  }
+
+  val revenueByRegionOracle: String =
+    """SELECT r_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin
+
+  /** Left-outer join + COALESCE(…, 0) + GREATEST clamp — the reference's J2
+    * join shape (`/root/reference/src/listTables.tsx:331-342`) and its
+    * F1/F2/A5 scalar functions, over real data: per-customer order counts
+    * with 0 for order-less customers. */
+  def customerOrderCounts(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+    val counts = table(spark, dir, "orders").groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+    c.join(counts, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), greatest(coalesce(col("cnt"), lit(0L)), lit(0L)).as("order_count"))
+      .orderBy("c_custkey")
+  }
+
+  val customerOrderCountsOracle: String =
+    """SELECT c_custkey, GREATEST(COALESCE(cnt, 0), 0) AS order_count
+      |FROM customer
+      |LEFT JOIN (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey) o
+      |  ON c_custkey = o_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Semi join — customers WITH orders (EXISTS). */
+  def customersWithOrders(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .join(table(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+
+  val customersWithOrdersOracle: String =
+    """SELECT c_custkey FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Anti join — customers WITHOUT orders (NOT EXISTS). */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .join(table(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+
+  val customersWithoutOrdersOracle: String =
+    """SELECT c_custkey FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Window function: top-2 orders per customer by total price
+    * (deterministic tie-break on order key). */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    table(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= 2)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  val topOrdersPerCustomerOracle: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 2
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Global sort + limit (top-k pushes down to a TakeOrdered physical op —
+    * no full sort materialization). */
+  def topOrdersGlobal(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  val topOrdersGlobalOracle: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** Set op: nation keys having customers but no suppliers (EXCEPT). */
+  def customerOnlyNations(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .except(table(spark, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  val customerOnlyNationsOracle: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |EXCEPT
+      |SELECT s_nationkey AS nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+
+  /** Set op: nation keys with both customers and suppliers (INTERSECT). */
+  def sharedNations(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(table(spark, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  val sharedNationsOracle: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT
+      |SELECT s_nationkey AS nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+}

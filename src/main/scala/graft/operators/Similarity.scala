@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Fixtures.table
+
+/** Similarity search over the `embeddings` table (`embedding: array<float>`).
+  *
+  * Cross-engine float determinism: the dot product is a strict left-to-right
+  * fold (`aggregate` in Spark, `list_reduce` in DuckDB) over per-element
+  * products of floats cast to double. Every FP operation is IEEE-defined and
+  * sequenced the same way on both engines, so the cosine comes out
+  * BIT-IDENTICAL — no rounding tolerance needed for the oracle.
+  *
+  * Scale paths: brute-force top-k is the correctness baseline (broadcast the
+  * query set, one scan of the candidates); [[SignLsh]] buckets vectors by
+  * deterministic hyperplane signs so candidate generation is a bucket join —
+  * the 100 TB route where a cross product is impossible.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector (vec_id < 5), the 3
+    * nearest neighbors. The tiny query side is broadcast; candidates stream
+    * through one scan — at any SF this is a single pass over the big side. */
+  def cosineTopK(spark: SparkSession, dir: String, numQueries: Int = 5, k: Int = 3): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    broadcast(q).join(c, col("query_id") =!= col("cand_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "rank", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  private val dotSql =
+    """list_reduce(
+      |      list_prepend(CAST(0 AS DOUBLE),
+      |        list_transform(list_zip(%s, %s), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+      |      (acc, v) -> acc + v)""".stripMargin
+
+  private def cosSql(a: String, b: String): String = {
+    val d = dotSql.format(a, b)
+    val na = dotSql.format(a, a)
+    val nb = dotSql.format(b, b)
+    s"($d) / (sqrt($na) * sqrt($nb))"
+  }
+
+  def cosineTopKOracle(numQueries: Int = 5, k: Int = 3): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $numQueries),
+       |c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+       |scored AS (
+       |  SELECT query_id, cand_id, ${cosSql("qv", "cv")} AS cos
+       |  FROM q JOIN c ON query_id != cand_id
+       |), ranked AS (
+       |  SELECT query_id, cand_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, cand_id, rank, cos FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** Embedding near-duplicate pairs: label-blocked (the coarse partition
+    * stands in for an IVF cell), vec_id-bounded, cosine ≥ 0.9. The block
+    * join keeps the pair count linear-ish instead of n².
+    *
+    * The fixture embeddings are near-orthogonal (max natural same-label
+    * cosine ≈ 0.47), so — like the text dedup demos — the corpus is unioned
+    * with deterministically perturbed copies (element-wise +0.01, id offset
+    * 10⁶) whose cosine to their source is ≈0.99; the operator must find
+    * exactly those pairs and nothing else. */
+  def embeddingNearDups(spark: SparkSession, dir: String, maxId: Long = 1000): DataFrame = {
+    val base = table(spark, dir, "embeddings").filter(col("vec_id") < maxId)
+    val perturbed = base.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => (x.cast("double") + 0.01).cast("float")).as("embedding"),
+      col("label"))
+    val e = base.select("vec_id", "embedding", "label").unionAll(perturbed)
+    val a = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= 0.9)
+      .select("id_a", "id_b", "cos")
+      .orderBy("id_a", "id_b")
+  }
+
+  def embeddingNearDupsOracle(maxId: Long = 1000): String =
+    s"""WITH base AS (SELECT * FROM embeddings WHERE vec_id < $maxId),
+       |e AS (
+       |  SELECT vec_id, embedding, label FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |         list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.01 AS FLOAT)) AS embedding,
+       |         label
+       |  FROM base
+       |)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.embedding", "b.embedding")} AS cos
+       |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.9
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Sign-random-projection LSH, multi-table OR-construction: L independent
+    * tables of k hyperplanes each; a vector lands in one k-bit bucket per
+    * table, and two vectors are candidates if they collide in ANY table
+    * (P = 1-(1-p^k)^L with p = 1-θ/π). Hyperplane components are
+    * deterministic ±1 values derived from a splitmix-style bit mix — no RNG
+    * state, reproducible across runs and engines. Candidate generation is a
+    * shuffle on (table, bucket), never a cross join — the 100 TB ANN path.
+    * Recall vs brute force is unit-tested.
+    */
+  object SignLsh {
+
+    /** ±1 component for (plane, dim): parity of a splitmix-style bit mix. */
+    private def sign(plane: Int, dim: Int): Double = {
+      var z = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      if ((z & 1L) == 0L) 1.0 else -1.0
+    }
+
+    /** k-bit bucket id for one table: bit j set iff dot(v, plane_{t*k+j}) > 0.
+      * Built from codegen'd array ops — no UDF. */
+    def bucket(v: Column, dims: Int, tableId: Int, planesPerTable: Int): Column =
+      (0 until planesPerTable).map { j =>
+        val p = tableId * planesPerTable + j
+        val planeDot = aggregate(
+          zip_with(v, array((0 until dims).map(d => lit(sign(p, d))): _*),
+            (x, s) => x.cast("double") * s),
+          lit(0.0), (acc, x) => acc + x)
+        when(planeDot > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+
+    /** (table, bucket) membership rows: one per table per vector. */
+    private def bucketed(df: DataFrame, dims: Int, tables: Int, k: Int): DataFrame = {
+      val entries = (0 until tables).map(t =>
+        struct(lit(t).as("tbl"), bucket(col("embedding"), dims, t, k).as("bkt")))
+      df.select(col("vec_id"), col("embedding"), explode(array(entries: _*)).as("tb"))
+        .select(col("vec_id"), col("embedding"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    }
+
+    /** ANN via LSH buckets: exact cosine only on vectors sharing a bucket in
+      * at least one table (distinct pairs before scoring). */
+    def annCandidates(spark: SparkSession, dir: String, numQueries: Int = 5,
+        dims: Int = 64, tables: Int = 8, planesPerTable: Int = 4): DataFrame = {
+      val e = table(spark, dir, "embeddings")
+      val bk = bucketed(e, dims, tables, planesPerTable)
+      val q = bk.filter(col("vec_id") < numQueries)
+        .select(col("tbl"), col("bkt"), col("vec_id").as("query_id"))
+      val c = bk.select(col("tbl"), col("bkt"), col("vec_id").as("cand_id"))
+      val pairs = broadcast(q).join(c, Seq("tbl", "bkt"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+      val qv = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val cv = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      pairs.join(broadcast(qv), "query_id").join(cv, "cand_id")
+        .withColumn("cos", cosine(col("qv"), col("cv")))
+        .select("query_id", "cand_id", "cos")
+    }
+  }
+}

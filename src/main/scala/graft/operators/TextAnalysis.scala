@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Fixtures.table
+
+/** Text-analysis operators for LLM-data pipelines (BASELINE.json north star):
+  * token counting, quality scoring, language ID, and document fingerprinting
+  * over the `documents` table. Everything is built from codegen'd built-in
+  * functions (split/filter/aggregate/regexp) — no UDFs — so the whole pipe
+  * stays inside WholeStageCodegen and scales linearly with a single
+  * column-pruned scan per query.
+  *
+  * Cross-engine determinism: token counts are integers; ratios are a single
+  * double division of two integers (bit-identical on any IEEE engine); the
+  * rolling fingerprint is pure 64-bit integer math.
+  */
+object TextAnalysis {
+
+  private val words: Column = split(col("text"), " ")
+
+  /** Count of array elements as BIGINT (DuckDB `len()` returns int64). */
+  private def sz(c: Column): Column = size(c).cast("bigint")
+
+  /** Token counting: whitespace tokens, alpha words (regexp), and a BPE-ish
+    * segmentation count (`letters+ | digits+ | single punct`). */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents").select(
+      col("doc_id"),
+      length(col("text")).cast("bigint").as("n_chars_calc"),
+      sz(words).as("ws_tokens"),
+      expr("regexp_count(text, '[a-z]+')").cast("bigint").as("alpha_tokens"),
+      expr("regexp_count(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')").cast("bigint").as("bpe_ish_tokens")
+    ).orderBy("doc_id")
+
+  val tokenCountsOracle: String =
+    """SELECT doc_id,
+      |  length(text) AS n_chars_calc,
+      |  len(string_split(text, ' ')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+')) AS alpha_tokens,
+      |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS bpe_ish_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val StopEn = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+
+  /** Quality scoring: length, mean token length, stopword ratio, and a
+    * boolean gate — the standard cheap pre-filters for a training corpus. */
+  def qualityScores(spark: SparkSession, dir: String): DataFrame = {
+    val nTokens = sz(words)
+    val stopCnt = sz(filter(words, w => w.isInCollection(StopEn)))
+    table(spark, dir, "documents").select(
+      col("doc_id"),
+      nTokens.as("n_tokens"),
+      stopCnt.as("stopword_count"),
+      (stopCnt.cast("double") / nTokens).as("stopword_ratio"),
+      ((length(col("text")).cast("bigint") - (nTokens - lit(1L))).cast("double") / nTokens).as("mean_token_len"),
+      (nTokens >= 20 && (stopCnt.cast("double") / nTokens) >= 0.02).as("passes_quality")
+    ).orderBy("doc_id")
+  }
+
+  val qualityScoresOracle: String = {
+    val stopList = StopEn.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id,
+       |  len(string_split(text, ' ')) AS n_tokens,
+       |  len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS stopword_count,
+       |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS DOUBLE)
+       |    / len(string_split(text, ' ')) AS stopword_ratio,
+       |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+       |    / len(string_split(text, ' ')) AS mean_token_len,
+       |  len(string_split(text, ' ')) >= 20 AND
+       |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) >= 0.02 AS passes_quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Marker-word lists for the n-gram-free language-ID heuristic. Scores are
+    * marker hit counts; prediction is the max score with alphabetical
+    * tie-break, `und` when nothing matches. */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "and", "of", "is", "to"),
+    "es" -> Seq("el", "los", "las", "y", "es", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"))
+
+  /** Language identification via marker-word counting (a 1-gram heuristic;
+    * the classic cheap lang-ID for pipeline bucketing). */
+  def languageId(spark: SparkSession, dir: String): DataFrame = {
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> sz(filter(words, w => w.isInCollection(markers)))
+    }
+    val scoreCols = scores.map { case (lang, c) => c.as(s"score_$lang") }
+    val df = table(spark, dir, "documents")
+      .select(col("doc_id") +: scoreCols: _*)
+    // argmax with alphabetical tie-break: first lang (in sorted order) whose
+    // score equals the overall max; all-zero → 'und'.
+    val maxScore = greatest(LangMarkers.map { case (l, _) => col(s"score_$l") }: _*)
+    val pred = LangMarkers.foldRight(lit("und")) { case ((lang, _), elseCol) =>
+      when(col(s"score_$lang") === maxScore && maxScore > 0, lit(lang)).otherwise(elseCol)
+    }
+    // foldRight gives de→en→es→fr priority = alphabetical, matching the oracle.
+    df.withColumn("pred_lang", pred).orderBy("doc_id")
+  }
+
+  val languageIdOracle: String = {
+    def listSql(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+    val scoreExprs = LangMarkers.map { case (lang, ms) =>
+      s"len(list_filter(string_split(text, ' '), w -> w IN (${listSql(ms)}))) AS score_$lang"
+    }.mkString(",\n  ")
+    val langs = LangMarkers.map(_._1)
+    val maxExpr = s"GREATEST(${langs.map(l => s"score_$l").mkString(", ")})"
+    val caseArms = langs
+      .map(l => s"WHEN score_$l = $maxExpr AND $maxExpr > 0 THEN '$l'")
+      .mkString(" ")
+    s"""SELECT doc_id, score_de, score_en, score_es, score_fr,
+       |  CASE $caseArms ELSE 'und' END AS pred_lang
+       |FROM (SELECT doc_id,
+       |  $scoreExprs
+       |FROM documents) s ORDER BY doc_id""".stripMargin
+  }
+
+  /** Normalized text for fingerprinting: lowercase, whitespace collapsed. */
+  private val normText: Column =
+    trim(regexp_replace(lower(col("text")), "\\s+", " "))
+
+  /** Rolling polynomial hash (base 31, mod 1e9+7) over the characters of a
+    * string column — pure integer math, stable across engines. */
+  def rollingHash(c: Column): Column =
+    aggregate(
+      filter(split(c, ""), ch => ch =!= ""),
+      lit(0L),
+      (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
+
+  /** Document fingerprinting: md5 of normalized text + rolling hash —
+    * the exact-dup key and a cheap locality-free signature. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents").select(
+      col("doc_id"),
+      md5(normText).as("fp_md5"),
+      rollingHash(normText).as("fp_roll")
+    ).orderBy("doc_id")
+
+  val fingerprintsOracle: String =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(
+      |        list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ''), c -> c != ''),
+      |        c -> CAST(unicode(c) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

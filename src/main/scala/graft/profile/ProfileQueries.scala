@@ -1,0 +1,111 @@
+package graft.profile
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Fixtures
+
+/** SQL-checkable query forms of the profiling semantics — the correctness
+  * gate for SURVEY §2's S5/S6/S7/A2/A3/A4/A6 rows. Each builder has a
+  * matching DuckDB oracle-SQL generator driven by the same column lists.
+  *
+  * Everything here is a single fused aggregation per table (SURVEY §4.2 "stat
+  * fusion"): one column-pruned scan computes COUNT(*) plus every MIN/MAX, vs
+  * the reference's one-scan-per-column loop
+  * (`/root/reference/src/listTables.tsx:236-251`).
+  */
+object ProfileQueries {
+
+  /** Fused per-table stats as a one-row DataFrame: `n_rows`, `min_<c>`,
+    * `max_<c>` for each profiled column. `events.ts` (bigint nanos) surfaces
+    * as epoch-MICROS (`min_ts`/`max_ts`) so the DuckDB oracle — which reads
+    * parquet TIMESTAMP(NANOS) as micro-precision TIMESTAMP — lands on the
+    * identical integer.
+    */
+  def stats(spark: SparkSession, dir: String, tableName: String): DataFrame = {
+    val df = Fixtures.table(spark, dir, tableName)
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++
+      Fixtures.numericCols(tableName).flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+      Fixtures.temporalCols.getOrElse(tableName, Seq.empty).flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+      (if (tableName == "events")
+        Seq(expr("min(ts) div 1000").as("min_ts"), expr("max(ts) div 1000").as("max_ts"))
+      else Seq.empty)
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** DuckDB oracle for [[stats]] — generated from the same column lists. */
+  def statsOracle(tableName: String): String = {
+    val cols = Fixtures.numericCols(tableName) ++
+      Fixtures.temporalCols.getOrElse(tableName, Seq.empty)
+    val minmax = cols.map(c => s"min($c) AS min_$c, max($c) AS max_$c") ++
+      (if (tableName == "events") Seq("epoch_us(min(ts)) AS min_ts, epoch_us(max(ts)) AS max_ts")
+      else Seq.empty)
+    s"SELECT count(*) AS n_rows, ${minmax.mkString(", ")} FROM $tableName"
+  }
+
+  /** Exact row count of every table in the catalog, one result set —
+    * SURVEY §2.1 S7 / §2.4 A4, batched. */
+  def rowCounts(spark: SparkSession, dir: String): DataFrame =
+    Fixtures.allTables
+      .map(t => Fixtures.table(spark, dir, t)
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(t).as("table_name"), col("n_rows")))
+      .reduce(_ unionAll _)
+      .orderBy("table_name")
+
+  def rowCountsOracle: String =
+    Fixtures.allTables
+      .map(t => s"SELECT '$t' AS table_name, count(*) AS n_rows FROM $t")
+      .mkString("", " UNION ALL ", " ORDER BY table_name")
+
+  /** Tri-state boolean histogram with the reference's exact percent math
+    * (SURVEY §2.2 P5, §2.4 A3/A6), demonstrated on a derived boolean (the
+    * fixtures have no boolean column — FIXTURES.md): discount > 0.06 → TRUE,
+    * < 0.03 → FALSE, else NULL. NULLs count toward neither bucket nor the
+    * denominator; percents use the bigint half-up permille formula
+    * (`/root/reference/src/listTables.tsx:51-57`) in pure integer SQL.
+    */
+  def boolHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val li = Fixtures.table(spark, dir, "lineitem")
+    val flagged = li.select(
+      when(col("l_discount") > 0.06, lit(true))
+        .when(col("l_discount") < 0.03, lit(false))
+        .otherwise(lit(null)).as("flag"))
+    flagged
+      .agg(
+        sum(when(col("flag") <=> lit(true), 1L).otherwise(0L)).as("true_count"),
+        sum(when(col("flag") <=> lit(false), 1L).otherwise(0L)).as("false_count"))
+      .withColumn("denom", col("true_count") + col("false_count"))
+      .withColumn("permille_t",
+        expr("(true_count * 1000 + denom div 2) div denom"))
+      .withColumn("permille_f",
+        expr("(false_count * 1000 + denom div 2) div denom"))
+      .select(
+        col("true_count"), col("false_count"),
+        concat(expr("permille_t div 10"), lit("."), expr("permille_t % 10"), lit("%")).as("true_pct"),
+        concat(expr("permille_f div 10"), lit("."), expr("permille_f % 10"), lit("%")).as("false_pct"))
+  }
+
+  def boolHistogramOracle: String =
+    """WITH flagged AS (
+      |  SELECT CASE WHEN l_discount > 0.06 THEN TRUE
+      |              WHEN l_discount < 0.03 THEN FALSE
+      |              ELSE NULL END AS flag
+      |  FROM lineitem
+      |), counts AS (
+      |  SELECT count(*) FILTER (WHERE flag IS TRUE) AS true_count,
+      |         count(*) FILTER (WHERE flag IS FALSE) AS false_count
+      |  FROM flagged
+      |), p AS (
+      |  SELECT true_count, false_count,
+      |         (true_count * 1000 + (true_count + false_count) // 2) // (true_count + false_count) AS pt,
+      |         (false_count * 1000 + (true_count + false_count) // 2) // (true_count + false_count) AS pf
+      |  FROM counts
+      |)
+      |SELECT true_count, false_count,
+      |       CAST(pt // 10 AS VARCHAR) || '.' || CAST(pt % 10 AS VARCHAR) || '%' AS true_pct,
+      |       CAST(pf // 10 AS VARCHAR) || '.' || CAST(pf % 10 AS VARCHAR) || '%' AS false_pct
+      |FROM p""".stripMargin
+}

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming freshness/volume profiling over the `events` table — the
+  * engine's Structured Streaming surface (the reference is batch-only;
+  * SURVEY §2.7 marks this as engine value-add).
+  *
+  * The same tumbling-window rollup as [[graft.operators.EventOps.hourlyRollup]]
+  * expressed as a streaming query: `readStream` → event-time window +
+  * watermark → aggregate. In production the source is a stream (kafka/files
+  * arriving); here the parquet fixture dir replays as a file stream, and
+  * tests drive it synchronously with `processAllAvailable()`.
+  */
+object EventStreamProfiler {
+
+  /** Fixture `events` schema as read under `nanosAsLong` (ts = bigint nanos). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming hourly rollup: counts + value sums per (hour, event_type),
+    * 2-hour watermark for late data. Append-mode compatible (the aggregate
+    * closes once the watermark passes the window end).
+    *
+    * `eventsDir` must be a DIRECTORY of parquet files (the file stream
+    * source watches directories; a single-file fixture gets staged into a
+    * temp dir by callers/tests). */
+  def hourlyRollupStream(spark: SparkSession, eventsDir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .parquet(eventsDir)
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_utc", "2 hours")
+      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,10)")).cast("double").as("sum_value"))
+      .select(
+        col("window.start").cast("timestamp_ntz").as("hour_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Fixtures, SparkEntry, SparkSuite}
+
+/** Per-operator sanity over sf0.001. Value-level correctness against DuckDB
+  * is covered by the oracle harness (tools/oracle_check.py + driver t2);
+  * these specs pin semantics the oracle can't see (recall, planted-pair
+  * recovery, typed plumbing).
+  */
+class OperatorSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  val dir = SparkSuite.Sf0001
+
+  test("every declared query runs and has an oracle twin") {
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() == 5)
+  }
+
+  test("minhash LSH recovers the planted near-dup pairs with high recall") {
+    val pairs = Dedup.minhashCandidatePairs(spark, dir)
+      .filter(col("id_b") === col("id_a") + 1000000L)
+      .count()
+    // 500 planted near-dups (J≈0.9 after dropping one word); 4 bands of 2
+    // md5-minhashes should catch nearly all
+    assert(pairs >= 450, s"recall too low: $pairs/500")
+  }
+
+  test("ngram jaccard verification keeps planted pairs and scores them high") {
+    val verified = Dedup.ngramJaccardPairs(spark, dir)
+    val planted = verified.filter(col("id_b") === col("id_a") + 1000000L)
+    assert(planted.count() >= 450)
+    val minJ = planted.agg(min("jaccard")).collect()(0).getDouble(0)
+    assert(minJ >= 0.5)
+  }
+
+  test("simhash: planted near-dups land within small hamming distance") {
+    val sig = Dedup.simhashSignatures(spark, dir)
+    val a = sig.select(col("doc_id"), col("simhash").as("sh_a"))
+    val b = sig.select((col("doc_id") - 1000000L).as("doc_id"), col("simhash").as("sh_b"))
+    val joined = a.join(b, "doc_id")
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+    val close = joined.filter(col("hamming") <= 4).count()
+    val total = joined.count()
+    assert(total == 500)
+    assert(close >= 400, s"only $close/500 within hamming 4")
+  }
+
+  test("embedding near-dups finds exactly the planted pairs") {
+    val nd = Similarity.embeddingNearDups(spark, dir).collect()
+    assert(nd.length == 500)
+    assert(nd.forall(r => r.getLong(1) == r.getLong(0) + 1000000L))
+    assert(nd.forall(_.getDouble(2) > 0.95))
+  }
+
+  test("brute-force cosine top-k is exact and rank-ordered") {
+    val topk = Similarity.cosineTopK(spark, dir).collect()
+    assert(topk.length == 15) // 5 queries × 3
+    val byQuery = topk.groupBy(_.getLong(0))
+    byQuery.values.foreach { rows =>
+      val sims = rows.sortBy(_.getLong(2)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("sign-LSH ANN: candidates are a subset with decent top-1 recall") {
+    val brute = Similarity.cosineTopK(spark, dir, numQueries = 20, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = Similarity.SignLsh.annCandidates(spark, dir, numQueries = 20)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    val lshTop = lsh.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 8 tables × 4 planes: P(collide in ≥1 table) ≈ 0.7 for a cos≈0.4
+    // neighbor — require majority top-1 agreement with brute force
+    val agree = brute.keys.count(q => lshTop.get(q).contains(brute(q)))
+    assert(agree >= 11, s"LSH top-1 agreed on only $agree/20 queries")
+  }
+
+  test("multimodal: typed decode pipeline produces stable features") {
+    val media = Multimodal.mediaTable(spark, dir)
+    val feats = Multimodal.extractFeatures(media, Multimodal.FakeDecoder)
+    val rows = feats.filter(col("doc_id") < 5).collect().sortBy(_.doc_id)
+    assert(rows.length == 5)
+    assert(rows.forall(_.feature.length == Multimodal.FakeDecoder.featureDim))
+    // deterministic: same input → same features
+    val again = Multimodal.extractFeatures(media, Multimodal.FakeDecoder)
+      .filter(col("doc_id") < 5).collect().sortBy(_.doc_id)
+    rows.zip(again).foreach { case (a, b) => assert(a.feature.sameElements(b.feature)) }
+    // n_bytes matches payload length (= text bytes)
+    val nchars = Fixtures.table(spark, dir, "documents")
+      .filter(col("doc_id") < 5).orderBy("doc_id")
+      .select(length(col("text"))).collect().map(_.getInt(0))
+    rows.zip(nchars).foreach { case (r, n) => assert(r.n_bytes == n.toLong) }
+  }
+
+  test("langid predicts a language for every doc; markers behave") {
+    val out = TextAnalysis.languageId(spark, dir)
+    assert(out.filter(col("pred_lang").isin("de", "en", "es", "fr", "und")).count() == 500)
+  }
+}
