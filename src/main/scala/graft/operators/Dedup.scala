@@ -28,12 +28,17 @@ object Dedup {
 
   private val IdOffset = 1000000L
 
-  /** documents ∪ perturbed(documents): plants one near-duplicate per doc. */
+  /** documents ∪ perturbed(documents): plants one near-duplicate per doc.
+    * Repartitioned to the cluster's parallelism: the fixture file is a
+    * single small parquet (1-2 input splits), and the downstream
+    * shingle/signature stages are CPU-bound — without the repartition all
+    * hashing lands on one or two cores. */
   def corpusWithNearDups(spark: SparkSession, dir: String): DataFrame = {
     val d = table(spark, dir, "documents").select("doc_id", "text")
     d.unionAll(d.select(
       (col("doc_id") + IdOffset).as("doc_id"),
       expr("substring(text, instr(text, ' ') + 1)").as("text")))
+      .repartition(spark.sparkContext.defaultParallelism)
   }
 
   private val corpusSql: String =
@@ -96,8 +101,9 @@ object Dedup {
   private def hasShingles(c: Column): Column = size(split(c, " ")) >= 3
 
   /** MinHash signature entry i: min over shingles of md5(i|shingle) — an
-    * md5-keyed hash family, identical on any engine. */
-  private def minhash(sh: Column, i: Int): Column =
+    * md5-keyed hash family, identical on any engine. Built-ins-only form,
+    * kept as the semantic reference for the native expression. */
+  def minhashHof(sh: Column, i: Int): Column =
     array_min(transform(sh, s => md5(concat(lit(s"$i|"), s))))
 
   /** LSH band table: (doc_id, band, band_hash) — one row per band per doc.
@@ -106,10 +112,12 @@ object Dedup {
     val withSig = corpusWithNearDups(spark, dir)
       .filter(hasShingles(col("text")))
       .withColumn("sh", shingles(col("text")))
-    val sigCols = (0 until NumHashes).map(i => minhash(col("sh"), i).as(s"h$i"))
-    val sig = withSig.select(col("doc_id") +: sigCols: _*)
+    // native one-pass signature (bit-equal to the minhashHof columns — see
+    // VectorExpressionsSpec); h_i = sig[i+1]
+    val sig = withSig.select(col("doc_id"),
+      graft.functions.VectorExpressions.minhash_sig(col("sh"), NumHashes).as("sig"))
     val bands = (0 until NumHashes / BandSize).map { b =>
-      val parts = (0 until BandSize).map(j => col(s"h${b * BandSize + j}"))
+      val parts = (0 until BandSize).map(j => element_at(col("sig"), b * BandSize + j + 1))
       struct(lit(b).as("band"), md5(concat(parts: _*)).as("band_hash"))
     }
     sig.select(col("doc_id"), explode(array(bands: _*)).as("bh"))
@@ -117,9 +125,11 @@ object Dedup {
   }
 
   /** MinHash/LSH candidate pairs: same (band, band_hash) bucket, distinct.
-    * The shuffle key is the 16-byte band hash — linear in data, never n². */
+    * The shuffle key is the 16-byte band hash — linear in data, never n².
+    * The band table is persisted before the self-join: signature hashing is
+    * the expensive stage and would otherwise run once per join side. */
   def minhashCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
-    val bands = minhashBands(spark, dir)
+    val bands = minhashBands(spark, dir).localCheckpoint(false)
     val a = bands.select(col("band"), col("band_hash"), col("doc_id").as("id_a"))
     val b = bands.select(col("band"), col("band_hash"), col("doc_id").as("id_b"))
     a.join(b, Seq("band", "band_hash"))
@@ -228,6 +238,7 @@ object Dedup {
       .filter(hasShingles(col("text")))
       .withColumn("sh", array_distinct(shingles(col("text"))))
       .select("doc_id", "sh")
+      .localCheckpoint(false) // joined twice (id_a / id_b side); shingling runs once
     val cands = minhashCandidatePairs(spark, dir)
     cands
       .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")

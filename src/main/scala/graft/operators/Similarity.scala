@@ -21,8 +21,14 @@ import graft.Fixtures.table
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float-array columns, in double. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-fold dot product of two float-array columns, in double —
+    * native codegen'd expression (see VectorExpressions; bit-identical to
+    * [[dotHof]], which stays as the built-ins-only reference form). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExpressions.vec_dot(a, b)
+
+  /** Built-ins-only dot product (interpreted HOFs) — kept as the semantic
+    * reference the native expression is tested against. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
@@ -34,15 +40,19 @@ object Similarity {
 
   /** Brute-force cosine top-k: for each query vector (vec_id < 5), the 3
     * nearest neighbors. The tiny query side is broadcast; candidates stream
-    * through one scan — at any SF this is a single pass over the big side. */
+    * through one scan — at any SF this is a single pass over the big side.
+    * Norms are precomputed per vector (one fold each) so the per-pair work
+    * is a single dot-product fold, not three. */
   def cosineTopK(spark: SparkSession, dir: String, numQueries: Int = 5, k: Int = 3): DataFrame = {
     val e = table(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm(col("embedding")).as("qn"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
     broadcast(q).join(c, col("query_id") =!= col("cand_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= k)
       .select("query_id", "cand_id", "rank", "cos")
@@ -92,11 +102,14 @@ object Similarity {
       transform(col("embedding"), x => (x.cast("double") + 0.01).cast("float")).as("embedding"),
       col("label"))
     val e = base.select("vec_id", "embedding", "label").unionAll(perturbed)
-    val a = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+      .repartition(spark.sparkContext.defaultParallelism) // single-split input; spread the FP work
+      .withColumn("nrm", norm(col("embedding")))
+      .localCheckpoint(false) // norms computed once, reused on both join sides
+    val a = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("label"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= 0.9)
       .select("id_a", "id_b", "cos")
       .orderBy("id_a", "id_b")

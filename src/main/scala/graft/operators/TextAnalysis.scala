@@ -124,8 +124,13 @@ object TextAnalysis {
     trim(regexp_replace(lower(col("text")), "\\s+", " "))
 
   /** Rolling polynomial hash (base 31, mod 1e9+7) over the characters of a
-    * string column — pure integer math, stable across engines. */
-  def rollingHash(c: Column): Column =
+    * string column — pure integer math, stable across engines. Native
+    * codegen'd expression; [[rollingHashHof]] is the built-ins-only twin it
+    * is tested bit-equal against. */
+  def rollingHash(c: Column): Column = graft.functions.VectorExpressions.rolling_hash(c)
+
+  /** Built-ins-only rolling hash (interpreted HOF fold over `split`). */
+  def rollingHashHof(c: Column): Column =
     aggregate(
       filter(split(c, ""), ch => ch =!= ""),
       lit(0L),
