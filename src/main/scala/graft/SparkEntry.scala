@@ -28,9 +28,13 @@ object SparkEntry {
         s"profile_stats_$t" -> ((s: SparkSession, dir: String) => ProfileQueries.stats(s, dir, t))
       }.toMap
     profileStats ++ Map[String, Q](
-      // profiling semantics (SURVEY §2.1 S5-S7, §2.4 A2-A6)
+      // profiling semantics (SURVEY §2.1 S5-S7, §2.4 A2-A6, §7.4 depth)
       "profile_rowcounts" -> (ProfileQueries.rowCounts(_, _)),
       "profile_bool_histogram" -> (ProfileQueries.boolHistogram(_, _)),
+      "profile_ndv_lineitem" -> ((s, d) => ProfileQueries.ndv(s, d, "lineitem")),
+      "profile_ndv_orders" -> ((s, d) => ProfileQueries.ndv(s, d, "orders")),
+      "profile_topk_values" -> (ProfileQueries.topkValues(_, _)),
+      "profile_histogram_quantity" -> (ProfileQueries.quantityHistogram(_, _)),
       // relational coverage (SURVEY §2.2-§2.5)
       "q1_pricing_summary" -> (Relational.q1PricingSummary(_, _)),
       "q_revenue_by_region" -> (Relational.revenueByRegion(_, _)),
@@ -41,6 +45,7 @@ object SparkEntry {
       "q_top10_orders" -> (Relational.topOrdersGlobal(_, _)),
       "q_except_nations" -> (Relational.customerOnlyNations(_, _)),
       "q_intersect_nations" -> (Relational.sharedNations(_, _)),
+      "q_salted_skew_join" -> (Relational.saltedSupplierRevenue(_, _)),
       // text analysis (BASELINE.json LLM-pipeline operators)
       "text_token_counts" -> (TextAnalysis.tokenCounts(_, _)),
       "text_quality" -> (TextAnalysis.qualityScores(_, _)),
@@ -51,13 +56,15 @@ object SparkEntry {
       "dedup_exact_keep_first" -> (Dedup.exactDedupKeepFirst(_, _)),
       "dedup_minhash_pairs" -> (Dedup.minhashCandidatePairs(_, _)),
       "dedup_simhash" -> (Dedup.simhashSignatures(_, _)),
+      "dedup_simhash_pairs" -> (Dedup.simhashHammingPairs(_, _)),
       "dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs(_, _)),
       // similarity search
       "ann_cosine_topk" -> (Similarity.cosineTopK(_, _)),
       "embedding_near_dups" -> (Similarity.embeddingNearDups(_, _)),
-      // events / JSON / windows
+      // events / JSON / windows / sessions
       "events_json_profile" -> (EventOps.jsonProfile(_, _)),
       "events_hourly" -> (EventOps.hourlyRollup(_, _)),
+      "events_sessions" -> (EventOps.sessionize(_, _)),
       // multimodal manifest
       "multimodal_manifest" -> (Multimodal.mediaManifest(_, _)))
   }
@@ -70,6 +77,13 @@ object SparkEntry {
     profileStats ++ Map(
       "profile_rowcounts" -> ProfileQueries.rowCountsOracle,
       "profile_bool_histogram" -> ProfileQueries.boolHistogramOracle,
+      "profile_ndv_lineitem" -> ProfileQueries.ndvOracle("lineitem"),
+      "profile_ndv_orders" -> ProfileQueries.ndvOracle("orders"),
+      "profile_topk_values" -> ProfileQueries.topkValuesOracle,
+      "profile_histogram_quantity" -> ProfileQueries.quantityHistogramOracle,
+      "q_salted_skew_join" -> Relational.saltedSupplierRevenueOracle,
+      "dedup_simhash_pairs" -> Dedup.simhashHammingPairsOracle,
+      "events_sessions" -> EventOps.sessionizeOracle,
       "q1_pricing_summary" -> Relational.q1Oracle,
       "q_revenue_by_region" -> Relational.revenueByRegionOracle,
       "q_customer_order_counts" -> Relational.customerOrderCountsOracle,

@@ -129,7 +129,7 @@ object Dedup {
     * The band table is persisted before the self-join: signature hashing is
     * the expensive stage and would otherwise run once per join side. */
   def minhashCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
-    val bands = minhashBands(spark, dir).localCheckpoint(false)
+    val bands = minhashBands(spark, dir).persist()
     val a = bands.select(col("band"), col("band_hash"), col("doc_id").as("id_a"))
     val b = bands.select(col("band"), col("band_hash"), col("doc_id").as("id_b"))
     a.join(b, Seq("band", "band_hash"))
@@ -177,25 +177,112 @@ object Dedup {
 
   private val SimBits = 16
 
-  /** 16-bit SimHash per document: word hashes are the portable rolling
-    * polynomial hash; bit b of the signature is the sign of the ±1 vote sum
-    * over words. Computed with explode → group-by (distributed, no UDF). */
-  def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+  /** SimHash table (doc_id, simhash) at a given bit width, unordered —
+    * shared by the signature query (16-bit compact form) and the
+    * hamming-pair join (32-bit, sparse enough for pair detection). */
+  def simhashTable(spark: SparkSession, dir: String, bits: Int = SimBits): DataFrame = {
     val exploded = corpusWithNearDups(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .withColumn("h", TextAnalysis.rollingHash(col("word")))
-    val voteSums = (0 until SimBits).map { b =>
+    val voteSums = (0 until bits).map { b =>
       sum(when(expr(s"(h div ${1L << b}) % 2") === 1, 1L).otherwise(-1L)).as(s"v$b")
     }
-    val recombine = (0 until SimBits)
+    val recombine = (0 until bits)
       .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
     exploded
       .groupBy("doc_id")
       .agg(voteSums.head, voteSums.tail: _*)
       .select(col("doc_id"), recombine.as("simhash"))
-      .orderBy("doc_id")
+  }
+
+  /** 16-bit SimHash per document: word hashes are the portable rolling
+    * polynomial hash; bit b of the signature is the sign of the ±1 vote sum
+    * over words. Computed with explode → group-by (distributed, no UDF). */
+  def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    simhashTable(spark, dir).orderBy("doc_id")
+
+  private val SimPairBits = 30 // word-hash entropy is 30 bits (mod 1e9+7)
+  private val SimBlocks = 5 // 6-bit blocks; keys are block PAIRS (multi-index)
+
+  /** All (i,j) block-pair combinations — the multi-index hamming scheme:
+    * with 5 blocks and ≤3 flipped bits, at most 3 blocks are touched, so
+    * some PAIR of blocks is jointly untouched and the join on
+    * (pair, value_i, value_j) is exact for hamming ≤ 3. Pair keys carry
+    * 12 bits (vs 6 for single blocks), shrinking candidate buckets by ~64×. */
+  private val blockPairs: Seq[(Int, Int)] =
+    for (i <- 0 until SimBlocks; j <- i + 1 until SimBlocks) yield (i, j)
+
+  /** Near-dup pairs by SimHash hamming distance ≤ 3, exact via multi-index
+    * pigeonhole blocking. Random-pair collisions at ham ≤ 3 are ~4·10⁻⁶ on
+    * 30 bits, so the verified output stays close to the true near-dups.
+    * Shuffle key is (block-pair, 12-bit value); candidate volume is
+    * Σ bucket² — tiny for hash-uniform signatures. */
+  def simhashHammingPairs(spark: SparkSession, dir: String): DataFrame = {
+    val blockBits = SimPairBits / SimBlocks
+    def bval(i: Int) = expr(s"(simhash div ${1L << (blockBits * i)}) % ${1L << blockBits}")
+    val sig = simhashTable(spark, dir, SimPairBits).persist()
+    val probes = sig.select(col("doc_id"), col("simhash"),
+      explode(array(blockPairs.zipWithIndex.map { case ((i, j), k) =>
+        struct(lit(k).as("blk"), (bval(i) * (1L << blockBits) + bval(j)).as("bval"))
+      }: _*)).as("p"))
+      .select(col("doc_id"), col("simhash"), col("p.blk").as("blk"), col("p.bval").as("bval"))
+    val a = probes.select(col("blk"), col("bval"), col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = probes.select(col("blk"), col("bval"), col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("blk", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
+      .filter(col("hamming") <= 3)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  val simhashHammingPairsOracle: String = {
+    val blockBits = SimPairBits / SimBlocks
+    val votes = (0 until SimPairBits)
+      .map(b => s"sum(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n    ")
+    val recombine = (0 until SimPairBits)
+      .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    def bval(i: Int) = s"(simhash // ${1L << (blockBits * i)}) % ${1L << blockBits}"
+    val probeRows = blockPairs.zipWithIndex
+      .map { case ((i, j), k) =>
+        s"SELECT doc_id, simhash, $k AS blk, ${bval(i)} * ${1L << blockBits} + ${bval(j)} AS bval FROM sig"
+      }
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH corpus AS (
+       |  $corpusSql
+       |), wordhash AS (
+       |  SELECT doc_id,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(list_filter(string_split(w.word, ''), c -> c != ''),
+       |                       c -> CAST(unicode(c) AS BIGINT))),
+       |      (a, b) -> (a * 31 + b) % 1000000007) AS h
+       |  FROM corpus, unnest(string_split(text, ' ')) AS w(word)
+       |  WHERE w.word != ''
+       |), votes AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM wordhash GROUP BY doc_id
+       |), sig AS (
+       |  SELECT doc_id, $recombine AS simhash FROM votes
+       |), probes AS (
+       |  $probeRows
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |                  a.simhash AS sh_a, b.simhash AS sh_b
+       |  FROM probes a JOIN probes b USING (blk, bval)
+       |  WHERE a.doc_id < b.doc_id
+       |)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(sh_a, sh_b)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   val simhashSignaturesOracle: String = {
@@ -238,7 +325,7 @@ object Dedup {
       .filter(hasShingles(col("text")))
       .withColumn("sh", array_distinct(shingles(col("text"))))
       .select("doc_id", "sh")
-      .localCheckpoint(false) // joined twice (id_a / id_b side); shingling runs once
+      .persist() // joined twice (id_a / id_b side); shingling runs once
     val cands = minhashCandidatePairs(spark, dir)
     cands
       .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")

@@ -34,7 +34,7 @@ object EventOps {
       |  count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k,
       |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
       |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
-      |  sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k
+      |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Tumbling 1-hour windows per event type: batch form of the streaming
@@ -59,4 +59,47 @@ object EventOps {
       |  count(DISTINCT user_id) AS n_users,
       |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
+
+  /** Gap-based sessionization (30-minute inactivity gap): lag → new-session
+    * flag → running sum → per-user session stats. The classic event-stream
+    * operator; partition-parallel per user, two window passes + one
+    * aggregation, no self-joins. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("tus")
+    val gapUs = 30L * 60 * 1000000
+    val e = table(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("tus"))
+    val flagged = e.withColumn("prev", lag(col("tus"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_id",
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged
+      .groupBy("user_id", "sess_id").agg(count(lit(1)).as("sess_events"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("sess_events")).as("n_events"),
+        max(col("sess_events")).as("longest_session"))
+      .orderBy("user_id")
+  }
+
+  val sessionizeOracle: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+      |g AS (
+      |  SELECT user_id, tus,
+      |    CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+      |              OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM g),
+      |per_sess AS (
+      |  SELECT user_id, sess_id, count(*) AS sess_events FROM s GROUP BY user_id, sess_id)
+      |SELECT user_id, count(*) AS n_sessions, CAST(sum(sess_events) AS BIGINT) AS n_events,
+      |       max(sess_events) AS longest_session
+      |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin
 }

@@ -170,6 +170,34 @@ object Relational {
       |SELECT s_nationkey AS nationkey FROM supplier
       |ORDER BY nationkey""".stripMargin
 
+  /** Skew-resistant join via key salting: lineitem's supplier key is heavily
+    * skewed at scale (few suppliers, many line items). The big side gets a
+    * deterministic salt (`l_orderkey % 8`); the small side is exploded ×8 so
+    * every (suppkey, salt) bucket exists — one skewed reducer becomes 8
+    * evenly-loaded ones. Result is identical to the unsalted join (the
+    * oracle is the plain join); AQE's skew-join handles the same problem
+    * reactively, salting handles it by construction. */
+  def saltedSupplierRevenue(spark: SparkSession, dir: String, salts: Int = 8): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .withColumn("salt", (col("l_orderkey") % salts).cast("int"))
+    val s = table(spark, dir, "supplier")
+      .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+    li.join(s, col("l_suppkey") === col("s_suppkey") && li("salt") === s("salt"))
+      .groupBy("s_suppkey", "s_name")
+      .agg(
+        sum(revenueTerm(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("s_suppkey")
+  }
+
+  val saltedSupplierRevenueOracle: String =
+    """SELECT s_suppkey, s_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_suppkey, s_name
+      |ORDER BY s_suppkey""".stripMargin
+
   /** Set op: nation keys with both customers and suppliers (INTERSECT). */
   def sharedNations(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))

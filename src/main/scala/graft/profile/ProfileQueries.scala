@@ -88,6 +88,83 @@ object ProfileQueries {
         concat(expr("permille_f div 10"), lit("."), expr("permille_f % 10"), lit("%")).as("false_pct"))
   }
 
+  /** Exact NDV (count DISTINCT) per profiled column of a table — the
+    * cardinality row of a full `summary()`-style profile. The approximate
+    * (HLL) twin is [[approxNdv]]; exact is the oracle-checkable form. */
+  def ndv(spark: SparkSession, dir: String, tableName: String): DataFrame = {
+    val cols = Fixtures.numericCols(tableName) ++
+      Fixtures.temporalCols.getOrElse(tableName, Seq.empty)
+    val df = Fixtures.table(spark, dir, tableName)
+    val aggs = cols.map(c => countDistinct(col(c)).as(s"ndv_$c"))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  def ndvOracle(tableName: String): String = {
+    val cols = Fixtures.numericCols(tableName) ++
+      Fixtures.temporalCols.getOrElse(tableName, Seq.empty)
+    s"SELECT ${cols.map(c => s"count(DISTINCT $c) AS ndv_$c").mkString(", ")} FROM $tableName"
+  }
+
+  /** Approximate NDV via HyperLogLog++ — the 100 TB path (no expand+shuffle
+    * per column, one pass, mergeable sketches). Not oracle-comparable
+    * (sketch implementations differ per engine); gated by a relative-error
+    * test against [[ndv]] instead. */
+  def approxNdv(spark: SparkSession, dir: String, tableName: String, rsd: Double = 0.02): DataFrame = {
+    val cols = Fixtures.numericCols(tableName) ++
+      Fixtures.temporalCols.getOrElse(tableName, Seq.empty)
+    val df = Fixtures.table(spark, dir, tableName)
+    val aggs = cols.map(c => approx_count_distinct(col(c), rsd).as(s"ndv_$c"))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Top-3 most frequent values of each low-cardinality string column of
+    * lineitem/orders — the "common values" row of a profile. Deterministic
+    * rank tie-break on the value itself. */
+  def topkValues(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def topk(tbl: String, c: String): DataFrame = {
+      val w = Window.orderBy(col("cnt").desc, col("value"))
+      Fixtures.table(spark, dir, tbl)
+        .groupBy(col(c).as("value")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 3)
+        .select(lit(s"$tbl.$c").as("column_name"), col("value"), col("cnt"), col("rnk"))
+    }
+    topk("lineitem", "l_returnflag")
+      .unionAll(topk("lineitem", "l_linestatus"))
+      .unionAll(topk("orders", "o_orderstatus"))
+      .unionAll(topk("orders", "o_orderpriority"))
+      .orderBy("column_name", "rnk")
+  }
+
+  val topkValuesOracle: String = {
+    def one(tbl: String, c: String) =
+      s"""SELECT '$tbl.$c' AS column_name, value, cnt, rnk FROM (
+         |  SELECT $c AS value, count(*) AS cnt,
+         |         row_number() OVER (ORDER BY count(*) DESC, $c) AS rnk
+         |  FROM $tbl GROUP BY $c) t WHERE rnk <= 3""".stripMargin
+    Seq(one("lineitem", "l_returnflag"), one("lineitem", "l_linestatus"),
+      one("orders", "o_orderstatus"), one("orders", "o_orderpriority"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name, rnk")
+  }
+
+  /** Fixed-width numeric histogram of l_quantity (width 5 from 1.0) — the
+    * distribution row of a profile; one group-by, partial-agg friendly. */
+  def quantityHistogram(spark: SparkSession, dir: String): DataFrame =
+    Fixtures.table(spark, dir, "lineitem")
+      .groupBy(floor((col("l_quantity") - 1.0) / 5.0).cast("bigint").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("lo", col("bucket") * 5.0 + 1.0)
+      .withColumn("hi", col("bucket") * 5.0 + 6.0)
+      .select("bucket", "lo", "hi", "cnt")
+      .orderBy("bucket")
+
+  val quantityHistogramOracle: String =
+    """SELECT bucket, bucket * 5.0 + 1.0 AS lo, bucket * 5.0 + 6.0 AS hi, cnt FROM (
+      |  SELECT CAST(floor((l_quantity - 1.0) / 5.0) AS BIGINT) AS bucket, count(*) AS cnt
+      |  FROM lineitem GROUP BY 1) t
+      |ORDER BY bucket""".stripMargin
+
   def boolHistogramOracle: String =
     """WITH flagged AS (
       |  SELECT CASE WHEN l_discount > 0.06 THEN TRUE

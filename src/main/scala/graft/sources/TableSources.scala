@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Format-agnostic table IO — the engine's source/sink surface beyond the
+  * parquet fixtures (SURVEY §2.1: the reference speaks only the Postgres
+  * wire protocol; Spark's DataSource framework gives the engine
+  * parquet/csv/json/orc for free, plus JDBC as the literal Postgres
+  * equivalent when connectivity exists).
+  *
+  * Conventions chosen for lossless round-trips at scale:
+  *  - csv/json always written with explicit schemas re-applied on read
+  *    (inference is a full extra pass over the data — never rely on it);
+  *  - csv carries a header and ISO-8601 timestamps;
+  *  - all formats partition/split the same way downstream (the reader
+  *    yields the same DataFrame contract regardless of format).
+  */
+object TableSources {
+
+  sealed trait Format { def name: String }
+  case object Parquet extends Format { val name = "parquet" }
+  case object Csv extends Format { val name = "csv" }
+  case object Json extends Format { val name = "json" }
+  case object Orc extends Format { val name = "orc" }
+
+  def read(spark: SparkSession, path: String, format: Format, schema: Option[StructType] = None): DataFrame = {
+    val r0 = spark.read.format(format.name)
+    val r1 = schema.fold(r0)(r0.schema)
+    format match {
+      case Csv => r1.option("header", "true").option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").load(path)
+      case _   => r1.load(path)
+    }
+  }
+
+  def write(df: DataFrame, path: String, format: Format): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format(format.name)
+    format match {
+      case Csv => w.option("header", "true").option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").save(path)
+      case _   => w.save(path)
+    }
+  }
+
+  /** JDBC source — the literal equivalent of the reference's Postgres
+    * connection (`/root/reference/src/listTables.tsx:184-201`). Untestable
+    * here (no database in the container); the option surface mirrors the
+    * reference's env config. */
+  def readJdbc(spark: SparkSession, url: String, dbtable: String,
+      user: String, password: String): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", dbtable)
+      .option("user", user)
+      .option("password", password)
+      .load()
+}
