@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.VectorExpressions.{FloatVectorDot, MinHashSignature, StringRollingHash}
+
+/** `SparkSessionExtensions` hook exposing the engine's native expressions to
+  * SQL — `spark.sql("SELECT vec_dot(a, b) ...")` — so the library composes
+  * with plain-SQL pipelines, not just the Column API. Register with either
+  *
+  * {{{
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  *   // or spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.vecDot)
+    ext.injectFunction(GraftExtensions.rollingHash)
+    ext.injectFunction(GraftExtensions.minhashSig)
+  }
+}
+
+object GraftExtensions {
+
+  /** Imperative registration on a live session — for REPL/test use where the
+    * session predates the library (`withExtensions` only applies at
+    * construction time). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Seq(vecDot, rollingHash, minhashSig).foreach { case (fid, i, b) =>
+      org.apache.spark.sql.graft.ColumnBridge.registerFunction(spark, fid, i, b)
+    }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  val vecDot: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_dot"),
+    info("vec_dot", "vec_dot(a, b) - dot product of two array<float> vectors in double, strict left fold"),
+    (exprs: Seq[Expression]) => FloatVectorDot(exprs(0), exprs(1)))
+
+  val rollingHash: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("rolling_hash"),
+    info("rolling_hash", "rolling_hash(s) - polynomial rolling hash (base 31, mod 1e9+7) over code points"),
+    (exprs: Seq[Expression]) => StringRollingHash(exprs(0)))
+
+  val minhashSig: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sig"),
+    info("minhash_sig", "minhash_sig(shingles, k) - k md5-family minhash minima over an array<string> in one pass"),
+    (exprs: Seq[Expression]) => {
+      val k = exprs(1).eval() match {
+        case i: java.lang.Integer => i.intValue()
+        case l: java.lang.Long    => l.intValue()
+        case other => throw new IllegalArgumentException(s"minhash_sig k must be an integer literal, got $other")
+      }
+      MinHashSignature(exprs(0), k)
+    })
+}

@@ -11,4 +11,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a function on an ALREADY-RUNNING session (the
+    * `withExtensions` path only applies at session construction). */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      fid: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(fid, info, builder)
 }

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The registered SQL functions must agree with the Column-API forms.
+  * (`withExtensions` only applies when constructing a NEW SparkContext, so
+  * the suite exercises the live-session registration path the extension
+  * class delegates to.) */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  lazy val spark = {
+    val s = SparkSuite.spark
+    GraftExtensions.register(s)
+    s
+  }
+
+  test("vec_dot / rolling_hash / minhash_sig are SQL-callable and correct") {
+    val r = spark.sql(
+      """SELECT
+        |  vec_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |          array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d,
+        |  rolling_hash('ab') AS h,
+        |  minhash_sig(array('x', 'y'), 2) AS sig
+        |""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 4.0)
+    // ('a'=97)*31 + 98 = 3105
+    assert(r.getLong(1) == 97L * 31 + 98)
+    val sig = r.getSeq[String](2)
+    assert(sig.length == 2)
+    // element 0 = min(md5("0|x"), md5("0|y")) — verify against built-in md5
+    val mins = spark.sql(
+      "SELECT least(md5('0|x'), md5('0|y')) AS m0, least(md5('1|x'), md5('1|y')) AS m1")
+      .collect()(0)
+    assert(sig == Seq(mins.getString(0), mins.getString(1)))
+  }
+
+  test("SQL rolling_hash agrees with the Column API on fixture text") {
+    import org.apache.spark.sql.functions.col
+    val d = spark.read.parquet(s"${SparkSuite.Sf0001}/documents.parquet")
+    d.createOrReplaceTempView("docs_ext")
+    val viaSql = spark.sql("SELECT doc_id, rolling_hash(text) AS h FROM docs_ext ORDER BY doc_id")
+      .collect().map(_.getLong(1)).toSeq
+    val viaCol = d.select(col("doc_id"), graft.operators.TextAnalysis.rollingHash(col("text")).as("h"))
+      .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    assert(viaSql == viaCol)
+  }
+}
