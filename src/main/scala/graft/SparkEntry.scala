@@ -35,6 +35,7 @@ object SparkEntry {
       "profile_ndv_orders" -> ((s, d) => ProfileQueries.ndv(s, d, "orders")),
       "profile_topk_values" -> (ProfileQueries.topkValues(_, _)),
       "profile_histogram_quantity" -> (ProfileQueries.quantityHistogram(_, _)),
+      "profile_percentiles_quantity" -> (ProfileQueries.quantityPercentiles(_, _)),
       // relational coverage (SURVEY §2.2-§2.5)
       "q1_pricing_summary" -> (Relational.q1PricingSummary(_, _)),
       "q_revenue_by_region" -> (Relational.revenueByRegion(_, _)),
@@ -46,6 +47,8 @@ object SparkEntry {
       "q_except_nations" -> (Relational.customerOnlyNations(_, _)),
       "q_intersect_nations" -> (Relational.sharedNations(_, _)),
       "q_salted_skew_join" -> (Relational.saltedSupplierRevenue(_, _)),
+      "q_rollup_pricing" -> (Relational.pricingRollup(_, _)),
+      "q_asof_click_error" -> (Relational.asOfClickError(_, _)),
       // text analysis (BASELINE.json LLM-pipeline operators)
       "text_token_counts" -> (TextAnalysis.tokenCounts(_, _)),
       "text_quality" -> (TextAnalysis.qualityScores(_, _)),
@@ -65,6 +68,7 @@ object SparkEntry {
       "events_json_profile" -> (EventOps.jsonProfile(_, _)),
       "events_hourly" -> (EventOps.hourlyRollup(_, _)),
       "events_sessions" -> (EventOps.sessionize(_, _)),
+      "events_type_pivot" -> (EventOps.eventTypePivot(_, _)),
       // multimodal manifest
       "multimodal_manifest" -> (Multimodal.mediaManifest(_, _)))
   }
@@ -82,8 +86,12 @@ object SparkEntry {
       "profile_topk_values" -> ProfileQueries.topkValuesOracle,
       "profile_histogram_quantity" -> ProfileQueries.quantityHistogramOracle,
       "q_salted_skew_join" -> Relational.saltedSupplierRevenueOracle,
+      "q_rollup_pricing" -> Relational.pricingRollupOracle,
+      "q_asof_click_error" -> Relational.asOfClickErrorOracle,
       "dedup_simhash_pairs" -> Dedup.simhashHammingPairsOracle,
       "events_sessions" -> EventOps.sessionizeOracle,
+      "events_type_pivot" -> EventOps.eventTypePivotOracle,
+      "profile_percentiles_quantity" -> ProfileQueries.quantityPercentilesOracle,
       "q1_pricing_summary" -> Relational.q1Oracle,
       "q_revenue_by_region" -> Relational.revenueByRegionOracle,
       "q_customer_order_counts" -> Relational.customerOrderCountsOracle,

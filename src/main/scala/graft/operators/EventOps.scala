@@ -60,6 +60,29 @@ object EventOps {
       |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
 
+  /** Pivot: per-user event counts spread across one column per event type —
+    * `groupBy(...).pivot(values)` with the value list given explicitly (an
+    * unlisted-values pivot needs an extra distinct pass at scale). */
+  def eventTypePivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = table(spark, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    types.foldLeft(pivoted)((df, t) => df.withColumnRenamed(t, s"n_$t"))
+      .na.fill(0L)
+      .orderBy("user_id")
+  }
+
+  val eventTypePivotOracle: String =
+    """SELECT user_id,
+      |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+      |  count(*) FILTER (WHERE event_type = 'error') AS n_error,
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+      |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+      |  count(*) FILTER (WHERE event_type = 'view') AS n_view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Gap-based sessionization (30-minute inactivity gap): lag → new-session
     * flag → running sum → per-user session stats. The classic event-stream
     * operator; partition-parallel per user, two window passes + one

@@ -170,6 +170,59 @@ object Relational {
       |SELECT s_nationkey AS nationkey FROM supplier
       |ORDER BY nationkey""".stripMargin
 
+  /** Rollup (hierarchical grouping sets): pricing counts at (flag, status),
+    * (flag), and grand-total levels in one pass — Spark expands grouping
+    * sets before the aggregate, so it is still a single shuffle. */
+  def pricingRollup(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val pricingRollupOracle: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** As-of join, composed from built-ins (the preferred tier when semantics
+    * allow — SURVEY §2.3 notes Spark lacks a native ASOF): for every
+    * 'click' event, the most recent 'error' of the same user at-or-before
+    * it. Union both sides tagged, sort per user by (time, err-first at
+    * ties), carry the last error id forward with an IGNORE NULLS window —
+    * ONE shuffle + sort, no join blow-up, no range-join quadratic risk.
+    * The DuckDB oracle uses its native ASOF LEFT JOIN. */
+  def asOfClickError(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("tus"),
+        col("event_id"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tus"), col("event_id"), lit(null).cast("bigint").as("err_id"), lit(0).as("is_err"))
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("tus"), lit(null).cast("bigint").as("event_id"), col("event_id").as("err_id"), lit(1).as("is_err"))
+    // errors sort before clicks at equal tus: `e.tus <= c.tus` is inclusive
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tus"), col("is_err").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionAll(errs)
+      .withColumn("last_err", last(col("err_id"), ignoreNulls = true).over(w))
+      .filter(col("is_err") === 0)
+      .select(col("event_id"), col("user_id"), col("tus"), col("last_err").as("err_id"))
+      .orderBy("event_id")
+  }
+
+  val asOfClickErrorOracle: String =
+    """WITH clicks AS (
+      |  SELECT user_id, epoch_us(ts) AS tus, event_id FROM events WHERE event_type = 'click'
+      |), errs AS (
+      |  SELECT user_id, epoch_us(ts) AS tus, event_id AS err_id FROM events WHERE event_type = 'error'
+      |)
+      |SELECT c.event_id, c.user_id, c.tus, e.err_id
+      |FROM clicks c ASOF LEFT JOIN errs e
+      |  ON c.user_id = e.user_id AND e.tus <= c.tus
+      |ORDER BY c.event_id""".stripMargin
+
   /** Skew-resistant join via key salting: lineitem's supplier key is heavily
     * skewed at scale (few suppliers, many line items). The big side gets a
     * deterministic salt (`l_orderkey % 8`); the small side is exploded ×8 so

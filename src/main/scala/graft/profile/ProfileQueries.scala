@@ -148,6 +148,28 @@ object ProfileQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY column_name, rnk")
   }
 
+  /** Exact interpolated percentiles of l_quantity — the quartile row of a
+    * profile. Values are integral doubles, so the ANSI interpolation
+    * `(1-g)·a + g·b` is exact in binary and engine-identical. (The scale
+    * path is `percentile_approx`/KLL-style sketches; exact percentile is
+    * the oracle-checkable form.) */
+  def quantityPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Fixtures.table(spark, dir, "lineitem")
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("q25"),
+        expr("percentile(l_quantity, 0.5)").as("q50"),
+        expr("percentile(l_quantity, 0.75)").as("q75"),
+        expr("min(l_quantity)").as("q0"),
+        expr("max(l_quantity)").as("q100"))
+
+  val quantityPercentilesOracle: String =
+    """SELECT quantile_cont(l_quantity, 0.25) AS q25,
+      |       quantile_cont(l_quantity, 0.5) AS q50,
+      |       quantile_cont(l_quantity, 0.75) AS q75,
+      |       min(l_quantity) AS q0,
+      |       max(l_quantity) AS q100
+      |FROM lineitem""".stripMargin
+
   /** Fixed-width numeric histogram of l_quantity (width 5 from 1.0) — the
     * distribution row of a profile; one group-by, partial-agg friendly. */
   def quantityHistogram(spark: SparkSession, dir: String): DataFrame =
