@@ -61,6 +61,7 @@ object SparkEntry {
       "dedup_simhash" -> (Dedup.simhashSignatures(_, _)),
       "dedup_simhash_pairs" -> (Dedup.simhashHammingPairs(_, _)),
       "dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs(_, _)),
+      "dedup_group_signatures" -> (Dedup.groupSignatures(_, _)),
       // similarity search
       "ann_cosine_topk" -> (Similarity.cosineTopK(_, _)),
       "embedding_near_dups" -> (Similarity.embeddingNearDups(_, _)),
@@ -110,6 +111,7 @@ object SparkEntry {
       "dedup_minhash_pairs" -> Dedup.minhashCandidatePairsOracle,
       "dedup_simhash" -> Dedup.simhashSignaturesOracle,
       "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsOracle,
+      "dedup_group_signatures" -> Dedup.groupSignaturesOracle,
       "ann_cosine_topk" -> Similarity.cosineTopKOracle(),
       "embedding_near_dups" -> Similarity.embeddingNearDupsOracle(),
       "events_json_profile" -> EventOps.jsonProfileOracle,

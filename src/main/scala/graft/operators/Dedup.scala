@@ -173,6 +173,35 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** MinHash signature per GROUP (here: per language) via the
+    * [[graft.functions.MinHashAgg]] TypedImperativeAggregate — the mergeable
+    * sketch form: shingles stream through a partial aggregate on every
+    * partition and buffers combine by element-wise min, so a group's
+    * signature never needs its members co-located or collected. */
+  def groupSignatures(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .filter(hasShingles(col("text")))
+      .select(col("lang"), explode(shingles(col("text"))).as("shingle"))
+      .groupBy("lang")
+      .agg(graft.functions.MinHashAgg.minhash_agg(col("shingle"), NumHashes).as("sig"))
+      .orderBy("lang")
+
+  val groupSignaturesOracle: String = {
+    val mins = (0 until NumHashes).map(i => s"min(md5('$i|' || shingle))").mkString(", ")
+    s"""WITH shingled AS (
+       |  SELECT lang,
+       |    list_transform(
+       |      range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+       |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+       |    ) AS sh
+       |  FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3
+       |), ex AS (
+       |  SELECT lang, s.shingle FROM shingled, unnest(sh) AS s(shingle)
+       |)
+       |SELECT lang, [$mins] AS sig FROM ex GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   private val SimBits = 16
