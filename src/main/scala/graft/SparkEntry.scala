@@ -70,6 +70,7 @@ object SparkEntry {
       "events_hourly" -> (EventOps.hourlyRollup(_, _)),
       "events_sessions" -> (EventOps.sessionize(_, _)),
       "events_type_pivot" -> (EventOps.eventTypePivot(_, _)),
+      "events_range_join" -> (EventOps.purchaseClickAttribution(_, _)),
       // multimodal manifest
       "multimodal_manifest" -> (Multimodal.mediaManifest(_, _)))
   }
@@ -92,6 +93,7 @@ object SparkEntry {
       "dedup_simhash_pairs" -> Dedup.simhashHammingPairsOracle,
       "events_sessions" -> EventOps.sessionizeOracle,
       "events_type_pivot" -> EventOps.eventTypePivotOracle,
+      "events_range_join" -> EventOps.purchaseClickAttributionOracle,
       "profile_percentiles_quantity" -> ProfileQueries.quantityPercentilesOracle,
       "q1_pricing_summary" -> Relational.q1Oracle,
       "q_revenue_by_region" -> Relational.revenueByRegionOracle,

@@ -60,6 +60,50 @@ object EventOps {
       |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
 
+  /** Interval/range join, bucketed: for each purchase, the count of the
+    * same user's clicks in the preceding 5 minutes (attribution). A naive
+    * range predicate forces Spark into a nested-loop join; bucketing time
+    * into window-width bands and replicating the probe side into its two
+    * candidate bands turns it into an equi-join on (user, band) + an exact
+    * range filter — shuffle-partitioned, linear, the standard scale form.
+    * (DuckDB's IEJoin evaluates the plain range predicate as the oracle.)
+    * A click lands in exactly one band of each purchase, so no dedup is
+    * needed after the band join. */
+  def purchaseClickAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val windowUs = 5L * 60 * 1000000
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tus").as("p_tus"), col("event_id"),
+        expr(s"tus div $windowUs").as("band"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("tus").as("c_tus"))
+      .withColumn("band", explode(array(
+        expr(s"c_tus div $windowUs"),
+        expr(s"c_tus div $windowUs") + 1)))
+    purchases
+      .join(clicks,
+        col("user_id") === col("c_user") && purchases("band") === clicks("band") &&
+          col("c_tus") <= col("p_tus") && col("c_tus") >= col("p_tus") - windowUs,
+        "left")
+      .groupBy(col("event_id"), col("user_id"), col("p_tus").as("tus"))
+      .agg(count(col("c_tus")).as("n_clicks_5min"))
+      .select(col("event_id"), col("user_id"), col("tus"), col("n_clicks_5min"))
+      .orderBy("event_id")
+  }
+
+  val purchaseClickAttributionOracle: String =
+    """WITH p AS (
+      |  SELECT user_id, epoch_us(ts) AS tus, event_id FROM events WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT user_id, epoch_us(ts) AS tus FROM events WHERE event_type = 'click'
+      |)
+      |SELECT p.event_id, p.user_id, p.tus, count(c.tus) AS n_clicks_5min
+      |FROM p LEFT JOIN c
+      |  ON c.user_id = p.user_id AND c.tus <= p.tus AND c.tus >= p.tus - 300000000
+      |GROUP BY p.event_id, p.user_id, p.tus
+      |ORDER BY p.event_id""".stripMargin
+
   /** Pivot: per-user event counts spread across one column per event type —
     * `groupBy(...).pivot(values)` with the value list given explicitly (an
     * unlisted-values pivot needs an extra distinct pass at scale). */
