@@ -72,7 +72,9 @@ object SparkEntry {
       "events_type_pivot" -> (EventOps.eventTypePivot(_, _)),
       "events_range_join" -> (EventOps.purchaseClickAttribution(_, _)),
       // multimodal manifest
-      "multimodal_manifest" -> (Multimodal.mediaManifest(_, _)))
+      "multimodal_manifest" -> (Multimodal.mediaManifest(_, _)),
+      // data-quality validation rules (the north-star surface)
+      "quality_checks" -> (graft.quality.QualitySuite.run(_, _)))
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -118,6 +120,7 @@ object SparkEntry {
       "embedding_near_dups" -> Similarity.embeddingNearDupsOracle(),
       "events_json_profile" -> EventOps.jsonProfileOracle,
       "events_hourly" -> EventOps.hourlyRollupOracle,
-      "multimodal_manifest" -> Multimodal.mediaManifestOracle)
+      "multimodal_manifest" -> Multimodal.mediaManifestOracle,
+      "quality_checks" -> graft.quality.QualitySuite.oracle)
   }
 }
