@@ -24,13 +24,15 @@ object ProfileQueries {
     */
   def stats(spark: SparkSession, dir: String, tableName: String): DataFrame = {
     val df = Fixtures.table(spark, dir, tableName)
+    val profiled = Fixtures.numericCols(tableName) ++
+      Fixtures.temporalCols.getOrElse(tableName, Seq.empty)
     val aggs = Seq(count(lit(1)).as("n_rows")) ++
-      Fixtures.numericCols(tableName).flatMap(c =>
-        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
-      Fixtures.temporalCols.getOrElse(tableName, Seq.empty).flatMap(c =>
-        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+      profiled.flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+          (count(lit(1)) - count(col(c))).as(s"nulls_$c"))) ++
       (if (tableName == "events")
-        Seq(expr("min(ts) div 1000").as("min_ts"), expr("max(ts) div 1000").as("max_ts"))
+        Seq(expr("min(ts) div 1000").as("min_ts"), expr("max(ts) div 1000").as("max_ts"),
+          expr("count(*) - count(ts)").as("nulls_ts"))
       else Seq.empty)
     df.agg(aggs.head, aggs.tail: _*)
   }
@@ -39,8 +41,10 @@ object ProfileQueries {
   def statsOracle(tableName: String): String = {
     val cols = Fixtures.numericCols(tableName) ++
       Fixtures.temporalCols.getOrElse(tableName, Seq.empty)
-    val minmax = cols.map(c => s"min($c) AS min_$c, max($c) AS max_$c") ++
-      (if (tableName == "events") Seq("epoch_us(min(ts)) AS min_ts, epoch_us(max(ts)) AS max_ts")
+    val minmax = cols.map(c =>
+      s"min($c) AS min_$c, max($c) AS max_$c, count(*) - count($c) AS nulls_$c") ++
+      (if (tableName == "events")
+        Seq("epoch_us(min(ts)) AS min_ts, epoch_us(max(ts)) AS max_ts, count(*) - count(ts) AS nulls_ts")
       else Seq.empty)
     s"SELECT count(*) AS n_rows, ${minmax.mkString(", ")} FROM $tableName"
   }
