@@ -25,6 +25,54 @@ object EventStreamProfiler {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Streaming PROFILE mode: the engine's fused column-stats aggregation
+    * (SURVEY §4.2 stat fusion) applied per tumbling event-time window —
+    * rolling data-quality monitoring of a stream: per hour, row count plus
+    * min/max/null-count of every profiled column. The reference can only
+    * profile a static catalog; this is the same semantics over a live
+    * source. */
+  def hourlyProfileStream(spark: SparkSession, eventsDir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .parquet(eventsDir)
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_utc", "2 hours")
+      .groupBy(window(col("ts_utc"), "1 hour"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"),
+        (count(lit(1)) - count(col("event_id"))).as("nulls_event_id"),
+        min(col("user_id")).as("min_user_id"),
+        max(col("user_id")).as("max_user_id"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        (count(lit(1)) - count(col("value"))).as("nulls_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
+        col("n_rows"), col("min_event_id"), col("max_event_id"), col("nulls_event_id"),
+        col("min_user_id"), col("max_user_id"), col("min_value"), col("max_value"),
+        col("nulls_value"))
+
+  /** Batch twin of [[hourlyProfileStream]] for equivalence testing. */
+  def hourlyProfileBatch(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts_utc"), "1 hour"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"),
+        (count(lit(1)) - count(col("event_id"))).as("nulls_event_id"),
+        min(col("user_id")).as("min_user_id"),
+        max(col("user_id")).as("max_user_id"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        (count(lit(1)) - count(col("value"))).as("nulls_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
+        col("n_rows"), col("min_event_id"), col("max_event_id"), col("nulls_event_id"),
+        col("min_user_id"), col("max_user_id"), col("min_value"), col("max_value"),
+        col("nulls_value"))
+
   /** Streaming hourly rollup: counts + value sums per (hour, event_type),
     * 2-hour watermark for late data. Append-mode compatible (the aggregate
     * closes once the watermark passes the window end).

@@ -99,6 +99,26 @@ class OperatorSpec extends AnyFunSuite {
     rows.zip(nchars).foreach { case (r, n) => assert(r.n_bytes == n.toLong) }
   }
 
+  test("invariant: profile stats are row-order/partitioning independent") {
+    import graft.profile.ProfileQueries
+    val base = ProfileQueries.stats(spark, dir, "lineitem").collect()(0).toSeq
+    val shuffled = spark.read.parquet(s"$dir/lineitem.parquet")
+      .repartition(13).orderBy(rand(42))
+    val tmp = java.nio.file.Files.createTempDirectory("perm").toString
+    shuffled.write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val perm = ProfileQueries.stats(spark, tmp, "lineitem").collect()(0).toSeq
+    assert(base == perm)
+  }
+
+  test("invariant: pair outputs are canonical (id_a < id_b) and jaccard bounded") {
+    val j = Dedup.ngramJaccardPairs(spark, dir).collect()
+    assert(j.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(j.forall(r => r.getDouble(2) >= 0.5 && r.getDouble(2) <= 1.0))
+    val m = Dedup.minhashCandidatePairs(spark, dir).collect()
+    assert(m.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(m.length == m.map(r => (r.getLong(0), r.getLong(1))).distinct.length)
+  }
+
   test("langid predicts a language for every doc; markers behave") {
     val out = TextAnalysis.languageId(spark, dir)
     assert(out.filter(col("pred_lang").isin("de", "en", "es", "fr", "und")).count() == 500)

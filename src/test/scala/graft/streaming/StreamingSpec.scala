@@ -8,6 +8,24 @@ import graft.operators.EventOps
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = SparkSuite.spark
 
+  test("streaming profile mode matches the batch fused stats per window") {
+    val dir = SparkSuite.Sf0001
+    val staged = java.nio.file.Files.createTempDirectory("events_profile_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val q = EventStreamProfiler.hourlyProfileStream(spark, staged.toString)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("stream_profile").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_profile").collect().map(_.toSeq).toSet
+      val batch = EventStreamProfiler.hourlyProfileBatch(spark, dir).collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming hourly rollup matches the batch rollup (complete replay)") {
     val dir = SparkSuite.Sf0001
     // the file stream source needs a directory; stage the single-file fixture
