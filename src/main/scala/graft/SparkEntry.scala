@@ -54,6 +54,7 @@ object SparkEntry {
       "text_quality" -> (TextAnalysis.qualityScores(_, _)),
       "text_langid" -> (TextAnalysis.languageId(_, _)),
       "text_fingerprints" -> (TextAnalysis.fingerprints(_, _)),
+      "text_doc_freq" -> (TextAnalysis.docFrequency(_, _)),
       // dedup family
       "dedup_exact_groups" -> (Dedup.exactDupGroups(_, _)),
       "dedup_exact_keep_first" -> (Dedup.exactDedupKeepFirst(_, _)),
@@ -110,6 +111,7 @@ object SparkEntry {
       "text_quality" -> TextAnalysis.qualityScoresOracle,
       "text_langid" -> TextAnalysis.languageIdOracle,
       "text_fingerprints" -> TextAnalysis.fingerprintsOracle,
+      "text_doc_freq" -> TextAnalysis.docFrequencyOracle,
       "dedup_exact_groups" -> Dedup.exactDupGroupsOracle,
       "dedup_exact_keep_first" -> Dedup.exactDedupKeepFirstOracle,
       "dedup_minhash_pairs" -> Dedup.minhashCandidatePairsOracle,

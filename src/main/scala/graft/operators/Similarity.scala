@@ -130,6 +130,50 @@ object Similarity {
        |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.9
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** IVF-style ANN: a coarse quantizer (seeded MLlib k-means) partitions the
+    * vector space into cells; each vector is indexed under its cell, and a
+    * query probes only the `nprobe` nearest cells — the inverted-file layout
+    * every production vector store uses at scale (the cell id is the shuffle
+    * /storage partition key; candidates per query are |data|·nprobe/k).
+    * Deterministic via the fixed seed; recall vs brute force is pinned in
+    * tests. */
+  object Ivf {
+
+    def annCandidates(spark: SparkSession, dir: String, numQueries: Int = 20,
+        k: Int = 16, nprobe: Int = 4): DataFrame = {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val e = table(spark, dir, "embeddings")
+        .withColumn("features", array_to_vector(col("embedding")))
+      val model = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
+        .setFeaturesCol("features").setPredictionCol("cell").fit(e)
+      val indexed = model.transform(e).select(col("vec_id"), col("embedding"), col("cell"))
+      // probe assignment: the query set is tiny — rank cells by distance driver-side
+      val centers = model.clusterCenters
+      val queries = e.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        .collect()
+        .flatMap { r =>
+          val q = r.getSeq[Float](1).toArray
+          val byDist = centers.zipWithIndex.map { case (c, i) =>
+            var d = 0.0
+            var j = 0
+            while (j < q.length) { val t = q(j) - c(j); d += t * t; j += 1 }
+            (d, i)
+          }.sortBy(_._1).take(nprobe)
+          byDist.map { case (_, cell) => (r.getLong(0), cell) }
+        }
+      import spark.implicits._
+      val probes = queries.toSeq.toDF("query_id", "cell")
+      val qv = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      broadcast(probes).join(indexed, "cell")
+        .filter(col("query_id") =!= col("vec_id"))
+        .join(broadcast(qv), "query_id")
+        .withColumn("cos", cosine(col("qv"), col("embedding")))
+        .select(col("query_id"), col("vec_id").as("cand_id"), col("cos"))
+    }
+  }
+
   /** Sign-random-projection LSH, multi-table OR-construction: L independent
     * tables of k hyperplanes each; a vector lands in one k-bit bucket per
     * table, and two vectors are candidates if they collide in ANY table

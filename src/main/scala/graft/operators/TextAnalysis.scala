@@ -119,6 +119,33 @@ object TextAnalysis {
        |FROM documents) s ORDER BY doc_id""".stripMargin
   }
 
+  /** Document frequency: the corpus-level term table (how many docs and how
+    * many total occurrences per word) — the integer-exact half of TF-IDF
+    * (the IDF log transform is left to consumers: cross-engine `ln` is not
+    * ulp-stable, counts are). Top-20 by document frequency. */
+  def docFrequency(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("doc_freq").desc, col("word"))
+    table(spark, dir, "documents")
+      .select(col("doc_id"), explode(words).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      .agg(countDistinct(col("doc_id")).as("doc_freq"), count(lit(1)).as("total_freq"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 20)
+      .select("word", "doc_freq", "total_freq", "rnk")
+      .orderBy("rnk")
+  }
+
+  val docFrequencyOracle: String =
+    """SELECT word, doc_freq, total_freq, rnk FROM (
+      |  SELECT word, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_freq,
+      |         row_number() OVER (ORDER BY count(DISTINCT doc_id) DESC, word) AS rnk
+      |  FROM (SELECT doc_id, w.word FROM documents, unnest(string_split(text, ' ')) AS w(word)
+      |        WHERE w.word != '')
+      |  GROUP BY word) t
+      |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+
   /** Normalized text for fingerprinting: lowercase, whitespace collapsed. */
   private val normText: Column =
     trim(regexp_replace(lower(col("text")), "\\s+", " "))

@@ -82,6 +82,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(agree >= 11, s"LSH top-1 agreed on only $agree/20 queries")
   }
 
+  test("IVF ANN: probing 4/16 cells recovers most brute-force top-1 neighbors") {
+    val brute = Similarity.cosineTopK(spark, dir, numQueries = 20, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    val ivfTop = Similarity.Ivf.annCandidates(spark, dir, numQueries = 20)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agree = brute.keys.count(q => ivfTop.get(q).contains(brute(q)))
+    assert(agree >= 8, s"IVF top-1 agreed on only $agree/20 queries")
+  }
+
   test("multimodal: typed decode pipeline produces stable features") {
     val media = Multimodal.mediaTable(spark, dir)
     val feats = Multimodal.extractFeatures(media, Multimodal.FakeDecoder)
