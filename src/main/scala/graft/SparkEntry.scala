@@ -48,6 +48,7 @@ object SparkEntry {
       "q_intersect_nations" -> (Relational.sharedNations(_, _)),
       "q_salted_skew_join" -> (Relational.saltedSupplierRevenue(_, _)),
       "q_rollup_pricing" -> (Relational.pricingRollup(_, _)),
+      "q_scalar_subquery" -> (Relational.aboveAverageCustomers(_, _)),
       "q_asof_click_error" -> (Relational.asOfClickError(_, _)),
       // text analysis (BASELINE.json LLM-pipeline operators)
       "text_token_counts" -> (TextAnalysis.tokenCounts(_, _)),
@@ -92,6 +93,7 @@ object SparkEntry {
       "profile_histogram_quantity" -> ProfileQueries.quantityHistogramOracle,
       "q_salted_skew_join" -> Relational.saltedSupplierRevenueOracle,
       "q_rollup_pricing" -> Relational.pricingRollupOracle,
+      "q_scalar_subquery" -> Relational.aboveAverageCustomersOracle,
       "q_asof_click_error" -> Relational.asOfClickErrorOracle,
       "dedup_simhash_pairs" -> Dedup.simhashHammingPairsOracle,
       "events_sessions" -> EventOps.sessionizeOracle,

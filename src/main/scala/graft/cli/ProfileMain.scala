@@ -33,8 +33,11 @@ object ProfileMain {
       val spark = GraftSession.local(threads)
       try {
         val profiles = Profiler.profileRoot(spark, data, exact)
-        val mode = if (exact) TableRenderer.Exact else TableRenderer.Estimated
-        print(TableRenderer.render(profiles, mode))
+        if (args.flags.contains("json")) print(TableRenderer.renderJson(profiles))
+        else {
+          val mode = if (exact) TableRenderer.Exact else TableRenderer.Estimated
+          print(TableRenderer.render(profiles, mode))
+        }
       } finally spark.stop()
     } catch {
       case e: Throwable =>

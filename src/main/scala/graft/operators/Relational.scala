@@ -170,6 +170,28 @@ object Relational {
       |SELECT s_nationkey AS nationkey FROM supplier
       |ORDER BY nationkey""".stripMargin
 
+  /** Scalar subquery: customers with above-average balance. The average is
+    * computed exactly (decimal) so both engines compare against the
+    * identical threshold double. Catalyst plans the subquery as a separate
+    * stage whose single-row result feeds the filter — no rewrite needed. */
+  def aboveAverageCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+    val avgBal = c.agg(
+      (sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_bal"))
+    // broadcast the 1-row aggregate instead of collecting it on the driver —
+    // same plan shape Catalyst builds for a scalar subquery
+    c.join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .select("c_custkey", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  val aboveAverageCustomersOracle: String =
+    """SELECT c_custkey, c_acctbal FROM customer
+      |WHERE c_acctbal > (
+      |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) FROM customer)
+      |ORDER BY c_custkey""".stripMargin
+
   /** Rollup (hierarchical grouping sets): pricing counts at (flag, status),
     * (flag), and grand-total levels in one pass — Spark expands grouping
     * sets before the aggregate, so it is still a single shuffle. */

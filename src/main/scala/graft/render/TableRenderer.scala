@@ -78,4 +78,33 @@ object TableRenderer {
   def render(views: Seq[TableProfile], mode: Mode): String =
     if (views.isEmpty) "No tables found.\n"
     else (banner(mode) +: views.map(renderTable)).mkString("\n")
+
+  /** Machine-readable JSON-lines rendering (one object per table) — the
+    * engine-side addition for piping profiles into monitors. */
+  def renderJson(views: Seq[TableProfile]): String = {
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    views.map { v =>
+      val rowsField = v.rows match {
+        case EstimatedRows(n) => s""""estimated_rows":$n"""
+        case ExactRows(n)     => s""""exact_rows":$n"""
+        case CountError       => s""""exact_rows":null"""
+      }
+      val cols = v.columns.map { c =>
+        val (name, tpe, range, values) = columnCells(c)
+        val extras = Seq(
+          if (range.nonEmpty) Some(s""""range":${q(range)}""") else None,
+          if (values.nonEmpty) Some(s""""values":${q(values)}""") else None).flatten
+        (Seq(s""""name":${q(name)}""", s""""type":${q(tpe)}""") ++ extras)
+          .mkString("{", ",", "}")
+      }
+      s"""{"schema":${q(v.schema)},"table":${q(v.table)},$rowsField,""" +
+        s""""column_count":${v.columnCount},"columns":[${cols.mkString(",")}]}"""
+    }.mkString("", "\n", "\n")
+  }
 }

@@ -12,14 +12,33 @@ import graft.render.TableRenderer
   */
 class GoldenRenderSpec extends AnyFunSuite {
 
+  private def golden(name: String): String = new String(
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getClassLoader.getResource(name).toURI)),
+    java.nio.charset.StandardCharsets.UTF_8)
+
   test("full sf0.001 exact profile matches golden output") {
     val spark = SparkSuite.spark
     val rendered = TableRenderer.render(
       Profiler.profileRoot(spark, SparkSuite.Sf0001, exact = true), TableRenderer.Exact)
-    val golden = new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
-        getClass.getClassLoader.getResource("golden_sf0.001_exact.txt").toURI)),
-      java.nio.charset.StandardCharsets.UTF_8)
-    assert(rendered == golden)
+    assert(rendered == golden("golden_sf0.001_exact.txt"))
+  }
+
+  test("full sf0.001 estimated profile matches golden output (~ prefixes, footer counts)") {
+    val spark = SparkSuite.spark
+    val rendered = TableRenderer.render(
+      Profiler.profileRoot(spark, SparkSuite.Sf0001, exact = false), TableRenderer.Estimated)
+    assert(rendered == golden("golden_sf0.001_estimated.txt"))
+  }
+
+  test("JSON rendering is valid and carries the same profile facts") {
+    val spark = SparkSuite.spark
+    val profiles = Profiler.profileRoot(spark, SparkSuite.Sf0001, exact = true)
+    val json = TableRenderer.renderJson(profiles)
+    val lines = json.trim.split("\n")
+    assert(lines.length == 10)
+    assert(lines.forall(l => l.startsWith("{") && l.endsWith("}")))
+    assert(lines.exists(_.contains(""""table":"orders"""")))
+    assert(lines.exists(_.contains(""""exact_rows":6000""")))
   }
 }
