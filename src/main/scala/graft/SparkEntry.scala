@@ -48,7 +48,9 @@ object SparkEntry {
       "q_intersect_nations" -> (Relational.sharedNations(_, _)),
       "q_salted_skew_join" -> (Relational.saltedSupplierRevenue(_, _)),
       "q_rollup_pricing" -> (Relational.pricingRollup(_, _)),
+      "q_cube_pricing" -> (Relational.pricingCube(_, _)),
       "q_scalar_subquery" -> (Relational.aboveAverageCustomers(_, _)),
+      "profile_strlen_documents" -> (ProfileQueries.docStringStats(_, _)),
       "q_asof_click_error" -> (Relational.asOfClickError(_, _)),
       // text analysis (BASELINE.json LLM-pipeline operators)
       "text_token_counts" -> (TextAnalysis.tokenCounts(_, _)),
@@ -93,7 +95,9 @@ object SparkEntry {
       "profile_histogram_quantity" -> ProfileQueries.quantityHistogramOracle,
       "q_salted_skew_join" -> Relational.saltedSupplierRevenueOracle,
       "q_rollup_pricing" -> Relational.pricingRollupOracle,
+      "q_cube_pricing" -> Relational.pricingCubeOracle,
       "q_scalar_subquery" -> Relational.aboveAverageCustomersOracle,
+      "profile_strlen_documents" -> ProfileQueries.docStringStatsOracle,
       "q_asof_click_error" -> Relational.asOfClickErrorOracle,
       "dedup_simhash_pairs" -> Dedup.simhashHammingPairsOracle,
       "events_sessions" -> EventOps.sessionizeOracle,

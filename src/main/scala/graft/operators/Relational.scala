@@ -208,6 +208,21 @@ object Relational {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** Cube: all 2ᵏ grouping combinations of (returnflag, linestatus) in one
+    * pass (rollup's superset — SURVEY §2.4 notes the reference has no
+    * grouping sets at all). */
+  def pricingCube(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val pricingCubeOracle: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   /** As-of join, composed from built-ins (the preferred tier when semantics
     * allow — SURVEY §2.3 notes Spark lacks a native ASOF): for every
     * 'click' event, the most recent 'error' of the same user at-or-before

@@ -152,6 +152,28 @@ object ProfileQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY column_name, rnk")
   }
 
+  /** String-length stats per text column of `documents` — the string-column
+    * row of a profile (the reference displays string columns but never
+    * profiles them; SURVEY §1.1). Same single fused scan; averages divide
+    * exact integer sums, so they are engine-identical doubles. */
+  def docStringStats(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("text", "lang", "source")
+    val df = Fixtures.table(spark, dir, "documents")
+    val aggs = cols.flatMap(c => Seq(
+      min(length(col(c))).cast("bigint").as(s"min_len_$c"),
+      max(length(col(c))).cast("bigint").as(s"max_len_$c"),
+      (sum(length(col(c)).cast("bigint")).cast("double") / count(col(c))).as(s"avg_len_$c")))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  val docStringStatsOracle: String = {
+    val cols = Seq("text", "lang", "source")
+    val exprs = cols.map(c =>
+      s"min(length($c)) AS min_len_$c, max(length($c)) AS max_len_$c, " +
+        s"CAST(CAST(sum(length($c)) AS BIGINT) AS DOUBLE) / count($c) AS avg_len_$c")
+    s"SELECT ${exprs.mkString(", ")} FROM documents"
+  }
+
   /** Exact interpolated percentiles of l_quantity — the quartile row of a
     * profile. Values are integral doubles, so the ANSI interpolation
     * `(1-g)·a + g·b` is exact in binary and engine-identical. (The scale
