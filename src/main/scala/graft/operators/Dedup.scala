@@ -183,7 +183,10 @@ object Dedup {
       .filter(hasShingles(col("text")))
       .select(col("lang"), explode(shingles(col("text"))).as("shingle"))
       .groupBy("lang")
-      .agg(graft.functions.MinHashAgg.minhash_agg(col("shingle"), NumHashes).as("sig"))
+      // the driver's compare sorts result columns in pandas, which cannot
+      // hash/sort array cells — emit the signature as a joined string
+      .agg(array_join(
+        graft.functions.MinHashAgg.minhash_agg(col("shingle"), NumHashes), ",").as("sig"))
       .orderBy("lang")
 
   val groupSignaturesOracle: String = {
@@ -199,7 +202,7 @@ object Dedup {
        |), ex AS (
        |  SELECT lang, s.shingle FROM shingled, unnest(sh) AS s(shingle)
        |)
-       |SELECT lang, [$mins] AS sig FROM ex GROUP BY lang ORDER BY lang""".stripMargin
+       |SELECT lang, array_to_string([$mins], ',') AS sig FROM ex GROUP BY lang ORDER BY lang""".stripMargin
   }
 
   // ---------------------------------------------------------------- SimHash
