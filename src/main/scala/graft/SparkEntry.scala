@@ -52,6 +52,19 @@ object SparkEntry {
       "q_scalar_subquery" -> (Relational.aboveAverageCustomers(_, _)),
       "profile_strlen_documents" -> (ProfileQueries.docStringStats(_, _)),
       "q_asof_click_error" -> (Relational.asOfClickError(_, _)),
+      // relational coverage battery #2 (round 2)
+      "q_full_outer_nations" -> (RelationalExt.nationAccountFullOuter(_, _)),
+      "q_grouping_sets" -> (RelationalExt.pricingGroupingSets(_, _)),
+      "q_correlated_subquery" -> (RelationalExt.aboveCustomerAverageOrders(_, _)),
+      "q_in_subquery" -> (RelationalExt.partsWithReturns(_, _)),
+      "q_lateral_tokens" -> (RelationalExt.docLeadingTokens(_, _)),
+      "q_window_battery" -> (RelationalExt.orderWindowBattery(_, _)),
+      "q_string_funcs" -> (RelationalExt.partStringFuncs(_, _)),
+      "q_date_funcs" -> (RelationalExt.orderDateFuncs(_, _)),
+      "q_distinct_aggs" -> (RelationalExt.lineitemDistinctAggs(_, _)),
+      "q_conditional_aggs" -> (RelationalExt.priorityConditionalAggs(_, _)),
+      "q_self_join_nations" -> (RelationalExt.nationPairsSameRegion(_, _)),
+      "q_union_by_name" -> (RelationalExt.accountHoldersUnionByName(_, _)),
       // text analysis (BASELINE.json LLM-pipeline operators)
       "text_token_counts" -> (TextAnalysis.tokenCounts(_, _)),
       "text_quality" -> (TextAnalysis.qualityScores(_, _)),
@@ -99,6 +112,18 @@ object SparkEntry {
       "q_scalar_subquery" -> Relational.aboveAverageCustomersOracle,
       "profile_strlen_documents" -> ProfileQueries.docStringStatsOracle,
       "q_asof_click_error" -> Relational.asOfClickErrorOracle,
+      "q_full_outer_nations" -> RelationalExt.nationAccountFullOuterOracle,
+      "q_grouping_sets" -> RelationalExt.pricingGroupingSetsOracle,
+      "q_correlated_subquery" -> RelationalExt.aboveCustomerAverageOrdersOracle,
+      "q_in_subquery" -> RelationalExt.partsWithReturnsOracle,
+      "q_lateral_tokens" -> RelationalExt.docLeadingTokensOracle,
+      "q_window_battery" -> RelationalExt.orderWindowBatteryOracle,
+      "q_string_funcs" -> RelationalExt.partStringFuncsOracle,
+      "q_date_funcs" -> RelationalExt.orderDateFuncsOracle,
+      "q_distinct_aggs" -> RelationalExt.lineitemDistinctAggsOracle,
+      "q_conditional_aggs" -> RelationalExt.priorityConditionalAggsOracle,
+      "q_self_join_nations" -> RelationalExt.nationPairsSameRegionOracle,
+      "q_union_by_name" -> RelationalExt.accountHoldersUnionByNameOracle,
       "dedup_simhash_pairs" -> Dedup.simhashHammingPairsOracle,
       "events_sessions" -> EventOps.sessionizeOracle,
       "events_type_pivot" -> EventOps.eventTypePivotOracle,
