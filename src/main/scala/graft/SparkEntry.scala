@@ -34,6 +34,8 @@ object SparkEntry {
       "profile_ndv_lineitem" -> ((s, d) => ProfileQueries.ndv(s, d, "lineitem")),
       "profile_ndv_orders" -> ((s, d) => ProfileQueries.ndv(s, d, "orders")),
       "profile_topk_values" -> (ProfileQueries.topkValues(_, _)),
+      "profile_summary_lineitem" -> ((s, d) => ProfileQueries.fullProfile(s, d, "lineitem")),
+      "profile_summary_orders" -> ((s, d) => ProfileQueries.fullProfile(s, d, "orders")),
       "profile_histogram_quantity" -> (ProfileQueries.quantityHistogram(_, _)),
       "profile_percentiles_quantity" -> (ProfileQueries.quantityPercentiles(_, _)),
       // relational coverage (SURVEY §2.2-§2.5)
@@ -76,6 +78,7 @@ object SparkEntry {
       "dedup_exact_keep_first" -> (Dedup.exactDedupKeepFirst(_, _)),
       "dedup_minhash_pairs" -> (Dedup.minhashCandidatePairs(_, _)),
       "dedup_simhash" -> (Dedup.simhashSignatures(_, _)),
+      "dedup_simhash64" -> (Dedup.simhash64Signatures(_, _)),
       "dedup_simhash_pairs" -> (Dedup.simhashHammingPairs(_, _)),
       "dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs(_, _)),
       "dedup_group_signatures" -> (Dedup.groupSignatures(_, _)),
@@ -105,6 +108,8 @@ object SparkEntry {
       "profile_ndv_lineitem" -> ProfileQueries.ndvOracle("lineitem"),
       "profile_ndv_orders" -> ProfileQueries.ndvOracle("orders"),
       "profile_topk_values" -> ProfileQueries.topkValuesOracle,
+      "profile_summary_lineitem" -> ProfileQueries.fullProfileOracle("lineitem"),
+      "profile_summary_orders" -> ProfileQueries.fullProfileOracle("orders"),
       "profile_histogram_quantity" -> ProfileQueries.quantityHistogramOracle,
       "q_salted_skew_join" -> Relational.saltedSupplierRevenueOracle,
       "q_rollup_pricing" -> Relational.pricingRollupOracle,
@@ -147,6 +152,7 @@ object SparkEntry {
       "dedup_exact_keep_first" -> Dedup.exactDedupKeepFirstOracle,
       "dedup_minhash_pairs" -> Dedup.minhashCandidatePairsOracle,
       "dedup_simhash" -> Dedup.simhashSignaturesOracle,
+      "dedup_simhash64" -> Dedup.simhash64SignaturesOracle,
       "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsOracle,
       "dedup_group_signatures" -> Dedup.groupSignaturesOracle,
       "ann_cosine_topk" -> Similarity.cosineTopKOracle(),

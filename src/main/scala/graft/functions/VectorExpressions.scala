@@ -71,11 +71,19 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
-  /** Rolling polynomial hash (base 31, mod 1e9+7) over a string's code
-    * points — the native twin of `TextAnalysis.rollingHash` (which folds
-    * `ascii()` over `split(s, "")`), matching the DuckDB
-    * `list_reduce(unicode(...))` oracle. */
-  case class StringRollingHash(child: Expression) extends UnaryExpression {
+  /** Widest modulus safe with base 31 in int64: the largest 58-bit prime —
+    * `31 * (mod-1) + maxCodePoint` stays below 2⁶³, so the fold never
+    * overflows on either engine (DuckDB BIGINT arithmetic traps on
+    * overflow; this bound is what makes the oracle twin possible). */
+  val Mod58: Long = 288230376151711717L
+
+  /** Rolling polynomial hash (base 31; default mod 1e9+7) over a string's
+    * code points — the native twin of `TextAnalysis.rollingHash` (which
+    * folds `ascii()` over `split(s, "")`), matching the DuckDB
+    * `list_reduce(unicode(...))` oracle. `mod` widens the hash: the default
+    * keeps round-1 query outputs stable (~30 bits); [[Mod58]] gives ~58-bit
+    * entropy for the 64-bit-class SimHash. */
+  case class StringRollingHash(child: Expression, mod: Long = 1000000007L) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def checkInputDataTypes() =
       if (child.dataType.isInstanceOf[StringType])
@@ -85,34 +93,25 @@ object VectorExpressions {
           s"rolling_hash requires string input, got ${child.dataType}")
 
     override protected def nullSafeEval(input: Any): Any =
-      eval(input.asInstanceOf[UTF8String].toString)
-
-    private def eval(s: String): Long = {
-      var acc = 0L
-      var i = 0
-      while (i < s.length) {
-        val cp = s.codePointAt(i)
-        acc = (acc * 31 + cp) % 1000000007L
-        i += Character.charCount(cp)
-      }
-      acc
-    }
+      rollingHashJava(input.asInstanceOf[UTF8String].toString, mod)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, c =>
-        s"graft.functions.VectorExpressions.rollingHashJava($c.toString())")
+        s"graft.functions.VectorExpressions.rollingHashJava($c.toString(), ${mod}L)")
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
 
   /** Static helper for generated code. */
-  def rollingHashJava(s: String): Long = {
+  def rollingHashJava(s: String): Long = rollingHashJava(s, 1000000007L)
+
+  def rollingHashJava(s: String, mod: Long): Long = {
     var acc = 0L
     var i = 0
     while (i < s.length) {
       val cp = s.codePointAt(i)
-      acc = (acc * 31 + cp) % 1000000007L
+      acc = (acc * 31 + cp) % mod
       i += Character.charCount(cp)
     }
     acc
@@ -188,4 +187,8 @@ object VectorExpressions {
 
   def rolling_hash(c: Column): Column =
     ColumnBridge.column(StringRollingHash(ColumnBridge.expression(c)))
+
+  /** 58-bit-entropy rolling hash (same fold, wider prime modulus). */
+  def rolling_hash58(c: Column): Column =
+    ColumnBridge.column(StringRollingHash(ColumnBridge.expression(c), Mod58))
 }

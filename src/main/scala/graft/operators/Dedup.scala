@@ -235,6 +235,61 @@ object Dedup {
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
     simhashTable(spark, dir).orderBy("doc_id")
 
+  private val Sim64Bits = 56 // word hash is 58-bit (Mod58); top 2 bits skewed
+
+  /** 64-bit-class (56-bit) SimHash: same vote construction as the 16-bit
+    * signature but over the 58-bit-entropy rolling hash ([[graft.functions
+    * .VectorExpressions.Mod58]]), which is what makes the high bits
+    * meaningful — with the 30-bit default hash, bits 30+ of a "64-bit"
+    * simhash would all be the sign of a constant-0 vote. 56 bits drops
+    * random-pair hamming≤3 collisions to ~10⁻¹² (vs ~4·10⁻⁶ at 30 bits),
+    * the regime needed when deduping 10¹⁰ documents. */
+  def simhash64Signatures(spark: SparkSession, dir: String): DataFrame = {
+    val exploded = corpusWithNearDups(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .withColumn("h", graft.functions.VectorExpressions.rolling_hash58(col("word")))
+    val voteSums = (0 until Sim64Bits).map { b =>
+      sum(when(expr(s"(h div ${1L << b}) % 2") === 1, 1L).otherwise(-1L)).as(s"v$b")
+    }
+    val recombine = (0 until Sim64Bits)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    exploded
+      .groupBy("doc_id")
+      .agg(voteSums.head, voteSums.tail: _*)
+      .select(col("doc_id"), recombine.as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val simhash64SignaturesOracle: String = {
+    val mod = graft.functions.VectorExpressions.Mod58
+    val votes = (0 until Sim64Bits)
+      .map(b => s"sum(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n    ")
+    val recombine = (0 until Sim64Bits)
+      .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH corpus AS (
+       |  $corpusSql
+       |), wordhash AS (
+       |  SELECT doc_id,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(list_filter(string_split(w.word, ''), c -> c != ''),
+       |                       c -> CAST(unicode(c) AS BIGINT))),
+       |      (a, b) -> (a * 31 + b) % $mod) AS h
+       |  FROM corpus, unnest(string_split(text, ' ')) AS w(word)
+       |  WHERE w.word != ''
+       |), votes AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM wordhash GROUP BY doc_id
+       |)
+       |SELECT doc_id, $recombine AS simhash
+       |FROM votes ORDER BY doc_id""".stripMargin
+  }
+
   private val SimPairBits = 30 // word-hash entropy is 30 bits (mod 1e9+7)
   private val SimBlocks = 5 // 6-bit blocks; keys are block PAIRS (multi-index)
 

@@ -213,6 +213,38 @@ object ProfileQueries {
       |  FROM lineitem GROUP BY 1) t
       |ORDER BY bucket""".stripMargin
 
+  /** `summary()`-style ONE-CALL full profile of a table: row count plus
+    * min / max / null-count / exact NDV for every profiled column, plus a
+    * decimal-exact average for the numeric columns — all in a single
+    * aggregation (one logical pass; Catalyst plans the multi-DISTINCT via
+    * Expand, still one scan of the parquet). This is the fused engine form
+    * of the reference's whole per-table profile, which issues one query per
+    * column sequentially (`/root/reference/src/listTables.tsx:236-251`). */
+  def fullProfile(spark: SparkSession, dir: String, tableName: String): DataFrame = {
+    val numCols = Fixtures.numericCols(tableName)
+    val tCols = Fixtures.temporalCols.getOrElse(tableName, Seq.empty)
+    val df = Fixtures.table(spark, dir, tableName)
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++
+      (numCols ++ tCols).flatMap(c => Seq(
+        min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        (count(lit(1)) - count(col(c))).as(s"nulls_$c"),
+        countDistinct(col(c)).as(s"ndv_$c"))) ++
+      numCols.map(c =>
+        (sum(col(c).cast("decimal(28,4)")).cast("double") / count(col(c))).as(s"avg_$c"))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  def fullProfileOracle(tableName: String): String = {
+    val numCols = Fixtures.numericCols(tableName)
+    val tCols = Fixtures.temporalCols.getOrElse(tableName, Seq.empty)
+    val perCol = (numCols ++ tCols).map(c =>
+      s"min($c) AS min_$c, max($c) AS max_$c, " +
+        s"count(*) - count($c) AS nulls_$c, count(DISTINCT $c) AS ndv_$c")
+    val avgs = numCols.map(c =>
+      s"CAST(sum(CAST($c AS DECIMAL(28,4))) AS DOUBLE) / count($c) AS avg_$c")
+    s"SELECT count(*) AS n_rows, ${(perCol ++ avgs).mkString(", ")} FROM $tableName"
+  }
+
   def boolHistogramOracle: String =
     """WITH flagged AS (
       |  SELECT CASE WHEN l_discount > 0.06 THEN TRUE

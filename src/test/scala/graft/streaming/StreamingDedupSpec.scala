@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.nio.file.{Files, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+
+class StreamingDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+
+  /** Batch 0 = the original documents; batch 1 = exact copies with doc_id
+    * offset +10⁶ — every batch-1 row is a cross-batch duplicate, so the
+    * stream's state must survive the batch boundary to suppress them. */
+  private def stageTwoBatches(dir: String): String = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val staged = Files.createTempDirectory("docs_dedup_stream")
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): java.nio.file.Path = {
+      val tmp = Files.createTempDirectory(s"dedup_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      Files.copy(part, staged.resolve(s"$name.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      staged.resolve(s"$name.parquet")
+    }
+    val copies = docs.withColumn("doc_id", col("doc_id") + 1000000L)
+    val f0 = writeOne(docs, "batch0")
+    val f1 = writeOne(copies, "batch1")
+    f0.toFile.setLastModified(System.currentTimeMillis() - 120000)
+    f1.toFile.setLastModified(System.currentTimeMillis() - 60000)
+    staged.toString
+  }
+
+  test("streaming keep-first dedup across micro-batches matches batch keep-first") {
+    val dir = SparkSuite.Sf0001
+    val staged = stageTwoBatches(dir)
+    val q = StreamingDedup.dedupStream(spark, staged)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("stream_dedup")
+      .start()
+    try {
+      q.processAllAvailable()
+      // both batches were ingested
+      assert(q.recentProgress.map(_.numInputRows).sum == 1000L)
+      val streamed = spark.table("stream_dedup")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+      // batch twin: keep-first over the union of both staged batches
+      val union = spark.read.parquet(staged)
+        .select(col("doc_id"), md5(col("text")).as("text_hash"))
+      val w = Window.partitionBy("text_hash").orderBy("doc_id")
+      val batch = union.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("text_hash", "doc_id")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+      assert(streamed == batch)
+      // survivors are exactly the 500 originals (no +10⁶ id survives)
+      assert(streamed.map(_._2).forall(_ < 1000000L))
+      assert(streamed.size == 500)
+    } finally q.stop()
+  }
+}
