@@ -91,8 +91,10 @@ object SparkEntry {
       "events_sessions" -> (EventOps.sessionize(_, _)),
       "events_type_pivot" -> (EventOps.eventTypePivot(_, _)),
       "events_range_join" -> (EventOps.purchaseClickAttribution(_, _)),
-      // multimodal manifest
+      // multimodal manifest / resize plan / frame sampling
       "multimodal_manifest" -> (Multimodal.mediaManifest(_, _)),
+      "multimodal_resize" -> (Multimodal.resizePlan(_, _)),
+      "multimodal_frames" -> (Multimodal.frameSamples(_, _)),
       // data-quality validation rules (the north-star surface)
       "quality_checks" -> (graft.quality.QualitySuite.run(_, _)))
   }
@@ -160,6 +162,8 @@ object SparkEntry {
       "events_json_profile" -> EventOps.jsonProfileOracle,
       "events_hourly" -> EventOps.hourlyRollupOracle,
       "multimodal_manifest" -> Multimodal.mediaManifestOracle,
+      "multimodal_resize" -> Multimodal.resizePlanOracle,
+      "multimodal_frames" -> Multimodal.frameSamplesOracle,
       "quality_checks" -> graft.quality.QualitySuite.oracle)
   }
 }

@@ -99,4 +99,61 @@ object Multimodal {
       |  n_chars * 3 % 480 + 1 AS height,
       |  md5(text) AS content_fp
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Resize planning (the metadata half of an image-resize stage): aspect-
+    * preserving fit-within TARGET×TARGET in pure integer math, downscale
+    * only. The pixel transform itself happens inside the [[MediaDecoder]]
+    * seam; the plan — which every resize job needs and which drives output
+    * buffer sizing — is engine arithmetic, so it is oracle-checked. */
+  private val Target = 224L
+
+  def resizePlan(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        (col("n_chars") % 640 + 1).as("width"),
+        (col("n_chars") * 3 % 480 + 1).as("height"))
+      .withColumn("out_w", expr(
+        s"CASE WHEN greatest(width, height) <= $Target THEN width" +
+          s" ELSE greatest((width * $Target) div greatest(width, height), 1) END"))
+      .withColumn("out_h", expr(
+        s"CASE WHEN greatest(width, height) <= $Target THEN height" +
+          s" ELSE greatest((height * $Target) div greatest(width, height), 1) END"))
+      .orderBy("doc_id")
+
+  val resizePlanOracle: String =
+    s"""SELECT doc_id, width, height,
+       |  CASE WHEN greatest(width, height) <= $Target THEN width
+       |       ELSE greatest((width * $Target) // greatest(width, height), 1) END AS out_w,
+       |  CASE WHEN greatest(width, height) <= $Target THEN height
+       |       ELSE greatest((height * $Target) // greatest(width, height), 1) END AS out_h
+       |FROM (
+       |  SELECT doc_id, n_chars % 640 + 1 AS width, n_chars * 3 % 480 + 1 AS height
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Frame sampling (the video half of the multimodal surface): treat each
+    * document as a fake clip of `n_chars % 300 + 1` frames at 25 fps and
+    * emit at most [[MaxFrames]] uniformly-strided frame indices per clip —
+    * `sequence(0, n-1, stride)` + explode, fully distributed, the exact
+    * shape a real frame-sampler takes before handing frames to the decode
+    * seam. */
+  private val MaxFrames = 8L
+
+  def frameSamples(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), (col("n_chars") % 300 + 1).as("n_frames"))
+      .withColumn("stride", expr(s"(n_frames + ${MaxFrames - 1}) div $MaxFrames"))
+      .select(col("doc_id"), col("n_frames"),
+        explode(expr("sequence(0, n_frames - 1, stride)")).as("frame_idx"))
+      .withColumn("ts_ms", col("frame_idx") * 40)
+      .orderBy("doc_id", "frame_idx")
+
+  val frameSamplesOracle: String =
+    s"""SELECT doc_id, n_frames, unnest(generate_series(0, n_frames - 1, stride)) AS frame_idx,
+       |  unnest(generate_series(0, n_frames - 1, stride)) * 40 AS ts_ms
+       |FROM (
+       |  SELECT doc_id, n_frames, (n_frames + ${MaxFrames - 1}) // $MaxFrames AS stride
+       |  FROM (SELECT doc_id, n_chars % 300 + 1 AS n_frames FROM documents))
+       |ORDER BY doc_id, frame_idx""".stripMargin
 }
