@@ -85,9 +85,11 @@ object SparkEntry {
       // similarity search
       "ann_cosine_topk" -> (Similarity.cosineTopK(_, _)),
       "embedding_near_dups" -> (Similarity.embeddingNearDups(_, _)),
+      "embedding_centroids" -> (Similarity.labelCentroids(_, _)),
       // events / JSON / windows / sessions
       "events_json_profile" -> (EventOps.jsonProfile(_, _)),
       "events_hourly" -> (EventOps.hourlyRollup(_, _)),
+      "events_sliding" -> (EventOps.slidingRollup(_, _)),
       "events_sessions" -> (EventOps.sessionize(_, _)),
       "events_type_pivot" -> (EventOps.eventTypePivot(_, _)),
       "events_range_join" -> (EventOps.purchaseClickAttribution(_, _)),
@@ -159,8 +161,10 @@ object SparkEntry {
       "dedup_group_signatures" -> Dedup.groupSignaturesOracle,
       "ann_cosine_topk" -> Similarity.cosineTopKOracle(),
       "embedding_near_dups" -> Similarity.embeddingNearDupsOracle(),
+      "embedding_centroids" -> Similarity.labelCentroidsOracle,
       "events_json_profile" -> EventOps.jsonProfileOracle,
       "events_hourly" -> EventOps.hourlyRollupOracle,
+      "events_sliding" -> EventOps.slidingRollupOracle,
       "multimodal_manifest" -> Multimodal.mediaManifestOracle,
       "multimodal_resize" -> Multimodal.resizePlanOracle,
       "multimodal_frames" -> Multimodal.frameSamplesOracle,

@@ -60,6 +60,36 @@ object EventOps {
       |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
 
+  /** SLIDING-window rollup: 1-hour windows every 15 minutes — each event
+    * lands in exactly 4 overlapping windows. Spark's `window(ts, size,
+    * slide)` expands the row into its windows BEFORE the aggregate (same
+    * Expand-then-shuffle shape as grouping sets), so it is one shuffle; the
+    * DuckDB oracle reconstructs the same epoch-aligned window starts with
+    * integer arithmetic and generate_series. Value sums go through DECIMAL
+    * for cross-engine float parity. */
+  def slidingRollup(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts_utc"), "1 hour", "15 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,10)")).cast("double").as("sum_value"))
+      .select(
+        col("window.start").cast("timestamp_ntz").as("win_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("win_start")
+
+  val slidingRollupOracle: String = {
+    val slideUs = 15L * 60 * 1000000
+    // every event belongs to the 4 slide-aligned windows at offsets 0..3
+    // behind it (window size = 4 slides, starts aligned to the epoch)
+    s"""SELECT make_timestamp((epoch_us(ts) // $slideUs) * $slideUs - k.k * $slideUs) AS win_start,
+       |  count(*) AS n_events,
+       |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
+       |FROM events, (SELECT unnest(generate_series(0, 3)) AS k) k
+       |GROUP BY 1 ORDER BY win_start""".stripMargin
+  }
+
   /** Interval/range join, bucketed: for each purchase, the count of the
     * same user's clicks in the preceding 5 minutes (attribution). A naive
     * range predicate forces Spark into a nested-loop join; bucketing time

@@ -234,4 +234,36 @@ object Similarity {
         .select("query_id", "cand_id", "cos")
     }
   }
+
+  /** Per-label embedding centroids, dimension-wise: posexplode each vector
+    * into (label, dim, value) and aggregate — the distributed form of
+    * k-means' M-step / class-prototype computation (and exactly how IVF
+    * cell centroids would be refreshed at 100 TB: one explode, one shuffle
+    * on (label, dim), partial aggregation map-side).
+    *
+    * Cross-engine float parity: per-dim values are quantized to integer
+    * micro-units BEFORE the sum (`floor(double(v) * 1e6)` is exact and
+    * order-independent in BIGINT), so the centroid mean — an IEEE division
+    * of two exact integers — is bit-identical on both engines. The unquantized
+    * double mean would depend on partial-aggregation order. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("label"), col("dim").cast("int").as("dim"),
+        expr("CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").as("micro"))
+      .groupBy("label", "dim")
+      .agg(sum(col("micro")).as("sum_micro"), count(lit(1)).as("n"))
+      .withColumn("mean_micro", col("sum_micro").cast("double") / col("n"))
+      .orderBy("label", "dim")
+
+  val labelCentroidsOracle: String =
+    """SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+      |  CAST(sum(CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / count(*) AS mean_micro
+      |FROM (
+      |  SELECT label, embedding, unnest(generate_series(1, len(embedding))) AS i
+      |  FROM embeddings)
+      |GROUP BY label, dim
+      |ORDER BY label, dim""".stripMargin
 }
