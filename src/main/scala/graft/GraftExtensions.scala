@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.vecDot)
     ext.injectFunction(GraftExtensions.rollingHash)
     ext.injectFunction(GraftExtensions.minhashSig)
+    ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)
   }
 }
 
@@ -29,10 +30,14 @@ object GraftExtensions {
   /** Imperative registration on a live session — for REPL/test use where the
     * session predates the library (`withExtensions` only applies at
     * construction time). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Seq(vecDot, rollingHash, minhashSig).foreach { case (fid, i, b) =>
       org.apache.spark.sql.graft.ColumnBridge.registerFunction(spark, fid, i, b)
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.BandedRangeJoinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.BandedRangeJoinRule
+  }
 
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")

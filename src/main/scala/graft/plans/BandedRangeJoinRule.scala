@@ -1,0 +1,130 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Optimizer rule: rewrite a naive bounded range join into a banded
+  * equi-join — the tier-c Catalyst extension of the ladder (custom
+  * `Rule[LogicalPlan]` via `SparkSessionExtensions` /
+  * `spark.experimental.extraOptimizations`).
+  *
+  * Spark plans an inner join whose only usable condition is a range
+  * predicate as a broadcast-nested-loop or cartesian join — O(|A|·|B|) and
+  * a driver OOM at scale. But the very common "point in a FIXED-WIDTH
+  * trailing interval" shape
+  *
+  * {{{ b.t <= a.t  AND  b.t > a.t - w      (w literal) }}}
+  *
+  * admits the classic banding rewrite that `EventOps
+  * .purchaseClickAttribution` applies by hand (SURVEY §2.9 "Interval/range
+  * join"): bucket time into width-w bands, replicate the b side into its
+  * two candidate bands, and join on band equality plus the original
+  * predicate. This rule performs that rewrite AUTOMATICALLY, so a user can
+  * write the naive join and still get the linear plan:
+  *
+  *  - a side: `Project` adding `__graft_band_a = a.t div w`
+  *  - b side: `Generate(Explode(array(b.t div w, b.t div w + 1)))`
+  *  - join condition: original conjuncts AND band_a = band_b — the new
+  *    equality makes `ExtractEquiJoinKeys` pick a hash/sort-merge join
+  *  - top: `Project` back to the original output (band columns hidden)
+  *
+  * Correctness: `div` jump points are ≥ w apart, so any interval of width
+  * ≤ w crosses at most one — for every matching pair, `a.t div w` equals
+  * one (and only one) of b's two replicas, and the original range
+  * conjuncts stay in the condition as the exact filter. Matching pairs
+  * survive exactly once; non-matching pairs are cut by the kept original
+  * predicate. NULL times produce NULL bands and drop, as in the inner
+  * join. Applies only to INNER joins on LongType attributes with a
+  * positive literal width.
+  *
+  * Reference behavior this accelerates: the same attribution/as-of family
+  * the composed operators cover; DuckDB gets the equivalent via its IEJoin
+  * (the oracle for `events_range_join`).
+  */
+object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val BandPrefix = "__graft_band"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(_, _, Inner, Some(_), _) if eligible(j) =>
+      rewrite(j).getOrElse(j)
+  }
+
+  /** Fixed-point guard: never re-band a join we already rewrote. */
+  private def eligible(j: Join): Boolean =
+    !(j.left.output ++ j.right.output).exists(_.name.startsWith(BandPrefix))
+
+  /** `attr - w` / `attr + w` with an integral literal, as left by the
+    * analyzer (int literals are type-promoted before reaching us). */
+  private object AttrMinusLit {
+    def unapply(e: Expression): Option[(Attribute, Long)] = e match {
+      case Subtract(a: Attribute, Literal(w: Long, LongType), _) => Some((a, w))
+      case Subtract(a: Attribute, Literal(w: Int, IntegerType), _) => Some((a, w.toLong))
+      case _ => None
+    }
+  }
+  private object AttrPlusLit {
+    def unapply(e: Expression): Option[(Attribute, Long)] = e match {
+      case Add(b: Attribute, Literal(w: Long, LongType), _) => Some((b, w))
+      case Add(b: Attribute, Literal(w: Int, IntegerType), _) => Some((b, w.toLong))
+      case Add(Literal(w: Long, LongType), b: Attribute, _) => Some((b, w))
+      case Add(Literal(w: Int, IntegerType), b: Attribute, _) => Some((b, w.toLong))
+      case _ => None
+    }
+  }
+
+  /** b.t bounded above by a.t: `b <= a`, `b < a`, `a >= b`, `a > b`. */
+  private def upperPair(e: Expression): Option[(Attribute, Attribute)] = e match {
+    case LessThan(b: Attribute, a: Attribute) => Some((b, a))
+    case LessThanOrEqual(b: Attribute, a: Attribute) => Some((b, a))
+    case GreaterThan(a: Attribute, b: Attribute) => Some((b, a))
+    case GreaterThanOrEqual(a: Attribute, b: Attribute) => Some((b, a))
+    case _ => None
+  }
+
+  /** b.t bounded below by a.t - w (any of the eight spellings). */
+  private def lowerTriple(e: Expression): Option[(Attribute, Attribute, Long)] = e match {
+    case GreaterThan(b: Attribute, AttrMinusLit(a, w)) => Some((b, a, w))
+    case GreaterThanOrEqual(b: Attribute, AttrMinusLit(a, w)) => Some((b, a, w))
+    case LessThan(AttrMinusLit(a, w), b: Attribute) => Some((b, a, w))
+    case LessThanOrEqual(AttrMinusLit(a, w), b: Attribute) => Some((b, a, w))
+    case LessThan(a: Attribute, AttrPlusLit(b, w)) => Some((b, a, w))
+    case LessThanOrEqual(a: Attribute, AttrPlusLit(b, w)) => Some((b, a, w))
+    case GreaterThan(AttrPlusLit(b, w), a: Attribute) => Some((b, a, w))
+    case GreaterThanOrEqual(AttrPlusLit(b, w), a: Attribute) => Some((b, a, w))
+    case _ => None
+  }
+
+  private def rewrite(j: Join): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(j.condition.get)
+    val uppers = conjuncts.flatMap(upperPair)
+    val lowers = conjuncts.flatMap(lowerTriple)
+    val matched = for {
+      (ub, ua) <- uppers
+      (lb, la, w) <- lowers
+      if ub.exprId == lb.exprId && ua.exprId == la.exprId && w > 0
+      if ua.dataType == LongType && ub.dataType == LongType
+      aOnLeft = j.left.outputSet.contains(ua) && j.right.outputSet.contains(ub)
+      aOnRight = j.right.outputSet.contains(ua) && j.left.outputSet.contains(ub)
+      if aOnLeft || aOnRight
+    } yield (ua, ub, w, aOnLeft)
+    matched.headOption.map { case (tA, tB, width, aOnLeft) =>
+      val w = Literal(width, LongType)
+      val bandA = Alias(IntegralDivide(tA, w), s"${BandPrefix}_a")()
+      val kB = IntegralDivide(tB, w)
+      val arr = CreateArray(Seq(kB, Add(kB, Literal(1L))))
+      val genOut = AttributeReference(s"${BandPrefix}_b", LongType, nullable = true)()
+      val gen = (child: LogicalPlan) =>
+        Generate(Explode(arr), Nil, outer = false, None, Seq(genOut), child)
+      val proj = (child: LogicalPlan) =>
+        Project(child.output :+ bandA, child)
+      val (newLeft, newRight) =
+        if (aOnLeft) (proj(j.left), gen(j.right)) else (gen(j.left), proj(j.right))
+      val newCond = And(j.condition.get, EqualTo(bandA.toAttribute, genOut))
+      Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), j.hint))
+    }
+  }
+}
