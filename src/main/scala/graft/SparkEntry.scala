@@ -67,6 +67,8 @@ object SparkEntry {
       "q_conditional_aggs" -> (RelationalExt.priorityConditionalAggs(_, _)),
       "q_self_join_nations" -> (RelationalExt.nationPairsSameRegion(_, _)),
       "q_union_by_name" -> (RelationalExt.accountHoldersUnionByName(_, _)),
+      "q_unpivot" -> (RelationalExt.lineitemUnpivot(_, _)),
+      "text_tfidf" -> (TextAnalysis.tfidf(_, _)),
       // text analysis (BASELINE.json LLM-pipeline operators)
       "text_token_counts" -> (TextAnalysis.tokenCounts(_, _)),
       "text_quality" -> (TextAnalysis.qualityScores(_, _)),
@@ -133,6 +135,8 @@ object SparkEntry {
       "q_conditional_aggs" -> RelationalExt.priorityConditionalAggsOracle,
       "q_self_join_nations" -> RelationalExt.nationPairsSameRegionOracle,
       "q_union_by_name" -> RelationalExt.accountHoldersUnionByNameOracle,
+      "q_unpivot" -> RelationalExt.lineitemUnpivotOracle,
+      "text_tfidf" -> TextAnalysis.tfidfOracle,
       "dedup_simhash_pairs" -> Dedup.simhashHammingPairsOracle,
       "events_sessions" -> EventOps.sessionizeOracle,
       "events_type_pivot" -> EventOps.eventTypePivotOracle,

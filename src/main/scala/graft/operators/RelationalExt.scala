@@ -296,6 +296,30 @@ object RelationalExt {
       |  ON n1.n_regionkey = n2.n_regionkey AND n1.n_name < n2.n_name
       |ORDER BY regionkey, nation_a, nation_b""".stripMargin
 
+  // ---------------------------------------------------------------- unpivot
+  /** Unpivot (melt): lineitem's three rate measures to long form — the
+    * inverse of the pivot query, and the prep step for generic
+    * per-measure profiling. Spark plans `unpivot` as an Expand (rows ×3,
+    * no shuffle); sampled to every 10th order to keep the verify dump
+    * bounded. */
+  def lineitemUnpivot(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % 10 === 0)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "measure", "val")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+
+  val lineitemUnpivotOracle: String =
+    """SELECT l_orderkey, l_linenumber, m.measure,
+      |  CASE m.measure WHEN 'l_quantity' THEN l_quantity
+      |                 WHEN 'l_discount' THEN l_discount
+      |                 ELSE l_tax END AS val
+      |FROM lineitem, (VALUES ('l_quantity'), ('l_discount'), ('l_tax')) m(measure)
+      |WHERE l_orderkey % 10 = 0
+      |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
+
   // --------------------------------------------------------- union by name
   /** Schema-aligned union: customer and supplier account rows projected in
     * DIFFERENT column orders, merged by column NAME (unionByName /

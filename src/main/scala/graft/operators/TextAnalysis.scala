@@ -146,6 +146,46 @@ object TextAnalysis {
       |  GROUP BY word) t
       |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
 
+  /** TF-IDF (integer-surrogate form): per (doc, term), the term frequency,
+    * document frequency, and `score_micro = (tf · 10⁶ · N) div df` — a
+    * monotone surrogate of tf · N/df in exact integer math, so ranking by
+    * it IS ranking by unsmoothed tf-idf while staying oracle-exact (a
+    * floating `ln(N/df)` would hang parity on libm rounding). Restricted to
+    * terms with doc_freq ≥ 50 to bound output; two shuffles (doc-term tf,
+    * term df) + a broadcast of the tiny df table — the classic scalable
+    * TF-IDF shape. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val docTerm = docs
+      .select(col("doc_id"), explode(words).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("tf"))
+    val df = docTerm.groupBy("word")
+      .agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= 50)
+    docTerm.join(broadcast(df), "word")
+      .join(broadcast(n))
+      .withColumn("score_micro", expr("(tf * 1000000 * n_docs) div doc_freq"))
+      .select("doc_id", "word", "tf", "doc_freq", "score_micro")
+      .orderBy("doc_id", "word")
+  }
+
+  val tfidfOracle: String =
+    """WITH dt AS (
+      |  SELECT doc_id, w.word, count(*) AS tf
+      |  FROM documents, unnest(string_split(text, ' ')) AS w(word)
+      |  WHERE w.word != ''
+      |  GROUP BY doc_id, w.word
+      |), df AS (
+      |  SELECT word, count(*) AS doc_freq FROM dt GROUP BY word HAVING count(*) >= 50
+      |), n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT dt.doc_id, dt.word, dt.tf, df.doc_freq,
+      |  (dt.tf * 1000000 * n.n_docs) // df.doc_freq AS score_micro
+      |FROM dt JOIN df ON dt.word = df.word CROSS JOIN n
+      |ORDER BY dt.doc_id, dt.word""".stripMargin
+
   /** Normalized text for fingerprinting: lowercase, whitespace collapsed. */
   private val normText: Column =
     trim(regexp_replace(lower(col("text")), "\\s+", " "))

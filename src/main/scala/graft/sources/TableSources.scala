@@ -41,6 +41,21 @@ object TableSources {
     }
   }
 
+  /** Hive-style partitioned write: directory-per-value layout
+    * (`path/col=value/part-*.parquet`). At 100 TB this is THE pruning
+    * lever — a reader filtering on the partition column touches only the
+    * matching directories (PartitionFilters in the scan, zero data files
+    * read for pruned values), and the partition column is encoded in the
+    * path, not stored in the files. Choose low-cardinality, always-filtered
+    * columns (date, event_type, lang); never high-cardinality keys (one
+    * directory per value is a small-files explosion). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      format: Format = Parquet): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .format(format.name)
+      .save(path)
+
   /** JDBC source — the literal equivalent of the reference's Postgres
     * connection (`/root/reference/src/listTables.tsx:184-201`). Untestable
     * here (no database in the container); the option surface mirrors the
