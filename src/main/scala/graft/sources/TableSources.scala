@@ -56,6 +56,20 @@ object TableSources {
       .format(format.name)
       .save(path)
 
+  /** Range-clustered write: global range partitioning + in-partition sort
+    * on the cluster key before writing. Complements [[writePartitioned]]
+    * for HIGH-cardinality keys where directory-per-value would explode:
+    * each output file covers a disjoint key range, so parquet min/max
+    * statistics let selective scans skip whole files/row-groups (the same
+    * effect data-lake "z-order by one column" delivers). The
+    * `repartitionByRange` sampling pass is one extra scan — amortized
+    * across every future selective read. */
+  def writeRangeClustered(df: DataFrame, path: String, clusterCol: String,
+      numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, df.col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
   /** JDBC source — the literal equivalent of the reference's Postgres
     * connection (`/root/reference/src/listTables.tsx:184-201`). Untestable
     * here (no database in the container); the option surface mirrors the

@@ -48,6 +48,32 @@ class PartitionedWriteSpec extends AnyFunSuite {
       "pruning should select a strict subset of files")
   }
 
+  test("range-clustered write produces disjoint per-file key ranges") {
+    val out = Files.createTempDirectory("orders_clustered").toString
+    val orders = spark.read.parquet(s"${SparkSuite.Sf0001}/orders.parquet")
+    TableSources.writeRangeClustered(orders, out, "o_custkey", numFiles = 4)
+
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    assert(files.length >= 3, s"expected multiple clustered files, got ${files.length}")
+    // per-file [min,max] of the cluster key must be pairwise disjoint —
+    // that is the property parquet min/max skipping exploits
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("o_custkey"), max("o_custkey")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, s"overlap: $hi1 > $lo2")
+      case _ =>
+    }
+    // row preservation + the selective filter reaches parquet as a pushed filter
+    val back = spark.read.parquet(out)
+    assert(back.count() == orders.count())
+    val filtered = back.filter(col("o_custkey") === 42L)
+    val scans = fileScans(filtered.queryExecution.executedPlan)
+    assert(scans.exists(_.dataFilters.nonEmpty), "expected pushed data filter on cluster key")
+  }
+
   test("round-trip preserves rows and schema (minus partition column position)") {
     val out = Files.createTempDirectory("events_rt").toString
     val events = spark.read.parquet(s"${SparkSuite.Sf0001}/events.parquet")
