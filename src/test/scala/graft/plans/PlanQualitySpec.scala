@@ -1,0 +1,85 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+import graft.operators.Relational
+
+/** Physical-plan quality gates: the scan/shuffle/join properties the engine
+  * RELIES on at 100 TB, asserted against the actual plans so a regression
+  * (a lost pushdown, a broadcast that became a shuffle, a TakeOrdered that
+  * became a global sort) fails CI instead of surfacing as a cluster bill.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: allNodes(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r +: allNodes(r.child)
+    case other => other +: other.children.flatMap(allNodes)
+  }
+
+  private def nodes(df: DataFrame): Seq[SparkPlan] =
+    allNodes(df.queryExecution.executedPlan)
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] =
+    nodes(df).collect { case s: FileSourceScanExec => s }
+
+  test("column pruning: a 2-column projection reads a 2-column schema") {
+    val df = spark.read.parquet(s"${SparkSuite.Sf0001}/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val scan = scans(df).head
+    assert(scan.requiredSchema.fieldNames.toSet == Set("l_orderkey", "l_quantity"),
+      s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("predicate pushdown: a selective filter reaches the parquet scan") {
+    val df = spark.read.parquet(s"${SparkSuite.Sf0001}/lineitem.parquet")
+      .filter(col("l_quantity") > 45.0)
+      .select("l_orderkey")
+    val scan = scans(df).head
+    assert(scan.dataFilters.nonEmpty, "filter did not reach the scan")
+    assert(scan.metadata.get("PushedFilters").exists(_.contains("l_quantity")),
+      s"PushedFilters=${scan.metadata.get("PushedFilters")}")
+  }
+
+  test("star join broadcasts every dimension (no shuffle join for dims)") {
+    val df = Relational.revenueByRegion(spark, SparkSuite.Sf0001)
+    df.collect()
+    val plan = nodes(df).map(_.nodeName)
+    val broadcasts = plan.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, plan nodes: ${plan.distinct.mkString(",")}")
+  }
+
+  test("aggregation is partial+final (map-side combine before the shuffle)") {
+    val df = Relational.q1PricingSummary(spark, SparkSuite.Sf0001)
+    val aggs = nodes(df).filter(_.nodeName.contains("HashAggregate"))
+    assert(aggs.size >= 2, "expected partial and final HashAggregate nodes")
+  }
+
+  test("global top-k plans as TakeOrdered, not a full sort") {
+    val df = Relational.topOrdersGlobal(spark, SparkSuite.Sf0001)
+    val names = nodes(df).map(_.nodeName)
+    assert(names.exists(_.contains("TakeOrderedAndProject")),
+      s"expected TakeOrderedAndProject, got: ${names.distinct.mkString(",")}")
+  }
+
+  test("per-group top-k gets the WindowGroupLimit pushdown") {
+    val df = Relational.topOrdersPerCustomer(spark, SparkSuite.Sf0001)
+    val names = nodes(df).map(_.nodeName)
+    assert(names.exists(_.contains("WindowGroupLimit")),
+      s"expected WindowGroupLimit, got: ${names.distinct.mkString(",")}")
+  }
+
+  test("whole-stage codegen covers the q1 aggregation pipeline") {
+    val df = Relational.q1PricingSummary(spark, SparkSuite.Sf0001)
+    df.collect() // AQE inserts codegen stages at execution
+    assert(nodes(df).exists(_.nodeName.contains("WholeStageCodegen")),
+      "q1 pipeline fell out of whole-stage codegen")
+  }
+}
