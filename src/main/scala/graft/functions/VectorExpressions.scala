@@ -191,4 +191,66 @@ object VectorExpressions {
   /** 58-bit-entropy rolling hash (same fold, wider prime modulus). */
   def rolling_hash58(c: Column): Column =
     ColumnBridge.column(StringRollingHash(ColumnBridge.expression(c), Mod58))
+
+  /** One-pass SimHash over a text's whitespace words: per word the rolling
+    * hash (base 31, `mod`), per bit a ±1 vote, sign-combined into a
+    * `bits`-wide signature. Replaces the built-ins formulation —
+    * `explode(split) → groupBy(doc) → bits × sum(when)` — which shuffles
+    * every word of the corpus and carries `bits` aggregation buffers per
+    * doc; this is a single projection, no shuffle at all, bit-equal
+    * (spec-tested) because every operation is the same integer math. */
+  case class SimHashWords(child: Expression, bits: Int, mod: Long) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes() =
+      if (child.dataType.isInstanceOf[StringType])
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_words requires string input, got ${child.dataType}")
+
+    override protected def nullSafeEval(input: Any): Any =
+      simhashJava(input.asInstanceOf[UTF8String].toString, bits, mod)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.VectorExpressions.simhashJava($c.toString(), $bits, ${mod}L)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Static helper for generated code: split on single spaces (empty words
+    * skipped, exactly like `filter(split(s, " "), w -> w != "")`), rolling-
+    * hash each word, vote per bit, sign-combine. */
+  def simhashJava(s: String, bits: Int, mod: Long): Long = {
+    val votes = new Array[Int](bits)
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      while (i < n && s.charAt(i) == ' ') i += 1
+      if (i < n) {
+        var acc = 0L
+        while (i < n && s.charAt(i) != ' ') {
+          val cp = s.codePointAt(i)
+          acc = (acc * 31 + cp) % mod
+          i += Character.charCount(cp)
+        }
+        var b = 0
+        while (b < bits) {
+          if (((acc >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  def simhash_words(c: Column, bits: Int, mod: Long = 1000000007L): Column =
+    ColumnBridge.column(SimHashWords(ColumnBridge.expression(c), bits, mod))
 }

@@ -181,12 +181,20 @@ object Dedup {
   def groupSignatures(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
       .filter(hasShingles(col("text")))
-      .select(col("lang"), explode(shingles(col("text"))).as("shingle"))
+      // per-doc signature in one native pass, then elementwise min per
+      // group: min over docs of (min over doc's shingles) = min over the
+      // group's shingle union — the same signature the shingle-explode +
+      // MinHashAgg form computes, but the shuffle carries one 8-element
+      // row per DOC instead of one row per SHINGLE (~500× fewer rows).
+      // MinHashAgg remains the general mergeable-sketch aggregate (spec-
+      // gated for partition invariance); this is the fused fast path.
+      .select(col("lang"),
+        graft.functions.VectorExpressions.minhash_sig(shingles(col("text")), NumHashes).as("sig"))
       .groupBy("lang")
       // the driver's compare sorts result columns in pandas, which cannot
       // hash/sort array cells — emit the signature as a joined string
-      .agg(array_join(
-        graft.functions.MinHashAgg.minhash_agg(col("shingle"), NumHashes), ",").as("sig"))
+      .agg(concat_ws(",",
+        (0 until NumHashes).map(i => min(element_at(col("sig"), i + 1))): _*).as("sig"))
       .orderBy("lang")
 
   val groupSignaturesOracle: String = {
@@ -211,8 +219,22 @@ object Dedup {
 
   /** SimHash table (doc_id, simhash) at a given bit width, unordered —
     * shared by the signature query (16-bit compact form) and the
-    * hamming-pair join (32-bit, sparse enough for pair detection). */
-  def simhashTable(spark: SparkSession, dir: String, bits: Int = SimBits): DataFrame = {
+    * hamming-pair join (32-bit, sparse enough for pair detection).
+    * One-pass native expression: a projection with NO shuffle (vs the
+    * built-ins twin [[simhashTableHof]], which shuffles every word of the
+    * corpus and carries `bits` aggregation buffers per doc — bit-equality
+    * of the two forms is spec-tested). The trim guard reproduces the
+    * explode form's drop of all-whitespace docs. */
+  def simhashTable(spark: SparkSession, dir: String, bits: Int = SimBits,
+      mod: Long = 1000000007L): DataFrame =
+    corpusWithNearDups(spark, dir)
+      .filter(trim(col("text")) =!= "")
+      .select(col("doc_id"),
+        graft.functions.VectorExpressions.simhash_words(col("text"), bits, mod).as("simhash"))
+
+  /** Built-ins-only SimHash (explode → group-by → bits × sum(when)) — the
+    * semantic reference [[simhashTable]] is tested bit-equal against. */
+  def simhashTableHof(spark: SparkSession, dir: String, bits: Int = SimBits): DataFrame = {
     val exploded = corpusWithNearDups(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
@@ -244,23 +266,9 @@ object Dedup {
     * simhash would all be the sign of a constant-0 vote. 56 bits drops
     * random-pair hamming≤3 collisions to ~10⁻¹² (vs ~4·10⁻⁶ at 30 bits),
     * the regime needed when deduping 10¹⁰ documents. */
-  def simhash64Signatures(spark: SparkSession, dir: String): DataFrame = {
-    val exploded = corpusWithNearDups(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .filter(col("word") =!= "")
-      .withColumn("h", graft.functions.VectorExpressions.rolling_hash58(col("word")))
-    val voteSums = (0 until Sim64Bits).map { b =>
-      sum(when(expr(s"(h div ${1L << b}) % 2") === 1, 1L).otherwise(-1L)).as(s"v$b")
-    }
-    val recombine = (0 until Sim64Bits)
-      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    exploded
-      .groupBy("doc_id")
-      .agg(voteSums.head, voteSums.tail: _*)
-      .select(col("doc_id"), recombine.as("simhash"))
+  def simhash64Signatures(spark: SparkSession, dir: String): DataFrame =
+    simhashTable(spark, dir, Sim64Bits, graft.functions.VectorExpressions.Mod58)
       .orderBy("doc_id")
-  }
 
   val simhash64SignaturesOracle: String = {
     val mod = graft.functions.VectorExpressions.Mod58

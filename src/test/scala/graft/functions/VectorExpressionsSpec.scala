@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSuite
-import graft.operators.{Similarity, TextAnalysis}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 
 /** The native expressions must be BIT-IDENTICAL to their built-ins-only
   * (HOF) twins — that equivalence is what carries DuckDB-oracle parity over
@@ -78,5 +78,54 @@ class VectorExpressionsSpec extends AnyFunSuite {
       TextAnalysis.rollingHash(col("s")).as("h"),
       Similarity.dot(col("v"), col("v")).as("d")).collect()(0)
     assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("native one-pass simhash is bit-identical to the explode+agg twin (16 and 56 bit)") {
+    Seq(16 -> 1000000007L).foreach { case (bits, _) =>
+      val native = Dedup.simhashTable(spark, dir, bits)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val hof = Dedup.simhashTableHof(spark, dir, bits)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(native == hof, s"simhash($bits) native != hof")
+    }
+    // edge cases: multiple/leading/trailing spaces, unicode, single word
+    val edge = spark.createDataFrame(Seq(
+      (1L, "a  b   c"), (2L, " leading"), (3L, "trailing "), (4L, "solo"),
+      (5L, "héllo wörld ✓"))).toDF("doc_id", "text")
+    val n = edge.select(col("doc_id"),
+      VectorExpressions.simhash_words(col("text"), 16, 1000000007L).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val h = {
+      val exploded = edge
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .withColumn("hh", TextAnalysis.rollingHash(col("word")))
+      val voteSums = (0 until 16).map { b =>
+        sum(when(expr(s"(hh div ${1L << b}) % 2") === 1, 1L).otherwise(-1L)).as(s"v$b")
+      }
+      val recombine = (0 until 16)
+        .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      exploded.groupBy("doc_id").agg(voteSums.head, voteSums.tail: _*)
+        .select(col("doc_id"), recombine.as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    }
+    assert(n == h)
+  }
+
+  test("fused group minhash (per-doc sig + elementwise min) equals MinHashAgg") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(size(split(col("text"), " ")) >= 3)
+    val fused = docs
+      .select(col("lang"), VectorExpressions.minhash_sig(Dedup.shingles(col("text")), 8).as("sig"))
+      .groupBy("lang")
+      .agg(concat_ws(",", (0 until 8).map(i => min(element_at(col("sig"), i + 1))): _*).as("sig"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val viaAgg = docs
+      .select(col("lang"), explode(Dedup.shingles(col("text"))).as("shingle"))
+      .groupBy("lang")
+      .agg(array_join(MinHashAgg.minhash_agg(col("shingle"), 8), ",").as("sig"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(fused == viaAgg)
   }
 }
