@@ -70,39 +70,48 @@ case class ForeignKey(column: String, parentTable: String, parentColumn: String)
 object QualityRunner {
 
   /** Evaluate a rule suite. Returns (table_name, rule, violations, passed),
-    * ordered — one fused-agg scan per table for all row rules + one small
-    * job per Unique/ForeignKey. */
+    * ordered. Cost model, per table: ONE scan evaluates every row-level
+    * rule AND every foreign-key rule together — each FK becomes a left
+    * join against the parent's broadcast-distinct key set (at most one
+    * match per row, so no multiplication) and a `sum(when(orphan))` term in
+    * the same fused aggregate. Only Unique rules need their own hash
+    * group-by on the key. */
   def run(spark: SparkSession, dir: String, suite: Seq[(String, Seq[Rule])]): DataFrame = {
     val results: Seq[DataFrame] = suite.flatMap { case (tableName, rules) =>
       val df = Fixtures.table(spark, dir, tableName)
       val rowRules = rules.filter(_.rowPredicate.isDefined)
-      val rowResult: Option[DataFrame] =
-        if (rowRules.isEmpty) None
+      val fkRules = rules.collect { case f: ForeignKey => f }
+      val fusedResult: Option[DataFrame] =
+        if (rowRules.isEmpty && fkRules.isEmpty) None
         else {
+          val withParents = fkRules.zipWithIndex.foldLeft(df) { case (acc, (f, i)) =>
+            val parent = Fixtures.table(spark, dir, f.parentTable)
+              .select(col(f.parentColumn).as(s"__parent_$i")).distinct()
+            acc.join(broadcast(parent), col(f.column) === col(s"__parent_$i"), "left")
+          }
           val aggs = rowRules.map(r =>
-            sum(when(!expr(r.rowPredicate.get), 1L).otherwise(0L)).as(r.name))
-          val row = df.agg(aggs.head, aggs.tail: _*)
+            sum(when(!expr(r.rowPredicate.get), 1L).otherwise(0L)).as(r.name)) ++
+            fkRules.zipWithIndex.map { case (f, i) =>
+              sum(when(col(f.column).isNotNull && col(s"__parent_$i").isNull, 1L)
+                .otherwise(0L)).as(f.name)
+            }
+          val row = withParents.agg(aggs.head, aggs.tail: _*)
           // unpivot the one-row agg into (rule, violations)
-          val stacked = rowRules.map(r =>
+          val fused = rowRules ++ fkRules
+          val stacked = fused.map(r =>
             s"'${r.name.replace("'", "''")}', `${r.name}`").mkString(", ")
           Some(row.selectExpr(
-            s"stack(${rowRules.size}, $stacked) AS (rule, violations)")
+            s"stack(${fused.size}, $stacked) AS (rule, violations)")
             .select(lit(tableName).as("table_name"), col("rule"), col("violations")))
         }
-      val others: Seq[DataFrame] = rules.collect {
+      val uniques: Seq[DataFrame] = rules.collect {
         case u @ Unique(cols) =>
           val dupExtras = df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("c"))
             .filter(col("c") > 1)
             .agg(coalesce(sum(col("c") - 1), lit(0L)).as("violations"))
           dupExtras.select(lit(tableName).as("table_name"), lit(u.name).as("rule"), col("violations"))
-        case f @ ForeignKey(c, pTable, pCol) =>
-          val parent = Fixtures.table(spark, dir, pTable).select(col(pCol).as(c)).distinct()
-          val orphans = df.select(c).filter(col(c).isNotNull)
-            .join(broadcast(parent), Seq(c), "left_anti")
-            .agg(count(lit(1)).as("violations"))
-          orphans.select(lit(tableName).as("table_name"), lit(f.name).as("rule"), col("violations"))
       }
-      rowResult.toSeq ++ others
+      fusedResult.toSeq ++ uniques
     }
     results.reduce(_ unionAll _)
       .withColumn("passed", col("violations") === 0L)
