@@ -68,6 +68,8 @@ object SparkEntry {
       "q_self_join_nations" -> (RelationalExt.nationPairsSameRegion(_, _)),
       "q_union_by_name" -> (RelationalExt.accountHoldersUnionByName(_, _)),
       "q_unpivot" -> (RelationalExt.lineitemUnpivot(_, _)),
+      "q_array_funcs" -> (RelationalExt.docArrayFuncs(_, _)),
+      "events_json_typed" -> (EventOps.jsonTyped(_, _)),
       "text_tfidf" -> (TextAnalysis.tfidf(_, _)),
       // text analysis (BASELINE.json LLM-pipeline operators)
       "text_token_counts" -> (TextAnalysis.tokenCounts(_, _)),
@@ -136,6 +138,8 @@ object SparkEntry {
       "q_self_join_nations" -> RelationalExt.nationPairsSameRegionOracle,
       "q_union_by_name" -> RelationalExt.accountHoldersUnionByNameOracle,
       "q_unpivot" -> RelationalExt.lineitemUnpivotOracle,
+      "q_array_funcs" -> RelationalExt.docArrayFuncsOracle,
+      "events_json_typed" -> EventOps.jsonTypedOracle,
       "text_tfidf" -> TextAnalysis.tfidfOracle,
       "dedup_simhash_pairs" -> Dedup.simhashHammingPairsOracle,
       "events_sessions" -> EventOps.sessionizeOracle,

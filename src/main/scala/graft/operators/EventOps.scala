@@ -37,6 +37,21 @@ object EventOps {
       |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Typed JSON parsing: `from_json` with an explicit schema — ONE parse
+    * per row into a struct (vs one `get_json_object` tree-walk per
+    * extracted path), which is the right JSON shape at scale and the one
+    * that composes with schema evolution (missing keys → typed nulls, not
+    * string surgery). Emits the parsed field per event. */
+  def jsonTyped(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .withColumn("p", from_json(col("props"), lit("STRUCT<k: BIGINT>")))
+      .select(col("event_id"), col("p.k").as("k"))
+      .orderBy("event_id")
+
+  val jsonTypedOracle: String =
+    """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** Tumbling 1-hour windows per event type: batch form of the streaming
     * freshness/volume rollup (see graft.streaming). Sum of doubles goes
     * through DECIMAL(28,10) so partial-agg order can't change the result. */

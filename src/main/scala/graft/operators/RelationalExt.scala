@@ -296,6 +296,39 @@ object RelationalExt {
       |  ON n1.n_regionkey = n2.n_regionkey AND n1.n_name < n2.n_name
       |ORDER BY regionkey, nation_a, nation_b""".stripMargin
 
+  // ---------------------------------------------------------- array functions
+  /** Array-function surface over the token arrays of `documents`: size,
+    * membership, min/max, sorted access, distinct count, position — all
+    * scalar outputs so cross-engine comparison is order-free (Spark and
+    * DuckDB agree on byte-order string comparison; `array_position` is
+    * 0-when-absent in Spark vs NULL in DuckDB, normalized with COALESCE in
+    * the oracle). One codegen'd projection, no shuffle. */
+  def docArrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("bigint").as("n_toks"),
+        array_contains(col("toks"), "the").as("has_the"),
+        array_max(col("toks")).as("max_tok"),
+        array_min(col("toks")).as("min_tok"),
+        element_at(sort_array(col("toks")), 1).as("first_sorted"),
+        size(array_distinct(col("toks"))).cast("bigint").as("n_distinct"),
+        array_position(col("toks"), "the").as("the_pos"))
+      .orderBy("doc_id")
+
+  val docArrayFuncsOracle: String =
+    """SELECT doc_id,
+      |  len(toks) AS n_toks,
+      |  list_contains(toks, 'the') AS has_the,
+      |  list_max(toks) AS max_tok,
+      |  list_min(toks) AS min_tok,
+      |  list_sort(toks)[1] AS first_sorted,
+      |  len(list_distinct(toks)) AS n_distinct,
+      |  CAST(COALESCE(list_position(toks, 'the'), 0) AS BIGINT) AS the_pos
+      |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- unpivot
   /** Unpivot (melt): lineitem's three rate measures to long form — the
     * inverse of the pivot query, and the prep step for generic
