@@ -75,6 +75,46 @@ object EventOps {
       |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
 
+  /** Gap-filled hourly counts: a complete (hour × event_type) spine from
+    * the data's min to max hour — `sequence(h0, h1, 1 hour)` exploded and
+    * cross-joined with the distinct types — left-joined to the actual
+    * hourly counts, absent cells filled with 0. The spine side is tiny
+    * (hours × types) so it broadcasts; at any scale the cost is one scan
+    * for the rollup plus a broadcast join — this is the canonical
+    * time-series densification before charting/anomaly detection, which a
+    * plain GROUP BY cannot produce (it has no rows for silent hours). */
+  def hourlyGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .withColumn("hour_start", date_trunc("hour", timestamp_micros(expr("ts div 1000"))))
+    val hourly = ev.groupBy("hour_start", "event_type").agg(count(lit(1)).as("n_events"))
+    val bounds = ev.agg(min("hour_start").as("h0"), max("hour_start").as("h1"))
+    val types = ev.select("event_type").distinct()
+    val spine = bounds
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour_start"))
+      .crossJoin(types)
+    spine.join(hourly, Seq("hour_start", "event_type"), "left")
+      .select(
+        col("hour_start").cast("timestamp_ntz").as("hour_start"),
+        col("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("hour_start", "event_type")
+  }
+
+  val hourlyGapFillOracle: String =
+    """WITH ev AS (
+      |  SELECT date_trunc('hour', ts) AS hour_start, event_type FROM events
+      |), hourly AS (
+      |  SELECT hour_start, event_type, count(*) AS n_events FROM ev GROUP BY 1, 2
+      |), bounds AS (
+      |  SELECT min(hour_start) AS h0, max(hour_start) AS h1 FROM ev
+      |), spine AS (
+      |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_start FROM bounds
+      |), types AS (SELECT DISTINCT event_type FROM events)
+      |SELECT s.hour_start, t.event_type, COALESCE(h.n_events, 0) AS n_events
+      |FROM spine s CROSS JOIN types t
+      |LEFT JOIN hourly h ON h.hour_start = s.hour_start AND h.event_type = t.event_type
+      |ORDER BY s.hour_start, t.event_type""".stripMargin
+
   /** SLIDING-window rollup: 1-hour windows every 15 minutes — each event
     * lands in exactly 4 overlapping windows. Spark's `window(ts, size,
     * slide)` expands the row into its windows BEFORE the aggregate (same
