@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.VectorExpressions.{FloatVectorDot, MinHashSignature, StringRollingHash}
+import graft.functions.VectorExpressions.{FloatVectorDot, MinHashSignature, SimHashWords, StringRollingHash}
 
 /** `SparkSessionExtensions` hook exposing the engine's native expressions to
   * SQL — `spark.sql("SELECT vec_dot(a, b) ...")` — so the library composes
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.vecDot)
     ext.injectFunction(GraftExtensions.rollingHash)
     ext.injectFunction(GraftExtensions.minhashSig)
+    ext.injectFunction(GraftExtensions.simhashWords)
     ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)
   }
 }
@@ -31,7 +32,7 @@ object GraftExtensions {
     * session predates the library (`withExtensions` only applies at
     * construction time). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(vecDot, rollingHash, minhashSig).foreach { case (fid, i, b) =>
+    Seq(vecDot, rollingHash, minhashSig, simhashWords).foreach { case (fid, i, b) =>
       org.apache.spark.sql.graft.ColumnBridge.registerFunction(spark, fid, i, b)
     }
     if (!spark.experimental.extraOptimizations.contains(graft.plans.BandedRangeJoinRule))
@@ -62,5 +63,20 @@ object GraftExtensions {
         case other => throw new IllegalArgumentException(s"minhash_sig k must be an integer literal, got $other")
       }
       MinHashSignature(exprs(0), k)
+    })
+
+  val simhashWords: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash_words"),
+    info("simhash_words",
+      "simhash_words(s, bits[, mod]) - one-pass word-level SimHash signature (rolling hash base 31)"),
+    (exprs: Seq[Expression]) => {
+      def intLit(e: Expression, what: String): Long = e.eval() match {
+        case i: java.lang.Integer => i.longValue()
+        case l: java.lang.Long    => l.longValue()
+        case other => throw new IllegalArgumentException(s"simhash_words $what must be an integer literal, got $other")
+      }
+      val bits = intLit(exprs(1), "bits").toInt
+      val mod = if (exprs.size > 2) intLit(exprs(2), "mod") else 1000000007L
+      SimHashWords(exprs(0), bits, mod)
     })
 }

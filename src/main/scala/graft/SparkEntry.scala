@@ -98,6 +98,7 @@ object SparkEntry {
       "events_sessions" -> (EventOps.sessionize(_, _)),
       "events_type_pivot" -> (EventOps.eventTypePivot(_, _)),
       "events_range_join" -> (EventOps.purchaseClickAttribution(_, _)),
+      "events_range_join_auto" -> (EventOps.naiveRangeJoinAuto(_, _)),
       // multimodal manifest / resize plan / frame sampling
       "multimodal_manifest" -> (Multimodal.mediaManifest(_, _)),
       "multimodal_resize" -> (Multimodal.resizePlan(_, _)),
@@ -146,6 +147,7 @@ object SparkEntry {
       "events_sessions" -> EventOps.sessionizeOracle,
       "events_type_pivot" -> EventOps.eventTypePivotOracle,
       "events_range_join" -> EventOps.purchaseClickAttributionOracle,
+      "events_range_join_auto" -> EventOps.naiveRangeJoinAutoOracle,
       "profile_percentiles_quantity" -> ProfileQueries.quantityPercentilesOracle,
       "q1_pricing_summary" -> Relational.q1Oracle,
       "q_revenue_by_region" -> Relational.revenueByRegionOracle,

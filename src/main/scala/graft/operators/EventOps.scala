@@ -75,6 +75,43 @@ object EventOps {
       |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
 
+  /** The NAIVE range join, run through [[graft.plans.BandedRangeJoinRule]]:
+    * the query is the declarative range predicate a user would write —
+    * which Spark alone plans as a broadcast-nested-loop join — and the
+    * injected optimizer rule rewrites it to the banded equi-join at
+    * optimization time. Same answers as the hand-banded
+    * [[purchaseClickAttribution]] (inner-join subset); this entry puts the
+    * tier-c rule itself under the driver's DuckDB oracle gate. */
+  def naiveRangeJoinAuto(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark) // idempotent; installs the rule
+    val windowUs = 5L * 60 * 1000000
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tus").as("p_tus"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("tus").as("c_tus"))
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_tus") <= col("p_tus") &&
+          col("c_tus") >= col("p_tus") - windowUs)
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_clicks"))
+      .orderBy("event_id")
+  }
+
+  val naiveRangeJoinAutoOracle: String =
+    """WITH p AS (
+      |  SELECT user_id, epoch_us(ts) AS tus, event_id FROM events WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT user_id, epoch_us(ts) AS tus FROM events WHERE event_type = 'click'
+      |)
+      |SELECT p.event_id, count(*) AS n_clicks
+      |FROM p JOIN c
+      |  ON c.user_id = p.user_id AND c.tus <= p.tus AND c.tus >= p.tus - 300000000
+      |GROUP BY p.event_id
+      |ORDER BY p.event_id""".stripMargin
+
   /** Gap-filled hourly counts: a complete (hour × event_type) spine from
     * the data's min to max hour — `sequence(h0, h1, 1 hour)` exploded and
     * cross-joined with the distinct types — left-joined to the actual

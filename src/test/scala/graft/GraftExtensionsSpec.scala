@@ -34,6 +34,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(sig == Seq(mins.getString(0), mins.getString(1)))
   }
 
+  test("SQL simhash_words agrees with the Column API") {
+    graft.GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT simhash_words('hello world foo', 16) AS s").collect()(0).getLong(0)
+    val viaCol = spark.sql("SELECT 'hello world foo' AS t")
+      .select(graft.functions.VectorExpressions.simhash_words(org.apache.spark.sql.functions.col("t"), 16).as("s"))
+      .collect()(0).getLong(0)
+    assert(viaSql == viaCol)
+  }
+
   test("SQL rolling_hash agrees with the Column API on fixture text") {
     import org.apache.spark.sql.functions.col
     val d = spark.read.parquet(s"${SparkSuite.Sf0001}/documents.parquet")
