@@ -69,6 +69,8 @@ object SparkEntry {
       "q_union_by_name" -> (RelationalExt.accountHoldersUnionByName(_, _)),
       "q_unpivot" -> (RelationalExt.lineitemUnpivot(_, _)),
       "q_array_funcs" -> (RelationalExt.docArrayFuncs(_, _)),
+      "q_having" -> (RelationalExt.frequentCustomers(_, _)),
+      "q_limit_offset" -> (RelationalExt.ordersPage(_, _)),
       "events_json_typed" -> (EventOps.jsonTyped(_, _)),
       "text_tfidf" -> (TextAnalysis.tfidf(_, _)),
       // text analysis (BASELINE.json LLM-pipeline operators)
@@ -141,6 +143,8 @@ object SparkEntry {
       "q_union_by_name" -> RelationalExt.accountHoldersUnionByNameOracle,
       "q_unpivot" -> RelationalExt.lineitemUnpivotOracle,
       "q_array_funcs" -> RelationalExt.docArrayFuncsOracle,
+      "q_having" -> RelationalExt.frequentCustomersOracle,
+      "q_limit_offset" -> RelationalExt.ordersPageOracle,
       "events_json_typed" -> EventOps.jsonTypedOracle,
       "text_tfidf" -> TextAnalysis.tfidfOracle,
       "dedup_simhash_pairs" -> Dedup.simhashHammingPairsOracle,

@@ -296,6 +296,41 @@ object RelationalExt {
       |  ON n1.n_regionkey = n2.n_regionkey AND n1.n_name < n2.n_name
       |ORDER BY regionkey, nation_a, nation_b""".stripMargin
 
+  // ------------------------------------------------------------------ having
+  /** HAVING: post-aggregation filter — planned as a Filter above the final
+    * HashAggregate, so the predicate runs on group rows (tiny), never on
+    * input rows. Frequent customers (≥ 20 orders). */
+  def frequentCustomers(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_spend"))
+      .filter(col("n_orders") >= 20)
+      .orderBy("o_custkey")
+
+  val frequentCustomersOracle: String =
+    """SELECT o_custkey, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+      |FROM orders GROUP BY o_custkey HAVING count(*) >= 20
+      |ORDER BY o_custkey""".stripMargin
+
+  // ----------------------------------------------------------- limit/offset
+  /** LIMIT + OFFSET pagination over a total order. OFFSET still sorts/skips
+    * the prefix (there is no free lunch — deep pagination at scale should
+    * be keyset-based instead: WHERE key > last_seen LIMIT n); this covers
+    * the operator surface. */
+  def ordersPage(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(10)
+      .limit(10)
+
+  val ordersPageOracle: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 10 OFFSET 10""".stripMargin
+
   // ---------------------------------------------------------- array functions
   /** Array-function surface over the token arrays of `documents`: size,
     * membership, min/max, sorted access, distinct count, position — all
