@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to stdout/stderr with NO "[info]" log
+// prefix — the driver parses Bench's single JSON line from raw stdout,
+// and round 1's BENCH_r01.json recorded parsed:null because every line
+// arrived as "[info] {...}".
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
