@@ -97,6 +97,7 @@ object SparkEntry {
       "events_hourly" -> (EventOps.hourlyRollup(_, _)),
       "events_sliding" -> (EventOps.slidingRollup(_, _)),
       "events_gapfill" -> (EventOps.hourlyGapFill(_, _)),
+      "events_funnel" -> (EventOps.signupFunnel(_, _)),
       "events_sessions" -> (EventOps.sessionize(_, _)),
       "events_type_pivot" -> (EventOps.eventTypePivot(_, _)),
       "events_range_join" -> (EventOps.purchaseClickAttribution(_, _)),
@@ -181,6 +182,7 @@ object SparkEntry {
       "events_hourly" -> EventOps.hourlyRollupOracle,
       "events_sliding" -> EventOps.slidingRollupOracle,
       "events_gapfill" -> EventOps.hourlyGapFillOracle,
+      "events_funnel" -> EventOps.signupFunnelOracle,
       "multimodal_manifest" -> Multimodal.mediaManifestOracle,
       "multimodal_resize" -> Multimodal.resizePlanOracle,
       "multimodal_frames" -> Multimodal.frameSamplesOracle,

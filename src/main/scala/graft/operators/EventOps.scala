@@ -75,6 +75,58 @@ object EventOps {
       |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
 
+  /** Behavioral funnel: signup → first click at-or-after signup → first
+    * purchase at-or-after that click, per user, plus the reached stage.
+    * Each step is a per-user conditional MIN against the previous step's
+    * timestamp — three keyed aggregations + two joins on user_id, so every
+    * stage is one shuffle on the same key (co-partitioned end to end; at
+    * scale the three aggs pipeline on a single exchange). The canonical
+    * product-analytics query a GROUP BY alone cannot express (each stage's
+    * predicate depends on the previous stage's result). */
+  def signupFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_type"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("tus").as("signup_tus"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(signups, "user_id")
+      .filter(col("tus") >= col("signup_tus"))
+      .groupBy("user_id").agg(min("tus").as("click_tus"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .join(clicks, "user_id")
+      .filter(col("tus") >= col("click_tus"))
+      .groupBy("user_id").agg(min("tus").as("purchase_tus"))
+    signups
+      .join(clicks.select(col("user_id"), col("click_tus")), Seq("user_id"), "left")
+      .join(purchases.select(col("user_id"), col("purchase_tus")), Seq("user_id"), "left")
+      .withColumn("stage",
+        (lit(1L) + when(col("click_tus").isNotNull, 1L).otherwise(0L)
+          + when(col("purchase_tus").isNotNull, 1L).otherwise(0L)))
+      .orderBy("user_id")
+  }
+
+  val signupFunnelOracle: String =
+    """WITH s AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS signup_tus
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id
+      |), c AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS click_tus
+      |  FROM events e JOIN s ON e.user_id = s.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s.signup_tus
+      |  GROUP BY e.user_id
+      |), p AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS purchase_tus
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.click_tus
+      |  GROUP BY e.user_id
+      |)
+      |SELECT s.user_id, s.signup_tus, c.click_tus, p.purchase_tus,
+      |  CAST(1 + (CASE WHEN c.click_tus IS NOT NULL THEN 1 ELSE 0 END)
+      |    + (CASE WHEN p.purchase_tus IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage
+      |FROM s LEFT JOIN c ON s.user_id = c.user_id
+      |LEFT JOIN p ON s.user_id = p.user_id
+      |ORDER BY s.user_id""".stripMargin
+
   /** The NAIVE range join, run through [[graft.plans.BandedRangeJoinRule]]:
     * the query is the declarative range predicate a user would write —
     * which Spark alone plans as a broadcast-nested-loop join — and the
