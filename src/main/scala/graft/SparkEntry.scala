@@ -98,6 +98,7 @@ object SparkEntry {
       "events_sliding" -> (EventOps.slidingRollup(_, _)),
       "events_gapfill" -> (EventOps.hourlyGapFill(_, _)),
       "events_funnel" -> (EventOps.signupFunnel(_, _)),
+      "events_cohorts" -> (EventOps.cohortRetention(_, _)),
       "events_sessions" -> (EventOps.sessionize(_, _)),
       "events_type_pivot" -> (EventOps.eventTypePivot(_, _)),
       "events_range_join" -> (EventOps.purchaseClickAttribution(_, _)),
@@ -183,6 +184,7 @@ object SparkEntry {
       "events_sliding" -> EventOps.slidingRollupOracle,
       "events_gapfill" -> EventOps.hourlyGapFillOracle,
       "events_funnel" -> EventOps.signupFunnelOracle,
+      "events_cohorts" -> EventOps.cohortRetentionOracle,
       "multimodal_manifest" -> Multimodal.mediaManifestOracle,
       "multimodal_resize" -> Multimodal.resizePlanOracle,
       "multimodal_frames" -> Multimodal.frameSamplesOracle,

@@ -127,6 +127,44 @@ object EventOps {
       |LEFT JOIN p ON s.user_id = p.user_id
       |ORDER BY s.user_id""".stripMargin
 
+  /** Cohort retention: users bucketed by signup week (epoch-aligned
+    * integer weeks — portable across engines, unlike Monday-vs-Sunday
+    * `date_trunc('week')`), counted as active in each subsequent week.
+    * distinct (user, week) activity → join to the user's cohort → count
+    * distinct users per (cohort_week, week_offset). Two shuffles (user
+    * dedup, cohort rollup); the retention matrix itself is tiny at any
+    * scale. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 86400 * 1000000
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), expr(s"(ts div 1000) div $weekUs").as("week"), col("event_type"))
+    val cohorts = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("week").as("cohort_week"))
+    val activity = ev.select("user_id", "week").distinct()
+    activity.join(cohorts, "user_id")
+      .withColumn("week_offset", col("week") - col("cohort_week"))
+      .filter(col("week_offset") >= 0)
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val cohortRetentionOracle: String = {
+    val weekUs = 7L * 86400 * 1000000
+    s"""WITH cohorts AS (
+       |  SELECT user_id, min(epoch_us(ts) // $weekUs) AS cohort_week
+       |  FROM events WHERE event_type = 'signup' GROUP BY user_id
+       |), activity AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // $weekUs AS week FROM events
+       |)
+       |SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+       |  count(DISTINCT a.user_id) AS n_active
+       |FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+       |WHERE a.week - c.cohort_week >= 0
+       |GROUP BY c.cohort_week, week_offset
+       |ORDER BY c.cohort_week, week_offset""".stripMargin
+  }
+
   /** The NAIVE range join, run through [[graft.plans.BandedRangeJoinRule]]:
     * the query is the declarative range predicate a user would write —
     * which Spark alone plans as a broadcast-nested-loop join — and the
