@@ -36,6 +36,8 @@ object SparkEntry {
       "profile_topk_values" -> (ProfileQueries.topkValues(_, _)),
       "profile_summary_lineitem" -> ((s, d) => ProfileQueries.fullProfile(s, d, "lineitem")),
       "profile_summary_orders" -> ((s, d) => ProfileQueries.fullProfile(s, d, "orders")),
+      "profile_summary_documents" -> ((s, d) => ProfileQueries.fullProfile(s, d, "documents")),
+      "profile_summary_events" -> ((s, d) => ProfileQueries.fullProfile(s, d, "events")),
       "profile_histogram_quantity" -> (ProfileQueries.quantityHistogram(_, _)),
       "profile_percentiles_quantity" -> (ProfileQueries.quantityPercentiles(_, _)),
       // relational coverage (SURVEY §2.2-§2.5)
@@ -86,6 +88,7 @@ object SparkEntry {
       "dedup_simhash" -> (Dedup.simhashSignatures(_, _)),
       "dedup_simhash64" -> (Dedup.simhash64Signatures(_, _)),
       "dedup_simhash_pairs" -> (Dedup.simhashHammingPairs(_, _)),
+      "dedup_simhash64_pairs" -> (Dedup.simhash64HammingPairs(_, _)),
       "dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs(_, _)),
       "dedup_group_signatures" -> (Dedup.groupSignatures(_, _)),
       // similarity search
@@ -124,6 +127,8 @@ object SparkEntry {
       "profile_topk_values" -> ProfileQueries.topkValuesOracle,
       "profile_summary_lineitem" -> ProfileQueries.fullProfileOracle("lineitem"),
       "profile_summary_orders" -> ProfileQueries.fullProfileOracle("orders"),
+      "profile_summary_documents" -> ProfileQueries.fullProfileOracle("documents"),
+      "profile_summary_events" -> ProfileQueries.fullProfileOracle("events"),
       "profile_histogram_quantity" -> ProfileQueries.quantityHistogramOracle,
       "q_salted_skew_join" -> Relational.saltedSupplierRevenueOracle,
       "q_rollup_pricing" -> Relational.pricingRollupOracle,
@@ -150,6 +155,7 @@ object SparkEntry {
       "events_json_typed" -> EventOps.jsonTypedOracle,
       "text_tfidf" -> TextAnalysis.tfidfOracle,
       "dedup_simhash_pairs" -> Dedup.simhashHammingPairsOracle,
+      "dedup_simhash64_pairs" -> Dedup.simhash64HammingPairsOracle,
       "events_sessions" -> EventOps.sessionizeOracle,
       "events_type_pivot" -> EventOps.eventTypePivotOracle,
       "events_range_join" -> EventOps.purchaseClickAttributionOracle,

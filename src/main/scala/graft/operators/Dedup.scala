@@ -314,12 +314,20 @@ object Dedup {
     * 30 bits, so the verified output stays close to the true near-dups.
     * Shuffle key is (block-pair, 12-bit value); candidate volume is
     * Σ bucket² — tiny for hash-uniform signatures. */
-  def simhashHammingPairs(spark: SparkSession, dir: String): DataFrame = {
-    val blockBits = SimPairBits / SimBlocks
+  def simhashHammingPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashHammingPairsAt(spark, dir, SimPairBits, SimBlocks)
+
+  /** Generalized multi-index hamming pair join: any (bits, blocks, mod)
+    * with ≤3 flipped bits touching ≤3 blocks — exact whenever
+    * blocks ≥ 5 (an untouched block PAIR always exists). */
+  def simhashHammingPairsAt(spark: SparkSession, dir: String, bits: Int,
+      blocks: Int, mod: Long = 1000000007L): DataFrame = {
+    val blockBits = bits / blocks
+    val pairs = for (i <- 0 until blocks; j <- i + 1 until blocks) yield (i, j)
     def bval(i: Int) = expr(s"(simhash div ${1L << (blockBits * i)}) % ${1L << blockBits}")
-    val sig = simhashTable(spark, dir, SimPairBits).persist()
+    val sig = simhashTable(spark, dir, bits, mod).persist()
     val probes = sig.select(col("doc_id"), col("simhash"),
-      explode(array(blockPairs.zipWithIndex.map { case ((i, j), k) =>
+      explode(array(pairs.zipWithIndex.map { case ((i, j), k) =>
         struct(lit(k).as("blk"), (bval(i) * (1L << blockBits) + bval(j)).as("bval"))
       }: _*)).as("p"))
       .select(col("doc_id"), col("simhash"), col("p.blk").as("blk"), col("p.bval").as("bval"))
@@ -333,6 +341,62 @@ object Dedup {
       .filter(col("hamming") <= 3)
       .select("id_a", "id_b", "hamming")
       .orderBy("id_a", "id_b")
+  }
+
+  /** 56-bit pair detection (7 blocks of 8 bits, C(7,2)=21 probe keys):
+    * the high-precision twin of [[simhashHammingPairs]] — random-pair
+    * hamming≤3 collisions drop from ~4·10⁻⁶ (30-bit) to ~10⁻¹², the
+    * regime where pair candidates stay clean at 10¹⁰ documents. */
+  def simhash64HammingPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashHammingPairsAt(spark, dir, Sim64Bits, 7, graft.functions.VectorExpressions.Mod58)
+
+  val simhash64HammingPairsOracle: String =
+    simhashPairsOracleAt(Sim64Bits, 7, graft.functions.VectorExpressions.Mod58)
+
+  /** Generalized DuckDB oracle for [[simhashHammingPairsAt]]. */
+  def simhashPairsOracleAt(bits: Int, blocks: Int, mod: Long): String = {
+    val blockBits = bits / blocks
+    val pairs = for (i <- 0 until blocks; j <- i + 1 until blocks) yield (i, j)
+    val votes = (0 until bits)
+      .map(b => s"sum(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n    ")
+    val recombine = (0 until bits)
+      .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    def bval(i: Int) = s"(simhash // ${1L << (blockBits * i)}) % ${1L << blockBits}"
+    val probeRows = pairs.zipWithIndex
+      .map { case ((i, j), k) =>
+        s"SELECT doc_id, simhash, $k AS blk, ${bval(i)} * ${1L << blockBits} + ${bval(j)} AS bval FROM sig"
+      }
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH corpus AS (
+       |  $corpusSql
+       |), wordhash AS (
+       |  SELECT doc_id,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(list_filter(string_split(w.word, ''), c -> c != ''),
+       |                       c -> CAST(unicode(c) AS BIGINT))),
+       |      (a, b) -> (a * 31 + b) % $mod) AS h
+       |  FROM corpus, unnest(string_split(text, ' ')) AS w(word)
+       |  WHERE w.word != ''
+       |), votes AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM wordhash GROUP BY doc_id
+       |), sig AS (
+       |  SELECT doc_id, $recombine AS simhash FROM votes
+       |), probes AS (
+       |  $probeRows
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.simhash AS sh_a, b.simhash AS sh_b
+       |  FROM probes a JOIN probes b ON a.blk = b.blk AND a.bval = b.bval
+       |  WHERE a.doc_id < b.doc_id
+       |)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   val simhashHammingPairsOracle: String = {

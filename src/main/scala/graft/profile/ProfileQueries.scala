@@ -220,6 +220,13 @@ object ProfileQueries {
     * Expand, still one scan of the parquet). This is the fused engine form
     * of the reference's whole per-table profile, which issues one query per
     * column sequentially (`/root/reference/src/listTables.tsx:236-251`). */
+  /** Decimal scale for the average: integer-digits + scale must stay within
+    * a double's ~15 significant digits or the two engines' double→decimal
+    * conversions disagree in the last place (o_totalprice has 6 integer
+    * digits → scale 4; events.value is small → scale 10 captures its full
+    * fractional precision). */
+  private val avgScale: Map[String, Int] = Map("events" -> 10).withDefaultValue(4)
+
   def fullProfile(spark: SparkSession, dir: String, tableName: String): DataFrame = {
     val numCols = Fixtures.numericCols(tableName)
     val tCols = Fixtures.temporalCols.getOrElse(tableName, Seq.empty)
@@ -230,7 +237,7 @@ object ProfileQueries {
         (count(lit(1)) - count(col(c))).as(s"nulls_$c"),
         countDistinct(col(c)).as(s"ndv_$c"))) ++
       numCols.map(c =>
-        (sum(col(c).cast("decimal(28,4)")).cast("double") / count(col(c))).as(s"avg_$c"))
+        (sum(col(c).cast(s"decimal(28,${avgScale(tableName)})")).cast("double") / count(col(c))).as(s"avg_$c"))
     df.agg(aggs.head, aggs.tail: _*)
   }
 
@@ -241,7 +248,7 @@ object ProfileQueries {
       s"min($c) AS min_$c, max($c) AS max_$c, " +
         s"count(*) - count($c) AS nulls_$c, count(DISTINCT $c) AS ndv_$c")
     val avgs = numCols.map(c =>
-      s"CAST(sum(CAST($c AS DECIMAL(28,4))) AS DOUBLE) / count($c) AS avg_$c")
+      s"CAST(sum(CAST($c AS DECIMAL(28,${avgScale(tableName)}))) AS DOUBLE) / count($c) AS avg_$c")
     s"SELECT count(*) AS n_rows, ${(perCol ++ avgs).mkString(", ")} FROM $tableName"
   }
 
