@@ -72,6 +72,7 @@ object SparkEntry {
       "q_unpivot" -> (RelationalExt.lineitemUnpivot(_, _)),
       "q_array_funcs" -> (RelationalExt.docArrayFuncs(_, _)),
       "q_having" -> (RelationalExt.frequentCustomers(_, _)),
+      "q_merge_upsert" -> (RelationalExt.mergeUpsert(_, _)),
       "q_limit_offset" -> (RelationalExt.ordersPage(_, _)),
       "events_json_typed" -> (EventOps.jsonTyped(_, _)),
       "text_tfidf" -> (TextAnalysis.tfidf(_, _)),
@@ -151,6 +152,7 @@ object SparkEntry {
       "q_unpivot" -> RelationalExt.lineitemUnpivotOracle,
       "q_array_funcs" -> RelationalExt.docArrayFuncsOracle,
       "q_having" -> RelationalExt.frequentCustomersOracle,
+      "q_merge_upsert" -> RelationalExt.mergeUpsertOracle,
       "q_limit_offset" -> RelationalExt.ordersPageOracle,
       "events_json_typed" -> EventOps.jsonTypedOracle,
       "text_tfidf" -> TextAnalysis.tfidfOracle,

@@ -296,6 +296,49 @@ object RelationalExt {
       |  ON n1.n_regionkey = n2.n_regionkey AND n1.n_name < n2.n_name
       |ORDER BY regionkey, nation_a, nation_b""".stripMargin
 
+  // ------------------------------------------------------------ merge/upsert
+  /** MERGE (upsert) as a snapshot job — the pure-Spark form of
+    * `MERGE INTO target USING updates`: full-outer join on the key,
+    * update rows win column-wise, unmatched updates insert, unmatched
+    * base rows carry over. Without a table format (Delta/Iceberg) the
+    * result is a NEW snapshot written alongside — which is also the
+    * 100 TB-safe shape: one co-partitioned join, no per-row point
+    * writes. The updates feed is derived deterministically here (every
+    * 10th order re-priced +100, plus 100 brand-new orders at key+10⁷). */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "orders")
+    val repriced = base.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 100.0d)
+    val inserts = base.orderBy("o_orderkey").limit(100)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("o_orderstatus", lit("N"))
+    val updates = repriced.unionAll(inserts)
+    val u = updates.columns.foldLeft(updates) { (d, c) => d.withColumnRenamed(c, s"u_$c") }
+    base.join(u, col("o_orderkey") === col("u_o_orderkey"), "full_outer")
+      .select(base.columns.map(c =>
+        coalesce(col(s"u_$c"), col(c)).as(c)): _*)
+      .orderBy("o_orderkey")
+  }
+
+  val mergeUpsertOracle: String =
+    """WITH updates AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 100.0 AS o_totalprice,
+      |         o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice, o_orderdate, o_orderpriority
+      |  FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 100)
+      |)
+      |SELECT
+      |  COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+      |  COALESCE(u.o_custkey, b.o_custkey) AS o_custkey,
+      |  COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+      |  COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+      |  COALESCE(u.o_orderdate, b.o_orderdate) AS o_orderdate,
+      |  COALESCE(u.o_orderpriority, b.o_orderpriority) AS o_orderpriority
+      |FROM orders b FULL JOIN updates u ON b.o_orderkey = u.o_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
   // ------------------------------------------------------------------ having
   /** HAVING: post-aggregation filter — planned as a Filter above the final
     * HashAggregate, so the predicate runs on group rows (tiny), never on
