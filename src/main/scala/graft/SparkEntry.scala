@@ -39,6 +39,9 @@ object SparkEntry {
       "profile_summary_documents" -> ((s, d) => ProfileQueries.fullProfile(s, d, "documents")),
       "profile_summary_events" -> ((s, d) => ProfileQueries.fullProfile(s, d, "events")),
       "profile_histogram_quantity" -> (ProfileQueries.quantityHistogram(_, _)),
+      "profile_histogram_depth" -> (ProfileQueries.quantityDepthHistogram(_, _)),
+      "profile_corr_lineitem" -> (ProfileQueries.quantityPriceCorr(_, _)),
+      "q_snapshot_diff" -> (RelationalExt.snapshotDiff(_, _)),
       "profile_percentiles_quantity" -> (ProfileQueries.quantityPercentiles(_, _)),
       // relational coverage (SURVEY §2.2-§2.5)
       "q1_pricing_summary" -> (Relational.q1PricingSummary(_, _)),
@@ -131,6 +134,9 @@ object SparkEntry {
       "profile_summary_documents" -> ProfileQueries.fullProfileOracle("documents"),
       "profile_summary_events" -> ProfileQueries.fullProfileOracle("events"),
       "profile_histogram_quantity" -> ProfileQueries.quantityHistogramOracle,
+      "profile_histogram_depth" -> ProfileQueries.quantityDepthHistogramOracle,
+      "profile_corr_lineitem" -> ProfileQueries.quantityPriceCorrOracle,
+      "q_snapshot_diff" -> RelationalExt.snapshotDiffOracle,
       "q_salted_skew_join" -> Relational.saltedSupplierRevenueOracle,
       "q_rollup_pricing" -> Relational.pricingRollupOracle,
       "q_cube_pricing" -> Relational.pricingCubeOracle,

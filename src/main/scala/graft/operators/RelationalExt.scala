@@ -339,6 +339,44 @@ object RelationalExt {
       |FROM orders b FULL JOIN updates u ON b.o_orderkey = u.o_orderkey
       |ORDER BY o_orderkey""".stripMargin
 
+  // ------------------------------------------------------------ snapshot diff
+  /** Snapshot diff (the read side of CDC): compare two table versions on
+    * the key and classify every key as inserted / deleted / updated /
+    * unchanged — one full-outer co-partitioned join, the same scale shape
+    * as the merge. The "new" snapshot is derived deterministically (drop
+    * keys ≡ 7, reprice keys ≡ 10). Emits per-class counts. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "orders").select("o_orderkey", "o_totalprice")
+    val next = table(spark, dir, "orders")
+      .filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 10 === 0, col("o_totalprice") + 100.0d)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+    val b = base.select(col("o_orderkey").as("bk"), col("o_totalprice").as("bp"))
+    val n = next.select(col("o_orderkey").as("nk"), col("o_totalprice").as("np"))
+    b.join(n, col("bk") === col("nk"), "full_outer")
+      .withColumn("change", when(col("bk").isNull, "inserted")
+        .when(col("nk").isNull, "deleted")
+        .when(col("bp") =!= col("np"), "updated")
+        .otherwise("unchanged"))
+      .groupBy("change").agg(count(lit(1)).as("n_keys"))
+      .orderBy("change")
+  }
+
+  val snapshotDiffOracle: String =
+    """WITH next AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 7 <> 0
+      |)
+      |SELECT change, count(*) AS n_keys FROM (
+      |  SELECT CASE WHEN b.o_orderkey IS NULL THEN 'inserted'
+      |              WHEN n.o_orderkey IS NULL THEN 'deleted'
+      |              WHEN b.o_totalprice <> n.o_totalprice THEN 'updated'
+      |              ELSE 'unchanged' END AS change
+      |  FROM orders b FULL JOIN next n ON b.o_orderkey = n.o_orderkey
+      |) GROUP BY change ORDER BY change""".stripMargin
+
   // ------------------------------------------------------------------ having
   /** HAVING: post-aggregation filter — planned as a Filter above the final
     * HashAggregate, so the predicate runs on group rows (tiny), never on

@@ -252,6 +252,66 @@ object ProfileQueries {
     s"SELECT count(*) AS n_rows, ${(perCol ++ avgs).mkString(", ")} FROM $tableName"
   }
 
+  /** Equi-DEPTH histogram of l_quantity: quartile buckets via ntile over a
+    * TOTAL order (ties broken by the row key, so both engines bucket
+    * identically), per-bucket count + bounds. Complements the fixed-width
+    * [[quantityHistogram]]: equi-depth adapts bucket boundaries to the
+    * distribution — the form profilers prefer for skewed columns. */
+  def quantityDepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    Fixtures.table(spark, dir, "lineitem")
+      .select(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      .withColumn("bucket", ntile(4).over(w).cast("bigint"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"), min("l_quantity").as("lo"), max("l_quantity").as("hi"))
+      .orderBy("bucket")
+  }
+
+  val quantityDepthHistogramOracle: String =
+    """SELECT bucket, count(*) AS cnt, min(l_quantity) AS lo, max(l_quantity) AS hi
+      |FROM (
+      |  SELECT l_quantity,
+      |         CAST(ntile(4) OVER (ORDER BY l_quantity, l_orderkey, l_linenumber) AS BIGINT) AS bucket
+      |  FROM lineitem)
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** Correlation via EXACT sufficient statistics: n, Σx, Σy, Σxy, Σx², Σy²
+    * as decimal sums (order-independent), with Pearson r computed from
+    * those identical doubles at the end — engine-identical without trusting
+    * either engine's streaming corr() implementation. One fused scan. */
+  def quantityPriceCorr(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(18,2)")
+    val y = col("l_extendedprice").cast("decimal(18,2)")
+    Fixtures.table(spark, dir, "lineitem")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sum_x"),
+        sum(y).cast("double").as("sum_y"),
+        sum(x * y).cast("double").as("sum_xy"),
+        sum(x * x).cast("double").as("sum_x2"),
+        sum(y * y).cast("double").as("sum_y2"))
+      .withColumn("corr_xy",
+        (col("n") * col("sum_xy") - col("sum_x") * col("sum_y")) /
+          (sqrt(col("n") * col("sum_x2") - col("sum_x") * col("sum_x")) *
+            sqrt(col("n") * col("sum_y2") - col("sum_y") * col("sum_y"))))
+  }
+
+  val quantityPriceCorrOracle: String =
+    """WITH s AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_y,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_xy,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_x2,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_y2
+      |  FROM lineitem
+      |)
+      |SELECT n, sum_x, sum_y, sum_xy, sum_x2, sum_y2,
+      |  (n * sum_xy - sum_x * sum_y) /
+      |  (sqrt(n * sum_x2 - sum_x * sum_x) * sqrt(n * sum_y2 - sum_y * sum_y)) AS corr_xy
+      |FROM s""".stripMargin
+
   def boolHistogramOracle: String =
     """WITH flagged AS (
       |  SELECT CASE WHEN l_discount > 0.06 THEN TRUE
