@@ -95,6 +95,7 @@ object SparkEntry {
       "dedup_simhash64_pairs" -> (Dedup.simhash64HammingPairs(_, _)),
       "dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs(_, _)),
       "dedup_group_signatures" -> (Dedup.groupSignatures(_, _)),
+      "dedup_clusters" -> (Dedup.dedupClusters(_, _)),
       // similarity search
       "ann_cosine_topk" -> (Similarity.cosineTopK(_, _)),
       "embedding_near_dups" -> (Similarity.embeddingNearDups(_, _)),
@@ -190,6 +191,7 @@ object SparkEntry {
       "dedup_simhash64" -> Dedup.simhash64SignaturesOracle,
       "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsOracle,
       "dedup_group_signatures" -> Dedup.groupSignaturesOracle,
+      "dedup_clusters" -> Dedup.dedupClustersOracle,
       "ann_cosine_topk" -> Similarity.cosineTopKOracle(),
       "embedding_near_dups" -> Similarity.embeddingNearDupsOracle(),
       "embedding_centroids" -> Similarity.labelCentroidsOracle,

@@ -542,4 +542,61 @@ object Dedup {
        |WHERE CAST(len(list_intersect(sa.shd, sb.shd)) AS DOUBLE) / len(list_distinct(list_concat(sa.shd, sb.shd))) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  // ------------------------------------------------------ dedup clustering
+  /** Transitive dedup clusters: connected components over the VERIFIED
+    * near-dup pair graph (the step between pair detection and "keep one
+    * per cluster" — pairs alone under-merge when A~B and B~C but A!~C).
+    * Pregel-style min-label propagation: each iteration every node takes
+    * the min label among itself and its neighbors — one join + one
+    * aggregate per round, converging in O(cluster diameter) rounds
+    * (driver only checks the convergence COUNT; all data work is
+    * distributed, exactly GraphX's connected-components loop). The DuckDB
+    * oracle computes the same components by recursive-CTE transitive
+    * closure + min over reachable ids. */
+  def dedupClusters(spark: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, dir).select("id_a", "id_b")
+    val edges = pairs
+      .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .persist()
+    var labels = edges.select(col("id_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges.join(labels, edges("id_b") === labels("doc_id"))
+        .groupBy(edges("id_a").as("nid")).agg(min("label").as("nmin"))
+      val updated = labels.join(neighborMin, labels("doc_id") === col("nid"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      updated.persist()
+      val changed = updated.as("u")
+        .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
+  }
+
+  val dedupClustersOracle: String = {
+    // strip the ORDER BY-only tail reuse: embed the full pairs oracle as a
+    // subquery (DuckDB allows WITH inside a derived table)
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |${ngramJaccardPairsOracle.linesIterator.map("    " + _).mkString("\n")}
+       |  ) q
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM pairs
+       |), reach(a, b) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+       |)
+       |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+  }
 }
