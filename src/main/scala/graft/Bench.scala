@@ -44,7 +44,8 @@ object Bench {
       val warmSf = "/root/testdata/sf0.001"
       Seq("dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_simhash_pairs",
         "dedup_simhash64", "dedup_simhash64_pairs", "dedup_group_signatures",
-        "quality_checks", "embedding_near_dups", "ann_cosine_topk")
+        "dedup_clusters", "quality_checks", "embedding_near_dups",
+        "ann_cosine_topk", "profile_histogram_depth")
         .foreach { q =>
           try SparkEntry.queries(q)(spark, warmSf).count()
           catch { case _: Throwable => () }

@@ -256,7 +256,11 @@ object ProfileQueries {
     * TOTAL order (ties broken by the row key, so both engines bucket
     * identically), per-bucket count + bounds. Complements the fixed-width
     * [[quantityHistogram]]: equi-depth adapts bucket boundaries to the
-    * distribution — the form profilers prefer for skewed columns. */
+    * distribution — the form profilers prefer for skewed columns.
+    * Scale note: exact global ntile is a single-partition window sort
+    * (fine for the oracle gate; deliberately NOT the 100 TB path) — at
+    * scale the boundaries come from [[Sampling.approxPercentiles]] and
+    * bucketing becomes a stateless per-row comparison. */
   def quantityDepthHistogram(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
