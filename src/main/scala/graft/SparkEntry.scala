@@ -61,6 +61,7 @@ object SparkEntry {
       "q_asof_click_error" -> (Relational.asOfClickError(_, _)),
       // relational coverage battery #2 (round 2)
       "q_full_outer_nations" -> (RelationalExt.nationAccountFullOuter(_, _)),
+      "q_right_outer" -> (RelationalExt.ordersRightJoinCustomers(_, _)),
       "q_grouping_sets" -> (RelationalExt.pricingGroupingSets(_, _)),
       "q_correlated_subquery" -> (RelationalExt.aboveCustomerAverageOrders(_, _)),
       "q_in_subquery" -> (RelationalExt.partsWithReturns(_, _)),
@@ -145,6 +146,7 @@ object SparkEntry {
       "profile_strlen_documents" -> ProfileQueries.docStringStatsOracle,
       "q_asof_click_error" -> Relational.asOfClickErrorOracle,
       "q_full_outer_nations" -> RelationalExt.nationAccountFullOuterOracle,
+      "q_right_outer" -> RelationalExt.ordersRightJoinCustomersOracle,
       "q_grouping_sets" -> RelationalExt.pricingGroupingSetsOracle,
       "q_correlated_subquery" -> RelationalExt.aboveCustomerAverageOrdersOracle,
       "q_in_subquery" -> RelationalExt.partsWithReturnsOracle,

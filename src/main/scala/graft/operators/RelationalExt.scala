@@ -49,6 +49,26 @@ object RelationalExt {
       |  ON ck = sk
       |ORDER BY nationkey""".stripMargin
 
+  // ------------------------------------------------------------ right outer
+  /** Right-outer join (completes the §2.3 join spellings): order counts
+    * RIGHT JOIN customer keeps every customer — planner-wise the mirror of
+    * the left-outer `customerOrderCounts`, and Spark indeed canonicalizes
+    * it to that; covered so users of either spelling get the same plan. */
+  def ordersRightJoinCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val counts = table(spark, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    counts.join(table(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"), "right_outer")
+      .select(col("c_custkey"), coalesce(col("cnt"), lit(0L)).as("n_orders"))
+      .orderBy("c_custkey")
+  }
+
+  val ordersRightJoinCustomersOracle: String =
+    """SELECT c_custkey, COALESCE(cnt, 0) AS n_orders
+      |FROM (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey) o
+      |RIGHT JOIN customer ON o_custkey = c_custkey
+      |ORDER BY c_custkey""".stripMargin
+
   // --------------------------------------------------------- grouping sets
   /** Arbitrary GROUPING SETS — ((returnflag), (linestatus)): two independent
     * one-column rollups in ONE pass/shuffle (Catalyst expands rows ×2 before
