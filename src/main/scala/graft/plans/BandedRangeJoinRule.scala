@@ -16,7 +16,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * a driver OOM at scale. But the very common "point in a FIXED-WIDTH
   * trailing interval" shape
   *
-  * {{{ b.t <= a.t  AND  b.t > a.t - w      (w literal) }}}
+  * {{{ b.t <= a.t  AND  b.t > a.t - w           (w literal)
+  *     b.t >= a.t - w1 AND b.t <= a.t + w2      (two-sided window) }}}
   *
   * admits the classic banding rewrite that `EventOps
   * .purchaseClickAttribution` applies by hand (SURVEY §2.9 "Interval/range
@@ -76,12 +77,20 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  /** b.t bounded above by a.t: `b <= a`, `b < a`, `a >= b`, `a > b`. */
-  private def upperPair(e: Expression): Option[(Attribute, Attribute)] = e match {
-    case LessThan(b: Attribute, a: Attribute) => Some((b, a))
-    case LessThanOrEqual(b: Attribute, a: Attribute) => Some((b, a))
-    case GreaterThan(a: Attribute, b: Attribute) => Some((b, a))
-    case GreaterThanOrEqual(a: Attribute, b: Attribute) => Some((b, a))
+  /** b.t bounded above by a.t + w (w = 0 for the plain `b <= a` forms). */
+  private def upperTriple(e: Expression): Option[(Attribute, Attribute, Long)] = e match {
+    case LessThan(b: Attribute, a: Attribute) => Some((b, a, 0L))
+    case LessThanOrEqual(b: Attribute, a: Attribute) => Some((b, a, 0L))
+    case GreaterThan(a: Attribute, b: Attribute) => Some((b, a, 0L))
+    case GreaterThanOrEqual(a: Attribute, b: Attribute) => Some((b, a, 0L))
+    case LessThan(b: Attribute, AttrPlusLit(a, w)) => Some((b, a, w))
+    case LessThanOrEqual(b: Attribute, AttrPlusLit(a, w)) => Some((b, a, w))
+    case GreaterThan(AttrPlusLit(a, w), b: Attribute) => Some((b, a, w))
+    case GreaterThanOrEqual(AttrPlusLit(a, w), b: Attribute) => Some((b, a, w))
+    case LessThan(AttrMinusLit(b, w), a: Attribute) => Some((b, a, w))
+    case LessThanOrEqual(AttrMinusLit(b, w), a: Attribute) => Some((b, a, w))
+    case GreaterThan(a: Attribute, AttrMinusLit(b, w)) => Some((b, a, w))
+    case GreaterThanOrEqual(a: Attribute, AttrMinusLit(b, w)) => Some((b, a, w))
     case _ => None
   }
 
@@ -100,22 +109,31 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private def rewrite(j: Join): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(j.condition.get)
-    val uppers = conjuncts.flatMap(upperPair)
+    val uppers = conjuncts.flatMap(upperTriple)
     val lowers = conjuncts.flatMap(lowerTriple)
     val matched = for {
-      (ub, ua) <- uppers
-      (lb, la, w) <- lowers
-      if ub.exprId == lb.exprId && ua.exprId == la.exprId && w > 0
+      (ub, ua, wHigh) <- uppers
+      (lb, la, wLow) <- lowers
+      if ub.exprId == lb.exprId && ua.exprId == la.exprId
+      if wLow >= 0 && wHigh >= 0 && wLow + wHigh > 0
       if ua.dataType == LongType && ub.dataType == LongType
       aOnLeft = j.left.outputSet.contains(ua) && j.right.outputSet.contains(ub)
       aOnRight = j.right.outputSet.contains(ua) && j.left.outputSet.contains(ub)
       if aOnLeft || aOnRight
-    } yield (ua, ub, w, aOnLeft)
-    matched.headOption.map { case (tA, tB, width, aOnLeft) =>
-      val w = Literal(width, LongType)
+    } yield (ua, ub, wLow, wHigh, aOnLeft)
+    matched.headOption.map { case (tA, tB, wLow, wHigh, aOnLeft) =>
+      // band width = total interval width; b replicates to the band offsets
+      // its interval can reach relative to its own band (interval width ≤ W
+      // ⇒ at most one div-boundary crossed in each covered direction)
+      val w = Literal(wLow + wHigh, LongType)
+      val offsets: Seq[Long] =
+        if (wHigh == 0) Seq(0L, 1L)      // b ∈ [a-W, a]: k_a ∈ {k_b, k_b+1}
+        else if (wLow == 0) Seq(-1L, 0L) // b ∈ [a, a+W]: k_a ∈ {k_b-1, k_b}
+        else Seq(-1L, 0L, 1L)            // two-sided window
       val bandA = Alias(IntegralDivide(tA, w), s"${BandPrefix}_a")()
       val kB = IntegralDivide(tB, w)
-      val arr = CreateArray(Seq(kB, Add(kB, Literal(1L))))
+      val arr = CreateArray(offsets.map(o =>
+        if (o == 0L) kB else Add(kB, Literal(o)): Expression))
       val genOut = AttributeReference(s"${BandPrefix}_b", LongType, nullable = true)()
       val gen = (child: LogicalPlan) =>
         Generate(Explode(arr), Nil, outer = false, None, Seq(genOut), child)

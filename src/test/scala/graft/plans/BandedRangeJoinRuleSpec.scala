@@ -68,6 +68,34 @@ class BandedRangeJoinRuleSpec extends AnyFunSuite {
     assert(auto == manual, s"auto=${auto.size} rows, manual nonzero=${manual.size} rows")
   }
 
+  test("two-sided window join is banded and matches a driver-computed reference") {
+    val W1 = 3L * 60 * 1000000 // 3 min before
+    val W2 = 2L * 60 * 1000000 // 2 min after
+    val ev = spark.read.parquet(s"${SparkSuite.Sf0001}/events.parquet")
+      .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tus").as("p_tus"), col("event_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("tus").as("v_tus"))
+    val naive = purchases.join(views,
+        col("user_id") === col("v_user") &&
+          col("v_tus") >= col("p_tus") - W1 &&
+          col("v_tus") <= col("p_tus") + W2)
+      .groupBy("event_id").agg(count(lit(1)).as("n_views"))
+    assert(naive.queryExecution.optimizedPlan.toString.contains("__graft_band"),
+      "two-sided window should be banded")
+    val got = naive.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(!collectPhysical(naive.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
+    // independent reference: plain nested loop on the driver (1000 rows)
+    val ps = purchases.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val vs = views.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = ps.map { case (u, pt, id) =>
+      id -> vs.count { case (vu, vt) => vu == u && vt >= pt - W1 && vt <= pt + W2 }.toLong
+    }.filter(_._2 > 0).toMap
+    assert(got == expected, s"got=${got.size} purchases, expected=${expected.size}")
+  }
+
   test("rule leaves non-matching joins alone") {
     val n = spark.read.parquet(s"${SparkSuite.Sf0001}/nation.parquet")
     val r = spark.read.parquet(s"${SparkSuite.Sf0001}/region.parquet")
