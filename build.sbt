@@ -16,7 +16,6 @@ run / fork := true
 // and round 1's BENCH_r01.json recorded parsed:null because every line
 // arrived as "[info] {...}".
 Compile / run / outputStrategy := Some(StdoutOutput)
-Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
