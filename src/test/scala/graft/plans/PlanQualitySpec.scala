@@ -76,6 +76,22 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected WindowGroupLimit, got: ${names.distinct.mkString(",")}")
   }
 
+  test("manual banded range join never falls back to a nested-loop join") {
+    val df = graft.operators.EventOps.purchaseClickAttribution(spark, SparkSuite.Sf0001)
+    df.collect()
+    val names = nodes(df).map(_.nodeName)
+    assert(!names.exists(n => n.contains("BroadcastNestedLoop") || n.contains("CartesianProduct")),
+      s"range join degenerated: ${names.distinct.mkString(",")}")
+  }
+
+  test("funnel joins broadcast the tiny per-stage rollups") {
+    val df = graft.operators.EventOps.signupFunnel(spark, SparkSuite.Sf0001)
+    df.collect()
+    val names = nodes(df).map(_.nodeName)
+    assert(names.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"expected broadcast stage joins, got: ${names.distinct.mkString(",")}")
+  }
+
   test("whole-stage codegen covers the q1 aggregation pipeline") {
     val df = Relational.q1PricingSummary(spark, SparkSuite.Sf0001)
     df.collect() // AQE inserts codegen stages at execution
