@@ -108,6 +108,9 @@ object SparkEntry {
       "events_gapfill" -> (EventOps.hourlyGapFill(_, _)),
       "events_funnel" -> (EventOps.signupFunnel(_, _)),
       "events_cohorts" -> (EventOps.cohortRetention(_, _)),
+      "events_dow_heatmap" -> (EventOps.weekdayHourHeatmap(_, _)),
+      "q_null_handling" -> (RelationalExt.nullHandling(_, _)),
+      "q_string_agg" -> (RelationalExt.nationListPerRegion(_, _)),
       "events_sessions" -> (EventOps.sessionize(_, _)),
       "events_type_pivot" -> (EventOps.eventTypePivot(_, _)),
       "events_range_join" -> (EventOps.purchaseClickAttribution(_, _)),
@@ -203,6 +206,9 @@ object SparkEntry {
       "events_gapfill" -> EventOps.hourlyGapFillOracle,
       "events_funnel" -> EventOps.signupFunnelOracle,
       "events_cohorts" -> EventOps.cohortRetentionOracle,
+      "events_dow_heatmap" -> EventOps.weekdayHourHeatmapOracle,
+      "q_null_handling" -> RelationalExt.nullHandlingOracle,
+      "q_string_agg" -> RelationalExt.nationListPerRegionOracle,
       "multimodal_manifest" -> Multimodal.mediaManifestOracle,
       "multimodal_resize" -> Multimodal.resizePlanOracle,
       "multimodal_frames" -> Multimodal.frameSamplesOracle,

@@ -127,6 +127,24 @@ object EventOps {
       |LEFT JOIN p ON s.user_id = p.user_id
       |ORDER BY s.user_id""".stripMargin
 
+  /** Weekday × hour activity heatmap. Day-of-week numbering differs across
+    * engines (Spark dayofweek is 1=Sunday, DuckDB dayofweek 0=Sunday), so
+    * both sides use the ISO convention: Spark `weekday()+1` = DuckDB
+    * `isodow()` (1=Monday). One group-by, 7×24 output cells. */
+  def weekdayHourHeatmap(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .groupBy(
+        (expr("weekday(ts_utc)") + 1).cast("bigint").as("iso_dow"),
+        hour(col("ts_utc")).cast("bigint").as("hour_of_day"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("iso_dow", "hour_of_day")
+
+  val weekdayHourHeatmapOracle: String =
+    """SELECT CAST(isodow(ts) AS BIGINT) AS iso_dow,
+      |  CAST(hour(ts) AS BIGINT) AS hour_of_day, count(*) AS n_events
+      |FROM events GROUP BY 1, 2 ORDER BY iso_dow, hour_of_day""".stripMargin
+
   /** Cohort retention: users bucketed by signup week (epoch-aligned
     * integer weeks — portable across engines, unlike Monday-vs-Sunday
     * `date_trunc('week')`), counted as active in each subsequent week.

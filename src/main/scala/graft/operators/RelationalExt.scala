@@ -465,6 +465,56 @@ object RelationalExt {
       |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ null handling
+  /** NULL-handling scalar surface: NULLIF / COALESCE / IFNULL(nvl) / a
+    * three-way CASE on a derived nullable column (discount < 0.03 → NULL),
+    * plus null-aware equality. Pure projection, codegen'd. */
+  def nullHandling(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % 100 === 0)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        expr("nullif(l_returnflag, 'N')").as("flag_or_null"),
+        when(col("l_discount") < 0.03, lit(null)).otherwise(col("l_discount")).as("disc_nullable"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("flag_or_null"),
+        col("disc_nullable"),
+        coalesce(col("disc_nullable"), lit(0.0d)).as("disc_filled"),
+        expr("ifnull(flag_or_null, '-')").as("flag_filled"),
+        col("disc_nullable").isNull.as("disc_missing"),
+        (col("disc_nullable") <=> lit(null)).as("null_safe_eq"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val nullHandlingOracle: String =
+    """WITH base AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    nullif(l_returnflag, 'N') AS flag_or_null,
+      |    CASE WHEN l_discount < 0.03 THEN NULL ELSE l_discount END AS disc_nullable
+      |  FROM lineitem WHERE l_orderkey % 100 = 0
+      |)
+      |SELECT l_orderkey, l_linenumber, flag_or_null, disc_nullable,
+      |  COALESCE(disc_nullable, 0.0) AS disc_filled,
+      |  ifnull(flag_or_null, '-') AS flag_filled,
+      |  disc_nullable IS NULL AS disc_missing,
+      |  disc_nullable IS NOT DISTINCT FROM NULL AS null_safe_eq
+      |FROM base ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // --------------------------------------------------------- string agg
+  /** Ordered string aggregation: per region, the sorted comma-joined list
+    * of nation names. `collect_list` alone is partition-order-dependent;
+    * `sort_array` before the join makes it deterministic — the same
+    * discipline `string_agg(... ORDER BY ...)` encodes in the oracle. */
+  def nationListPerRegion(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "nation")
+      .groupBy("n_regionkey")
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n"))
+      .orderBy("n_regionkey")
+
+  val nationListPerRegionOracle: String =
+    """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations, count(*) AS n
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
   // ---------------------------------------------------------------- unpivot
   /** Unpivot (melt): lineitem's three rate measures to long form — the
     * inverse of the pivot query, and the prep step for generic
