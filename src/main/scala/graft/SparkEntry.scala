@@ -110,6 +110,7 @@ object SparkEntry {
       "events_cohorts" -> (EventOps.cohortRetention(_, _)),
       "events_dow_heatmap" -> (EventOps.weekdayHourHeatmap(_, _)),
       "q_null_handling" -> (RelationalExt.nullHandling(_, _)),
+      "q_math_funcs" -> (RelationalExt.mathFuncs(_, _)),
       "q_string_agg" -> (RelationalExt.nationListPerRegion(_, _)),
       "events_sessions" -> (EventOps.sessionize(_, _)),
       "events_type_pivot" -> (EventOps.eventTypePivot(_, _)),
@@ -208,6 +209,7 @@ object SparkEntry {
       "events_cohorts" -> EventOps.cohortRetentionOracle,
       "events_dow_heatmap" -> EventOps.weekdayHourHeatmapOracle,
       "q_null_handling" -> RelationalExt.nullHandlingOracle,
+      "q_math_funcs" -> RelationalExt.mathFuncsOracle,
       "q_string_agg" -> RelationalExt.nationListPerRegionOracle,
       "multimodal_manifest" -> Multimodal.mediaManifestOracle,
       "multimodal_resize" -> Multimodal.resizePlanOracle,

@@ -465,6 +465,37 @@ object RelationalExt {
       |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------------- math functions
+  /** Math-function surface, restricted to the cross-engine-exact subset:
+    * abs/sign/ceil/floor are integer-exact, sqrt is IEEE correctly-rounded
+    * (bit-identical everywhere), mod is integer. ln/exp/round are
+    * deliberately ABSENT — libm transcendentals and double rounding modes
+    * are not bit-portable, the same reason TF-IDF uses an integer
+    * surrogate. */
+  def mathFuncs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % 100 === 0)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05d).as("abs_off_center"),
+        signum(col("l_discount") - 0.05d).cast("bigint").as("sign_off"),
+        ceil(col("l_extendedprice")).cast("bigint").as("price_ceil"),
+        floor(col("l_extendedprice")).cast("bigint").as("price_floor"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        (col("l_partkey") % 97).as("part_mod"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val mathFuncsOracle: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  abs(l_discount - 0.05) AS abs_off_center,
+      |  CAST(sign(l_discount - 0.05) AS BIGINT) AS sign_off,
+      |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+      |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+      |  sqrt(l_quantity) AS qty_sqrt,
+      |  l_partkey % 97 AS part_mod
+      |FROM lineitem WHERE l_orderkey % 100 = 0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   // ------------------------------------------------------------ null handling
   /** NULL-handling scalar surface: NULLIF / COALESCE / IFNULL(nvl) / a
     * three-way CASE on a derived nullable column (discount < 0.03 → NULL),
