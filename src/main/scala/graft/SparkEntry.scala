@@ -53,6 +53,8 @@ object SparkEntry {
       "q_top10_orders" -> (Relational.topOrdersGlobal(_, _)),
       "q_except_nations" -> (Relational.customerOnlyNations(_, _)),
       "q_intersect_nations" -> (Relational.sharedNations(_, _)),
+      "q_intersect_all" -> (RelationalExt.sharedNationsAll(_, _)),
+      "q_except_all" -> (RelationalExt.customerNationsExceptAll(_, _)),
       "q_salted_skew_join" -> (Relational.saltedSupplierRevenue(_, _)),
       "q_rollup_pricing" -> (Relational.pricingRollup(_, _)),
       "q_cube_pricing" -> (Relational.pricingCube(_, _)),
@@ -185,6 +187,8 @@ object SparkEntry {
       "q_top10_orders" -> Relational.topOrdersGlobalOracle,
       "q_except_nations" -> Relational.customerOnlyNationsOracle,
       "q_intersect_nations" -> Relational.sharedNationsOracle,
+      "q_intersect_all" -> RelationalExt.sharedNationsAllOracle,
+      "q_except_all" -> RelationalExt.customerNationsExceptAllOracle,
       "text_token_counts" -> TextAnalysis.tokenCountsOracle,
       "text_quality" -> TextAnalysis.qualityScoresOracle,
       "text_langid" -> TextAnalysis.languageIdOracle,

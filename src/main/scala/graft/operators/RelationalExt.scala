@@ -465,6 +465,40 @@ object RelationalExt {
       |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- multiset set ops
+  /** INTERSECT ALL — multiset semantics: each nation key appears
+    * min(customer-count, supplier-count) times, vs the distinct-set
+    * `sharedNations`. Spark plans both via a count-comparing aggregate,
+    * not a join — one shuffle. Aggregated to (key, multiplicity) so the
+    * comparison is order-free. */
+  def sharedNationsAll(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersectAll(table(spark, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .groupBy("nationkey").agg(count(lit(1)).as("multiplicity"))
+      .orderBy("nationkey")
+
+  val sharedNationsAllOracle: String =
+    """SELECT nationkey, count(*) AS multiplicity FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  INTERSECT ALL
+      |  SELECT s_nationkey AS nationkey FROM supplier
+      |) GROUP BY nationkey ORDER BY nationkey""".stripMargin
+
+  /** EXCEPT ALL — multiset difference: customer nation keys with supplier
+    * occurrences subtracted (count_c - count_s surviving copies). */
+  def customerNationsExceptAll(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .exceptAll(table(spark, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .groupBy("nationkey").agg(count(lit(1)).as("multiplicity"))
+      .orderBy("nationkey")
+
+  val customerNationsExceptAllOracle: String =
+    """SELECT nationkey, count(*) AS multiplicity FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  EXCEPT ALL
+      |  SELECT s_nationkey AS nationkey FROM supplier
+      |) GROUP BY nationkey ORDER BY nationkey""".stripMargin
+
   // ----------------------------------------------------------- math functions
   /** Math-function surface, restricted to the cross-engine-exact subset:
     * abs/sign/ceil/floor are integer-exact, sqrt is IEEE correctly-rounded
