@@ -1,5 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.charset.StandardCharsets
+
+/** Benchmark entry point. Prints the full per-query metric JSON first, then a
+  * compact final line guaranteed to fit in a small (~2 KB) stdout tail capture:
+  * the round-2 artifact lost its totals because the single 97-query line was
+  * cut mid-JSON by the capture window. The full map is also written to
+  * `bench_full.json` in the working directory so nothing is lost either way.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -17,50 +26,44 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: JVM/classloading/codegen/parquet-reader initialization
-    // shouldn't be charged to the first queries measured — exercise the
-    // common execution shapes (scan, shuffle, join, window, explode+HOF+md5)
+    // Untimed warmup. Round 2 warmed only a hand-picked subset and the
+    // first-alphabetically md5-group-by queries (dedup_exact_*) still paid
+    // ~4 s of JVM/JIT on their first execution. Warm EVERY declared query
+    // once at sf0.001 (sub-second of actual data work each) so the timed
+    // run at the measured SF is steady-state. Caches are per-plan, so
+    // nothing at the measured SF is pre-computed by this.
     try {
       spark.range(1000000L).selectExpr("sum(id)").collect()
-      val r = spark.read.parquet(s"$sfDir/region.parquet")
-      r.join(r.withColumnRenamed("r_name", "x"), "r_regionkey").count()
-      spark.sql(
-        """SELECT w, md5(w) FROM (
-          |  SELECT explode(transform(split('a b c d e', ' '), x -> concat(x, 'y'))) AS w
-          |) ORDER BY w""".stripMargin).count()
-      spark.sql(
-        """SELECT max(i) OVER (PARTITION BY i % 3 ORDER BY i) FROM range(1000) t(i)""").count()
-      // absorb the one-time columnar-cache build warmup
-      val cacheWarm = spark.range(10000L).selectExpr("id", "md5(cast(id AS STRING)) AS h").persist()
-      cacheWarm.count(); cacheWarm.unpersist()
-      // JMH-style warmup of the measured code itself at the smallest SF:
-      // the dedup/quality families' first execution pays 3-5 s of JVM
-      // classload+JIT for the shingle→signature→band→join pipeline that
-      // has nothing to do with per-row throughput (verified round 1:
-      // disabling codegen does not reduce it). Run them once on sf0.001
-      // (sub-second of actual data work) so the timed sf runs measure
-      // steady-state. Results at sf0.001 are discarded; caches are
-      // per-plan so nothing at the measured SF is pre-computed.
       val warmSf = "/root/testdata/sf0.001"
-      Seq("dedup_minhash_pairs", "dedup_ngram_jaccard", "dedup_simhash_pairs",
-        "dedup_simhash64", "dedup_simhash64_pairs", "dedup_group_signatures",
-        "dedup_clusters", "quality_checks", "embedding_near_dups",
-        "ann_cosine_topk", "profile_histogram_depth")
-        .foreach { q =>
-          try SparkEntry.queries(q)(spark, warmSf).count()
-          catch { case _: Throwable => () }
-        }
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(spark, warmSf).count()
+        catch { case _: Throwable => () }
+      }
       spark.sharedState.cacheManager.clearCache()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    }
+    def fmt(v: Double): String = f"$v%.3f"
+    def qjson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(results)},"sf":"$sfDir","n_queries":${results.size}}"""
+    // Full artifact on disk — survives any stdout truncation.
+    try Files.write(Paths.get("bench_full.json"),
+      (fullLine + "\n").getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    catch { case _: Throwable => () }
+    // Full line first (captured when the window is large enough) ...
+    println(fullLine)
+    // ... compact line LAST so a 2 KB tail always ends with parseable JSON:
+    // total + the 25 slowest queries + an explicit omission count + pointer.
+    val slowest = results.sortBy(-_._2).take(25)
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(slowest)},"sf":"$sfDir","n_queries":${results.size},"queries_omitted":${results.size - slowest.size},"full":"bench_full.json"}""")
     spark.stop()
   }
 }

@@ -559,8 +559,26 @@ object Dedup {
     val edges = pairs
       .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .persist()
-    var labels = edges.select(col("id_a").as("doc_id")).distinct()
+    val seed = edges.select(col("id_a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
+    val result = propagateMinLabels(edges, seed, maxIters)
+    edges.unpersist()
+    result.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
+  }
+
+  /** Min-label propagation loop, factored out so specs can drive it on a
+    * planted graph. Per round: `localCheckpoint` truncates the lineage (the
+    * plan would otherwise grow one join deeper per round — quadratic
+    * driver-side planning cost and a guaranteed stall on high-diameter
+    * graphs) and the superseded labels frame is unpersisted (round 2 leaked
+    * one cached frame per round). Non-convergence at `maxIters` THROWS:
+    * silently returning partially-propagated labels would merge-under on
+    * any component of diameter > maxIters — plausible for near-dup chains
+    * at corpus scale — and a wrong cluster_id is worse than a loud abort.
+    */
+  private[operators] def propagateMinLabels(
+      edges: DataFrame, seed: DataFrame, maxIters: Int): DataFrame = {
+    var labels = seed.localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -569,15 +587,20 @@ object Dedup {
       val updated = labels.join(neighborMin, labels("doc_id") === col("nid"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-      updated.persist()
+        .localCheckpoint() // truncate lineage; also materializes for the count below
       val changed = updated.as("u")
         .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
         .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
       labels = updated
       converged = changed == 0
       i += 1
     }
-    labels.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge in $maxIters iterations — component " +
+          s"diameter exceeds maxIters; raise maxIters (labels would be wrong)")
+    labels
   }
 
   val dedupClustersOracle: String = {

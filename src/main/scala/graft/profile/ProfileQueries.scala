@@ -123,21 +123,29 @@ object ProfileQueries {
 
   /** Top-3 most frequent values of each low-cardinality string column of
     * lineitem/orders — the "common values" row of a profile. Deterministic
-    * rank tie-break on the value itself. */
+    * rank tie-break on the value itself.
+    *
+    * The rank window is PARTITIONED by `column_name` over the unioned
+    * per-column count tables: each column's distinct values shuffle to their
+    * own partition and the `rnk <= 3` predicate gets the WindowGroupLimit
+    * pushdown, so a high-NDV column never funnels the whole table through
+    * one task (the round-2 form ranked each column with an ungrouped
+    * `Window.orderBy` — a "No Partition Defined" single-task sort). */
   def topkValues(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def topk(tbl: String, c: String): DataFrame = {
-      val w = Window.orderBy(col("cnt").desc, col("value"))
+    def counts(tbl: String, c: String): DataFrame =
       Fixtures.table(spark, dir, tbl)
         .groupBy(col(c).as("value")).agg(count(lit(1)).as("cnt"))
-        .withColumn("rnk", row_number().over(w).cast("bigint"))
-        .filter(col("rnk") <= 3)
-        .select(lit(s"$tbl.$c").as("column_name"), col("value"), col("cnt"), col("rnk"))
-    }
-    topk("lineitem", "l_returnflag")
-      .unionAll(topk("lineitem", "l_linestatus"))
-      .unionAll(topk("orders", "o_orderstatus"))
-      .unionAll(topk("orders", "o_orderpriority"))
+        .select(lit(s"$tbl.$c").as("column_name"), col("value"), col("cnt"))
+    val unioned = counts("lineitem", "l_returnflag")
+      .unionAll(counts("lineitem", "l_linestatus"))
+      .unionAll(counts("orders", "o_orderstatus"))
+      .unionAll(counts("orders", "o_orderpriority"))
+    val w = Window.partitionBy("column_name").orderBy(col("cnt").desc, col("value"))
+    unioned
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .select("column_name", "value", "cnt", "rnk")
       .orderBy("column_name", "rnk")
   }
 
@@ -252,16 +260,63 @@ object ProfileQueries {
     s"SELECT count(*) AS n_rows, ${(perCol ++ avgs).mkString(", ")} FROM $tableName"
   }
 
-  /** Equi-DEPTH histogram of l_quantity: quartile buckets via ntile over a
-    * TOTAL order (ties broken by the row key, so both engines bucket
-    * identically), per-bucket count + bounds. Complements the fixed-width
-    * [[quantityHistogram]]: equi-depth adapts bucket boundaries to the
-    * distribution — the form profilers prefer for skewed columns.
-    * Scale note: exact global ntile is a single-partition window sort
-    * (fine for the oracle gate; deliberately NOT the 100 TB path) — at
-    * scale the boundaries come from [[Sampling.approxPercentiles]] and
-    * bucketing becomes a stateless per-row comparison. */
+  /** Equi-DEPTH histogram of l_quantity: quartile buckets, per-bucket count +
+    * bounds. Complements the fixed-width [[quantityHistogram]]: equi-depth
+    * adapts bucket boundaries to the distribution — the form profilers prefer
+    * for skewed columns.
+    *
+    * SCALE-SAFE FORM (oracle-gated): bucket boundaries come from the exact
+    * interpolated quartiles (one fused aggregation — a partial+final agg, no
+    * window), broadcast as a one-row frame, and bucketing is a stateless
+    * per-row comparison `1 + (x>b1) + (x>b2) + (x>b3)` — fully parallel,
+    * partial-agg friendly, no total order anywhere. The round-2 form
+    * (exact `ntile(4)` over a total order = every row through ONE partition)
+    * is kept as the spec-only twin [[quantityDepthHistogramNtile]]; the two
+    * differ only in how ties sitting exactly on a boundary are split (ntile
+    * splits a run of equal values across buckets to equalize depth; boundary
+    * bucketing keeps equal values together — the deterministic semantics an
+    * engine can honor at any scale). At 100 TB the exact quartiles would be
+    * [[Sampling.approxPercentiles]]; exact percentile keeps it
+    * oracle-comparable here.
+    */
   def quantityDepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val li = Fixtures.table(spark, dir, "lineitem").select("l_quantity")
+    val bounds = li.agg(
+      expr("percentile(l_quantity, 0.25)").as("b1"),
+      expr("percentile(l_quantity, 0.5)").as("b2"),
+      expr("percentile(l_quantity, 0.75)").as("b3"))
+    li.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        (lit(1L) + (col("l_quantity") > col("b1")).cast("long")
+          + (col("l_quantity") > col("b2")).cast("long")
+          + (col("l_quantity") > col("b3")).cast("long")).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"), min("l_quantity").as("lo"), max("l_quantity").as("hi"))
+      .orderBy("bucket")
+  }
+
+  val quantityDepthHistogramOracle: String =
+    """WITH b AS (
+      |  SELECT quantile_cont(l_quantity, 0.25) AS b1,
+      |         quantile_cont(l_quantity, 0.5)  AS b2,
+      |         quantile_cont(l_quantity, 0.75) AS b3
+      |  FROM lineitem
+      |)
+      |SELECT bucket, count(*) AS cnt, min(l_quantity) AS lo, max(l_quantity) AS hi
+      |FROM (
+      |  SELECT l_quantity,
+      |         1 + CAST(l_quantity > b1 AS BIGINT)
+      |           + CAST(l_quantity > b2 AS BIGINT)
+      |           + CAST(l_quantity > b3 AS BIGINT) AS bucket
+      |  FROM lineitem, b)
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** Spec-only twin of [[quantityDepthHistogram]]: exact equal-depth via
+    * `ntile(4)` over a TOTAL order (ties broken by the row key). Correct but
+    * deliberately NOT the engine form — the global window is a
+    * single-partition sort. Kept as the semantic reference the scale-safe
+    * form is tested against (bucket depths within one tie-run of equal). */
+  def quantityDepthHistogramNtile(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
     Fixtures.table(spark, dir, "lineitem")
@@ -271,14 +326,6 @@ object ProfileQueries {
       .agg(count(lit(1)).as("cnt"), min("l_quantity").as("lo"), max("l_quantity").as("hi"))
       .orderBy("bucket")
   }
-
-  val quantityDepthHistogramOracle: String =
-    """SELECT bucket, count(*) AS cnt, min(l_quantity) AS lo, max(l_quantity) AS hi
-      |FROM (
-      |  SELECT l_quantity,
-      |         CAST(ntile(4) OVER (ORDER BY l_quantity, l_orderkey, l_linenumber) AS BIGINT) AS bucket
-      |  FROM lineitem)
-      |GROUP BY bucket ORDER BY bucket""".stripMargin
 
   /** Correlation via EXACT sufficient statistics: n, Σx, Σy, Σxy, Σx², Σy²
     * as decimal sums (order-independent), with Pearson r computed from

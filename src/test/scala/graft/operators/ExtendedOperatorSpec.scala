@@ -66,4 +66,26 @@ class ExtendedOperatorSpec extends AnyFunSuite {
       assert(back == expected, s"round-trip mismatch for ${fmt.name}")
     }
   }
+
+  test("scale-safe equi-depth histogram matches the ntile twin up to tie-splitting") {
+    val fast = ProfileQueries.quantityDepthHistogram(spark, dir).collect()
+    val ntile = ProfileQueries.quantityDepthHistogramNtile(spark, dir).collect()
+    val n = fast.map(_.getLong(1)).sum
+    assert(ntile.map(_.getLong(1)).sum == n, "twins disagree on total row count")
+    assert(fast.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    // boundary bucketing keeps a run of equal values together, so each
+    // bucket's depth may deviate from exact n/4 by at most the largest
+    // single-value tie run
+    val maxTieRun = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_quantity").count().agg(max("count")).collect()(0).getLong(0)
+    fast.foreach { r =>
+      val dev = math.abs(r.getLong(1) - n / 4.0)
+      assert(dev <= maxTieRun + 1,
+        s"bucket ${r.getLong(0)} depth ${r.getLong(1)} deviates $dev > tie-run $maxTieRun")
+    }
+    // buckets tile the domain in order
+    val los = fast.map(_.getDouble(2)); val his = fast.map(_.getDouble(3))
+    assert(los.zip(his).forall { case (l, h) => l <= h })
+    assert(his.init.zip(los.tail).forall { case (h, l) => h <= l })
+  }
 }

@@ -135,4 +135,33 @@ class OperatorSpec extends AnyFunSuite {
     val out = TextAnalysis.languageId(spark, dir)
     assert(out.filter(col("pred_lang").isin("de", "en", "es", "fr", "und")).count() == 500)
   }
+
+  test("min-label propagation converges on a diameter-6 chain, bounded plan depth") {
+    import spark.implicits._
+    // planted graph: chain 10-11-12-13-14-15-16 (diameter 6) + pair 20-21
+    val chain = (10L to 15L).map(i => (i, i + 1))
+    val raw = (chain :+ (20L, 21L)).toDF("id_a", "id_b")
+    val edges = raw.unionAll(raw.select($"id_b".as("id_a"), $"id_a".as("id_b")))
+    val seed = edges.select($"id_a".as("doc_id")).distinct()
+      .withColumn("label", $"doc_id")
+    val labels = Dedup.propagateMinLabels(edges, seed, maxIters = 10)
+    val byDoc = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (10L to 16L).foreach(d => assert(byDoc(d) == 10L, s"doc $d got ${byDoc(d)}"))
+    Seq(20L, 21L).foreach(d => assert(byDoc(d) == 20L))
+    // lineage is truncated every round: the final plan must not be k joins deep
+    val planDepth = labels.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(planDepth < 15, s"labels plan has $planDepth nodes — lineage not truncated")
+  }
+
+  test("min-label propagation throws instead of returning wrong labels") {
+    import spark.implicits._
+    val chain = (10L to 15L).map(i => (i, i + 1))
+    val raw = chain.toDF("id_a", "id_b")
+    val edges = raw.unionAll(raw.select($"id_b".as("id_a"), $"id_a".as("id_b")))
+    val seed = edges.select($"id_a".as("doc_id")).distinct()
+      .withColumn("label", $"doc_id")
+    intercept[IllegalStateException] {
+      Dedup.propagateMinLabels(edges, seed, maxIters = 2)
+    }
+  }
 }

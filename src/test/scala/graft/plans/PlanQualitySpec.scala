@@ -92,6 +92,41 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected broadcast stage joins, got: ${names.distinct.mkString(",")}")
   }
 
+  test("equi-depth histogram has no window (no single-partition global sort)") {
+    val df = graft.profile.ProfileQueries.quantityDepthHistogram(spark, SparkSuite.Sf0001)
+    df.collect()
+    val names = nodes(df).map(_.nodeName)
+    assert(!names.exists(_.contains("Window")),
+      s"scale-safe equi-depth form regressed to a window: ${names.distinct.mkString(",")}")
+    assert(names.exists(_.contains("BroadcastNestedLoopJoin")) ||
+      names.exists(_.contains("BroadcastHashJoin")) || names.exists(_.contains("CartesianProduct")) ||
+      names.exists(_.contains("Broadcast")),
+      s"expected the one-row bounds frame to broadcast: ${names.distinct.mkString(",")}")
+  }
+
+  test("top-k values window is partitioned and gets WindowGroupLimit") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.profile.ProfileQueries.topkValues(spark, SparkSuite.Sf0001)
+    df.collect()
+    val windows = nodes(df).collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected a window node")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "top-k values window lost its partition key (single-task global sort)"))
+    assert(nodes(df).exists(_.nodeName.contains("WindowGroupLimit")),
+      s"expected WindowGroupLimit pushdown: ${nodes(df).map(_.nodeName).distinct.mkString(",")}")
+  }
+
+  test("correlated scalar subquery decorrelates: agg+join, no nested loop") {
+    val df = graft.operators.RelationalExt.aboveCustomerAverageOrders(spark, SparkSuite.Sf0001)
+    df.collect()
+    val names = nodes(df).map(_.nodeName)
+    assert(!names.exists(n => n.contains("BroadcastNestedLoop") || n.contains("CartesianProduct")),
+      s"correlated subquery fell back to a nested loop: ${names.distinct.mkString(",")}")
+    assert(names.exists(_.contains("HashAggregate")) &&
+      names.exists(n => n.contains("HashJoin") || n.contains("SortMergeJoin")),
+      s"expected decorrelated agg+join: ${names.distinct.mkString(",")}")
+  }
+
   test("whole-stage codegen covers the q1 aggregation pipeline") {
     val df = Relational.q1PricingSummary(spark, SparkSuite.Sf0001)
     df.collect() // AQE inserts codegen stages at execution
