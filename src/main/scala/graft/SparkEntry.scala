@@ -118,6 +118,8 @@ object SparkEntry {
       "events_type_pivot" -> (EventOps.eventTypePivot(_, _)),
       "events_range_join" -> (EventOps.purchaseClickAttribution(_, _)),
       "events_range_join_auto" -> (EventOps.naiveRangeJoinAuto(_, _)),
+      "events_range_join_global" -> (EventOps.rangeJoinGlobal(_, _)),
+      "events_range_join_left" -> (EventOps.rangeJoinLeft(_, _)),
       // multimodal manifest / resize plan / frame sampling
       "multimodal_manifest" -> (Multimodal.mediaManifest(_, _)),
       "multimodal_resize" -> (Multimodal.resizePlan(_, _)),
@@ -177,6 +179,8 @@ object SparkEntry {
       "events_type_pivot" -> EventOps.eventTypePivotOracle,
       "events_range_join" -> EventOps.purchaseClickAttributionOracle,
       "events_range_join_auto" -> EventOps.naiveRangeJoinAutoOracle,
+      "events_range_join_global" -> EventOps.rangeJoinGlobalOracle,
+      "events_range_join_left" -> EventOps.rangeJoinLeftOracle,
       "profile_percentiles_quantity" -> ProfileQueries.quantityPercentilesOracle,
       "q1_pricing_summary" -> Relational.q1Oracle,
       "q_revenue_by_region" -> Relational.revenueByRegionOracle,

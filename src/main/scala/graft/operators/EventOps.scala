@@ -183,17 +183,32 @@ object EventOps {
        |ORDER BY c.cohort_week, week_offset""".stripMargin
   }
 
+  /** Cloned session with [[graft.plans.BandedRangeJoinRule]] installed, so
+    * rule-driven queries never mutate the caller's optimizer state (the
+    * round-2 form appended the rule to the SHARED session — every later
+    * query in the same Bench/Verify process was then planned with the rule
+    * active). `newSession` shares the SparkContext and table cache but
+    * isolates SQL conf and experimental optimizations. */
+  private def bandedSession(spark: SparkSession, force: Boolean): SparkSession = {
+    val s = spark.newSession()
+    s.experimental.extraOptimizations = Seq(graft.plans.BandedRangeJoinRule)
+    s.conf.set(graft.plans.BandedRangeJoinRule.ForceConf, force.toString)
+    s
+  }
+
   /** The NAIVE range join, run through [[graft.plans.BandedRangeJoinRule]]:
-    * the query is the declarative range predicate a user would write —
-    * which Spark alone plans as a broadcast-nested-loop join — and the
-    * injected optimizer rule rewrites it to the banded equi-join at
-    * optimization time. Same answers as the hand-banded
-    * [[purchaseClickAttribution]] (inner-join subset); this entry puts the
-    * tier-c rule itself under the driver's DuckDB oracle gate. */
+    * the query is the declarative range predicate a user would write, and
+    * the injected optimizer rule rewrites it to the banded equi-join at
+    * optimization time. This query ALSO carries a user_id equi key, so it
+    * runs with `spark.graft.bandedRangeJoin.force=true` — gating the
+    * band-on-top-of-equi-key form the rule applies for skewed keys (the
+    * default conf leaves equi-key joins alone; [[rangeJoinGlobal]] /
+    * [[rangeJoinLeft]] gate that default path). Same answers as the
+    * hand-banded [[purchaseClickAttribution]] (inner-join subset). */
   def naiveRangeJoinAuto(spark: SparkSession, dir: String): DataFrame = {
-    graft.GraftExtensions.register(spark) // idempotent; installs the rule
+    val s = bandedSession(spark, force = true)
     val windowUs = 5L * 60 * 1000000
-    val ev = table(spark, dir, "events")
+    val ev = table(s, dir, "events")
       .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"), col("event_type"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("tus").as("p_tus"), col("event_id"))
@@ -219,6 +234,73 @@ object EventOps {
       |  ON c.user_id = p.user_id AND c.tus <= p.tus AND c.tus >= p.tus - 300000000
       |GROUP BY p.event_id
       |ORDER BY p.event_id""".stripMargin
+
+  private val GlobalWindowUs = 30L * 60 * 1000000
+
+  /** PURE range join — NO equi key anywhere in the condition: every purchase
+    * against ALL clicks (any user) in the trailing 30-minute window. Without
+    * the rule this is the textbook BroadcastNestedLoopJoin; with it, the
+    * default-conf banding path fires (no equi-key guard to trip) and the
+    * join is a hash join on the band key. Gates the rule's default
+    * behavior the way [[naiveRangeJoinAuto]] gates the forced form. */
+  def rangeJoinGlobal(spark: SparkSession, dir: String): DataFrame = {
+    val s = bandedSession(spark, force = false)
+    val ev = table(s, dir, "events")
+      .select(expr("ts div 1000").as("tus"), col("event_id"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("tus").as("p_tus"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("tus").as("c_tus"))
+    purchases.join(clicks,
+        col("c_tus") <= col("p_tus") && col("c_tus") >= col("p_tus") - GlobalWindowUs)
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_clicks"))
+      .orderBy("event_id")
+  }
+
+  val rangeJoinGlobalOracle: String =
+    s"""WITH p AS (
+       |  SELECT epoch_us(ts) AS tus, event_id FROM events WHERE event_type = 'purchase'
+       |), c AS (
+       |  SELECT epoch_us(ts) AS tus FROM events WHERE event_type = 'click'
+       |)
+       |SELECT p.event_id, count(*) AS n_clicks
+       |FROM p JOIN c ON c.tus <= p.tus AND c.tus >= p.tus - $GlobalWindowUs
+       |GROUP BY p.event_id
+       |ORDER BY p.event_id""".stripMargin
+
+  /** LEFT-OUTER pure range join: every purchase with its in-window global
+    * click count, INCLUDING zero-click purchases — the declarative form of
+    * the attribution query users actually write. The rule rewrites outer
+    * joins only when the replicated side is the non-preserved one (here:
+    * clicks), so preserved rows are never duplicated; output is exactly one
+    * row per purchase. */
+  def rangeJoinLeft(spark: SparkSession, dir: String): DataFrame = {
+    val s = bandedSession(spark, force = false)
+    val ev = table(s, dir, "events")
+      .select(expr("ts div 1000").as("tus"), col("event_id"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("tus").as("p_tus"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("tus").as("c_tus"))
+    purchases.join(clicks,
+        col("c_tus") <= col("p_tus") && col("c_tus") >= col("p_tus") - GlobalWindowUs,
+        "left")
+      .groupBy("event_id")
+      .agg(count(col("c_tus")).as("n_clicks"))
+      .orderBy("event_id")
+  }
+
+  val rangeJoinLeftOracle: String =
+    s"""WITH p AS (
+       |  SELECT epoch_us(ts) AS tus, event_id FROM events WHERE event_type = 'purchase'
+       |), c AS (
+       |  SELECT epoch_us(ts) AS tus FROM events WHERE event_type = 'click'
+       |)
+       |SELECT p.event_id, count(c.tus) AS n_clicks
+       |FROM p LEFT JOIN c ON c.tus <= p.tus AND c.tus >= p.tus - $GlobalWindowUs
+       |GROUP BY p.event_id
+       |ORDER BY p.event_id""".stripMargin
 
   /** Gap-filled hourly counts: a complete (hour × event_type) spine from
     * the data's min to max hour — `sequence(h0, h1, 1 hour)` exploded and

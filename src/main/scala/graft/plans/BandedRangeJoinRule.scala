@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -37,9 +37,21 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * one (and only one) of b's two replicas, and the original range
   * conjuncts stay in the condition as the exact filter. Matching pairs
   * survive exactly once; non-matching pairs are cut by the kept original
-  * predicate. NULL times produce NULL bands and drop, as in the inner
-  * join. Applies only to INNER joins on LongType attributes with a
-  * positive literal width.
+  * predicate. NULL times produce NULL bands and drop from the match set,
+  * as in the naive join. Applies to INNER joins (either orientation) and
+  * LEFT/RIGHT OUTER joins (only when the replicated side is the
+  * NON-preserved side — replicating the preserved side would duplicate
+  * its unmatched rows), on LongType attributes with a positive literal
+  * width.
+  *
+  * GUARD: if the join condition already carries an equality between
+  * opposite-side attributes, `ExtractEquiJoinKeys` will already plan a
+  * hash/sort-merge join — the banding rewrite would only replicate one
+  * side 2-3× for no planning benefit, so the rule skips such joins. Set
+  * `spark.graft.bandedRangeJoin.force=true` to band anyway: worth it when
+  * an equi key is heavily skewed (a hot key's within-key pairing is
+  * quadratic; the band key divides it by the number of bands the hot
+  * key's rows span).
   *
   * Reference behavior this accelerates: the same attribution/as-of family
   * the composed operators cover; DuckDB gets the equivalent via its IEJoin
@@ -48,15 +60,32 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
 object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private val BandPrefix = "__graft_band"
+  val ForceConf = "spark.graft.bandedRangeJoin.force"
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(_, _, Inner, Some(_), _) if eligible(j) =>
+    case j @ Join(_, _, jt, Some(_), _) if supportedJoinType(jt) && eligible(j) =>
       rewrite(j).getOrElse(j)
   }
 
-  /** Fixed-point guard: never re-band a join we already rewrote. */
+  private def supportedJoinType(jt: JoinType): Boolean = jt match {
+    case Inner | LeftOuter | RightOuter => true
+    case _ => false
+  }
+
+  /** Fixed-point guard (never re-band a join we already rewrote) + the
+    * equi-key guard documented above. */
   private def eligible(j: Join): Boolean =
-    !(j.left.output ++ j.right.output).exists(_.name.startsWith(BandPrefix))
+    !(j.left.output ++ j.right.output).exists(_.name.startsWith(BandPrefix)) &&
+      (conf.getConfString(ForceConf, "false").toBoolean || !hasEquiKey(j))
+
+  /** True iff `ExtractEquiJoinKeys` would already find a hash-join key. */
+  private def hasEquiKey(j: Join): Boolean =
+    splitConjunctivePredicates(j.condition.get).exists {
+      case EqualTo(l: Attribute, r: Attribute) =>
+        (j.left.outputSet.contains(l) && j.right.outputSet.contains(r)) ||
+          (j.right.outputSet.contains(l) && j.left.outputSet.contains(r))
+      case _ => false
+    }
 
   /** `attr - w` / `attr + w` with an integral literal, as left by the
     * analyzer (int literals are type-promoted before reaching us). */
@@ -119,7 +148,14 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       if ua.dataType == LongType && ub.dataType == LongType
       aOnLeft = j.left.outputSet.contains(ua) && j.right.outputSet.contains(ub)
       aOnRight = j.right.outputSet.contains(ua) && j.left.outputSet.contains(ub)
-      if aOnLeft || aOnRight
+      // the exploded (replicated) side is always b's side; an outer join's
+      // preserved side must never be replicated
+      if (j.joinType match {
+        case Inner => aOnLeft || aOnRight
+        case LeftOuter => aOnLeft // b on the right = non-preserved side
+        case RightOuter => aOnRight
+        case _ => false
+      })
     } yield (ua, ub, wLow, wHigh, aOnLeft)
     matched.headOption.map { case (tA, tB, wLow, wHigh, aOnLeft) =>
       // band width = total interval width; b replicates to the band offsets
@@ -142,7 +178,7 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       val (newLeft, newRight) =
         if (aOnLeft) (proj(j.left), gen(j.right)) else (gen(j.left), proj(j.right))
       val newCond = And(j.condition.get, EqualTo(bandA.toAttribute, genOut))
-      Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), j.hint))
+      Project(j.output, Join(newLeft, newRight, j.joinType, Some(newCond), j.hint))
     }
   }
 }
