@@ -101,6 +101,7 @@ object SparkEntry {
       "dedup_clusters" -> (Dedup.dedupClusters(_, _)),
       // similarity search
       "ann_cosine_topk" -> (Similarity.cosineTopK(_, _)),
+      "ann_signlsh_topk" -> (Similarity.SignLsh.topK(_, _)),
       "embedding_near_dups" -> (Similarity.embeddingNearDups(_, _)),
       "embedding_centroids" -> (Similarity.labelCentroids(_, _)),
       // events / JSON / windows / sessions
@@ -207,6 +208,7 @@ object SparkEntry {
       "dedup_group_signatures" -> Dedup.groupSignaturesOracle,
       "dedup_clusters" -> Dedup.dedupClustersOracle,
       "ann_cosine_topk" -> Similarity.cosineTopKOracle(),
+      "ann_signlsh_topk" -> Similarity.SignLsh.topKOracle(),
       "embedding_near_dups" -> Similarity.embeddingNearDupsOracle(),
       "embedding_centroids" -> Similarity.labelCentroidsOracle,
       "events_json_profile" -> EventOps.jsonProfileOracle,

@@ -50,12 +50,15 @@ object AdaptiveSalt {
   def join(big: DataFrame, small: DataFrame, bigKey: String, smallKey: String,
       sampleFraction: Double = 0.02, maxSalts: Int = 64): (DataFrame, Int) = {
     val n = chooseSalts(big, bigKey, sampleFraction, maxSalts)
+    // keys resolve against their OWNING frame: bare col(...) is ambiguous
+    // (AnalysisException) whenever both sides use the same key name — the
+    // common FK-join spelling
     if (n <= 1) {
-      (big.join(small, col(bigKey) === col(smallKey)), 1)
+      (big.join(small, big(bigKey) === small(smallKey)), 1)
     } else {
       val b = big.withColumn("__salt", pmod(hash(big.columns.map(col): _*), lit(n)))
       val s = small.withColumn("__salt", explode(array((0 until n).map(lit): _*)))
-      val joined = b.join(s, col(bigKey) === col(smallKey) && b("__salt") === s("__salt"))
+      val joined = b.join(s, b(bigKey) === s(smallKey) && b("__salt") === s("__salt"))
         .drop("__salt")
       (joined, n)
     }

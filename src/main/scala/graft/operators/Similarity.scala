@@ -233,6 +233,64 @@ object Similarity {
         .withColumn("cos", cosine(col("qv"), col("cv")))
         .select("query_id", "cand_id", "cos")
     }
+
+    /** ORACLE-GATED scale-path ANN: top-k among the LSH candidate set only —
+      * exact cosine is computed for colliding pairs, never all pairs. Fully
+      * deterministic end-to-end (splitmix hyperplanes, strict-fold dots,
+      * value-tie-broken rank), so the whole bucket→join→score→rank pipeline
+      * sits under the DuckDB oracle the way `events_range_join_auto` gates
+      * the optimizer rule — not just under a recall spec. */
+    def topK(spark: SparkSession, dir: String, numQueries: Int = 5, k: Int = 3,
+        dims: Int = 64, tables: Int = 8, planesPerTable: Int = 4): DataFrame = {
+      val cands = annCandidates(spark, dir, numQueries, dims, tables, planesPerTable)
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+      cands
+        .withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= k)
+        .select("query_id", "cand_id", "rank", "cos")
+        .orderBy("query_id", "rank")
+    }
+
+    /** DuckDB twin of [[topK]]: the ±1 hyperplane components are generated
+      * from the same splitmix mix and EMBEDDED as array literals — both
+      * engines fold the identical plane dot left-to-right, so bucket ids
+      * (and therefore the candidate set and every cosine) match exactly. */
+    def topKOracle(numQueries: Int = 5, k: Int = 3, dims: Int = 64,
+        tables: Int = 8, planesPerTable: Int = 4): String = {
+      def planeArr(p: Int): String =
+        (0 until dims).map(d => if (sign(p, d) > 0) "1.0" else "-1.0")
+          .mkString("[", ",", "]")
+      def bucketSql(t: Int): String = (0 until planesPerTable).map { j =>
+        val p = t * planesPerTable + j
+        val planeDot =
+          s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |      list_transform(list_zip(embedding, ${planeArr(p)}), x -> CAST(x[1] AS DOUBLE) * x[2])),
+             |      (acc, v) -> acc + v)""".stripMargin
+        s"(CASE WHEN $planeDot > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString("\n    + ")
+      val bucketRows = (0 until tables)
+        .map(t => s"  SELECT vec_id, $t AS tbl,\n    ${bucketSql(t)} AS bkt FROM embeddings")
+        .mkString("\nUNION ALL\n")
+      s"""WITH bk AS (
+         |$bucketRows
+         |), q AS (SELECT tbl, bkt, vec_id AS query_id FROM bk WHERE vec_id < $numQueries),
+         |c AS (SELECT tbl, bkt, vec_id AS cand_id FROM bk),
+         |pairs AS (
+         |  SELECT DISTINCT query_id, cand_id FROM q JOIN c USING (tbl, bkt)
+         |  WHERE query_id != cand_id
+         |), scored AS (
+         |  SELECT query_id, cand_id, ${cosSql("qe.embedding", "ce.embedding")} AS cos
+         |  FROM pairs
+         |  JOIN embeddings qe ON qe.vec_id = query_id
+         |  JOIN embeddings ce ON ce.vec_id = cand_id
+         |), ranked AS (
+         |  SELECT query_id, cand_id, cos,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, cand_id, rank, cos FROM ranked
+         |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+    }
   }
 
   /** Per-label embedding centroids, dimension-wise: posexplode each vector

@@ -153,7 +153,16 @@ object TextAnalysis {
     * floating `ln(N/df)` would hang parity on libm rounding). Restricted to
     * terms with doc_freq ≥ 50 to bound output; two shuffles (doc-term tf,
     * term df) + a broadcast of the tiny df table — the classic scalable
-    * TF-IDF shape. */
+    * TF-IDF shape.
+    *
+    * Overflow: the product `tf · 10⁶ · N` is computed in WIDE integers on
+    * both engines (DECIMAL(38,0) in Spark, HUGEINT in DuckDB), so the
+    * INTERMEDIATE can never wrap (the round-2 int64 form wrapped once
+    * tf · N exceeded ~9.2·10¹², i.e. well inside the 10¹⁰-doc scale this
+    * operator targets). The final quotient is int64 and exact while
+    * `tf · 10⁶ · N / df < 2⁶³` — with df ≥ 50 that is tf · N < 4.6·10¹⁴,
+    * comfortably beyond any real corpus; for unfiltered df=1 tails, keep
+    * the result in decimal instead. */
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     val n = docs.agg(count(lit(1)).as("n_docs"))
@@ -167,7 +176,8 @@ object TextAnalysis {
       .filter(col("doc_freq") >= 50)
     docTerm.join(broadcast(df), "word")
       .join(broadcast(n))
-      .withColumn("score_micro", expr("(tf * 1000000 * n_docs) div doc_freq"))
+      .withColumn("score_micro",
+        expr("(CAST(tf AS DECIMAL(38,0)) * 1000000 * n_docs) div doc_freq"))
       .select("doc_id", "word", "tf", "doc_freq", "score_micro")
       .orderBy("doc_id", "word")
   }
@@ -182,7 +192,7 @@ object TextAnalysis {
       |  SELECT word, count(*) AS doc_freq FROM dt GROUP BY word HAVING count(*) >= 50
       |), n AS (SELECT count(*) AS n_docs FROM documents)
       |SELECT dt.doc_id, dt.word, dt.tf, df.doc_freq,
-      |  (dt.tf * 1000000 * n.n_docs) // df.doc_freq AS score_micro
+      |  CAST((CAST(dt.tf AS HUGEINT) * 1000000 * n.n_docs) // df.doc_freq AS BIGINT) AS score_micro
       |FROM dt JOIN df ON dt.word = df.word CROSS JOIN n
       |ORDER BY dt.doc_id, dt.word""".stripMargin
 

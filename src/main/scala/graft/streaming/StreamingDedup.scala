@@ -60,4 +60,48 @@ object StreamingDedup {
       .groupByKey(_.text_hash)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(updateState)
   }
+
+  // ------------------------------------------- bounded-horizon variant
+
+  case class TimedDoc(doc_id: Long, text_hash: String, event_time: java.sql.Timestamp)
+
+  /** Keep-first WITHIN A FINITE HORIZON: a hash's state lives until the
+    * watermark passes `last sight + horizon`, then is evicted
+    * (EventTimeTimeout), so state size is bounded by the distinct hashes
+    * seen within one horizon instead of ever — the form a perpetual
+    * 100 TB-scale ingest job must run. Consequence (by design): a duplicate
+    * arriving beyond the horizon RE-ADMITS the document; each sighting
+    * extends its hash's lease. */
+  def updateStateBounded(horizonMs: Long)(hash: String, docs: Iterator[TimedDoc],
+      state: GroupState[SeenState]): Iterator[Kept] = {
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val ds = docs.toSeq
+      val out =
+        if (state.exists) Iterator.empty
+        else {
+          val keep = ds.map(_.doc_id).min
+          state.update(SeenState(keep))
+          Iterator.single(Kept(hash, keep))
+        }
+      val maxT = ds.map(_.event_time.getTime).max
+      // a timeout in the past would throw; late data can only extend to
+      // just past the current watermark
+      state.setTimeoutTimestamp(math.max(maxT + horizonMs, state.getCurrentWatermarkMs() + 1))
+      out
+    }
+  }
+
+  /** Bounded-state wiring: watermark on event time + EventTimeTimeout
+    * eviction. `delayThreshold` is the lateness allowance (watermark lag);
+    * `horizonMs` the dedup window. */
+  def dedupStreamBounded(docs: Dataset[TimedDoc], delayThreshold: String,
+      horizonMs: Long): Dataset[Kept] = {
+    import docs.sparkSession.implicits._
+    docs
+      .withWatermark("event_time", delayThreshold)
+      .groupByKey(_.text_hash)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        updateStateBounded(horizonMs))
+  }
 }

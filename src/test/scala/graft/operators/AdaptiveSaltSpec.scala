@@ -46,4 +46,16 @@ class AdaptiveSaltSpec extends AnyFunSuite {
     assert(n == 1)
     assert(joined.count() == uniform.join(dim, col("k") === col("dk")).count())
   }
+
+  test("same-named join keys work on both the salted and unsalted paths") {
+    // the common FK-join spelling: both sides call the key "k"
+    val dimK = dim.select(col("dk").as("k"), col("name"))
+    val (salted, n) = AdaptiveSalt.join(skewed, dimK, "k", "k")
+    assert(n > 1)
+    assert(salted.count() == skewed.join(dim, col("k") === col("dk")).count())
+    val uniform = spark.range(10000).select((col("id") % 100).as("k"), col("id").as("v"))
+    val (plain, n1) = AdaptiveSalt.join(uniform, dimK, "k", "k")
+    assert(n1 == 1)
+    assert(plain.count() == uniform.join(dim, col("k") === col("dk")).count())
+  }
 }

@@ -63,4 +63,44 @@ class StreamingDedupSpec extends AnyFunSuite {
       assert(streamed.size == 500)
     } finally q.stop()
   }
+
+  test("bounded-horizon dedup evicts state at the watermark and re-admits beyond it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingDedup.TimedDoc
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def t(min: Int) = new java.sql.Timestamp(3600000L + min * 60000L)
+    val input = MemoryStream[TimedDoc]
+    val q = StreamingDedup
+      .dedupStreamBounded(input.toDS(), "0 seconds", horizonMs = 10 * 60000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_dedup_bounded").start()
+    try {
+      def emitted(): Seq[(String, Long)] = spark.table("stream_dedup_bounded")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      // batch 1: first sight of A and B
+      input.addData(TimedDoc(1, "A", t(0)), TimedDoc(2, "B", t(0)))
+      q.processAllAvailable()
+      assert(emitted().toSet == Set(("A", 1L), ("B", 2L)))
+      // batch 2: in-horizon duplicate of A suppressed (and extends A's
+      // lease to 10:15); C advances the watermark to 10:30, past B's lease
+      input.addData(TimedDoc(3, "A", t(5)), TimedDoc(4, "C", t(30)))
+      q.processAllAvailable()
+      assert(emitted().toSet == Set(("A", 1L), ("B", 2L), ("C", 4L)))
+      // batch 3: nothing for A/B — their timed-out state (leases 10:15 /
+      // 10:10 < watermark 10:30) is evicted during this batch
+      input.addData(TimedDoc(5, "D", t(35)))
+      q.processAllAvailable()
+      assert(emitted().toSet == Set(("A", 1L), ("B", 2L), ("C", 4L), ("D", 5L)))
+      // batch 4: A re-arrives beyond the horizon -> state was evicted ->
+      // re-admitted with the NEW id (by design: dedup-within-horizon)
+      input.addData(TimedDoc(6, "A", t(36)))
+      q.processAllAvailable()
+      val fin = emitted()
+      assert(fin.toSet == Set(("A", 1L), ("B", 2L), ("C", 4L), ("D", 5L), ("A", 6L)),
+        s"got $fin")
+      assert(fin.count(_._1 == "A") == 2, "expected A admitted twice (evicted between)")
+      assert(!fin.map(_._2).contains(3L), "in-horizon duplicate must stay suppressed")
+    } finally q.stop()
+  }
 }
