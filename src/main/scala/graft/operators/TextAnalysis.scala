@@ -125,14 +125,21 @@ object TextAnalysis {
     * ulp-stable, counts are). Top-20 by document frequency. */
   def docFrequency(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("doc_freq").desc, col("word"))
-    table(spark, dir, "documents")
+    // top-20 via TakeOrderedAndProject FIRST (per-partition top-20 then a
+    // 20-row merge — never a global sort), so the rank window below only
+    // ever sees <= 20 rows regardless of vocabulary size. Ranking the full
+    // word table with an ungrouped window (the round-2 form) would funnel
+    // every distinct word through one task at corpus scale.
+    val top = table(spark, dir, "documents")
       .select(col("doc_id"), explode(words).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word")
       .agg(countDistinct(col("doc_id")).as("doc_freq"), count(lit(1)).as("total_freq"))
+      .orderBy(col("doc_freq").desc, col("word"))
+      .limit(20)
+    val w = Window.orderBy(col("doc_freq").desc, col("word"))
+    top
       .withColumn("rnk", row_number().over(w).cast("bigint"))
-      .filter(col("rnk") <= 20)
       .select("word", "doc_freq", "total_freq", "rnk")
       .orderBy("rnk")
   }

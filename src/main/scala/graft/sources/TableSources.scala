@@ -71,9 +71,10 @@ object TableSources {
       .write.mode(SaveMode.Overwrite).parquet(path)
 
   /** JDBC source — the literal equivalent of the reference's Postgres
-    * connection (`/root/reference/src/listTables.tsx:184-201`). Untestable
-    * here (no database in the container); the option surface mirrors the
-    * reference's env config. */
+    * connection (`/root/reference/src/listTables.tsx:184-201`). The option
+    * surface mirrors the reference's env config; the path is exercised by
+    * an embedded-Derby round-trip spec (no network database exists in the
+    * container, but the JDBC relation/dialect machinery is identical). */
   def readJdbc(spark: SparkSession, url: String, dbtable: String,
       user: String, password: String): DataFrame =
     spark.read.format("jdbc")
@@ -82,4 +83,17 @@ object TableSources {
       .option("user", user)
       .option("password", password)
       .load()
+
+  /** JDBC sink, completing the round-trip surface. At scale, bound the
+    * write parallelism (`numPartitions` option / `df.coalesce`) — every
+    * task opens its own connection and most databases fall over long
+    * before 1000 concurrent writers. */
+  def writeJdbc(df: DataFrame, url: String, dbtable: String,
+      user: String, password: String): Unit =
+    df.write.mode(SaveMode.Overwrite).format("jdbc")
+      .option("url", url)
+      .option("dbtable", dbtable)
+      .option("user", user)
+      .option("password", password)
+      .save()
 }

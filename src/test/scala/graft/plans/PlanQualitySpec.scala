@@ -116,6 +116,14 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected WindowGroupLimit pushdown: ${nodes(df).map(_.nodeName).distinct.mkString(",")}")
   }
 
+  test("doc-frequency top-20 bounds the word table with TakeOrdered before ranking") {
+    val df = graft.operators.TextAnalysis.docFrequency(spark, SparkSuite.Sf0001)
+    df.collect()
+    val names = nodes(df).map(_.nodeName)
+    assert(names.exists(_.contains("TakeOrderedAndProject")),
+      s"expected TakeOrderedAndProject before the rank window: ${names.distinct.mkString(",")}")
+  }
+
   test("correlated scalar subquery decorrelates: agg+join, no nested loop") {
     val df = graft.operators.RelationalExt.aboveCustomerAverageOrders(spark, SparkSuite.Sf0001)
     df.collect()
