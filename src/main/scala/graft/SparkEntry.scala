@@ -104,6 +104,7 @@ object SparkEntry {
       "ann_signlsh_topk" -> (Similarity.SignLsh.topK(_, _)),
       "embedding_near_dups" -> (Similarity.embeddingNearDups(_, _)),
       "embedding_centroids" -> (Similarity.labelCentroids(_, _)),
+      "embedding_quantize_int8" -> (Similarity.quantizeInt8(_, _)),
       // events / JSON / windows / sessions
       "events_json_profile" -> (EventOps.jsonProfile(_, _)),
       "events_hourly" -> (EventOps.hourlyRollup(_, _)),
@@ -211,6 +212,7 @@ object SparkEntry {
       "ann_signlsh_topk" -> Similarity.SignLsh.topKOracle(),
       "embedding_near_dups" -> Similarity.embeddingNearDupsOracle(),
       "embedding_centroids" -> Similarity.labelCentroidsOracle,
+      "embedding_quantize_int8" -> Similarity.quantizeInt8Oracle,
       "events_json_profile" -> EventOps.jsonProfileOracle,
       "events_hourly" -> EventOps.hourlyRollupOracle,
       "events_sliding" -> EventOps.slidingRollupOracle,

@@ -584,15 +584,17 @@ object Dedup {
     while (!converged && i < maxIters) {
       val neighborMin = edges.join(labels, edges("id_b") === labels("doc_id"))
         .groupBy(edges("id_a").as("nid")).agg(min("label").as("nmin"))
+      // the previous label rides along, so the convergence check is a free
+      // filter over the already-materialized checkpoint instead of a second
+      // join per round
       val updated = labels.join(neighborMin, labels("doc_id") === col("nid"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint() // truncate lineage; also materializes for the count below
-      val changed = updated.as("u")
-        .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = updated
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          col("label").as("prev_label"))
+        .localCheckpoint() // truncates lineage; superseded checkpoint blocks
+                           // are reclaimed by the ContextCleaner on dereference
+      val changed = updated.filter(col("label") =!= col("prev_label")).count()
+      labels = updated.select("doc_id", "label")
       converged = changed == 0
       i += 1
     }

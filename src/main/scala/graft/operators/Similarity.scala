@@ -293,6 +293,38 @@ object Similarity {
     }
   }
 
+  /** Int8 quantization of unit-normalized embeddings — the storage/serving
+    * compression step every large vector corpus applies (4× smaller than
+    * float32, SIMD-friendly dot products downstream). Per vector:
+    * `q[i] = floor(v[i]/‖v‖ · 127 + 0.5)` — the norm is the strict-fold dot
+    * (bit-identical on both engines), the scale/round policy is
+    * floor(x+0.5) (round-half-toward-+∞) because both engines define
+    * `floor` identically while their `round()` tie policies differ.
+    * Integer summaries (sum, max |q|) ride along for cheap sanity checks.
+    * One scan, element-wise, no shuffle — embarrassingly parallel at any
+    * scale. Zero vectors would produce NaN/overflow garbage; the fixture
+    * has none and a production pipeline filters them first. */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val nrm = norm(col("embedding"))
+    table(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") / nrm * 127 + 0.5).cast("int")).as("q8"))
+      .withColumn("q8_sum", aggregate(col("q8"), lit(0L), (a, x) => a + x))
+      .withColumn("q8_max_abs", array_max(transform(col("q8"), x => abs(x))).cast("int"))
+      .orderBy("vec_id")
+  }
+
+  val quantizeInt8Oracle: String = {
+    val nrmSql = s"sqrt(${dotSql.format("embedding", "embedding")})"
+    val qSql = s"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / $nrmSql * 127 + 0.5) AS INTEGER))"
+    s"""SELECT vec_id,
+       |  $qSql AS q8,
+       |  CAST(list_sum($qSql) AS BIGINT) AS q8_sum,
+       |  CAST(list_max(list_transform($qSql, x -> abs(x))) AS INTEGER) AS q8_max_abs
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+  }
+
   /** Per-label embedding centroids, dimension-wise: posexplode each vector
     * into (label, dim, value) and aggregate — the distributed form of
     * k-means' M-step / class-prototype computation (and exactly how IVF
