@@ -333,10 +333,25 @@ object Dedup {
       .select(col("doc_id"), col("simhash"), col("p.blk").as("blk"), col("p.bval").as("bval"))
     val a = probes.select(col("blk"), col("bval"), col("doc_id").as("id_a"), col("simhash").as("sh_a"))
     val b = probes.select(col("blk"), col("bval"), col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    // MINIMAL-KEY dedup: a true near-dup pair collides under MANY block-pair
+    // keys (ham<=3 leaves >=1 untouched pair, often all 10 match), so the
+    // join emits it once per matching key. Instead of a DISTINCT shuffle
+    // over the replicated candidates, keep each pair only at its SMALLEST
+    // matching key — "does block-pair k' also match" is a pure bit
+    // comparison on the two signatures already on the row, so the dedup is
+    // a codegen'd per-row filter with zero extra shuffle.
+    def blockEq(i: Int): Column =
+      expr(s"(sh_a div ${1L << (blockBits * i)}) % ${1L << blockBits}") ===
+        expr(s"(sh_b div ${1L << (blockBits * i)}) % ${1L << blockBits}")
+    val keepAtMinimalKey: Column = pairs.zipWithIndex.map { case (_, k) =>
+      val noEarlierMatch = pairs.take(k)
+        .map { case (i2, j2) => !(blockEq(i2) && blockEq(j2)) }
+        .foldLeft(lit(true))(_ && _)
+      when(col("blk") === k, noEarlierMatch)
+    }.reduceRight((c1, c2) => c1.otherwise(c2))
     a.join(b, Seq("blk", "bval"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
-      .distinct()
+      .filter(keepAtMinimalKey)
       .withColumn("hamming", expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
       .filter(col("hamming") <= 3)
       .select("id_a", "id_b", "hamming")

@@ -133,14 +133,17 @@ object ProfileQueries {
     * `Window.orderBy` — a "No Partition Defined" single-task sort). */
   def topkValues(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def counts(tbl: String, c: String): DataFrame =
+    // ONE scan per table: stack() unpivots the profiled columns in-row, so
+    // counting n columns costs one pass instead of n (the round-2 form
+    // scanned each table once per column before the union)
+    def counts(tbl: String, cols: Seq[String]): DataFrame = {
+      val stackArgs = cols.map(c => s"'$tbl.$c', $c").mkString(", ")
       Fixtures.table(spark, dir, tbl)
-        .groupBy(col(c).as("value")).agg(count(lit(1)).as("cnt"))
-        .select(lit(s"$tbl.$c").as("column_name"), col("value"), col("cnt"))
-    val unioned = counts("lineitem", "l_returnflag")
-      .unionAll(counts("lineitem", "l_linestatus"))
-      .unionAll(counts("orders", "o_orderstatus"))
-      .unionAll(counts("orders", "o_orderpriority"))
+        .selectExpr(s"stack(${cols.size}, $stackArgs) AS (column_name, value)")
+        .groupBy("column_name", "value").agg(count(lit(1)).as("cnt"))
+    }
+    val unioned = counts("lineitem", Seq("l_returnflag", "l_linestatus"))
+      .unionAll(counts("orders", Seq("o_orderstatus", "o_orderpriority")))
     val w = Window.partitionBy("column_name").orderBy(col("cnt").desc, col("value"))
     unioned
       .withColumn("rnk", row_number().over(w).cast("bigint"))
