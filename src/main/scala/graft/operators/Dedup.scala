@@ -337,21 +337,21 @@ object Dedup {
     // keys (ham<=3 leaves >=1 untouched pair, often all 10 match), so the
     // join emits it once per matching key. Instead of a DISTINCT shuffle
     // over the replicated candidates, keep each pair only at its SMALLEST
-    // matching key — "does block-pair k' also match" is a pure bit
-    // comparison on the two signatures already on the row, so the dedup is
-    // a codegen'd per-row filter with zero extra shuffle.
+    // matching key: mbits packs "does block-pair k match" into bit k (a
+    // LINEAR-size expression — an earlier nested-CASE form re-inlined every
+    // prior comparison per arm, grew quadratically, and fell out of
+    // codegen), and `mbits % 2^blk == 0` says no earlier key matched. The
+    // dedup is a codegen'd per-row filter with zero extra shuffle.
     def blockEq(i: Int): Column =
       expr(s"(sh_a div ${1L << (blockBits * i)}) % ${1L << blockBits}") ===
         expr(s"(sh_b div ${1L << (blockBits * i)}) % ${1L << blockBits}")
-    val keepAtMinimalKey: Column = pairs.zipWithIndex.map { case (_, k) =>
-      val noEarlierMatch = pairs.take(k)
-        .map { case (i2, j2) => !(blockEq(i2) && blockEq(j2)) }
-        .foldLeft(lit(true))(_ && _)
-      when(col("blk") === k, noEarlierMatch)
-    }.reduceRight((c1, c2) => c1.otherwise(c2))
+    val matchBits: Column = pairs.zipWithIndex.map { case ((i, j), k) =>
+      when(blockEq(i) && blockEq(j), lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
     a.join(b, Seq("blk", "bval"))
       .filter(col("id_a") < col("id_b"))
-      .filter(keepAtMinimalKey)
+      .withColumn("mbits", matchBits)
+      .filter(expr("mbits % shiftleft(CAST(1 AS BIGINT), CAST(blk AS INT)) = 0"))
       .withColumn("hamming", expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
       .filter(col("hamming") <= 3)
       .select("id_a", "id_b", "hamming")

@@ -64,6 +64,52 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("keep-first state survives a checkpointed stop/restart") {
+    import org.apache.spark.sql.Row
+    import StreamingDedup.documentsSchema
+    val docs = spark.read.parquet(s"${SparkSuite.Sf0001}/documents.parquet")
+    val staged = Files.createTempDirectory("docs_dedup_restart")
+    val ckpt = Files.createTempDirectory("dedup_ckpt").toString
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory(s"restart_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      Files.copy(part, staged.resolve(s"$name.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    }
+    writeOne(docs, "batch0")
+    // memory sinks cannot recover from a checkpoint; the parquet file sink
+    // can, and is what a real pipeline would use
+    val outDir = Files.createTempDirectory("dedup_restart_out").toString
+    def startQuery() = StreamingDedup.dedupStream(spark, staged.toString, maxFilesPerTrigger = 10)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q1 = startQuery()
+    try {
+      q1.processAllAvailable()
+      assert(spark.read.parquet(outDir).count() == 500)
+    } finally q1.stop()
+    // after a full stop: 500 exact duplicates (id +10^6) plus ONE new doc
+    val newDoc = spark.createDataFrame(
+      java.util.List.of(Row(9999999L, "a genuinely new restart-batch document", "en", "restart", 38L)),
+      documentsSchema)
+    writeOne(docs.withColumn("doc_id", col("doc_id") + 1000000L).unionAll(newDoc), "batch1")
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      // the restarted query recovered its state store: every duplicate is
+      // suppressed, only the new document joins the 500 survivors
+      val out = spark.read.parquet(outDir)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(out.length == 501, s"expected 500 originals + 1 new doc, got ${out.length}")
+      assert(out.count(_._2 == 9999999L) == 1, "new doc missing after restart")
+      assert(out.map(_._2).filter(_ != 9999999L).forall(_ < 1000000L),
+        "a cross-restart duplicate escaped suppression")
+      assert(out.map(_._1).distinct.length == out.length, "duplicate hash emitted")
+    } finally q2.stop()
+  }
+
   test("bounded-horizon dedup evicts state at the watermark and re-admits beyond it") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import StreamingDedup.TimedDoc
