@@ -153,6 +153,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(planDepth < 15, s"labels plan has $planDepth nodes — lineage not truncated")
   }
 
+  test("pointer jumping converges a diameter-60 chain in O(log d) rounds") {
+    import spark.implicits._
+    // plain 1-hop propagation would need 61+ rounds; jumping must finish
+    // well inside 14
+    val chain = (100L to 159L).map(i => (i, i + 1))
+    val raw = chain.toDF("id_a", "id_b")
+    val edges = raw.unionAll(raw.select($"id_b".as("id_a"), $"id_a".as("id_b")))
+    val seed = edges.select($"id_a".as("doc_id")).distinct()
+      .withColumn("label", $"doc_id")
+    val labels = Dedup.propagateMinLabels(edges, seed, maxIters = 14)
+    val byDoc = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (100L to 160L).foreach(d => assert(byDoc(d) == 100L, s"doc $d got ${byDoc(d)}"))
+  }
+
   test("min-label propagation throws instead of returning wrong labels") {
     import spark.implicits._
     val chain = (10L to 15L).map(i => (i, i + 1))
