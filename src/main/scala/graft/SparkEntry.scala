@@ -88,6 +88,7 @@ object SparkEntry {
       "text_langid" -> (TextAnalysis.languageId(_, _)),
       "text_fingerprints" -> (TextAnalysis.fingerprints(_, _)),
       "text_doc_freq" -> (TextAnalysis.docFrequency(_, _)),
+      "text_clean_pipeline" -> (TextAnalysis.cleanPipeline(_, _)),
       // dedup family
       "dedup_exact_groups" -> (Dedup.exactDupGroups(_, _)),
       "dedup_exact_keep_first" -> (Dedup.exactDedupKeepFirst(_, _)),
@@ -200,6 +201,7 @@ object SparkEntry {
       "text_langid" -> TextAnalysis.languageIdOracle,
       "text_fingerprints" -> TextAnalysis.fingerprintsOracle,
       "text_doc_freq" -> TextAnalysis.docFrequencyOracle,
+      "text_clean_pipeline" -> TextAnalysis.cleanPipelineOracle,
       "dedup_exact_groups" -> Dedup.exactDupGroupsOracle,
       "dedup_exact_keep_first" -> Dedup.exactDedupKeepFirstOracle,
       "dedup_minhash_pairs" -> Dedup.minhashCandidatePairsOracle,

@@ -44,6 +44,14 @@ object TextAnalysis {
 
   private val StopEn = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
 
+  /** Reusable per-row quality gate (shared by [[qualityScores]] and
+    * [[cleanPipeline]]): ≥20 tokens and ≥2% stopwords. */
+  private[operators] val passesQualityCol: Column = {
+    val nTokens = sz(words)
+    val stopCnt = sz(filter(words, w => w.isInCollection(StopEn)))
+    nTokens >= 20 && (stopCnt.cast("double") / nTokens) >= 0.02
+  }
+
   /** Quality scoring: length, mean token length, stopword ratio, and a
     * boolean gate — the standard cheap pre-filters for a training corpus. */
   def qualityScores(spark: SparkSession, dir: String): DataFrame = {
@@ -82,6 +90,19 @@ object TextAnalysis {
     "en" -> Seq("the", "a", "and", "of", "is", "to"),
     "es" -> Seq("el", "los", "las", "y", "es", "que"),
     "fr" -> Seq("le", "la", "les", "et", "est", "une"))
+
+  /** Reusable argmax-with-tie-break language prediction as a single Column
+    * (shared by [[languageId]] and [[cleanPipeline]]); `und` when no marker
+    * hits. */
+  private[operators] val predLangCol: Column = {
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> sz(filter(words, w => w.isInCollection(markers)))
+    }
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, s), elseCol) =>
+      when(s === maxScore && maxScore > 0, lit(lang)).otherwise(elseCol)
+    }
+  }
 
   /** Language identification via marker-word counting (a 1-gram heuristic;
     * the classic cheap lang-ID for pipeline bucketing). */
@@ -239,4 +260,56 @@ object TextAnalysis {
       |        c -> CAST(unicode(c) AS BIGINT))),
       |    (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** END-TO-END corpus cleaning in ONE pass + one shuffle — the composition
+    * the individual operators exist for: every document gets its quality
+    * gate, language prediction, and content hash in a single scan; the only
+    * shuffle is the keep-first dedup's hash partition (rank window on the
+    * 16-byte digest); survivors = quality-passing, language-identified,
+    * first-of-their-hash. At 100 TB this shape is exactly the pre-training
+    * filter job: per-row predicates cost a scan, dedup costs one shuffle of
+    * (hash, doc_id) pairs, and everything stays in whole-stage codegen. */
+  def cleanPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("h").orderBy("doc_id")
+    table(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        sz(words).as("n_tokens"),
+        passesQualityCol.as("passes_quality"),
+        predLangCol.as("pred_lang"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("passes_quality") && col("pred_lang") =!= "und")
+      .select("doc_id", "pred_lang", "n_tokens")
+      .orderBy("doc_id")
+  }
+
+  val cleanPipelineOracle: String = {
+    val stopList = StopEn.map(s => s"'$s'").mkString(", ")
+    def listSql(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+    val scoreExprs = LangMarkers.map { case (lang, ms) =>
+      s"len(list_filter(string_split(text, ' '), w -> w IN (${listSql(ms)}))) AS score_$lang"
+    }.mkString(",\n    ")
+    val langs = LangMarkers.map(_._1)
+    val maxExpr = s"GREATEST(${langs.map(l => s"score_$l").mkString(", ")})"
+    val caseArms = langs
+      .map(l => s"WHEN score_$l = $maxExpr AND $maxExpr > 0 THEN '$l'")
+      .mkString(" ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, md5(text) AS h,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    len(string_split(text, ' ')) >= 20 AND
+       |      CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS DOUBLE)
+       |        / len(string_split(text, ' ')) >= 0.02 AS passes_quality,
+       |    $scoreExprs
+       |  FROM documents
+       |), flagged AS (
+       |  SELECT doc_id, h, n_tokens, passes_quality,
+       |    CASE $caseArms ELSE 'und' END AS pred_lang,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+       |  FROM scored
+       |)
+       |SELECT doc_id, pred_lang, n_tokens FROM flagged
+       |WHERE rn = 1 AND passes_quality AND pred_lang != 'und'
+       |ORDER BY doc_id""".stripMargin
+  }
 }
