@@ -98,6 +98,7 @@ object SparkEntry {
       "dedup_simhash_pairs" -> (Dedup.simhashHammingPairs(_, _)),
       "dedup_simhash64_pairs" -> (Dedup.simhash64HammingPairs(_, _)),
       "dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs(_, _)),
+      "dedup_fuzzy_names" -> (Dedup.fuzzyNamePairs(_, _)),
       "dedup_group_signatures" -> (Dedup.groupSignatures(_, _)),
       "dedup_clusters" -> (Dedup.dedupClusters(_, _)),
       // similarity search
@@ -208,6 +209,7 @@ object SparkEntry {
       "dedup_simhash" -> Dedup.simhashSignaturesOracle,
       "dedup_simhash64" -> Dedup.simhash64SignaturesOracle,
       "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsOracle,
+      "dedup_fuzzy_names" -> Dedup.fuzzyNamePairsOracle,
       "dedup_group_signatures" -> Dedup.groupSignaturesOracle,
       "dedup_clusters" -> Dedup.dedupClustersOracle,
       "ann_cosine_topk" -> Similarity.cosineTopKOracle(),

@@ -558,6 +558,72 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ------------------------------------------------- fuzzy (edit-distance)
+  /** Fuzzy duplicate pairs by EDIT DISTANCE ≤ 2 over part names — the
+    * record-linkage companion to the token-set (jaccard) and bit-signature
+    * (simhash) dedup families: catches typo-class corruption that changes
+    * a single character (token-set methods see an entirely different token;
+    * simhash sees a different word hash). Levenshtein is exact integer DP
+    * in both engines, so the whole operator is oracle-gated.
+    *
+    * Scale shape — record-linkage canonical form: the DP runs over
+    * DISTINCT names (with per-name row counts carried along), not over
+    * rows, so cost and output are vocabulary-bounded — matching a name
+    * pair back to row pairs is a cheap equi-join the caller does when
+    * needed. Candidates come from a BLOCKED equi-join on (name length,
+    * first word) — an edit-distance-1/2 corruption in a later token
+    * preserves both. lev=0 (exact duplicates) is excluded: that is the
+    * exact-dedup family's job. Like the other dedup demos the fixture
+    * plants its own near-dups: every name's copy with the last character
+    * replaced by 'q', distance 1 from its source. */
+  def fuzzyNamePairs(spark: SparkSession, dir: String): DataFrame = {
+    val names = table(spark, dir, "part")
+      .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("n_rows"))
+    val perturbed = names.select(
+      concat(expr("substring(name, 1, length(name) - 1)"), lit("q")).as("name"),
+      col("n_rows"))
+      .groupBy("name").agg(sum("n_rows").as("n_rows"))
+    val all = names.unionAll(perturbed)
+      .groupBy("name").agg(sum("n_rows").as("n_rows"))
+      .withColumn("blk_len", length(col("name")))
+      .withColumn("blk_word", expr("split_part(name, ' ', 1)"))
+    val a = all.select(col("blk_len"), col("blk_word"),
+      col("name").as("name_a"), col("n_rows").as("rows_a"))
+    val b = all.select(col("blk_len"), col("blk_word"),
+      col("name").as("name_b"), col("n_rows").as("rows_b"))
+    a.join(b, Seq("blk_len", "blk_word"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("lev", levenshtein(col("name_a"), col("name_b")).cast("bigint"))
+      .filter(col("lev") >= 1 && col("lev") <= 2)
+      .select("name_a", "name_b", "lev", "rows_a", "rows_b")
+      .orderBy("name_a", "name_b")
+  }
+
+  val fuzzyNamePairsOracle: String =
+    """WITH names AS (
+      |  SELECT p_name AS name, count(*) AS n_rows FROM part GROUP BY p_name
+      |), perturbed AS (
+      |  SELECT substring(name, 1, length(name) - 1) || 'q' AS name,
+      |         CAST(sum(n_rows) AS BIGINT) AS n_rows
+      |  FROM names GROUP BY 1
+      |), all_names AS (
+      |  SELECT name, CAST(sum(n_rows) AS BIGINT) AS n_rows FROM (
+      |    SELECT * FROM names UNION ALL SELECT * FROM perturbed
+      |  ) GROUP BY name
+      |), blocked AS (
+      |  SELECT name, n_rows, length(name) AS blk_len,
+      |         split_part(name, ' ', 1) AS blk_word
+      |  FROM all_names
+      |)
+      |SELECT a.name AS name_a, b.name AS name_b,
+      |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev,
+      |       a.n_rows AS rows_a, b.n_rows AS rows_b
+      |FROM blocked a
+      |JOIN blocked b ON a.blk_len = b.blk_len AND a.blk_word = b.blk_word
+      |WHERE a.name < b.name
+      |  AND levenshtein(a.name, b.name) BETWEEN 1 AND 2
+      |ORDER BY name_a, name_b""".stripMargin
+
   // ------------------------------------------------------ dedup clustering
   /** Transitive dedup clusters: connected components over the VERIFIED
     * near-dup pair graph (the step between pair detection and "keep one
