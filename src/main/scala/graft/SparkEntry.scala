@@ -99,6 +99,8 @@ object SparkEntry {
       "dedup_simhash64_pairs" -> (Dedup.simhash64HammingPairs(_, _)),
       "dedup_ngram_jaccard" -> (Dedup.ngramJaccardPairs(_, _)),
       "dedup_fuzzy_names" -> (Dedup.fuzzyNamePairs(_, _)),
+      "dedup_graph_triangles" -> (Dedup.nearDupTriangles(_, _)),
+      "profile_percentiles_by_flag" -> (ProfileQueries.quantityPercentilesByFlag(_, _)),
       "dedup_group_signatures" -> (Dedup.groupSignatures(_, _)),
       "dedup_clusters" -> (Dedup.dedupClusters(_, _)),
       // similarity search
@@ -210,6 +212,8 @@ object SparkEntry {
       "dedup_simhash64" -> Dedup.simhash64SignaturesOracle,
       "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsOracle,
       "dedup_fuzzy_names" -> Dedup.fuzzyNamePairsOracle,
+      "dedup_graph_triangles" -> Dedup.nearDupTrianglesOracle,
+      "profile_percentiles_by_flag" -> ProfileQueries.quantityPercentilesByFlagOracle,
       "dedup_group_signatures" -> Dedup.groupSignaturesOracle,
       "dedup_clusters" -> Dedup.dedupClustersOracle,
       "ann_cosine_topk" -> Similarity.cosineTopKOracle(),

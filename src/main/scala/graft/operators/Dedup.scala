@@ -558,6 +558,34 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---------------------------------------------------- graph diagnostics
+  /** Triangle count over the verified near-dup graph — the standard
+    * cohesion diagnostic before trusting transitive closure (a chain A-B-C
+    * with no A-C edge merges on transitivity alone; triangles are
+    * mutually-verified merges). Distributed shape: two equi-joins over the
+    * canonically-ordered edge list (a<b<c), each shuffling on a vertex id —
+    * the classic MapReduce triangle enumeration, no adjacency matrix ever
+    * materialized. */
+  def nearDupTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = ngramJaccardPairs(spark, dir).select(col("id_a"), col("id_b")).persist()
+    val e1 = e.select(col("id_a").as("a"), col("id_b").as("b"))
+    val e2 = e.select(col("id_a").as("b"), col("id_b").as("c"))
+    val e3 = e.select(col("id_a").as("a"), col("id_b").as("c"))
+    e1.join(e2, "b").join(e3, Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  val nearDupTrianglesOracle: String =
+    s"""WITH pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |${ngramJaccardPairsOracle.linesIterator.map("    " + _).mkString("\n")}
+       |  ) q
+       |)
+       |SELECT count(*) AS n_triangles
+       |FROM pairs e1
+       |JOIN pairs e2 ON e2.id_a = e1.id_b
+       |JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b""".stripMargin
+
   // ------------------------------------------------- fuzzy (edit-distance)
   /** Fuzzy duplicate pairs by EDIT DISTANCE ≤ 2 over part names — the
     * record-linkage companion to the token-set (jaccard) and bit-signature

@@ -207,6 +207,28 @@ object ProfileQueries {
       |       max(l_quantity) AS q100
       |FROM lineitem""".stripMargin
 
+  /** PER-GROUP exact interpolated percentiles — the grouped twin of
+    * [[quantityPercentiles]] (a profiler's per-segment distribution view).
+    * One hash aggregation; `percentile` buffers per group, so at scale the
+    * swap is `percentile_approx` (mergeable GK sketch) with the same query
+    * shape. */
+  def quantityPercentilesByFlag(spark: SparkSession, dir: String): DataFrame =
+    Fixtures.table(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile(l_quantity, 0.25)").as("q25"),
+        expr("percentile(l_quantity, 0.5)").as("q50"),
+        expr("percentile(l_quantity, 0.75)").as("q75"))
+      .orderBy("l_returnflag")
+
+  val quantityPercentilesByFlagOracle: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |       quantile_cont(l_quantity, 0.25) AS q25,
+      |       quantile_cont(l_quantity, 0.5)  AS q50,
+      |       quantile_cont(l_quantity, 0.75) AS q75
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Fixed-width numeric histogram of l_quantity (width 5 from 1.0) — the
     * distribution row of a profile; one group-by, partial-agg friendly. */
   def quantityHistogram(spark: SparkSession, dir: String): DataFrame =
