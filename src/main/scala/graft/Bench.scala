@@ -41,17 +41,22 @@ object Bench {
       }
       spark.sharedState.cacheManager.clearCache()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // A failed query must be visible in the artifact, not recorded as a fast
+    // success (ADVICE r3): keep its elapsed time but list it under "errors".
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
+    val results = timed.map { case (n, s, _) => n -> s }
+    val errors = timed.collect { case (n, _, false) => n }
     def fmt(v: Double): String = f"$v%.3f"
     def qjson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(results)},"sf":"$sfDir","n_queries":${results.size}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(results)},"sf":"$sfDir","n_queries":${results.size},"errors":$errJson}"""
     // Full artifact on disk — survives any stdout truncation.
     try Files.write(Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes(StandardCharsets.UTF_8),
@@ -63,7 +68,7 @@ object Bench {
     // total + the 25 slowest queries + an explicit omission count + pointer.
     val slowest = results.sortBy(-_._2).take(25)
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(slowest)},"sf":"$sfDir","n_queries":${results.size},"queries_omitted":${results.size - slowest.size},"full":"bench_full.json"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(slowest)},"sf":"$sfDir","n_queries":${results.size},"queries_omitted":${results.size - slowest.size},"errors":$errJson,"full":"bench_full.json"}""")
     spark.stop()
   }
 }

@@ -571,8 +571,15 @@ object Dedup {
     val e1 = e.select(col("id_a").as("a"), col("id_b").as("b"))
     val e2 = e.select(col("id_a").as("b"), col("id_b").as("c"))
     val e3 = e.select(col("id_a").as("a"), col("id_b").as("c"))
-    e1.join(e2, "b").join(e3, Seq("a", "c"))
+    // Single-row aggregate: materialize it eagerly so the cached edge list
+    // can be released before returning — round 3 leaked these blocks into
+    // every later query of the bench process (ADVICE r3).
+    val n = e1.join(e2, "b").join(e3, Seq("a", "c"))
       .agg(count(lit(1)).as("n_triangles"))
+      .collect()(0).getLong(0)
+    e.unpersist()
+    import spark.implicits._
+    Seq(n).toDF("n_triangles")
   }
 
   val nearDupTrianglesOracle: String =

@@ -94,6 +94,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(agree >= 8, s"IVF top-1 agreed on only $agree/20 queries")
   }
 
+  test("int8 quantization: gated digest matches the arrays it stands for") {
+    // The gated query is scalar-only (driver harness can't sort array cells);
+    // this spec re-derives the digest/summaries from the actual q8 arrays so
+    // the arrays themselves stay pinned.
+    val arrays = Similarity.quantizeInt8Vectors(spark, dir)
+      .filter(col("vec_id") < 50).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val gated = Similarity.quantizeInt8(spark, dir)
+      .filter(col("vec_id") < 50).collect()
+    assert(gated.length == 50)
+    gated.foreach { r =>
+      val q8 = arrays(r.getLong(0))
+      val digest = q8.foldLeft(0L)((acc, x) => (acc * 131L + (x + 128L)) % 1000000007L)
+      assert(r.getLong(1) == digest, s"digest mismatch for vec ${r.getLong(0)}")
+      assert(r.getLong(2) == q8.map(_.toLong).sum)
+      assert(r.getInt(3) == q8.map(math.abs).max)
+      assert(q8.forall(v => v >= -127 && v <= 128)) // unit-norm × 127, half-up
+    }
+  }
+
   test("multimodal: typed decode pipeline produces stable features") {
     val media = Multimodal.mediaTable(spark, dir)
     val feats = Multimodal.extractFeatures(media, Multimodal.FakeDecoder)
