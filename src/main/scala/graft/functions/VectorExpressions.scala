@@ -253,4 +253,74 @@ object VectorExpressions {
 
   def simhash_words(c: Column, bits: Int, mod: Long = 1000000007L): Column =
     ColumnBridge.column(SimHashWords(ColumnBridge.expression(c), bits, mod))
+
+  /** ±1 hyperplane component for (plane, dim): parity of a splitmix-style
+    * bit mix. THE definition — `Similarity.SignLsh` (Column API + DuckDB
+    * oracle generation) delegates here, so the native bucket expression
+    * below and the SQL literal arrays can never drift apart. */
+  def lshSignJava(plane: Int, dim: Int): Double = {
+    var z = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    if ((z & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** All `tables` sign-LSH bucket ids of an `array<float>` vector in ONE
+    * pass: bucket t's bit j is the sign of `dot(v, plane_{t*k+j})`, each
+    * plane dot a strict left-to-right double fold — bit-identical to the
+    * HOF formulation (`aggregate(zip_with(v, array(lit(sign)...)))` per
+    * plane), which evaluates 32 interpreted 64-element folds per row and
+    * dominated the ann_signlsh query. Sign components are recomputed per
+    * row from the splitmix mix (a handful of integer ops) rather than
+    * carried as 2 KB of literal-array state. */
+  case class SignLshBuckets(child: Expression, tables: Int, planesPerTable: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes() = child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sign_lsh_buckets requires array<float>, got $dt")
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      lshBucketsJava(input.asInstanceOf[ArrayData], tables, planesPerTable)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.VectorExpressions.lshBucketsJava($c, $tables, $planesPerTable)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Static helper for generated code. */
+  def lshBucketsJava(v: ArrayData, tables: Int, planesPerTable: Int): ArrayData = {
+    val dims = v.numElements()
+    val buckets = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bkt = 0L
+      var j = 0
+      while (j < planesPerTable) {
+        val p = t * planesPerTable + j
+        var acc = 0.0
+        var d = 0
+        while (d < dims) {
+          acc += v.getFloat(d).toDouble * lshSignJava(p, d)
+          d += 1
+        }
+        if (acc > 0) bkt += (1L << j)
+        j += 1
+      }
+      buckets(t) = bkt
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buckets)
+  }
+
+  def sign_lsh_buckets(v: Column, tables: Int, planesPerTable: Int): Column =
+    ColumnBridge.column(SignLshBuckets(ColumnBridge.expression(v), tables, planesPerTable))
 }

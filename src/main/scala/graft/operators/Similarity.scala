@@ -185,17 +185,16 @@ object Similarity {
     */
   object SignLsh {
 
-    /** ±1 component for (plane, dim): parity of a splitmix-style bit mix. */
-    private def sign(plane: Int, dim: Int): Double = {
-      var z = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z = z ^ (z >>> 31)
-      if ((z & 1L) == 0L) 1.0 else -1.0
-    }
+    /** ±1 component for (plane, dim) — the single definition lives in
+      * VectorExpressions so the native bucket expression, this Column-API
+      * twin, and the DuckDB oracle literals can never drift. */
+    private def sign(plane: Int, dim: Int): Double =
+      graft.functions.VectorExpressions.lshSignJava(plane, dim)
 
-    /** k-bit bucket id for one table: bit j set iff dot(v, plane_{t*k+j}) > 0.
-      * Built from codegen'd array ops — no UDF. */
+    /** k-bit bucket id for one table via built-in array HOFs — kept as the
+      * semantic reference [[graft.functions.VectorExpressions.SignLshBuckets]]
+      * is spec-tested against (32 interpreted folds per row; the native
+      * expression computes all buckets in one codegen'd pass). */
     def bucket(v: Column, dims: Int, tableId: Int, planesPerTable: Int): Column =
       (0 until planesPerTable).map { j =>
         val p = tableId * planesPerTable + j
@@ -206,13 +205,14 @@ object Similarity {
         when(planeDot > 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
 
-    /** (table, bucket) membership rows: one per table per vector. */
-    private def bucketed(df: DataFrame, dims: Int, tables: Int, k: Int): DataFrame = {
-      val entries = (0 until tables).map(t =>
-        struct(lit(t).as("tbl"), bucket(col("embedding"), dims, t, k).as("bkt")))
-      df.select(col("vec_id"), col("embedding"), explode(array(entries: _*)).as("tb"))
-        .select(col("vec_id"), col("embedding"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
-    }
+    /** (table, bucket) membership rows: one per table per vector. All bucket
+      * ids come from ONE native expression evaluation per row (posexplode
+      * index = table id), not `tables × planes` interpreted HOF folds. */
+    private def bucketed(df: DataFrame, dims: Int, tables: Int, k: Int): DataFrame =
+      df.select(col("vec_id"), col("embedding"),
+          posexplode(graft.functions.VectorExpressions.sign_lsh_buckets(
+            col("embedding"), tables, k)).as(Seq("tbl", "bkt")))
+        .select(col("vec_id"), col("embedding"), col("tbl").cast("int").as("tbl"), col("bkt"))
 
     /** ANN via LSH buckets: exact cosine only on vectors sharing a bucket in
       * at least one table (distinct pairs before scoring). */

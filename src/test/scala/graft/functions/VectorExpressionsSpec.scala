@@ -113,6 +113,21 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(n == h)
   }
 
+  test("native sign_lsh_buckets is bit-equal to the per-plane HOF buckets") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet").limit(200)
+    val tables = 8
+    val k = 4
+    val native = e.select(col("vec_id"),
+        VectorExpressions.sign_lsh_buckets(col("embedding"), tables, k).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hof = e.select(col("vec_id") +:
+        (0 until tables).map(t =>
+          Similarity.SignLsh.bucket(col("embedding"), 64, t, k).as(s"b$t")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to tables).map(r.getLong(_))).toMap
+    assert(native.keySet == hof.keySet)
+    native.foreach { case (id, bs) => assert(bs == hof(id), s"vec $id") }
+  }
+
   test("fused group minhash (per-doc sig + elementwise min) equals MinHashAgg") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .filter(size(split(col("text"), " ")) >= 3)
