@@ -69,6 +69,8 @@ object SparkEntry {
       "q_in_subquery" -> (RelationalExt.partsWithReturns(_, _)),
       "q_lateral_tokens" -> (RelationalExt.docLeadingTokens(_, _)),
       "q_window_battery" -> (RelationalExt.orderWindowBattery(_, _)),
+      "q_window_battery2" -> (RelationalExt.orderWindowBattery2(_, _)),
+      "q_regex_funcs" -> (RelationalExt.partRegexFuncs(_, _)),
       "q_string_funcs" -> (RelationalExt.partStringFuncs(_, _)),
       "q_date_funcs" -> (RelationalExt.orderDateFuncs(_, _)),
       "q_distinct_aggs" -> (RelationalExt.lineitemDistinctAggs(_, _)),
@@ -89,6 +91,8 @@ object SparkEntry {
       "text_fingerprints" -> (TextAnalysis.fingerprints(_, _)),
       "text_doc_freq" -> (TextAnalysis.docFrequency(_, _)),
       "text_clean_pipeline" -> (TextAnalysis.cleanPipeline(_, _)),
+      "text_pii_mask" -> (TextAnalysis.piiMask(_, _)),
+      "docs_stratified_sample" -> (TextAnalysis.stratifiedSample(_, _)),
       // dedup family
       "dedup_exact_groups" -> (Dedup.exactDupGroups(_, _)),
       "dedup_exact_keep_first" -> (Dedup.exactDedupKeepFirst(_, _)),
@@ -103,9 +107,11 @@ object SparkEntry {
       "profile_percentiles_by_flag" -> (ProfileQueries.quantityPercentilesByFlag(_, _)),
       "dedup_group_signatures" -> (Dedup.groupSignatures(_, _)),
       "dedup_clusters" -> (Dedup.dedupClusters(_, _)),
+      "dedup_clusters_star" -> (Dedup.dedupClustersStar(_, _)),
       // similarity search
       "ann_cosine_topk" -> (Similarity.cosineTopK(_, _)),
       "ann_signlsh_topk" -> (Similarity.SignLsh.topK(_, _)),
+      "ann_ivf_topk" -> (Similarity.ivfTopK(_, _)),
       "embedding_near_dups" -> (Similarity.embeddingNearDups(_, _)),
       "embedding_centroids" -> (Similarity.labelCentroids(_, _)),
       "embedding_quantize_int8" -> (Similarity.quantizeInt8(_, _)),
@@ -116,6 +122,7 @@ object SparkEntry {
       "events_gapfill" -> (EventOps.hourlyGapFill(_, _)),
       "events_funnel" -> (EventOps.signupFunnel(_, _)),
       "events_cohorts" -> (EventOps.cohortRetention(_, _)),
+      "events_scd2" -> (EventOps.scd2(_, _)),
       "events_dow_heatmap" -> (EventOps.weekdayHourHeatmap(_, _)),
       "q_null_handling" -> (RelationalExt.nullHandling(_, _)),
       "q_math_funcs" -> (RelationalExt.mathFuncs(_, _)),
@@ -166,6 +173,8 @@ object SparkEntry {
       "q_in_subquery" -> RelationalExt.partsWithReturnsOracle,
       "q_lateral_tokens" -> RelationalExt.docLeadingTokensOracle,
       "q_window_battery" -> RelationalExt.orderWindowBatteryOracle,
+      "q_window_battery2" -> RelationalExt.orderWindowBattery2Oracle,
+      "q_regex_funcs" -> RelationalExt.partRegexFuncsOracle,
       "q_string_funcs" -> RelationalExt.partStringFuncsOracle,
       "q_date_funcs" -> RelationalExt.orderDateFuncsOracle,
       "q_distinct_aggs" -> RelationalExt.lineitemDistinctAggsOracle,
@@ -205,6 +214,8 @@ object SparkEntry {
       "text_fingerprints" -> TextAnalysis.fingerprintsOracle,
       "text_doc_freq" -> TextAnalysis.docFrequencyOracle,
       "text_clean_pipeline" -> TextAnalysis.cleanPipelineOracle,
+      "text_pii_mask" -> TextAnalysis.piiMaskOracle,
+      "docs_stratified_sample" -> TextAnalysis.stratifiedSampleOracle,
       "dedup_exact_groups" -> Dedup.exactDupGroupsOracle,
       "dedup_exact_keep_first" -> Dedup.exactDedupKeepFirstOracle,
       "dedup_minhash_pairs" -> Dedup.minhashCandidatePairsOracle,
@@ -216,8 +227,10 @@ object SparkEntry {
       "profile_percentiles_by_flag" -> ProfileQueries.quantityPercentilesByFlagOracle,
       "dedup_group_signatures" -> Dedup.groupSignaturesOracle,
       "dedup_clusters" -> Dedup.dedupClustersOracle,
+      "dedup_clusters_star" -> Dedup.dedupClustersOracle,
       "ann_cosine_topk" -> Similarity.cosineTopKOracle(),
       "ann_signlsh_topk" -> Similarity.SignLsh.topKOracle(),
+      "ann_ivf_topk" -> Similarity.ivfTopKOracle(),
       "embedding_near_dups" -> Similarity.embeddingNearDupsOracle(),
       "embedding_centroids" -> Similarity.labelCentroidsOracle,
       "embedding_quantize_int8" -> Similarity.quantizeInt8Oracle,
@@ -227,6 +240,7 @@ object SparkEntry {
       "events_gapfill" -> EventOps.hourlyGapFillOracle,
       "events_funnel" -> EventOps.signupFunnelOracle,
       "events_cohorts" -> EventOps.cohortRetentionOracle,
+      "events_scd2" -> EventOps.scd2Oracle,
       "events_dow_heatmap" -> EventOps.weekdayHourHeatmapOracle,
       "q_null_handling" -> RelationalExt.nullHandlingOracle,
       "q_math_funcs" -> RelationalExt.mathFuncsOracle,

@@ -254,6 +254,62 @@ object VectorExpressions {
   def simhash_words(c: Column, bits: Int, mod: Long = 1000000007L): Column =
     ColumnBridge.column(SimHashWords(ColumnBridge.expression(c), bits, mod))
 
+  /** `l2sq(a, b)`: Σ ((double)a[i] − (double)b[i])², left-to-right, over two
+    * `array<float>` columns — squared Euclidean distance as ONE strict fold,
+    * the same shape the DuckDB twin folds (`(x−y)·(x−y)` per element), so
+    * cell assignments that compare these doubles agree bit-for-bit. */
+  case class FloatVectorL2Sq(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes() = {
+      def ok(dt: DataType) = dt match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      }
+      if (ok(left.dataType) && ok(right.dataType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_l2sq requires array<float> inputs, got ${left.dataType} / ${right.dataType}")
+    }
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val d = ctx.freshName("d")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+           |  $acc += $d * $d;
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def vec_l2sq(a: Column, b: Column): Column =
+    ColumnBridge.column(FloatVectorL2Sq(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** ±1 hyperplane component for (plane, dim): parity of a splitmix-style
     * bit mix. THE definition — `Similarity.SignLsh` (Column API + DuckDB
     * oracle generation) delegates here, so the native bucket expression

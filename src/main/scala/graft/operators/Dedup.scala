@@ -745,6 +745,99 @@ object Dedup {
     labels
   }
 
+  /** Connected components via LARGE-STAR / SMALL-STAR (the MapReduce CC
+    * algorithm of Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the O(log²n)-round alternative to label
+    * propagation whose round count scales with component DIAMETER. Each
+    * round rewrites the edge set:
+    *
+    *  - large-star: per node u with neighborhood N(u), connect every
+    *    strictly-larger neighbor to m = min(N(u) ∪ {u});
+    *  - small-star: per node u over its smaller-or-equal neighbors S(u),
+    *    connect each of them (and u) to m = min(S(u)).
+    *
+    * Both steps only link nodes within a component and only ever point
+    * upward to smaller ids, so the fixpoint is a star per component rooted
+    * at the component minimum — labels fall out of the final edge list
+    * without any propagation phase. Convergence is detected by an edge-set
+    * signature (count + XOR of 64-bit hashes): one tiny aggregate per
+    * round instead of a set-difference join; a signature collision would
+    * need an XOR tie on differing same-size sets (astronomically unlikely,
+    * and the oracle gate still pins end-to-end correctness).
+    *
+    * vs [[dedupClusters]]: propagation does 1 join/round with rounds ~
+    * diameter (pointer jumping → log d but still touches every node each
+    * round); star contraction SHRINKS the working edge set as components
+    * collapse — on a 100 TB near-dup graph (shallow components, a few
+    * deep chains) the edge list after round 2 is a fraction of the input,
+    * which is what makes the remaining rounds cheap. Both forms are gated
+    * by the same recursive-CTE oracle. */
+  def dedupClustersStar(spark: SparkSession, dir: String, maxIters: Int = 15): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, dir).select("id_a", "id_b")
+    starComponents(pairs, maxIters)
+      .select(col("doc_id"), col("cluster_id")).orderBy("doc_id")
+  }
+
+  /** Star-contraction loop, factored out for spec access. `pairs` must be
+    * distinct undirected edges; returns (doc_id, cluster_id) for every
+    * node incident to an edge. */
+  private[operators] def starComponents(pairs: DataFrame, maxIters: Int): DataFrame = {
+    var edges = pairs.filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .distinct().localCheckpoint()
+    // count + XOR of 64-bit edge hashes: order-independent, cannot overflow
+    // (sum would trip ANSI long-overflow on large edge sets), distinct edges
+    // so XOR self-cancellation can't hide a change of a single edge.
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.select(xxhash64(col("a"), col("b")).as("h"))
+        .agg(count(lit(1)), expr("bit_xor(h)")).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var sig = signature(edges)
+    var done = false
+    var i = 0
+    while (!done && i < maxIters) {
+      // large-star over both orientations: m = min(N(u) ∪ {u}); since every
+      // emitted pair is (v, m) with v > u ≥ m, canonical order is (m, v).
+      val dirEdges = edges.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      val mins = dirEdges.groupBy("u").agg(min("v").as("nmin"))
+        .select(col("u"), least(col("u"), col("nmin")).as("m"))
+      val afterLarge = dirEdges.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .distinct()
+      // small-star over the down-pointing orientation (edges already sit as
+      // a < b): per u = b, m = min of its smaller neighbors; link each
+      // smaller neighbor v ≠ m and u itself to m.
+      val mins2 = afterLarge.groupBy(col("b").as("u")).agg(min("a").as("m"))
+      val joined = afterLarge
+        .join(mins2, afterLarge("b") === mins2("u"))
+        .select(col("a").as("v"), col("m"), col("u"))
+      val next = joined.filter(col("v") =!= col("m"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .unionAll(joined.select(col("m").as("a"), col("u").as("b")))
+        .distinct().localCheckpoint()
+      val nextSig = signature(next)
+      done = nextSig == sig
+      sig = nextSig
+      edges = next
+      i += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"starComponents did not converge in $maxIters rounds")
+    // Fixpoint = stars rooted at component minima: every edge is
+    // (root, member). Members label to their root; roots (never on the
+    // member side) label to themselves.
+    val members = edges.groupBy(col("b").as("doc_id")).agg(min("a").as("cluster_id"))
+    val roots = edges.select(col("a").as("doc_id")).distinct()
+      .join(edges.select(col("b").as("m")), col("doc_id") === col("m"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    members.unionAll(roots)
+  }
+
   val dedupClustersOracle: String = {
     // strip the ORDER BY-only tail reuse: embed the full pairs oracle as a
     // subquery (DuckDB allows WITH inside a derived table)

@@ -481,4 +481,48 @@ object EventOps {
       |SELECT user_id, count(*) AS n_sessions, CAST(sum(sess_events) AS BIGINT) AS n_events,
       |       max(sess_events) AS longest_session
       |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------- SCD2 interval build
+  /** Type-2 slowly-changing-dimension build from an event log: collapse each
+    * user's event stream into [valid_from, valid_to) intervals, one row per
+    * CHANGE of event_type (consecutive repeats merge into the open
+    * interval); the latest state has valid_to NULL. This is the standard
+    * dimension-history materialization (and the read-side complement of
+    * [[graft.operators.RelationalExt.snapshotDiff]]'s CDC view). One
+    * shuffle on user_id; both the change filter and the interval close are
+    * windows over that same partitioning, so Catalyst plans a single
+    * sort+window chain. Timestamps stay integer micros end-to-end
+    * (exact cross-engine). */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tus"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_from_us", col("tus"))
+      .withColumn("valid_to_us", lead(col("tus"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("bigint"))
+      .select("user_id", "version", "event_type", "valid_from_us", "valid_to_us")
+      .orderBy("user_id", "version")
+  }
+
+  val scd2Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tus, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+      |  FROM events
+      |), changes AS (
+      |  SELECT user_id, event_id, tus, event_type FROM e
+      |  WHERE prev_type IS NULL OR prev_type != event_type
+      |)
+      |SELECT user_id,
+      |  CAST(row_number() OVER w AS BIGINT) AS version,
+      |  event_type,
+      |  tus AS valid_from_us,
+      |  lead(tus) OVER w AS valid_to_us
+      |FROM changes
+      |WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+      |ORDER BY user_id, version""".stripMargin
 }

@@ -625,4 +625,67 @@ object RelationalExt {
       |  UNION ALL BY NAME
       |  SELECT 'supplier' AS kind, s_acctbal AS bal, s_name AS name, s_suppkey AS key FROM supplier
       |) ORDER BY kind, key""".stripMargin
+
+  // --------------------------------------------- window functions, round 4
+  /** Distribution/navigation window battery: percent_rank, cume_dist,
+    * first/last/nth value — the second half of the ANSI window surface
+    * ([[orderWindowBattery]] covers lag/lead/rank/dense_rank/ntile/
+    * running sum). Same single window spec → one sort+window pass, one
+    * shuffle on o_custkey. percent_rank/cume_dist are IEEE divisions of
+    * small exact integers ((rk-1)/(n-1), peers/n), so the doubles are
+    * bit-identical cross-engine; the navigation trio pins an explicit
+    * whole-partition ROWS frame on BOTH engines (the ANSI default frame
+    * stops at CURRENT ROW, which would make last_value ≡ current row). */
+  def orderWindowBattery2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    table(spark, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        first(col("o_totalprice")).over(whole).as("first_price"),
+        last(col("o_totalprice")).over(whole).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(whole).as("second_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val orderWindowBattery2Oracle: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd,
+      |  first_value(o_totalprice) OVER wf AS first_price,
+      |  last_value(o_totalprice) OVER wf AS last_price,
+      |  nth_value(o_totalprice, 2) OVER wf AS second_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ------------------------------------------------------- regex functions
+  /** Regular-expression surface: extract / match / global replace / count.
+    * Patterns stay within the character-class + anchor subset where Java
+    * regex (Spark) and RE2 (DuckDB) agree exactly — no backreferences or
+    * lookaround, so leftmost-match semantics coincide. All codegen'd
+    * projections, no shuffle. */
+  def partRegexFuncs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+        col("p_name").rlike("widget$").as("is_widget"),
+        regexp_replace(col("p_name"), "[aeiou]", "*").as("vowels_masked"),
+        size(regexp_extract_all(col("p_name"), lit("[aeiou]"), lit(0))).cast("bigint").as("n_vowels"),
+        regexp_extract(col("p_brand"), "([0-9]+)", 1).cast("bigint").as("brand_num"))
+      .orderBy("p_partkey")
+
+  val partRegexFuncsOracle: String =
+    """SELECT p_partkey,
+      |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+      |  regexp_matches(p_name, 'widget$') AS is_widget,
+      |  regexp_replace(p_name, '[aeiou]', '*', 'g') AS vowels_masked,
+      |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels,
+      |  CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT) AS brand_num
+      |FROM part ORDER BY p_partkey""".stripMargin
 }

@@ -174,6 +174,94 @@ object Similarity {
     }
   }
 
+  private val l2Sql =
+    """list_reduce(
+      |      list_prepend(CAST(0 AS DOUBLE),
+      |        list_transform(list_zip(%s, %s),
+      |          x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))),
+      |      (acc, v) -> acc + v)""".stripMargin
+
+  /** ORACLE-GATED IVF ANN — the deterministic coarse-quantizer variant of
+    * [[Ivf]] (whose MLlib-KMeans centroids aren't oracle-expressible). The
+    * quantizer is Lloyd-iteration-zero with fixed seeds: centroids are the
+    * corpus vectors with vec_id ∈ [100, 100+n); every vector is assigned to
+    * its nearest centroid by squared-L2 (strict-fold, native codegen'd
+    * expression; ties → smaller cell id), and a query probes only its
+    * `nprobe` nearest cells. Candidates per query ≈ |data|·nprobe/n — the
+    * inverted-file contraction. Everything (distance folds, argmin
+    * tie-break, cosine, rank) is deterministic, so the ENTIRE
+    * index-build + probe + score pipeline sits under the DuckDB oracle.
+    * Shuffle profile at scale: centroid table broadcast (n rows), one
+    * window shuffle on vec_id for assignment, bucket equi-join on cell —
+    * never a cross product against the corpus. */
+  def ivfTopK(spark: SparkSession, dir: String, numQueries: Int = 5, k: Int = 3,
+      nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    import graft.functions.VectorExpressions.vec_l2sq
+    val e = table(spark, dir, "embeddings")
+    val cents = e.filter(col("vec_id") >= 100 && col("vec_id") < 100 + nCentroids)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+    val dists = e.join(broadcast(cents))
+      .withColumn("dist", vec_l2sq(col("embedding"), col("cv")))
+      .select("vec_id", "cell", "dist")
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("dist"), col("cell"))
+    val cells = dists.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1).select("vec_id", "cell")
+    val probes = dists.filter(col("vec_id") < numQueries)
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val qv = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm(col("embedding")).as("qn"))
+    val cv = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+      norm(col("embedding")).as("cn"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    broadcast(probes).join(cells, "cell")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"))
+      .join(broadcast(qv), "query_id").join(cv, "cand_id")
+      .withColumn("cos", dot(col("qv"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "rank", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  def ivfTopKOracle(numQueries: Int = 5, k: Int = 3,
+      nCentroids: Int = 16, nprobe: Int = 4): String = {
+    val distSql = l2Sql.format("e.embedding", "c.cv")
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cell, embedding AS cv FROM embeddings
+       |  WHERE vec_id >= 100 AND vec_id < ${100 + nCentroids}
+       |), d AS (
+       |  SELECT e.vec_id, c.cell, $distSql AS dist
+       |  FROM embeddings e CROSS JOIN cents c
+       |), ranked_cells AS (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |  FROM d
+       |), cells AS (
+       |  SELECT vec_id, cell FROM ranked_cells WHERE rn = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, cell FROM ranked_cells
+       |  WHERE vec_id < $numQueries AND rn <= $nprobe
+       |), cands AS (
+       |  SELECT query_id, cells.vec_id AS cand_id
+       |  FROM probes JOIN cells USING (cell)
+       |  WHERE query_id != cells.vec_id
+       |), scored AS (
+       |  SELECT query_id, cand_id, ${cosSql("qe.embedding", "ce.embedding")} AS cos
+       |  FROM cands
+       |  JOIN embeddings qe ON qe.vec_id = query_id
+       |  JOIN embeddings ce ON ce.vec_id = cand_id
+       |), ranked AS (
+       |  SELECT query_id, cand_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, cand_id, rank, cos FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Sign-random-projection LSH, multi-table OR-construction: L independent
     * tables of k hyperplanes each; a vector lands in one k-bit bucket per
     * table, and two vectors are candidates if they collide in ANY table

@@ -312,4 +312,85 @@ object TextAnalysis {
        |WHERE rn = 1 AND passes_quality AND pred_lang != 'und'
        |ORDER BY doc_id""".stripMargin
   }
+
+  // ------------------------------------------------------------ PII masking
+  /** PII masking — the redaction pass every training corpus goes through
+    * before release. The fixture text is synthetic lowercase prose with no
+    * real PII, so each document is first DECORATED with a deterministic
+    * synthetic email + phone derived from doc_id; the operator then masks
+    * emails (first, so their digits can't half-match as phones) and phone
+    * runs, and emits match counts plus an md5 of the redacted text — the
+    * full masked string stays pinned without shipping a text column through
+    * the comparison harness. Patterns are character-class-only so Java
+    * regex and RE2 agree; one codegen'd projection, no shuffle, trivially
+    * parallel at 100 TB. */
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\+?[0-9][0-9-]{5,}[0-9]"
+
+  def piiMask(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("raw"))
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("raw"), lit(EmailRe), lit(0))).cast("bigint"))
+      .withColumn("masked",
+        regexp_replace(regexp_replace(col("raw"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col("masked"), lit("<PHONE>"), lit(0))).cast("bigint"))
+      .select(col("doc_id"), md5(col("masked")).as("masked_md5"),
+        length(col("masked")).cast("bigint").as("masked_len"),
+        col("n_emails"), col("n_phones"))
+      .orderBy("doc_id")
+
+  val piiMaskOracle: String =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-'
+      |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+      |  FROM documents
+      |), masked AS (
+      |  SELECT doc_id, raw,
+      |    regexp_replace(regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |                   '\+?[0-9][0-9-]{5,}[0-9]', '<PHONE>', 'g') AS m
+      |  FROM raw
+      |)
+      |SELECT doc_id, md5(m) AS masked_md5,
+      |  CAST(length(m) AS BIGINT) AS masked_len,
+      |  CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(m, '<PHONE>')) AS BIGINT) AS n_phones
+      |FROM masked ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------- deterministic hash sampling
+  /** Stratified sampling by content-independent hash — reproducible
+    * downsampling for eval splits and ablations. The keep decision is
+    * `rolling_hash('smp|' || doc_id) % 1000 < rate(lang)` (en kept at 20%,
+    * every other stratum at 10%): a pure per-row predicate, so the SAME
+    * sample falls out at any partitioning, cluster size, or rerun — unlike
+    * `df.sample`, whose output depends on partition layout. At 100 TB this
+    * is a filter pushed into the scan; no shuffle, no state. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .withColumn("bucket",
+        rollingHash(concat(lit("smp|"), col("doc_id").cast("string"))) % 1000)
+      .filter(col("bucket") < when(col("lang") === "en", 200L).otherwise(100L))
+      .select(col("doc_id"), col("lang"), col("bucket").cast("bigint").as("bucket"))
+      .orderBy("doc_id")
+
+  val stratifiedSampleOracle: String =
+    """WITH hashed AS (
+      |  SELECT doc_id, lang,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(
+      |          list_filter(string_split('smp|' || CAST(doc_id AS VARCHAR), ''), c -> c != ''),
+      |          c -> CAST(unicode(c) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000007) % 1000 AS bucket
+      |  FROM documents
+      |)
+      |SELECT doc_id, lang, bucket FROM hashed
+      |WHERE bucket < CASE WHEN lang = 'en' THEN 200 ELSE 100 END
+      |ORDER BY doc_id""".stripMargin
 }

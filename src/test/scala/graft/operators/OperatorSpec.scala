@@ -187,6 +187,26 @@ class OperatorSpec extends AnyFunSuite {
     (100L to 160L).foreach(d => assert(byDoc(d) == 100L, s"doc $d got ${byDoc(d)}"))
   }
 
+  test("star contraction labels a diameter-60 chain in few rounds, matches propagation") {
+    import spark.implicits._
+    // large-star/small-star halves chains each round: a 61-node chain must
+    // converge well inside 10 rounds (1-hop propagation would need 61)
+    val chain = (100L to 159L).map(i => (i, i + 1))
+    val raw = (chain :+ (500L, 501L)).toDF("id_a", "id_b")
+    val star = Dedup.starComponents(raw, maxIters = 10)
+    val byDoc = star.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (100L to 160L).foreach(d => assert(byDoc(d) == 100L, s"doc $d got ${byDoc(d)}"))
+    Seq(500L, 501L).foreach(d => assert(byDoc(d) == 500L))
+    assert(byDoc.size == 63)
+    // same answer as min-label propagation on the same graph
+    val edges = raw.unionAll(raw.select($"id_b".as("id_a"), $"id_a".as("id_b")))
+    val seed = edges.select($"id_a".as("doc_id")).distinct()
+      .withColumn("label", $"doc_id")
+    val prop = Dedup.propagateMinLabels(edges, seed, maxIters = 14)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc == prop)
+  }
+
   test("min-label propagation throws instead of returning wrong labels") {
     import spark.implicits._
     val chain = (10L to 15L).map(i => (i, i + 1))
