@@ -128,6 +128,8 @@ object SparkEntry {
       "q_math_funcs" -> (RelationalExt.mathFuncs(_, _)),
       "q_string_agg" -> (RelationalExt.nationListPerRegion(_, _)),
       "events_sessions" -> (EventOps.sessionize(_, _)),
+      "events_session_windows" -> (EventOps.sessionWindows(_, _)),
+      "text_char_bigrams" -> (TextAnalysis.charBigrams(_, _)),
       "events_type_pivot" -> (EventOps.eventTypePivot(_, _)),
       "events_range_join" -> (EventOps.purchaseClickAttribution(_, _)),
       "events_range_join_auto" -> (EventOps.naiveRangeJoinAuto(_, _)),
@@ -191,6 +193,8 @@ object SparkEntry {
       "dedup_simhash_pairs" -> Dedup.simhashHammingPairsOracle,
       "dedup_simhash64_pairs" -> Dedup.simhash64HammingPairsOracle,
       "events_sessions" -> EventOps.sessionizeOracle,
+      "events_session_windows" -> EventOps.sessionWindowsOracle,
+      "text_char_bigrams" -> TextAnalysis.charBigramsOracle,
       "events_type_pivot" -> EventOps.eventTypePivotOracle,
       "events_range_join" -> EventOps.purchaseClickAttributionOracle,
       "events_range_join_auto" -> EventOps.naiveRangeJoinAutoOracle,

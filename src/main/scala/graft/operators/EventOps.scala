@@ -525,4 +525,43 @@ object EventOps {
       |FROM changes
       |WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
       |ORDER BY user_id, version""".stripMargin
+
+  // ----------------------------------------------- native session windows
+  /** Session-window aggregation via Spark's NATIVE `session_window` operator
+    * (dynamic-gap merging inside the aggregation, the same primitive the
+    * streaming sessionizer uses) — complements [[sessionize]], which builds
+    * sessions manually from lag+cumsum islands. Semantics: a session
+    * extends to last_event + gap; an event at exactly start+gap starts a
+    * NEW session (window end is exclusive). The oracle reproduces this
+    * with the island construction: new session iff diff ≥ gap, end =
+    * max(ts) + gap. One shuffle on user_id. */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .groupBy(col("user_id"), session_window(col("ts_utc"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("sess_start"),
+        col("w.end").as("sess_end"), col("n_events"))
+      .orderBy("user_id", "sess_start")
+
+  val sessionWindowsOracle: String =
+    """WITH e AS (SELECT user_id, ts FROM events),
+      |g AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), s AS (
+      |  SELECT user_id, ts,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM g
+      |)
+      |SELECT user_id,
+      |  min(ts) AS sess_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS sess_end,
+      |  count(*) AS n_events
+      |FROM s GROUP BY user_id, sess_id
+      |ORDER BY user_id, sess_start""".stripMargin
 }

@@ -393,4 +393,45 @@ object TextAnalysis {
       |SELECT doc_id, lang, bucket FROM hashed
       |WHERE bucket < CASE WHEN lang = 'en' THEN 200 ELSE 100 END
       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------- character n-gram LM
+  /** Per-language character-bigram table, top 10 per language — the
+    * sufficient statistic of a character-level n-gram language model (the
+    * classic language-ID / gibberish-detection feature at corpus scale).
+    * Shape: one explode of length-1 positions per doc (rows ≈ total corpus
+    * chars), one (lang, bigram) group-by — partial aggregation absorbs the
+    * explosion map-side, and the rank window sees only the ≤|Σ|² distinct
+    * bigrams per language, never the corpus. */
+  def charBigrams(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("bigram"))
+    table(spark, dir, "documents")
+      .select(col("lang"), col("text"))
+      // ≥2 chars: Spark's sequence(1, len-1) runs DESCENDING for len<2
+      // (step is inferred), where DuckDB's generate_series returns empty
+      .filter(length(col("text")) >= 2)
+      .withColumn("i", explode(sequence(lit(1), length(col("text")) - 1)))
+      .select(col("lang"), expr("substring(text, i, 2)").as("bigram"))
+      .groupBy("lang", "bigram").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 10)
+      .select("lang", "rank", "bigram", "cnt")
+      .orderBy("lang", "rank")
+  }
+
+  val charBigramsOracle: String =
+    """WITH expanded AS (
+      |  SELECT lang, substring(text, CAST(i AS INTEGER), 2) AS bigram
+      |  FROM (
+      |    SELECT lang, text, unnest(generate_series(1, length(text) - 1)) AS i
+      |    FROM documents WHERE length(text) >= 2)
+      |), counts AS (
+      |  SELECT lang, bigram, count(*) AS cnt FROM expanded GROUP BY lang, bigram
+      |), ranked AS (
+      |  SELECT lang, bigram, cnt,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS BIGINT) AS rank
+      |  FROM counts
+      |)
+      |SELECT lang, rank, bigram, cnt FROM ranked WHERE rank <= 10
+      |ORDER BY lang, rank""".stripMargin
 }
