@@ -688,4 +688,56 @@ object RelationalExt {
       |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels,
       |  CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT) AS brand_num
       |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ------------------------------------------- join-strategy control surface
+  /** Explicit SHUFFLE_HASH join: per-customer spend where the build side is
+    * hinted to a shuffled hash join instead of the planner's default
+    * sort-merge — the knob that matters when the build side fits executor
+    * memory per-partition but is too big to broadcast (hash build beats
+    * sorting both sides). Results are strategy-independent (the oracle pins
+    * that); PlanQualitySpec pins that the hint actually takes effect. */
+  def shuffleHashSpend(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer").select(col("c_custkey"), col("c_name"))
+    val o = table(spark, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+    c.hint("shuffle_hash")
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_spend"))
+      .orderBy("c_custkey")
+  }
+
+  val shuffleHashSpendOracle: String =
+    """SELECT c_custkey, c_name, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin
+
+  // ----------------------------------------------------------- map functions
+  /** MapType surface: build a map per row, interrogate its cardinality,
+    * explode it back to (key, value) rows — the map plumbing a
+    * metadata-carrying pipeline needs (e.g. per-document tag maps). Output
+    * stays scalar so the comparison harness can sort it; entry order is
+    * insertion order on both engines (and order-insensitive after the
+    * harness sort anyway). */
+  def partTagMaps(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "part")
+      .withColumn("m", map_from_arrays(
+        array(lit("brand"), lit("type")),
+        array(col("p_brand"), col("p_type"))))
+      .select(col("p_partkey"), size(map_keys(col("m"))).cast("bigint").as("n_keys"),
+        explode(col("m")).as(Seq("k", "v")))
+      .select("p_partkey", "n_keys", "k", "v")
+      .orderBy("p_partkey", "k")
+
+  val partTagMapsOracle: String =
+    """SELECT p_partkey,
+      |  CAST(cardinality(m) AS BIGINT) AS n_keys,
+      |  e.key AS k, e.value AS v
+      |FROM (
+      |  SELECT p_partkey, MAP {'brand': p_brand, 'type': p_type} AS m,
+      |         unnest(map_entries(MAP {'brand': p_brand, 'type': p_type})) AS e
+      |  FROM part)
+      |ORDER BY p_partkey, k""".stripMargin
 }

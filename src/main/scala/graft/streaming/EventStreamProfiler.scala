@@ -93,4 +93,22 @@ object EventStreamProfiler {
       .select(
         col("window.start").cast("timestamp_ntz").as("hour_start"),
         col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Streaming NATIVE session windows: the same `session_window` aggregation
+    * as [[graft.operators.EventOps.sessionWindows]] over a stream — Spark's
+    * built-in dynamic-gap session merge with watermark-bounded state (the
+    * state store holds only sessions whose end is within the watermark
+    * horizon; closed sessions are emitted and evicted). Complements
+    * [[StreamingSessionizer]], which implements the same semantics manually
+    * with flatMapGroupsWithState. */
+  def sessionWindowStream(spark: SparkSession, eventsDir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .parquet(eventsDir)
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_utc", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts_utc"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("sess_start"),
+        col("w.end").as("sess_end"), col("n_events"))
 }

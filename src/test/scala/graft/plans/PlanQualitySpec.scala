@@ -141,4 +141,43 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(nodes(df).exists(_.nodeName.contains("WholeStageCodegen")),
       "q1 pipeline fell out of whole-stage codegen")
   }
+
+  test("SHUFFLE_HASH hint takes effect: the hinted join is a ShuffledHashJoin") {
+    val df = graft.operators.RelationalExt.shuffleHashSpend(spark, SparkSuite.Sf0001)
+    df.collect()
+    val names = nodes(df).map(_.nodeName)
+    assert(names.exists(_.contains("ShuffledHashJoin")),
+      s"hint ignored — plan joins: ${names.filter(_.contains("Join")).distinct.mkString(",")}")
+  }
+
+  test("IVF ANN: only the 16-row centroid/probe sides broadcast; candidate scoring is a hash join") {
+    val df = graft.operators.Similarity.ivfTopK(spark, SparkSuite.Sf0001)
+    df.collect()
+    val names = nodes(df).map(_.nodeName)
+    // the corpus-side joins (cell bucket join, candidate scoring) must be
+    // hash joins — a nested loop against the full embedding table would be
+    // the O(n²) plan IVF exists to avoid (the only BNLJ allowed is the
+    // 16-row centroid cross product)
+    assert(names.exists(_.contains("HashJoin")),
+      s"no hash join in IVF plan: ${names.distinct.mkString(",")}")
+    assert(!names.exists(_.contains("CartesianProduct")),
+      s"cartesian product in IVF plan: ${names.distinct.mkString(",")}")
+  }
+
+  test("window battery 2 runs both frames in a single shuffle on o_custkey") {
+    val df = graft.operators.RelationalExt.orderWindowBattery2(spark, SparkSuite.Sf0001)
+    df.collect()
+    val exchanges = nodes(df).count(_.nodeName.contains("Exchange"))
+    // one hash exchange for the windows + one range exchange for the final
+    // presentation orderBy — a third would mean the two frames re-shuffled
+    assert(exchanges <= 2, s"window battery 2 shuffled $exchanges times")
+  }
+
+  test("char bigrams: partial aggregation runs before the (lang,bigram) shuffle") {
+    val df = graft.operators.TextAnalysis.charBigrams(spark, SparkSuite.Sf0001)
+    df.collect()
+    val aggs = nodes(df).filter(_.nodeName.contains("HashAggregate"))
+    assert(aggs.size >= 2,
+      "char-bigram count is not partial+final — the full char-level explosion would cross the shuffle")
+  }
 }

@@ -26,6 +26,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming native session windows match the batch session_window query") {
+    val dir = SparkSuite.Sf0001
+    val staged = java.nio.file.Files.createTempDirectory("events_sess_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val q = EventStreamProfiler.sessionWindowStream(spark, staged.toString)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("stream_sessions_native").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_sessions_native")
+        .select("user_id", "sess_start", "sess_end", "n_events")
+        .collect().map(_.toSeq).toSet
+      val batch = EventOps.sessionWindows(spark, dir)
+        .select("user_id", "sess_start", "sess_end", "n_events")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming hourly rollup matches the batch rollup (complete replay)") {
     val dir = SparkSuite.Sf0001
     // the file stream source needs a directory; stage the single-file fixture
