@@ -408,4 +408,53 @@ object ProfileQueries {
       |       CAST(pt // 10 AS VARCHAR) || '.' || CAST(pt % 10 AS VARCHAR) || '%' AS true_pct,
       |       CAST(pf // 10 AS VARCHAR) || '.' || CAST(pf % 10 AS VARCHAR) || '%' AS false_pct
       |FROM p""".stripMargin
+
+  // --------------------------------------------------- exact outlier scan
+  /** Z-score anomaly detection with EXACT integer arithmetic: events whose
+    * value sits more than 3 population-σ from the mean (the fixture's value
+    * column is exponential-ish, so real tail rows exist). The classic float
+    * formulation (mean/stddev as doubles) is partial-agg-order dependent
+    * and not bit-portable; instead values are quantized to exact cents and
+    * the predicate is evaluated on integers only — multiply
+    * (x−μ)² > (3σ)² through by n²:
+    *
+    *   (n·x − S)² > 9·(n·Q − S²)     [σ² = (n·Q − S²)/n², population]
+    *
+    * with S = Σx, Q = Σx² carried in DECIMAL(38,0) (HUGEINT in DuckDB) —
+    * no division, no sqrt, no floats anywhere, so both engines agree on
+    * every boundary case. Two scans (one fused stats agg broadcast back as
+    * a single row, one filter scan) — the same shape as the scalar-subquery
+    * query, linear at any scale. Magnitudes: cents ≤ 5·10⁴, so the largest
+    * term n·Q stays < 10³⁸ past 10¹² rows. */
+  def valueOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Fixtures.table(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("value"),
+        floor(col("value") * 100 + 0.5).cast("decimal(38,0)").as("x"))
+    val stats = o.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sq"))
+    val dev = col("n") * col("x") - col("sx")
+    o.crossJoin(broadcast(stats))
+      .filter(dev * dev > lit(9) * (col("n") * col("sq") - col("sx") * col("sx")))
+      .select(col("event_id"), col("value"), col("x").as("cents"))
+      .orderBy("event_id")
+  }
+
+  val valueOutliersOracle: String =
+    """WITH o AS (
+      |  SELECT event_id, value,
+      |         CAST(floor(value * 100 + 0.5) AS HUGEINT) AS x
+      |  FROM events WHERE value IS NOT NULL
+      |), s AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |         CAST(sum(x) AS HUGEINT) AS sx,
+      |         CAST(sum(x * x) AS HUGEINT) AS sq
+      |  FROM o
+      |)
+      |SELECT event_id, value, x AS cents
+      |FROM o, s
+      |WHERE (n * x - sx) * (n * x - sx) > 9 * (n * sq - sx * sx)
+      |ORDER BY event_id""".stripMargin
 }
