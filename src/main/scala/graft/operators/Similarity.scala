@@ -262,6 +262,124 @@ object Similarity {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** ORACLE-GATED IVF with ONE LLOYD REFINEMENT — a real distributed
+    * k-means iteration, exactly verified cross-engine. Iteration 0 assigns
+    * every vector to its nearest seed centroid (as [[ivfTopK]]); the M-step
+    * recomputes centroids as QUANTIZED INTEGER means — per (cell, dim),
+    * `c = floor(Σ(x_micro + 10⁶) / n)` where x_micro = floor(x·10⁶) —
+    * and the E-step re-assigns by pure-integer squared distance
+    * `Σ_d (x_off − c_off)²`. The +10⁶ offset keeps every operand
+    * non-negative so floor-division agrees between Spark's `div`
+    * (truncates toward zero) and DuckDB's `//` (floors) — they differ on
+    * negatives, which a first implementation WILL hit. Differences cancel
+    * the offset, per-dim terms stay ≤ 4·10¹², and the 64-dim sum ≤ 2.6·10¹⁴
+    * — integer-exact at ANY corpus size because the centroid is divided
+    * down before distances (unlike the multiply-through-by-n form, which
+    * overflows past ~10⁸ rows per cell).
+    *
+    * Distributed shape: assignment-0 is the broadcast-centroid scan; the
+    * M-step is one (cell, dim) shuffle with map-side partial sums (exactly
+    * how IVF/k-means centroids refresh at 100 TB); the E-step joins the
+    * exploded dims to the 16×64-row centroid table and partial-aggregates
+    * the per-(vector, cell) distance before its shuffle. */
+  def ivfRefinedTopK(spark: SparkSession, dir: String, numQueries: Int = 5, k: Int = 3,
+      nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    import graft.functions.VectorExpressions.vec_l2sq
+    val e = table(spark, dir, "embeddings")
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("dist"), col("cell"))
+    // iteration 0: float strict-fold assignment to the seed vectors
+    val cents0 = e.filter(col("vec_id") >= 100 && col("vec_id") < 100 + nCentroids)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+    val cells0 = e.join(broadcast(cents0))
+      .withColumn("dist", vec_l2sq(col("embedding"), col("cv")))
+      .select("vec_id", "cell", "dist")
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select("vec_id", "cell")
+    // M-step: offset-micro integer centroid means, floor division
+    val dims = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast("int").as("dim"),
+        (expr("CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)") + 1000000L).as("x_off"))
+    val cent1 = dims.join(cells0, "vec_id")
+      .groupBy("cell", "dim")
+      .agg(sum("x_off").as("sx"), count(lit(1)).as("n"))
+      .select(col("cell"), col("dim"), expr("sx div n").as("c_off"))
+    // E-step: integer re-assignment against the refined centroids
+    val d1 = dims.join(cent1, "dim")
+      .withColumn("dd", (col("x_off") - col("c_off")) * (col("x_off") - col("c_off")))
+      .groupBy("vec_id", "cell").agg(sum("dd").as("dist"))
+    val cells1 = d1.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1).select("vec_id", "cell")
+    val probes = d1.filter(col("vec_id") < numQueries)
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val qv = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm(col("embedding")).as("qn"))
+    val cv = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+      norm(col("embedding")).as("cn"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    broadcast(probes).join(cells1, "cell")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"))
+      .join(broadcast(qv), "query_id").join(cv, "cand_id")
+      .withColumn("cos", dot(col("qv"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "rank", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  def ivfRefinedTopKOracle(numQueries: Int = 5, k: Int = 3,
+      nCentroids: Int = 16, nprobe: Int = 4): String = {
+    val distSql = l2Sql.format("e.embedding", "c.cv")
+    s"""WITH cents0 AS (
+       |  SELECT vec_id AS cell, embedding AS cv FROM embeddings
+       |  WHERE vec_id >= 100 AND vec_id < ${100 + nCentroids}
+       |), d0 AS (
+       |  SELECT e.vec_id, c.cell, $distSql AS dist
+       |  FROM embeddings e CROSS JOIN cents0 c
+       |), cells0 AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |    FROM d0) WHERE rn = 1
+       |), dims AS (
+       |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+       |    CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000) AS BIGINT) + 1000000 AS x_off
+       |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i
+       |        FROM embeddings)
+       |), cent1 AS (
+       |  SELECT cell, dim, CAST(sum(x_off) AS BIGINT) // count(*) AS c_off
+       |  FROM dims JOIN cells0 USING (vec_id) GROUP BY cell, dim
+       |), d1 AS (
+       |  SELECT vec_id, cell, sum((x_off - c_off) * (x_off - c_off)) AS dist
+       |  FROM dims JOIN cent1 USING (dim) GROUP BY vec_id, cell
+       |), ranked1 AS (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |  FROM d1
+       |), cells1 AS (
+       |  SELECT vec_id, cell FROM ranked1 WHERE rn = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, cell FROM ranked1
+       |  WHERE vec_id < $numQueries AND rn <= $nprobe
+       |), cands AS (
+       |  SELECT query_id, cells1.vec_id AS cand_id
+       |  FROM probes JOIN cells1 USING (cell)
+       |  WHERE query_id != cells1.vec_id
+       |), scored AS (
+       |  SELECT query_id, cand_id, ${cosSql("qe.embedding", "ce.embedding")} AS cos
+       |  FROM cands
+       |  JOIN embeddings qe ON qe.vec_id = query_id
+       |  JOIN embeddings ce ON ce.vec_id = cand_id
+       |), ranked AS (
+       |  SELECT query_id, cand_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, cand_id, rank, cos FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Sign-random-projection LSH, multi-table OR-construction: L independent
     * tables of k hyperplanes each; a vector lands in one k-bit bucket per
     * table, and two vectors are candidates if they collide in ANY table
