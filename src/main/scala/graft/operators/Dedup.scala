@@ -857,4 +857,42 @@ object Dedup {
        |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
   }
+
+  // ------------------------------------------------ recursive reachability
+  /** Transitive reachability with PATH COUNTS over the verified near-dup
+    * graph, via Spark 4's native `WITH RECURSIVE` — the declarative
+    * fixpoint surface (the iterative [[dedupClusters]]/[[dedupClustersStar]]
+    * forms are the hand-built equivalents; this one lets users WRITE the
+    * recursion and leaves iteration to the engine). The edge list is kept
+    * in its canonical `id_a < id_b` orientation, so the directed graph is a
+    * DAG and `UNION ALL` recursion terminates without cycle detection;
+    * `n_paths` counts the distinct increasing paths a→b — 1 for direct
+    * pairs, more inside transitive clusters (a strictly stronger signal
+    * than plain reachability: it is the number of independent verification
+    * chains connecting the two documents). */
+  def reachRecursive(spark: SparkSession, dir: String): DataFrame = {
+    ngramJaccardPairs(spark, dir).select("id_a", "id_b")
+      .createOrReplaceTempView("dedup_pairs")
+    spark.sql(
+      """WITH RECURSIVE reach(a, b) AS (
+        |  SELECT id_a, id_b FROM dedup_pairs
+        |  UNION ALL
+        |  SELECT r.a, p.id_b FROM reach r JOIN dedup_pairs p ON r.b = p.id_a
+        |)
+        |SELECT a, b, count(*) AS n_paths FROM reach
+        |GROUP BY a, b ORDER BY a, b""".stripMargin)
+  }
+
+  val reachRecursiveOracle: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |${ngramJaccardPairsOracle.linesIterator.map("    " + _).mkString("\n")}
+       |  ) q
+       |), reach(a, b) AS (
+       |  SELECT id_a, id_b FROM pairs
+       |  UNION ALL
+       |  SELECT r.a, p.id_b FROM reach r JOIN pairs p ON r.b = p.id_a
+       |)
+       |SELECT a, b, count(*) AS n_paths FROM reach
+       |GROUP BY a, b ORDER BY a, b""".stripMargin
 }

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSuite
@@ -21,6 +22,38 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val streamed = spark.table("stream_profile").collect().map(_.toSeq).toSet
       val batch = EventStreamProfiler.hourlyProfileBatch(spark, dir).collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stream-static join: streaming events enrich against a static dimension") {
+    // The most common production streaming shape: a stream joined to a
+    // static (broadcastable) dimension table — no state store involved,
+    // each micro-batch plans the join like a batch query.
+    val dir = SparkSuite.Sf0001
+    val staged = java.nio.file.Files.createTempDirectory("events_enrich_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val static = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+    val stream = spark.readStream
+      .schema(EventStreamProfiler.eventsSchema)
+      .parquet(staged.toString)
+      .join(static, Seq("user_id"), "inner")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_events"))
+    val q = stream.writeStream.outputMode("complete").format("memory")
+      .queryName("stream_enriched").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_enriched")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val batch = spark.read.parquet(s"$dir/events.parquet")
+        .join(static, Seq("user_id"), "inner")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_events"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       assert(streamed == batch)
       assert(streamed.nonEmpty)
     } finally q.stop()
