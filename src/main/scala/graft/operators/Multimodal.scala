@@ -156,4 +156,49 @@ object Multimodal {
        |  SELECT doc_id, n_frames, (n_frames + ${MaxFrames - 1}) // $MaxFrames AS stride
        |  FROM (SELECT doc_id, n_chars % 300 + 1 AS n_frames FROM documents))
        |ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** Patch-grid tiling plan (the ViT-preprocessing shape): ceil-divide each
+    * image into 128-px tiles and emit one row per tile with its pixel
+    * bounds — pure integer math exploded from metadata, no payload bytes
+    * touched (at 100 TB the tiling plan is computed from the manifest and
+    * shipped to the decode stage; only the decode ever reads pixels).
+    * `sequence(0, n-1)` is safe here: n ≥ 1 always (width, height ≥ 1). */
+  def tilePlan(spark: SparkSession, dir: String, patch: Int = 128): DataFrame =
+    table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        (col("n_chars") % 640 + 1).as("width"),
+        (col("n_chars") * 3 % 480 + 1).as("height"))
+      .withColumn("tiles_x", expr(s"(width + $patch - 1) div $patch"))
+      .withColumn("tiles_y", expr(s"(height + $patch - 1) div $patch"))
+      .withColumn("tx", explode(sequence(lit(0L), col("tiles_x") - 1)))
+      .withColumn("ty", explode(sequence(lit(0L), col("tiles_y") - 1)))
+      .select(
+        col("doc_id"), col("tx"), col("ty"),
+        (col("tx") * patch).as("x0"),
+        (col("ty") * patch).as("y0"),
+        least(col("width") - col("tx") * patch, lit(patch.toLong)).as("tile_w"),
+        least(col("height") - col("ty") * patch, lit(patch.toLong)).as("tile_h"),
+        (col("tiles_x") * col("tiles_y")).as("n_tiles"))
+      .orderBy("doc_id", "tx", "ty")
+
+  def tilePlanOracle(patch: Int = 128): String =
+    s"""SELECT doc_id, tx, ty,
+       |  tx * $patch AS x0, ty * $patch AS y0,
+       |  least(width - tx * $patch, $patch) AS tile_w,
+       |  least(height - ty * $patch, $patch) AS tile_h,
+       |  tiles_x * tiles_y AS n_tiles
+       |FROM (
+       |  SELECT doc_id, width, height, tiles_x, tiles_y, tx,
+       |    unnest(generate_series(0, tiles_y - 1)) AS ty
+       |  FROM (
+       |    SELECT doc_id, width, height, tiles_x, tiles_y,
+       |      unnest(generate_series(0, tiles_x - 1)) AS tx
+       |    FROM (
+       |      SELECT doc_id, width, height,
+       |        (width + $patch - 1) // $patch AS tiles_x,
+       |        (height + $patch - 1) // $patch AS tiles_y
+       |      FROM (SELECT doc_id, n_chars % 640 + 1 AS width, n_chars * 3 % 480 + 1 AS height
+       |            FROM documents))))
+       |ORDER BY doc_id, tx, ty""".stripMargin
 }

@@ -740,4 +740,66 @@ object RelationalExt {
       |         unnest(map_entries(MAP {'brand': p_brand, 'type': p_type})) AS e
       |  FROM part)
       |ORDER BY p_partkey, k""".stripMargin
+
+  // -------------------------------------------------------- LATERAL subquery
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT: each customer's two
+    * most recent orders — the declarative per-row-top-k spelling. Catalyst
+    * decorrelates the lateral into a window-rank over a single join (no
+    * per-row re-execution); the DuckDB twin runs the same LATERAL. The
+    * window-API form of this shape is [[graft.operators.Relational]]'s
+    * topOrdersPerCustomer; covering the SQL spelling too means users of
+    * either get the same plan. */
+  def lateralRecentOrders(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "customer").createOrReplaceTempView("customer")
+    table(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c.c_custkey, r.o_orderkey, r.o_orderdate, r.o_totalprice
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_orderdate, o_totalprice
+        |  FROM orders o WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_orderdate DESC, o_orderkey LIMIT 2
+        |) r
+        |ORDER BY c_custkey, o_orderdate DESC, o_orderkey""".stripMargin)
+  }
+
+  val lateralRecentOrdersOracle: String =
+    """SELECT c.c_custkey, r.o_orderkey, r.o_orderdate, r.o_totalprice
+      |FROM customer c,
+      |LATERAL (
+      |  SELECT o_orderkey, o_orderdate, o_totalprice
+      |  FROM orders o WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_orderdate DESC, o_orderkey LIMIT 2
+      |) r
+      |ORDER BY c_custkey, o_orderdate DESC, o_orderkey""".stripMargin
+
+  // ------------------------------------------------ higher-order functions
+  /** Array higher-order-function battery: filter / exists / forall /
+    * aggregate / transform over the token array of each document — all
+    * evaluated per row inside the projection (HOF lambdas, no explode, no
+    * shuffle). Output stays scalar (counts, flags, a joined string) per the
+    * no-arrays-in-gated-outputs rule. */
+  def docHofFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(filter(toks, w => length(w) > 5)).cast("bigint").as("n_long"),
+        exists(toks, w => w === "the").as("has_the"),
+        forall(toks, w => length(w) < 20).as("all_short"),
+        aggregate(toks, lit(0L), (a, w) => a + length(w)).as("total_chars"),
+        array_join(transform(slice(toks, 1, 3), w => upper(w)), " ").as("first3_upper"))
+      .orderBy("doc_id")
+  }
+
+  val docHofFuncsOracle: String =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(toks, w -> length(w) > 5)) AS BIGINT) AS n_long,
+      |  len(list_filter(toks, w -> w = 'the')) > 0 AS has_the,
+      |  len(list_filter(toks, w -> NOT length(w) < 20)) = 0 AS all_short,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, w -> CAST(length(w) AS BIGINT))),
+      |              (a, b) -> a + b) AS total_chars,
+      |  array_to_string(list_transform(toks[1:3], w -> upper(w)), ' ') AS first3_upper
+      |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |ORDER BY doc_id""".stripMargin
 }
