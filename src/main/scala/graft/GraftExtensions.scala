@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.VectorExpressions.{FloatVectorDot, MinHashSignature, SimHashWords, StringRollingHash}
+import graft.functions.VectorExpressions.{FloatVectorDot, FloatVectorL2Sq, MinHashSignature, SignLshBuckets, SimHashWords, StringRollingHash}
 
 /** `SparkSessionExtensions` hook exposing the engine's native expressions to
   * SQL — `spark.sql("SELECT vec_dot(a, b) ...")` — so the library composes
@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.rollingHash)
     ext.injectFunction(GraftExtensions.minhashSig)
     ext.injectFunction(GraftExtensions.simhashWords)
+    ext.injectFunction(GraftExtensions.vecL2Sq)
+    ext.injectFunction(GraftExtensions.signLshBuckets)
     ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)
   }
 }
@@ -32,7 +34,7 @@ object GraftExtensions {
     * session predates the library (`withExtensions` only applies at
     * construction time). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(vecDot, rollingHash, minhashSig, simhashWords).foreach { case (fid, i, b) =>
+    Seq(vecDot, rollingHash, minhashSig, simhashWords, vecL2Sq, signLshBuckets).foreach { case (fid, i, b) =>
       org.apache.spark.sql.graft.ColumnBridge.registerFunction(spark, fid, i, b)
     }
     if (!spark.experimental.extraOptimizations.contains(graft.plans.BandedRangeJoinRule))
@@ -78,5 +80,23 @@ object GraftExtensions {
       val bits = intLit(exprs(1), "bits").toInt
       val mod = if (exprs.size > 2) intLit(exprs(2), "mod") else 1000000007L
       SimHashWords(exprs(0), bits, mod)
+    })
+
+  val vecL2Sq: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_l2sq"),
+    info("vec_l2sq", "vec_l2sq(a, b) - squared L2 distance of two array<float> vectors in double, strict left fold"),
+    (exprs: Seq[Expression]) => FloatVectorL2Sq(exprs(0), exprs(1)))
+
+  val signLshBuckets: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("sign_lsh_buckets"),
+    info("sign_lsh_buckets",
+      "sign_lsh_buckets(v, tables, planesPerTable) - all sign-LSH bucket ids of an array<float> vector in one pass"),
+    (exprs: Seq[Expression]) => {
+      def intLit(e: Expression, what: String): Int = e.eval() match {
+        case i: java.lang.Integer => i.intValue()
+        case l: java.lang.Long    => l.intValue()
+        case other => throw new IllegalArgumentException(s"sign_lsh_buckets $what must be an integer literal, got $other")
+      }
+      SignLshBuckets(exprs(0), intLit(exprs(1), "tables"), intLit(exprs(2), "planesPerTable"))
     })
 }

@@ -871,7 +871,12 @@ object Dedup {
     * than plain reachability: it is the number of independent verification
     * chains connecting the two documents). */
   def reachRecursive(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint BEFORE the recursion: the recursive step joins the
+    // edge view once per iteration, and an unmaterialized view would re-run
+    // the whole minhash→band→jaccard candidate pipeline each round
+    // (measured 15.5 s vs ~2 s at sf0.1)
     ngramJaccardPairs(spark, dir).select("id_a", "id_b")
+      .localCheckpoint()
       .createOrReplaceTempView("dedup_pairs")
     spark.sql(
       """WITH RECURSIVE reach(a, b) AS (

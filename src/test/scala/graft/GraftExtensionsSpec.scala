@@ -34,6 +34,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(sig == Seq(mins.getString(0), mins.getString(1)))
   }
 
+  test("SQL vec_l2sq and sign_lsh_buckets agree with the Column API") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"${SparkSuite.Sf0001}/embeddings.parquet").limit(20)
+    df.createOrReplaceTempView("emb_ext")
+    val viaSql = spark.sql(
+      """SELECT vec_id, vec_l2sq(embedding, embedding) AS z,
+        |       sign_lsh_buckets(embedding, 8, 4) AS b
+        |FROM emb_ext""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Long](2))).toSeq
+    val viaCol = df.select(col("vec_id"),
+        graft.functions.VectorExpressions.vec_l2sq(col("embedding"), col("embedding")).as("z"),
+        graft.functions.VectorExpressions.sign_lsh_buckets(col("embedding"), 8, 4).as("b"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Long](2))).toSeq
+    assert(viaSql.sortBy(_._1) == viaCol.sortBy(_._1))
+    assert(viaSql.forall(_._2 == 0.0)) // l2sq(v, v) is exactly zero
+  }
+
   test("SQL simhash_words agrees with the Column API") {
     graft.GraftExtensions.register(spark)
     val viaSql = spark.sql("SELECT simhash_words('hello world foo', 16) AS s").collect()(0).getLong(0)
