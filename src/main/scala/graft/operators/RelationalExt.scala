@@ -802,4 +802,55 @@ object RelationalExt {
       |  array_to_string(list_transform(toks[1:3], w -> upper(w)), ' ') AS first3_upper
       |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- EXISTS / NOT EXISTS
+  /** EXISTS + NOT EXISTS spellings in one pass: per-nation counts of
+    * customers with and without orders. Both subqueries plan to the same
+    * left-semi/anti joins as the Column-API q_semi_join/q_anti_join —
+    * covered so the SQL spelling is pinned too. */
+  def nationOrderPresence(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "customer").createOrReplaceTempView("customer")
+    table(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_nationkey,
+        |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders,
+        |  CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_without_orders
+        |FROM customer c
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+  }
+
+  val nationOrderPresenceOracle: String =
+    """SELECT c_nationkey,
+      |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders,
+      |  CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_without_orders
+      |FROM customer c
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  // ----------------------------------------------------- try_* functions
+  /** Error-safe function surface: under ANSI mode (this engine's default)
+    * bad casts and division by zero THROW; `try_cast`/`try_divide` give the
+    * per-row null-on-error escape hatch a messy-data pipeline needs. DuckDB
+    * mirrors try_cast natively and try_divide via NULLIF. */
+  def partTryFuncs(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "part").createOrReplaceTempView("part")
+    spark.sql(
+      """SELECT p_partkey,
+        |  try_cast(p_name AS BIGINT) AS name_as_int,
+        |  try_cast(substring(p_brand, 7) AS BIGINT) AS brand_num,
+        |  try_divide(p_retailprice, p_size - p_size) AS div_by_zero,
+        |  try_divide(p_retailprice, 2.0D) AS half_price
+        |FROM part ORDER BY p_partkey""".stripMargin)
+  }
+
+  val partTryFuncsOracle: String =
+    """SELECT p_partkey,
+      |  try_cast(p_name AS BIGINT) AS name_as_int,
+      |  try_cast(substring(p_brand, 7) AS BIGINT) AS brand_num,
+      |  p_retailprice / NULLIF(p_size - p_size, 0) AS div_by_zero,
+      |  p_retailprice / 2.0 AS half_price
+      |FROM part ORDER BY p_partkey""".stripMargin
 }

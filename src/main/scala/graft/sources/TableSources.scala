@@ -70,6 +70,48 @@ object TableSources {
       .sortWithinPartitions(clusterCol)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Z-ORDER clustered sink: multi-dimensional data skipping. A 1-D range
+    * cluster ([[writeRangeClustered]]) makes ONE column's per-file min/max
+    * ranges narrow; filters on any other column still read every file.
+    * Z-ordering interleaves the bits of two quantile-normalized keys into a
+    * single space-filling-curve value and range-clusters on THAT — each
+    * file then covers a small rectangle of (x, y) space, so min/max
+    * skipping works for filters on EITHER column (the technique behind
+    * Delta/Iceberg `OPTIMIZE ZORDER BY`).
+    *
+    * Quantile normalization (robust to skew) comes from mergeable
+    * approx-quantile sketches, NOT a global rank window — an ungrouped
+    * `ntile` would serialize the whole table through one task, the exact
+    * anti-pattern the equi-depth histogram had to shed. The 255 boundary
+    * values are broadcast as an array literal and each row buckets itself
+    * with a count-boundaries-below fold: shuffle-free normalization, then
+    * one range partition on the z-value. 8 bits per dimension = 65k curve
+    * cells, plenty beyond any practical file count. */
+  def writeZOrdered(df: DataFrame, path: String, colX: String, colY: String,
+      numFiles: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val bits = 8
+    val buckets = 1 << bits
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    def bucketOf(c: String): org.apache.spark.sql.Column = {
+      val bounds = df.stat.approxQuantile(c, probs, 0.001)
+      aggregate(
+        array(bounds.map(lit(_)): _*), lit(0L),
+        (acc, b) => acc + when(df.col(c).cast("double") > b, 1L).otherwise(0L))
+    }
+    val nx = bucketOf(colX)
+    val ny = bucketOf(colY)
+    val interleaved = (0 until bits).map { i =>
+      (shiftleft(shiftright(nx, i) % 2, 2 * i) +
+        shiftleft(shiftright(ny, i) % 2, 2 * i + 1)): org.apache.spark.sql.Column
+    }.reduce(_ + _)
+    df.withColumn("__z", interleaved)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** JDBC source — the literal equivalent of the reference's Postgres
     * connection (`/root/reference/src/listTables.tsx:184-201`). The option
     * surface mirrors the reference's env config; the path is exercised by

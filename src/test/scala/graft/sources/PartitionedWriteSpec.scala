@@ -74,6 +74,34 @@ class PartitionedWriteSpec extends AnyFunSuite {
     assert(scans.exists(_.dataFilters.nonEmpty), "expected pushed data filter on cluster key")
   }
 
+  test("z-ordered write narrows per-file ranges on BOTH dimensions") {
+    val out = Files.createTempDirectory("orders_zordered").toString
+    val orders = spark.read.parquet(s"${SparkSuite.Sf0001}/orders.parquet")
+    TableSources.writeZOrdered(orders, out, "o_custkey", "o_totalprice", numFiles = 8)
+
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length >= 6, s"expected ~8 z-ordered files, got ${files.length}")
+    val glob = orders.agg(
+      (max("o_custkey") - min("o_custkey")).cast("double"),
+      max("o_totalprice") - min("o_totalprice")).collect()(0)
+    val (globX, globY) = (glob.getDouble(0), glob.getDouble(1))
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f).agg(
+        (max("o_custkey") - min("o_custkey")).cast("double"),
+        max("o_totalprice") - min("o_totalprice")).collect()(0)
+      (r.getDouble(0) / globX, r.getDouble(1) / globY)
+    }
+    // each file covers a RECTANGLE of (x, y) space: the average per-file
+    // span must be well below the global span on BOTH columns — a 1-D
+    // range cluster would show ~1.0 on the non-clustered column
+    val avgX = spans.map(_._1).sum / spans.length
+    val avgY = spans.map(_._2).sum / spans.length
+    assert(avgX < 0.75, s"x spans not narrowed: avg fraction $avgX")
+    assert(avgY < 0.75, s"y spans not narrowed: avg fraction $avgY")
+    assert(spark.read.parquet(out).count() == orders.count())
+  }
+
   test("round-trip preserves rows and schema (minus partition column position)") {
     val out = Files.createTempDirectory("events_rt").toString
     val events = spark.read.parquet(s"${SparkSuite.Sf0001}/events.parquet")
