@@ -1,0 +1,53 @@
+package graft.cli
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.{GraftSession, SparkEntry}
+
+/** Dumps the formatted physical plans of the engine's flagship queries to a
+  * reviewable markdown artifact (`PLANS.md` by default) — the "is this the
+  * plan you'd want at 100 TB" audit trail: broadcast placements, exchange
+  * counts, pushed filters, WholeStageCodegen spans, all in one place.
+  *
+  * `PlansDump [sfDir] [outFile]`
+  */
+object PlansDump {
+
+  /** One representative per plan family, not all 124 — the point is a
+    * readable audit, not an exhaustive dump. */
+  val Flagship: Seq[String] = Seq(
+    "q_revenue_by_region",     // star join: every dim broadcast
+    "q1_pricing_summary",      // partial+final agg, codegen
+    "q_window_top_orders",     // WindowGroupLimit pushdown
+    "q_correlated_subquery",   // decorrelation: agg+join, no BNLJ
+    "events_range_join_auto",  // tier-c optimizer rule output
+    "dedup_minhash_pairs",     // band self-join on 16-byte keys
+    "dedup_simhash64_pairs",   // shuffle-free signatures + block keys
+    "ann_cosine_topk",         // broadcast queries, native dot codegen
+    "ann_ivf_refined_topk",    // M-step shuffle + integer E-step
+    "profile_histogram_depth", // boundary broadcast, no window
+    "text_clean_pipeline",     // one scan + one shuffle composition
+    "quality_checks")          // fused per-table rule scans
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.find(_.startsWith("/root/testdata")).getOrElse("/root/testdata/sf0.01")
+    val out = args.find(_.endsWith(".md")).getOrElse("PLANS.md")
+    val spark = GraftSession.local()
+    val sb = new StringBuilder
+    sb.append("# Physical plans — flagship queries\n\n")
+    sb.append(s"Generated against `$dir` (`graft.cli.PlansDump`). One query per\n")
+    sb.append("plan family; regenerate after any planner-visible change.\n")
+    Flagship.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect() // let AQE finalize the executed plan
+      val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      sb.append(s"\n## $name\n\n```\n$plan```\n")
+    }
+    Files.write(Paths.get(out), sb.toString.getBytes(StandardCharsets.UTF_8))
+    println(s"[plans] wrote ${Flagship.size} plans to $out")
+    spark.stop()
+  }
+}
