@@ -564,4 +564,45 @@ object EventOps {
       |  count(*) AS n_events
       |FROM s GROUP BY user_id, sess_id
       |ORDER BY user_id, sess_start""".stripMargin
+
+  // ------------------------------------------------- hourly count anomalies
+  /** Volume-anomaly detection over the event stream: hours whose event count
+    * sits more than 2 population-σ from the mean hourly count — the
+    * monitoring query behind every "traffic spike/drop" alert. Counts are
+    * integers, so the z-score predicate runs in EXACT integer arithmetic
+    * (multiply (x−μ)² > (2σ)² through by n², same recipe as
+    * profile_outliers_value) — no float drift on boundary hours. Only
+    * OBSERVED hours enter the statistics (a silent-outage detector would
+    * gap-fill zeros first — that variant composes with hourlyGapFill). */
+  def hourlyAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = table(spark, dir, "events")
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .groupBy(date_trunc("hour", col("ts_utc")).as("hour_start"))
+      .agg(count(lit(1)).as("n_events"))
+    val x = col("n_events").cast("decimal(38,0)")
+    val stats = hourly.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(x).as("sx"),
+      sum(x * x).as("sq"))
+    val dev = col("n") * x - col("sx")
+    hourly.crossJoin(broadcast(stats))
+      .filter(dev * dev > lit(4) * (col("n") * col("sq") - col("sx") * col("sx")))
+      .select(col("hour_start").cast("timestamp_ntz").as("hour_start"), col("n_events"))
+      .orderBy("hour_start")
+  }
+
+  val hourlyAnomaliesOracle: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hour_start, count(*) AS n_events
+      |  FROM events GROUP BY 1
+      |), s AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |         CAST(sum(n_events) AS HUGEINT) AS sx,
+      |         CAST(sum(n_events * n_events) AS HUGEINT) AS sq
+      |  FROM hourly
+      |)
+      |SELECT hour_start, n_events
+      |FROM hourly, s
+      |WHERE (n * n_events - sx) * (n * n_events - sx) > 4 * (n * sq - sx * sx)
+      |ORDER BY hour_start""".stripMargin
 }

@@ -853,4 +853,34 @@ object RelationalExt {
       |  p_retailprice / NULLIF(p_size - p_size, 0) AS div_by_zero,
       |  p_retailprice / 2.0 AS half_price
       |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ------------------------------------------------------ arg_max / arg_min
+  /** arg_max/arg_min surface: per nation, the richest and poorest customer.
+    * Plain `max_by(name, acctbal)` is NONDETERMINISTIC on value ties (both
+    * engines, and DuckDB's arg_max rejects composite list keys), so the
+    * ordering key is the composite encoded as ONE exact BIGINT:
+    * `cents(acctbal)·10⁷ ∓ custkey` — unique per row, so ties cannot
+    * exist and both engines must pick the same row. One
+    * partial-aggregating group-by; at scale this is how "top row per
+    * group by one criterion" should run (no window, no sort, no shuffle
+    * of full rows). */
+  def nationArgMaxCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("c_acctbal") * 100 + 0.5).cast("long")
+    table(spark, dir, "customer")
+      .groupBy(col("c_nationkey").cast("bigint").as("nationkey"))
+      .agg(
+        max_by(col("c_name"), cents * 10000000L - col("c_custkey")).as("richest"),
+        min_by(col("c_name"), cents * 10000000L + col("c_custkey")).as("poorest"),
+        max(col("c_acctbal")).as("max_bal"),
+        min(col("c_acctbal")).as("min_bal"))
+      .orderBy("nationkey")
+  }
+
+  val nationArgMaxCustomersOracle: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+      |  arg_max(c_name, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * 10000000 - c_custkey) AS richest,
+      |  arg_min(c_name, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * 10000000 + c_custkey) AS poorest,
+      |  max(c_acctbal) AS max_bal,
+      |  min(c_acctbal) AS min_bal
+      |FROM customer GROUP BY 1 ORDER BY nationkey""".stripMargin
 }
