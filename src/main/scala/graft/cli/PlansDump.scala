@@ -30,6 +30,8 @@ object PlansDump {
     "ann_ivf_refined_topk",    // M-step shuffle + integer E-step
     "profile_histogram_depth", // boundary broadcast, no window
     "text_clean_pipeline",     // one scan + one shuffle composition
+    "dedup_clusters_star",     // star-contraction CC (final-round plan)
+    "dedup_reach_recursive",   // native recursive CTE over checkpointed edges
     "quality_checks")          // fused per-table rule scans
 
   def main(args: Array[String]): Unit = {
