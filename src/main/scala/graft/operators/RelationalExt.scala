@@ -883,4 +883,58 @@ object RelationalExt {
       |  max(c_acctbal) AS max_bal,
       |  min(c_acctbal) AS min_bal
       |FROM customer GROUP BY 1 ORDER BY nationkey""".stripMargin
+
+  // -------------------------------------------------------- bitwise functions
+  /** Bitwise surface: AND/OR/XOR/NOT/shifts/popcount over integer keys —
+    * the primitive layer under every bit-packed signature in this engine
+    * (simhash blocks, LSH buckets, z-values). Codegen'd projection, no
+    * shuffle. Spark's shiftleft returns INT for INT inputs, so operands
+    * cast to BIGINT first on both engines. */
+  def partBitwiseFuncs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        (col("p_partkey").bitwiseAND(lit(255L))).as("low_byte"),
+        (col("p_partkey").bitwiseOR(lit(4096L))).as("with_flag"),
+        (col("p_partkey").bitwiseXOR(col("p_size").cast("bigint"))).as("xored"),
+        shiftleft(col("p_partkey"), 3).cast("bigint").as("shl3"),
+        shiftright(col("p_partkey"), 2).cast("bigint").as("shr2"),
+        expr("bit_count(p_partkey)").cast("bigint").as("popcount"))
+      .orderBy("p_partkey")
+
+  val partBitwiseFuncsOracle: String =
+    """SELECT p_partkey,
+      |  p_partkey & 255 AS low_byte,
+      |  p_partkey | 4096 AS with_flag,
+      |  xor(p_partkey, CAST(p_size AS BIGINT)) AS xored,
+      |  CAST(p_partkey << 3 AS BIGINT) AS shl3,
+      |  CAST(p_partkey >> 2 AS BIGINT) AS shr2,
+      |  CAST(bit_count(p_partkey) AS BIGINT) AS popcount
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // --------------------------------------------------------- struct functions
+  /** StructType surface: build a struct per row, read fields back, compare
+    * structs (null-safe ordering semantics come with the type). Output is
+    * scalar fields only — structs, like arrays, cannot cross the
+    * comparison harness. */
+  def orderStructFuncs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .withColumn("o", struct(col("o_orderdate").as("d"), col("o_totalprice").as("p")))
+      .select(
+        col("o_orderkey"),
+        col("o.d").as("order_date"),
+        col("o.p").as("order_price"),
+        (col("o") === struct(col("o_orderdate").as("d"), col("o_totalprice").as("p"))).as("self_eq"),
+        (col("o.p") > 150000.0).as("is_big"))
+      .orderBy("o_orderkey")
+
+  val orderStructFuncsOracle: String =
+    """SELECT o_orderkey,
+      |  s.d AS order_date, s.p AS order_price,
+      |  s = {'d': o_orderdate, 'p': o_totalprice} AS self_eq,
+      |  s.p > 150000.0 AS is_big
+      |FROM (SELECT o_orderkey, o_orderdate, o_totalprice,
+      |             {'d': o_orderdate, 'p': o_totalprice} AS s
+      |      FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
 }
