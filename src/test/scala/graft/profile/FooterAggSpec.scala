@@ -1,0 +1,24 @@
+package graft.profile
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+
+class FooterAggSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+
+  test("footer-only stats push the aggregate to parquet and match a full scan") {
+    val path = s"${SparkSuite.Sf0001}/orders.parquet"
+    val df = FooterAgg.stats(spark, path, Seq("o_orderkey", "o_totalprice"))
+    // the aggregate must reach the scan: metadata-only, no row scan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation: [MIN(o_orderkey), MAX(o_orderkey), " +
+      "MIN(o_totalprice), MAX(o_totalprice), COUNT(*)]"), s"not pushed:\n$plan")
+    val r = df.collect()(0)
+    val direct = spark.read.parquet(path).agg(
+      min("o_orderkey"), max("o_orderkey"),
+      min("o_totalprice"), max("o_totalprice"), count(lit(1))).collect()(0)
+    assert(r.toSeq == direct.toSeq)
+  }
+}
