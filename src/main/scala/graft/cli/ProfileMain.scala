@@ -7,7 +7,10 @@ import graft.render.TableRenderer
 /** CLI entry — the engine's analog of the reference's `listTables()`
   * (`/root/reference/src/listTables.tsx:503-529`).
   *
-  * Usage: `ProfileMain --data=/root/testdata/sf0.001 [--exact] [--threads=32]`
+  * Usage: `ProfileMain --data=/root/testdata/sf0.001 [--exact]
+  * [--footer-stats] [--threads=32]` — `--footer-stats` answers
+  * numeric/date ranges and row counts from parquet footers (DSv2
+  * aggregate pushdown, zero rows scanned; see Profiler.profileEntryFooter)
   *
   * Flags follow the reference's `parseArgs` shapes (`--flag`, `--key=value`,
   * listTables.tsx:203-216). Top-level failures print to stderr and set a
@@ -32,7 +35,9 @@ object ProfileMain {
     try {
       val spark = GraftSession.local(threads)
       try {
-        val profiles = Profiler.profileRoot(spark, data, exact)
+        val profiles =
+          if (args.flags.contains("footer-stats")) Profiler.profileRootFooter(spark, data)
+          else Profiler.profileRoot(spark, data, exact)
         if (args.flags.contains("json")) print(TableRenderer.renderJson(profiles))
         else {
           val mode = if (exact) TableRenderer.Exact else TableRenderer.Estimated

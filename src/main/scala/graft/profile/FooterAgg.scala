@@ -21,6 +21,16 @@ import org.apache.spark.sql.functions._
   * asserts it actually engaged). */
 object FooterAgg {
 
+  /** Types whose MIN/MAX Spark's parquet pushdown will answer from footers
+    * (probed empirically: numerics and dates push; timestamp/ timestamp_ntz
+    * and strings do NOT — ntz for precision-mapping reasons, strings
+    * because footer stats may be truncated). */
+  def pushable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.NumericType => true
+    case org.apache.spark.sql.types.DateType => true
+    case _ => false
+  }
+
   def stats(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
     val v2 = spark.newSession()
     v2.conf.set("spark.sql.sources.useV1SourceList", "")

@@ -151,4 +151,87 @@ object Profiler {
         // Error isolation: still emit the table with an error-marked count.
         TableProfile(e.schema, e.name, 0, CountError, Seq.empty)
     }
+
+  /** FOOTER-MODE profile of one table: MIN/MAX of pushdown-eligible columns
+    * (numerics/dates — [[FooterAgg.pushable]]) and the row count come from
+    * parquet footer statistics via DSv2 aggregate pushdown — zero rows
+    * scanned; only the remaining profiled columns (timestamp_ntz ranges,
+    * boolean tri-state counts, nanos-bigint temporals excluded from
+    * eligibility by their TEMPORAL classification being long-typed — those
+    * DO push) pay one residual fused scan, and no scan at all happens when
+    * every profiled column is eligible. Same TableProfile out, so the
+    * renderer and goldens are unaffected. This is the engine's literal
+    * analog of the reference's "single, fast catalog query" estimated mode
+    * (`/root/reference/README.md:8`) — except the footer numbers are exact,
+    * not planner estimates. */
+  def profileEntryFooter(
+      spark: SparkSession,
+      e: CatalogEntry,
+      nanosCols: Set[String]): TableProfile =
+    Try {
+      val df = spark.read.parquet(e.path)
+      val classed = df.schema.fields.toSeq.map { f =>
+        f -> ColumnClassifier.classify(f.dataType, nanosCols.contains(f.name))
+      }
+      def profiled(cls: ColumnClass): Boolean = cls match {
+        case ColumnClass.Numeric | ColumnClass.Temporal | ColumnClass.TemporalNanos => true
+        case _ => false
+      }
+      val footerCols = classed.collect {
+        case (f, cls) if profiled(cls) && FooterAgg.pushable(f.dataType) => f.name
+      }
+      val footerRow: Row = FooterAgg.stats(spark, e.path, footerCols).collect()(0)
+      def footerOpt(fieldName: String): Option[Any] = {
+        val idx = footerRow.fieldIndex(fieldName)
+        if (footerRow.isNullAt(idx)) None else Some(footerRow.get(idx))
+      }
+      // residual scan only for profiled columns the footer path can't serve
+      val residual = classed.filter {
+        case (f, cls) => (profiled(cls) && !FooterAgg.pushable(f.dataType)) ||
+          cls == ColumnClass.Bool
+      }
+      val residualRow: Option[Row] =
+        if (residual.isEmpty) None
+        else {
+          val aggs = residual.flatMap {
+            case (f, ColumnClass.Bool) => Seq(
+              sum(when(q(f.name) <=> lit(true), 1L).otherwise(0L)).as(s"true__${f.name}"),
+              sum(when(q(f.name) <=> lit(false), 1L).otherwise(0L)).as(s"false__${f.name}"))
+            case (f, _) =>
+              Seq(min(q(f.name)).as(s"min__${f.name}"), max(q(f.name)).as(s"max__${f.name}"))
+          }
+          Some(df.agg(aggs.head, aggs.tail: _*).collect()(0))
+        }
+      def resOpt(fieldName: String): Option[Any] = residualRow.flatMap { r =>
+        val idx = r.fieldIndex(fieldName)
+        if (r.isNullAt(idx)) None else Some(r.get(idx))
+      }
+      val cols = classed.map {
+        case (f, cls) if profiled(cls) && FooterAgg.pushable(f.dataType) =>
+          ColumnProfile(f.name, f.dataType, cls,
+            footerOpt(s"min_${f.name}"), footerOpt(s"max_${f.name}"), None, None)
+        case (f, cls) if profiled(cls) =>
+          ColumnProfile(f.name, f.dataType, cls,
+            resOpt(s"min__${f.name}"), resOpt(s"max__${f.name}"), None, None)
+        case (f, ColumnClass.Bool) =>
+          ColumnProfile(f.name, f.dataType, ColumnClass.Bool, None, None,
+            resOpt(s"true__${f.name}").map(_.asInstanceOf[Long]),
+            resOpt(s"false__${f.name}").map(_.asInstanceOf[Long]))
+        case (f, cls) => ColumnProfile(f.name, f.dataType, cls, None, None, None, None)
+      }
+      val nRows = footerRow.getLong(footerRow.fieldIndex("n_rows"))
+      TableProfile(e.schema, e.name, df.schema.length, EstimatedRows(math.max(0L, nRows)), cols)
+    } match {
+      case Success(p) => p
+      case Failure(_) => TableProfile(e.schema, e.name, 0, CountError, Seq.empty)
+    }
+
+  /** Footer-mode profile of every table under a data root (opt-in via
+    * `ProfileMain --footer-stats`). */
+  def profileRootFooter(
+      spark: SparkSession,
+      root: String,
+      nanosColumns: Map[String, Set[String]] = DefaultNanosColumns): Seq[TableProfile] =
+    TableEnumerator.list(spark, root).map(e =>
+      profileEntryFooter(spark, e, nanosColumns.getOrElse(e.name, Set.empty)))
 }

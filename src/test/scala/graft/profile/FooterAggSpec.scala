@@ -21,4 +21,13 @@ class FooterAggSpec extends AnyFunSuite {
       min("o_totalprice"), max("o_totalprice"), count(lit(1))).collect()(0)
     assert(r.toSeq == direct.toSeq)
   }
+
+  test("footer-mode profile renders identically to the scan-mode estimated profile") {
+    val scan = Profiler.profileRoot(spark, SparkSuite.Sf0001, exact = false)
+    val footer = Profiler.profileRootFooter(spark, SparkSuite.Sf0001)
+    val scanText = graft.render.TableRenderer.render(scan, graft.render.TableRenderer.Estimated)
+    val footerText = graft.render.TableRenderer.render(footer, graft.render.TableRenderer.Estimated)
+    assert(footerText == scanText)
+    assert(footerText.contains("Tables"))
+  }
 }
