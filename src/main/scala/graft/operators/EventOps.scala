@@ -605,4 +605,41 @@ object EventOps {
       |FROM hourly, s
       |WHERE (n * n_events - sx) * (n * n_events - sx) > 4 * (n * sq - sx * sx)
       |ORDER BY hour_start""".stripMargin
+
+  // ------------------------------------------------------ hourly rate deltas
+  /** Rate-of-change over the hourly event series: each hour's count minus
+    * the previous hour's, per (day, event_type) — the derivative behind
+    * "traffic changed abruptly" monitoring, and the composition partner of
+    * [[hourlyAnomalies]] (level outliers) and [[hourlyGapFill]] (missing
+    * hours). The lag window is PARTITIONED by (day, type): aggregate first
+    * (3.6k rows at sf0.1), then a keyed window — never an ungrouped global
+    * sort; the first hour of each day has a null delta BY DESIGN (the
+    * alternative, carrying yesterday's last hour across the partition
+    * boundary, would make the window global). */
+  def hourlyDeltas(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("day", "event_type").orderBy("hour_start")
+    table(spark, dir, "events")
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .groupBy(
+        date_trunc("day", col("ts_utc")).as("day"),
+        date_trunc("hour", col("ts_utc")).as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("delta", col("n_events") - lag(col("n_events"), 1).over(w))
+      .select(col("hour_start").cast("timestamp_ntz").as("hour_start"),
+        col("event_type"), col("n_events"), col("delta"))
+      .orderBy("hour_start", "event_type")
+  }
+
+  val hourlyDeltasOracle: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour_start,
+      |         event_type, count(*) AS n_events
+      |  FROM events GROUP BY 1, 2, 3
+      |)
+      |SELECT hour_start, event_type, n_events,
+      |  n_events - lag(n_events) OVER (PARTITION BY day, event_type ORDER BY hour_start) AS delta
+      |FROM hourly
+      |ORDER BY hour_start, event_type""".stripMargin
 }

@@ -937,4 +937,29 @@ object RelationalExt {
       |             {'d': o_orderdate, 'p': o_totalprice} AS s
       |      FROM orders)
       |ORDER BY o_orderkey""".stripMargin
+
+  // ------------------------------------------------------- grouping() flags
+  /** ROLLUP with ANSI `grouping()` indicator columns — the marker that
+    * distinguishes a real NULL group key from a subtotal row (without it,
+    * rollup output is ambiguous whenever the key column is nullable). Both
+    * engines implement the ANSI 0/1 semantics. */
+  def pricingRollupFlags(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("bigint").as("g_flag"),
+        grouping(col("l_linestatus")).cast("bigint").as("g_status"),
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val pricingRollupFlagsOracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 }
