@@ -642,4 +642,27 @@ object EventOps {
       |  n_events - lag(n_events) OVER (PARTITION BY day, event_type ORDER BY hour_start) AS delta
       |FROM hourly
       |ORDER BY hour_start, event_type""".stripMargin
+
+  // ----------------------------------------------------------- VARIANT type
+  /** Semi-structured props through Spark 4's VARIANT type: `parse_json` once
+    * into the binary variant encoding, then typed `variant_get` path
+    * extraction — the modern replacement for per-path string re-parsing
+    * (and the encoding with scan-level extraction pushdown: parquet scans
+    * advertise PushedVariantExtractions). Output values match the
+    * string-path twin [[jsonTyped]]; DuckDB's JSON operators provide the
+    * oracle. */
+  def jsonVariant(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .withColumn("v", parse_json(col("props")))
+      .select(
+        col("event_id"),
+        try_variant_get(col("v"), "$.k", "bigint").as("k"),
+        try_variant_get(col("v"), "$.missing", "string").isNull.as("missing_is_null"))
+      .orderBy("event_id")
+
+  val jsonVariantOracle: String =
+    """SELECT event_id,
+      |  CAST(props->>'$.k' AS BIGINT) AS k,
+      |  props->>'$.missing' IS NULL AS missing_is_null
+      |FROM events ORDER BY event_id""".stripMargin
 }
