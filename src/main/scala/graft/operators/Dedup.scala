@@ -900,4 +900,84 @@ object Dedup {
        |)
        |SELECT a, b, count(*) AS n_paths FROM reach
        |GROUP BY a, b ORDER BY a, b""".stripMargin
+
+  // ---------------------------------------------- minhash Jaccard estimate
+  /** MinHash Jaccard ESTIMATION next to ground truth: for every LSH
+    * candidate pair, the fraction of agreeing signature components
+    * (E[match/k] = J — the estimator the whole MinHash family rests on)
+    * alongside the exact Jaccard of the distinct shingle sets. At 100 TB
+    * the estimate is what you act on (k comparisons per pair, signatures
+    * already materialized); this query makes its error VISIBLE and
+    * oracle-pins both columns. n_match/8 is an exact binary fraction, so
+    * the double is bit-identical cross-engine. */
+  def minhashJaccardEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = corpusWithNearDups(spark, dir)
+      .filter(hasShingles(col("text")))
+      .withColumn("shd", array_distinct(shingles(col("text"))))
+      .withColumn("sig",
+        graft.functions.VectorExpressions.minhash_sig(shingles(col("text")), NumHashes))
+      .select("doc_id", "shd", "sig")
+      .persist()
+    val out = minhashCandidatePairs(spark, dir)
+      .join(docs.select(col("doc_id").as("id_a"), col("shd").as("sh_a"), col("sig").as("sig_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("shd").as("sh_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("n_match",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (a, x) => a + x))
+      .withColumn("est_jaccard", col("n_match").cast("double") / NumHashes)
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .select("id_a", "id_b", "n_match", "est_jaccard", "jaccard")
+      .orderBy("id_a", "id_b")
+    out
+  }
+
+  val minhashJaccardEstimateOracle: String = {
+    val sigExprs = (0 until NumHashes)
+      .map(i => s"list_min(list_transform(sh, s -> md5('$i|' || s))) AS h$i")
+      .mkString(",\n    ")
+    val bandRows = (0 until NumHashes / BandSize)
+      .map { b =>
+        val parts = (0 until BandSize).map(j => s"h${b * BandSize + j}").mkString(" || ")
+        s"SELECT doc_id, $b AS band, md5($parts) AS band_hash FROM sig"
+      }
+      .mkString("\n  UNION ALL\n  ")
+    val matchSum = (0 until NumHashes)
+      .map(i => s"(CASE WHEN sga.h$i = sgb.h$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH corpus AS (
+       |  $corpusSql
+       |), shingled AS (
+       |  SELECT doc_id,
+       |    list_transform(
+       |      range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+       |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+       |    ) AS sh
+       |  FROM corpus
+       |  WHERE len(string_split(text, ' ')) >= 3
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $sigExprs
+       |  FROM shingled
+       |), bands AS (
+       |  $bandRows
+       |), cands AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b USING (band, band_hash)
+       |  WHERE a.doc_id < b.doc_id
+       |), sets AS (
+       |  SELECT doc_id, list_distinct(sh) AS shd FROM shingled
+       |)
+       |SELECT id_a, id_b,
+       |  CAST($matchSum AS BIGINT) AS n_match,
+       |  CAST($matchSum AS DOUBLE) / $NumHashes AS est_jaccard,
+       |  CAST(len(list_intersect(sa.shd, sb.shd)) AS DOUBLE) / len(list_distinct(list_concat(sa.shd, sb.shd))) AS jaccard
+       |FROM cands
+       |JOIN sets sa ON sa.doc_id = id_a
+       |JOIN sets sb ON sb.doc_id = id_b
+       |JOIN sig sga ON sga.doc_id = id_a
+       |JOIN sig sgb ON sgb.doc_id = id_b
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 }
