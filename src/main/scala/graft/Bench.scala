@@ -32,22 +32,36 @@ object Bench {
     // once at sf0.001 (sub-second of actual data work each) so the timed
     // run at the measured SF is steady-state. Caches are per-plan, so
     // nothing at the measured SF is pre-computed by this.
+    // The timed action is a `noop`-sink write, not count(): count() lets the
+    // optimizer collapse the plan (drop sorts, skip column evaluation), so
+    // it under-measures exactly the queries with expensive output stages.
+    // The noop DSv2 sink fully materializes every output row and column and
+    // discards them — the honest "run the query" cost. (ADVICE r4/r5)
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     try {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       val warmSf = "/root/testdata/sf0.001"
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try fn(spark, warmSf).count()
+        try run(fn(spark, warmSf))
         catch { case _: Throwable => () }
       }
       spark.sharedState.cacheManager.clearCache()
     } catch { case _: Throwable => () }
+    // 1-min system loadavg before/after the timed block: a contended box
+    // (three driver rounds have shown 4-6× inflation on byte-identical
+    // code) is then self-diagnosing from the artifact alone.
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg
     // A failed query must be visible in the artifact, not recorded as a fast
     // success (ADVICE r3): keep its elapsed time but list it under "errors".
     val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val ok = try { run(fn(spark, sfDir)); true } catch { case _: Throwable => false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
+    val loadEnd = loadAvg
     val results = timed.map { case (n, s, _) => n -> s }
     val errors = timed.collect { case (n, _, false) => n }
     def fmt(v: Double): String = f"$v%.3f"
@@ -55,8 +69,9 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    val loadJson = s""""load":{"start":${fmt(loadStart)},"end":${fmt(loadEnd)},"cpus":${Runtime.getRuntime.availableProcessors()}}"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(results)},"sf":"$sfDir","n_queries":${results.size},"errors":$errJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(results)},"sf":"$sfDir","n_queries":${results.size},"errors":$errJson,$loadJson}"""
     // Full artifact on disk — survives any stdout truncation.
     try Files.write(Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes(StandardCharsets.UTF_8),
@@ -68,7 +83,7 @@ object Bench {
     // total + the 25 slowest queries + an explicit omission count + pointer.
     val slowest = results.sortBy(-_._2).take(25)
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(slowest)},"sf":"$sfDir","n_queries":${results.size},"queries_omitted":${results.size - slowest.size},"errors":$errJson,"full":"bench_full.json"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(slowest)},"sf":"$sfDir","n_queries":${results.size},"queries_omitted":${results.size - slowest.size},"errors":$errJson,$loadJson,"full":"bench_full.json"}""")
     spark.stop()
   }
 }

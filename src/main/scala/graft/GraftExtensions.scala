@@ -45,20 +45,34 @@ object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  /** Arity guard for the SQL builders: without it `SELECT vec_dot(a)` died
+    * with an IndexOutOfBoundsException from `exprs(1)` instead of the
+    * standard WRONG_NUM_ARGS analysis error (ADVICE r5). */
+  private def requireArity(name: String, exprs: Seq[Expression], valid: Seq[Int]): Unit =
+    if (!valid.contains(exprs.size))
+      throw org.apache.spark.sql.graft.ColumnBridge.wrongNumArgs(name, valid, exprs.size)
+
   val vecDot: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("vec_dot"),
     info("vec_dot", "vec_dot(a, b) - dot product of two array<float> vectors in double, strict left fold"),
-    (exprs: Seq[Expression]) => FloatVectorDot(exprs(0), exprs(1)))
+    (exprs: Seq[Expression]) => {
+      requireArity("vec_dot", exprs, Seq(2))
+      FloatVectorDot(exprs(0), exprs(1))
+    })
 
   val rollingHash: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("rolling_hash"),
     info("rolling_hash", "rolling_hash(s) - polynomial rolling hash (base 31, mod 1e9+7) over code points"),
-    (exprs: Seq[Expression]) => StringRollingHash(exprs(0)))
+    (exprs: Seq[Expression]) => {
+      requireArity("rolling_hash", exprs, Seq(1))
+      StringRollingHash(exprs(0))
+    })
 
   val minhashSig: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("minhash_sig"),
     info("minhash_sig", "minhash_sig(shingles, k) - k md5-family minhash minima over an array<string> in one pass"),
     (exprs: Seq[Expression]) => {
+      requireArity("minhash_sig", exprs, Seq(2))
       val k = exprs(1).eval() match {
         case i: java.lang.Integer => i.intValue()
         case l: java.lang.Long    => l.intValue()
@@ -72,6 +86,7 @@ object GraftExtensions {
     info("simhash_words",
       "simhash_words(s, bits[, mod]) - one-pass word-level SimHash signature (rolling hash base 31)"),
     (exprs: Seq[Expression]) => {
+      requireArity("simhash_words", exprs, Seq(2, 3))
       def intLit(e: Expression, what: String): Long = e.eval() match {
         case i: java.lang.Integer => i.longValue()
         case l: java.lang.Long    => l.longValue()
@@ -85,13 +100,17 @@ object GraftExtensions {
   val vecL2Sq: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("vec_l2sq"),
     info("vec_l2sq", "vec_l2sq(a, b) - squared L2 distance of two array<float> vectors in double, strict left fold"),
-    (exprs: Seq[Expression]) => FloatVectorL2Sq(exprs(0), exprs(1)))
+    (exprs: Seq[Expression]) => {
+      requireArity("vec_l2sq", exprs, Seq(2))
+      FloatVectorL2Sq(exprs(0), exprs(1))
+    })
 
   val signLshBuckets: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("sign_lsh_buckets"),
     info("sign_lsh_buckets",
       "sign_lsh_buckets(v, tables, planesPerTable) - all sign-LSH bucket ids of an array<float> vector in one pass"),
     (exprs: Seq[Expression]) => {
+      requireArity("sign_lsh_buckets", exprs, Seq(3))
       def intLit(e: Expression, what: String): Int = e.eval() match {
         case i: java.lang.Integer => i.intValue()
         case l: java.lang.Long    => l.intValue()

@@ -34,16 +34,28 @@ object PlansDump {
     "dedup_reach_recursive",   // native recursive CTE over checkpointed edges
     "quality_checks")          // fused per-table rule scans
 
+  /** Plan-audit overrides: these queries' gated implementations read
+    * memoized materialized stages (the shared-pipeline design — see
+    * `Dedup.sharedVerifiedPairs`), so their own plans are a checkpoint
+    * scan + the final derivation. The declarative builders below show the
+    * full pipeline plan that the materialization runs once. */
+  private val planOnly: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map("dedup_minhash_pairs" -> (graft.operators.Dedup.minhashCandidatePairsPlan(_, _)))
+
   def main(args: Array[String]): Unit = {
-    val dir = args.find(_.startsWith("/root/testdata")).getOrElse("/root/testdata/sf0.01")
-    val out = args.find(_.endsWith(".md")).getOrElse("PLANS.md")
+    // positional: PlansDump [sfDir] [outFile] — echo what was resolved so a
+    // typo'd path can't silently fall back to the default (ADVICE r5)
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.01")
+    val out = args.lift(1).getOrElse("PLANS.md")
+    require(java.nio.file.Files.isDirectory(Paths.get(dir)), s"data dir not found: $dir")
+    println(s"[plans] data dir: $dir → $out")
     val spark = GraftSession.local()
     val sb = new StringBuilder
     sb.append("# Physical plans — flagship queries\n\n")
     sb.append(s"Generated against `$dir` (`graft.cli.PlansDump`). One query per\n")
     sb.append("plan family; regenerate after any planner-visible change.\n")
     Flagship.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, dir)
+      val df = planOnly.getOrElse(name, SparkEntry.queries(name))(spark, dir)
       df.collect() // let AQE finalize the executed plan
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       sb.append(s"\n## $name\n\n```\n$plan```\n")

@@ -23,10 +23,14 @@ import org.apache.spark.unsafe.types.UTF8String
 object VectorExpressions {
 
   /** `dot(a, b)`: Σ (double)a[i] * (double)b[i], left-to-right, over two
-    * `array<float>` columns. Null array → null; elements must be non-null
-    * and lengths equal (embedding-table invariants). */
+    * `array<float>` columns. Null array → null; and — matching the HOF twin
+    * `aggregate(zip_with(a, b, _*_), 0d, _+_)` on edge inputs — unequal
+    * lengths or a null ELEMENT also yield null (zip_with pads the shorter
+    * side with null, and null poisons the fold), instead of silently
+    * truncating to the common prefix (ADVICE r5). */
   case class FloatVectorDot(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def checkInputDataTypes() = {
       def ok(dt: DataType) = dt match {
         case ArrayType(FloatType, _) => true
@@ -42,10 +46,12 @@ object VectorExpressions {
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (n != y.numElements()) return null
       var acc = 0.0
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
         i += 1
       }
@@ -58,12 +64,17 @@ object VectorExpressions {
         val i = ctx.freshName("i")
         val acc = ctx.freshName("acc")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $acc = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |  }
+           |  if (!${ev.isNull}) ${ev.value} = $acc;
            |}
-           |${ev.value} = $acc;
          """.stripMargin
       })
 
@@ -257,9 +268,12 @@ object VectorExpressions {
   /** `l2sq(a, b)`: Σ ((double)a[i] − (double)b[i])², left-to-right, over two
     * `array<float>` columns — squared Euclidean distance as ONE strict fold,
     * the same shape the DuckDB twin folds (`(x−y)·(x−y)` per element), so
-    * cell assignments that compare these doubles agree bit-for-bit. */
+    * cell assignments that compare these doubles agree bit-for-bit.
+    * Edge semantics match the HOF twin: unequal lengths or a null element
+    * → null (see [[FloatVectorDot]]). */
   case class FloatVectorL2Sq(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def checkInputDataTypes() = {
       def ok(dt: DataType) = dt match {
         case ArrayType(FloatType, _) => true
@@ -275,10 +289,12 @@ object VectorExpressions {
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (n != y.numElements()) return null
       var acc = 0.0
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
         acc += d * d
         i += 1
@@ -293,13 +309,18 @@ object VectorExpressions {
         val acc = ctx.freshName("acc")
         val d = ctx.freshName("d")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $acc = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
-           |  $acc += $d * $d;
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |    double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+           |    $acc += $d * $d;
+           |  }
+           |  if (!${ev.isNull}) ${ev.value} = $acc;
            |}
-           |${ev.value} = $acc;
          """.stripMargin
       })
 

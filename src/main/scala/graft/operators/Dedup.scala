@@ -106,16 +106,59 @@ object Dedup {
   def minhashHof(sh: Column, i: Int): Column =
     array_min(transform(sh, s => md5(concat(lit(s"$i|"), s))))
 
-  /** LSH band table: (doc_id, band, band_hash) — one row per band per doc.
-    * Docs with <3 words have no shingles and drop out (null signature). */
-  def minhashBands(spark: SparkSession, dir: String): DataFrame = {
-    val withSig = corpusWithNearDups(spark, dir)
-      .filter(hasShingles(col("text")))
-      .withColumn("sh", shingles(col("text")))
-    // native one-pass signature (bit-equal to the minhashHof columns — see
-    // VectorExpressionsSpec); h_i = sig[i+1]
-    val sig = withSig.select(col("doc_id"),
-      graft.functions.VectorExpressions.minhash_sig(col("sh"), NumHashes).as("sig"))
+  // --------------------------------------- shared materialized pipeline
+  /** Process-level memo of materialized pipeline stages, keyed by
+    * (SparkContext identity, data dir, stage name).
+    *
+    * The near-dup family — candidate pairs, verified pairs, Jaccard
+    * estimation, triangles, three clustering forms — all consume the same
+    * shingle → minhash → band → verify pipeline. Recomputing it per query
+    * was the slowest block of the round-4/5 bench, and the per-query
+    * `Dataset.persist()` calls it used internally leaked CacheManager
+    * entries into every later query of the process (ADVICE r5 #1). The
+    * shared stages instead run ONCE per (session, dir), are materialized
+    * with `localCheckpoint(eager = true)` — RDD blocks, released by the
+    * ContextCleaner when unreferenced, never registered in the
+    * CacheManager — and every family member reads the materialized blocks.
+    * This is also the 100 TB shape: you materialize the verified pair
+    * graph once and run all downstream analytics against it, rather than
+    * re-hashing the corpus per question. */
+  private val stageCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+
+  private def memoStage(spark: SparkSession, dir: String, stage: String)(
+      build: => DataFrame): DataFrame = stageCache.synchronized {
+    stageCache.getOrElseUpdate(
+      (System.identityHashCode(spark.sparkContext), dir, stage),
+      build.localCheckpoint(true))
+  }
+
+  /** Test hook: drop every memoized stage (blocks are then freed by the
+    * ContextCleaner once the returned DataFrames go unreferenced). */
+  private[graft] def clearSharedStages(): Unit = stageCache.synchronized {
+    stageCache.clear()
+  }
+
+  /** Stage 1 — (doc_id, shd, sig): distinct shingle sets AND the native
+    * one-pass MinHash signature, computed in a single scan of the corpus
+    * and materialized once per (session, dir). Everything downstream —
+    * bands, candidates, verification, estimation — derives from this. */
+  private[operators] def sharedShingled(spark: SparkSession, dir: String): DataFrame =
+    memoStage(spark, dir, "shingled") {
+      corpusWithNearDups(spark, dir)
+        .filter(hasShingles(col("text")))
+        .withColumn("sh", shingles(col("text")))
+        // native one-pass signature (bit-equal to the minhashHof columns —
+        // see VectorExpressionsSpec); h_i = sig[i+1]. min over a list with
+        // duplicates = min over its distinct elements, so sig from `sh`
+        // matches the oracle's signature over distinct shingles.
+        .select(col("doc_id"), array_distinct(col("sh")).as("shd"),
+          graft.functions.VectorExpressions.minhash_sig(col("sh"), NumHashes).as("sig"))
+    }
+
+  /** Band derivation from a (doc_id, ..., sig) frame — cheap (one md5 per
+    * band per doc), so it is derived rather than materialized. */
+  private def bandsFromSig(sig: DataFrame): DataFrame = {
     val bands = (0 until NumHashes / BandSize).map { b =>
       val parts = (0 until BandSize).map(j => element_at(col("sig"), b * BandSize + j + 1))
       struct(lit(b).as("band"), md5(concat(parts: _*)).as("band_hash"))
@@ -124,12 +167,59 @@ object Dedup {
       .select(col("doc_id"), col("bh.band").as("band"), col("bh.band_hash").as("band_hash"))
   }
 
+  /** Stage 2 — distinct LSH candidate pairs (id_a < id_b), from the band
+    * self-join on (band, band_hash). Materialized: consumed by the gated
+    * candidates query, the verify stage, and the Jaccard estimator. */
+  private[operators] def sharedCandidatePairs(spark: SparkSession, dir: String): DataFrame =
+    memoStage(spark, dir, "candidates") {
+      val bands = bandsFromSig(sharedShingled(spark, dir))
+      val a = bands.select(col("band"), col("band_hash"), col("doc_id").as("id_a"))
+      val b = bands.select(col("band"), col("band_hash"), col("doc_id").as("id_b"))
+      a.join(b, Seq("band", "band_hash"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    }
+
+  /** Stage 3 — the VERIFIED near-dup pair graph: LSH candidates re-scored
+    * with exact 3-gram Jaccard, kept at J ≥ 0.5. Materialized once; the
+    * triangle/cluster/reachability family all read it. */
+  private[operators] def sharedVerifiedPairs(spark: SparkSession, dir: String): DataFrame =
+    memoStage(spark, dir, "verified") {
+      val docs = sharedShingled(spark, dir).select("doc_id", "shd")
+      sharedCandidatePairs(spark, dir)
+        .join(docs.select(col("doc_id").as("id_a"), col("shd").as("sh_a")), "id_a")
+        .join(docs.select(col("doc_id").as("id_b"), col("shd").as("sh_b")), "id_b")
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))))
+        .filter(col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+    }
+
+  /** LSH band table: (doc_id, band, band_hash) — one row per band per doc.
+    * Docs with <3 words have no shingles and drop out (null signature).
+    * Declarative (un-memoized) form, kept for plan audits and specs; the
+    * query path derives bands from [[sharedShingled]]. */
+  def minhashBands(spark: SparkSession, dir: String): DataFrame = {
+    val withSig = corpusWithNearDups(spark, dir)
+      .filter(hasShingles(col("text")))
+      .withColumn("sh", shingles(col("text")))
+    bandsFromSig(withSig.select(col("doc_id"),
+      graft.functions.VectorExpressions.minhash_sig(col("sh"), NumHashes).as("sig")))
+  }
+
   /** MinHash/LSH candidate pairs: same (band, band_hash) bucket, distinct.
     * The shuffle key is the 16-byte band hash — linear in data, never n².
-    * The band table is persisted before the self-join: signature hashing is
-    * the expensive stage and would otherwise run once per join side. */
-  def minhashCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
-    val bands = minhashBands(spark, dir).persist()
+    * Reads the materialized [[sharedCandidatePairs]] stage. */
+  def minhashCandidatePairs(spark: SparkSession, dir: String): DataFrame =
+    sharedCandidatePairs(spark, dir).orderBy("id_a", "id_b")
+
+  /** Fully declarative candidate-pair plan (no materialized stages), for
+    * the PLANS.md audit: shows the complete shingle → signature → band
+    * self-join pipeline that [[sharedCandidatePairs]] materializes. */
+  def minhashCandidatePairsPlan(spark: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(spark, dir)
     val a = bands.select(col("band"), col("band_hash"), col("doc_id").as("id_a"))
     val b = bands.select(col("band"), col("band_hash"), col("doc_id").as("id_b"))
     a.join(b, Seq("band", "band_hash"))
@@ -325,7 +415,12 @@ object Dedup {
     val blockBits = bits / blocks
     val pairs = for (i <- 0 until blocks; j <- i + 1 until blocks) yield (i, j)
     def bval(i: Int) = expr(s"(simhash div ${1L << (blockBits * i)}) % ${1L << blockBits}")
-    val sig = simhashTable(spark, dir, bits, mod).persist()
+    // signature table materialized once per (session, dir, bits, mod):
+    // it feeds both join sides, and a CacheManager persist here would
+    // leak into later queries (same class as the minhash-family leak)
+    val sig = memoStage(spark, dir, s"simhash_${bits}_$mod") {
+      simhashTable(spark, dir, bits, mod)
+    }
     val probes = sig.select(col("doc_id"), col("simhash"),
       explode(array(pairs.zipWithIndex.map { case ((i, j), k) =>
         struct(lit(k).as("blk"), (bval(i) * (1L << blockBits) + bval(j)).as("bval"))
@@ -497,24 +592,10 @@ object Dedup {
     * composition. The expensive exact measure runs only on candidate pairs
     * (never all pairs), and the candidates come from the banded join whose
     * buckets stay small (a single-minhash block degenerates on a small
-    * vocabulary: one popular min-shingle ⇒ giant bucket ⇒ quadratic pairs). */
-  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = corpusWithNearDups(spark, dir)
-      .filter(hasShingles(col("text")))
-      .withColumn("sh", array_distinct(shingles(col("text"))))
-      .select("doc_id", "sh")
-      .persist() // joined twice (id_a / id_b side); shingling runs once
-    val cands = minhashCandidatePairs(spark, dir)
-    cands
-      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("jaccard") >= 0.5)
-      .select("id_a", "id_b", "jaccard")
-      .orderBy("id_a", "id_b")
-  }
+    * vocabulary: one popular min-shingle ⇒ giant bucket ⇒ quadratic pairs).
+    * Reads the materialized [[sharedVerifiedPairs]] stage. */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    sharedVerifiedPairs(spark, dir).orderBy("id_a", "id_b")
 
   val ngramJaccardPairsOracle: String = {
     val sigExprs = (0 until NumHashes)
@@ -567,17 +648,16 @@ object Dedup {
     * the classic MapReduce triangle enumeration, no adjacency matrix ever
     * materialized. */
   def nearDupTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val e = ngramJaccardPairs(spark, dir).select(col("id_a"), col("id_b")).persist()
+    // the edge list is the materialized shared stage — joined three times
+    // below, each side reads checkpoint blocks, so no per-query persist
+    // (round 3 leaked exactly such a cache into later bench queries)
+    val e = sharedVerifiedPairs(spark, dir).select(col("id_a"), col("id_b"))
     val e1 = e.select(col("id_a").as("a"), col("id_b").as("b"))
     val e2 = e.select(col("id_a").as("b"), col("id_b").as("c"))
     val e3 = e.select(col("id_a").as("a"), col("id_b").as("c"))
-    // Single-row aggregate: materialize it eagerly so the cached edge list
-    // can be released before returning — round 3 leaked these blocks into
-    // every later query of the bench process (ADVICE r3).
     val n = e1.join(e2, "b").join(e3, Seq("a", "c"))
       .agg(count(lit(1)).as("n_triangles"))
       .collect()(0).getLong(0)
-    e.unpersist()
     import spark.implicits._
     Seq(n).toDF("n_triangles")
   }
@@ -671,14 +751,14 @@ object Dedup {
     * oracle computes the same components by recursive-CTE transitive
     * closure + min over reachable ids. */
   def dedupClusters(spark: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
-    val pairs = ngramJaccardPairs(spark, dir).select("id_a", "id_b")
+    val pairs = sharedVerifiedPairs(spark, dir).select("id_a", "id_b")
+    // symmetrized edges: a cheap union-projection over the materialized
+    // pair-graph blocks, re-read per propagation round — no extra persist
     val edges = pairs
       .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .persist()
     val seed = edges.select(col("id_a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
     val result = propagateMinLabels(edges, seed, maxIters)
-    edges.unpersist()
     result.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
   }
 
@@ -773,7 +853,7 @@ object Dedup {
     * which is what makes the remaining rounds cheap. Both forms are gated
     * by the same recursive-CTE oracle. */
   def dedupClustersStar(spark: SparkSession, dir: String, maxIters: Int = 15): DataFrame = {
-    val pairs = ngramJaccardPairs(spark, dir).select("id_a", "id_b")
+    val pairs = sharedVerifiedPairs(spark, dir).select("id_a", "id_b")
     starComponents(pairs, maxIters)
       .select(col("doc_id"), col("cluster_id")).orderBy("doc_id")
   }
@@ -871,12 +951,12 @@ object Dedup {
     * than plain reachability: it is the number of independent verification
     * chains connecting the two documents). */
   def reachRecursive(spark: SparkSession, dir: String): DataFrame = {
-    // localCheckpoint BEFORE the recursion: the recursive step joins the
-    // edge view once per iteration, and an unmaterialized view would re-run
-    // the whole minhash→band→jaccard candidate pipeline each round
-    // (measured 15.5 s vs ~2 s at sf0.1)
-    ngramJaccardPairs(spark, dir).select("id_a", "id_b")
-      .localCheckpoint()
+    // the edge view must be MATERIALIZED before the recursion: the
+    // recursive step joins it once per iteration, and an unmaterialized
+    // view would re-run the whole minhash→band→jaccard pipeline each round
+    // (measured 15.5 s vs ~2 s at sf0.1). sharedVerifiedPairs is already
+    // localCheckpointed, so the view reads existing blocks.
+    sharedVerifiedPairs(spark, dir).select("id_a", "id_b")
       .createOrReplaceTempView("dedup_pairs")
     spark.sql(
       """WITH RECURSIVE reach(a, b) AS (
@@ -911,14 +991,12 @@ object Dedup {
     * oracle-pins both columns. n_match/8 is an exact binary fraction, so
     * the double is bit-identical cross-engine. */
   def minhashJaccardEstimate(spark: SparkSession, dir: String): DataFrame = {
-    val docs = corpusWithNearDups(spark, dir)
-      .filter(hasShingles(col("text")))
-      .withColumn("shd", array_distinct(shingles(col("text"))))
-      .withColumn("sig",
-        graft.functions.VectorExpressions.minhash_sig(shingles(col("text")), NumHashes))
-      .select("doc_id", "shd", "sig")
-      .persist()
-    val out = minhashCandidatePairs(spark, dir)
+    // both the (shd, sig) doc table and the candidate pairs are the
+    // materialized shared stages — no per-query persist (the round-5
+    // ADVICE leak: this query cached `docs` + bands and never released
+    // them, so the blocks haunted every later query of the bench process)
+    val docs = sharedShingled(spark, dir)
+    val out = sharedCandidatePairs(spark, dir)
       .join(docs.select(col("doc_id").as("id_a"), col("shd").as("sh_a"), col("sig").as("sig_a")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("shd").as("sh_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("n_match",

@@ -425,7 +425,13 @@ object ProfileQueries {
     * every boundary case. Two scans (one fused stats agg broadcast back as
     * a single row, one filter scan) — the same shape as the scalar-subquery
     * query, linear at any scale. Magnitudes: cents ≤ 5·10⁴, so the largest
-    * term n·Q stays < 10³⁸ past 10¹² rows. */
+    * term n·Q stays < 10³⁸ past 10¹² rows.
+    *
+    * The wide types are INTERNAL only: the emitted `cents` column is cast
+    * to BIGINT on both engines (it is a quantized per-row value, far below
+    * 2⁶³), because gated outputs must be scalars of
+    * BIGINT/DOUBLE/STRING/DATE — DECIMAL(38,0) vs HUGEINT stringify
+    * differently in the driver's hasher even when values are identical. */
   def valueOutliers(spark: SparkSession, dir: String): DataFrame = {
     val o = Fixtures.table(spark, dir, "events")
       .filter(col("value").isNotNull)
@@ -438,7 +444,7 @@ object ProfileQueries {
     val dev = col("n") * col("x") - col("sx")
     o.crossJoin(broadcast(stats))
       .filter(dev * dev > lit(9) * (col("n") * col("sq") - col("sx") * col("sx")))
-      .select(col("event_id"), col("value"), col("x").as("cents"))
+      .select(col("event_id"), col("value"), col("x").cast("bigint").as("cents"))
       .orderBy("event_id")
   }
 
@@ -453,7 +459,7 @@ object ProfileQueries {
       |         CAST(sum(x * x) AS HUGEINT) AS sq
       |  FROM o
       |)
-      |SELECT event_id, value, x AS cents
+      |SELECT event_id, value, CAST(x AS BIGINT) AS cents
       |FROM o, s
       |WHERE (n * x - sx) * (n * x - sx) > 9 * (n * sq - sx * sx)
       |ORDER BY event_id""".stripMargin

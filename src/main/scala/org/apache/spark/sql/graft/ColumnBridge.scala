@@ -12,6 +12,13 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The standard WRONG_NUM_ARGS analysis error for SQL function builders —
+    * `QueryCompilationErrors` is `private[sql]`, hence raised via this
+    * bridge. */
+  def wrongNumArgs(name: String, valid: Seq[Int], actual: Int): Throwable =
+    org.apache.spark.sql.errors.QueryCompilationErrors.wrongNumArgsError(
+      name, valid, actual)
+
   /** Register a function on an ALREADY-RUNNING session (the
     * `withExtensions` path only applies at session construction). */
   def registerFunction(

@@ -70,4 +70,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
     assert(viaSql == viaCol)
   }
+
+  test("wrong arity raises the standard analysis error, not IndexOutOfBounds (ADVICE r5)") {
+    def analysisError(sql: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      assert(e.isInstanceOf[org.apache.spark.sql.AnalysisException] ||
+        Option(e.getCause).exists(_.isInstanceOf[org.apache.spark.sql.AnalysisException]),
+        s"expected AnalysisException for `$sql`, got ${e.getClass.getName}: ${e.getMessage}")
+      assert(!e.isInstanceOf[IndexOutOfBoundsException])
+    }
+    analysisError("SELECT vec_dot(array(CAST(1.0 AS FLOAT)))")
+    analysisError("SELECT vec_l2sq(array(CAST(1.0 AS FLOAT)))")
+    analysisError("SELECT rolling_hash('a', 'b')")
+    analysisError("SELECT minhash_sig(array('x'))")
+    analysisError("SELECT simhash_words('text')")
+    analysisError("SELECT sign_lsh_buckets(array(CAST(1.0 AS FLOAT)), 2)")
+  }
 }

@@ -143,4 +143,27 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toMap
     assert(fused == viaAgg)
   }
+
+  test("vec_dot/vec_l2sq edge semantics match the HOF twin: unequal lengths and null elements → null") {
+    // the HOF twin zip_with pads the shorter side with null, and a null
+    // element poisons the fold — the native expressions must agree instead
+    // of silently truncating to the common prefix (ADVICE r5)
+    val rows = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))),
+        |  (array(CAST(1.0 AS FLOAT), NULL),               array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))),
+        |  (array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))
+        |  AS t(a, b)""".stripMargin)
+    val out = rows.select(
+      Similarity.dot(col("a"), col("b")).as("dn"),
+      Similarity.dotHof(col("a"), col("b")).as("dh"),
+      VectorExpressions.vec_l2sq(col("a"), col("b")).as("ln"))
+      .collect()
+    // rows 1-2: both native and HOF → null
+    assert(out(0).isNullAt(0) && out(0).isNullAt(1) && out(0).isNullAt(2))
+    assert(out(1).isNullAt(0) && out(1).isNullAt(1) && out(1).isNullAt(2))
+    // row 3: well-formed → equal non-null values
+    assert(!out(2).isNullAt(0) && out(2).getDouble(0) == out(2).getDouble(1))
+    assert(out(2).getDouble(2) == (1.0 - 3.0) * (1.0 - 3.0) + (2.0 - 4.0) * (2.0 - 4.0))
+  }
 }

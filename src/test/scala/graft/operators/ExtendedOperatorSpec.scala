@@ -88,4 +88,24 @@ class ExtendedOperatorSpec extends AnyFunSuite {
     assert(los.zip(his).forall { case (l, h) => l <= h })
     assert(his.init.zip(los.tail).forall { case (h, l) => h <= l })
   }
+
+  test("near-dup family leaves no CacheManager entries behind (r5 ADVICE leak)") {
+    // shared pipeline stages are localCheckpoint blocks (ContextCleaner-
+    // managed), never Dataset.persist caches — so running the whole family
+    // must leave the CacheManager exactly as empty as it started
+    spark.sharedState.cacheManager.clearCache()
+    Dedup.clearSharedStages()
+    Dedup.minhashJaccardEstimate(spark, dir).collect()
+    Dedup.nearDupTriangles(spark, dir).collect()
+    Dedup.minhashCandidatePairs(spark, dir).collect()
+    Dedup.simhashHammingPairs(spark, dir).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "a dedup-family query registered a Dataset.persist cache it never released")
+  }
+
+  test("materialized candidate-pair stage equals the declarative pipeline plan") {
+    val staged = Dedup.minhashCandidatePairs(spark, dir).collect().map(_.toSeq).toSeq
+    val declarative = Dedup.minhashCandidatePairsPlan(spark, dir).collect().map(_.toSeq).toSeq
+    assert(staged == declarative)
+  }
 }

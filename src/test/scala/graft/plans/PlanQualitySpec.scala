@@ -173,6 +173,50 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges <= 2, s"window battery 2 shuffled $exchanges times")
   }
 
+  test("refined IVF ANN: BNLJ only against tiny broadcast sides, never the corpus") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.adaptive.BroadcastQueryStageExec
+    val df = graft.operators.Similarity.ivfRefinedTopK(spark, SparkSuite.Sf0001)
+    df.collect()
+    val ns = nodes(df)
+    assert(!ns.exists(_.nodeName.contains("CartesianProduct")),
+      s"cartesian product in refined-IVF plan: ${ns.map(_.nodeName).distinct.mkString(",")}")
+    // any nested-loop join must broadcast a query/centroid-sized side —
+    // a corpus-sized broadcast would be the O(n·q) plan IVF exists to avoid
+    ns.collect { case b: BroadcastNestedLoopJoinExec => b }.foreach { b =>
+      val stages = allNodes(b).collect { case s: BroadcastQueryStageExec => s }
+      stages.foreach { s =>
+        val rows = s.getRuntimeStatistics.rowCount.getOrElse(BigInt(Long.MaxValue))
+        assert(rows <= 100, s"BNLJ broadcasts $rows rows — not a query-set side")
+      }
+      assert(stages.nonEmpty, "BNLJ without a broadcast query stage")
+    }
+  }
+
+  test("recursive reachability anchors on materialized edges (no pipeline re-run per round)") {
+    val df = graft.operators.Dedup.reachRecursive(spark, SparkSuite.Sf0001)
+    df.collect()
+    // the recursion's edge view must be a scan of already-materialized
+    // blocks: a live minhash→band→jaccard pipeline here would re-execute
+    // once per recursion round (measured 15.5 s vs ~2 s at sf0.1)
+    val anchor = nodes(spark.table("dedup_pairs")).map(_.nodeName)
+    assert(!anchor.exists(n => n.contains("Join") || n.contains("FileScan") ||
+        n.contains("Scan parquet")),
+      s"dedup_pairs view is not materialized — plan: ${anchor.distinct.mkString(",")}")
+  }
+
+  test("session windows merge per-user without a global sort (one presentation sort only)") {
+    import org.apache.spark.sql.execution.SortExec
+    val df = graft.operators.EventOps.sessionWindows(spark, SparkSuite.Sf0001)
+    df.collect()
+    val ns = nodes(df)
+    val globalSorts = ns.collect { case s: SortExec if s.global => s }
+    assert(globalSorts.size <= 1,
+      s"session merge uses ${globalSorts.size} global sorts — gap merging must stay per-user-partition")
+    val partitionedSorts = ns.collect { case s: SortExec if !s.global => s }
+    assert(partitionedSorts.nonEmpty, "expected a within-partition sort feeding session merge")
+  }
+
   test("char bigrams: partial aggregation runs before the (lang,bigram) shuffle") {
     val df = graft.operators.TextAnalysis.charBigrams(spark, SparkSuite.Sf0001)
     df.collect()
