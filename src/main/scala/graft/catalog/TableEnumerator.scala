@@ -52,9 +52,9 @@ object TableEnumerator {
         .toLong
   }
 
-  private val DistributeThreshold = 64
+  private[graft] val DistributeThreshold = 64
 
-  private def dataFiles(conf: Configuration, p: Path): Seq[Path] = {
+  private[graft] def dataFiles(conf: Configuration, p: Path): Seq[Path] = {
     val fs = p.getFileSystem(conf)
     val st = fs.getFileStatus(p)
     if (st.isFile) Seq(p)

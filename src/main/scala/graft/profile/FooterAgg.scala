@@ -40,4 +40,132 @@ object FooterAgg {
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+ count("*").as("n_rows")
     df.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** MIN/MAX straight from parquet footer STATISTICS for columns whose
+    * types Spark's DSv2 aggregate pushdown declines — closing the footer
+    * mode's last row-scan (timestamp/timestamp_ntz ranges previously paid
+    * a residual scan per table). Only footers are opened
+    * (`ParquetFileReader` metadata); row-group stats merge across files —
+    * the same mergeable-partials shape as [[stats]], driver-side below
+    * [[graft.catalog.TableEnumerator.DistributeThreshold]] files and
+    * distributed over executors above it.
+    *
+    * Returns ONLY the columns the footer can serve exactly: a present key
+    * maps to `Some((min, max))`, or `None` when every value is null. An
+    * ABSENT key means "not servable from footers" and the caller must fall
+    * back to a scan — notably strings (parquet may TRUNCATE binary stats,
+    * so they are never trusted as exact ranges, the same reason Spark's
+    * pushdown declines them) and any file lacking statistics. */
+  def footerMinMax(spark: SparkSession, tablePath: String,
+      cols: Seq[String]): Map[String, Option[(Any, Any)]] = {
+    import graft.catalog.TableEnumerator
+    if (cols.isEmpty) return Map.empty
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = TableEnumerator.dataFiles(conf, new org.apache.hadoop.fs.Path(tablePath))
+    if (files.isEmpty) return Map.empty
+    val perFile: Seq[Map[String, FooterStat]] =
+      if (files.size <= TableEnumerator.DistributeThreshold)
+        files.map(f => fileMinMax(conf, f, cols))
+      else
+        spark.sparkContext
+          .parallelize(files.map(_.toString), math.max(1, files.size / 16))
+          .mapPartitions { it =>
+            val c = new org.apache.hadoop.conf.Configuration()
+            it.map(p => fileMinMax(c, new org.apache.hadoop.fs.Path(p), cols))
+          }
+          .collect().toSeq
+    cols.flatMap { c =>
+      val stats = perFile.map(_(c))
+      if (stats.contains(Unusable)) None
+      else {
+        val ranges = stats.collect { case HasRange(mn, mx) => (mn, mx) }
+        val merged: Option[(Any, Any)] =
+          if (ranges.isEmpty) None // all files all-null: served, empty range
+          else Some((
+            ranges.map(_._1).minBy(identity)(comparableOrdering),
+            ranges.map(_._2).maxBy(identity)(comparableOrdering)))
+        Some(c -> merged)
+      }
+    }.toMap
+  }
+
+  private val comparableOrdering: Ordering[Any] =
+    (a: Any, b: Any) => a.asInstanceOf[Comparable[Any]].compareTo(b)
+
+  /** Per-file footer verdict for one column. */
+  private sealed trait FooterStat extends Serializable
+  private case object Unusable extends FooterStat
+  private case object AllNull extends FooterStat
+  private case class HasRange(min: Any, max: Any) extends FooterStat
+
+  private def fileMinMax(conf: org.apache.hadoop.conf.Configuration,
+      file: org.apache.hadoop.fs.Path, cols: Seq[String]): Map[String, FooterStat] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val footer = reader.getFooter
+      val schema = footer.getFileMetaData.getSchema
+      cols.map { c =>
+        val verdict: FooterStat =
+          if (!schema.containsField(c)) Unusable
+          else {
+            val field = schema.getType(Seq(c): _*)
+            if (!field.isPrimitive) Unusable
+            else {
+              val prim = field.asPrimitiveType()
+              val chunkStats = footer.getBlocks.asScala.toSeq.map { block =>
+                block.getColumns.asScala
+                  .find(_.getPath.toDotString == c)
+                  .map(_.getStatistics).orNull
+              }
+              if (chunkStats.exists(s => s == null || s.isEmpty)) Unusable
+              else {
+                val nonNull = chunkStats.filter(_.hasNonNullValue)
+                if (nonNull.isEmpty) AllNull
+                else {
+                  val mins = nonNull.map(s => convertStat(prim, s.genericGetMin))
+                  val maxs = nonNull.map(s => convertStat(prim, s.genericGetMax))
+                  if (mins.contains(None)) Unusable
+                  else HasRange(
+                    mins.flatten.min(comparableOrdering),
+                    maxs.flatten.max(comparableOrdering))
+                }
+              }
+            }
+          }
+        c -> verdict
+      }.toMap
+    } finally reader.close()
+  }
+
+  /** Footer value → the Java value a Spark scan would put in a Row for the
+    * same column, so footer-served profiles render byte-identically to
+    * scan-served ones. None = type not handled exactly (caller scans). */
+  private def convertStat(prim: org.apache.parquet.schema.PrimitiveType,
+      v: Any): Option[Any] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    import java.time.{Instant, LocalDateTime, ZoneOffset}
+    prim.getLogicalTypeAnnotation match {
+      case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+        val micros = ts.getUnit match {
+          case TimeUnit.MILLIS => Math.multiplyExact(v.asInstanceOf[Long], 1000L)
+          case TimeUnit.MICROS => v.asInstanceOf[Long]
+          case TimeUnit.NANOS  => return Some(v.asInstanceOf[Long]) // nanosAsLong: read AS bigint
+        }
+        val instant = Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
+        if (ts.isAdjustedToUTC) Some(java.sql.Timestamp.from(instant))
+        else Some(LocalDateTime.ofInstant(instant, ZoneOffset.UTC))
+      case null => v match {
+        // plain numerics (no annotation): already the scan-visible value
+        case _: java.lang.Long | _: java.lang.Integer |
+             _: java.lang.Double | _: java.lang.Float => Some(v)
+        case _ => None
+      }
+      case _ => None // decimal/date/string/etc: pushable via stats() or untrusted
+    }
+  }
 }

@@ -274,6 +274,38 @@ object ProfileQueries {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Mergeable-SKETCH twin of [[fullProfile]] — the 100 TB path. The exact
+    * form's `countDistinct` per column plans through Expand (the scan is
+    * replicated once per distinct column before the shuffle: 13 columns ⇒
+    * 13× the rows crossing the exchange), and exact `percentile` buffers
+    * whole groups. Here every statistic is a bounded-size MERGEABLE sketch:
+    *  - NDV: HyperLogLog++ (`approx_count_distinct`, rsd 2%) — a few KB per
+    *    column, partials combine by register-max;
+    *  - quantiles: the KLL/GK-family sketch behind `percentile_approx`
+    *    (accuracy 10⁴ ⇒ rank error ≤ 1/10⁴·n), partials merge losslessly;
+    *  - min/max/null-count/decimal-exact avg: plain algebraic aggregates.
+    * ONE scan, ONE partial+final aggregation, NO Expand, and every partial
+    * buffer is O(KB) regardless of n — the plan that survives 10¹² rows.
+    * Not DuckDB-oracle-gated (sketch estimates are engine-specific);
+    * tolerance-gated against the EXACT [[fullProfile]] numbers in
+    * `SketchProfileSpec`, alongside a plan gate (no Expand, single scan). */
+  def sketchProfile(spark: SparkSession, dir: String, tableName: String,
+      rsd: Double = 0.02, quantileAcc: Int = 10000): DataFrame = {
+    val numCols = Fixtures.numericCols(tableName)
+    val tCols = Fixtures.temporalCols.getOrElse(tableName, Seq.empty)
+    val df = Fixtures.table(spark, dir, tableName)
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++
+      (numCols ++ tCols).flatMap(c => Seq(
+        min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        (count(lit(1)) - count(col(c))).as(s"nulls_$c"),
+        approx_count_distinct(col(c), rsd).as(s"ndv_$c"))) ++
+      numCols.flatMap(c => Seq(
+        (sum(col(c).cast(s"decimal(28,${avgScale(tableName)})")).cast("double") / count(col(c))).as(s"avg_$c"),
+        percentile_approx(col(c).cast("double"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(quantileAcc)).as(s"quartiles_$c")))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
   def fullProfileOracle(tableName: String): String = {
     val numCols = Fixtures.numericCols(tableName)
     val tCols = Fixtures.temporalCols.getOrElse(tableName, Seq.empty)

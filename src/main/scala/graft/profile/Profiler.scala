@@ -154,14 +154,14 @@ object Profiler {
 
   /** FOOTER-MODE profile of one table: MIN/MAX of pushdown-eligible columns
     * (numerics/dates — [[FooterAgg.pushable]]) and the row count come from
-    * parquet footer statistics via DSv2 aggregate pushdown — zero rows
-    * scanned; only the remaining profiled columns (timestamp_ntz ranges,
-    * boolean tri-state counts, nanos-bigint temporals excluded from
-    * eligibility by their TEMPORAL classification being long-typed — those
-    * DO push) pay one residual fused scan, and no scan at all happens when
-    * every profiled column is eligible. Same TableProfile out, so the
-    * renderer and goldens are unaffected. This is the engine's literal
-    * analog of the reference's "single, fast catalog query" estimated mode
+    * parquet footer statistics via DSv2 aggregate pushdown, and the
+    * NON-pushable range types (timestamp/timestamp_ntz) are answered by
+    * reading footer statistics directly ([[FooterAgg.footerMinMax]]) — so
+    * every range column is served with ZERO rows scanned. A residual fused
+    * scan remains only for boolean tri-state counts (no footer form) or a
+    * file with unusable stats. Same TableProfile out, so the renderer and
+    * goldens are unaffected. This is the engine's literal analog of the
+    * reference's "single, fast catalog query" estimated mode
     * (`/root/reference/README.md:8`) — except the footer numbers are exact,
     * not planner estimates. */
   def profileEntryFooter(
@@ -185,10 +185,18 @@ object Profiler {
         val idx = footerRow.fieldIndex(fieldName)
         if (footerRow.isNullAt(idx)) None else Some(footerRow.get(idx))
       }
-      // residual scan only for profiled columns the footer path can't serve
+      // non-pushable profiled columns (timestamp/timestamp_ntz): try the
+      // DIRECT footer statistics first — with them served, the only class
+      // still needing rows is Bool (tri-state counts have no footer form)
+      val nonPushable = classed.collect {
+        case (f, cls) if profiled(cls) && !FooterAgg.pushable(f.dataType) => f.name
+      }
+      val directFooter: Map[String, Option[(Any, Any)]] =
+        FooterAgg.footerMinMax(spark, e.path, nonPushable)
+      // residual scan only for profiled columns NEITHER footer path serves
       val residual = classed.filter {
-        case (f, cls) => (profiled(cls) && !FooterAgg.pushable(f.dataType)) ||
-          cls == ColumnClass.Bool
+        case (f, cls) => (profiled(cls) && !FooterAgg.pushable(f.dataType) &&
+          !directFooter.contains(f.name)) || cls == ColumnClass.Bool
       }
       val residualRow: Option[Row] =
         if (residual.isEmpty) None
@@ -211,8 +219,12 @@ object Profiler {
           ColumnProfile(f.name, f.dataType, cls,
             footerOpt(s"min_${f.name}"), footerOpt(s"max_${f.name}"), None, None)
         case (f, cls) if profiled(cls) =>
-          ColumnProfile(f.name, f.dataType, cls,
-            resOpt(s"min__${f.name}"), resOpt(s"max__${f.name}"), None, None)
+          directFooter.get(f.name) match {
+            case Some(served) => ColumnProfile(f.name, f.dataType, cls,
+              served.map(_._1), served.map(_._2), None, None)
+            case None => ColumnProfile(f.name, f.dataType, cls,
+              resOpt(s"min__${f.name}"), resOpt(s"max__${f.name}"), None, None)
+          }
         case (f, ColumnClass.Bool) =>
           ColumnProfile(f.name, f.dataType, ColumnClass.Bool, None, None,
             resOpt(s"true__${f.name}").map(_.asInstanceOf[Long]),

@@ -27,7 +27,26 @@ object StreamStreamJoin {
     * the purchase), as an append-mode stream over a directory of events
     * parquet files. */
   def attributionStream(spark: SparkSession, eventsDir: String,
-      maxFilesPerTrigger: Int = 1): DataFrame = {
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    joined(spark, eventsDir, maxFilesPerTrigger, "inner")
+
+  /** LEFT-OUTER stream-stream interval join: every purchase, including
+    * zero-click ones. An unmatched purchase cannot be emitted when it
+    * arrives — a matching click may still be in flight — so Spark holds it
+    * in state and emits it null-extended once the CLICK side's watermark
+    * passes its latest possible match (`p_ts`, since clicks at-or-before
+    * the purchase are the only candidates). That watermark hand-off is the
+    * whole difference from the inner form: results for unmatched rows
+    * arrive with up to (watermark delay) lateness, and state stays bounded
+    * by the same eviction rule — nothing outlives watermark + window.
+    * Batch-parity (vs the LEFT range join) and the cross-batch null
+    * emission are gated in StreamStreamJoinSpec. */
+  def attributionStreamLeftOuter(spark: SparkSession, eventsDir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    joined(spark, eventsDir, maxFilesPerTrigger, "leftOuter")
+
+  private def joined(spark: SparkSession, eventsDir: String,
+      maxFilesPerTrigger: Int, joinType: String): DataFrame = {
     def side(eventType: String, prefix: String): DataFrame =
       spark.readStream
         .schema(EventStreamProfiler.eventsSchema)
@@ -44,6 +63,7 @@ object StreamStreamJoin {
     purchases.join(clicks,
       col("p_user") === col("c_user") &&
         col("c_ts") <= col("p_ts") &&
-        col("c_ts") >= col("p_ts") - expr("INTERVAL 5 MINUTES"))
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 5 MINUTES"),
+      joinType)
   }
 }

@@ -173,6 +173,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges <= 2, s"window battery 2 shuffled $exchanges times")
   }
 
+  test("left-outer banded range join: rule fires, no nested-loop join") {
+    val df = graft.operators.EventOps.rangeJoinLeft(spark, SparkSuite.Sf0001)
+    df.collect()
+    val names = nodes(df).map(_.nodeName)
+    assert(!names.exists(n => n.contains("BroadcastNestedLoop") || n.contains("CartesianProduct")),
+      s"left-outer range join degenerated to a nested loop: ${names.distinct.mkString(",")}")
+    assert(names.exists(n => n.contains("HashJoin") || n.contains("SortMergeJoin")),
+      s"expected the banding rewrite's equi-join: ${names.distinct.mkString(",")}")
+  }
+
   test("refined IVF ANN: BNLJ only against tiny broadcast sides, never the corpus") {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     import org.apache.spark.sql.execution.adaptive.BroadcastQueryStageExec

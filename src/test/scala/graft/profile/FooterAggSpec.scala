@@ -22,6 +22,24 @@ class FooterAggSpec extends AnyFunSuite {
     assert(r.toSeq == direct.toSeq)
   }
 
+  test("direct footer min/max serves timestamp_ntz columns exactly (no residual scan left)") {
+    for ((table, col) <- Seq("lineitem" -> "l_shipdate", "orders" -> "o_orderdate")) {
+      val path = s"${SparkSuite.Sf0001}/$table.parquet"
+      val served = FooterAgg.footerMinMax(spark, path, Seq(col))
+      assert(served.contains(col), s"$col not servable from footers — footer mode would re-scan rows")
+      val Some((mn, mx)) = served(col): @unchecked
+      val scan = spark.read.parquet(path).agg(min(column(col)), max(column(col))).collect()(0)
+      assert(mn == scan.get(0), s"$col footer min $mn != scan ${scan.get(0)}")
+      assert(mx == scan.get(1), s"$col footer max $mx != scan ${scan.get(1)}")
+    }
+  }
+
+  test("strings are never trusted from footer stats (may be truncated)") {
+    val served = FooterAgg.footerMinMax(spark, s"${SparkSuite.Sf0001}/orders.parquet",
+      Seq("o_orderstatus"))
+    assert(!served.contains("o_orderstatus"))
+  }
+
   test("footer-mode profile renders identically to the scan-mode estimated profile") {
     val scan = Profiler.profileRoot(spark, SparkSuite.Sf0001, exact = false)
     val footer = Profiler.profileRootFooter(spark, SparkSuite.Sf0001)
