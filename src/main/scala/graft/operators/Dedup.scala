@@ -41,7 +41,7 @@ object Dedup {
       .repartition(spark.sparkContext.defaultParallelism)
   }
 
-  private val corpusSql: String =
+  private[operators] val corpusSql: String =
     s"""SELECT doc_id, text FROM documents
        |UNION ALL
        |SELECT doc_id + $IdOffset AS doc_id, substr(text, strpos(text, ' ') + 1) AS text FROM documents""".stripMargin
@@ -139,22 +139,32 @@ object Dedup {
     stageCache.clear()
   }
 
-  /** Stage 1 — (doc_id, shd, sig): distinct shingle sets AND the native
-    * one-pass MinHash signature, computed in a single scan of the corpus
-    * and materialized once per (session, dir). Everything downstream —
-    * bands, candidates, verification, estimation — derives from this. */
-  private[operators] def sharedShingled(spark: SparkSession, dir: String): DataFrame =
-    memoStage(spark, dir, "shingled") {
+  /** Stage 1 — (doc_id, sig): the native one-pass MinHash signature per
+    * doc, materialized once per (session, dir). DELIBERATELY narrow: an
+    * earlier form also checkpointed the distinct shingle SETS, but those
+    * arrays are ~the corpus over again (hundreds of shingle strings per
+    * doc), and serializing them into checkpoint blocks cost more than the
+    * one extra scan their two consumers pay — signatures are 8 md5 strings
+    * per doc, a few hundred bytes. */
+  private[operators] def sharedSignatures(spark: SparkSession, dir: String): DataFrame =
+    memoStage(spark, dir, "signatures") {
       corpusWithNearDups(spark, dir)
         .filter(hasShingles(col("text")))
-        .withColumn("sh", shingles(col("text")))
         // native one-pass signature (bit-equal to the minhashHof columns —
         // see VectorExpressionsSpec); h_i = sig[i+1]. min over a list with
-        // duplicates = min over its distinct elements, so sig from `sh`
-        // matches the oracle's signature over distinct shingles.
-        .select(col("doc_id"), array_distinct(col("sh")).as("shd"),
-          graft.functions.VectorExpressions.minhash_sig(col("sh"), NumHashes).as("sig"))
+        // duplicates = min over its distinct elements, so sig over raw
+        // shingles matches the oracle's signature over distinct shingles.
+        .select(col("doc_id"),
+          graft.functions.VectorExpressions.minhash_sig(shingles(col("text")), NumHashes).as("sig"))
     }
+
+  /** (doc_id, shd) distinct shingle sets — DERIVED per use (one scan +
+    * codegen'd split/transform), not materialized; see [[sharedSignatures]]
+    * for why. */
+  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
+    corpusWithNearDups(spark, dir)
+      .filter(hasShingles(col("text")))
+      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("shd"))
 
   /** Band derivation from a (doc_id, ..., sig) frame — cheap (one md5 per
     * band per doc), so it is derived rather than materialized. */
@@ -172,7 +182,7 @@ object Dedup {
     * candidates query, the verify stage, and the Jaccard estimator. */
   private[operators] def sharedCandidatePairs(spark: SparkSession, dir: String): DataFrame =
     memoStage(spark, dir, "candidates") {
-      val bands = bandsFromSig(sharedShingled(spark, dir))
+      val bands = bandsFromSig(sharedSignatures(spark, dir))
       val a = bands.select(col("band"), col("band_hash"), col("doc_id").as("id_a"))
       val b = bands.select(col("band"), col("band_hash"), col("doc_id").as("id_b"))
       a.join(b, Seq("band", "band_hash"))
@@ -186,7 +196,7 @@ object Dedup {
     * triangle/cluster/reachability family all read it. */
   private[operators] def sharedVerifiedPairs(spark: SparkSession, dir: String): DataFrame =
     memoStage(spark, dir, "verified") {
-      val docs = sharedShingled(spark, dir).select("doc_id", "shd")
+      val docs = shingleSets(spark, dir)
       sharedCandidatePairs(spark, dir)
         .join(docs.select(col("doc_id").as("id_a"), col("shd").as("sh_a")), "id_a")
         .join(docs.select(col("doc_id").as("id_b"), col("shd").as("sh_b")), "id_b")
@@ -200,7 +210,7 @@ object Dedup {
   /** LSH band table: (doc_id, band, band_hash) — one row per band per doc.
     * Docs with <3 words have no shingles and drop out (null signature).
     * Declarative (un-memoized) form, kept for plan audits and specs; the
-    * query path derives bands from [[sharedShingled]]. */
+    * query path derives bands from [[sharedSignatures]]. */
   def minhashBands(spark: SparkSession, dir: String): DataFrame = {
     val withSig = corpusWithNearDups(spark, dir)
       .filter(hasShingles(col("text")))
@@ -261,6 +271,75 @@ object Dedup {
        |FROM bands a JOIN bands b USING (band, band_hash)
        |WHERE a.doc_id < b.doc_id
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ------------------------------------------------- incremental dedup
+  /** INCREMENTAL dedup against a REFERENCE corpus: which incoming documents
+    * survive when everything colliding with an already-ingested corpus is
+    * dropped — the streaming-ingest form of near-dedup (v2 of a crawl
+    * against v1, a new dump against the training set so far). Here the
+    * planted perturbed copies (doc_id ≥ 10⁶) play the reference and the
+    * originals are the incoming batch.
+    *
+    * Collision = sharing ANY (band, band_hash) LSH bucket with a reference
+    * doc — the standard conservative candidate-level filter (no pairwise
+    * verify pass: at ingest you'd rather over-drop than over-keep).
+    * Shape: bands derive from the materialized [[sharedSignatures]] stage;
+    * the reference's DISTINCT bucket set semi-joins the incoming bands on
+    * the 16-byte band hash — two linear shuffles, no pair enumeration at
+    * all. Docs under 3 words have no bands and are out of scope (they
+    * cannot near-dup by shingles). */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val bands = bandsFromSig(sharedSignatures(spark, dir))
+    val incoming = bands.filter(col("doc_id") < IdOffset)
+    val ref = bands.filter(col("doc_id") >= IdOffset)
+      .select("band", "band_hash").distinct()
+    val flagged = incoming.join(ref, Seq("band", "band_hash"), "left_semi")
+      .select("doc_id").distinct()
+    // summary row (n_incoming / n_flagged / n_survivors): on this fixture
+    // LSH recall on the planted copies is ~100%, so a survivor LIST would
+    // be empty — the counts are the operative ingest metric anyway
+    incoming.select("doc_id").distinct().agg(count(lit(1)).as("n_incoming"))
+      .crossJoin(flagged.agg(count(lit(1)).as("n_flagged")))
+      .withColumn("n_survivors", col("n_incoming") - col("n_flagged"))
+  }
+
+  val dedupIncrementalOracle: String = {
+    val sigExprs = (0 until NumHashes)
+      .map(i => s"list_min(list_transform(sh, s -> md5('$i|' || s))) AS h$i")
+      .mkString(",\n    ")
+    val bandRows = (0 until NumHashes / BandSize)
+      .map { b =>
+        val parts = (0 until BandSize).map(j => s"h${b * BandSize + j}").mkString(" || ")
+        s"SELECT doc_id, $b AS band, md5($parts) AS band_hash FROM sig"
+      }
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH corpus AS (
+       |  $corpusSql
+       |), shingled AS (
+       |  SELECT doc_id,
+       |    list_transform(
+       |      range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+       |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+       |    ) AS sh
+       |  FROM corpus
+       |  WHERE len(string_split(text, ' ')) >= 3
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $sigExprs
+       |  FROM shingled
+       |), bands AS (
+       |  $bandRows
+       |), flagged AS (
+       |  SELECT DISTINCT i.doc_id
+       |  FROM bands i JOIN bands r ON i.band = r.band AND i.band_hash = r.band_hash
+       |  WHERE i.doc_id < $IdOffset AND r.doc_id >= $IdOffset
+       |)
+       |SELECT
+       |  (SELECT count(DISTINCT doc_id) FROM bands WHERE doc_id < $IdOffset) AS n_incoming,
+       |  (SELECT count(*) FROM flagged) AS n_flagged,
+       |  (SELECT count(DISTINCT doc_id) FROM bands WHERE doc_id < $IdOffset)
+       |    - (SELECT count(*) FROM flagged) AS n_survivors""".stripMargin
   }
 
   /** MinHash signature per GROUP (here: per language) via the
@@ -995,7 +1074,8 @@ object Dedup {
     // materialized shared stages — no per-query persist (the round-5
     // ADVICE leak: this query cached `docs` + bands and never released
     // them, so the blocks haunted every later query of the bench process)
-    val docs = sharedShingled(spark, dir)
+    val docs = shingleSets(spark, dir)
+      .join(sharedSignatures(spark, dir), "doc_id")
     val out = sharedCandidatePairs(spark, dir)
       .join(docs.select(col("doc_id").as("id_a"), col("shd").as("sh_a"), col("sig").as("sig_a")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("shd").as("sh_b"), col("sig").as("sig_b")), "id_b")

@@ -434,4 +434,148 @@ object TextAnalysis {
       |)
       |SELECT lang, rank, bigram, cnt FROM ranked WHERE rank <= 10
       |ORDER BY lang, rank""".stripMargin
+
+  // -------------------------------------------------------- decontamination
+  /** Benchmark DECONTAMINATION: flag training documents sharing any word
+    * 5-gram with an evaluation set — the overlap filter every serious
+    * pretraining pipeline runs (an eval question leaked into training data
+    * invalidates the benchmark). Over [[Dedup.corpusWithNearDups]]: the
+    * synthetic eval set is every 97th PERTURBED copy (doc_id ≥ 10⁶), whose
+    * original is thereby a planted contamination — exactly the "the
+    * benchmark paraphrases a training doc" case n-gram overlap must catch.
+    *
+    * 100 TB shape: eval sets are benchmark-sized (thousands of docs), so
+    * their distinct n-gram table is TINY next to the corpus — it becomes
+    * the broadcast side of an inner join against the corpus's exploded
+    * n-grams; the corpus pays one scan + map-side explode, and only
+    * matching (doc, gram) rows reach the one group-by shuffle. Nothing is
+    * ever joined corpus × corpus. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    def grams(df: DataFrame): DataFrame = {
+      val ws = split(col("text"), " ")
+      df.filter(size(ws) >= 5)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(1), size(ws) - 4),
+            i => concat_ws(" ", (0 until 5).map(o => element_at(ws, i + o)): _*))).as("gram"))
+    }
+    val corpus = Dedup.corpusWithNearDups(spark, dir)
+    val evalGrams = grams(corpus.filter(col("doc_id") >= 1000000L && col("doc_id") % 97 === 0))
+      .select("gram").distinct()
+    grams(corpus.filter(col("doc_id") < 1000000L))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_shared_grams"))
+      .select(col("doc_id"), col("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
+  val decontaminateOracle: String =
+    s"""WITH corpus AS (
+      |  ${Dedup.corpusSql.linesIterator.mkString("\n|  ")}
+      |), grams AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, len(string_split(text, ' ')) - 4),
+      |    i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS gram
+      |  FROM corpus WHERE len(string_split(text, ' ')) >= 5
+      |), eval_grams AS (
+      |  SELECT DISTINCT gram FROM grams WHERE doc_id >= 1000000 AND doc_id % 97 = 0
+      |)
+      |SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared_grams
+      |FROM grams g JOIN eval_grams e USING (gram)
+      |WHERE g.doc_id < 1000000
+      |GROUP BY g.doc_id
+      |ORDER BY g.doc_id""".stripMargin
+
+  // ------------------------------------------------------- repetition ratio
+  /** Intra-document REPETITION: fraction of duplicated word 3-grams per doc
+    * (Gopher/RefinedWeb-style quality rule — machine-generated and spammy
+    * text repeats itself; high-rep docs get filtered or down-weighted
+    * before training). Pure per-row projection over one scan: no shuffle,
+    * no join, fully codegen'd — the cheapest possible corpus pass at any
+    * scale.
+    *
+    * Grams are keyed by HASH, not by string: each word rolling-hashes once
+    * (the native [[rollingHash]] expression), and a gram key is the modular
+    * fold of its three word hashes — O(chars) total per doc instead of
+    * re-materializing every 3-gram as a string (measured 3× on the honest
+    * noop-sink bench; the string form built ~40M trigram strings at sf0.1).
+    * The SAME fold runs in the DuckDB oracle, so the (vanishingly rare,
+    * ~2⁻³⁰/pair per doc) hash collisions are IDENTICAL cross-engine and
+    * the gate stays exact. Ratio is one double division of two integers. */
+  def repetitionRatio(spark: SparkSession, dir: String): DataFrame = {
+    val M = 1000000007L
+    val ws = split(col("text"), " ")
+    val wh = transform(ws, w => graft.functions.VectorExpressions.rolling_hash(w))
+    val keys = transform(sequence(lit(1), size(ws) - 2), i =>
+      (((element_at(wh, i) * 131 + element_at(wh, i + 1)) % M) * 131 +
+        element_at(wh, i + 2)) % M)
+    table(spark, dir, "documents")
+      .filter(size(ws) >= 3)
+      .select(
+        col("doc_id"),
+        size(keys).cast("bigint").as("n_grams"),
+        size(array_distinct(keys)).cast("bigint").as("n_distinct"))
+      .withColumn("rep_ratio",
+        (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionRatioOracle: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    list_transform(string_split(text, ' '),
+      |      w -> list_reduce(
+      |        list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(list_filter(string_split(w, ''), c -> c != ''),
+      |            c -> CAST(unicode(c) AS BIGINT))),
+      |        (a, b) -> (a * 31 + b) % 1000000007)) AS wh
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3
+      |), k AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(1, len(wh) - 2),
+      |      i -> (((wh[i] * 131 + wh[i+1]) % 1000000007) * 131 + wh[i+2]) % 1000000007) AS keys
+      |  FROM h
+      |)
+      |SELECT doc_id,
+      |  len(keys) AS n_grams,
+      |  len(list_distinct(keys)) AS n_distinct,
+      |  CAST(len(keys) - len(list_distinct(keys)) AS DOUBLE) / len(keys) AS rep_ratio
+      |FROM k ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------- sequence packing
+  /** SEQUENCE PACKING for training: concatenate each language's documents
+    * in doc_id order and split the token stream into fixed 2048-token
+    * windows — the standard "pack then chunk" step that turns a ragged
+    * corpus into dense training sequences (documents straddle window
+    * boundaries by design; the attention mask handles the seams).
+    *
+    * Distribution: the running offset is a window-function cumsum
+    * PARTITIONED BY lang — each language's stream packs independently, so
+    * the sort is per-partition, never global. At 100 TB the partition key
+    * is (lang, shard) and the same plan holds; what must NOT happen is a
+    * single unpartitioned cumsum over the corpus. Output: each doc's window
+    * id and offset — the shuffle-free recipe for the actual byte packing. */
+  def packSequences(spark: SparkSession, dir: String, window: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("bigint").as("tokens"))
+      .withColumn("stream_end", sum(col("tokens")).over(w))
+      .withColumn("stream_offset", col("stream_end") - col("tokens"))
+      .withColumn("window_id", expr(s"stream_offset div $window"))
+      .select("doc_id", "lang", "tokens", "stream_offset", "window_id")
+      .orderBy("doc_id")
+  }
+
+  val packSequencesOracle: String =
+    """SELECT doc_id, lang, tokens,
+      |  CAST(sum(tokens) OVER w - tokens AS BIGINT) AS stream_offset,
+      |  CAST((sum(tokens) OVER w - tokens) // 2048 AS BIGINT) AS window_id
+      |FROM (
+      |  SELECT doc_id, lang, len(string_split(text, ' ')) AS tokens FROM documents
+      |)
+      |WINDOW w AS (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |ORDER BY doc_id""".stripMargin
 }

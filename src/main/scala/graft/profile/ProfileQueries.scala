@@ -98,10 +98,22 @@ object ProfileQueries {
   def ndv(spark: SparkSession, dir: String, tableName: String): DataFrame = {
     val cols = Fixtures.numericCols(tableName) ++
       Fixtures.temporalCols.getOrElse(tableName, Seq.empty)
-    val df = Fixtures.table(spark, dir, tableName)
-    val aggs = cols.map(c => countDistinct(col(c)).as(s"ndv_$c"))
-    df.agg(aggs.head, aggs.tail: _*)
+    ndvFrame(Fixtures.table(spark, dir, tableName), cols)
   }
+
+  /** Exact multi-column NDV WITHOUT the Expand plan: N countDistinct in one
+    * aggregate makes Catalyst replicate every row N+1 times through Expand
+    * before the shuffle (the dominant cost of the exact profile — ~10× the
+    * honest runtime of the rest of the query at sf0.1). Instead each column
+    * gets its OWN single-distinct aggregate over a column-pruned scan —
+    * partial distinct runs map-side, the shuffle carries each column's
+    * distinct values once, and the 1-row results recombine by cross join
+    * (broadcast, 1×1). At 100 TB: N pruned column reads ≈ one full-width
+    * scan of the same bytes, with NO N× row replication through the
+    * exchange — strictly the better plan on columnar storage. */
+  private[profile] def ndvFrame(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map(c => df.agg(countDistinct(col(c)).as(s"ndv_$c")))
+      .reduce((a, b) => a.crossJoin(b))
 
   def ndvOracle(tableName: String): String = {
     val cols = Fixtures.numericCols(tableName) ++
@@ -264,14 +276,18 @@ object ProfileQueries {
     val numCols = Fixtures.numericCols(tableName)
     val tCols = Fixtures.temporalCols.getOrElse(tableName, Seq.empty)
     val df = Fixtures.table(spark, dir, tableName)
+    // algebraic statistics fuse into ONE scan; the exact NDVs run as
+    // per-column single-distinct aggregates (see [[ndvFrame]] — the fused
+    // multi-distinct form pays an (N+1)× Expand row replication) and the
+    // 1-row frames recombine by broadcast cross join
     val aggs = Seq(count(lit(1)).as("n_rows")) ++
       (numCols ++ tCols).flatMap(c => Seq(
         min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
-        (count(lit(1)) - count(col(c))).as(s"nulls_$c"),
-        countDistinct(col(c)).as(s"ndv_$c"))) ++
+        (count(lit(1)) - count(col(c))).as(s"nulls_$c"))) ++
       numCols.map(c =>
         (sum(col(c).cast(s"decimal(28,${avgScale(tableName)})")).cast("double") / count(col(c))).as(s"avg_$c"))
     df.agg(aggs.head, aggs.tail: _*)
+      .crossJoin(ndvFrame(df, numCols ++ tCols))
   }
 
   /** Mergeable-SKETCH twin of [[fullProfile]] — the 100 TB path. The exact
