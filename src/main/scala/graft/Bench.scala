@@ -33,12 +33,18 @@ object Bench {
     // run at the measured SF is steady-state. Caches are per-plan, so
     // nothing at the measured SF is pre-computed by this.
     // The timed action is a `noop`-sink write, not count(): count() lets the
-    // optimizer collapse the plan (drop sorts, skip column evaluation), so
-    // it under-measures exactly the queries with expensive output stages.
-    // The noop DSv2 sink fully materializes every output row and column and
+    // optimizer collapse the plan (drop sorts, prune unreferenced aggregate
+    // expressions, skip column evaluation), so it under-measures exactly
+    // the queries with expensive output stages — the v0 baseline's 0.14 s
+    // "exact 8-column NDV" was count() pruning the NDVs away entirely. The
+    // noop DSv2 sink fully materializes every output row and column and
     // discards them — the honest "run the query" cost. (ADVICE r4/r5)
+    // SPARK_GRAFT_BENCH_ACTION=count restores the old action for
+    // apples-to-apples comparison against pre-round-6 artifacts.
+    val useCount = sys.env.get("SPARK_GRAFT_BENCH_ACTION").contains("count")
     def run(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
+      if (useCount) { df.count(); () }
+      else df.write.format("noop").mode("overwrite").save()
     try {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       val warmSf = "/root/testdata/sf0.001"

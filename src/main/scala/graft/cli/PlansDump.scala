@@ -32,7 +32,9 @@ object PlansDump {
     "text_clean_pipeline",     // one scan + one shuffle composition
     "dedup_clusters_star",     // star-contraction CC (final-round plan)
     "dedup_reach_recursive",   // native recursive CTE over checkpointed edges
-    "quality_checks")          // fused per-table rule scans
+    "quality_checks",          // fused per-table rule scans
+    "text_decontaminate",      // eval-set grams broadcast, corpus scans once
+    "profile_summary_lineitem") // Expand-free exact profile (per-col NDV aggs)
 
   /** Plan-audit overrides: these queries' gated implementations read
     * memoized materialized stages (the shared-pipeline design — see
