@@ -34,7 +34,8 @@ object PlansDump {
     "dedup_reach_recursive",   // native recursive CTE over checkpointed edges
     "quality_checks",          // fused per-table rule scans
     "text_decontaminate",      // eval-set grams broadcast, corpus scans once
-    "profile_summary_lineitem") // Expand-free exact profile (per-col NDV aggs)
+    "profile_summary_lineitem", // Expand-free exact profile (per-col NDV aggs)
+    "ann_pq_topk")             // PQ/ADC: codebook broadcast, (sub,code) lookup join
 
   /** Plan-audit overrides: these queries' gated implementations read
     * memoized materialized stages (the shared-pipeline design — see

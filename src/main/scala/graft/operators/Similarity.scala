@@ -380,6 +380,115 @@ object Similarity {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** ORACLE-GATED PRODUCT-QUANTIZATION ANN (PQ/ADC) — the memory-compression
+    * path of the IVF family: each 64-dim vector is split into `m` = 8
+    * subvectors of 8 dims, and each subvector is replaced by the id of its
+    * nearest codeword from a per-subspace 16-entry codebook — 8 BYTES per
+    * vector instead of 256, the representation that lets a 100 TB corpus's
+    * index live in RAM. Query scoring is ASYMMETRIC DISTANCE COMPUTATION:
+    * the query precomputes one 16-entry distance table per subspace
+    * (m·16 = 128 integers), and a candidate's approximate distance is the
+    * sum of m table lookups — no candidate vector is ever decoded.
+    *
+    * Everything is integer-exact cross-engine (the ivfRefined recipe):
+    * coordinates become offset-micro integers (`floor(x·10⁶) + 10⁶`, all
+    * non-negative so div/floor-division agree), the codebook is
+    * iteration-zero from seed vectors vec_id ∈ [100, 116), argmin ties
+    * break on the smaller code id, and ADC distances are BIGINT sums —
+    * the full encode + table + lookup pipeline sits under the DuckDB
+    * oracle with zero float drift.
+    *
+    * Distributed shape: the codebook (m·16·8 values) broadcasts;
+    * encoding is the exploded-dims join + two partial aggregations
+    * (map-side absorbed, the charBigrams/E-step pattern); query tables
+    * broadcast (m·16 rows per query); the ADC join keys on (sub, code)
+    * and partial-aggregates per (query, cand) before the one shuffle.
+    * Never a cross product against the corpus. */
+  /** Per-(vector, subspace) integer L2 to every codeword — the shared
+    * core of PQ encoding and ADC table construction. */
+  private def pqSubDists(spark: SparkSession, dir: String,
+      nCodes: Int, m: Int): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+    val subDim = 64 / m
+    val dims = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast("int").as("dim"),
+        (expr("CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)") + 1000000L).as("x_off"))
+      .withColumn("sub", expr(s"dim div $subDim"))
+    val codebook = dims
+      .filter(col("vec_id") >= 100 && col("vec_id") < 100 + nCodes)
+      .select((col("vec_id") - 100).as("code"), col("dim"), col("x_off").as("c_off"))
+    dims.join(broadcast(codebook), "dim")
+      .withColumn("dd", (col("x_off") - col("c_off")) * (col("x_off") - col("c_off")))
+      .groupBy("vec_id", "sub", "code").agg(sum("dd").as("d"))
+  }
+
+  /** PQ code assignment: (vec_id, sub, code, d) of the argmin codeword —
+    * exposed for the self-encoding spec (a codeword must encode to itself
+    * with d = 0). */
+  private[operators] def pqCodes(spark: SparkSession, dir: String,
+      nCodes: Int = 16, m: Int = 8): DataFrame = {
+    val wCode = Window.partitionBy("vec_id", "sub").orderBy(col("d"), col("code"))
+    pqSubDists(spark, dir, nCodes, m)
+      .withColumn("rn", row_number().over(wCode))
+      .filter(col("rn") === 1).select("vec_id", "sub", "code", "d")
+  }
+
+  def pqTopK(spark: SparkSession, dir: String, numQueries: Int = 5, k: Int = 3,
+      nCodes: Int = 16, m: Int = 8): DataFrame = {
+    val subDists = pqSubDists(spark, dir, nCodes, m)
+    val codes = pqCodes(spark, dir, nCodes, m).select("vec_id", "sub", "code")
+    // ADC tables: the query's integer distance to every codeword
+    val tables = subDists.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("sub"), col("code"), col("d").as("td"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("cand_id"))
+    codes.join(broadcast(tables), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("cand_id"))
+      .agg(sum("td").as("adc"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "rank", "adc")
+      .orderBy("query_id", "rank")
+  }
+
+  def pqTopKOracle(numQueries: Int = 5, k: Int = 3,
+      nCodes: Int = 16, m: Int = 8): String = {
+    val subDim = 64 / m
+    s"""WITH dims AS (
+       |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+       |    CAST(i - 1 AS INTEGER) // $subDim AS sub,
+       |    CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000) AS BIGINT) + 1000000 AS x_off
+       |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i
+       |        FROM embeddings)
+       |), codebook AS (
+       |  SELECT vec_id - 100 AS code, dim, x_off AS c_off
+       |  FROM dims WHERE vec_id >= 100 AND vec_id < ${100 + nCodes}
+       |), sub_dists AS (
+       |  SELECT d.vec_id, d.sub, c.code, sum((d.x_off - c.c_off) * (d.x_off - c.c_off)) AS d
+       |  FROM dims d JOIN codebook c USING (dim)
+       |  GROUP BY d.vec_id, d.sub, c.code
+       |), codes AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+       |    FROM sub_dists) WHERE rn = 1
+       |), tables_q AS (
+       |  SELECT vec_id AS query_id, sub, code, d AS td
+       |  FROM sub_dists WHERE vec_id < $numQueries
+       |), adc AS (
+       |  SELECT t.query_id, c.vec_id AS cand_id, CAST(sum(t.td) AS BIGINT) AS adc
+       |  FROM codes c JOIN tables_q t USING (sub, code)
+       |  WHERE t.query_id != c.vec_id
+       |  GROUP BY t.query_id, c.vec_id
+       |), ranked AS (
+       |  SELECT query_id, cand_id, adc,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS BIGINT) AS rank
+       |  FROM adc
+       |)
+       |SELECT query_id, cand_id, rank, adc FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Sign-random-projection LSH, multi-table OR-construction: L independent
     * tables of k hyperplanes each; a vector lands in one k-bit bucket per
     * table, and two vectors are candidates if they collide in ANY table

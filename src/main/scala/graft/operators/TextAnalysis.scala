@@ -494,27 +494,26 @@ object TextAnalysis {
     * no join, fully codegen'd — the cheapest possible corpus pass at any
     * scale.
     *
-    * Grams are keyed by HASH, not by string: each word rolling-hashes once
-    * (the native [[rollingHash]] expression), and a gram key is the modular
-    * fold of its three word hashes — O(chars) total per doc instead of
-    * re-materializing every 3-gram as a string (measured 3× on the honest
-    * noop-sink bench; the string form built ~40M trigram strings at sf0.1).
-    * The SAME fold runs in the DuckDB oracle, so the (vanishingly rare,
-    * ~2⁻³⁰/pair per doc) hash collisions are IDENTICAL cross-engine and
+    * Grams are keyed by HASH, not by string, and the whole
+    * split → word-hash → window-fold → distinct-count loop runs inside ONE
+    * codegen'd native expression
+    * ([[graft.functions.VectorExpressions.TrigramDistinctCount]]) —
+    * O(chars) per doc, zero array materialization. A declarative HOF form
+    * was tried first and is a trap worth recording: referencing the
+    * word-hash array inside the key lambda re-evaluates it once PER GRAM
+    * (O(words²), 14 s at sf0.1), and even the careful single-reference
+    * version re-materializes interpreted arrays per row. The native pass
+    * runs in ~1 s. The SAME key fold runs in the DuckDB oracle, so hash
+    * collisions (~2⁻³⁰/pair, within-doc) are IDENTICAL cross-engine and
     * the gate stays exact. Ratio is one double division of two integers. */
   def repetitionRatio(spark: SparkSession, dir: String): DataFrame = {
-    val M = 1000000007L
     val ws = split(col("text"), " ")
-    val wh = transform(ws, w => graft.functions.VectorExpressions.rolling_hash(w))
-    val keys = transform(sequence(lit(1), size(ws) - 2), i =>
-      (((element_at(wh, i) * 131 + element_at(wh, i + 1)) % M) * 131 +
-        element_at(wh, i + 2)) % M)
     table(spark, dir, "documents")
       .filter(size(ws) >= 3)
       .select(
         col("doc_id"),
-        size(keys).cast("bigint").as("n_grams"),
-        size(array_distinct(keys)).cast("bigint").as("n_distinct"))
+        (size(ws) - 2).cast("bigint").as("n_grams"),
+        graft.functions.VectorExpressions.trigram_distinct(col("text")).as("n_distinct"))
       .withColumn("rep_ratio",
         (col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
       .orderBy("doc_id")
@@ -531,15 +530,15 @@ object TextAnalysis {
       |        (a, b) -> (a * 31 + b) % 1000000007)) AS wh
       |  FROM documents WHERE len(string_split(text, ' ')) >= 3
       |), k AS (
-      |  SELECT doc_id,
+      |  SELECT doc_id, len(wh) - 2 AS n_grams,
       |    list_transform(generate_series(1, len(wh) - 2),
       |      i -> (((wh[i] * 131 + wh[i+1]) % 1000000007) * 131 + wh[i+2]) % 1000000007) AS keys
       |  FROM h
       |)
       |SELECT doc_id,
-      |  len(keys) AS n_grams,
+      |  n_grams,
       |  len(list_distinct(keys)) AS n_distinct,
-      |  CAST(len(keys) - len(list_distinct(keys)) AS DOUBLE) / len(keys) AS rep_ratio
+      |  CAST(n_grams - len(list_distinct(keys)) AS DOUBLE) / n_grams AS rep_ratio
       |FROM k ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------- sequence packing

@@ -144,6 +144,23 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(fused == viaAgg)
   }
 
+  test("native trigram_distinct equals the HOF word-hash fold on all document texts") {
+    val M = 1000000007L
+    val ws = split(col("text"), " ")
+    val wh = transform(ws, w => VectorExpressions.rolling_hash(w))
+    val keys = transform(sequence(lit(1), size(ws) - 2), i =>
+      (((element_at(wh, i) * 131 + element_at(wh, i + 1)) % M) * 131 +
+        element_at(wh, i + 2)) % M)
+    val diffs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(size(ws) >= 3)
+      .select(
+        VectorExpressions.trigram_distinct(col("text")).as("native"),
+        size(array_distinct(keys)).cast("bigint").as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(diffs == 0L)
+  }
+
   test("vec_dot/vec_l2sq edge semantics match the HOF twin: unequal lengths and null elements → null") {
     // the HOF twin zip_with pads the shorter side with null, and a null
     // element poisons the fold — the native expressions must agree instead

@@ -218,4 +218,27 @@ class OperatorSpec extends AnyFunSuite {
       Dedup.propagateMinLabels(edges, seed, maxIters = 2)
     }
   }
+
+  test("PQ ANN returns full top-k per query and codewords encode to themselves") {
+    val out = Similarity.pqTopK(spark, dir).collect()
+    val perQuery = out.groupBy(_.getLong(0))
+    assert(perQuery.keySet == (0L until 5L).toSet)
+    perQuery.values.foreach { rows =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L, 3L))
+      // ADC distances are non-negative integers, non-decreasing in rank
+      val byRank = rows.sortBy(_.getLong(2)).map(_.getLong(3))
+      assert(byRank.forall(_ >= 0L) && byRank.sameElements(byRank.sorted))
+    }
+    // a codeword vector quantizes to itself in every subspace with zero
+    // distortion — if not, the encode argmin or the codebook is wrong
+    import org.apache.spark.sql.functions._
+    val self = Similarity.pqCodes(spark, dir)
+      .filter(col("vec_id") >= 100 && col("vec_id") < 116)
+      .collect()
+    assert(self.length == 16 * 8, s"expected 128 codeword assignments, got ${self.length}")
+    self.foreach { r =>
+      assert(r.getLong(2) == r.getLong(0) - 100, s"codeword ${r.getLong(0)} sub ${r.get(1)} got code ${r.getLong(2)}")
+      assert(r.getLong(3) == 0L, s"codeword self-distance nonzero: $r")
+    }
+  }
 }

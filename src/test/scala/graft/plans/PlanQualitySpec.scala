@@ -227,6 +227,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(partitionedSorts.nonEmpty, "expected a within-partition sort feeding session merge")
   }
 
+  test("decontamination broadcasts the eval-gram side; the corpus is never the build side") {
+    val df = graft.operators.TextAnalysis.decontaminate(spark, SparkSuite.Sf0001)
+    df.collect()
+    val names = nodes(df).map(_.nodeName)
+    assert(names.exists(_.contains("BroadcastHashJoin")),
+      s"eval grams did not broadcast: ${names.distinct.mkString(",")}")
+    assert(!names.exists(n => n.contains("BroadcastNestedLoop") || n.contains("CartesianProduct")))
+  }
+
+  test("sequence packing: the cumsum window is partitioned (no single-task global sort)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.operators.TextAnalysis.packSequences(spark, SparkSuite.Sf0001)
+    df.collect()
+    val windows = nodes(df).collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "packing cumsum lost its partition key — every row would cross one task"))
+  }
+
   test("char bigrams: partial aggregation runs before the (lang,bigram) shuffle") {
     val df = graft.operators.TextAnalysis.charBigrams(spark, SparkSuite.Sf0001)
     df.collect()
