@@ -403,7 +403,14 @@ object Similarity {
     * (map-side absorbed, the charBigrams/E-step pattern); query tables
     * broadcast (m·16 rows per query); the ADC join keys on (sub, code)
     * and partial-aggregates per (query, cand) before the one shuffle.
-    * Never a cross product against the corpus. */
+    * Never a cross product against the corpus.
+    *
+    * Retrieval-quality caveat, measured and intentional: the fixture
+    * embeddings are isotropic noise whose pairwise distances CONCENTRATE
+    * (same-label mean 2.00 vs other 1.99), so recall@k against exact L2 is
+    * ~0 there for ANY quantized index — the oracle gates the arithmetic,
+    * and `PqRetrievalSpec` gates retrieval on planted cluster structure,
+    * where PQ is essentially perfect. */
   /** Per-(vector, subspace) integer L2 to every codeword — the shared
     * core of PQ encoding and ADC table construction. */
   private def pqSubDists(spark: SparkSession, dir: String,
