@@ -273,6 +273,36 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ------------------------------------------- pipeline build (gated)
+  /** Materializes the three shared stages and reports their sizes —
+    * (n_docs, n_candidates, n_verified), the numbers an operator watches
+    * on a real ingest (candidate volume vs corpus tells you whether the
+    * banding is healthy; verified/candidates is the LSH precision).
+    *
+    * Named `dedup_build_*` so it sorts BEFORE every other dedup-family
+    * query in the bench: the one-time stage materialization lands on THIS
+    * line, and the downstream family members' times are their own work —
+    * honest per-query attribution instead of the first family member
+    * silently absorbing the build. */
+  def buildPipeline(spark: SparkSession, dir: String): DataFrame =
+    sharedSignatures(spark, dir).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(sharedCandidatePairs(spark, dir).agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(sharedVerifiedPairs(spark, dir).agg(count(lit(1)).as("n_verified")))
+
+  // lazy: composes ngramJaccardPairsOracle, which is defined further down
+  // the file — an eager val here NPEs the object initializer
+  lazy val buildPipelineOracle: String =
+    s"""SELECT
+       |  (SELECT count(*) FROM (
+       |${corpusSql.linesIterator.map("    " + _).mkString("\n")}
+       |  ) c WHERE len(string_split(text, ' ')) >= 3) AS n_docs,
+       |  (SELECT count(*) FROM (
+       |${minhashCandidatePairsOracle.linesIterator.map("    " + _).mkString("\n")}
+       |  ) q) AS n_candidates,
+       |  (SELECT count(*) FROM (
+       |${ngramJaccardPairsOracle.linesIterator.map("    " + _).mkString("\n")}
+       |  ) v) AS n_verified""".stripMargin
+
   // ------------------------------------------------- incremental dedup
   /** INCREMENTAL dedup against a REFERENCE corpus: which incoming documents
     * survive when everything colliding with an already-ingested corpus is
