@@ -53,6 +53,11 @@ object Bench {
         catch { case _: Throwable => () }
       }
       spark.sharedState.cacheManager.clearCache()
+      // the warmup also memoized Dedup's shared pipeline stages (for the
+      // warm dir) — drop them so the timed run builds its own stages and
+      // dedup_build_pipeline's line reflects the real cost even when the
+      // measured SF equals the warm SF
+      graft.operators.Dedup.clearSharedStages()
     } catch { case _: Throwable => () }
     // 1-min system loadavg before/after the timed block: a contended box
     // (three driver rounds have shown 4-6× inflation on byte-identical

@@ -41,15 +41,34 @@ object TableEnumerator {
     val conf = spark.sparkContext.hadoopConfiguration
     val files = dataFiles(conf, new Path(tablePath))
     if (files.size <= DistributeThreshold) files.map(f => footerCount(conf, f)).sum
-    else
+    else {
+      // executors must see the SESSION's Hadoop conf (credentials, fs
+      // schemes) — a default Configuration() works on local paths only
+      val props = confProps(conf)
       spark.sparkContext
         .parallelize(files.map(_.toString), math.max(1, files.size / 16))
         .mapPartitions { it =>
-          val c = new Configuration()
+          val c = confFromProps(props)
           it.map(p => footerCount(c, new Path(p)))
         }
         .sum()
         .toLong
+    }
+  }
+
+  /** Hadoop Configuration ⇄ serializable props, for shipping the session's
+    * filesystem settings into executor-side footer reads. */
+  private[graft] def confProps(conf: Configuration): Seq[(String, String)] = {
+    val it = conf.iterator()
+    val b = Seq.newBuilder[(String, String)]
+    while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
+    b.result()
+  }
+
+  private[graft] def confFromProps(props: Seq[(String, String)]): Configuration = {
+    val c = new Configuration(false)
+    props.foreach { case (k, v) => c.set(k, v) }
+    c
   }
 
   private[graft] val DistributeThreshold = 64

@@ -26,7 +26,7 @@ import graft.Fixtures.table
   */
 object Dedup {
 
-  private val IdOffset = 1000000L
+  private[operators] val IdOffset = 1000000L
 
   /** documents ∪ perturbed(documents): plants one near-duplicate per doc.
     * Repartitioned to the cluster's parallelism: the fixture file is a
@@ -124,13 +124,24 @@ object Dedup {
     * graph once and run all downstream analytics against it, rather than
     * re-hashing the corpus per question. */
   private val stageCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+
+  /** Context key: (applicationId, startTime) — unique per SparkContext
+    * within a JVM (identityHashCode is not: it can collide after GC and
+    * hand a new context a DataFrame bound to a dead one). */
+  private def ctxKey(spark: SparkSession): String = {
+    val sc = spark.sparkContext
+    s"${sc.applicationId}@${sc.startTime}"
+  }
 
   private def memoStage(spark: SparkSession, dir: String, stage: String)(
       build: => DataFrame): DataFrame = stageCache.synchronized {
-    stageCache.getOrElseUpdate(
-      (System.identityHashCode(spark.sparkContext), dir, stage),
-      build.localCheckpoint(true))
+    val ck = ctxKey(spark)
+    // only ONE SparkContext can be active per JVM: entries from any other
+    // context are dead — evict them so cycled sessions don't pin stopped
+    // contexts' plans/RDDs for process lifetime
+    stageCache.keys.filter(_._1 != ck).foreach(stageCache.remove)
+    stageCache.getOrElseUpdate((ck, dir, stage), build.localCheckpoint(true))
   }
 
   /** Test hook: drop every memoized stage (blocks are then freed by the
@@ -191,21 +202,37 @@ object Dedup {
         .distinct()
     }
 
-  /** Stage 3 — the VERIFIED near-dup pair graph: LSH candidates re-scored
-    * with exact 3-gram Jaccard, kept at J ≥ 0.5. Materialized once; the
-    * triangle/cluster/reachability family all read it. */
-  private[operators] def sharedVerifiedPairs(spark: SparkSession, dir: String): DataFrame =
-    memoStage(spark, dir, "verified") {
+  /** Stage 3 — every LSH candidate pair SCORED once: exact 3-gram Jaccard
+    * AND the MinHash signature agreement count. One materialized stage
+    * serves both downstream consumers (the J ≥ 0.5 verified graph and the
+    * estimator-vs-truth query), and the (shd, sig) doc table the join
+    * needs on BOTH sides is materialized once for the build's duration —
+    * the derive-per-side alternative ran the corpus scan + shingling
+    * twice inside a single timed query. */
+  private[operators] def sharedScoredCandidates(spark: SparkSession, dir: String): DataFrame =
+    memoStage(spark, dir, "scored") {
       val docs = shingleSets(spark, dir)
+        .join(sharedSignatures(spark, dir), "doc_id")
+        .localCheckpoint(true) // transient; ContextCleaner frees the blocks
       sharedCandidatePairs(spark, dir)
-        .join(docs.select(col("doc_id").as("id_a"), col("shd").as("sh_a")), "id_a")
-        .join(docs.select(col("doc_id").as("id_b"), col("shd").as("sh_b")), "id_b")
+        .join(docs.select(col("doc_id").as("id_a"), col("shd").as("sh_a"), col("sig").as("sig_a")), "id_a")
+        .join(docs.select(col("doc_id").as("id_b"), col("shd").as("sh_b"), col("sig").as("sig_b")), "id_b")
+        .withColumn("n_match",
+          aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (a, x) => a + x))
         .withColumn("jaccard",
           size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
             size(array_union(col("sh_a"), col("sh_b"))))
-        .filter(col("jaccard") >= 0.5)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "n_match", "jaccard")
     }
+
+  /** The VERIFIED near-dup pair graph: scored candidates kept at J ≥ 0.5.
+    * A cheap filter-projection over the materialized scored stage — the
+    * triangle/cluster/reachability family all read it. */
+  private[operators] def sharedVerifiedPairs(spark: SparkSession, dir: String): DataFrame =
+    sharedScoredCandidates(spark, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "jaccard")
 
   /** LSH band table: (doc_id, band, band_hash) — one row per band per doc.
     * Docs with <3 words have no shingles and drop out (null signature).
@@ -1099,27 +1126,16 @@ object Dedup {
     * already materialized); this query makes its error VISIBLE and
     * oracle-pins both columns. n_match/8 is an exact binary fraction, so
     * the double is bit-identical cross-engine. */
-  def minhashJaccardEstimate(spark: SparkSession, dir: String): DataFrame = {
-    // both the (shd, sig) doc table and the candidate pairs are the
-    // materialized shared stages — no per-query persist (the round-5
-    // ADVICE leak: this query cached `docs` + bands and never released
-    // them, so the blocks haunted every later query of the bench process)
-    val docs = shingleSets(spark, dir)
-      .join(sharedSignatures(spark, dir), "doc_id")
-    val out = sharedCandidatePairs(spark, dir)
-      .join(docs.select(col("doc_id").as("id_a"), col("shd").as("sh_a"), col("sig").as("sig_a")), "id_a")
-      .join(docs.select(col("doc_id").as("id_b"), col("shd").as("sh_b"), col("sig").as("sig_b")), "id_b")
-      .withColumn("n_match",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (a, x) => a + x))
+  def minhashJaccardEstimate(spark: SparkSession, dir: String): DataFrame =
+    // a pure projection of the materialized scored stage — no per-query
+    // persist (the round-5 ADVICE leak: this query cached `docs` + bands
+    // and never released them, so the blocks haunted every later query of
+    // the bench process), and no recomputation (n_match and the exact
+    // Jaccard were both computed in the stage's single candidate pass)
+    sharedScoredCandidates(spark, dir)
       .withColumn("est_jaccard", col("n_match").cast("double") / NumHashes)
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
       .select("id_a", "id_b", "n_match", "est_jaccard", "jaccard")
       .orderBy("id_a", "id_b")
-    out
-  }
 
   val minhashJaccardEstimateOracle: String = {
     val sigExprs = (0 until NumHashes)

@@ -459,9 +459,9 @@ object TextAnalysis {
             i => concat_ws(" ", (0 until 5).map(o => element_at(ws, i + o)): _*))).as("gram"))
     }
     val corpus = Dedup.corpusWithNearDups(spark, dir)
-    val evalGrams = grams(corpus.filter(col("doc_id") >= 1000000L && col("doc_id") % 97 === 0))
+    val evalGrams = grams(corpus.filter(col("doc_id") >= Dedup.IdOffset && col("doc_id") % 97 === 0))
       .select("gram").distinct()
-    grams(corpus.filter(col("doc_id") < 1000000L))
+    grams(corpus.filter(col("doc_id") < Dedup.IdOffset))
       .join(broadcast(evalGrams), "gram")
       .groupBy("doc_id")
       .agg(countDistinct(col("gram")).as("n_shared_grams"))
@@ -478,11 +478,11 @@ object TextAnalysis {
       |    i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS gram
       |  FROM corpus WHERE len(string_split(text, ' ')) >= 5
       |), eval_grams AS (
-      |  SELECT DISTINCT gram FROM grams WHERE doc_id >= 1000000 AND doc_id % 97 = 0
+      |  SELECT DISTINCT gram FROM grams WHERE doc_id >= ${Dedup.IdOffset} AND doc_id % 97 = 0
       |)
       |SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared_grams
       |FROM grams g JOIN eval_grams e USING (gram)
-      |WHERE g.doc_id < 1000000
+      |WHERE g.doc_id < ${Dedup.IdOffset}
       |GROUP BY g.doc_id
       |ORDER BY g.doc_id""".stripMargin
 

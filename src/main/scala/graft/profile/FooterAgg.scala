@@ -66,14 +66,18 @@ object FooterAgg {
     val perFile: Seq[Map[String, FooterStat]] =
       if (files.size <= TableEnumerator.DistributeThreshold)
         files.map(f => fileMinMax(conf, f, cols))
-      else
+      else {
+        // ship the session's Hadoop conf (credentials, fs schemes) to the
+        // executors — a default Configuration() resolves local paths only
+        val props = TableEnumerator.confProps(conf)
         spark.sparkContext
           .parallelize(files.map(_.toString), math.max(1, files.size / 16))
           .mapPartitions { it =>
-            val c = new org.apache.hadoop.conf.Configuration()
+            val c = TableEnumerator.confFromProps(props)
             it.map(p => fileMinMax(c, new org.apache.hadoop.fs.Path(p), cols))
           }
           .collect().toSeq
+      }
     cols.flatMap { c =>
       val stats = perFile.map(_(c))
       if (stats.contains(Unusable)) None
@@ -150,15 +154,20 @@ object FooterAgg {
     import java.time.{Instant, LocalDateTime, ZoneOffset}
     prim.getLogicalTypeAnnotation match {
       case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-        val micros = ts.getUnit match {
-          case TimeUnit.MILLIS => Math.multiplyExact(v.asInstanceOf[Long], 1000L)
-          case TimeUnit.MICROS => v.asInstanceOf[Long]
-          case TimeUnit.NANOS  => return Some(v.asInstanceOf[Long]) // nanosAsLong: read AS bigint
-        }
-        val instant = Instant.ofEpochSecond(
-          Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
-        if (ts.isAdjustedToUTC) Some(java.sql.Timestamp.from(instant))
-        else Some(LocalDateTime.ofInstant(instant, ZoneOffset.UTC))
+        // a corrupt/sentinel footer value (e.g. Long.MaxValue millis from a
+        // broken writer) must yield None → Unusable → residual scan, not an
+        // ArithmeticException that degrades the whole table to CountError
+        try {
+          val micros = ts.getUnit match {
+            case TimeUnit.MILLIS => Math.multiplyExact(v.asInstanceOf[Long], 1000L)
+            case TimeUnit.MICROS => v.asInstanceOf[Long]
+            case TimeUnit.NANOS  => return Some(v.asInstanceOf[Long]) // nanosAsLong: read AS bigint
+          }
+          val instant = Instant.ofEpochSecond(
+            Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
+          if (ts.isAdjustedToUTC) Some(java.sql.Timestamp.from(instant))
+          else Some(LocalDateTime.ofInstant(instant, ZoneOffset.UTC))
+        } catch { case _: ArithmeticException | _: java.time.DateTimeException => None }
       case null => v match {
         // plain numerics (no annotation): already the scan-visible value
         case _: java.lang.Long | _: java.lang.Integer |

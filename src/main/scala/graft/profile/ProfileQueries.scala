@@ -111,9 +111,11 @@ object ProfileQueries {
     * (broadcast, 1×1). At 100 TB: N pruned column reads ≈ one full-width
     * scan of the same bytes, with NO N× row replication through the
     * exchange — strictly the better plan on columnar storage. */
-  private[profile] def ndvFrame(df: DataFrame, cols: Seq[String]): DataFrame =
+  private[profile] def ndvFrame(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "ndvFrame needs at least one column")
     cols.map(c => df.agg(countDistinct(col(c)).as(s"ndv_$c")))
       .reduce((a, b) => a.crossJoin(b))
+  }
 
   def ndvOracle(tableName: String): String = {
     val cols = Fixtures.numericCols(tableName) ++
@@ -286,8 +288,10 @@ object ProfileQueries {
         (count(lit(1)) - count(col(c))).as(s"nulls_$c"))) ++
       numCols.map(c =>
         (sum(col(c).cast(s"decimal(28,${avgScale(tableName)})")).cast("double") / count(col(c))).as(s"avg_$c"))
-    df.agg(aggs.head, aggs.tail: _*)
-      .crossJoin(ndvFrame(df, numCols ++ tCols))
+    val base = df.agg(aggs.head, aggs.tail: _*)
+    // a table with no profiled columns degrades to the n_rows-only profile
+    if ((numCols ++ tCols).isEmpty) base
+    else base.crossJoin(ndvFrame(df, numCols ++ tCols))
   }
 
   /** Mergeable-SKETCH twin of [[fullProfile]] — the 100 TB path. The exact
