@@ -701,4 +701,91 @@ object Similarity {
       |  FROM embeddings)
       |GROUP BY label, dim
       |ORDER BY label, dim""".stripMargin
+
+  // --------------------------------------------------------------- SemDeDup
+  /** SEMANTIC deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space with a coarse quantizer, then inside each
+    * cluster drop every vector whose cosine to a lower-id cluster-mate
+    * reaches `tau` — the keep-one-per-semantic-group policy that removed
+    * ~50% of LAION/C4 with no quality loss. The deterministic keep rule
+    * (smallest vec_id survives) replaces the paper's distance-to-centroid
+    * tie-break so the whole pipeline sits under the DuckDB oracle.
+    *
+    * Same planted-duplicate fixture as [[embeddingNearDups]]: the corpus is
+    * unioned with element-wise-perturbed copies (cos ≈ 0.99 to their
+    * source, natural cross-vector cosine ≤ ~0.5), so exactly the planted
+    * copies must drop — pinned in SemDedupSpec.
+    *
+    * 100 TB shape: quantizer assignment is a broadcast-centroid scan + one
+    * per-vector argmin (identical to [[ivfTopK]]'s index build); the
+    * pairwise stage is an equi-join on `cell`, so its cost is
+    * Σ_cells |cell|² — bounded by choosing k ∝ n (the paper uses k ≈ √n·c,
+    * keeping clusters at ~10⁴ vectors). Nothing is ever corpus × corpus. */
+  def semDedup(spark: SparkSession, dir: String, nCentroids: Int = 16,
+      maxId: Long = 1000, tau: Double = 0.9): DataFrame = {
+    import graft.functions.VectorExpressions.vec_l2sq
+    val base = table(spark, dir, "embeddings").filter(col("vec_id") < maxId)
+    val perturbed = base.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => (x.cast("double") + 0.01).cast("float")).as("embedding"))
+    val e = base.select("vec_id", "embedding").unionAll(perturbed)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val cents = base.filter(col("vec_id") >= 100 && col("vec_id") < 100 + nCentroids)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("dist"), col("cell"))
+    // assignment + norm computed ONCE, reused on both sides of the pair join
+    val cells = e.join(broadcast(cents))
+      .withColumn("dist", vec_l2sq(col("embedding"), col("cv")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .localCheckpoint(false)
+    val a = cells.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
+    val b = cells.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= tau)
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(1L))
+    cells.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("is_dup").isNull, 1L).otherwise(0L).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  def semDedupOracle(nCentroids: Int = 16, maxId: Long = 1000,
+      tau: Double = 0.9): String = {
+    val distSql = l2Sql.format("e.embedding", "c.cv")
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < $maxId
+       |), e AS (
+       |  SELECT vec_id, embedding FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |         list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.01 AS FLOAT)) AS embedding
+       |  FROM base
+       |), cents AS (
+       |  SELECT vec_id AS cell, embedding AS cv FROM base
+       |  WHERE vec_id >= 100 AND vec_id < ${100 + nCentroids}
+       |), d AS (
+       |  SELECT e.vec_id, c.cell, $distSql AS dist
+       |  FROM e CROSS JOIN cents c
+       |), cells AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |    FROM d)
+       |  WHERE rn = 1
+       |), dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN e ea ON ea.vec_id = a.vec_id
+       |  JOIN e eb ON eb.vec_id = b.vec_id
+       |  WHERE ${cosSql("ea.embedding", "eb.embedding")} >= $tau
+       |)
+       |SELECT c.vec_id, c.cell,
+       |  CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM cells c LEFT JOIN dropped dr ON dr.vec_id = c.vec_id
+       |ORDER BY c.vec_id""".stripMargin
+  }
 }

@@ -577,4 +577,139 @@ object TextAnalysis {
       |)
       |WINDOW w AS (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ repeated spans
+  /** CROSS-DOCUMENT repeated-span detection — the diagnostic behind exact
+    * substring deduplication (Lee et al. 2022, arXiv:2107.06499: training
+    * corpora are riddled with verbatim repeated passages; dedup improves
+    * the model). For every doc: how many of its distinct word 5-gram spans
+    * also appear in ANOTHER doc, and what fraction of the doc that is.
+    * Over [[Dedup.corpusWithNearDups]], where each planted near-dup shares
+    * almost all spans with its source.
+    *
+    * 100 TB shape: spans are keyed by md5 (16 B) so the two shuffles — the
+    * distinct-(doc, span) group and the span-frequency group — move hashes,
+    * never span text; the frequency table joins back by hash equi-join.
+    * This is the MapReduce factorization of the paper's suffix array: same
+    * duplicated-span set, no global suffix sort. */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val spans = Dedup.corpusWithNearDups(spark, dir)
+      .filter(size(ws) >= 5)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(ws) - 4),
+          i => md5(concat_ws(" ", (0 until 5).map(o => element_at(ws, i + o)): _*)))).as("g"))
+      .distinct()
+    val freq = spans.groupBy("g").agg(count(lit(1)).as("n_docs"))
+    spans.join(freq, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac", col("n_dup").cast("double") / col("n_spans"))
+      .select("doc_id", "n_spans", "n_dup", "dup_frac")
+      .orderBy("doc_id")
+  }
+
+  val dupSpansOracle: String =
+    s"""WITH corpus AS (
+      |  ${Dedup.corpusSql.linesIterator.mkString("\n|  ")}
+      |), spans AS (
+      |  SELECT DISTINCT doc_id, md5(gram) AS g FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      generate_series(1, len(string_split(text, ' ')) - 4),
+      |      i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS gram
+      |    FROM corpus WHERE len(string_split(text, ' ')) >= 5)
+      |), freq AS (
+      |  SELECT g, count(*) AS n_docs FROM spans GROUP BY g
+      |)
+      |SELECT s.doc_id, count(*) AS n_spans,
+      |  sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup,
+      |  CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+      |FROM spans s JOIN freq f USING (g)
+      |GROUP BY s.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
+  // ----------------------------------------------------- shuffle + shard
+  /** Deterministic GLOBAL SHUFFLE + SHARDING — the "shuffle the corpus,
+    * write N training shards" step. Order key is a content-independent
+    * rolling hash of the doc id, shard is `key mod N`, and the position
+    * within a shard is a rank over (key, doc_id) — so the permutation is
+    * identical at any partitioning, cluster size, or rerun (unlike
+    * `orderBy(rand())`).
+    *
+    * 100 TB shape: shard assignment is a pure projection; the rank is a
+    * window PARTITIONED BY shard — N independent per-shard sorts (each
+    * 1/Nth of the corpus, the same sort the shard write itself needs),
+    * never one global sort. */
+  def shuffleShards(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    table(spark, dir, "documents")
+      .withColumn("skey", rollingHash(concat(lit("shuf|"), col("doc_id").cast("string"))))
+      .withColumn("shard", col("skey") % nShards)
+      .withColumn("pos", row_number().over(w).cast("bigint"))
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
+
+  def shuffleShardsOracle(nShards: Int = 8): String =
+    s"""WITH hashed AS (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(
+      |          list_filter(string_split('shuf|' || CAST(doc_id AS VARCHAR), ''), c -> c != ''),
+      |          c -> CAST(unicode(c) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000007) AS skey
+      |  FROM documents
+      |)
+      |SELECT doc_id, skey % $nShards AS shard,
+      |  CAST(row_number() OVER (PARTITION BY skey % $nShards ORDER BY skey, doc_id) AS BIGINT) AS pos
+      |FROM hashed
+      |ORDER BY shard, pos""".stripMargin
+
+  // ---------------------------------------------------- mixture budgeting
+  /** DATA-MIXTURE budgeting: given target sampling weights per source,
+    * compute each source's repeat factor (epochs over that source) so the
+    * mixed training stream hits the target shares by token count — the
+    * arithmetic behind every "books × 3 epochs, web × 0.8" pretraining mix
+    * (cf. DoReMi / Llama data recipes). Sources src0-src2 are upweighted
+    * to 10% each; the rest share the remaining 70% uniformly.
+    *
+    * 100 TB shape: one column-pruned scan, per-source partial aggregation
+    * (source cardinality is tiny), scalar total broadcast back — no data
+    * movement beyond the 20-row summary. */
+  def mixtureBudget(spark: SparkSession, dir: String): DataFrame = {
+    val per = table(spark, dir, "documents")
+      .select(col("source"), sz(words).as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    val total = per.agg(sum("n_tokens").as("total_tokens"))
+    per.crossJoin(broadcast(total))
+      .withColumn("target_share",
+        when(col("source").isin("src0", "src1", "src2"), 0.1).otherwise(0.7 / 17))
+      .withColumn("repeat_factor",
+        (col("target_share") * col("total_tokens").cast("double")) / col("n_tokens").cast("double"))
+      .withColumn("n_epochs", ceil(col("repeat_factor")).cast("bigint"))
+      .select("source", "n_docs", "n_tokens", "target_share", "repeat_factor", "n_epochs")
+      .orderBy("source")
+  }
+
+  val mixtureBudgetOracle: String =
+    """WITH per AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source
+      |), tot AS (
+      |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per
+      |), shares AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    CASE WHEN source IN ('src0', 'src1', 'src2') THEN 0.1 ELSE 0.7 / 17 END AS target_share,
+      |    (CASE WHEN source IN ('src0', 'src1', 'src2') THEN 0.1 ELSE 0.7 / 17 END
+      |      * CAST(total_tokens AS DOUBLE)) / CAST(n_tokens AS DOUBLE) AS repeat_factor
+      |  FROM per CROSS JOIN tot
+      |)
+      |SELECT source, n_docs, n_tokens, CAST(target_share AS DOUBLE) AS target_share,
+      |  repeat_factor, CAST(ceil(repeat_factor) AS BIGINT) AS n_epochs
+      |FROM shares ORDER BY source""".stripMargin
 }

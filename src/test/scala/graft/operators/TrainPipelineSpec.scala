@@ -72,4 +72,68 @@ class TrainPipelineSpec extends AnyFunSuite {
     assert(survivors <= (docs * 0.2).toInt,
       s"$survivors of $docs incoming docs survived — LSH collision filter too weak")
   }
+
+  test("semdedup keeps every natural vector and drops >= 90% of planted copies") {
+    val out = Similarity.semDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val (natural, perturbed) = out.partition(_._1 < 1000000L)
+    assert(natural.length == 500 && perturbed.length == 500)
+    // fixture naturals are near-orthogonal (max cos ~0.5 << tau 0.9):
+    // none may be sacrificed to the dedup
+    assert(natural.forall(_._2 == 1L), "a natural vector was dropped")
+    // each planted copy has cos ~0.99 to its source; it survives only when
+    // the +0.01 shift pushes it across a quantizer cell boundary (the
+    // documented SemDeDup recall limit — within-cluster pairs only)
+    val dropped = perturbed.count(_._2 == 0L)
+    assert(dropped >= 450, s"only $dropped/500 planted copies dropped")
+  }
+
+  test("dup spans: every planted near-dup doc is 100% duplicated spans") {
+    val out = TextAnalysis.dupSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out.foreach { case (id, nSpans, nDup, frac) =>
+      assert(nSpans >= 1 && nDup >= 0 && nDup <= nSpans, s"doc $id counts")
+      assert(frac == nDup.toDouble / nSpans, s"doc $id frac")
+    }
+    // a perturbed doc is a suffix of its source, so each of its 5-gram
+    // spans appears verbatim in the source: dup_frac must be exactly 1
+    val planted = out.filter(_._1 >= 1000000L)
+    assert(planted.nonEmpty)
+    planted.foreach { case (id, _, _, frac) =>
+      assert(frac == 1.0, s"planted near-dup $id has dup_frac $frac != 1.0")
+    }
+  }
+
+  test("shuffle shards: a deterministic permutation with dense per-shard positions") {
+    val rows = TextAnalysis.shuffleShards(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.length == total, "shuffle must be a permutation (no loss, no dup)")
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.groupBy(_._2).foreach { case (shard, members) =>
+      assert(shard >= 0 && shard < 8)
+      // positions within a shard are exactly 1..n
+      assert(members.map(_._3).sorted.sameElements(1L to members.length),
+        s"shard $shard positions are not dense")
+    }
+    // content-independent hash key => bit-identical on rerun
+    val again = TextAnalysis.shuffleShards(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sameElements(again), "shuffle is not deterministic across runs")
+  }
+
+  test("mixture budget: shares sum to 1 and repeat factors hit the target exactly") {
+    val rows = TextAnalysis.mixtureBudget(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5)))
+    assert(rows.length == 20)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9)
+    val totalTokens = rows.map(_._3).sum.toDouble
+    rows.foreach { case (src, nDocs, nTokens, share, repeat, epochs) =>
+      assert(nDocs > 0 && nTokens > 0, src)
+      // the defining identity: repeated source tokens == target share of total
+      assert(repeat == share * totalTokens / nTokens, s"$src repeat factor")
+      assert(epochs == math.ceil(repeat).toLong, s"$src epochs")
+    }
+  }
 }
