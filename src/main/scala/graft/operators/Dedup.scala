@@ -405,17 +405,19 @@ object Dedup {
     * partition and buffers combine by element-wise min, so a group's
     * signature never needs its members co-located or collected. */
   def groupSignatures(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "documents")
-      .filter(hasShingles(col("text")))
-      // per-doc signature in one native pass, then elementwise min per
-      // group: min over docs of (min over doc's shingles) = min over the
-      // group's shingle union — the same signature the shingle-explode +
-      // MinHashAgg form computes, but the shuffle carries one 8-element
-      // row per DOC instead of one row per SHINGLE (~500× fewer rows).
-      // MinHashAgg remains the general mergeable-sketch aggregate (spec-
-      // gated for partition invariance); this is the fused fast path.
-      .select(col("lang"),
-        graft.functions.VectorExpressions.minhash_sig(shingles(col("text")), NumHashes).as("sig"))
+    // per-doc signatures come from the materialized shared stage (raw docs
+    // are its doc_id < IdOffset slice — same hasShingles filter, same
+    // native one-pass minhash), joined back to the doc table for the group
+    // key; then elementwise min per group: min over docs of (min over
+    // doc's shingles) = min over the group's shingle union — the same
+    // signature the shingle-explode + MinHashAgg form computes, but the
+    // shuffle carries one 8-element row per DOC instead of one row per
+    // SHINGLE (~500× fewer rows). MinHashAgg remains the general
+    // mergeable-sketch aggregate (spec-gated for partition invariance).
+    sharedSignatures(spark, dir)
+      .filter(col("doc_id") < IdOffset)
+      .join(table(spark, dir, "documents").select("doc_id", "lang"), "doc_id")
+      .select(col("lang"), col("sig"))
       .groupBy("lang")
       // the driver's compare sorts result columns in pandas, which cannot
       // hash/sort array cells — emit the signature as a joined string

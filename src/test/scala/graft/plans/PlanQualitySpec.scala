@@ -253,4 +253,33 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(aggs.size >= 2,
       "char-bigram count is not partial+final — the full char-level explosion would cross the shuffle")
   }
+
+  test("semdedup: centroids broadcast; the pairwise stage is a cell equi-join, not a cross product") {
+    val df = graft.operators.Similarity.semDedup(spark, SparkSuite.Sf0001)
+    df.collect()
+    val names = nodes(df).map(_.nodeName)
+    assert(names.exists(_.contains("BroadcastHashJoin")),
+      s"centroid table did not broadcast: ${names.distinct.mkString(",")}")
+    assert(!names.exists(n => n.contains("BroadcastNestedLoop") || n.contains("CartesianProduct")),
+      "pairwise stage fell back to a corpus-level cross product")
+  }
+
+  test("shuffle shards: the position window is partitioned by shard (no single-task rank)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.operators.TextAnalysis.shuffleShards(spark, SparkSuite.Sf0001)
+    df.collect()
+    val windows = nodes(df).collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "shard rank lost its partition key — the whole corpus would rank in one task"))
+  }
+
+  test("dup spans: both group-bys are partial+final and the span key never exceeds a hash") {
+    val df = graft.operators.TextAnalysis.dupSpans(spark, SparkSuite.Sf0001)
+    df.collect()
+    val names = nodes(df).map(_.nodeName)
+    assert(names.count(_.contains("HashAggregate")) >= 4,
+      s"span grouping is not partial+final: ${names.distinct.mkString(",")}")
+    assert(!names.exists(n => n.contains("BroadcastNestedLoop") || n.contains("CartesianProduct")))
+  }
 }
