@@ -496,6 +496,136 @@ object Similarity {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** ORACLE-GATED IVF+PQ — the production vector-index COMPOSITION, end to
+    * end: the IVF coarse quantizer contracts the corpus to the probed
+    * cells' candidates ([[ivfTopK]]'s assignment), PQ/ADC scores ONLY
+    * those candidates by integer table lookups ([[pqTopK]]'s machinery),
+    * and the top `rerank` per query are re-ranked by exact cosine — the
+    * contract-score-rerank shape every large-scale vector store runs
+    * (FAISS IVFPQ + refine). Each stage is individually oracle-gated
+    * elsewhere; this query gates their composition.
+    *
+    * Distributed shape at 10¹¹ vectors: candidates ≈ n·nprobe/n_cells per
+    * query; ADC cost is m integer lookups per candidate against a
+    * broadcast m·16-entry table; only the ≤rerank shortlist ever touches
+    * full vectors again. Broadcasts: centroids, probe table, ADC tables,
+    * query vectors — all O(queries + n_cells), never corpus-sized. */
+  def ivfPqTopK(spark: SparkSession, dir: String, numQueries: Int = 5, k: Int = 3,
+      nCentroids: Int = 16, nprobe: Int = 4, nCodes: Int = 16, m: Int = 8,
+      rerank: Int = 10): DataFrame = {
+    import graft.functions.VectorExpressions.vec_l2sq
+    val e = table(spark, dir, "embeddings")
+    val cents = e.filter(col("vec_id") >= 100 && col("vec_id") < 100 + nCentroids)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+    val dists = e.join(broadcast(cents))
+      .withColumn("dist", vec_l2sq(col("embedding"), col("cv")))
+      .select("vec_id", "cell", "dist")
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("dist"), col("cell"))
+    val cells = dists.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1).select("vec_id", "cell")
+    val probes = dists.filter(col("vec_id") < numQueries)
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val cands = broadcast(probes).join(cells, "cell")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"))
+    val subDists = pqSubDists(spark, dir, nCodes, m)
+    val codes = pqCodes(spark, dir, nCodes, m)
+      .select(col("vec_id").as("cand_id"), col("sub"), col("code"))
+    val tables = subDists.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("sub"), col("code"), col("d").as("td"))
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc"), col("cand_id"))
+    val shortlist = cands.join(codes, "cand_id")
+      .join(broadcast(tables), Seq("query_id", "sub", "code"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum("td").as("adc"))
+      .withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= rerank)
+      .select("query_id", "cand_id", "adc")
+    val qv = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm(col("embedding")).as("qn"))
+    val cv = e.select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+      norm(col("embedding")).as("cn"))
+    val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    shortlist
+      .join(broadcast(qv), "query_id").join(cv, "cand_id")
+      .withColumn("cos", dot(col("qv"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wRank).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "rank", "adc", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  def ivfPqTopKOracle(numQueries: Int = 5, k: Int = 3, nCentroids: Int = 16,
+      nprobe: Int = 4, nCodes: Int = 16, m: Int = 8, rerank: Int = 10): String = {
+    val subDim = 64 / m
+    val distSql = l2Sql.format("e.embedding", "c.cv")
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cell, embedding AS cv FROM embeddings
+       |  WHERE vec_id >= 100 AND vec_id < ${100 + nCentroids}
+       |), ivf_d AS (
+       |  SELECT e.vec_id, c.cell, $distSql AS dist
+       |  FROM embeddings e CROSS JOIN cents c
+       |), ranked_cells AS (
+       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |  FROM ivf_d
+       |), cells AS (
+       |  SELECT vec_id, cell FROM ranked_cells WHERE rn = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, cell FROM ranked_cells
+       |  WHERE vec_id < $numQueries AND rn <= $nprobe
+       |), cands AS (
+       |  SELECT query_id, cells.vec_id AS cand_id
+       |  FROM probes JOIN cells USING (cell)
+       |  WHERE query_id != cells.vec_id
+       |), dims AS (
+       |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+       |    CAST(i - 1 AS INTEGER) // $subDim AS sub,
+       |    CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000) AS BIGINT) + 1000000 AS x_off
+       |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i
+       |        FROM embeddings)
+       |), codebook AS (
+       |  SELECT vec_id - 100 AS code, dim, x_off AS c_off
+       |  FROM dims WHERE vec_id >= 100 AND vec_id < ${100 + nCodes}
+       |), sub_dists AS (
+       |  SELECT dm.vec_id, dm.sub, cb.code, sum((dm.x_off - cb.c_off) * (dm.x_off - cb.c_off)) AS d
+       |  FROM dims dm JOIN codebook cb USING (dim)
+       |  GROUP BY dm.vec_id, dm.sub, cb.code
+       |), codes AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+       |    FROM sub_dists) WHERE rn = 1
+       |), tables_q AS (
+       |  SELECT vec_id AS query_id, sub, code, d AS td
+       |  FROM sub_dists WHERE vec_id < $numQueries
+       |), adc AS (
+       |  SELECT ca.query_id, ca.cand_id, CAST(sum(t.td) AS BIGINT) AS adc
+       |  FROM cands ca
+       |  JOIN codes c ON c.vec_id = ca.cand_id
+       |  JOIN tables_q t ON t.query_id = ca.query_id AND t.sub = c.sub AND t.code = c.code
+       |  GROUP BY ca.query_id, ca.cand_id
+       |), shortlist AS (
+       |  SELECT query_id, cand_id, adc FROM (
+       |    SELECT query_id, cand_id, adc,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS arn
+       |    FROM adc) WHERE arn <= $rerank
+       |), scored AS (
+       |  SELECT query_id, cand_id, adc, ${cosSql("qe.embedding", "ce.embedding")} AS cos
+       |  FROM shortlist
+       |  JOIN embeddings qe ON qe.vec_id = query_id
+       |  JOIN embeddings ce ON ce.vec_id = cand_id
+       |), ranked AS (
+       |  SELECT query_id, cand_id, adc, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, cand_id, rank, adc, cos FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Sign-random-projection LSH, multi-table OR-construction: L independent
     * tables of k hyperplanes each; a vector lands in one k-bit bucket per
     * table, and two vectors are candidates if they collide in ANY table
