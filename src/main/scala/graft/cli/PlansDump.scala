@@ -35,7 +35,11 @@ object PlansDump {
     "quality_checks",          // fused per-table rule scans
     "text_decontaminate",      // eval-set grams broadcast, corpus scans once
     "profile_summary_lineitem", // Expand-free exact profile (per-col NDV aggs)
-    "ann_pq_topk")             // PQ/ADC: codebook broadcast, (sub,code) lookup join
+    "ann_pq_topk",             // PQ/ADC: codebook broadcast, (sub,code) lookup join
+    "ann_ivfpq_topk",          // IVF contraction + ADC + exact re-rank composition
+    "semdedup",                // broadcast quantizer + within-cell pair equi-join
+    "text_dup_spans",          // md5-keyed span shuffles, partial+final group-bys
+    "docs_shuffle_shards")     // hash shard key + per-shard partitioned rank
 
   /** Plan-audit overrides: these queries' gated implementations read
     * memoized materialized stages (the shared-pipeline design — see

@@ -183,24 +183,33 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected the banding rewrite's equi-join: ${names.distinct.mkString(",")}")
   }
 
-  test("refined IVF ANN: BNLJ only against tiny broadcast sides, never the corpus") {
+  private def assertBnljOnlyTinyBroadcasts(df: DataFrame, what: String): Unit = {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     import org.apache.spark.sql.execution.adaptive.BroadcastQueryStageExec
-    val df = graft.operators.Similarity.ivfRefinedTopK(spark, SparkSuite.Sf0001)
     df.collect()
     val ns = nodes(df)
     assert(!ns.exists(_.nodeName.contains("CartesianProduct")),
-      s"cartesian product in refined-IVF plan: ${ns.map(_.nodeName).distinct.mkString(",")}")
+      s"cartesian product in $what plan: ${ns.map(_.nodeName).distinct.mkString(",")}")
     // any nested-loop join must broadcast a query/centroid-sized side —
     // a corpus-sized broadcast would be the O(n·q) plan IVF exists to avoid
     ns.collect { case b: BroadcastNestedLoopJoinExec => b }.foreach { b =>
       val stages = allNodes(b).collect { case s: BroadcastQueryStageExec => s }
       stages.foreach { s =>
         val rows = s.getRuntimeStatistics.rowCount.getOrElse(BigInt(Long.MaxValue))
-        assert(rows <= 100, s"BNLJ broadcasts $rows rows — not a query-set side")
+        assert(rows <= 100, s"$what BNLJ broadcasts $rows rows — not a query-set side")
       }
-      assert(stages.nonEmpty, "BNLJ without a broadcast query stage")
+      assert(stages.nonEmpty, s"$what BNLJ without a broadcast query stage")
     }
+  }
+
+  test("refined IVF ANN: BNLJ only against tiny broadcast sides, never the corpus") {
+    assertBnljOnlyTinyBroadcasts(
+      graft.operators.Similarity.ivfRefinedTopK(spark, SparkSuite.Sf0001), "refined-IVF")
+  }
+
+  test("IVF+PQ ANN: BNLJ only against tiny broadcast sides, never the corpus") {
+    assertBnljOnlyTinyBroadcasts(
+      graft.operators.Similarity.ivfPqTopK(spark, SparkSuite.Sf0001), "IVF+PQ")
   }
 
   test("recursive reachability anchors on materialized edges (no pipeline re-run per round)") {
