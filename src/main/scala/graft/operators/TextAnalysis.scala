@@ -629,6 +629,69 @@ object TextAnalysis {
       |GROUP BY s.doc_id
       |ORDER BY s.doc_id""".stripMargin
 
+  // ------------------------------------------------------- span masking
+  /** POSITIONAL mask for exact substring dedup — the step after
+    * [[dupSpans]] detection: for each doc, how many token POSITIONS are
+    * covered by some cross-document duplicated 5-gram (those are the
+    * tokens Lee et al.'s dedup would cut), and the fraction that survives.
+    * A planted suffix copy is fully covered (keep_frac 0); its source
+    * keeps at most its first token (the only one a unique leading span can
+    * protect) — both pinned in the spec.
+    *
+    * 100 TB shape: same md5-keyed shuffles as [[dupSpans]] plus one
+    * explode of dup-span positions — per-doc bounded (≤5× tokens), and
+    * the positional distinct aggregates partial+final per doc_id. */
+  def spanMask(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val corpus = Dedup.corpusWithNearDups(spark, dir).filter(size(ws) >= 5)
+    val spansPos = corpus
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), size(ws) - 4),
+          i => md5(concat_ws(" ", (0 until 5).map(o => element_at(ws, i + o)): _*)))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("g"))
+    val dupGrams = spansPos.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select("g")
+    val covered = spansPos.join(dupGrams, "g")
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 4)).as("tok"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_covered"))
+    corpus.select(col("doc_id"), sz(ws).as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("n_covered", coalesce(col("n_covered"), lit(0L)))
+      .withColumn("keep_frac",
+        (col("n_tokens") - col("n_covered")).cast("double") / col("n_tokens"))
+      .select("doc_id", "n_tokens", "n_covered", "keep_frac")
+      .orderBy("doc_id")
+  }
+
+  val spanMaskOracle: String =
+    s"""WITH corpus AS (
+      |  ${Dedup.corpusSql.linesIterator.mkString("\n|  ")}
+      |), sized AS (
+      |  SELECT doc_id, text, len(string_split(text, ' ')) AS n_tokens
+      |  FROM corpus WHERE len(string_split(text, ' ')) >= 5
+      |), spans_pos AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |    md5(array_to_string(string_split(text, ' ')[i:i+4], ' ')) AS g
+      |  FROM (SELECT doc_id, text, unnest(generate_series(1, n_tokens - 4)) AS i FROM sized)
+      |), dup_grams AS (
+      |  SELECT g FROM (SELECT DISTINCT doc_id, g FROM spans_pos)
+      |  GROUP BY g HAVING count(*) >= 2
+      |), covered AS (
+      |  SELECT doc_id, count(*) AS n_covered FROM (
+      |    SELECT DISTINCT s.doc_id, CAST(t AS BIGINT) AS tok
+      |    FROM spans_pos s JOIN dup_grams USING (g),
+      |         unnest(generate_series(s.pos, s.pos + 4)) AS u(t))
+      |  GROUP BY doc_id
+      |)
+      |SELECT z.doc_id, CAST(z.n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(c.n_covered, 0) AS BIGINT) AS n_covered,
+      |  CAST(z.n_tokens - coalesce(c.n_covered, 0) AS DOUBLE) / z.n_tokens AS keep_frac
+      |FROM sized z LEFT JOIN covered c USING (doc_id)
+      |ORDER BY z.doc_id""".stripMargin
+
   // ----------------------------------------------------- shuffle + shard
   /** Deterministic GLOBAL SHUFFLE + SHARDING — the "shuffle the corpus,
     * write N training shards" step. Order key is a content-independent

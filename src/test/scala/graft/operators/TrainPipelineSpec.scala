@@ -104,6 +104,27 @@ class TrainPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("span mask: planted suffix copies fully covered; sources keep at most token 1") {
+    val out = TextAnalysis.spanMask(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out.foreach { case (id, n, cov, frac) =>
+      assert(cov >= 0 && cov <= n, s"doc $id coverage")
+      assert(frac == (n - cov).toDouble / n, s"doc $id frac")
+    }
+    val (planted, sources) = out.partition(_._1 >= 1000000L)
+    assert(planted.nonEmpty && sources.nonEmpty)
+    // a perturbed doc is a suffix of its source: every one of its spans is
+    // duplicated, and their union covers every token position
+    planted.foreach { case (id, n, cov, frac) =>
+      assert(cov == n && frac == 0.0, s"suffix copy $id not fully covered ($cov/$n)")
+    }
+    // the source shares all spans from position 2 on; only its leading
+    // token can escape (iff its first span is globally unique)
+    sources.foreach { case (id, n, cov, _) =>
+      assert(cov >= n - 1, s"source $id covered only $cov of $n tokens")
+    }
+  }
+
   test("shuffle shards: a deterministic permutation with dense per-shard positions") {
     val rows = TextAnalysis.shuffleShards(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
