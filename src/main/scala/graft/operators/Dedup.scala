@@ -399,6 +399,99 @@ object Dedup {
        |    - (SELECT count(*) FROM flagged) AS n_survivors""".stripMargin
   }
 
+  // ------------------------------------------------------ Bloom prefilter
+  private val BloomBits = 1048576 // 2^20; 60 bits used per BIGINT word
+  private val BloomK = 4
+
+  /** k deterministic bit positions for a text hash: salted rolling hashes
+    * mod m — pure integer math, identical cross-engine. */
+  private def bloomBitCols(h: Column): Seq[Column] =
+    (0 until BloomK).map(j =>
+      TextAnalysis.rollingHash(concat(lit(s"bf$j|"), h)) % BloomBits)
+
+  /** BLOOM-FILTER ingest prefilter — the cheap exact-duplicate screen that
+    * runs BEFORE any expensive near-dup machinery at scale: the reference
+    * corpus's text hashes are folded into an m = 2²⁰-bit Bloom filter
+    * (k = 4 salted rolling hashes; 60 bits per BIGINT word so no shift
+    * ever touches the sign bit), and every incoming doc probes it. A miss
+    * on ANY bit proves the text is new; only probe-positive docs (true
+    * dups + the filter's false positives) proceed to hashing/LSH.
+    *
+    * Incoming fixture: exact copies of every 3rd reference doc (MUST all
+    * flag — a Bloom filter has no false negatives, asserted in the spec)
+    * plus the perturbed suffix copies (should mostly pass; FP rate at
+    * 500·4/2²⁰ load is ≈ 0).
+    *
+    * 100 TB shape: the filter is m/8 = 128 KB per 2²⁰ bits — build is one
+    * linear scan + a 17k-row bit_or aggregate; the probe side joins that
+    * BROADCAST word table, so admission control costs one scan and zero
+    * shuffles of the incoming corpus. Sized up (m ∝ corpus), a 10¹¹-doc
+    * filter at 1% FP is ~120 GB — partition the key space by `w` range and
+    * the same plan holds with the word table bucket-joined instead of
+    * broadcast. */
+  def bloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    val words = d.select(explode(array(bloomBitCols(md5(col("text"))): _*)).as("bit"))
+      .select(expr("bit div 60").as("w"), col("bit") % 60 as "b")
+      .groupBy("w")
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).as("word"))
+    val incoming = d.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 2 * IdOffset).as("doc_id"), col("text"))
+      .unionAll(d.select((col("doc_id") + IdOffset).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text")))
+    val hits = incoming
+      .select(col("doc_id"), explode(array(bloomBitCols(md5(col("text"))): _*)).as("bit"))
+      .select(col("doc_id"), expr("bit div 60").as("w"), col("bit") % 60 as "b")
+      .join(broadcast(words), Seq("w"), "left")
+      .withColumn("hit", coalesce(
+        (col("word").bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))) =!= 0L,
+        lit(false)))
+      .groupBy("doc_id").agg(bool_and(col("hit")).as("all_hit"))
+    hits.agg(
+      count(lit(1)).as("n_incoming"),
+      sum(when(col("all_hit"), 1L).otherwise(0L)).as("n_flagged"),
+      sum(when(col("all_hit"), 0L).otherwise(1L)).as("n_pass"))
+  }
+
+  val bloomPrefilterOracle: String = {
+    def fold(s: String): String =
+      s"""list_reduce(
+         |      list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(
+         |          list_filter(string_split($s, ''), c -> c != ''),
+         |          c -> CAST(unicode(c) AS BIGINT))),
+         |      (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+    val refBit = fold("'bf' || CAST(j AS VARCHAR) || '|' || md5(text)")
+    s"""WITH salts AS (
+       |  SELECT unnest(range(0, $BloomK)) AS j
+       |), ref_bits AS (
+       |  SELECT ($refBit) % $BloomBits AS bit
+       |  FROM documents CROSS JOIN salts
+       |), words AS (
+       |  SELECT bit // 60 AS w,
+       |    bit_or(CAST(1 AS BIGINT) << CAST(bit % 60 AS INTEGER)) AS word
+       |  FROM ref_bits GROUP BY 1
+       |), incoming AS (
+       |  SELECT doc_id + ${2 * IdOffset} AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id + $IdOffset AS doc_id, substr(text, strpos(text, ' ') + 1) AS text
+       |  FROM documents
+       |), inc_bits AS (
+       |  SELECT doc_id, ($refBit) % $BloomBits AS bit
+       |  FROM incoming CROSS JOIN salts
+       |), hits AS (
+       |  SELECT i.doc_id,
+       |    bool_and(w.word IS NOT NULL AND
+       |             (w.word & (CAST(1 AS BIGINT) << CAST(i.bit % 60 AS INTEGER))) != 0) AS all_hit
+       |  FROM inc_bits i LEFT JOIN words w ON w.w = i.bit // 60
+       |  GROUP BY i.doc_id
+       |)
+       |SELECT count(*) AS n_incoming,
+       |  CAST(sum(CASE WHEN all_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |  CAST(sum(CASE WHEN all_hit THEN 0 ELSE 1 END) AS BIGINT) AS n_pass
+       |FROM hits""".stripMargin
+  }
+
   /** MinHash signature per GROUP (here: per language) via the
     * [[graft.functions.MinHashAgg]] TypedImperativeAggregate — the mergeable
     * sketch form: shingles stream through a partial aggregate on every

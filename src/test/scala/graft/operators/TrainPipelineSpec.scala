@@ -73,6 +73,22 @@ class TrainPipelineSpec extends AnyFunSuite {
       s"$survivors of $docs incoming docs survived — LSH collision filter too weak")
   }
 
+  test("bloom prefilter: no false negatives on exact copies, near-zero FP on fresh text") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    val exactCopies = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 3 === 0).count()
+    val r = Dedup.bloomPrefilter(spark, dir).collect()(0)
+    val (incoming, flagged, pass) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(incoming == exactCopies + docs)
+    assert(pass == incoming - flagged)
+    // a Bloom filter admits NO false negatives: every exact copy flags
+    assert(flagged >= exactCopies, s"missed exact duplicates: $flagged < $exactCopies")
+    // at 500·4/2^20 load the FP probability is ~1e-10 per probe; allow a
+    // token margin so a bigger fixture doesn't flake the suite
+    assert(flagged - exactCopies <= (docs * 0.01).toLong + 1,
+      s"${flagged - exactCopies} false positives — filter underdimensioned")
+  }
+
   test("semdedup keeps every natural vector and drops >= 90% of planted copies") {
     val out = Similarity.semDedup(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2)))
