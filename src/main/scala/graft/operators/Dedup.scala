@@ -330,6 +330,60 @@ object Dedup {
        |${ngramJaccardPairsOracle.linesIterator.map("    " + _).mkString("\n")}
        |  ) v) AS n_verified""".stripMargin
 
+  // ------------------------------------------------- takedown manifest
+  /** TAKEDOWN (right-to-be-forgotten) manifest — the governance op every
+    * training-data pipeline needs: for each requested document, the purge
+    * work list. Removing only the named doc is NOT enough — its verified
+    * near-duplicates carry the same content, so the manifest counts them
+    * (`n_linked`, from the materialized verified-pair graph) and names the
+    * training shard holding the doc (from the deterministic shuffle, so
+    * the rewrite touches exactly one shard per doc).
+    *
+    * 100 TB shape: requests are takedown-sized (thousands) — they
+    * broadcast; the verified graph and shard map are the already-built
+    * artifacts, so the manifest costs two small joins, no corpus scan. */
+  def takedownManifest(spark: SparkSession, dir: String): DataFrame = {
+    val requests = table(spark, dir, "documents")
+      .filter(col("doc_id") % 41 === 0).select("doc_id")
+    val pairs = sharedVerifiedPairs(spark, dir).select("id_a", "id_b")
+    val edges = pairs.select(col("id_a").as("req"), col("id_b").as("nbr"))
+      .unionAll(pairs.select(col("id_b").as("req"), col("id_a").as("nbr")))
+    val linked = broadcast(requests)
+      .join(edges, col("doc_id") === col("req"), "left")
+      .groupBy("doc_id").agg(count(col("nbr")).as("n_linked"))
+    linked.join(TextAnalysis.shuffleShards(spark, dir).select("doc_id", "shard"), "doc_id")
+      .select("doc_id", "shard", "n_linked")
+      .orderBy("doc_id")
+  }
+
+  // lazy: composes ngramJaccardPairsOracle (defined later in the file)
+  lazy val takedownManifestOracle: String =
+    s"""WITH verified AS (
+       |${ngramJaccardPairsOracle.linesIterator.map("  " + _).mkString("\n")}
+       |), edges AS (
+       |  SELECT id_a AS req, id_b AS nbr FROM verified
+       |  UNION ALL
+       |  SELECT id_b AS req, id_a AS nbr FROM verified
+       |), requests AS (
+       |  SELECT doc_id FROM documents WHERE doc_id % 41 = 0
+       |), linked AS (
+       |  SELECT r.doc_id, count(e.nbr) AS n_linked
+       |  FROM requests r LEFT JOIN edges e ON e.req = r.doc_id
+       |  GROUP BY r.doc_id
+       |), hashed AS (
+       |  SELECT doc_id,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(
+       |          list_filter(string_split('shuf|' || CAST(doc_id AS VARCHAR), ''), c -> c != ''),
+       |          c -> CAST(unicode(c) AS BIGINT))),
+       |      (a, b) -> (a * 31 + b) % 1000000007) AS skey
+       |  FROM documents
+       |)
+       |SELECT l.doc_id, h.skey % 8 AS shard, l.n_linked
+       |FROM linked l JOIN hashed h USING (doc_id)
+       |ORDER BY l.doc_id""".stripMargin
+
   // ------------------------------------------------- incremental dedup
   /** INCREMENTAL dedup against a REFERENCE corpus: which incoming documents
     * survive when everything colliding with an already-ingested corpus is

@@ -89,6 +89,26 @@ class TrainPipelineSpec extends AnyFunSuite {
       s"${flagged - exactCopies} false positives — filter underdimensioned")
   }
 
+  test("takedown manifest: one row per request, near-dups linked, shard matches the shuffle") {
+    val requests = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 41 === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val manifest = Dedup.takedownManifest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(manifest.map(_._1).toSet == requests, "manifest must cover exactly the request list")
+    // every request has a planted suffix near-dup; banded-LSH recall on the
+    // fixture is >= 90%, so at most a straggler may report zero links
+    val unlinked = manifest.count(_._3 == 0L)
+    assert(unlinked <= math.max(1, requests.size / 10),
+      s"$unlinked of ${requests.size} requests found no near-dups to purge")
+    // the named shard must be the one the deterministic shuffle assigns
+    val shards = TextAnalysis.shuffleShards(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    manifest.foreach { case (id, shard, _) =>
+      assert(shards(id) == shard, s"doc $id: manifest shard $shard != shuffle ${shards(id)}")
+    }
+  }
+
   test("semdedup keeps every natural vector and drops >= 90% of planted copies") {
     val out = Similarity.semDedup(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2)))
