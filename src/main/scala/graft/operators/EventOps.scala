@@ -665,4 +665,52 @@ object EventOps {
       |  CAST(props->>'$.k' AS BIGINT) AS k,
       |  props->>'$.missing' IS NULL AS missing_is_null
       |FROM events ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------ Z-order layout
+  /** Z-ORDER (Morton) layout audit — the multi-dimensional clustering
+    * write-side optimization: interleaving the bits of (user_id, hour)
+    * yields a 1-D sort key whose contiguous ranges are RECTANGLES in
+    * (user, time) space, so files written in zkey order carry narrow
+    * min/max on BOTH columns and scans filtering on either dimension skip
+    * files (plain sort orders give pruning on the leading column only).
+    * The query computes the per-bucket footprint the writer would produce:
+    * each zkey bucket's row count and its (user, hour) bounding box — the
+    * numbers that prove two-dimensional file skipping works.
+    *
+    * 100 TB shape: the zkey is a pure per-row projection (32 bit-ops,
+    * codegen'd); bucketing is one partial+final aggregate. The actual
+    * write is `repartitionByRange(zkey).sortWithinPartitions(zkey)` —
+    * same key, no extra machinery. */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val xb = col("user_id") % 65536L
+    val yb = expr("(ts div 1000) div 3600000000") % 65536L // micros → hour index
+    val zkey = (0 until 16).map { i =>
+      shiftleft(shiftright(xb, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(yb, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+    table(spark, dir, "events")
+      .select(xb.as("x"), yb.as("y"), zkey.as("zkey"))
+      .groupBy(expr("zkey div 65536").as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("x")).as("min_user"), max(col("x")).as("max_user"),
+        min(col("y")).as("min_hour"), max(col("y")).as("max_hour"))
+      .orderBy("bucket")
+  }
+
+  val zorderLayoutOracle: String = {
+    val terms = (0 until 16).map { i =>
+      s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+    s"""WITH pts AS (
+       |  SELECT user_id % 65536 AS x,
+       |    (epoch_us(ts) // 3600000000) % 65536 AS y
+       |  FROM events
+       |), keyed AS (
+       |  SELECT x, y, $terms AS zkey FROM pts
+       |)
+       |SELECT zkey // 65536 AS bucket, count(*) AS n_events,
+       |  min(x) AS min_user, max(x) AS max_user,
+       |  min(y) AS min_hour, max(y) AS max_hour
+       |FROM keyed GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
 }

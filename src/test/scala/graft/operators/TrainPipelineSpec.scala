@@ -179,6 +179,22 @@ class TrainPipelineSpec extends AnyFunSuite {
     assert(rows.sameElements(again), "shuffle is not deterministic across runs")
   }
 
+  test("z-order layout: buckets partition the table into <=256x256 rectangles") {
+    val out = EventOps.zorderLayout(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val total = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(out.map(_._2).sum == total, "buckets must partition the table")
+    // bucket = zkey div 2^16 fixes bits 8+ of BOTH interleaved coordinates,
+    // so each bucket's (user, hour) bounding box is at most 256 x 256 — the
+    // two-dimensional locality a plain sort cannot give
+    out.foreach { case (bucket, _, minU, maxU, minH, maxH) =>
+      assert(maxU - minU < 256, s"bucket $bucket user span ${maxU - minU}")
+      assert(maxH - minH < 256, s"bucket $bucket hour span ${maxH - minH}")
+      assert(maxU >> 8 == minU >> 8 && maxH >> 8 == minH >> 8,
+        s"bucket $bucket crosses a 256-aligned boundary — interleave is broken")
+    }
+  }
+
   test("mixture budget: shares sum to 1 and repeat factors hit the target exactly") {
     val rows = TextAnalysis.mixtureBudget(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
