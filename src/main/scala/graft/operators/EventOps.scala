@@ -666,6 +666,66 @@ object EventOps {
       |  props->>'$.missing' IS NULL AS missing_is_null
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ------------------------------------------------------ drift (chi²)
+  /** DISTRIBUTION-DRIFT detection — the monitoring twin of the profile
+    * suite: does the event-type mix differ between weekday and weekend
+    * traffic? Pearson chi-square contingency cells, one row per event
+    * type: observed weekday/weekend counts, the independence-expected
+    * weekday count, and the type's chi² contribution
+    * Σ (obs−exp)²/exp over its two cells. The statistic is the column sum
+    * of `contrib` with dof = (types−1); alert when it jumps — exactly how
+    * a production data-quality monitor flags mix shift between a
+    * reference window and a live window.
+    *
+    * Cross-engine float parity: counts are exact integers; every double
+    * op (expected value, squared residual, division, the two-term add)
+    * is a fixed-order per-ROW expression — no cross-row double
+    * aggregation anywhere, so no decimal routing is needed.
+    *
+    * 100 TB shape: one scan, one tiny-cardinality partial+final
+    * aggregate, a 1-row total broadcast back — the same fused-profile
+    * shape as everything else in the monitoring path. */
+  def driftChisq(spark: SparkSession, dir: String): DataFrame = {
+    val isWeekend = expr("weekday(timestamp_micros(ts div 1000))") >= 5
+    val cells = table(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(sum(when(!isWeekend, 1L).otherwise(0L)).as("n_weekday"),
+        sum(when(isWeekend, 1L).otherwise(0L)).as("n_weekend"))
+    val totals = cells.agg(sum("n_weekday").as("t_wd"), sum("n_weekend").as("t_we"))
+    val rowTot = col("n_weekday") + col("n_weekend")
+    val grand = col("t_wd") + col("t_we")
+    val eWd = col("t_wd").cast("double") * rowTot / grand
+    val eWe = col("t_we").cast("double") * rowTot / grand
+    cells.crossJoin(broadcast(totals))
+      .withColumn("e_weekday", eWd)
+      .withColumn("contrib",
+        (col("n_weekday") - eWd) * (col("n_weekday") - eWd) / eWd +
+          (col("n_weekend") - eWe) * (col("n_weekend") - eWe) / eWe)
+      .select("event_type", "n_weekday", "n_weekend", "e_weekday", "contrib")
+      .orderBy("event_type")
+  }
+
+  val driftChisqOracle: String =
+    """WITH cells AS (
+      |  SELECT event_type,
+      |    CAST(sum(CASE WHEN isodow(ts) >= 6 THEN 0 ELSE 1 END) AS BIGINT) AS n_weekday,
+      |    CAST(sum(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend
+      |  FROM events GROUP BY event_type
+      |), totals AS (
+      |  SELECT CAST(sum(n_weekday) AS BIGINT) AS t_wd,
+      |         CAST(sum(n_weekend) AS BIGINT) AS t_we FROM cells
+      |)
+      |SELECT event_type, n_weekday, n_weekend,
+      |  CAST(t_wd AS DOUBLE) * (n_weekday + n_weekend) / (t_wd + t_we) AS e_weekday,
+      |  (n_weekday - CAST(t_wd AS DOUBLE) * (n_weekday + n_weekend) / (t_wd + t_we))
+      |    * (n_weekday - CAST(t_wd AS DOUBLE) * (n_weekday + n_weekend) / (t_wd + t_we))
+      |    / (CAST(t_wd AS DOUBLE) * (n_weekday + n_weekend) / (t_wd + t_we))
+      |  + (n_weekend - CAST(t_we AS DOUBLE) * (n_weekday + n_weekend) / (t_wd + t_we))
+      |    * (n_weekend - CAST(t_we AS DOUBLE) * (n_weekday + n_weekend) / (t_wd + t_we))
+      |    / (CAST(t_we AS DOUBLE) * (n_weekday + n_weekend) / (t_wd + t_we)) AS contrib
+      |FROM cells CROSS JOIN totals
+      |ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------ Z-order layout
   /** Z-ORDER (Morton) layout audit — the multi-dimensional clustering
     * write-side optimization: interleaving the bits of (user_id, hour)

@@ -179,6 +179,25 @@ class TrainPipelineSpec extends AnyFunSuite {
     assert(rows.sameElements(again), "shuffle is not deterministic across runs")
   }
 
+  test("drift chi-square: contingency identities hold and the uniform fixture stays calm") {
+    val out = EventOps.driftChisq(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.nonEmpty)
+    val tWd = out.map(_._2).sum
+    val tWe = out.map(_._3).sum
+    out.foreach { case (t, nWd, nWe, eWd, contrib) =>
+      assert(contrib >= 0.0, s"$t negative chi2 contribution")
+      assert(eWd == tWd.toDouble * (nWd + nWe) / (tWd + tWe), s"$t expected-count identity")
+    }
+    // expected weekday counts redistribute the weekday total exactly
+    assert(math.abs(out.map(_._4).sum - tWd) < 1e-6)
+    // the fixture's type mix is time-uniform: the statistic must sit far
+    // below the 0.1% critical value for dof=4 (18.47) — a regression that
+    // skews the cells (bad dow math, lost rows) blows straight past it
+    val chi2 = out.map(_._5).sum
+    assert(chi2 < 18.47, s"chi2 $chi2 on a uniform fixture — cell math is broken")
+  }
+
   test("z-order layout: buckets partition the table into <=256x256 rectangles") {
     val out = EventOps.zorderLayout(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
