@@ -107,48 +107,17 @@ object Dedup {
     array_min(transform(sh, s => md5(concat(lit(s"$i|"), s))))
 
   // --------------------------------------- shared materialized pipeline
-  /** Process-level memo of materialized pipeline stages, keyed by
-    * (SparkContext identity, data dir, stage name).
-    *
-    * The near-dup family — candidate pairs, verified pairs, Jaccard
+  /** The near-dup family — candidate pairs, verified pairs, Jaccard
     * estimation, triangles, three clustering forms — all consume the same
-    * shingle → minhash → band → verify pipeline. Recomputing it per query
-    * was the slowest block of the round-4/5 bench, and the per-query
-    * `Dataset.persist()` calls it used internally leaked CacheManager
-    * entries into every later query of the process (ADVICE r5 #1). The
-    * shared stages instead run ONCE per (session, dir), are materialized
-    * with `localCheckpoint(eager = true)` — RDD blocks, released by the
-    * ContextCleaner when unreferenced, never registered in the
-    * CacheManager — and every family member reads the materialized blocks.
-    * This is also the 100 TB shape: you materialize the verified pair
-    * graph once and run all downstream analytics against it, rather than
-    * re-hashing the corpus per question. */
-  private val stageCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
-
-  /** Context key: (applicationId, startTime) — unique per SparkContext
-    * within a JVM (identityHashCode is not: it can collide after GC and
-    * hand a new context a DataFrame bound to a dead one). */
-  private def ctxKey(spark: SparkSession): String = {
-    val sc = spark.sparkContext
-    s"${sc.applicationId}@${sc.startTime}"
-  }
-
+    * shingle → minhash → band → verify pipeline, memoized via
+    * [[StageMemo]] (materialized once per (session, dir); recomputing it
+    * per query was the slowest block of the round-4/5 bench). */
   private def memoStage(spark: SparkSession, dir: String, stage: String)(
-      build: => DataFrame): DataFrame = stageCache.synchronized {
-    val ck = ctxKey(spark)
-    // only ONE SparkContext can be active per JVM: entries from any other
-    // context are dead — evict them so cycled sessions don't pin stopped
-    // contexts' plans/RDDs for process lifetime
-    stageCache.keys.filter(_._1 != ck).foreach(stageCache.remove)
-    stageCache.getOrElseUpdate((ck, dir, stage), build.localCheckpoint(true))
-  }
+      build: => DataFrame): DataFrame = StageMemo(spark, dir, stage)(build)
 
-  /** Test hook: drop every memoized stage (blocks are then freed by the
-    * ContextCleaner once the returned DataFrames go unreferenced). */
-  private[graft] def clearSharedStages(): Unit = stageCache.synchronized {
-    stageCache.clear()
-  }
+  /** Test/bench hook — clears EVERY memoized stage (near-dup AND span
+    * family), kept here because Bench and the leak specs reach it. */
+  private[graft] def clearSharedStages(): Unit = StageMemo.clear()
 
   /** Stage 1 — (doc_id, sig): the native one-pass MinHash signature per
     * doc, materialized once per (session, dir). DELIBERATELY narrow: an

@@ -592,23 +592,67 @@ object TextAnalysis {
     * never span text; the frequency table joins back by hash equi-join.
     * This is the MapReduce factorization of the paper's suffix array: same
     * duplicated-span set, no global suffix sort. */
-  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+  /** Distinct (doc_id, md5-of-5-gram) span table — DERIVED per use (one
+    * scan + codegen'd split/explode; the arrays are the corpus over again,
+    * so checkpointing them costs more than the scan they save — the same
+    * trade [[Dedup.sharedSignatures]] documents for shingle sets). */
+  private def spanTable(spark: SparkSession, dir: String): DataFrame = {
     val ws = split(col("text"), " ")
-    val spans = Dedup.corpusWithNearDups(spark, dir)
+    Dedup.corpusWithNearDups(spark, dir)
       .filter(size(ws) >= 5)
       .select(col("doc_id"), explode(
         transform(sequence(lit(1), size(ws) - 4),
           i => md5(concat_ws(" ", (0 until 5).map(o => element_at(ws, i + o)): _*)))).as("g"))
       .distinct()
-    val freq = spans.groupBy("g").agg(count(lit(1)).as("n_docs"))
-    spans.join(freq, "g")
+  }
+
+  /** The DUPLICATED-gram set — 5-grams appearing in ≥2 docs — materialized
+    * once per (session, dir): the expensive gram-frequency aggregate that
+    * both [[dupSpans]] and [[spanMask]] consume (16 B hashes only, a
+    * fraction of the distinct-gram table). */
+  private[operators] def sharedDupGrams(spark: SparkSession, dir: String): DataFrame =
+    StageMemo(spark, dir, "dup5grams") {
+      spanTable(spark, dir)
+        .groupBy("g").agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .select("g")
+    }
+
+  /** Materializes the span family's shared stage and reports
+    * (n_span_docs, n_dup_grams) — named to sort BEFORE text_dup_spans and
+    * text_span_mask in the bench so the one-time gram-frequency build
+    * lands on THIS line and each consumer times only its own work (the
+    * dedup_build_pipeline pattern). */
+  def buildSpanStage(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    Dedup.corpusWithNearDups(spark, dir).filter(size(ws) >= 5)
+      .agg(count(lit(1)).as("n_span_docs"))
+      .crossJoin(sharedDupGrams(spark, dir).agg(count(lit(1)).as("n_dup_grams")))
+  }
+
+  val buildSpanStageOracle: String =
+    s"""WITH corpus AS (
+      |  ${Dedup.corpusSql.linesIterator.mkString("\n|  ")}
+      |), spans AS (
+      |  SELECT DISTINCT doc_id, md5(gram) AS g FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      generate_series(1, len(string_split(text, ' ')) - 4),
+      |      i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS gram
+      |    FROM corpus WHERE len(string_split(text, ' ')) >= 5)
+      |)
+      |SELECT
+      |  (SELECT count(*) FROM corpus WHERE len(string_split(text, ' ')) >= 5) AS n_span_docs,
+      |  (SELECT count(*) FROM (SELECT g FROM spans GROUP BY g HAVING count(*) >= 2) d) AS n_dup_grams""".stripMargin
+
+  def dupSpans(spark: SparkSession, dir: String): DataFrame =
+    spanTable(spark, dir)
+      .join(sharedDupGrams(spark, dir).withColumn("dup", lit(1L)), Seq("g"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        sum(coalesce(col("dup"), lit(0L))).as("n_dup"))
       .withColumn("dup_frac", col("n_dup").cast("double") / col("n_spans"))
       .select("doc_id", "n_spans", "n_dup", "dup_frac")
       .orderBy("doc_id")
-  }
 
   val dupSpansOracle: String =
     s"""WITH corpus AS (
@@ -649,11 +693,7 @@ object TextAnalysis {
         transform(sequence(lit(1), size(ws) - 4),
           i => md5(concat_ws(" ", (0 until 5).map(o => element_at(ws, i + o)): _*)))))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("g"))
-    val dupGrams = spansPos.select("doc_id", "g").distinct()
-      .groupBy("g").agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") >= 2)
-      .select("g")
-    val covered = spansPos.join(dupGrams, "g")
+    val covered = spansPos.join(sharedDupGrams(spark, dir), "g")
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 4)).as("tok"))
       .distinct()
       .groupBy("doc_id").agg(count(lit(1)).as("n_covered"))
