@@ -53,10 +53,10 @@ object Bench {
         catch { case _: Throwable => () }
       }
       spark.sharedState.cacheManager.clearCache()
-      // the warmup also memoized Dedup's shared pipeline stages (for the
-      // warm dir) — drop them so the timed run builds its own stages and
-      // dedup_build_pipeline's line reflects the real cost even when the
-      // measured SF equals the warm SF
+      // the warmup also memoized the shared pipeline stages (near-dup AND
+      // span family, for the warm dir) — drop them so the timed run builds
+      // its own stages and the build-attribution queries' lines reflect
+      // the real cost even when the measured SF equals the warm SF
       graft.operators.Dedup.clearSharedStages()
     } catch { case _: Throwable => () }
     // 1-min system loadavg before/after the timed block: a contended box

@@ -299,6 +299,74 @@ object Dedup {
        |${ngramJaccardPairsOracle.linesIterator.map("    " + _).mkString("\n")}
        |  ) v) AS n_verified""".stripMargin
 
+  // ------------------------------------------------------ PageRank hubs
+  /** PAGERANK over the verified near-dup graph — the hub detector: a
+    * document whose near-dup neighborhood is large and well-connected is
+    * template/boilerplate content (the "same page, thousand mirrors"
+    * pattern), and its rank concentrates mass where degree counting
+    * alone can't distinguish one hub from many chains. Three power
+    * iterations, damping 0.85, unrolled as join → group-by rounds over
+    * the materialized pair graph.
+    *
+    * Cross-engine exactness: ranks live in INTEGER micro-units
+    * (r₀ = 10⁶); each round is `150000 + (850 · Σ (r(u) div deg(u))) div
+    * 1000` — floor divisions on non-negative BIGINTs agree between
+    * Spark's `div` and DuckDB's `//`, so three rounds stay bit-identical
+    * with zero float drift (the ivfRefined integer-E-step recipe).
+    *
+    * 100 TB shape: per round, one equi-join of the rank table against the
+    * edge list + one partial+final sum shuffle — the canonical Pregel
+    * step as plain DataFrame ops; the edge list is the already
+    * materialized stage. */
+  def pagerankHubs(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val pairs = sharedVerifiedPairs(spark, dir).select("id_a", "id_b")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true) // reused every round; truncates lineage growth
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    var rank = deg.select(col("src").as("doc_id"), lit(1000000L).as("pr"))
+    (0 until iters).foreach { _ =>
+      val contrib = edges
+        .join(rank.withColumnRenamed("doc_id", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("in_sum"))
+      rank = rank.join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(150000L) + expr("(850 * coalesce(in_sum, 0L)) div 1000")).as("pr"))
+    }
+    rank.orderBy("doc_id")
+  }
+
+  // lazy: composes ngramJaccardPairsOracle (defined later in the file)
+  lazy val pagerankHubsOracle: String = {
+    def round(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT r.doc_id,
+         |    150000 + (850 * coalesce(s.in_sum, 0)) // 1000 AS pr
+         |  FROM $prev r LEFT JOIN (
+         |    SELECT e.dst AS doc_id, sum(p.pr // d.deg) AS in_sum
+         |    FROM edges e
+         |    JOIN $prev p ON p.doc_id = e.src
+         |    JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) s ON s.doc_id = r.doc_id
+         |)""".stripMargin
+    s"""WITH verified AS (
+       |${ngramJaccardPairsOracle.linesIterator.map("  " + _).mkString("\n")}
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM verified
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM verified
+       |), deg AS (
+       |  SELECT src, count(*) AS deg FROM edges GROUP BY src
+       |), r0 AS (
+       |  SELECT src AS doc_id, CAST(1000000 AS BIGINT) AS pr FROM deg
+       |), ${round("r0", "r1")},
+       |${round("r1", "r2")},
+       |${round("r2", "r3")}
+       |SELECT doc_id, CAST(pr AS BIGINT) AS pr FROM r3 ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------- takedown manifest
   /** TAKEDOWN (right-to-be-forgotten) manifest — the governance op every
     * training-data pipeline needs: for each requested document, the purge

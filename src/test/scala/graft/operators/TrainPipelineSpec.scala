@@ -89,6 +89,27 @@ class TrainPipelineSpec extends AnyFunSuite {
       s"${flagged - exactCopies} false positives — filter underdimensioned")
   }
 
+  test("pagerank hubs: covers the graph's nodes; degree-1 mutual pairs sit at the fixed point") {
+    val pairs = Dedup.ngramJaccardPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val degree = pairs.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map { case (k, v) => k -> v.length }
+    val pr = Dedup.pagerankHubs(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr.keySet == degree.keySet, "rank table must cover exactly the graph's nodes")
+    // teleport floor: no rank below 0.15 in micro-units
+    pr.values.foreach(v => assert(v >= 150000L, s"rank $v below the teleport floor"))
+    // a mutually-paired degree-1 couple passes its whole rank back and
+    // forth: 150000 + (850 * (10^6 div 1)) div 1000 == 10^6 exactly, every
+    // iteration — the integer fixed point
+    val mutualSingles = pairs.filter(p => degree(p._1) == 1 && degree(p._2) == 1)
+    assert(mutualSingles.nonEmpty)
+    mutualSingles.foreach { case (a, b) =>
+      assert(pr(a) == 1000000L && pr(b) == 1000000L,
+        s"pair ($a,$b) drifted from the degree-1 fixed point: ${pr(a)}, ${pr(b)}")
+    }
+  }
+
   test("takedown manifest: one row per request, near-dups linked, shard matches the shuffle") {
     val requests = spark.read.parquet(s"$dir/documents.parquet")
       .filter(col("doc_id") % 41 === 0).select("doc_id")
