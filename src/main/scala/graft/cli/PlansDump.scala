@@ -39,7 +39,8 @@ object PlansDump {
     "ann_ivfpq_topk",          // IVF contraction + ADC + exact re-rank composition
     "semdedup",                // broadcast quantizer + within-cell pair equi-join
     "text_dup_spans",          // md5-keyed span shuffles, partial+final group-bys
-    "docs_shuffle_shards")     // hash shard key + per-shard partitioned rank
+    "docs_shuffle_shards",     // hash shard key + per-shard partitioned rank
+    "dedup_pagerank_hubs")     // 3 unrolled Pregel rounds over materialized edges
 
   /** Plan-audit overrides: these queries' gated implementations read
     * memoized materialized stages (the shared-pipeline design — see
