@@ -692,11 +692,20 @@ object TextAnalysis {
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(1), size(ws) - 4),
           i => md5(concat_ws(" ", (0 until 5).map(o => element_at(ws, i + o)): _*)))))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("g"))
+      .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("pos"), col("col").as("g"))
+    // covered positions = union length of the dup spans' [p, p+4] intervals:
+    // an O(spans)-per-doc fold over the SORTED span starts, with the
+    // (count, last_covered) accumulator packed into one BIGINT (count·10⁶ +
+    // last) so the fold is pure integer math on both engines. The rejected
+    // alternative — explode all 5 positions per span, distinct, count —
+    // multiplies the dup-span rows 5× through an extra shuffle.
     val covered = spansPos.join(sharedDupGrams(spark, dir), "g")
-      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 4)).as("tok"))
-      .distinct()
-      .groupBy("doc_id").agg(count(lit(1)).as("n_covered"))
+      .groupBy("doc_id").agg(array_sort(collect_list(col("pos"))).as("ps"))
+      .select(col("doc_id"), expr(
+        """aggregate(ps, CAST(0 AS BIGINT),
+          |  (a, p) -> ((a div 1000000) + greatest(CAST(0 AS BIGINT), p + 4 - greatest(a % 1000000, p - 1))) * 1000000
+          |            + greatest(a % 1000000, p + 4),
+          |  a -> a div 1000000)""".stripMargin).as("n_covered"))
     corpus.select(col("doc_id"), sz(ws).as("n_tokens"))
       .join(covered, Seq("doc_id"), "left")
       .withColumn("n_covered", coalesce(col("n_covered"), lit(0L)))
@@ -720,10 +729,13 @@ object TextAnalysis {
       |  SELECT g FROM (SELECT DISTINCT doc_id, g FROM spans_pos)
       |  GROUP BY g HAVING count(*) >= 2
       |), covered AS (
-      |  SELECT doc_id, count(*) AS n_covered FROM (
-      |    SELECT DISTINCT s.doc_id, CAST(t AS BIGINT) AS tok
-      |    FROM spans_pos s JOIN dup_grams USING (g),
-      |         unnest(generate_series(s.pos, s.pos + 4)) AS u(t))
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT), list_sort(list(pos))),
+      |      (a, p) -> ((a // 1000000) + greatest(CAST(0 AS BIGINT), p + 4 - greatest(a % 1000000, p - 1))) * 1000000
+      |                + greatest(a % 1000000, p + 4)
+      |    ) // 1000000 AS n_covered
+      |  FROM spans_pos JOIN dup_grams USING (g)
       |  GROUP BY doc_id
       |)
       |SELECT z.doc_id, CAST(z.n_tokens AS BIGINT) AS n_tokens,
