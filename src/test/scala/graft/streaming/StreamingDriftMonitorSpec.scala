@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.nio.file.{Files, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+
+class StreamingDriftMonitorSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+
+  private val uniform =
+    Seq("click", "error", "purchase", "signup", "view").map(_ -> 0.2).toMap
+
+  /** Split the fixture events at the median ts into two stream files so the
+    * run exercises cross-batch window accumulation. */
+  private def stageTwoBatches(dir: String): String = {
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val median = events.selectExpr("percentile_approx(ts, 0.5)").collect()(0).getLong(0)
+    val staged = Files.createTempDirectory("events_drift_stream")
+    def writeOne(cond: org.apache.spark.sql.Column, name: String): java.nio.file.Path = {
+      val tmp = Files.createTempDirectory(s"d_$name")
+      events.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      Files.copy(part, staged.resolve(s"$name.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      staged.resolve(s"$name.parquet")
+    }
+    val f0 = writeOne(col("ts") < median, "batch0")
+    val f1 = writeOne(col("ts") >= median, "batch1")
+    f0.toFile.setLastModified(System.currentTimeMillis() - 120000)
+    f1.toFile.setLastModified(System.currentTimeMillis() - 60000)
+    staged.toString
+  }
+
+  test("streaming per-window chi2 equals the batch computation on the same windows") {
+    val staged = stageTwoBatches(SparkSuite.Sf0001)
+    val q = StreamingDriftMonitor.monitor(spark, staged, uniform)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("stream_drift")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_drift").collect()
+        .map(r => r.getTimestamp(0) -> (r.getLong(6), r.getDouble(7))).toMap
+      val batch = StreamingDriftMonitor.driftSelect(
+        spark.read.parquet(staged)
+          .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+          .groupBy(window(col("ts_utc"), "1 hour")),
+        uniform).collect()
+        .map(r => r.getTimestamp(0) -> (r.getLong(6), r.getDouble(7))).toMap
+      assert(streamed.keySet == batch.keySet, "window sets differ")
+      batch.foreach { case (w, (n, chi2)) =>
+        assert(streamed(w)._1 == n, s"window $w count: ${streamed(w)._1} != $n")
+        // identical fixed-order expression on identical integer cells →
+        // bit-identical doubles, stream vs batch
+        assert(streamed(w)._2 == chi2, s"window $w chi2: ${streamed(w)._2} != $chi2")
+      }
+      assert(batch.values.forall(_._2 >= 0.0))
+    } finally q.stop()
+  }
+
+  test("a wrong reference mix alarms every window; the true mix stays calm overall") {
+    val staged = stageTwoBatches(SparkSuite.Sf0001)
+    val skewed = Map("click" -> 0.9, "error" -> 0.025, "purchase" -> 0.025,
+      "signup" -> 0.025, "view" -> 0.025)
+    val q = StreamingDriftMonitor.monitor(spark, staged, skewed)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("stream_drift_skew").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("stream_drift_skew")
+        .collect().map(r => (r.getLong(6), r.getDouble(7)))
+      assert(rows.nonEmpty)
+      // dof = 4, 1% critical = 13.28: a 0.9-click reference against a
+      // ~uniform stream must blow past it in any window with real traffic
+      rows.filter(_._1 >= 50).foreach { case (n, chi2) =>
+        assert(chi2 > 13.28, s"skewed reference went unalarmed: chi2 $chi2 at n=$n")
+      }
+    } finally q.stop()
+  }
+}
