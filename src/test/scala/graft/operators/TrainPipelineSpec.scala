@@ -182,6 +182,29 @@ class TrainPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("interval-union fold equals brute-force coverage on randomized span sets") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260813L)
+    val cases = (0 until 60).map { i =>
+      val n = 1 + rng.nextInt(40)
+      // duplicates + adjacent + far-apart starts, the shapes that break folds
+      val ps = Seq.fill(n)(1L + rng.nextInt(120)).distinct.sorted
+      (i.toLong, ps)
+    }
+    val foldExpr =
+      """aggregate(ps, CAST(0 AS BIGINT),
+        |  (a, p) -> ((a div 1000000) + greatest(CAST(0 AS BIGINT), p + 4 - greatest(a % 1000000, p - 1))) * 1000000
+        |            + greatest(a % 1000000, p + 4),
+        |  a -> a div 1000000)""".stripMargin
+    val got = cases.toDF("id", "ps")
+      .selectExpr("id", s"$foldExpr AS covered")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.foreach { case (id, ps) =>
+      val brute = ps.flatMap(p => p to p + 4).distinct.size.toLong
+      assert(got(id) == brute, s"case $id: fold ${got(id)} != brute $brute for $ps")
+    }
+  }
+
   test("shuffle shards: a deterministic permutation with dense per-shard positions") {
     val rows = TextAnalysis.shuffleShards(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
