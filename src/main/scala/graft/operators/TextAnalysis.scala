@@ -783,6 +783,59 @@ object TextAnalysis {
       |FROM hashed
       |ORDER BY shard, pos""".stripMargin
 
+  // ------------------------------------------------------- corpus report
+  /** One-row CORPUS HEALTH REPORT — the nightly composition a pipeline
+    * operator actually schedules: volume (docs, tokens), diversity
+    * (languages, sources, dominant language and its share), and hygiene
+    * (short-doc count, exact-duplicate groups). Each distinct count is its
+    * own single-distinct aggregate recombined by broadcast cross join —
+    * the Expand-free shape (`ProfileQueries.ndvFrame` lesson: two
+    * countDistinct in one agg replicate every row 3× through the
+    * exchange). The dominant language comes from a 5-row aggregate with a
+    * deterministic (count desc, lang) tie-break.
+    *
+    * 100 TB: three column-pruned scans (algebraic pass + two distincts)
+    * and a 5-row language rollup — every piece partial+final, output one
+    * row. */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    val base = d.select(sz(words).as("toks"), col("text"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_tokens"),
+        sum(when(col("toks") < 10, 1L).otherwise(0L)).as("n_short_docs"),
+        (sum(col("toks").cast("decimal(28,6)")) / count(lit(1))).cast("double").as("avg_tokens"))
+    val nLangs = d.agg(countDistinct(col("lang")).as("n_langs"))
+    val nSources = d.agg(countDistinct(col("source")).as("n_sources"))
+    val dupGroups = d.groupBy(md5(col("text"))).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).agg(count(lit(1)).as("n_exact_dup_groups"))
+    val top = d.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("lang")).limit(1)
+      .select(col("lang").as("top_lang"), col("cnt").as("top_lang_docs"))
+    base.crossJoin(broadcast(nLangs)).crossJoin(broadcast(nSources))
+      .crossJoin(broadcast(dupGroups)).crossJoin(broadcast(top))
+      .withColumn("top_lang_share",
+        col("top_lang_docs").cast("double") / col("n_docs"))
+  }
+
+  val corpusReportOracle: String =
+    """WITH top AS (
+      |  SELECT lang AS top_lang, count(*) AS top_lang_docs FROM documents
+      |  GROUP BY lang ORDER BY count(*) DESC, lang LIMIT 1
+      |)
+      |SELECT count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      |  CAST(sum(CASE WHEN len(string_split(text, ' ')) < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_short_docs,
+      |  CAST(sum(CAST(len(string_split(text, ' ')) AS DECIMAL(28,6))) / count(*) AS DOUBLE) AS avg_tokens,
+      |  (SELECT count(DISTINCT lang) FROM documents) AS n_langs,
+      |  (SELECT count(DISTINCT source) FROM documents) AS n_sources,
+      |  (SELECT count(*) FROM (
+      |     SELECT md5(text) FROM documents GROUP BY md5(text) HAVING count(*) > 1) g
+      |  ) AS n_exact_dup_groups,
+      |  (SELECT top_lang FROM top) AS top_lang,
+      |  (SELECT top_lang_docs FROM top) AS top_lang_docs,
+      |  CAST((SELECT top_lang_docs FROM top) AS DOUBLE) / count(*) AS top_lang_share
+      |FROM documents""".stripMargin
+
   // ---------------------------------------------------- mixture budgeting
   /** DATA-MIXTURE budgeting: given target sampling weights per source,
     * compute each source's repeat factor (epochs over that source) so the

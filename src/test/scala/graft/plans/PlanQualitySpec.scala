@@ -263,6 +263,14 @@ class PlanQualitySpec extends AnyFunSuite {
       "char-bigram count is not partial+final — the full char-level explosion would cross the shuffle")
   }
 
+  test("corpus report: no Expand anywhere (distinct counts stay single-distinct)") {
+    val df = graft.operators.TextAnalysis.corpusReport(spark, SparkSuite.Sf0001)
+    df.collect()
+    val names = nodes(df).map(_.nodeName)
+    assert(!names.exists(_.contains("Expand")),
+      s"multi-distinct Expand crept into the corpus report: ${names.distinct.mkString(",")}")
+  }
+
   test("semdedup: centroids broadcast; the pairwise stage is a cell equi-join, not a cross product") {
     val df = graft.operators.Similarity.semDedup(spark, SparkSuite.Sf0001)
     df.collect()
