@@ -182,6 +182,23 @@ class TrainPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("determinism: shard/mixture/mask/rank outputs survive input permutation + repartitioning") {
+    val perm = java.nio.file.Files.createTempDirectory("perm_docs").toString
+    spark.read.parquet(s"$dir/documents.parquet")
+      .repartition(13).orderBy(rand(7))
+      .write.mode("overwrite").parquet(s"$perm/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq.toVector).toVector
+    assert(rows(TextAnalysis.shuffleShards(spark, dir)) == rows(TextAnalysis.shuffleShards(spark, perm)),
+      "shuffle shards depend on input layout")
+    assert(rows(TextAnalysis.mixtureBudget(spark, dir)) == rows(TextAnalysis.mixtureBudget(spark, perm)),
+      "mixture budget depends on input layout")
+    assert(rows(TextAnalysis.spanMask(spark, dir)) == rows(TextAnalysis.spanMask(spark, perm)),
+      "span mask depends on input layout")
+    assert(rows(Dedup.pagerankHubs(spark, dir)) == rows(Dedup.pagerankHubs(spark, perm)),
+      "pagerank depends on input layout")
+  }
+
   test("interval-union fold equals brute-force coverage on randomized span sets") {
     import spark.implicits._
     val rng = new scala.util.Random(20260813L)
