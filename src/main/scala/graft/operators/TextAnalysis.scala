@@ -744,6 +744,48 @@ object TextAnalysis {
       |FROM sized z LEFT JOIN covered c USING (doc_id)
       |ORDER BY z.doc_id""".stripMargin
 
+  // ------------------------------------------------------- n-gram novelty
+  /** N-GRAM NOVELTY scoring — the curriculum/diversity signal: what
+    * fraction of a doc's distinct 5-gram spans appear HERE FIRST
+    * (ownership = smallest doc_id)? Boilerplate and near-copies score ~0;
+    * genuinely new content scores ~1. Over [[Dedup.corpusWithNearDups]] a
+    * planted suffix copy owns none of its spans (its source, with the
+    * smaller id, owns them all) — novelty exactly 0, pinned in the spec.
+    *
+    * Same md5-keyed shuffle shape as [[dupSpans]]: one first-owner
+    * aggregate over the span table, one join back, one per-doc rollup —
+    * hashes move, never span text. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val spans = spanTable(spark, dir)
+    val firstOwner = spans.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+    spans.join(firstOwner, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", col("n_novel").cast("double") / col("n_grams"))
+      .select("doc_id", "n_grams", "n_novel", "novelty")
+      .orderBy("doc_id")
+  }
+
+  val ngramNoveltyOracle: String =
+    s"""WITH corpus AS (
+      |  ${Dedup.corpusSql.linesIterator.mkString("\n|  ")}
+      |), spans AS (
+      |  SELECT DISTINCT doc_id, md5(gram) AS g FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      generate_series(1, len(string_split(text, ' ')) - 4),
+      |      i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS gram
+      |    FROM corpus WHERE len(string_split(text, ' ')) >= 5)
+      |), first_owner AS (
+      |  SELECT g, min(doc_id) AS first_doc FROM spans GROUP BY g
+      |)
+      |SELECT s.doc_id, count(*) AS n_grams,
+      |  sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_novel,
+      |  CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
+      |FROM spans s JOIN first_owner f USING (g)
+      |GROUP BY s.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
   // ----------------------------------------------------- shuffle + shard
   /** Deterministic GLOBAL SHUFFLE + SHARDING — the "shuffle the corpus,
     * write N training shards" step. Order key is a content-independent

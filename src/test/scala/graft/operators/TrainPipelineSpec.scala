@@ -222,6 +222,24 @@ class TrainPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("novelty: planted suffix copies own none of their spans; fresh content scores high") {
+    val out = TextAnalysis.ngramNovelty(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out.foreach { case (id, n, novel, score) =>
+      assert(novel >= 0 && novel <= n, s"doc $id counts")
+      assert(score == novel.toDouble / n, s"doc $id score")
+    }
+    val (planted, sources) = out.partition(_._1 >= 1000000L)
+    assert(planted.nonEmpty && sources.nonEmpty)
+    // a suffix copy's every span first appears in its lower-id source
+    planted.foreach { case (id, _, novel, _) =>
+      assert(novel == 0L, s"planted copy $id owns $novel spans")
+    }
+    // the raw corpus is mostly fresh content
+    val meanSourceNovelty = sources.map(_._4).sum / sources.length
+    assert(meanSourceNovelty > 0.5, s"mean source novelty $meanSourceNovelty")
+  }
+
   test("shuffle shards: a deterministic permutation with dense per-shard positions") {
     val rows = TextAnalysis.shuffleShards(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
