@@ -726,6 +726,65 @@ object EventOps {
       |FROM cells CROSS JOIN totals
       |ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------- drift (KS)
+  /** Two-sample KOLMOGOROV-SMIRNOV drift on a CONTINUOUS column — the
+    * complement of the categorical χ² ([[driftChisq]]): the maximum gap
+    * between the weekday and weekend empirical CDFs of `value`, over
+    * unit-width BINS. Binning is what makes this a 100 TB operator: the
+    * raw-value KS needs a global sort of every distinct value, while the
+    * binned form aggregates to ≤~1000 histogram rows and runs its CDF
+    * window over THAT (the same sketch-then-analyze shape as the
+    * histogram/percentile suite; finer drift → more bins, still bounded).
+    *
+    * Deterministic cross-engine: bin counts and cumulative sums are exact
+    * integers; each CDF gap is one fixed-order double expression; the max
+    * is picked by (gap DESC, bin) ordering, ties broken on the bin id.
+    * Output: the statistic, the bin where it occurs, both sample sizes. */
+  def driftKs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isWeekend = expr("weekday(timestamp_micros(ts div 1000))") >= 5
+    val bins = table(spark, dir, "events")
+      // null measurements carry no distribution information, and the two
+      // engines order a null BIN differently in the CDF window — excluded
+      .filter(col("value").isNotNull)
+      .select(expr("CAST(floor(value) AS BIGINT)").as("bin"),
+        when(isWeekend, 1L).otherwise(0L).as("we"))
+      .groupBy("bin")
+      .agg(sum(lit(1L) - col("we")).as("n_wd"), sum(col("we")).as("n_we"))
+    val totals = bins.agg(sum("n_wd").as("t_wd"), sum("n_we").as("t_we"))
+    val wCdf = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins.crossJoin(broadcast(totals))
+      .withColumn("cum_wd", sum(col("n_wd")).over(wCdf))
+      .withColumn("cum_we", sum(col("n_we")).over(wCdf))
+      .withColumn("gap", abs(
+        col("cum_wd").cast("double") / col("t_wd") -
+          col("cum_we").cast("double") / col("t_we")))
+      .orderBy(col("gap").desc, col("bin"))
+      .limit(1)
+      .select(col("gap").as("ks_stat"), col("bin").as("at_bin"),
+        col("t_wd"), col("t_we"))
+  }
+
+  val driftKsOracle: String =
+    """WITH bins AS (
+      |  SELECT CAST(floor(value) AS BIGINT) AS bin,
+      |    CAST(sum(CASE WHEN isodow(ts) >= 6 THEN 0 ELSE 1 END) AS BIGINT) AS n_wd,
+      |    CAST(sum(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_we
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1
+      |), totals AS (
+      |  SELECT CAST(sum(n_wd) AS BIGINT) AS t_wd, CAST(sum(n_we) AS BIGINT) AS t_we FROM bins
+      |), cdf AS (
+      |  SELECT bin, t_wd, t_we,
+      |    CAST(sum(n_wd) OVER w AS BIGINT) AS cum_wd,
+      |    CAST(sum(n_we) OVER w AS BIGINT) AS cum_we
+      |  FROM bins CROSS JOIN totals
+      |  WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+      |)
+      |SELECT abs(CAST(cum_wd AS DOUBLE) / t_wd - CAST(cum_we AS DOUBLE) / t_we) AS ks_stat,
+      |  bin AS at_bin, t_wd, t_we
+      |FROM cdf
+      |ORDER BY ks_stat DESC, bin LIMIT 1""".stripMargin
+
   // ------------------------------------------------------ Z-order layout
   /** Z-ORDER (Morton) layout audit — the multi-dimensional clustering
     * write-side optimization: interleaving the bits of (user_id, hour)

@@ -277,6 +277,20 @@ class TrainPipelineSpec extends AnyFunSuite {
     assert(chi2 < 18.47, s"chi2 $chi2 on a uniform fixture — cell math is broken")
   }
 
+  test("KS drift: valid statistic, samples partition the rows, uniform fixture stays calm") {
+    val r = EventOps.driftKs(spark, dir).collect()(0)
+    val (ks, tWd, tWe) = (r.getDouble(0), r.getLong(2), r.getLong(3))
+    assert(ks >= 0.0 && ks <= 1.0)
+    val nonNull = spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("value").isNotNull).count()
+    assert(tWd + tWe == nonNull, "weekday/weekend samples must partition the rows")
+    // two-sample KS 1% critical value: 1.63 * sqrt((n1+n2)/(n1*n2)); the
+    // fixture draws value identically for all days, so a breach means the
+    // CDF accumulation (ordering, totals, gap math) is broken
+    val critical = 1.63 * math.sqrt((tWd + tWe).toDouble / (tWd.toDouble * tWe))
+    assert(ks < critical, s"KS $ks >= 1% critical $critical on an identically-drawn fixture")
+  }
+
   test("z-order layout: buckets partition the table into <=256x256 rectangles") {
     val out = EventOps.zorderLayout(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
