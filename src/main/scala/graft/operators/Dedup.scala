@@ -299,6 +299,36 @@ object Dedup {
        |${ngramJaccardPairsOracle.linesIterator.map("    " + _).mkString("\n")}
        |  ) v) AS n_verified""".stripMargin
 
+  // --------------------------------------------------- degree histogram
+  /** DEGREE HISTOGRAM of the verified near-dup graph — the shape
+    * diagnostic an ingest operator reads before trusting transitive
+    * dedup: a healthy corpus is dominated by degree-1 mutual pairs; a fat
+    * tail means template content (candidates for [[pagerankHubs]]) and a
+    * sudden mode shift means the shingle/banding config broke. Two tiny
+    * aggregates over the materialized pair graph — no corpus access. */
+  def degreeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = sharedVerifiedPairs(spark, dir).select("id_a", "id_b")
+    pairs.select(col("id_a").as("doc_id"))
+      .unionAll(pairs.select(col("id_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+      .orderBy("degree")
+  }
+
+  // lazy: composes ngramJaccardPairsOracle (defined later in the file)
+  lazy val degreeHistogramOracle: String =
+    s"""WITH verified AS (
+       |${ngramJaccardPairsOracle.linesIterator.map("  " + _).mkString("\n")}
+       |), ends AS (
+       |  SELECT id_a AS doc_id FROM verified
+       |  UNION ALL
+       |  SELECT id_b AS doc_id FROM verified
+       |), deg AS (
+       |  SELECT doc_id, count(*) AS degree FROM ends GROUP BY doc_id
+       |)
+       |SELECT degree, count(*) AS n_docs FROM deg
+       |GROUP BY degree ORDER BY degree""".stripMargin
+
   // ------------------------------------------------------ PageRank hubs
   /** PAGERANK over the verified near-dup graph — the hub detector: a
     * document whose near-dup neighborhood is large and well-connected is

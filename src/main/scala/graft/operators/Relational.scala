@@ -84,6 +84,67 @@ object Relational {
       |GROUP BY r_name
       |ORDER BY r_name""".stripMargin
 
+  /** TPC-H Q3 (shipping priority): revenue of unshipped BUILDING-segment
+    * orders as of the cut date — the canonical selective-filter +
+    * fact-fact join + top-k plan: both date filters push into the scans,
+    * customer broadcasts, and the top-10 is a TakeOrdered, never a global
+    * sort. Revenue through DECIMAL (order-independent), ties broken on
+    * o_orderkey. */
+  def q3ShippingPriority(spark: SparkSession, dir: String, cut: String = "1997-01-01"): DataFrame =
+    table(spark, dir, "lineitem").filter(col("l_shipdate") > lit(cut))
+      .join(table(spark, dir, "orders").filter(col("o_orderdate") < lit(cut)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(table(spark, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+      .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+
+  def q3Oracle(cut: String = "1997-01-01"): String =
+    s"""SELECT o_orderkey,
+       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       |  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |WHERE l_shipdate > '$cut' AND o_orderdate < '$cut'
+       |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+       |GROUP BY o_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+       |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q10 (returned items): revenue lost to returns per customer in a
+    * quarter, top 20 — selective date + flag filters at the scans, the
+    * nation dim broadcast, one keyed aggregate, TakeOrdered. */
+  def q10ReturnedItems(spark: SparkSession, dir: String,
+      qStart: String = "1996-01-01", qEnd: String = "1996-04-01"): DataFrame =
+    table(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .join(table(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit(qStart) && col("o_orderdate") < lit(qEnd)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(table(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(table(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum(revenueTerm(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+      .select("c_custkey", "c_name", "n_name", "revenue", "n_items")
+
+  def q10Oracle(qStart: String = "1996-01-01", qEnd: String = "1996-04-01"): String =
+    s"""SELECT c_custkey, c_name, n_name,
+       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       |  count(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R' AND o_orderdate >= '$qStart' AND o_orderdate < '$qEnd'
+       |GROUP BY c_custkey, c_name, n_name
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
   /** Left-outer join + COALESCE(…, 0) + GREATEST clamp — the reference's J2
     * join shape (`/root/reference/src/listTables.tsx:331-342`) and its
     * F1/F2/A5 scalar functions, over real data: per-customer order counts

@@ -89,6 +89,17 @@ class TrainPipelineSpec extends AnyFunSuite {
       s"${flagged - exactCopies} false positives — filter underdimensioned")
   }
 
+  test("degree histogram: handshake identity and a degree-1-dominated healthy corpus") {
+    val hist = Dedup.degreeHistogram(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nPairs = Dedup.ngramJaccardPairs(spark, dir).count()
+    // sum of degrees counts every edge end exactly once per direction
+    assert(hist.map { case (d, n) => d * n }.sum == 2 * nPairs, "handshake identity broken")
+    val total = hist.map(_._2).sum
+    val deg1 = hist.find(_._1 == 1L).map(_._2).getOrElse(0L)
+    assert(deg1 * 2 > total, s"degree-1 docs are not the majority ($deg1 of $total)")
+  }
+
   test("pagerank hubs: covers the graph's nodes; degree-1 mutual pairs sit at the fixed point") {
     val pairs = Dedup.ngramJaccardPairs(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
