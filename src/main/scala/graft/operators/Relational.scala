@@ -145,6 +145,39 @@ object Relational {
        |GROUP BY c_custkey, c_name, n_name
        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** TPC-H Q18 (large-volume customers): orders whose total quantity
+    * clears a threshold, with their customer — the HAVING-subquery join
+    * shape: the per-order rollup reduces the fact table FIRST (partial
+    * aggregation map-side), and only qualifying orderkeys join back to
+    * orders/customer. Quantity through DECIMAL; top-100 is TakeOrdered
+    * with (o_totalprice DESC, o_orderkey) tie-break. */
+  def q18LargeVolume(spark: SparkSession, dir: String, minQty: Double = 150.0): DataFrame = {
+    val big = table(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    table(spark, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(table(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  def q18Oracle(minQty: Double = 150.0): String =
+    s"""SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+       |  o_totalprice, sum_qty
+       |FROM orders
+       |JOIN (
+       |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       |  FROM lineitem GROUP BY l_orderkey
+       |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > $minQty
+       |) big ON o_orderkey = big.l_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
   /** Left-outer join + COALESCE(…, 0) + GREATEST clamp — the reference's J2
     * join shape (`/root/reference/src/listTables.tsx:331-342`) and its
     * F1/F2/A5 scalar functions, over real data: per-customer order counts

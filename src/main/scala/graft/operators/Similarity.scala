@@ -832,6 +832,51 @@ object Similarity {
       |GROUP BY label, dim
       |ORDER BY label, dim""".stripMargin
 
+  // ------------------------------------------------------ norm extremes
+  /** EMBEDDING NORM EXTREMES — the vector-QA spot check: the k largest and
+    * k smallest vectors by squared norm (a zeroed, truncated, or
+    * double-scaled embedding lands at an extreme; eyeballing both tails is
+    * the first triage). Norms are exact integer milli-unit squares
+    * (Σ floor(v·10³)²), so ranking is deterministic cross-engine with
+    * vec_id tie-break; one scan + two TakeOrdered heads. */
+  def normExtremes(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val sq = table(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        aggregate(
+          transform(col("embedding"),
+            v => {
+              val milli = floor(v.cast("double") * 1000).cast("bigint")
+              milli * milli
+            }),
+          lit(0L), (acc, x) => acc + x).as("sq_norm_milli"))
+    val top = sq.orderBy(col("sq_norm_milli").desc, col("vec_id")).limit(k)
+      .withColumn("tail", lit("high"))
+    val bottom = sq.orderBy(col("sq_norm_milli").asc, col("vec_id")).limit(k)
+      .withColumn("tail", lit("low"))
+    top.unionAll(bottom).orderBy("tail", "sq_norm_milli", "vec_id")
+      .select("tail", "vec_id", "sq_norm_milli")
+  }
+
+  def normExtremesOracle(k: Int = 5): String =
+    s"""WITH sq AS (
+       |  SELECT vec_id,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(embedding,
+       |          v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT) * CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT))),
+       |      (acc, x) -> acc + x) AS sq_norm_milli
+       |  FROM embeddings
+       |), hi AS (
+       |  SELECT 'high' AS tail, vec_id, sq_norm_milli FROM sq
+       |  ORDER BY sq_norm_milli DESC, vec_id LIMIT $k
+       |), lo AS (
+       |  SELECT 'low' AS tail, vec_id, sq_norm_milli FROM sq
+       |  ORDER BY sq_norm_milli ASC, vec_id LIMIT $k
+       |)
+       |SELECT tail, vec_id, sq_norm_milli FROM (
+       |  SELECT * FROM hi UNION ALL SELECT * FROM lo)
+       |ORDER BY tail, sq_norm_milli, vec_id""".stripMargin
+
   // --------------------------------------------------------------- SemDeDup
   /** SEMANTIC deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
     * cluster the embedding space with a coarse quantizer, then inside each
