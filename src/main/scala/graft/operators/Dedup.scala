@@ -299,6 +299,43 @@ object Dedup {
        |${ngramJaccardPairsOracle.linesIterator.map("    " + _).mkString("\n")}
        |  ) v) AS n_verified""".stripMargin
 
+  // -------------------------------------------------------- dedup funnel
+  /** The DEDUP FUNNEL — the one-row answer to "what did dedup buy us":
+    * corpus size, survivors after exact (hash) dedup, and survivors after
+    * near-dup clustering with keep-one-per-cluster (docs outside the
+    * verified graph survive unconditionally; each cluster keeps one).
+    * Composes the materialized pipeline: no corpus re-hashing beyond the
+    * one md5 scan for the exact stage. */
+  def dedupFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val raw = corpusWithNearDups(spark, dir)
+      .agg(count(lit(1)).as("n_raw"),
+        countDistinct(md5(col("text"))).as("n_after_exact"))
+    val g = dedupClusters(spark, dir)
+      .agg(count(lit(1)).as("n_graph_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+    raw.crossJoin(broadcast(g))
+      .withColumn("n_after_near",
+        col("n_raw") - (col("n_graph_docs") - col("n_clusters")))
+      .select("n_raw", "n_after_exact", "n_graph_docs", "n_clusters", "n_after_near")
+  }
+
+  // lazy: composes dedupClustersOracle (defined later in the file)
+  lazy val dedupFunnelOracle: String =
+    s"""WITH corpus AS (
+       |  ${corpusSql.linesIterator.mkString("\n|  ")}
+       |), clusters AS (
+       |  SELECT * FROM (
+       |${dedupClustersOracle.linesIterator.map("    " + _).mkString("\n")}
+       |  ) q
+       |)
+       |SELECT
+       |  (SELECT count(*) FROM corpus) AS n_raw,
+       |  (SELECT count(DISTINCT md5(text)) FROM corpus) AS n_after_exact,
+       |  (SELECT count(*) FROM clusters) AS n_graph_docs,
+       |  (SELECT count(DISTINCT cluster_id) FROM clusters) AS n_clusters,
+       |  (SELECT count(*) FROM corpus)
+       |    - ((SELECT count(*) FROM clusters) - (SELECT count(DISTINCT cluster_id) FROM clusters)) AS n_after_near""".stripMargin
+
   // --------------------------------------------------- degree histogram
   /** DEGREE HISTOGRAM of the verified near-dup graph — the shape
     * diagnostic an ingest operator reads before trusting transitive
