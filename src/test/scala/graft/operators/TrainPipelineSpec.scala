@@ -89,6 +89,17 @@ class TrainPipelineSpec extends AnyFunSuite {
       s"${flagged - exactCopies} false positives — filter underdimensioned")
   }
 
+  test("dedup funnel: internal identities hold and near-dedup buys real reduction") {
+    val r = Dedup.dedupFunnel(spark, dir).collect()(0)
+    val (raw, exact, graphDocs, clusters, near) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(exact <= raw && clusters <= graphDocs && graphDocs <= raw)
+    assert(near == raw - (graphDocs - clusters), "survivor identity broken")
+    // every doc has a planted near-dup: keep-one-per-cluster must remove
+    // a substantial fraction of the doubled corpus
+    assert(near < (raw * 3) / 4, s"near-dedup kept $near of $raw — planted dups not merged")
+  }
+
   test("degree histogram: handshake identity and a degree-1-dominated healthy corpus") {
     val hist = Dedup.degreeHistogram(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
