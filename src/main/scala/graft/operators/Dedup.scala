@@ -405,8 +405,13 @@ object Dedup {
     rank.orderBy("doc_id")
   }
 
-  // lazy: composes ngramJaccardPairsOracle (defined later in the file)
-  lazy val pagerankHubsOracle: String = {
+  /** Oracle unrolled to the SAME `iters` as the query it gates (a fixed
+    * 3-round oracle against a parameterized query would silently compare
+    * different computations for any other `iters`). A def, not a val: it
+    * composes ngramJaccardPairsOracle, which is defined later in the
+    * file — eager evaluation at object init would NPE. */
+  def pagerankHubsOracle(iters: Int = 3): String = {
+    require(iters >= 1, "pagerank needs at least one iteration")
     def round(prev: String, out: String): String =
       s"""$out AS (
          |  SELECT r.doc_id,
@@ -418,6 +423,7 @@ object Dedup {
          |    JOIN deg d ON d.src = e.src
          |    GROUP BY e.dst) s ON s.doc_id = r.doc_id
          |)""".stripMargin
+    val rounds = (1 to iters).map(i => round(s"r${i - 1}", s"r$i")).mkString(",\n")
     s"""WITH verified AS (
        |${ngramJaccardPairsOracle.linesIterator.map("  " + _).mkString("\n")}
        |), edges AS (
@@ -428,10 +434,8 @@ object Dedup {
        |  SELECT src, count(*) AS deg FROM edges GROUP BY src
        |), r0 AS (
        |  SELECT src AS doc_id, CAST(1000000 AS BIGINT) AS pr FROM deg
-       |), ${round("r0", "r1")},
-       |${round("r1", "r2")},
-       |${round("r2", "r3")}
-       |SELECT doc_id, CAST(pr AS BIGINT) AS pr FROM r3 ORDER BY doc_id""".stripMargin
+       |), $rounds
+       |SELECT doc_id, CAST(pr AS BIGINT) AS pr FROM r$iters ORDER BY doc_id""".stripMargin
   }
 
   // ------------------------------------------------- takedown manifest

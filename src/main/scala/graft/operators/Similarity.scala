@@ -896,8 +896,13 @@ object Similarity {
     * pairwise stage is an equi-join on `cell`, so its cost is
     * Σ_cells |cell|² — bounded by choosing k ∝ n (the paper uses k ≈ √n·c,
     * keeping clusters at ~10⁴ vectors). Nothing is ever corpus × corpus. */
-  def semDedup(spark: SparkSession, dir: String, nCentroids: Int = 16,
-      maxId: Long = 1000, tau: Double = 0.9): DataFrame = {
+  /** The quantizer-assignment stage of [[semDedup]], un-checkpointed —
+    * factored out so the plan gate can audit the LIVE assignment plan (the
+    * checkpoint in semDedup replaces everything upstream with an RDD scan,
+    * which would make a centroid-broadcast assertion on the full query
+    * vacuous). */
+  private[graft] def semDedupCells(spark: SparkSession, dir: String,
+      nCentroids: Int = 16, maxId: Long = 1000): DataFrame = {
     import graft.functions.VectorExpressions.vec_l2sq
     val base = table(spark, dir, "embeddings").filter(col("vec_id") < maxId)
     val perturbed = base.select(
@@ -908,12 +913,17 @@ object Similarity {
     val cents = base.filter(col("vec_id") >= 100 && col("vec_id") < 100 + nCentroids)
       .select(col("vec_id").as("cell"), col("embedding").as("cv"))
     val wAssign = Window.partitionBy("vec_id").orderBy(col("dist"), col("cell"))
-    // assignment + norm computed ONCE, reused on both sides of the pair join
-    val cells = e.join(broadcast(cents))
+    e.join(broadcast(cents))
       .withColumn("dist", vec_l2sq(col("embedding"), col("cv")))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cell"), col("embedding"), norm(col("embedding")).as("nrm"))
+  }
+
+  def semDedup(spark: SparkSession, dir: String, nCentroids: Int = 16,
+      maxId: Long = 1000, tau: Double = 0.9): DataFrame = {
+    // assignment + norm computed ONCE, reused on both sides of the pair join
+    val cells = semDedupCells(spark, dir, nCentroids, maxId)
       .localCheckpoint(false)
     val a = cells.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
     val b = cells.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"))

@@ -845,7 +845,12 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("toks")).as("total_tokens"),
         sum(when(col("toks") < 10, 1L).otherwise(0L)).as("n_short_docs"),
-        (sum(col("toks").cast("decimal(28,6)")) / count(lit(1))).cast("double").as("avg_tokens"))
+        // the q1 recipe: cast the DECIMAL sum to double BEFORE dividing —
+        // dividing the decimal by the count makes Spark round the quotient
+        // to the decimal scale while DuckDB runs full double division, and
+        // the two differ whenever the quotient doesn't terminate in 6
+        // decimal digits
+        (sum(col("toks").cast("decimal(28,6)")).cast("double") / count(lit(1))).as("avg_tokens"))
     val nLangs = d.agg(countDistinct(col("lang")).as("n_langs"))
     val nSources = d.agg(countDistinct(col("source")).as("n_sources"))
     val dupGroups = d.groupBy(md5(col("text"))).agg(count(lit(1)).as("n"))
@@ -867,7 +872,7 @@ object TextAnalysis {
       |SELECT count(*) AS n_docs,
       |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
       |  CAST(sum(CASE WHEN len(string_split(text, ' ')) < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_short_docs,
-      |  CAST(sum(CAST(len(string_split(text, ' ')) AS DECIMAL(28,6))) / count(*) AS DOUBLE) AS avg_tokens,
+      |  CAST(sum(CAST(len(string_split(text, ' ')) AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg_tokens,
       |  (SELECT count(DISTINCT lang) FROM documents) AS n_langs,
       |  (SELECT count(DISTINCT source) FROM documents) AS n_sources,
       |  (SELECT count(*) FROM (
@@ -894,10 +899,15 @@ object TextAnalysis {
       .select(col("source"), sz(words).as("n_tokens"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
-    val total = per.agg(sum("n_tokens").as("total_tokens"))
+    // tail share derived from the DATA's source cardinality (a hardcoded
+    // divisor would silently break the sum-to-1 invariant on any corpus
+    // that doesn't have exactly 20 sources)
+    val total = per.agg(sum("n_tokens").as("total_tokens"),
+      count(lit(1)).as("n_sources"))
     per.crossJoin(broadcast(total))
       .withColumn("target_share",
-        when(col("source").isin("src0", "src1", "src2"), 0.1).otherwise(0.7 / 17))
+        when(col("source").isin("src0", "src1", "src2"), 0.1)
+          .otherwise(lit(0.7) / (col("n_sources") - 3)))
       .withColumn("repeat_factor",
         (col("target_share") * col("total_tokens").cast("double")) / col("n_tokens").cast("double"))
       .withColumn("n_epochs", ceil(col("repeat_factor")).cast("bigint"))
@@ -911,11 +921,12 @@ object TextAnalysis {
       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
       |  FROM documents GROUP BY source
       |), tot AS (
-      |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per
+      |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |         count(*) AS n_sources FROM per
       |), shares AS (
       |  SELECT source, n_docs, n_tokens,
-      |    CASE WHEN source IN ('src0', 'src1', 'src2') THEN 0.1 ELSE 0.7 / 17 END AS target_share,
-      |    (CASE WHEN source IN ('src0', 'src1', 'src2') THEN 0.1 ELSE 0.7 / 17 END
+      |    CASE WHEN source IN ('src0', 'src1', 'src2') THEN 0.1 ELSE 0.7 / (n_sources - 3) END AS target_share,
+      |    (CASE WHEN source IN ('src0', 'src1', 'src2') THEN 0.1 ELSE 0.7 / (n_sources - 3) END
       |      * CAST(total_tokens AS DOUBLE)) / CAST(n_tokens AS DOUBLE) AS repeat_factor
       |  FROM per CROSS JOIN tot
       |)

@@ -34,22 +34,30 @@ object StreamingDriftMonitor {
 
   /** The shared aggregate + χ² projection, also applied to a batch
     * `groupBy(window(...))` in the equivalence spec — one code path, two
-    * execution modes. */
+    * execution modes.
+    *
+    * Types ABSENT from the reference mix count into `n_other` and into the
+    * total: their expected known-cell counts then assume the full window,
+    * so mass shifting toward a novel type deflates every known cell and
+    * the statistic ALARMS instead of going blind (a total built from known
+    * cells only scores a 98%-spam window as perfectly calm, and an
+    * all-spam window as NaN). */
   private[streaming] def driftSelect(
       grouped: org.apache.spark.sql.RelationalGroupedDataset,
       refShares: Map[String, Double]): DataFrame = {
     require(math.abs(refShares.values.sum - 1.0) < 1e-9, "reference shares must sum to 1")
     val types = refShares.keys.toSeq.sorted
-    val cells = types.map(t => sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t"))
+    val cells = types.map(t => sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")) :+
+      sum(when(col("event_type").isin(types.map(lit): _*), 0L).otherwise(1L)).as("n_other")
     val agg = grouped.agg(cells.head, cells.tail: _*)
-    val total: Column = types.map(t => col(s"n_$t")).reduce(_ + _)
+    val total: Column = types.map(t => col(s"n_$t")).reduce(_ + _) + col("n_other")
     val chi2: Column = types.map { t =>
       val e = lit(refShares(t)) * total
       (col(s"n_$t") - e) * (col(s"n_$t") - e) / e
     }.reduce(_ + _)
     agg.select(
       (col("window.start") +: types.map(t => col(s"n_$t"))) ++
-        Seq(total.as("n_total"), chi2.as("chi2")): _*)
+        Seq(col("n_other"), total.as("n_total"), chi2.as("chi2")): _*)
       .withColumnRenamed("start", "win_start")
   }
 }

@@ -272,11 +272,35 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("semdedup: centroids broadcast; the pairwise stage is a cell equi-join, not a cross product") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.adaptive.BroadcastQueryStageExec
+    // the assignment stage is audited UN-checkpointed (semDedup's
+    // checkpoint replaces everything upstream with an RDD scan, which
+    // would make these assertions vacuous on the full query)
+    val assign = graft.operators.Similarity.semDedupCells(spark, SparkSuite.Sf0001)
+    assign.collect()
+    val assignNodes = nodes(assign)
+    // the keyless centroid join is a BNLJ by construction — it must build
+    // the 16-row centroid side, never the corpus
+    val bnljs = assignNodes.collect { case b: BroadcastNestedLoopJoinExec => b }
+    assert(bnljs.nonEmpty, "expected the broadcast centroid-assignment join")
+    bnljs.foreach { b =>
+      val stages = allNodes(b).collect { case s: BroadcastQueryStageExec => s }
+      assert(stages.nonEmpty)
+      stages.foreach { s =>
+        val rows = s.getRuntimeStatistics.rowCount.getOrElse(BigInt(Long.MaxValue))
+        assert(rows <= 16, s"assignment BNLJ broadcasts $rows rows — not the centroid table")
+      }
+    }
+    assert(!assignNodes.exists(_.nodeName.contains("CartesianProduct")))
+    // the full query's post-checkpoint stages: pair join on `cell` must be
+    // a hash join, never a cross product
     val df = graft.operators.Similarity.semDedup(spark, SparkSuite.Sf0001)
     df.collect()
     val names = nodes(df).map(_.nodeName)
-    assert(names.exists(_.contains("BroadcastHashJoin")),
-      s"centroid table did not broadcast: ${names.distinct.mkString(",")}")
+    assert(names.exists(_.contains("BroadcastHashJoin")) || names.exists(_.contains("SortMergeJoin")) ||
+      names.exists(_.contains("ShuffledHashJoin")),
+      s"pairwise stage is not an equi-join: ${names.distinct.mkString(",")}")
     assert(!names.exists(n => n.contains("BroadcastNestedLoop") || n.contains("CartesianProduct")),
       "pairwise stage fell back to a corpus-level cross product")
   }
