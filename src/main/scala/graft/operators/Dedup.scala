@@ -336,6 +336,46 @@ object Dedup {
        |  (SELECT count(*) FROM corpus)
        |    - ((SELECT count(*) FROM clusters) - (SELECT count(DISTINCT cluster_id) FROM clusters)) AS n_after_near""".stripMargin
 
+  // ----------------------------------------------------------- keep list
+  /** The row-level KEEP LIST — the decision the funnel only counts: for
+    * every corpus doc, its near-dup cluster (itself when unclustered) and
+    * whether keep-one-per-cluster retains it (smallest doc_id survives).
+    * This is the table a user anti-joins the corpus against to actually
+    * deduplicate; docs outside the verified graph survive unconditionally.
+    * Two joins against the materialized cluster labels — no corpus
+    * re-hashing. */
+  def dedupKeepList(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusWithNearDups(spark, dir).select("doc_id")
+    val clusters = dedupClusters(spark, dir)
+    val keepers = clusters.groupBy("cluster_id").agg(min("doc_id").as("keep_id"))
+    corpus.join(clusters, Seq("doc_id"), "left")
+      .join(keepers, Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        when(col("keep_id").isNull || col("keep_id") === col("doc_id"), 1L)
+          .otherwise(0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  // def, not val: composes dedupClustersOracle (defined later in the file)
+  def dedupKeepListOracle: String =
+    s"""WITH corpus AS (
+       |  ${corpusSql.linesIterator.mkString("\n|  ")}
+       |), clusters AS (
+       |  SELECT * FROM (
+       |${dedupClustersOracle.linesIterator.map("    " + _).mkString("\n")}
+       |  ) q
+       |), keepers AS (
+       |  SELECT cluster_id, min(doc_id) AS keep_id FROM clusters GROUP BY cluster_id
+       |)
+       |SELECT c.doc_id,
+       |  coalesce(cl.cluster_id, c.doc_id) AS cluster_id,
+       |  CAST(CASE WHEN k.keep_id IS NULL OR k.keep_id = c.doc_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM corpus c
+       |LEFT JOIN clusters cl ON cl.doc_id = c.doc_id
+       |LEFT JOIN keepers k ON k.cluster_id = cl.cluster_id
+       |ORDER BY c.doc_id""".stripMargin
+
   // --------------------------------------------------- degree histogram
   /** DEGREE HISTOGRAM of the verified near-dup graph — the shape
     * diagnostic an ingest operator reads before trusting transitive

@@ -100,6 +100,21 @@ class TrainPipelineSpec extends AnyFunSuite {
     assert(near < (raw * 3) / 4, s"near-dedup kept $near of $raw — planted dups not merged")
   }
 
+  test("keep list: one survivor per cluster, unclustered docs kept, totals match the funnel") {
+    val rows = Dedup.dedupKeepList(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val funnel = Dedup.dedupFunnel(spark, dir).collect()(0)
+    assert(rows.length == funnel.getLong(0), "keep list must cover the corpus")
+    assert(rows.count(_._3 == 1L) == funnel.getLong(4),
+      "keep count must equal the funnel's near-dedup survivors")
+    rows.groupBy(_._2).foreach { case (cluster, members) =>
+      val kept = members.filter(_._3 == 1L)
+      assert(kept.length == 1, s"cluster $cluster keeps ${kept.length} docs")
+      // the keep policy is deterministic: smallest doc_id survives
+      assert(kept.head._1 == members.map(_._1).min, s"cluster $cluster kept a non-minimal doc")
+    }
+  }
+
   test("degree histogram: handshake identity and a degree-1-dominated healthy corpus") {
     val hist = Dedup.degreeHistogram(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
