@@ -469,14 +469,30 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Version-stable DuckDB 5-gram expression: explicit `list_extract`
+    * indexing over a pre-split `ws` column, mirroring the Spark
+    * `element_at(ws, i + o)` construction exactly. List SLICING
+    * (`ws[i:i+4]`) is deliberately avoided everywhere — its bound
+    * semantics are DuckDB-version-sensitive (inclusive vs exclusive upper
+    * bound changed across releases), which made two driver-gate oracles
+    * diverge from the same SQL run on a local DuckDB. */
+  private val oracleGramExpr: String =
+    (0 until 5).map(o => s"list_extract(ws, i + $o)").mkString(" || ' ' || ")
+
+  /** The matching grams-CTE body: split once in a subquery, index
+    * explicitly in the lambda. */
+  private def oracleGramsSql(from: String): String =
+    s"""SELECT doc_id, unnest(list_transform(
+       |    generate_series(1, len(ws) - 4),
+       |    i -> $oracleGramExpr)) AS gram
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM $from)
+       |  WHERE len(ws) >= 5""".stripMargin
+
   val decontaminateOracle: String =
     s"""WITH corpus AS (
       |  ${Dedup.corpusSql.linesIterator.mkString("\n|  ")}
       |), grams AS (
-      |  SELECT doc_id, unnest(list_transform(
-      |    generate_series(1, len(string_split(text, ' ')) - 4),
-      |    i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS gram
-      |  FROM corpus WHERE len(string_split(text, ' ')) >= 5
+      |  ${oracleGramsSql("corpus").linesIterator.mkString("\n|  ")}
       |), eval_grams AS (
       |  SELECT DISTINCT gram FROM grams WHERE doc_id >= ${Dedup.IdOffset} AND doc_id % 97 = 0
       |)
@@ -635,10 +651,7 @@ object TextAnalysis {
       |  ${Dedup.corpusSql.linesIterator.mkString("\n|  ")}
       |), spans AS (
       |  SELECT DISTINCT doc_id, md5(gram) AS g FROM (
-      |    SELECT doc_id, unnest(list_transform(
-      |      generate_series(1, len(string_split(text, ' ')) - 4),
-      |      i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS gram
-      |    FROM corpus WHERE len(string_split(text, ' ')) >= 5)
+      |    ${oracleGramsSql("corpus").linesIterator.mkString("\n|    ")})
       |)
       |SELECT
       |  (SELECT count(*) FROM corpus WHERE len(string_split(text, ' ')) >= 5) AS n_span_docs,
@@ -659,15 +672,12 @@ object TextAnalysis {
       |  ${Dedup.corpusSql.linesIterator.mkString("\n|  ")}
       |), spans AS (
       |  SELECT DISTINCT doc_id, md5(gram) AS g FROM (
-      |    SELECT doc_id, unnest(list_transform(
-      |      generate_series(1, len(string_split(text, ' ')) - 4),
-      |      i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS gram
-      |    FROM corpus WHERE len(string_split(text, ' ')) >= 5)
+      |    ${oracleGramsSql("corpus").linesIterator.mkString("\n|    ")})
       |), freq AS (
       |  SELECT g, count(*) AS n_docs FROM spans GROUP BY g
       |)
       |SELECT s.doc_id, count(*) AS n_spans,
-      |  sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup,
+      |  CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
       |  CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
       |FROM spans s JOIN freq f USING (g)
       |GROUP BY s.doc_id
@@ -719,12 +729,12 @@ object TextAnalysis {
     s"""WITH corpus AS (
       |  ${Dedup.corpusSql.linesIterator.mkString("\n|  ")}
       |), sized AS (
-      |  SELECT doc_id, text, len(string_split(text, ' ')) AS n_tokens
+      |  SELECT doc_id, string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS n_tokens
       |  FROM corpus WHERE len(string_split(text, ' ')) >= 5
       |), spans_pos AS (
       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-      |    md5(array_to_string(string_split(text, ' ')[i:i+4], ' ')) AS g
-      |  FROM (SELECT doc_id, text, unnest(generate_series(1, n_tokens - 4)) AS i FROM sized)
+      |    md5($oracleGramExpr) AS g
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, n_tokens - 4)) AS i FROM sized)
       |), dup_grams AS (
       |  SELECT g FROM (SELECT DISTINCT doc_id, g FROM spans_pos)
       |  GROUP BY g HAVING count(*) >= 2
@@ -772,15 +782,12 @@ object TextAnalysis {
       |  ${Dedup.corpusSql.linesIterator.mkString("\n|  ")}
       |), spans AS (
       |  SELECT DISTINCT doc_id, md5(gram) AS g FROM (
-      |    SELECT doc_id, unnest(list_transform(
-      |      generate_series(1, len(string_split(text, ' ')) - 4),
-      |      i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS gram
-      |    FROM corpus WHERE len(string_split(text, ' ')) >= 5)
+      |    ${oracleGramsSql("corpus").linesIterator.mkString("\n|    ")})
       |), first_owner AS (
       |  SELECT g, min(doc_id) AS first_doc FROM spans GROUP BY g
       |)
       |SELECT s.doc_id, count(*) AS n_grams,
-      |  sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_novel,
+      |  CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
       |  CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
       |FROM spans s JOIN first_owner f USING (g)
       |GROUP BY s.doc_id
