@@ -1,0 +1,41 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time one named [[graft.SparkEntry.queries]] entry in isolation.
+  *
+  * Usage: runMain graft.cli.TimeQuery <queryName> [sfDir] [reps]
+  *
+  * Same session config and noop-sink action as [[graft.Bench]], but a single
+  * query repeated `reps` times with per-rep seconds printed — the tool for
+  * separating "the plan is slow" from "the box was contended" when a driver
+  * bench line disagrees with local runs (round-6 `profile_summary_lineitem`:
+  * 14.6 s in the artifact vs 1.5 s on three clean runs).
+  */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = graft.SparkEntry.queries(name)
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    (1 to reps).foreach { i =>
+      graft.operators.Dedup.clearSharedStages()
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(f"rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    spark.stop()
+  }
+}

@@ -101,20 +101,65 @@ object ProfileQueries {
     ndvFrame(Fixtures.table(spark, dir, tableName), cols)
   }
 
-  /** Exact multi-column NDV WITHOUT the Expand plan: N countDistinct in one
-    * aggregate makes Catalyst replicate every row N+1 times through Expand
-    * before the shuffle (the dominant cost of the exact profile — ~10× the
-    * honest runtime of the rest of the query at sf0.1). Instead each column
-    * gets its OWN single-distinct aggregate over a column-pruned scan —
-    * partial distinct runs map-side, the shuffle carries each column's
-    * distinct values once, and the 1-row results recombine by cross join
-    * (broadcast, 1×1). At 100 TB: N pruned column reads ≈ one full-width
-    * scan of the same bytes, with NO N× row replication through the
-    * exchange — strictly the better plan on columnar storage. */
+  /** Exact multi-column NDV WITHOUT the Expand plan and in ONE job: stack()
+    * unpivots the N profiled columns to narrow (column_name, value-string)
+    * pairs in-row, a two-level aggregate (distinct pairs, then count per
+    * column) computes every NDV behind one scan and one shuffle of
+    * map-side-deduplicated pairs, and a values-pinned pivot folds the N
+    * counts back to the profile's 1-row shape.
+    *
+    * Two rejected forms, both measured: (a) N countDistinct in one
+    * aggregate — Catalyst plans Expand, replicating every row (N+1)× at
+    * FULL width before the partial agg (~10× the honest runtime at sf0.1);
+    * (b) per-column single-distinct aggregates recombined by broadcast
+    * cross join (the round-5/6 form) — the best *plan* per column, but N
+    * independently scheduled query stages, and the round-6 driver artifact
+    * showed the N-stage shape inflating 1.5 s → 14.6 s under driver load
+    * while this query alone stayed ≤2 s beside 24 busy-loop threads:
+    * scheduling fan-out is a real-world fragility a profile query should
+    * not carry. One linear job has no such seam.
+    *
+    * The stack replication is N× like Expand's, but at TWO narrow string
+    * columns instead of the full row width, and the per-column value→string
+    * casts are injective (Spark renders doubles shortest-round-trip, dates
+    * ISO) so distinct counts are exact. At 100 TB: one full-width columnar
+    * scan (same bytes as N pruned scans), map-side partial distinct bounds
+    * the exchange at the true distinct-pair volume, and the final per-column
+    * counts are 1-row — the plan that survives both scale and a contended
+    * scheduler. */
   private[profile] def ndvFrame(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "ndvFrame needs at least one column")
-    cols.map(c => df.agg(countDistinct(col(c)).as(s"ndv_$c")))
-      .reduce((a, b) => a.crossJoin(b))
+    // pairs are keyed by a column ORDINAL (int), not the name string — the
+    // id rides every pre-dedup pair through the partial agg, so 4 bytes
+    // beats a 15-char name; names come back only at the final 1-row pivot
+    val ids = cols.zipWithIndex
+    // one stack per VALUE TYPE GROUP keeps values native (no string cast
+    // for integral/date columns); the groups union into one DAG — still a
+    // single job, and each group's scan prunes to just its columns
+    val byType = ids.groupBy { case (c, _) =>
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => "bigint"
+        case org.apache.spark.sql.types.DateType => "date"
+        case _ => "other"
+      }
+    }
+    val pairStreams = byType.toSeq.map { case (kind, group) =>
+      val castTo = kind match {
+        case "bigint" => "BIGINT" // widen int/smallint; injective
+        case "date" => "INT" // days-since-epoch; injective
+        case _ => "STRING" // doubles/decimals render shortest-round-trip; injective
+      }
+      val args = group.map { case (c, i) => s"$i, CAST(`$c` AS $castTo)" }.mkString(", ")
+      df.selectExpr(s"stack(${group.size}, $args) AS (cid, value)")
+        .filter(col("value").isNotNull) // countDistinct semantics: nulls don't count
+        .groupBy("cid", "value").agg(count(lit(1)))
+        .groupBy("cid").agg(count(lit(1)).as("ndv"))
+        .select(col("cid"), col("ndv"))
+    }
+    pairStreams.reduce(_ unionAll _)
+      .groupBy().pivot("cid", ids.map(_._2)).agg(first(col("ndv")))
+      .select(ids.map { case (c, i) => coalesce(col(s"`$i`"), lit(0L)).as(s"ndv_$c") }: _*)
   }
 
   def ndvOracle(tableName: String): String = {
