@@ -920,10 +920,42 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("embedding"), norm(col("embedding")).as("nrm"))
   }
 
-  def semDedup(spark: SparkSession, dir: String, nCentroids: Int = 16,
+  /** Coarse-cell COUNT POLICY — the parameter that decides whether SemDeDup
+    * scales. The pair stage below costs Σ_cells |cell|², so a FIXED k is
+    * quadratic in corpus size: at n vectors and k cells the expected cost is
+    * n²/k, which only stays linear if k grows with n. This derives
+    * k = ⌈n / targetCellSize⌉, pinning the EXPECTED cell to a constant
+    * `targetCellSize` vectors, so expected pair cost is n·targetCellSize —
+    * linear in n at any scale. The SemDeDup paper (arXiv:2303.09540 §3)
+    * runs k = 1.1·10⁵ clusters over its ~10⁸-point LAION embedding space —
+    * the same ~10³-point expected cell this default keeps; at a 10¹⁰-vector
+    * corpus the policy yields k = 10⁷, still a broadcastable centroid table
+    * (10⁷ × 64 floats ≈ 2.5 GB is past broadcast range — shard the
+    * centroids into an equi-joined two-level quantizer at that point, as
+    * IVF indexes do; the policy's output is unchanged).
+    *
+    * The gated `semdedup` query derives k from the fixture corpus (n = 2×
+    * the sub-1000-id base vectors: k = 8 at sf0.001, 16 at sf0.01), and the
+    * DuckDB oracle computes k with the SAME integer formula — the policy
+    * itself is oracle-gated at every SF, not just spec'd. The
+    * within-cell-pair-volume bound is additionally pinned in
+    * `TrainPipelineSpec`. */
+  private[graft] def semDedupK(nVectors: Long, targetCellSize: Long = 125L): Int = {
+    require(targetCellSize > 0, s"targetCellSize must be positive: $targetCellSize")
+    math.max(1L, (nVectors + targetCellSize - 1) / targetCellSize).toInt
+  }
+
+  def semDedup(spark: SparkSession, dir: String, nCentroids: Int = -1,
       maxId: Long = 1000, tau: Double = 0.9): DataFrame = {
+    // -1 = derive k from the corpus size via the cell-count policy (the
+    // fixture corpus is base ∪ perturbed copies, hence 2× the base count;
+    // one cheap metadata-adjacent count job, amortized over the whole query)
+    val k =
+      if (nCentroids > 0) nCentroids
+      else math.min(maxId - 100, // seed pool: fixture vectors with id ∈ [100, maxId)
+        semDedupK(2L * table(spark, dir, "embeddings").filter(col("vec_id") < maxId).count())).toInt
     // assignment + norm computed ONCE, reused on both sides of the pair join
-    val cells = semDedupCells(spark, dir, nCentroids, maxId)
+    val cells = semDedupCells(spark, dir, k, maxId)
       .localCheckpoint(false)
     val a = cells.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
     val b = cells.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"))
@@ -939,9 +971,15 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  def semDedupOracle(nCentroids: Int = 16, maxId: Long = 1000,
-      tau: Double = 0.9): String = {
+  def semDedupOracle(nCentroids: Int = -1, maxId: Long = 1000,
+      tau: Double = 0.9, targetCellSize: Long = 125L): String = {
     val distSql = l2Sql.format("e.embedding", "c.cv")
+    // -1 mirrors semDedup's auto-k: the same ⌈2n/targetCellSize⌉ integer
+    // formula (clamped to the seed pool), computed by DuckDB itself so the
+    // cell-count policy sits under the oracle gate at every SF
+    val kSql =
+      if (nCentroids > 0) nCentroids.toString
+      else s"least(${maxId - 100}, (2 * (SELECT count(*) FROM base) + ${targetCellSize - 1}) // $targetCellSize)"
     s"""WITH base AS (
        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < $maxId
        |), e AS (
@@ -952,7 +990,7 @@ object Similarity {
        |  FROM base
        |), cents AS (
        |  SELECT vec_id AS cell, embedding AS cv FROM base
-       |  WHERE vec_id >= 100 AND vec_id < ${100 + nCentroids}
+       |  WHERE vec_id >= 100 AND vec_id < 100 + ($kSql)
        |), d AS (
        |  SELECT e.vec_id, c.cell, $distSql AS dist
        |  FROM e CROSS JOIN cents c

@@ -182,6 +182,28 @@ class TrainPipelineSpec extends AnyFunSuite {
     assert(dropped >= 450, s"only $dropped/500 planted copies dropped")
   }
 
+  test("semdedup cell-count policy: k grows with n, within-cell pair volume stays linear") {
+    import Similarity.semDedupK
+    // the gated query's derivations: 2x500 base vectors at sf0.001, 2x1000 at sf0.01
+    assert(semDedupK(1000) == 8 && semDedupK(2000) == 16)
+    // k tracks n/targetCellSize exactly (+-1 cell), so expected pair cost
+    // n^2/k stays ~n*targetCellSize at ANY corpus size; the paper's LAION
+    // setting (~1e8 points, ~1e5 clusters) falls out of the same policy
+    Seq(1000L, 100000L, 100000000L, 10000000000L).foreach { n =>
+      assert(math.abs(semDedupK(n).toLong * 125L - n) <= 125L, s"k(${n}) off-policy")
+    }
+    assert(semDedupK(0) == 1 && semDedupK(1) == 1) // degenerate corpora still quantize
+    // realized (not just expected) bound on the fixture: the seeded
+    // quantizer's cells may skew, but total within-cell pair volume must
+    // stay within a small constant of the n*targetCellSize linear budget
+    val cells = Similarity.semDedupCells(spark, dir, nCentroids = semDedupK(1000))
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    val n = cells.sum
+    val pairVol = cells.map(c => c * c).sum
+    assert(pairVol <= 4L * n * 125L,
+      s"within-cell pair volume $pairVol > 4*n*target=${4L * n * 125L} (cells: ${cells.sorted.mkString(",")})")
+  }
+
   test("dup spans: every planted near-dup doc is 100% duplicated spans") {
     val out = TextAnalysis.dupSpans(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
