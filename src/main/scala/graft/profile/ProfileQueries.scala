@@ -371,6 +371,77 @@ object ProfileQueries {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** DRIVER-GATED form of [[sketchProfile]] — the query that puts the
+    * 100 TB profile path under the DuckDB oracle, not just a ScalaTest.
+    * Sketch ESTIMATES are engine-specific (DuckDB's HLL ≠ Spark's HLL++),
+    * so the gated row carries:
+    *  - the sketch query's ALGEBRAIC stats verbatim (n_rows, min/max/
+    *    null-count/decimal-exact avg) — exact by construction, so DuckDB
+    *    recomputes and hash-compares them for real; and
+    *  - one BOOLEAN per estimate, evaluated Spark-side against an exact
+    *    reference (relative NDV error ≤ `ndvRelTol`; each approx quartile's
+    *    realized rank within `rankTol` of its target, tie-safe:
+    *    `frac(x<q) ≤ p+tol ∧ frac(x≤q) ≥ p−tol`), with the oracle asserting
+    *    literal TRUE — a sketch regression on EITHER engine's side flips a
+    *    boolean and fails the hash gate.
+    * Both sketches are deterministic given the data, so the booleans are
+    * stable, not flaky. The exact references (stacked-NDV job + one
+    * rank-check scan against the broadcast 1-row sketch) are the gate's
+    * scaffolding; production profiles call [[sketchProfile]] alone. */
+  def sketchProfileGate(spark: SparkSession, dir: String, tableName: String,
+      rsd: Double = 0.02, quantileAcc: Int = 10000,
+      ndvRelTol: Double = 0.1, rankTol: Double = 0.02): DataFrame = {
+    val numCols = Fixtures.numericCols(tableName)
+    val tCols = Fixtures.temporalCols.getOrElse(tableName, Seq.empty)
+    val all = numCols ++ tCols
+    val df = Fixtures.table(spark, dir, tableName)
+    val sk = sketchProfile(spark, dir, tableName, rsd, quantileAcc)
+    val exactNdv = ndvFrame(df, all)
+      .select(all.map(c => col(s"ndv_$c").as(s"xndv_$c")): _*)
+    // realized-rank counts for every (numeric column, quartile) pair: one
+    // scan against the broadcast 1-row sketch output
+    val qTargets = Seq(25 -> 0.25, 50 -> 0.5, 75 -> 0.75)
+    val rankAggs = numCols.flatMap { c =>
+      count(col(c)).as(s"cnt_$c") +: qTargets.flatMap { case (pct, _) =>
+        val q = element_at(col(s"quartiles_$c"), qTargets.indexWhere(_._1 == pct) + 1)
+        Seq(
+          sum(when(col(c).cast("double") < q, 1L).otherwise(0L)).as(s"lo${pct}_$c"),
+          sum(when(col(c).cast("double") <= q, 1L).otherwise(0L)).as(s"hi${pct}_$c"))
+      }
+    }
+    val ranks = df
+      .crossJoin(broadcast(sk.select(numCols.map(c => col(s"quartiles_$c")): _*)))
+      .agg(rankAggs.head, rankAggs.tail: _*)
+    val gated =
+      Seq(col("n_rows")) ++
+      all.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c"), col(s"nulls_$c"))) ++
+      numCols.map(c => col(s"avg_$c")) ++
+      all.map(c =>
+        (abs(col(s"ndv_$c") - col(s"xndv_$c")) <=
+          greatest(lit(1.0), lit(ndvRelTol) * col(s"xndv_$c"))).as(s"ok_ndv_$c")) ++
+      numCols.flatMap { c =>
+        qTargets.map { case (pct, p) =>
+          ((col(s"lo${pct}_$c").cast("double") / col(s"cnt_$c") <= lit(p + rankTol)) &&
+            (col(s"hi${pct}_$c").cast("double") / col(s"cnt_$c") >= lit(p - rankTol)))
+            .as(s"ok_q${pct}_$c")
+        }
+      }
+    sk.crossJoin(exactNdv).crossJoin(ranks).select(gated: _*)
+  }
+
+  def sketchProfileGateOracle(tableName: String): String = {
+    val numCols = Fixtures.numericCols(tableName)
+    val tCols = Fixtures.temporalCols.getOrElse(tableName, Seq.empty)
+    val all = numCols ++ tCols
+    val stats = all.map(c =>
+      s"min($c) AS min_$c, max($c) AS max_$c, count(*) - count($c) AS nulls_$c")
+    val avgs = numCols.map(c =>
+      s"CAST(sum(CAST($c AS DECIMAL(28,${avgScale(tableName)}))) AS DOUBLE) / count($c) AS avg_$c")
+    val oks = all.map(c => s"TRUE AS ok_ndv_$c") ++
+      numCols.flatMap(c => Seq(25, 50, 75).map(p => s"TRUE AS ok_q${p}_$c"))
+    s"SELECT count(*) AS n_rows, ${(stats ++ avgs ++ oks).mkString(", ")} FROM $tableName"
+  }
+
   def fullProfileOracle(tableName: String): String = {
     val numCols = Fixtures.numericCols(tableName)
     val tCols = Fixtures.temporalCols.getOrElse(tableName, Seq.empty)
