@@ -67,14 +67,19 @@ object Bench {
     val loadStart = loadAvg
     // A failed query must be visible in the artifact, not recorded as a fast
     // success (ADVICE r3): keep its elapsed time but list it under "errors".
+    // 1-min loadavg sampled at EACH query's completion (not just run
+    // start/end): a single contended line — like round-6's 14.6 s
+    // profile_summary_lineitem beside 1.5 s clean runs — is then
+    // self-diagnosing from the artifact alone (VERDICT r6 item 6).
     val timed = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { run(fn(spark, sfDir)); true } catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      (name, (System.nanoTime() - t0) / 1e9, ok, loadAvg)
     }
     val loadEnd = loadAvg
-    val results = timed.map { case (n, s, _) => n -> s }
-    val errors = timed.collect { case (n, _, false) => n }
+    val results = timed.map { case (n, s, _, _) => n -> s }
+    val errors = timed.collect { case (n, _, false, _) => n }
+    val qLoads = timed.map { case (n, _, _, l) => n -> l }
     def fmt(v: Double): String = f"$v%.3f"
     def qjson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
@@ -82,7 +87,7 @@ object Bench {
     val total = results.map(_._2).sum
     val loadJson = s""""load":{"start":${fmt(loadStart)},"end":${fmt(loadEnd)},"cpus":${Runtime.getRuntime.availableProcessors()}}"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(results)},"sf":"$sfDir","n_queries":${results.size},"errors":$errJson,$loadJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(results)},"sf":"$sfDir","n_queries":${results.size},"errors":$errJson,$loadJson,"query_load":${qjson(qLoads)}}"""
     // Full artifact on disk — survives any stdout truncation.
     try Files.write(Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes(StandardCharsets.UTF_8),
