@@ -15,11 +15,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the 100 TB shape: materialize the derived artifact once and run every
   * downstream analytic against it, rather than re-hashing the corpus per
   * question.
+  *
+  * ==Immutable-dir contract==
+  * A memoized stage is pinned to the FILES AS READ at build time: if data
+  * under `dir` is rewritten or appended mid-session, every consumer of the
+  * stage silently serves results for the old files. That is deliberate —
+  * the fixture dirs are driver-generated snapshots and a production corpus
+  * version is an immutable path (new snapshot ⇒ new dir ⇒ new key). Point
+  * each corpus VERSION at its own directory; never rewrite one in place.
+  * ([[clear]] resets the memo when a test must re-read a mutated dir.)
   */
 private[graft] object StageMemo {
 
+  /** One lock object per key: a stage build runs an EAGER Spark job
+    * (localCheckpoint), so a global lock would serialize unrelated stage
+    * builds behind it — e.g. the span family's gram-frequency build
+    * blocking the near-dup family's signature build (ADVICE r6). The
+    * per-key lock still guarantees each stage builds exactly once. */
   private val stageCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), Memo]
+
+  private final class Memo(build: () => DataFrame) {
+    lazy val df: DataFrame = build() // lazy val = per-instance (per-key) lock
+  }
 
   /** Context key: (applicationId, startTime) — unique per SparkContext
     * within a JVM (identityHashCode is not: it can collide after GC and
@@ -30,18 +48,21 @@ private[graft] object StageMemo {
   }
 
   def apply(spark: SparkSession, dir: String, stage: String)(
-      build: => DataFrame): DataFrame = stageCache.synchronized {
+      build: => DataFrame): DataFrame = {
     val ck = ctxKey(spark)
     // only ONE SparkContext can be active per JVM: entries from any other
     // context are dead — evict them so cycled sessions don't pin stopped
     // contexts' plans/RDDs for process lifetime
     stageCache.keys.filter(_._1 != ck).foreach(stageCache.remove)
-    stageCache.getOrElseUpdate((ck, dir, stage), build.localCheckpoint(true))
+    // TrieMap.getOrElseUpdate is atomic per key; the eager checkpoint job
+    // runs under the winning Memo's own lazy-val lock, so two stages build
+    // concurrently while two callers of the SAME stage still share one build
+    stageCache.getOrElseUpdate((ck, dir, stage),
+      new Memo(() => build.localCheckpoint(true))).df
   }
 
   /** Test/bench hook: drop every memoized stage (blocks are then freed by
     * the ContextCleaner once the returned DataFrames go unreferenced). */
-  def clear(): Unit = stageCache.synchronized {
+  def clear(): Unit =
     stageCache.clear()
-  }
 }

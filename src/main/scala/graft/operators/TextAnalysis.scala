@@ -911,10 +911,16 @@ object TextAnalysis {
     // that doesn't have exactly 20 sources)
     val total = per.agg(sum("n_tokens").as("total_tokens"),
       count(lit(1)).as("n_sources"))
+    // the 0.7 tail splits uniformly over the NON-head sources, so a corpus
+    // with <= 3 sources has no tail to budget: fail loudly at runtime
+    // instead of emitting NULL/Inf/negative repeat factors (ADVICE r6)
+    val tailShare = when(col("n_sources") <= 3,
+      raise_error(concat(lit("mixtureBudget: tail share needs > 3 sources, corpus has "),
+        col("n_sources")))).otherwise(lit(0.7) / (col("n_sources") - 3))
     per.crossJoin(broadcast(total))
       .withColumn("target_share",
         when(col("source").isin("src0", "src1", "src2"), 0.1)
-          .otherwise(lit(0.7) / (col("n_sources") - 3)))
+          .otherwise(tailShare))
       .withColumn("repeat_factor",
         (col("target_share") * col("total_tokens").cast("double")) / col("n_tokens").cast("double"))
       .withColumn("n_epochs", ceil(col("repeat_factor")).cast("bigint"))

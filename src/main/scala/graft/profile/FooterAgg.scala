@@ -83,12 +83,20 @@ object FooterAgg {
       if (stats.contains(Unusable)) None
       else {
         val ranges = stats.collect { case HasRange(mn, mx) => (mn, mx) }
-        val merged: Option[(Any, Any)] =
-          if (ranges.isEmpty) None // all files all-null: served, empty range
-          else Some((
-            ranges.map(_._1).minBy(identity)(comparableOrdering),
-            ranges.map(_._2).maxBy(identity)(comparableOrdering)))
-        Some(c -> merged)
+        // schema evolution can hand the same column DIFFERENT stat classes
+        // per file (INT32 → Integer in one footer, INT64 → Long in another):
+        // the cross-file compareTo then throws ClassCastException. Degrade
+        // to footer-unusable for THIS column only — the residual scan picks
+        // it up — instead of letting the throw void the whole table's
+        // profile including the row count already served (ADVICE r6).
+        try {
+          val merged: Option[(Any, Any)] =
+            if (ranges.isEmpty) None // all files all-null: served, empty range
+            else Some((
+              ranges.map(_._1).minBy(identity)(comparableOrdering),
+              ranges.map(_._2).maxBy(identity)(comparableOrdering)))
+          Some(c -> merged)
+        } catch { case _: ClassCastException => None }
       }
     }.toMap
   }

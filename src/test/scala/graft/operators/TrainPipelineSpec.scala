@@ -380,4 +380,22 @@ class TrainPipelineSpec extends AnyFunSuite {
       assert(epochs == math.ceil(repeat).toLong, s"$src epochs")
     }
   }
+
+  test("mixture budget fails loudly on a corpus with <= 3 sources (no tail to budget)") {
+    import spark.implicits._
+    val tiny = java.nio.file.Files.createTempDirectory("mix3").toString
+    // srcX is a TAIL source: with n_sources = 3 its share is 0.7/0 — the
+    // silent-Inf case the guard must turn into an error (all-head corpora
+    // never compute a tail share, so the guard correctly stays quiet there)
+    Seq((1L, "src0", "a b c"), (2L, "src1", "d e f"), (3L, "srcX", "g h i"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$tiny/documents.parquet")
+    val e = intercept[Exception] {
+      TextAnalysis.mixtureBudget(spark, tiny).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("needs > 3 sources")),
+      s"expected the tail-share guard, got: ${messages(e).mkString(" | ")}")
+  }
 }

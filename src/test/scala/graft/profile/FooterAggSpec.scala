@@ -40,6 +40,29 @@ class FooterAggSpec extends AnyFunSuite {
     assert(!served.contains("o_orderstatus"))
   }
 
+  test("schema evolution (INT32 file beside INT64 file) degrades one column, not the table") {
+    // same column name, different physical types per file — the footer
+    // stats then carry Integer in one file and Long in the other, and the
+    // cross-file merge must degrade THAT column to unusable (residual scan
+    // covers it) instead of throwing and voiding the whole table's profile
+    val dir = java.nio.file.Files.createTempDirectory("footer_evo").toString
+    spark.range(0, 10).selectExpr("CAST(id AS INT) AS k", "id AS stable")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val extra = java.nio.file.Files.createTempDirectory("footer_evo2").toString
+    spark.range(10, 20).selectExpr("CAST(id AS BIGINT) AS k", "id AS stable")
+      .coalesce(1).write.mode("overwrite").parquet(extra)
+    // move the INT64 part-file into the INT32 table dir
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(extra))
+      .map(_.getPath).filter(_.getName.startsWith("part-")).head
+    fs.rename(part, new org.apache.hadoop.fs.Path(dir, "part-evolved.parquet"))
+    val served = FooterAgg.footerMinMax(spark, dir, Seq("k", "stable"))
+    assert(!served.contains("k"), "mixed-type column must be footer-unusable")
+    assert(served.contains("stable"), "the clean column must still be served")
+    val Some((mn, mx)) = served("stable"): @unchecked
+    assert(mn == 0L && mx == 19L, s"stable range ($mn, $mx) != (0, 19)")
+  }
+
   test("footer-mode profile renders identically to the scan-mode estimated profile") {
     val scan = Profiler.profileRoot(spark, SparkSuite.Sf0001, exact = false)
     val footer = Profiler.profileRootFooter(spark, SparkSuite.Sf0001)
