@@ -17,6 +17,12 @@ object ColumnClass {
     * `spark.sql.legacy.parquet.nanosAsLong`) — temporal by column knowledge,
     * not by type (FIXTURES.md gotcha #1). */
   case object TemporalNanos extends ColumnClass
+  /** timestamp carrying a TIME-OF-DAY value (a JDBC TIME column: Spark has
+    * no time type, so the source surfaces it as a timestamp on 1970-01-01
+    * and marks the field metadata with `logical_time_type`) — rendered as
+    * an `HH:MM-HH:MM` range, the reference's time path
+    * (`/root/reference/src/listTables.tsx:169-175`). */
+  case object TemporalTime extends ColumnClass
   /** `isBooleanDataType`. */
   case object Bool extends ColumnClass
   /** Displayed, not profiled (strings/json/binary/arrays/…). */
@@ -26,9 +32,12 @@ object ColumnClass {
 object ColumnClassifier {
 
   /** Classify a Spark type. `nanosOverride` marks a LongType column as
-    * temporal-nanos (the type system can't see it). */
-  def classify(dt: DataType, nanosOverride: Boolean = false): ColumnClass = dt match {
+    * temporal-nanos, `timeOverride` a TimestampType column as time-of-day
+    * (the type system can't see either). */
+  def classify(dt: DataType, nanosOverride: Boolean = false,
+      timeOverride: Boolean = false): ColumnClass = dt match {
     case LongType if nanosOverride => ColumnClass.TemporalNanos
+    case TimestampType | TimestampNTZType if timeOverride => ColumnClass.TemporalTime
     case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType =>
       ColumnClass.Numeric
     case _: DecimalType => ColumnClass.Numeric
@@ -36,4 +45,12 @@ object ColumnClassifier {
     case BooleanType => ColumnClass.Bool
     case _ => ColumnClass.Other
   }
+
+  /** True when the field is a JDBC TIME column in timestamp clothing: the
+    * JDBC source marks such fields with `logical_time_type` metadata
+    * (verified against embedded Derby; the key is Spark's, set by the JDBC
+    * schema reader for `java.sql.Types.TIME`). */
+  def isTimeOfDay(f: StructField): Boolean =
+    try f.metadata.contains("logical_time_type") && f.metadata.getBoolean("logical_time_type")
+    catch { case _: Exception => false }
 }

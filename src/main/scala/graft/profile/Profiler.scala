@@ -63,10 +63,12 @@ object Profiler {
     */
   def fusedAggs(schema: StructType, nanosCols: Set[String]): (Seq[Column], Seq[(StructField, ColumnClass)]) = {
     val classed = schema.fields.toSeq.map { f =>
-      f -> ColumnClassifier.classify(f.dataType, nanosCols.contains(f.name))
+      f -> ColumnClassifier.classify(f.dataType, nanosCols.contains(f.name),
+        ColumnClassifier.isTimeOfDay(f))
     }
     val aggs = classed.flatMap {
-      case (f, ColumnClass.Numeric | ColumnClass.Temporal | ColumnClass.TemporalNanos) =>
+      case (f, ColumnClass.Numeric | ColumnClass.Temporal | ColumnClass.TemporalNanos |
+               ColumnClass.TemporalTime) =>
         Seq(min(q(f.name)).as(s"min__${f.name}"), max(q(f.name)).as(s"max__${f.name}"))
       case (f, ColumnClass.Bool) =>
         // `col IS TRUE` / `col IS FALSE` tri-state semantics (listTables.tsx:314-315):
@@ -96,7 +98,8 @@ object Profiler {
     }
 
     val cols = classed.map {
-      case (f, cls @ (ColumnClass.Numeric | ColumnClass.Temporal | ColumnClass.TemporalNanos)) =>
+      case (f, cls @ (ColumnClass.Numeric | ColumnClass.Temporal | ColumnClass.TemporalNanos |
+                      ColumnClass.TemporalTime)) =>
         ColumnProfile(f.name, f.dataType, cls, opt(s"min__${f.name}"), opt(s"max__${f.name}"), None, None)
       case (f, ColumnClass.Bool) =>
         ColumnProfile(f.name, f.dataType, ColumnClass.Bool, None, None,

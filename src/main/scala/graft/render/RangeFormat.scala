@@ -85,4 +85,23 @@ object RangeFormat {
     def hm(s: Long) = fmtHHMM(((s / 3600) % 24).toInt, ((s % 3600) / 60).toInt)
     s"${hm(minSecondOfDay)}-${hm(maxSecondOfDay)}"
   }
+
+  /** Second-of-day from the timestamp a JDBC TIME column surfaces as (the
+    * value sits on 1970-01-01 in the reader's wall clock — `toLocalDateTime`
+    * recovers exactly the wall time the database sent, the typed analog of
+    * the reference parsing the `::text` time string). */
+  def secondOfDay(v: Any): Option[Long] = v match {
+    case ts: java.sql.Timestamp => Some(ts.toLocalDateTime.toLocalTime.toSecondOfDay.toLong)
+    case ldt: LocalDateTime => Some(ldt.toLocalTime.toSecondOfDay.toLong)
+    case _ => None
+  }
+
+  /** `"08:00-17:30"` from two time-carrying timestamps — the end-to-end form
+    * of [[timeOfDayRange]] used by the renderer for TIME columns scanned
+    * over JDBC (formatTemporalRange's `isTimeOnly` path, listTables.tsx:169-175). */
+  def timeRange(min: Any, max: Any): Option[String] =
+    for {
+      s1 <- secondOfDay(min)
+      s2 <- secondOfDay(max)
+    } yield timeOfDayRange(s1, s2)
 }

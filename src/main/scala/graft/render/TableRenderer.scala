@@ -34,12 +34,15 @@ object TableRenderer {
   def columnCells(c: ColumnProfile): (String, String, String, String) = {
     val typeLabel = c.clazz match {
       case ColumnClass.TemporalNanos => TypeLabels.NanosLabel
+      case ColumnClass.TemporalTime  => TypeLabels.TimeLabel
       case _                         => TypeLabels.label(c.dataType)
     }
     val range = (c.clazz, c.min, c.max) match {
       case (ColumnClass.Numeric, Some(mn), Some(mx)) => RangeFormat.numericRange(mn, mx)
       case (ColumnClass.Temporal | ColumnClass.TemporalNanos, Some(mn), Some(mx)) =>
         RangeFormat.temporalRange(mn, mx).getOrElse("")
+      case (ColumnClass.TemporalTime, Some(mn), Some(mx)) =>
+        RangeFormat.timeRange(mn, mx).getOrElse("")
       case _ => ""
     }
     val values = (c.clazz, c.trueCount, c.falseCount) match {

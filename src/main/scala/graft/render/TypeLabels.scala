@@ -44,4 +44,8 @@ object TypeLabels {
     * (parquet `TIMESTAMP(NANOS)` surfaced as long under
     * `spark.sql.legacy.parquet.nanosAsLong`). */
   val NanosLabel: String = "ts-nanos"
+
+  /** Label for a timestamp column that actually carries a JDBC TIME —
+    * the reference's `time → time-ntz` row (listTables.tsx:91-92). */
+  val TimeLabel: String = "time-ntz"
 }

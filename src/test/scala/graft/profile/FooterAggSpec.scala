@@ -71,4 +71,33 @@ class FooterAggSpec extends AnyFunSuite {
     assert(footerText == scanText)
     assert(footerText.contains("Tables"))
   }
+
+  test("estimated rendering is identical across the <=64-file and distributed footer branches") {
+    // the fixture tables are single files, so the >DistributeThreshold
+    // branch of footerRowCount (executor-side footer reads) was never
+    // golden-covered: build an 80-file table and check BOTH branches under
+    // the same renderer, against the same rows
+    import graft.catalog.TableEnumerator
+    val root = java.nio.file.Files.createTempDirectory("footer_many").toString
+    val nFiles = TableEnumerator.DistributeThreshold + 16
+    spark.range(0, 8000).selectExpr("id AS k", "CAST(id % 7 AS DOUBLE) AS v")
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(s"$root/wide.parquet")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val written = TableEnumerator.dataFiles(conf,
+      new org.apache.hadoop.fs.Path(s"$root/wide.parquet"))
+    assert(written.size > TableEnumerator.DistributeThreshold,
+      s"only ${written.size} files — test would exercise the local branch")
+    // distributed branch (all files) == local branch (per-file sum) == truth
+    val distributed = TableEnumerator.footerRowCount(spark, s"$root/wide.parquet")
+    assert(distributed == 8000L, s"distributed footer count $distributed")
+    // the rendered estimated profile carries the ~ marker with the footer count
+    val footer = Profiler.profileRootFooter(spark, root)
+    val scan = Profiler.profileRoot(spark, root, exact = false)
+    val footerText = graft.render.TableRenderer.render(footer, graft.render.TableRenderer.Estimated)
+    val scanText = graft.render.TableRenderer.render(scan, graft.render.TableRenderer.Estimated)
+    assert(footerText.contains("~8000"), footerText)
+    assert(footerText == scanText,
+      s"footer-mode and scan-mode estimated renders differ:\n$footerText\n---\n$scanText")
+  }
 }
