@@ -946,4 +946,130 @@ object TextAnalysis {
       |SELECT source, n_docs, n_tokens, CAST(target_share AS DOUBLE) AS target_share,
       |  repeat_factor, CAST(ceil(repeat_factor) AS BIGINT) AS n_epochs
       |FROM shares ORDER BY source""".stripMargin
+
+  // --------------------------------------------- per-source quality pruning
+  /** PER-SOURCE quality-quantile pruning (the FineWeb/DCLM recipe): rank
+    * each source's docs by a cheap quality score and keep the top
+    * `keepPermille`/1000 — thresholds are per-source, because an absolute
+    * cutoff lets a high-quality source drown out a scarce one. The keep
+    * rule is PURE INTEGER (`rnk·1000 ≤ n_src·keepPermille` ⇔
+    * rnk ≤ ⌊0.7·n⌋): no float boundary can disagree between engines, and
+    * the (score DESC, doc_id) rank is fully deterministic.
+    *
+    * 100 TB shape: one scan + one rank window PARTITIONED BY source — N
+    * independent per-source sorts of 1/Nth of the corpus each (the same
+    * sort a per-source output write needs), never a global order. */
+  def qualityPrune(spark: SparkSession, dir: String, keepPermille: Int = 700): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTokens = sz(words)
+    val stopCnt = sz(filter(words, w => w.isInCollection(StopEn)))
+    val w = Window.partitionBy("source").orderBy(col("score").desc, col("doc_id"))
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        (stopCnt.cast("double") / nTokens).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("keep", col("rnk") * 1000 <= col("n_src") * keepPermille)
+      .select("doc_id", "source", "score", "rnk", "keep")
+      .orderBy("doc_id")
+  }
+
+  def qualityPruneOracle(keepPermille: Int = 700): String = {
+    val stopList = StopEn.map(s => s"'$s'").mkString(", ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS score
+       |  FROM documents
+       |), ranked AS (
+       |  SELECT doc_id, source, score,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+       |    count(*) OVER (PARTITION BY source) AS n_src
+       |  FROM scored
+       |)
+       |SELECT doc_id, source, score, rnk, rnk * 1000 <= n_src * $keepPermille AS keep
+       |FROM ranked ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------- deterministic data splits
+  /** Deterministic TRAIN/VAL/TEST assignment — hash of the doc IDENTITY
+    * (never the text: editing a doc must not move it across splits), 100
+    * buckets, 80/10/10. Identical at any partitioning, cluster size, or
+    * rerun, and a doc's split never depends on which other docs exist —
+    * the property random-number splits lack and every leakage audit needs.
+    * Pure projection: no shuffle at all. */
+  def trainSplit(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .withColumn("bucket",
+        rollingHash(concat(lit("split|"), col("doc_id").cast("string"))) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .orderBy("doc_id")
+
+  private def splitHashSql(idExpr: String): String =
+    s"""list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(
+       |          list_filter(string_split('split|' || CAST($idExpr AS VARCHAR), ''), c -> c != ''),
+       |          c -> CAST(unicode(c) AS BIGINT))),
+       |      (a, b) -> (a * 31 + b) % 1000000007) % 100""".stripMargin
+
+  val trainSplitOracle: String =
+    s"""WITH hashed AS (
+      |  SELECT doc_id,
+      |    ${splitHashSql("doc_id").linesIterator.mkString("\n|    ")} AS bucket
+      |  FROM documents
+      |)
+      |SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      |FROM hashed ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------- cross-split leakage audit
+  /** SPLIT-LEAKAGE audit: verified near-dup pairs whose endpoints landed in
+    * DIFFERENT splits — an eval doc with a train-side near-duplicate is a
+    * contaminated benchmark, the exact failure [[decontaminate]] guards
+    * against but measured on the pipeline's OWN split assignment. Composes
+    * the materialized near-dup pair graph (built once, shared by the whole
+    * dedup family) with the deterministic hash split over the same corpus:
+    * two equi-joins on doc_id, a filter, no re-hashing of any text.
+    *
+    * 100 TB shape: the pair graph is orders of magnitude smaller than the
+    * corpus, and the split table is a pure projection of it — both joins
+    * shuffle 8-16 B keys. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val splits = Dedup.corpusWithNearDups(spark, dir)
+      .withColumn("bucket",
+        rollingHash(concat(lit("split|"), col("doc_id").cast("string"))) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+      .select("doc_id", "split")
+    Dedup.sharedVerifiedPairs(spark, dir)
+      .join(splits.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+      .join(splits.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  lazy val splitLeakageOracle: String =
+    s"""WITH pairs AS (
+       |  SELECT * FROM (
+       |${Dedup.ngramJaccardPairsOracle.linesIterator.map("    " + _).mkString("\n")}
+       |  ) p
+       |), corpus AS (
+       |  ${Dedup.corpusSql.linesIterator.mkString("\n|  ")}
+       |), splits AS (
+       |  SELECT doc_id,
+       |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |    ${splitHashSql("doc_id").linesIterator.mkString("\n|    ")} AS b
+       |    FROM corpus)
+       |)
+       |SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b, p.jaccard
+       |FROM pairs p
+       |JOIN splits sa ON sa.doc_id = p.id_a
+       |JOIN splits sb ON sb.doc_id = p.id_b
+       |WHERE sa.split != sb.split
+       |ORDER BY p.id_a, p.id_b""".stripMargin
 }

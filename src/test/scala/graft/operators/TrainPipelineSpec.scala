@@ -381,6 +381,61 @@ class TrainPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("quality prune keeps exactly the top 70% per source, never a lower-scored doc") {
+    val out = TextAnalysis.qualityPrune(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getBoolean(4)))
+    val bySource = out.groupBy(_._2)
+    bySource.foreach { case (src, docs) =>
+      val n = docs.length
+      val kept = docs.filter(_._5)
+      // the integer keep rule is exactly rnk <= floor(0.7 * n)
+      assert(kept.length == (n * 700) / 1000, s"$src kept ${kept.length} of $n")
+      // no dropped doc outscores a kept one (rank is (score desc, doc_id))
+      if (kept.length < n) {
+        val minKept = kept.map(_._3).min
+        val maxDropped = docs.filterNot(_._5).map(_._3).max
+        assert(maxDropped <= minKept, s"$src dropped a higher-scored doc")
+      }
+    }
+  }
+
+  test("train split is 80/10/10-ish, content-independent, and rerun-identical") {
+    val a = TextAnalysis.trainSplit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val b = TextAnalysis.trainSplit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(a.toSeq == b.toSeq, "split assignment must be rerun-identical")
+    val frac = a.groupBy(_._3).view.mapValues(_.length.toDouble / a.length).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.08, s"train frac ${frac("train")}")
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.1) < 0.05, s"val frac ${frac.get("val")}")
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.1) < 0.05, s"test frac ${frac.get("test")}")
+    a.foreach { case (_, bucket, split) =>
+      val expect = if (bucket < 80) "train" else if (bucket < 90) "val" else "test"
+      assert(split == expect)
+    }
+  }
+
+  test("split leakage reports exactly the near-dup pairs that cross split boundaries") {
+    val leaks = TextAnalysis.splitLeakage(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(leaks.nonEmpty, "fixture plants cross-split near-dups; audit found none")
+    leaks.foreach { case (a, b, sa, sb) =>
+      assert(a < b, "pairs must be canonically ordered")
+      assert(sa != sb, s"pair ($a,$b) does not cross splits")
+    }
+    // a planted (source, perturbed-copy) pair whose hash split them apart
+    // must be reported: recompute the expected set for the planted ids
+    def splitOf(id: Long): String = {
+      val h = graft.functions.VectorExpressions.rollingHashJava(s"split|$id") % 100
+      if (h < 80) "train" else if (h < 90) "val" else "test"
+    }
+    val planted = leaks.filter { case (a, b, _, _) => b == a + 1000000L }
+    assert(planted.nonEmpty, "no planted source/copy pair crossed splits (hash should scatter them)")
+    planted.foreach { case (a, b, sa, sb) =>
+      assert(splitOf(a) == sa && splitOf(b) == sb, s"pair ($a,$b) splits ($sa,$sb) mismatch")
+    }
+  }
+
   test("mixture budget fails loudly on a corpus with <= 3 sources (no tail to budget)") {
     import spark.implicits._
     val tiny = java.nio.file.Files.createTempDirectory("mix3").toString
