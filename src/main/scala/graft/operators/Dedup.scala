@@ -1106,6 +1106,49 @@ object Dedup {
        |JOIN pairs e2 ON e2.id_a = e1.id_b
        |JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b""".stripMargin
 
+  // ----------------------------------------------- source-overlap matrix
+  /** SOURCE-OVERLAP matrix: verified near-dup pair counts rolled up to
+    * (source, source) — "which sources share content". The standard
+    * mirror-site / syndication diagnostic before mixture budgeting: two
+    * sources with heavy overlap double-count their shared documents in any
+    * per-source token budget, and the cheaper source should usually be
+    * dropped. Endpoints map to sources via the planted-id convention
+    * (copy id = original + [[IdOffset]]), pairs canonicalize by
+    * (least, greatest) so the matrix is upper-triangular.
+    *
+    * 100 TB shape: two equi-joins of the (small) pair graph against the
+    * doc→source projection, then a rollup whose cardinality is
+    * |sources|² at most — nothing scales with corpus size except the two
+    * 8 B-key joins. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val srcs = table(spark, dir, "documents").select(col("doc_id").as("orig"), col("source"))
+    sharedVerifiedPairs(spark, dir)
+      .select((col("id_a") % IdOffset).as("oa"), (col("id_b") % IdOffset).as("ob"))
+      .join(srcs.select(col("orig").as("oa"), col("source").as("sa")), "oa")
+      .join(srcs.select(col("orig").as("ob"), col("source").as("sb")), "ob")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
+  lazy val sourceOverlapOracle: String =
+    s"""WITH pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |${ngramJaccardPairsOracle.linesIterator.map("    " + _).mkString("\n")}
+       |  ) q
+       |), srcs AS (
+       |  SELECT doc_id AS orig, source FROM documents
+       |)
+       |SELECT least(sa.source, sb.source) AS source_a,
+       |       greatest(sa.source, sb.source) AS source_b,
+       |       count(*) AS n_pairs
+       |FROM pairs p
+       |JOIN srcs sa ON sa.orig = p.id_a % $IdOffset
+       |JOIN srcs sb ON sb.orig = p.id_b % $IdOffset
+       |GROUP BY 1, 2
+       |ORDER BY source_a, source_b""".stripMargin
+
   // ------------------------------------------------- fuzzy (edit-distance)
   /** Fuzzy duplicate pairs by EDIT DISTANCE ≤ 2 over part names — the
     * record-linkage companion to the token-set (jaccard) and bit-signature

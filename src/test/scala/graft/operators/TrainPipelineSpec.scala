@@ -436,6 +436,23 @@ class TrainPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("source overlap matrix is canonical, complete, and diagonal-dominated") {
+    val m = Dedup.sourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(m.nonEmpty)
+    m.foreach { case (a, b, n) =>
+      assert(a <= b, "matrix must be upper-triangular (least, greatest)")
+      assert(n > 0)
+    }
+    // every verified pair lands in exactly one cell
+    val totalPairs = Dedup.sharedVerifiedPairs(spark, dir).count()
+    assert(m.map(_._3).sum == totalPairs, "matrix must partition the pair set")
+    // planted copies inherit their original's source, so same-source cells
+    // (the diagonal) must carry the majority of the fixture's pairs
+    val diag = m.filter(c => c._1 == c._2).map(_._3).sum
+    assert(diag * 2 > totalPairs, s"diagonal $diag of $totalPairs")
+  }
+
   test("mixture budget fails loudly on a corpus with <= 3 sources (no tail to budget)") {
     import spark.implicits._
     val tiny = java.nio.file.Files.createTempDirectory("mix3").toString
