@@ -41,6 +41,7 @@ object PlansDump {
     "semdedup",                // broadcast quantizer + within-cell pair equi-join
     "text_dup_spans",          // md5-keyed span shuffles, partial+final group-bys
     "docs_shuffle_shards",     // hash shard key + per-shard partitioned rank
+    "docs_split_leakage",      // pair graph x hash split, 8-16B-key equi-joins
     "dedup_pagerank_hubs")     // 3 unrolled Pregel rounds over materialized edges
 
   /** Plan-audit overrides: these queries' gated implementations read

@@ -395,6 +395,11 @@ object ProfileQueries {
     val tCols = Fixtures.temporalCols.getOrElse(tableName, Seq.empty)
     val all = numCols ++ tCols
     val df = Fixtures.table(spark, dir, tableName)
+    // the 1-row sketch feeds BOTH the rank-check scan and the final gated
+    // projection; left as a plain plan so the planner's exchange reuse
+    // dedups the heavy scan+partial-agg subtree across the two references
+    // (an eager localCheckpoint here measured 3-6x SLOWER: it blocks that
+    // reuse and serializes a bare pre-AQE job into the timed window)
     val sk = sketchProfile(spark, dir, tableName, rsd, quantileAcc)
     val exactNdv = ndvFrame(df, all)
       .select(all.map(c => col(s"ndv_$c").as(s"xndv_$c")): _*)
