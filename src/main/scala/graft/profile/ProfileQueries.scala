@@ -145,12 +145,22 @@ object ProfileQueries {
       }
     }
     val pairStreams = byType.toSeq.map { case (kind, group) =>
-      val castTo = kind match {
-        case "bigint" => "BIGINT" // widen int/smallint; injective
-        case "date" => "INT" // days-since-epoch; injective
-        case _ => "STRING" // doubles/decimals render shortest-round-trip; injective
+      // per-kind injective value encodings:
+      //  - integral: widen to BIGINT;
+      //  - date: days-since-epoch via unix_date (ANSI forbids CAST date→int);
+      //  - fractional/other: shortest-round-trip string, with `x + 0.0`
+      //    first on float/double — countDistinct treats -0.0 = 0.0 but
+      //    their strings differ, and adding positive zero folds negative
+      //    zero while changing nothing else (float widens to double
+      //    exactly; NaN stays NaN and counts once)
+      def v(c: String): String = (kind, df.schema(c).dataType) match {
+        case ("bigint", _) => s"CAST(`$c` AS BIGINT)"
+        case ("date", _) => s"UNIX_DATE(`$c`)"
+        case (_, org.apache.spark.sql.types.FloatType |
+                 org.apache.spark.sql.types.DoubleType) => s"CAST((`$c` + 0.0d) AS STRING)"
+        case _ => s"CAST(`$c` AS STRING)"
       }
-      val args = group.map { case (c, i) => s"$i, CAST(`$c` AS $castTo)" }.mkString(", ")
+      val args = group.map { case (c, i) => s"$i, ${v(c)}" }.mkString(", ")
       df.selectExpr(s"stack(${group.size}, $args) AS (cid, value)")
         .filter(col("value").isNotNull) // countDistinct semantics: nulls don't count
         .groupBy("cid", "value").agg(count(lit(1)))
