@@ -947,6 +947,66 @@ object TextAnalysis {
       |  repeat_factor, CAST(ceil(repeat_factor) AS BIGINT) AS n_epochs
       |FROM shares ORDER BY source""".stripMargin
 
+  // ------------------------------------------------- mixture materialization
+  /** MIXTURE EXPANSION — [[mixtureBudget]]'s repeat factors turned into the
+    * actual training list: each doc appears ⌊rf⌋ times plus one more for a
+    * deterministic hash-selected `rf − ⌊rf⌋` fraction of its source's docs,
+    * so each source's expanded token count hits its target share in
+    * expectation with NO randomness (rerun-identical, partitioning-
+    * independent — the property epoch-sampling with `rand()` lacks).
+    * Output is (doc_id, copy_idx): exactly the list a shard writer zips
+    * with [[shuffleShards]].
+    *
+    * 100 TB shape: a 20-row broadcast of per-source factors, one scan, and
+    * a per-row `sequence` explode bounded by the repeat factor (single-digit
+    * for real mixtures) — linear in OUTPUT tokens, which is the size of the
+    * training set being built anyway. No shuffle at all. */
+  def mixtureExpand(spark: SparkSession, dir: String): DataFrame = {
+    val rf = mixtureBudget(spark, dir).select(col("source"), col("repeat_factor"))
+    table(spark, dir, "documents")
+      .join(broadcast(rf), "source")
+      .withColumn("full_copies", floor(col("repeat_factor")).cast("bigint"))
+      // fractional remainder: take one extra copy when the doc's hash
+      // permille falls below the remainder's permille — same IEEE double
+      // comparison on both engines, zero RNG. The fold runs over the MD5
+      // HEX of the key, not the key itself: a source's doc_ids stride by
+      // the source count, and the plain polynomial fold maps that
+      // arithmetic progression to clustered permilles (measured 9/25
+      // selected at a 0.69 target); md5 scrambles first, the fold then
+      // just compresses 32 well-mixed hex chars to an integer
+      .withColumn("extra",
+        (rollingHash(md5(concat(lit("mix|"), col("doc_id").cast("string")))) % 1000).cast("double")
+          < (col("repeat_factor") - col("full_copies")) * 1000)
+      .withColumn("n_copies", col("full_copies") + when(col("extra"), 1L).otherwise(0L))
+      .filter(col("n_copies") >= 1) // sequence(1,0) would run DESCENDING in Spark
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+      .orderBy("doc_id", "copy_idx")
+  }
+
+  lazy val mixtureExpandOracle: String =
+    s"""WITH budget AS (
+       |  SELECT source, repeat_factor FROM (
+       |${mixtureBudgetOracle.linesIterator.map("    " + _).mkString("\n")}
+       |  ) b
+       |), expanded AS (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(floor(b.repeat_factor) AS BIGINT)
+       |      + CASE WHEN CAST((list_reduce(
+       |          list_prepend(CAST(0 AS BIGINT),
+       |            list_transform(
+       |              list_filter(string_split(md5('mix|' || CAST(d.doc_id AS VARCHAR)), ''), c -> c != ''),
+       |              c -> CAST(unicode(c) AS BIGINT))),
+       |          (a, x) -> (a * 31 + x) % 1000000007) % 1000) AS DOUBLE)
+       |          < (b.repeat_factor - floor(b.repeat_factor)) * 1000
+       |        THEN 1 ELSE 0 END AS n_copies
+       |  FROM documents d JOIN budget b USING (source)
+       |)
+       |SELECT doc_id, source, CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_idx
+       |FROM expanded
+       |WHERE n_copies >= 1
+       |ORDER BY doc_id, copy_idx""".stripMargin
+
   // --------------------------------------------- per-source quality pruning
   /** PER-SOURCE quality-quantile pruning (the FineWeb/DCLM recipe): rank
     * each source's docs by a cheap quality score and keep the top

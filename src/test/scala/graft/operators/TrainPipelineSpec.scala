@@ -436,6 +436,36 @@ class TrainPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("mixture expansion hits each source's repeat factor within one doc") {
+    val rf = TextAnalysis.mixtureBudget(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val perDoc = TextAnalysis.mixtureExpand(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // copy_idx is dense 1..n per doc
+    perDoc.groupBy(_._1).foreach { case (id, copies) =>
+      assert(copies.map(_._3).sorted.toSeq == (1L to copies.length).toSeq, s"doc $id gaps")
+    }
+    // per-source realized copies track rf * n_docs within a binomial-style
+    // 4-sigma envelope: the md5-permille selection is deterministic but
+    // behaves statistically like an independent f-coin per doc (the plain
+    // un-md5'd fold FAILED this bound — permilles cluster when a source's
+    // ids form an arithmetic progression)
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perDoc.groupBy(_._2).foreach { case (src, rows) =>
+      val n = nDocs(src).toDouble
+      val f = rf(src) - math.floor(rf(src))
+      val target = rf(src) * n
+      val sigma = math.sqrt(n * f * (1 - f))
+      assert(math.abs(rows.length - target) <= math.max(3.0, 4 * sigma),
+        s"$src realized ${rows.length} vs target $target (4-sigma ${4 * sigma})")
+    }
+    // rerun-identical (no RNG anywhere)
+    val again = TextAnalysis.mixtureExpand(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(perDoc.toSeq == again.toSeq)
+  }
+
   test("source overlap matrix is canonical, complete, and diagonal-dominated") {
     val m = Dedup.sourceOverlap(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
