@@ -520,12 +520,7 @@ object Dedup {
        |  GROUP BY r.doc_id
        |), hashed AS (
        |  SELECT doc_id,
-       |    list_reduce(
-       |      list_prepend(CAST(0 AS BIGINT),
-       |        list_transform(
-       |          list_filter(string_split('shuf|' || CAST(doc_id AS VARCHAR), ''), c -> c != ''),
-       |          c -> CAST(unicode(c) AS BIGINT))),
-       |      (a, b) -> (a * 31 + b) % 1000000007) AS skey
+       |    ${TextAnalysis.mixedHashSql("shuf|").linesIterator.mkString("\n|    ")} AS skey
        |  FROM documents
        |)
        |SELECT l.doc_id, h.skey % 8 AS shard, l.n_linked

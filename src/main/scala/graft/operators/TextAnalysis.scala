@@ -364,30 +364,45 @@ object TextAnalysis {
       |FROM masked ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------- deterministic hash sampling
+  /** WELL-MIXED deterministic bucket hash: the polynomial fold applied to
+    * the MD5 HEX of (prefix ‖ doc_id), not to the raw key. The plain fold
+    * maps arithmetic-progression ids (every per-source/per-stratum id set
+    * in the fixtures) to clustered residues — measured: the 'en' stratum
+    * sampled at 40% against a 20% target, a mixture source took 9/25 docs
+    * at a 0.69 target. MD5 scrambles first; the fold then just compresses
+    * 32 well-mixed hex chars into one integer. Every SELECTION or ORDERING
+    * decision below routes through this; the plain [[rollingHash]] remains
+    * for fingerprinting, where dispersion quality is irrelevant. */
+  private[operators] def mixedHash(prefix: String): Column =
+    rollingHash(md5(concat(lit(prefix), col("doc_id").cast("string"))))
+
+  /** DuckDB twin of [[mixedHash]]. */
+  private[operators] def mixedHashSql(prefix: String, idExpr: String = "doc_id"): String =
+    s"""list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(
+       |          list_filter(string_split(md5('$prefix' || CAST($idExpr AS VARCHAR)), ''), c -> c != ''),
+       |          c -> CAST(unicode(c) AS BIGINT))),
+       |      (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+
   /** Stratified sampling by content-independent hash — reproducible
     * downsampling for eval splits and ablations. The keep decision is
-    * `rolling_hash('smp|' || doc_id) % 1000 < rate(lang)` (en kept at 20%,
-    * every other stratum at 10%): a pure per-row predicate, so the SAME
-    * sample falls out at any partitioning, cluster size, or rerun — unlike
-    * `df.sample`, whose output depends on partition layout. At 100 TB this
-    * is a filter pushed into the scan; no shuffle, no state. */
+    * `mixedHash('smp|') % 1000 < rate(lang)` (en kept at 20%, every other
+    * stratum at 10%): a pure per-row predicate, so the SAME sample falls
+    * out at any partitioning, cluster size, or rerun — unlike `df.sample`,
+    * whose output depends on partition layout. At 100 TB this is a filter
+    * pushed into the scan; no shuffle, no state. */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
-      .withColumn("bucket",
-        rollingHash(concat(lit("smp|"), col("doc_id").cast("string"))) % 1000)
+      .withColumn("bucket", mixedHash("smp|") % 1000)
       .filter(col("bucket") < when(col("lang") === "en", 200L).otherwise(100L))
       .select(col("doc_id"), col("lang"), col("bucket").cast("bigint").as("bucket"))
       .orderBy("doc_id")
 
   val stratifiedSampleOracle: String =
-    """WITH hashed AS (
+    s"""WITH hashed AS (
       |  SELECT doc_id, lang,
-      |    list_reduce(
-      |      list_prepend(CAST(0 AS BIGINT),
-      |        list_transform(
-      |          list_filter(string_split('smp|' || CAST(doc_id AS VARCHAR), ''), c -> c != ''),
-      |          c -> CAST(unicode(c) AS BIGINT))),
-      |      (a, b) -> (a * 31 + b) % 1000000007) % 1000 AS bucket
+      |    ${mixedHashSql("smp|").linesIterator.mkString("\n|    ")} % 1000 AS bucket
       |  FROM documents
       |)
       |SELECT doc_id, lang, bucket FROM hashed
@@ -808,8 +823,12 @@ object TextAnalysis {
   def shuffleShards(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    // mixedHash, not the plain fold: the order key IS the permutation, and
+    // the plain fold is near-affine in sequential ids — a "shuffle" that
+    // left crawl-adjacent docs adjacent (the exact correlation a training
+    // shuffle exists to break)
     table(spark, dir, "documents")
-      .withColumn("skey", rollingHash(concat(lit("shuf|"), col("doc_id").cast("string"))))
+      .withColumn("skey", mixedHash("shuf|"))
       .withColumn("shard", col("skey") % nShards)
       .withColumn("pos", row_number().over(w).cast("bigint"))
       .select("doc_id", "shard", "pos")
@@ -819,12 +838,7 @@ object TextAnalysis {
   def shuffleShardsOracle(nShards: Int = 8): String =
     s"""WITH hashed AS (
       |  SELECT doc_id,
-      |    list_reduce(
-      |      list_prepend(CAST(0 AS BIGINT),
-      |        list_transform(
-      |          list_filter(string_split('shuf|' || CAST(doc_id AS VARCHAR), ''), c -> c != ''),
-      |          c -> CAST(unicode(c) AS BIGINT))),
-      |      (a, b) -> (a * 31 + b) % 1000000007) AS skey
+      |    ${mixedHashSql("shuf|").linesIterator.mkString("\n|    ")} AS skey
       |  FROM documents
       |)
       |SELECT doc_id, skey % $nShards AS shard,
@@ -975,7 +989,7 @@ object TextAnalysis {
       // selected at a 0.69 target); md5 scrambles first, the fold then
       // just compresses 32 well-mixed hex chars to an integer
       .withColumn("extra",
-        (rollingHash(md5(concat(lit("mix|"), col("doc_id").cast("string")))) % 1000).cast("double")
+        (mixedHash("mix|") % 1000).cast("double")
           < (col("repeat_factor") - col("full_copies")) * 1000)
       .withColumn("n_copies", col("full_copies") + when(col("extra"), 1L).otherwise(0L))
       .filter(col("n_copies") >= 1) // sequence(1,0) would run DESCENDING in Spark
@@ -992,12 +1006,7 @@ object TextAnalysis {
        |), expanded AS (
        |  SELECT d.doc_id, d.source,
        |    CAST(floor(b.repeat_factor) AS BIGINT)
-       |      + CASE WHEN CAST((list_reduce(
-       |          list_prepend(CAST(0 AS BIGINT),
-       |            list_transform(
-       |              list_filter(string_split(md5('mix|' || CAST(d.doc_id AS VARCHAR)), ''), c -> c != ''),
-       |              c -> CAST(unicode(c) AS BIGINT))),
-       |          (a, x) -> (a * 31 + x) % 1000000007) % 1000) AS DOUBLE)
+       |      + CASE WHEN CAST((${mixedHashSql("mix|", "d.doc_id").linesIterator.mkString("\n|          ")} % 1000) AS DOUBLE)
        |          < (b.repeat_factor - floor(b.repeat_factor)) * 1000
        |        THEN 1 ELSE 0 END AS n_copies
        |  FROM documents d JOIN budget b USING (source)
@@ -1060,20 +1069,14 @@ object TextAnalysis {
     * Pure projection: no shuffle at all. */
   def trainSplit(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
-      .withColumn("bucket",
-        rollingHash(concat(lit("split|"), col("doc_id").cast("string"))) % 100)
+      .withColumn("bucket", mixedHash("split|") % 100)
       .withColumn("split",
         when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
       .select(col("doc_id"), col("bucket"), col("split"))
       .orderBy("doc_id")
 
   private def splitHashSql(idExpr: String): String =
-    s"""list_reduce(
-       |      list_prepend(CAST(0 AS BIGINT),
-       |        list_transform(
-       |          list_filter(string_split('split|' || CAST($idExpr AS VARCHAR), ''), c -> c != ''),
-       |          c -> CAST(unicode(c) AS BIGINT))),
-       |      (a, b) -> (a * 31 + b) % 1000000007) % 100""".stripMargin
+    s"""${mixedHashSql("split|", idExpr)} % 100""".stripMargin
 
   val trainSplitOracle: String =
     s"""WITH hashed AS (
@@ -1099,8 +1102,7 @@ object TextAnalysis {
     * shuffle 8-16 B keys. */
   def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
     val splits = Dedup.corpusWithNearDups(spark, dir)
-      .withColumn("bucket",
-        rollingHash(concat(lit("split|"), col("doc_id").cast("string"))) % 100)
+      .withColumn("bucket", mixedHash("split|") % 100)
       .withColumn("split",
         when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
       .select("doc_id", "split")

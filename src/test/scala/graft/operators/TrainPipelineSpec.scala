@@ -299,6 +299,35 @@ class TrainPipelineSpec extends AnyFunSuite {
     assert(meanSourceNovelty > 0.5, s"mean source novelty $meanSourceNovelty")
   }
 
+  test("stratified sample hits each stratum's target rate within 4 sigma") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = TextAnalysis.stratifiedSample(spark, dir).collect()
+      .map(r => r.getString(1)).groupBy(identity).view.mapValues(_.length).toMap
+    byLang.foreach { case (lang, n) =>
+      val f = if (lang == "en") 0.2 else 0.1
+      val sigma = math.sqrt(n * f * (1 - f))
+      val realized = kept.getOrElse(lang, 0)
+      // the plain (un-md5'd) hash FAILED this: en sampled at 40% vs 20%
+      assert(math.abs(realized - f * n) <= math.max(3.0, 4 * sigma),
+        s"$lang realized $realized of $n vs target ${f * n} (4-sigma ${4 * sigma})")
+    }
+  }
+
+  test("shuffled order decorrelates from crawl order (no long monotone runs)") {
+    // with the plain fold the permutation was near-affine in doc_id; a
+    // well-mixed key makes long id-monotone runs in shard-position order
+    // vanishingly unlikely
+    val ordered = TextAnalysis.shuffleShards(spark, dir).collect()
+      .sortBy(r => (r.getLong(1), r.getLong(2))).map(_.getLong(0))
+    val maxRun = ordered.foldLeft((0L, 0, 0)) { case ((prev, run, best), id) =>
+      val r = if (id > prev) run + 1 else 1
+      (id, r, math.max(best, r))
+    }._3
+    assert(maxRun <= 12, s"longest ascending doc_id run is $maxRun — order still correlated")
+  }
+
   test("shuffle shards: a deterministic permutation with dense per-shard positions") {
     val rows = TextAnalysis.shuffleShards(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -426,7 +455,9 @@ class TrainPipelineSpec extends AnyFunSuite {
     // a planted (source, perturbed-copy) pair whose hash split them apart
     // must be reported: recompute the expected set for the planted ids
     def splitOf(id: Long): String = {
-      val h = graft.functions.VectorExpressions.rollingHashJava(s"split|$id") % 100
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split|$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = graft.functions.VectorExpressions.rollingHashJava(md5hex) % 100
       if (h < 80) "train" else if (h < 90) "val" else "test"
     }
     val planted = leaks.filter { case (a, b, _, _) => b == a + 1000000L }
