@@ -376,6 +376,68 @@ object Dedup {
        |LEFT JOIN keepers k ON k.cluster_id = cl.cluster_id
        |ORDER BY c.doc_id""".stripMargin
 
+  // --------------------------------------------------- keep-BEST canonical
+  /** Quality-aware canonical selection: keep-one-per-cluster where the
+    * survivor is the BEST copy (most tokens, doc_id tie-break), not the
+    * first — the policy real pipelines want when near-dup clusters mix a
+    * full article with its truncated mirrors ([[dedupKeepList]]'s
+    * smallest-id rule keeps whichever mirror crawled first). On the
+    * planted fixture the perturbed copy drops a word, so keep-best must
+    * retain every ORIGINAL — pinned in the spec. Token counts come from
+    * one projection of the corpus (integers, oracle-exact); the argmax is
+    * a per-cluster window over cluster labels joined to that projection —
+    * both sides shuffle (id, small-int) pairs only, never text.
+    *
+    * 100 TB shape: identical to [[dedupKeepList]] plus one
+    * (doc_id → n_tokens) projection join; the per-cluster window
+    * partitions by cluster_id (clusters are near-dup-sized, never
+    * corpus-sized partitions). */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val quality = corpusWithNearDups(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+    val clusters = dedupClusters(spark, dir)
+    val w = Window.partitionBy("cluster_id").orderBy(col("n_tokens").desc, col("doc_id"))
+    val best = clusters.join(quality, "doc_id")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"))
+    quality.join(clusters, Seq("doc_id"), "left")
+      .join(best, Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        col("n_tokens"),
+        when(col("keep_id").isNull || col("keep_id") === col("doc_id"), 1L)
+          .otherwise(0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  // def, not val: composes dedupClustersOracle (defined later in the file)
+  def dedupKeepBestOracle: String =
+    s"""WITH corpus AS (
+       |  ${corpusSql.linesIterator.mkString("\n|  ")}
+       |), quality AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM corpus
+       |), clusters AS (
+       |  SELECT * FROM (
+       |${dedupClustersOracle.linesIterator.map("    " + _).mkString("\n")}
+       |  ) q
+       |), best AS (
+       |  SELECT cluster_id, doc_id AS keep_id FROM (
+       |    SELECT cl.cluster_id, cl.doc_id,
+       |      row_number() OVER (PARTITION BY cl.cluster_id
+       |                         ORDER BY q.n_tokens DESC, cl.doc_id) AS rnk
+       |    FROM clusters cl JOIN quality q ON q.doc_id = cl.doc_id
+       |  ) WHERE rnk = 1
+       |)
+       |SELECT q.doc_id,
+       |  coalesce(cl.cluster_id, q.doc_id) AS cluster_id,
+       |  q.n_tokens,
+       |  CAST(CASE WHEN b.keep_id IS NULL OR b.keep_id = q.doc_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM quality q
+       |LEFT JOIN clusters cl ON cl.doc_id = q.doc_id
+       |LEFT JOIN best b ON b.cluster_id = cl.cluster_id
+       |ORDER BY q.doc_id""".stripMargin
+
   // --------------------------------------------------- degree histogram
   /** DEGREE HISTOGRAM of the verified near-dup graph — the shape
     * diagnostic an ingest operator reads before trusting transitive

@@ -832,6 +832,72 @@ object Similarity {
       |GROUP BY label, dim
       |ORDER BY label, dim""".stripMargin
 
+  // ------------------------------------------------- label-centroid outliers
+  /** LABEL-CENTROID OUTLIERS — mislabeled/contaminated-vector triage: the
+    * k vectors farthest from their own label's centroid (a wrong label, a
+    * corrupted embedding, or an out-of-distribution sample all land far
+    * from their class prototype; reviewing the far tail is the standard
+    * label-QA pass before training a classifier head or trusting
+    * label-blocked dedup).
+    *
+    * Cross-engine exactness without a single float: per-dim values are
+    * quantized to milli-units (`floor(v·10³)`), and the distance to the
+    * mean avoids the mean's division entirely —
+    * `d_dim = milli·n − Σmilli` is n·(v − mean) in exact integers, so
+    * `msd_milli2 = (Σ_dim d_dim²) div n²` is the mean squared distance in
+    * milli² units, comparable ACROSS labels (the n² scale divides back
+    * out). Squares are widened to DECIMAL(38,0)/HUGEINT so a 10⁹-vector
+    * label cannot wrap the intermediate; the quotient is back in int64
+    * range by construction.
+    *
+    * 100 TB shape: centroid sums are a (label × dim) table — tiny at any
+    * corpus size — broadcast back over one posexplode scan; the top-k is
+    * TakeOrdered (per-partition heads + a k-row merge), never a global
+    * sort. */
+  def labelOutliers(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val milli = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        expr("CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)").as("m"))
+    val sums = milli.groupBy("label", "dim")
+      .agg(sum("m").as("s"), count(lit(1)).as("n"))
+    val top = milli.join(broadcast(sums), Seq("label", "dim"))
+      .withColumn("d", col("m") * col("n") - col("s"))
+      .groupBy("vec_id", "label")
+      .agg(
+        expr("CAST(sum(CAST(d AS DECIMAL(38,0)) * d) div (max(n) * max(n)) AS BIGINT)")
+          .as("msd_milli2"))
+      .orderBy(col("msd_milli2").desc, col("vec_id"))
+      .limit(k)
+    val w = Window.orderBy(col("msd_milli2").desc, col("vec_id"))
+    top.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .select("rnk", "vec_id", "label", "msd_milli2")
+      .orderBy("rnk")
+  }
+
+  def labelOutliersOracle(k: Int = 20): String =
+    s"""WITH milli AS (
+       |  SELECT vec_id, label, CAST(i - 1 AS INTEGER) AS dim,
+       |    CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000) AS BIGINT) AS m
+       |  FROM (SELECT vec_id, label, embedding,
+       |        unnest(generate_series(1, len(embedding))) AS i FROM embeddings)
+       |), sums AS (
+       |  SELECT label, dim, CAST(sum(m) AS BIGINT) AS s, count(*) AS n
+       |  FROM milli GROUP BY label, dim
+       |), dist AS (
+       |  SELECT mi.vec_id, mi.label,
+       |    CAST(sum(CAST(mi.m * su.n - su.s AS HUGEINT) * (mi.m * su.n - su.s))
+       |         // (max(su.n) * max(su.n)) AS BIGINT) AS msd_milli2
+       |  FROM milli mi JOIN sums su ON su.label = mi.label AND su.dim = mi.dim
+       |  GROUP BY mi.vec_id, mi.label
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY msd_milli2 DESC, vec_id) AS BIGINT) AS rnk,
+       |  vec_id, label, msd_milli2
+       |FROM dist
+       |ORDER BY msd_milli2 DESC, vec_id
+       |LIMIT $k""".stripMargin
+
   // ------------------------------------------------------ norm extremes
   /** EMBEDDING NORM EXTREMES — the vector-QA spot check: the k largest and
     * k smallest vectors by squared norm (a zeroed, truncated, or

@@ -1088,6 +1088,168 @@ object TextAnalysis {
       |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
       |FROM hashed ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------- unigram LM quality buckets (CCNet)
+  /** CCNet-style MODEL-QUALITY bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359): score each document against a per-language corpus
+    * language model and cut each language into head/middle/tail terciles —
+    * "head" reads like the bulk of the language's corpus, "tail" is the
+    * outlier band that gets dropped or down-weighted before training. The
+    * published pipeline scores with a 5-gram KenLM; the engine keeps the
+    * same SHAPE (per-language LM → per-doc mean score → per-language
+    * percentile buckets) with a unigram inverse-probability surrogate in
+    * exact integer micro-units so the whole policy sits under the DuckDB
+    * oracle: `rarity_micro(w) = (10⁶ · lang_tokens) div lang_freq(w)` is
+    * 10⁶/p(w), the doc score is the tf-weighted mean rarity, and bucket
+    * cuts are the pure-integer rank rule (rnk·10 ≤ n·3 → head, ≤ 7 →
+    * middle) from [[qualityPrune]]. The log transform between this and
+    * true surprisal is monotone per ranking — left to consumers, the
+    * [[tfidf]] precedent.
+    *
+    * 100 TB shape: one (doc, word) tf shuffle + one (lang, word) frequency
+    * aggregate JOINED back on (lang, word) — the frequency table is
+    * vocabulary-sized (Zipf-bounded, shuffled not broadcast) — then one
+    * per-doc sum and a per-LANGUAGE rank window (never a global one; at
+    * scale each language ranks independently, and within a language the
+    * rank is range-partitionable exactly like [[packSequences]]' prefix
+    * sums). */
+  def unigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docTerm = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(words).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "lang", "word")
+      .agg(count(lit(1)).as("tf"))
+    val langFreq = docTerm.groupBy("lang", "word")
+      .agg(sum("tf").as("lang_freq"))
+    val langTotals = langFreq.groupBy("lang")
+      .agg(sum("lang_freq").as("lang_tokens"))
+    val scored = docTerm
+      .join(langFreq, Seq("lang", "word"))
+      .join(broadcast(langTotals), "lang")
+      .withColumn("rarity_micro", expr("(1000000 * lang_tokens) div lang_freq"))
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("tf") * col("rarity_micro")).as("sum_rarity"),
+        sum("tf").as("n_tokens"))
+      .withColumn("score_micro", expr("sum_rarity div n_tokens"))
+    val w = Window.partitionBy("lang").orderBy(col("score_micro"), col("doc_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .withColumn("n_lang", count(lit(1)).over(Window.partitionBy("lang")))
+      .withColumn("bucket",
+        when(col("rnk") * 10 <= col("n_lang") * 3, "head")
+          .when(col("rnk") * 10 <= col("n_lang") * 7, "middle")
+          .otherwise("tail"))
+      .select("doc_id", "lang", "n_tokens", "score_micro", "bucket")
+      .orderBy("doc_id")
+  }
+
+  val unigramSurprisalOracle: String =
+    """WITH dt AS (
+      |  SELECT doc_id, lang, w.word, count(*) AS tf
+      |  FROM documents, unnest(string_split(text, ' ')) AS w(word)
+      |  WHERE w.word != ''
+      |  GROUP BY doc_id, lang, w.word
+      |), lf AS (
+      |  SELECT lang, word, CAST(sum(tf) AS BIGINT) AS lang_freq FROM dt GROUP BY lang, word
+      |), lt AS (
+      |  SELECT lang, CAST(sum(lang_freq) AS BIGINT) AS lang_tokens FROM lf GROUP BY lang
+      |), scored AS (
+      |  SELECT dt.doc_id, dt.lang,
+      |    CAST(sum(dt.tf) AS BIGINT) AS n_tokens,
+      |    CAST(sum(dt.tf * ((1000000 * lt.lang_tokens) // lf.lang_freq)) // sum(dt.tf) AS BIGINT) AS score_micro
+      |  FROM dt
+      |  JOIN lf ON lf.lang = dt.lang AND lf.word = dt.word
+      |  JOIN lt ON lt.lang = dt.lang
+      |  GROUP BY dt.doc_id, dt.lang
+      |), ranked AS (
+      |  SELECT doc_id, lang, n_tokens, score_micro,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY score_micro, doc_id) AS BIGINT) AS rnk,
+      |    count(*) OVER (PARTITION BY lang) AS n_lang
+      |  FROM scored
+      |)
+      |SELECT doc_id, lang, n_tokens, score_micro,
+      |  CASE WHEN rnk * 10 <= n_lang * 3 THEN 'head'
+      |       WHEN rnk * 10 <= n_lang * 7 THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM ranked ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------- target-domain affinity (DSIR-shaped)
+  /** DSIR-shaped TARGET-DOMAIN data selection (Xie et al. 2023,
+    * arXiv:2302.03169): score every raw document by how much its hashed
+    * n-gram feature distribution looks like a curated TARGET sample, the
+    * step that picks "Wikipedia-like" documents out of a web crawl. Here
+    * the target is the `src0` source, features are character bigrams, and
+    * the importance signal is feature LIFT in exact integer micro-units:
+    * `lift_micro(f) = ((tgt(f)+1) · 10⁶ · (raw_total+V)) div
+    * ((raw(f)+1) · (tgt_total+V))` (add-one smoothing over the V observed
+    * features; wide-integer product so the intermediate never wraps). A
+    * raw doc's affinity is the micro-fraction of its bigram OCCURRENCES
+    * that land in the over-represented feature set (lift > 10⁶) — the
+    * integer-exact stand-in for DSIR's summed log-ratios, monotone in the
+    * same direction.
+    *
+    * 100 TB shape: the feature space is BOUNDED (char bigrams ≤ charset²;
+    * DSIR itself hashes into 10⁴ buckets), so the per-feature count/lift
+    * table broadcasts at ANY corpus scale — two linear scans (one explode
+    * + conditional aggregate to build it, one explode + broadcast
+    * semi-join to score), zero corpus-sized shuffles beyond the per-doc
+    * regroup. */
+  def targetAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val grams = table(spark, dir, "documents")
+      .filter(length(col("text")) >= 2)
+      .withColumn("i", explode(sequence(lit(1), length(col("text")) - 1)))
+      .select(col("doc_id"), col("source"), expr("substring(text, i, 2)").as("bigram"))
+    val counts = grams
+      .groupBy("bigram")
+      .agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("tgt_cnt"),
+        sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("raw_cnt"))
+    val totals = counts.agg(
+      sum("tgt_cnt").as("tgt_total"), sum("raw_cnt").as("raw_total"),
+      count(lit(1)).as("v"))
+    val lifted = counts.join(broadcast(totals))
+      .withColumn("lift_micro",
+        expr("""CAST((CAST(tgt_cnt + 1 AS DECIMAL(38,0)) * 1000000 * (raw_total + v))
+               | div (CAST(raw_cnt + 1 AS DECIMAL(38,0)) * (tgt_total + v)) AS BIGINT)""".stripMargin))
+    val highLift = lifted.filter(col("lift_micro") > 1000000L).select("bigram")
+    grams.filter(col("source") =!= "src0")
+      .join(broadcast(highLift).withColumn("hl", lit(1L)), Seq("bigram"), "left")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_bigrams"), sum(coalesce(col("hl"), lit(0L))).as("n_high_lift"))
+      .withColumn("affinity_micro", expr("(n_high_lift * 1000000) div n_bigrams"))
+      .select("doc_id", "source", "n_bigrams", "n_high_lift", "affinity_micro")
+      .orderBy("doc_id")
+  }
+
+  val targetAffinityOracle: String =
+    """WITH grams AS (
+      |  SELECT doc_id, source, substring(text, CAST(i AS INTEGER), 2) AS bigram
+      |  FROM (SELECT doc_id, source, text, unnest(generate_series(1, length(text) - 1)) AS i
+      |        FROM documents WHERE length(text) >= 2)
+      |), counts AS (
+      |  SELECT bigram,
+      |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS tgt_cnt,
+      |    CAST(sum(CASE WHEN source != 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS raw_cnt
+      |  FROM grams GROUP BY bigram
+      |), totals AS (
+      |  SELECT CAST(sum(tgt_cnt) AS BIGINT) AS tgt_total,
+      |         CAST(sum(raw_cnt) AS BIGINT) AS raw_total,
+      |         count(*) AS v
+      |  FROM counts
+      |), hl AS (
+      |  SELECT bigram FROM counts CROSS JOIN totals
+      |  WHERE CAST((CAST(tgt_cnt + 1 AS HUGEINT) * 1000000 * (raw_total + v))
+      |        // (CAST(raw_cnt + 1 AS HUGEINT) * (tgt_total + v)) AS BIGINT) > 1000000
+      |)
+      |SELECT g.doc_id, g.source,
+      |  count(*) AS n_bigrams,
+      |  CAST(sum(CASE WHEN h.bigram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_high_lift,
+      |  CAST((sum(CASE WHEN h.bigram IS NOT NULL THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS affinity_micro
+      |FROM grams g LEFT JOIN hl h ON h.bigram = g.bigram
+      |WHERE g.source != 'src0'
+      |GROUP BY g.doc_id, g.source
+      |ORDER BY g.doc_id""".stripMargin
+
   // --------------------------------------------- cross-split leakage audit
   /** SPLIT-LEAKAGE audit: verified near-dup pairs whose endpoints landed in
     * DIFFERENT splits — an eval doc with a train-side near-duplicate is a

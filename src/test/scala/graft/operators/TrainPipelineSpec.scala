@@ -115,6 +115,91 @@ class TrainPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("keep-best: retains every clustered ORIGINAL (perturbed copies have fewer tokens)") {
+    val rows = Dedup.dedupKeepBest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val keepList = Dedup.dedupKeepList(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(rows.length == keepList.size, "keep-best must cover the same corpus as keep-first")
+    rows.groupBy(_._2).foreach { case (cluster, members) =>
+      val kept = members.filter(_._4 == 1L)
+      assert(kept.length == 1, s"cluster $cluster keeps ${kept.length} docs")
+      // survivor has the max token count; doc_id breaks ties
+      val best = members.map(m => (m._3, m._1)).minBy { case (t, id) => (-t, id) }
+      assert(kept.head._1 == best._2, s"cluster $cluster kept a non-best doc")
+      // the planted perturbed copy drops the first word: in any 2-member
+      // original/copy cluster the ORIGINAL (smaller id, more tokens) wins
+      if (members.length == 2 && members.map(_._1).max == members.map(_._1).min + Dedup.IdOffset)
+        assert(kept.head._1 == members.map(_._1).min,
+          s"cluster $cluster kept the truncated copy over the original")
+    }
+    // keep-first and keep-best agree on WHO is clustered, not always on who survives
+    assert(rows.map(_._1).toSet == keepList.keySet)
+  }
+
+  test("ccnet buckets: per-language terciles with the exact integer cut rule") {
+    val rows = TextAnalysis.unigramSurprisal(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getString(4)))
+    rows.groupBy(_._2).foreach { case (lang, docs) =>
+      val n = docs.length
+      val byScore = docs.sortBy(d => (d._3, d._1))
+      // bucket boundaries follow rank: head is a prefix, tail a suffix
+      val buckets = byScore.map(_._4)
+      assert(buckets.takeWhile(_ == "head").length == buckets.count(_ == "head"),
+        s"$lang: head docs are not the lowest-surprisal prefix")
+      assert(buckets.reverse.takeWhile(_ == "tail").length == buckets.count(_ == "tail"),
+        s"$lang: tail docs are not the highest-surprisal suffix")
+      // integer cut rule: |head| = floor(3n/10), |head|+|middle| = floor(7n/10)
+      assert(buckets.count(_ == "head") == (3 * n) / 10, s"$lang head size")
+      assert(buckets.count(_ == "tail") == n - (7 * n) / 10, s"$lang tail size")
+    }
+  }
+
+  test("target affinity: target source excluded, micro-fractions well-formed, rerun-identical") {
+    val rows = TextAnalysis.targetAffinity(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, source, nBi, nHl, aff) =>
+      assert(source != "src0", "target docs must not be scored")
+      assert(nHl >= 0 && nHl <= nBi, "high-lift count out of range")
+      assert(aff == nHl * 1000000L / nBi, "affinity is not the exact micro-fraction")
+    }
+    // covers every non-target doc with >= 2 chars
+    val expected = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("source") =!= "src0" && length(col("text")) >= 2).count()
+    assert(rows.length == expected)
+    val rerun = TextAnalysis.targetAffinity(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.sameElements(rerun), "affinity scoring must be deterministic")
+  }
+
+  test("label outliers: k rows, descending msd, and a planted far vector surfaces at rank 1") {
+    import org.apache.spark.sql.types._
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+    val dim = base.select(size(col("embedding"))).first().getInt(0)
+    // plant one vector far from its label's centroid in a COPY of the table
+    val planted = base.unionByName(
+      spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          999999L, Array.fill(dim)(50.0f).toSeq, 0)),
+        StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)),
+          StructField("label", IntegerType)))))
+    val tmp = java.nio.file.Files.createTempDirectory("outlier_fixture").toString
+    planted.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val rows = Similarity.labelOutliers(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(rows.length == 20)
+    assert(rows.map(_._1).toSeq == (1L to 20L), "ranks must be 1..k")
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sortBy(-_).toSeq, "msd not descending")
+    assert(rows.head._2 == 999999L, "planted far vector must rank first")
+    // and on the clean fixture the operator is deterministic across reruns
+    val a = Similarity.labelOutliers(spark, dir).collect().map(_.toSeq)
+    val b = Similarity.labelOutliers(spark, dir).collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
+
   test("degree histogram: handshake identity and a degree-1-dominated healthy corpus") {
     val hist = Dedup.degreeHistogram(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
