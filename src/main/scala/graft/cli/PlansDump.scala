@@ -42,7 +42,10 @@ object PlansDump {
     "text_dup_spans",          // md5-keyed span shuffles, partial+final group-bys
     "docs_shuffle_shards",     // hash shard key + per-shard partitioned rank
     "docs_split_leakage",      // pair graph x hash split, 8-16B-key equi-joins
-    "dedup_pagerank_hubs")     // 3 unrolled Pregel rounds over materialized edges
+    "dedup_pagerank_hubs",     // 3 unrolled Pregel rounds over materialized edges
+    "docs_ccnet_buckets",      // (lang,word) freq join + per-language rank window
+    "docs_target_affinity",    // bounded feature table broadcast, two linear scans
+    "embedding_label_outliers") // (label,dim) sums broadcast + TakeOrdered top-k
 
   /** Plan-audit overrides: these queries' gated implementations read
     * memoized materialized stages (the shared-pipeline design — see

@@ -323,4 +323,33 @@ class PlanQualitySpec extends AnyFunSuite {
       s"span grouping is not partial+final: ${names.distinct.mkString(",")}")
     assert(!names.exists(n => n.contains("BroadcastNestedLoop") || n.contains("CartesianProduct")))
   }
+
+  test("ccnet buckets: every rank window is partitioned by language (no global rank)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.operators.TextAnalysis.unigramSurprisal(spark, SparkSuite.Sf0001)
+    df.collect()
+    val windows = nodes(df).collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "surprisal tercile rank lost its language partition — the whole corpus would rank in one task"))
+    assert(!nodes(df).map(_.nodeName).exists(_.contains("CartesianProduct")))
+  }
+
+  test("target affinity: BNLJ only against the 1-row totals; feature scoring is a hash join") {
+    val df = graft.operators.TextAnalysis.targetAffinity(spark, SparkSuite.Sf0001)
+    assertBnljOnlyTinyBroadcasts(df, "target-affinity")
+    // the high-lift feature set joins by key, never as a nested loop
+    val names = nodes(df).map(_.nodeName)
+    assert(names.exists(_.contains("BroadcastHashJoin")),
+      s"expected the broadcast feature-set hash join: ${names.distinct.mkString(",")}")
+  }
+
+  test("label outliers: top-k is TakeOrdered before the 20-row rank window") {
+    val df = graft.operators.Similarity.labelOutliers(spark, SparkSuite.Sf0001)
+    df.collect()
+    val names = nodes(df).map(_.nodeName)
+    assert(names.exists(_.contains("TakeOrderedAndProject")),
+      s"expected TakeOrderedAndProject for the outlier top-k: ${names.distinct.mkString(",")}")
+    assert(!names.exists(n => n.contains("BroadcastNestedLoop") || n.contains("CartesianProduct")))
+  }
 }
