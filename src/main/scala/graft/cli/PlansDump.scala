@@ -53,7 +53,9 @@ object PlansDump {
     * scan + the final derivation. The declarative builders below show the
     * full pipeline plan that the materialization runs once. */
   private val planOnly: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
-    Map("dedup_minhash_pairs" -> (graft.operators.Dedup.minhashCandidatePairsPlan(_, _)))
+    Map(
+      "dedup_minhash_pairs" -> (graft.operators.Dedup.minhashCandidatePairsPlan(_, _)),
+      "text_dup_spans" -> (graft.operators.TextAnalysis.dupSpansPlan(_, _)))
 
   def main(args: Array[String]): Unit = {
     // positional: PlansDump [sfDir] [outFile] — echo what was resolved so a

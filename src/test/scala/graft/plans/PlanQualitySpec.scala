@@ -316,7 +316,8 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("dup spans: both group-bys are partial+final and the span key never exceeds a hash") {
-    val df = graft.operators.TextAnalysis.dupSpans(spark, SparkSuite.Sf0001)
+    // the un-memoized twin: the gated form reads checkpoint scans
+    val df = graft.operators.TextAnalysis.dupSpansPlan(spark, SparkSuite.Sf0001)
     df.collect()
     val names = nodes(df).map(_.nodeName)
     assert(names.count(_.contains("HashAggregate")) >= 4,
