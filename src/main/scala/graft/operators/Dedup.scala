@@ -376,6 +376,53 @@ object Dedup {
        |LEFT JOIN keepers k ON k.cluster_id = cl.cluster_id
        |ORDER BY c.doc_id""".stripMargin
 
+  // ----------------------------------------------- ensemble dedup verdict
+  /** MULTI-SIGNAL dedup arbitration: merge LEXICAL duplicate evidence
+    * (MinHash-verified n-gram Jaccard over the text corpus) with SEMANTIC
+    * evidence (label-blocked embedding cosine) into one per-pair verdict —
+    * `both` is remove-with-confidence, `text_only` (boilerplate wrappers
+    * around different content) and `embed_only` (paraphrases sharing no
+    * 3-gram) route to their own policies. The fixtures plant the SAME
+    * id+10⁶ copy scheme on both sides, so planted pairs must score `both`
+    * — pinned in the spec.
+    *
+    * 100 TB shape: a full-outer equi-join of two already-materialized
+    * pair graphs on 16 B keys — nothing rescans either corpus; the pair
+    * graphs are orders of magnitude smaller than their corpora. */
+  def dedupEnsemble(spark: SparkSession, dir: String): DataFrame = {
+    val text = sharedVerifiedPairs(spark, dir)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val embed = Similarity.embeddingNearDups(spark, dir)
+      .select(col("id_a"), col("id_b"), col("cos"))
+    text.join(embed, Seq("id_a", "id_b"), "full_outer")
+      .withColumn("verdict",
+        when(col("jaccard").isNotNull && col("cos").isNotNull, "both")
+          .when(col("jaccard").isNotNull, "text_only")
+          .otherwise("embed_only"))
+      .select("id_a", "id_b", "jaccard", "cos", "verdict")
+      .orderBy("id_a", "id_b")
+  }
+
+  // lazy: composes ngramJaccardPairsOracle (defined later in the file)
+  lazy val dedupEnsembleOracle: String =
+    s"""WITH text_pairs AS (
+       |${ngramJaccardPairsOracle.linesIterator.map("  " + _).mkString("\n")}
+       |), embed_pairs AS (
+       |  SELECT * FROM (
+       |${Similarity.embeddingNearDupsOracle().linesIterator.map("    " + _).mkString("\n")}
+       |  ) e
+       |)
+       |SELECT
+       |  coalesce(t.id_a, p.id_a) AS id_a,
+       |  coalesce(t.id_b, p.id_b) AS id_b,
+       |  t.jaccard, p.cos,
+       |  CASE WHEN t.id_a IS NOT NULL AND p.id_a IS NOT NULL THEN 'both'
+       |       WHEN t.id_a IS NOT NULL THEN 'text_only'
+       |       ELSE 'embed_only' END AS verdict
+       |FROM text_pairs t FULL OUTER JOIN embed_pairs p
+       |  ON t.id_a = p.id_a AND t.id_b = p.id_b
+       |ORDER BY id_a, id_b""".stripMargin
+
   // --------------------------------------------------- keep-BEST canonical
   /** Quality-aware canonical selection: keep-one-per-cluster where the
     * survivor is the BEST copy (most tokens, doc_id tie-break), not the

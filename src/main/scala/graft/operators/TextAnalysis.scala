@@ -1114,6 +1114,56 @@ object TextAnalysis {
       |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
       |FROM hashed ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------- OOV / vocab coverage
+  /** OUT-OF-VOCABULARY rate against a corpus-derived reference vocabulary —
+    * the tokenizer-coverage screen: a doc whose tokens mostly miss the
+    * vocabulary will fragment into byte-fallback pieces (wasted sequence
+    * length) or signal the corpus drifted from the tokenizer's training
+    * mix. Vocabulary = the top-`vocabSize` words by document frequency
+    * (deterministic `(df desc, word)` tie-break); the OOV fraction is an
+    * exact integer micro-unit ratio.
+    *
+    * 100 TB shape: the vocabulary is TakeOrdered-bounded (per-partition
+    * top-V heads + a V-row merge — never a global word sort) and
+    * broadcast; scoring is one explode pass + a broadcast left join +
+    * per-doc regroup. A real tokenizer vocab would simply replace the
+    * derived table — the scoring pass is unchanged. */
+  def oovRate(spark: SparkSession, dir: String, vocabSize: Int = 50): DataFrame = {
+    val toks = table(spark, dir, "documents")
+      .select(col("doc_id"), explode(words).as("word"))
+      .filter(col("word") =!= "")
+    val vocab = toks
+      .groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("df").desc, col("word"))
+      .limit(vocabSize)
+      .select("word")
+    toks
+      .join(broadcast(vocab).withColumn("iv", lit(1L)), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_micro", expr("(n_oov * 1000000) div n_tokens"))
+      .select("doc_id", "n_tokens", "n_oov", "oov_micro")
+      .orderBy("doc_id")
+  }
+
+  def oovRateOracle(vocabSize: Int = 50): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, w.word
+       |  FROM documents, unnest(string_split(text, ' ')) AS w(word)
+       |  WHERE w.word != ''
+       |), vocab AS (
+       |  SELECT word FROM (
+       |    SELECT word, count(DISTINCT doc_id) AS df FROM toks GROUP BY word
+       |  ) ORDER BY df DESC, word LIMIT $vocabSize
+       |)
+       |SELECT t.doc_id, count(*) AS n_tokens,
+       |  CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  CAST((sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS oov_micro
+       |FROM toks t LEFT JOIN vocab v ON v.word = t.word
+       |GROUP BY t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   // ------------------------------------- unigram LM quality buckets (CCNet)
   /** CCNet-style MODEL-QUALITY bucketing (Wenzek et al. 2020,
     * arXiv:1911.00359): score each document against a per-language corpus

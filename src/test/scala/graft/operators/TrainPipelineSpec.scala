@@ -200,6 +200,44 @@ class TrainPipelineSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("ensemble dedup: planted copies score 'both'; single-signal pairs carry one score") {
+    val rows = Dedup.dedupEnsemble(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), Option(r.get(3)), r.getString(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, j, c, v) =>
+      assert(a < b, "pair not canonicalized")
+      v match {
+        case "both"       => assert(j.isDefined && c.isDefined)
+        case "text_only"  => assert(j.isDefined && c.isEmpty)
+        case "embed_only" => assert(j.isEmpty && c.isDefined)
+        case other        => fail(s"unknown verdict $other")
+      }
+    }
+    // ids planted on BOTH sides (id, id+1e6 with the same offset scheme)
+    // must merge into a single 'both' row wherever each side found its pair
+    val text = Dedup.ngramJaccardPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val embed = graft.operators.Similarity.embeddingNearDups(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val both = rows.filter(_._5 == "both").map(t => (t._1, t._2)).toSet
+    assert(both == (text intersect embed), "verdict 'both' must be exactly the intersection")
+    assert(rows.map(t => (t._1, t._2)).toSet == (text union embed), "ensemble must cover the union")
+  }
+
+  test("oov rate: exact micro-fractions, and vocab words are never OOV") {
+    val rows = TextAnalysis.oovRate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 500)
+    rows.foreach { case (_, n, oov, micro) =>
+      assert(oov >= 0 && oov <= n)
+      assert(micro == oov * 1000000L / n)
+    }
+    // a doc made ONLY of top-df words must score 0 OOV: the fixture's most
+    // common words appear in nearly every doc, so at least one doc is all
+    // in-vocab at vocabSize=50 (the corpus vocabulary is ~60 words)
+    assert(rows.exists(_._3 == 0L), "no fully-in-vocab doc — vocabulary selection looks broken")
+  }
+
   test("degree histogram: handshake identity and a degree-1-dominated healthy corpus") {
     val hist = Dedup.degreeHistogram(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
