@@ -1195,13 +1195,15 @@ object TextAnalysis {
       .filter(col("word") =!= "")
       .groupBy("doc_id", "lang", "word")
       .agg(count(lit(1)).as("tf"))
+    // per-language totals as a window over the vocab-sized freq table —
+    // same lineage, so the corpus explode is not recomputed a third time
+    // for a totals broadcast (the targetAffinity lesson; the window is
+    // partitioned by lang over vocabulary rows, never corpus rows)
     val langFreq = docTerm.groupBy("lang", "word")
       .agg(sum("tf").as("lang_freq"))
-    val langTotals = langFreq.groupBy("lang")
-      .agg(sum("lang_freq").as("lang_tokens"))
+      .withColumn("lang_tokens", sum("lang_freq").over(Window.partitionBy("lang")))
     val scored = docTerm
       .join(langFreq, Seq("lang", "word"))
-      .join(broadcast(langTotals), "lang")
       .withColumn("rarity_micro", expr("(1000000 * lang_tokens) div lang_freq"))
       .groupBy("doc_id", "lang")
       .agg(sum(col("tf") * col("rarity_micro")).as("sum_rarity"),
