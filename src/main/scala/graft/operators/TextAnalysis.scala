@@ -1339,6 +1339,67 @@ object TextAnalysis {
       |GROUP BY g.doc_id, g.source
       |ORDER BY g.doc_id""".stripMargin
 
+  // ------------------------------------------------- training manifest
+  /** The FINAL TRAINING MANIFEST — the text-side analog of
+    * [[Dedup.dedupFunnel]]: one row per raw document with every keep/drop
+    * decision the pipeline made about it, composed from the SAME gated
+    * operators a user runs piecemeal — near-dup keep-list survivor
+    * ([[Dedup.dedupKeepList]]), per-source quality pruning
+    * ([[qualityPrune]]), CCNet tercile ([[unigramSurprisal]], tail
+    * dropped) — and the conjunction `final_keep`. This is the table the
+    * actual training-shard write filters on, and the audit trail for "why
+    * is doc X (not) in the run".
+    *
+    * 100 TB shape: three equi-joins of per-doc decision tables (8-16 B
+    * keys + flags) onto the corpus projection — each input is itself
+    * scale-audited; the composition adds no new corpus scan. */
+  def trainingManifest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select("doc_id", "lang", "source")
+    val dedupKeep = Dedup.dedupKeepList(spark, dir)
+      .select(col("doc_id"), (col("keep") === 1L).as("keep_dedup"))
+    val quality = qualityPrune(spark, dir)
+      .select(col("doc_id"), col("keep").as("keep_quality"))
+    val buckets = unigramSurprisal(spark, dir)
+      .select(col("doc_id"), col("bucket"))
+    docs
+      .join(dedupKeep, "doc_id")
+      .join(quality, "doc_id")
+      .join(buckets, "doc_id")
+      .withColumn("keep_bucket", col("bucket") =!= "tail")
+      .withColumn("final_keep",
+        col("keep_dedup") && col("keep_quality") && col("keep_bucket"))
+      .select("doc_id", "lang", "source", "keep_dedup", "keep_quality",
+        "bucket", "keep_bucket", "final_keep")
+      .orderBy("doc_id")
+  }
+
+  // def: composes Dedup.dedupKeepListOracle (itself a def)
+  def trainingManifestOracle: String =
+    s"""WITH keep_list AS (
+       |  SELECT * FROM (
+       |${Dedup.dedupKeepListOracle.linesIterator.map("    " + _).mkString("\n")}
+       |  ) kl
+       |), quality AS (
+       |  SELECT * FROM (
+       |${qualityPruneOracle().linesIterator.map("    " + _).mkString("\n")}
+       |  ) qp
+       |), buckets AS (
+       |  SELECT * FROM (
+       |${unigramSurprisalOracle.linesIterator.map("    " + _).mkString("\n")}
+       |  ) bk
+       |)
+       |SELECT d.doc_id, d.lang, d.source,
+       |  k.keep = 1 AS keep_dedup,
+       |  q.keep AS keep_quality,
+       |  b.bucket,
+       |  b.bucket != 'tail' AS keep_bucket,
+       |  (k.keep = 1 AND q.keep AND b.bucket != 'tail') AS final_keep
+       |FROM documents d
+       |JOIN keep_list k ON k.doc_id = d.doc_id
+       |JOIN quality q ON q.doc_id = d.doc_id
+       |JOIN buckets b ON b.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   // --------------------------------------------- cross-split leakage audit
   /** SPLIT-LEAKAGE audit: verified near-dup pairs whose endpoints landed in
     * DIFFERENT splits — an eval doc with a train-side near-duplicate is a

@@ -238,6 +238,30 @@ class TrainPipelineSpec extends AnyFunSuite {
     assert(rows.exists(_._3 == 0L), "no fully-in-vocab doc — vocabulary selection looks broken")
   }
 
+  test("training manifest: flags agree with the piecemeal operators and final_keep is their conjunction") {
+    val rows = TextAnalysis.trainingManifest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getBoolean(3), r.getBoolean(4), r.getString(5),
+        r.getBoolean(6), r.getBoolean(7)))
+    assert(rows.length == 500, "one manifest row per raw doc")
+    rows.foreach { case (_, d, q, bucket, b, f) =>
+      assert(b == (bucket != "tail"))
+      assert(f == (d && q && b), "final_keep must be the conjunction of the three gates")
+    }
+    // flags must match the standalone operators doc-for-doc
+    val dedupKeep = Dedup.dedupKeepList(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2) == 1L)).toMap
+    val quality = TextAnalysis.qualityPrune(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    rows.foreach { case (id, d, q, _, _, _) =>
+      assert(d == dedupKeep(id), s"doc $id dedup flag diverges from dedupKeepList")
+      assert(q == quality(id), s"doc $id quality flag diverges from qualityPrune")
+    }
+    // the pipeline must actually cut something on the planted fixture, but
+    // never everything
+    val kept = rows.count(_._6)
+    assert(kept > 0 && kept < rows.length, s"degenerate manifest: kept $kept of ${rows.length}")
+  }
+
   test("degree histogram: handshake identity and a degree-1-dominated healthy corpus") {
     val hist = Dedup.degreeHistogram(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
