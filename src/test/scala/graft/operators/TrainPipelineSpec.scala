@@ -155,6 +155,27 @@ class TrainPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ccnet buckets: tiny strata degrade sanely (n=1 lands tail, n=4 splits 1/1/2)") {
+    // the integer cut rule at small n: head = floor(3n/10), middle up to
+    // floor(7n/10) — a 1-doc language is all tail (conservative: nothing
+    // is promoted to head without corpus mass behind it)
+    val docs = (1 to 1).map(i => (i.toLong, "the a of b", "solo")) ++
+      (10 to 13).map(i => (i.toLong, s"w$i x y common common", "quad"))
+    val tmp = java.nio.file.Files.createTempDirectory("ccnet_tiny").toString
+    spark.createDataFrame(docs).toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextAnalysis.unigramSurprisal(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(4)))
+    val solo = rows.filter(_._2 == "solo").map(_._3).toSeq
+    assert(solo == Seq("tail"), s"1-doc stratum must be all tail, got $solo")
+    val quad = rows.filter(_._2 == "quad").map(_._3)
+    assert(quad.count(_ == "head") == 1 && quad.count(_ == "middle") == 1 &&
+      quad.count(_ == "tail") == 2,
+      s"n=4 must cut 1/1/2 (floor(12/10), floor(28/10)-1, rest): ${quad.toSeq}")
+  }
+
   test("target affinity: target source excluded, micro-fractions well-formed, rerun-identical") {
     val rows = TextAnalysis.targetAffinity(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
