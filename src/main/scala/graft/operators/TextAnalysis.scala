@@ -1400,6 +1400,53 @@ object TextAnalysis {
        |JOIN buckets b ON b.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // --------------------------------------------- manifest per-source rollup
+  /** PER-SOURCE rollup of the [[trainingManifest]] with token accounting —
+    * the first report an operator reads after a pipeline run ("what did
+    * cleaning cut, and from whom"), and the cleaned-corpus totals that
+    * [[mixtureBudget]] should be fed at the next stage. Exact integer
+    * micro-share of tokens surviving per source.
+    *
+    * 100 TB shape: one join of the manifest (flags + 8 B keys) to a
+    * (doc, token-count) projection, then a |sources|-row aggregate —
+    * partial+final, nothing wider than two longs per group. */
+  def manifestRollup(spark: SparkSession, dir: String): DataFrame = {
+    val toks = table(spark, dir, "documents")
+      .select(col("doc_id"), sz(words).as("n_tokens"))
+    trainingManifest(spark, dir)
+      .select("doc_id", "source", "final_keep")
+      .join(toks, "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("final_keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum("n_tokens").as("tokens_total"),
+        sum(when(col("final_keep"), col("n_tokens")).otherwise(0L)).as("tokens_kept"))
+      .withColumn("kept_micro", expr("(tokens_kept * 1000000) div tokens_total"))
+      .select("source", "n_docs", "n_kept", "tokens_total", "tokens_kept", "kept_micro")
+      .orderBy("source")
+  }
+
+  // def: composes trainingManifestOracle (itself a def)
+  def manifestRollupOracle: String =
+    s"""WITH manifest AS (
+       |  SELECT * FROM (
+       |${trainingManifestOracle.linesIterator.map("    " + _).mkString("\n")}
+       |  ) m
+       |), toks AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents
+       |)
+       |SELECT m.source,
+       |  count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN m.final_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(t.n_tokens) AS BIGINT) AS tokens_total,
+       |  CAST(sum(CASE WHEN m.final_keep THEN t.n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+       |  CAST((sum(CASE WHEN m.final_keep THEN t.n_tokens ELSE 0 END) * 1000000)
+       |       // sum(t.n_tokens) AS BIGINT) AS kept_micro
+       |FROM manifest m JOIN toks t ON t.doc_id = m.doc_id
+       |GROUP BY m.source
+       |ORDER BY m.source""".stripMargin
+
   // --------------------------------------------- cross-split leakage audit
   /** SPLIT-LEAKAGE audit: verified near-dup pairs whose endpoints landed in
     * DIFFERENT splits — an eval doc with a train-side near-duplicate is a

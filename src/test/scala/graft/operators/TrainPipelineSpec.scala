@@ -283,6 +283,30 @@ class TrainPipelineSpec extends AnyFunSuite {
     assert(kept > 0 && kept < rows.length, s"degenerate manifest: kept $kept of ${rows.length}")
   }
 
+  test("manifest rollup: reconciles doc-for-doc with the manifest and the token counts") {
+    val rollup = TextAnalysis.manifestRollup(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val manifest = TextAnalysis.trainingManifest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getBoolean(7)))
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = manifest.groupBy(_._2).map { case (src, docs) =>
+      val total = docs.map(d => toks(d._1)).sum
+      val kept = docs.filter(_._3).map(d => toks(d._1)).sum
+      src -> (docs.length.toLong, docs.count(_._3).toLong, total, kept, kept * 1000000L / total)
+    }
+    assert(rollup.map(_._1).toSet == expected.keySet)
+    rollup.foreach { case (src, nd, nk, tt, tk, micro) =>
+      assert((nd, nk, tt, tk, micro) == expected(src), s"rollup diverges for $src")
+    }
+    // the rollup must show real cuts without wiping any source
+    rollup.foreach { case (src, _, nk, _, _, micro) =>
+      assert(nk > 0, s"source $src fully dropped")
+      assert(micro < 1000000L, s"source $src shows no cuts at all")
+    }
+  }
+
   test("degree histogram: handshake identity and a degree-1-dominated healthy corpus") {
     val hist = Dedup.degreeHistogram(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
