@@ -1202,11 +1202,18 @@ object TextAnalysis {
     val langFreq = docTerm.groupBy("lang", "word")
       .agg(sum("tf").as("lang_freq"))
       .withColumn("lang_tokens", sum("lang_freq").over(Window.partitionBy("lang")))
+    // widen the inverse-probability products: 10⁶ · lang_tokens wraps
+    // int64 once a language passes ~9·10¹² tokens (a 100 TB corpus is
+    // ~10¹³), so both the rarity and the tf-weighted sum run in
+    // DECIMAL(38,0)/HUGEINT — the tfidf precedent; the final mean stays
+    // int64-exact while a doc's mean inverse-probability < 2⁶³ micro
+    // (violated only by a doc of pure hapaxes in a 10¹³-token language)
     val scored = docTerm
       .join(langFreq, Seq("lang", "word"))
-      .withColumn("rarity_micro", expr("(1000000 * lang_tokens) div lang_freq"))
+      .withColumn("rarity_micro",
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * lang_tokens) div lang_freq"))
       .groupBy("doc_id", "lang")
-      .agg(sum(col("tf") * col("rarity_micro")).as("sum_rarity"),
+      .agg(expr("sum(CAST(tf AS DECIMAL(38,0)) * rarity_micro)").as("sum_rarity"),
         sum("tf").as("n_tokens"))
       .withColumn("score_micro", expr("sum_rarity div n_tokens"))
     val w = Window.partitionBy("lang").orderBy(col("score_micro"), col("doc_id"))
@@ -1234,7 +1241,7 @@ object TextAnalysis {
       |), scored AS (
       |  SELECT dt.doc_id, dt.lang,
       |    CAST(sum(dt.tf) AS BIGINT) AS n_tokens,
-      |    CAST(sum(dt.tf * ((1000000 * lt.lang_tokens) // lf.lang_freq)) // sum(dt.tf) AS BIGINT) AS score_micro
+      |    CAST(sum(CAST(dt.tf AS HUGEINT) * ((CAST(1000000 AS HUGEINT) * lt.lang_tokens) // lf.lang_freq)) // sum(dt.tf) AS BIGINT) AS score_micro
       |  FROM dt
       |  JOIN lf ON lf.lang = dt.lang AND lf.word = dt.word
       |  JOIN lt ON lt.lang = dt.lang
@@ -1409,7 +1416,10 @@ object TextAnalysis {
     *
     * 100 TB shape: one join of the manifest (flags + 8 B keys) to a
     * (doc, token-count) projection, then a |sources|-row aggregate —
-    * partial+final, nothing wider than two longs per group. */
+    * partial+final, four long accumulators per group. The micro-share
+    * product widens through DECIMAL(38,0) before the floor division:
+    * a dominant source passes ~10¹³ tokens and `tokens_kept · 10⁶`
+    * would wrap int64 (the tfidf/pagerank widening precedent). */
   def manifestRollup(spark: SparkSession, dir: String): DataFrame = {
     val toks = table(spark, dir, "documents")
       .select(col("doc_id"), sz(words).as("n_tokens"))
@@ -1422,7 +1432,8 @@ object TextAnalysis {
         sum(when(col("final_keep"), 1L).otherwise(0L)).as("n_kept"),
         sum("n_tokens").as("tokens_total"),
         sum(when(col("final_keep"), col("n_tokens")).otherwise(0L)).as("tokens_kept"))
-      .withColumn("kept_micro", expr("(tokens_kept * 1000000) div tokens_total"))
+      .withColumn("kept_micro",
+        expr("(CAST(tokens_kept AS DECIMAL(38,0)) * 1000000) div tokens_total"))
       .select("source", "n_docs", "n_kept", "tokens_total", "tokens_kept", "kept_micro")
       .orderBy("source")
   }
