@@ -1359,8 +1359,12 @@ object TextAnalysis {
     *
     * 100 TB shape: three equi-joins of per-doc decision tables (8-16 B
     * keys + flags) onto the corpus projection — each input is itself
-    * scale-audited; the composition adds no new corpus scan. */
-  def trainingManifest(spark: SparkSession, dir: String): DataFrame = {
+    * scale-audited; the composition adds no new corpus scan. The manifest
+    * MATERIALIZES once per (session, dir) via [[StageMemo]] — it is the
+    * table a production run writes to disk, and both gated consumers
+    * (this query and [[manifestRollup]]) read the same build instead of
+    * re-running the quality/surprisal corpus scans. */
+  private def buildTrainingManifest(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents").select("doc_id", "lang", "source")
     val dedupKeep = Dedup.dedupKeepList(spark, dir)
       .select(col("doc_id"), (col("keep") === 1L).as("keep_dedup"))
@@ -1377,8 +1381,13 @@ object TextAnalysis {
         col("keep_dedup") && col("keep_quality") && col("keep_bucket"))
       .select("doc_id", "lang", "source", "keep_dedup", "keep_quality",
         "bucket", "keep_bucket", "final_keep")
-      .orderBy("doc_id")
   }
+
+  private def sharedManifest(spark: SparkSession, dir: String): DataFrame =
+    StageMemo(spark, dir, "training_manifest")(buildTrainingManifest(spark, dir))
+
+  def trainingManifest(spark: SparkSession, dir: String): DataFrame =
+    sharedManifest(spark, dir).orderBy("doc_id")
 
   // def: composes Dedup.dedupKeepListOracle (itself a def)
   def trainingManifestOracle: String =
@@ -1423,7 +1432,7 @@ object TextAnalysis {
   def manifestRollup(spark: SparkSession, dir: String): DataFrame = {
     val toks = table(spark, dir, "documents")
       .select(col("doc_id"), sz(words).as("n_tokens"))
-    trainingManifest(spark, dir)
+    sharedManifest(spark, dir)
       .select("doc_id", "source", "final_keep")
       .join(toks, "doc_id")
       .groupBy("source")
