@@ -392,7 +392,7 @@ object Dedup {
   def dedupEnsemble(spark: SparkSession, dir: String): DataFrame = {
     val text = sharedVerifiedPairs(spark, dir)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    val embed = Similarity.embeddingNearDups(spark, dir)
+    val embed = Similarity.sharedEmbeddingPairs(spark, dir)
       .select(col("id_a"), col("id_b"), col("cos"))
     text.join(embed, Seq("id_a", "id_b"), "full_outer")
       .withColumn("verdict",

@@ -95,7 +95,18 @@ object Similarity {
     * with deterministically perturbed copies (element-wise +0.01, id offset
     * 10⁶) whose cosine to their source is ≈0.99; the operator must find
     * exactly those pairs and nothing else. */
-  def embeddingNearDups(spark: SparkSession, dir: String, maxId: Long = 1000): DataFrame = {
+  def embeddingNearDups(spark: SparkSession, dir: String, maxId: Long = 1000): DataFrame =
+    sharedEmbeddingPairs(spark, dir, maxId).orderBy("id_a", "id_b")
+
+  /** The embedding pair graph, materialized once per (session, dir) —
+    * [[embeddingNearDups]] and [[graft.operators.Dedup.dedupEnsemble]]
+    * both read it; without the memo the ensemble re-ran the per-label
+    * cosine self-join per call (the sharedVerifiedPairs pattern). */
+  private[operators] def sharedEmbeddingPairs(
+      spark: SparkSession, dir: String, maxId: Long = 1000): DataFrame =
+    StageMemo(spark, dir, s"embed_pairs_$maxId")(buildEmbeddingPairs(spark, dir, maxId))
+
+  private def buildEmbeddingPairs(spark: SparkSession, dir: String, maxId: Long): DataFrame = {
     val base = table(spark, dir, "embeddings").filter(col("vec_id") < maxId)
     val perturbed = base.select(
       (col("vec_id") + 1000000L).as("vec_id"),
@@ -111,8 +122,7 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= 0.9)
-      .select("id_a", "id_b", "cos")
-      .orderBy("id_a", "id_b")
+      .select("id_a", "id_b", "cos") // unsorted: consumers sort after the memo read
   }
 
   def embeddingNearDupsOracle(maxId: Long = 1000): String =
@@ -856,12 +866,20 @@ object Similarity {
     * sort. */
   def labelOutliers(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val milli = table(spark, dir, "embeddings")
+    val base = table(spark, dir, "embeddings")
+    // n = VECTORS per label (one row each), not per-(label, dim) element
+    // counts: with a truncated/null-element vector in the label the two
+    // disagree, and a per-dim n would scale each dim's d by a different
+    // factor — under-weighting exactly the corrupt vectors this operator
+    // exists to surface (uniform-dim corpora are unaffected either way)
+    val nLab = base.groupBy("label").agg(count(lit(1)).as("n"))
+    val milli = base
       .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(col("vec_id"), col("label"), col("dim"),
         expr("CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)").as("m"))
     val sums = milli.groupBy("label", "dim")
-      .agg(sum("m").as("s"), count(lit(1)).as("n"))
+      .agg(sum("m").as("s"))
+      .join(nLab, "label")
     val top = milli.join(broadcast(sums), Seq("label", "dim"))
       .withColumn("d", col("m") * col("n") - col("s"))
       .groupBy("vec_id", "label")
@@ -882,9 +900,13 @@ object Similarity {
        |    CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000) AS BIGINT) AS m
        |  FROM (SELECT vec_id, label, embedding,
        |        unnest(generate_series(1, len(embedding))) AS i FROM embeddings)
+       |), nlab AS (
+       |  SELECT label, count(*) AS n FROM embeddings GROUP BY label
        |), sums AS (
-       |  SELECT label, dim, CAST(sum(m) AS BIGINT) AS s, count(*) AS n
-       |  FROM milli GROUP BY label, dim
+       |  SELECT sm.label, sm.dim, sm.s, nlab.n FROM (
+       |    SELECT label, dim, CAST(sum(m) AS BIGINT) AS s
+       |    FROM milli GROUP BY label, dim
+       |  ) sm JOIN nlab ON nlab.label = sm.label
        |), dist AS (
        |  SELECT mi.vec_id, mi.label,
        |    CAST(sum(CAST(mi.m * su.n - su.s AS HUGEINT) * (mi.m * su.n - su.s))

@@ -1181,20 +1181,27 @@ object TextAnalysis {
     * true surprisal is monotone per ranking — left to consumers, the
     * [[tfidf]] precedent.
     *
-    * 100 TB shape: one (doc, word) tf shuffle + one (lang, word) frequency
-    * aggregate JOINED back on (lang, word) — the frequency table is
-    * vocabulary-sized (Zipf-bounded, shuffled not broadcast) — then one
-    * per-doc sum and a per-LANGUAGE rank window (never a global one; at
-    * scale each language ranks independently, and within a language the
-    * rank is range-partitionable exactly like [[packSequences]]' prefix
-    * sums). */
+    * 100 TB shape: ONE (doc, word) tf shuffle materialized once (the
+    * "tokenize once" artifact, shared by the fit and scoring sides), one
+    * (lang, word) frequency aggregate JOINED back on (lang, word) — the
+    * frequency table is vocabulary-sized (Zipf-bounded, shuffled not
+    * broadcast) — then one per-doc sum and a per-LANGUAGE rank window
+    * (never a global one; at scale each language ranks independently,
+    * and within a language the rank is range-partitionable exactly like
+    * [[packSequences]]' prefix sums). */
   def unigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // docTerm feeds BOTH the LM fit (freq) and the scoring join; without
+    // the checkpoint Spark executes the corpus explode + tf aggregate
+    // twice as separate physical subtrees (the embeddingNearDups norm
+    // precedent: lazy localCheckpoint, materialized on first use). At
+    // scale this IS the "tokenize once" artifact every LM fit persists.
     val docTerm = table(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), explode(words).as("word"))
       .filter(col("word") =!= "")
       .groupBy("doc_id", "lang", "word")
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     // per-language totals as a window over the vocab-sized freq table —
     // same lineage, so the corpus explode is not recomputed a third time
     // for a totals broadcast (the targetAffinity lesson; the window is
@@ -1375,7 +1382,11 @@ object TextAnalysis {
     docs
       .join(dedupKeep, "doc_id")
       .join(quality, "doc_id")
-      .join(buckets, "doc_id")
+      // LEFT: a token-less doc produces no surprisal row (its words all
+      // filter out) but must still get a manifest row — it lands in tail
+      // (dropped WITH an audit trail, never silently vanished)
+      .join(buckets, Seq("doc_id"), "left")
+      .withColumn("bucket", coalesce(col("bucket"), lit("tail")))
       .withColumn("keep_bucket", col("bucket") =!= "tail")
       .withColumn("final_keep",
         col("keep_dedup") && col("keep_quality") && col("keep_bucket"))
@@ -1407,13 +1418,13 @@ object TextAnalysis {
        |SELECT d.doc_id, d.lang, d.source,
        |  k.keep = 1 AS keep_dedup,
        |  q.keep AS keep_quality,
-       |  b.bucket,
-       |  b.bucket != 'tail' AS keep_bucket,
-       |  (k.keep = 1 AND q.keep AND b.bucket != 'tail') AS final_keep
+       |  coalesce(b.bucket, 'tail') AS bucket,
+       |  coalesce(b.bucket, 'tail') != 'tail' AS keep_bucket,
+       |  (k.keep = 1 AND q.keep AND coalesce(b.bucket, 'tail') != 'tail') AS final_keep
        |FROM documents d
        |JOIN keep_list k ON k.doc_id = d.doc_id
        |JOIN quality q ON q.doc_id = d.doc_id
-       |JOIN buckets b ON b.doc_id = d.doc_id
+       |LEFT JOIN buckets b ON b.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
   // --------------------------------------------- manifest per-source rollup

@@ -176,6 +176,21 @@ class TrainPipelineSpec extends AnyFunSuite {
       s"n=4 must cut 1/1/2 (floor(12/10), floor(28/10)-1, rest): ${quad.toSeq}")
   }
 
+  test("training manifest: a token-less doc still gets a row (tail, dropped with an audit trail)") {
+    val docs = Seq((0L, "", "und"), (1L, "the a of b c", "en"), (2L, "x y z w v", "en"))
+    val tmp = java.nio.file.Files.createTempDirectory("manifest_empty").toString
+    spark.createDataFrame(docs).toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextAnalysis.trainingManifest(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getString(5), r.getBoolean(7)))
+    assert(rows.length == 3, s"manifest must cover every raw doc, got ${rows.length}")
+    val empty = rows.find(_._1 == 0L).get
+    assert(empty._2 == "tail" && !empty._3,
+      s"token-less doc must land in tail with final_keep=false, got $empty")
+  }
+
   test("target affinity: target source excluded, micro-fractions well-formed, rerun-identical") {
     val rows = TextAnalysis.targetAffinity(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
