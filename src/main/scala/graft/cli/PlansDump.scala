@@ -55,7 +55,8 @@ object PlansDump {
   private val planOnly: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     Map(
       "dedup_minhash_pairs" -> (graft.operators.Dedup.minhashCandidatePairsPlan(_, _)),
-      "text_dup_spans" -> (graft.operators.TextAnalysis.dupSpansPlan(_, _)))
+      "text_dup_spans" -> (graft.operators.TextAnalysis.dupSpansPlan(_, _)),
+      "docs_ccnet_buckets" -> (graft.operators.TextAnalysis.unigramSurprisalPlan(_, _)))
 
   def main(args: Array[String]): Unit = {
     // positional: PlansDump [sfDir] [outFile] — echo what was resolved so a

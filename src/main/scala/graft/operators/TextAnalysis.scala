@@ -1189,19 +1189,28 @@ object TextAnalysis {
     * (never a global one; at scale each language ranks independently,
     * and within a language the rank is range-partitionable exactly like
     * [[packSequences]]' prefix sums). */
-  def unigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def unigramSurprisal(spark: SparkSession, dir: String): DataFrame =
     // docTerm feeds BOTH the LM fit (freq) and the scoring join; without
     // the checkpoint Spark executes the corpus explode + tf aggregate
     // twice as separate physical subtrees (the embeddingNearDups norm
     // precedent: lazy localCheckpoint, materialized on first use). At
     // scale this IS the "tokenize once" artifact every LM fit persists.
-    val docTerm = table(spark, dir, "documents")
+    unigramSurprisalFrom(docTermTf(spark, dir).localCheckpoint(false))
+
+  /** Un-checkpointed twin for plan audits ([[dupSpansPlan]] pattern):
+    * the gated form's checkpoint collapses the upstream to an RDD scan. */
+  private[graft] def unigramSurprisalPlan(spark: SparkSession, dir: String): DataFrame =
+    unigramSurprisalFrom(docTermTf(spark, dir))
+
+  private def docTermTf(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), explode(words).as("word"))
       .filter(col("word") =!= "")
       .groupBy("doc_id", "lang", "word")
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+
+  private def unigramSurprisalFrom(docTerm: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // per-language totals as a window over the vocab-sized freq table —
     // same lineage, so the corpus explode is not recomputed a third time
     // for a totals broadcast (the targetAffinity lesson; the window is

@@ -327,7 +327,9 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("ccnet buckets: every rank window is partitioned by language (no global rank)") {
     import org.apache.spark.sql.execution.window.WindowExec
-    val df = graft.operators.TextAnalysis.unigramSurprisal(spark, SparkSuite.Sf0001)
+    // the un-checkpointed twin: the gated form's docTerm checkpoint
+    // collapses the fit/score subtrees this gate exists to audit
+    val df = graft.operators.TextAnalysis.unigramSurprisalPlan(spark, SparkSuite.Sf0001)
     df.collect()
     val windows = nodes(df).collect { case w: WindowExec => w }
     assert(windows.nonEmpty)
