@@ -56,7 +56,10 @@ object PlansDump {
     Map(
       "dedup_minhash_pairs" -> (graft.operators.Dedup.minhashCandidatePairsPlan(_, _)),
       "text_dup_spans" -> (graft.operators.TextAnalysis.dupSpansPlan(_, _)),
-      "docs_ccnet_buckets" -> (graft.operators.TextAnalysis.unigramSurprisalPlan(_, _)))
+      "docs_ccnet_buckets" -> (graft.operators.TextAnalysis.unigramSurprisalPlan(_, _)),
+      // pins k: the gated form's auto-k count() is an eager action at
+      // plan-construction time (ADVICE r7); plan shape is identical
+      "semdedup" -> (graft.operators.Similarity.semDedupPlan(_, _)))
 
   def main(args: Array[String]): Unit = {
     // positional: PlansDump [sfDir] [outFile] — echo what was resolved so a

@@ -1059,15 +1059,28 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Plan-audit twin ([[TextAnalysis.unigramSurprisalPlan]] pattern): the
+    * gated query's auto-k runs a corpus count() — an eager Spark action at
+    * DataFrame-CONSTRUCTION time, fine for the gated run (one cheap job
+    * amortized over the query) but wrong for plan-only consumers, which
+    * would execute a job just to build a plan (ADVICE r7). This twin pins
+    * k explicitly; the plan SHAPE is identical — k only sizes the
+    * broadcast centroid table. */
+  def semDedupPlan(spark: SparkSession, dir: String, nCentroids: Int = 8): DataFrame =
+    semDedup(spark, dir, nCentroids = nCentroids)
+
   def semDedupOracle(nCentroids: Int = -1, maxId: Long = 1000,
       tau: Double = 0.9, targetCellSize: Long = 125L): String = {
     val distSql = l2Sql.format("e.embedding", "c.cv")
     // -1 mirrors semDedup's auto-k: the same ⌈2n/targetCellSize⌉ integer
     // formula (clamped to the seed pool), computed by DuckDB itself so the
-    // cell-count policy sits under the oracle gate at every SF
+    // cell-count policy sits under the oracle gate at every SF. The
+    // greatest(1, …) floor mirrors semDedupK's max(1, …): on an empty
+    // vector table both engines still pick one (empty) centroid set
+    // instead of diverging on zero centroids (ADVICE r7).
     val kSql =
       if (nCentroids > 0) nCentroids.toString
-      else s"least(${maxId - 100}, (2 * (SELECT count(*) FROM base) + ${targetCellSize - 1}) // $targetCellSize)"
+      else s"least(${maxId - 100}, greatest(1, (2 * (SELECT count(*) FROM base) + ${targetCellSize - 1}) // $targetCellSize))"
     s"""WITH base AS (
        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < $maxId
        |), e AS (

@@ -1129,22 +1129,59 @@ object TextAnalysis {
     * per-doc regroup. A real tokenizer vocab would simply replace the
     * derived table — the scoring pass is unchanged. */
   def oovRate(spark: SparkSession, dir: String, vocabSize: Int = 50): DataFrame = {
-    val toks = table(spark, dir, "documents")
+    // (doc, word, tf) rollup materialized ONCE: the vocab fit and the
+    // scoring join both read it, and without the checkpoint Spark executes
+    // the corpus explode twice as separate physical subtrees — the exact
+    // double-scan docTermTf's localCheckpoint exists to avoid (ADVICE r7).
+    // The rollup (distinct words per doc) is strictly smaller than the raw
+    // token stream, so this is also the cheaper artifact to materialize.
+    val tf = table(spark, dir, "documents")
       .select(col("doc_id"), explode(words).as("word"))
       .filter(col("word") =!= "")
-    val vocab = toks
-      .groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    // rollup rows are unique per (doc, word), so count(*) IS the df
+    val vocab = tf
+      .groupBy("word").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("word"))
       .limit(vocabSize)
       .select("word")
-    toks
-      .join(broadcast(vocab).withColumn("iv", lit(1L)), Seq("word"), "left")
+    oovScore(tf, vocab)
+  }
+
+  /** Scoring side shared by the derived-vocab gate and the file-vocab
+    * path: broadcast the vocabulary, one left join over the (doc, word,
+    * tf) rollup, per-doc regroup weighting by tf. */
+  private def oovScore(tf: DataFrame, vocab: DataFrame): DataFrame =
+    tf.join(broadcast(vocab).withColumn("iv", lit(1L)), Seq("word"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(when(col("iv").isNull, col("tf")).otherwise(0L)).as("n_oov"))
       .withColumn("oov_micro", expr("(n_oov * 1000000) div n_tokens"))
       .select("doc_id", "n_tokens", "n_oov", "oov_micro")
       .orderBy("doc_id")
+
+  /** OOV rate against an EXTERNAL vocabulary file — the operator's real
+    * production use: tokenizer-coverage screening against a fixed BPE/
+    * WordPiece vocab shipped as a plain one-word-per-line text file (the
+    * format `vocab.txt` tokenizers publish). The gated [[oovRate]] derives
+    * a top-df stand-in instead because the driver's DuckDB oracle can't
+    * read a repo fixture; this path swaps ONLY the vocab source — the
+    * scoring pass is byte-identical. A real vocab is ≤ a few hundred
+    * thousand rows (GPT-2 50k, mT5 250k), far under broadcast range at
+    * any corpus size. */
+  def oovRateFromFile(spark: SparkSession, dir: String, vocabPath: String): DataFrame = {
+    val tf = table(spark, dir, "documents")
+      .select(col("doc_id"), explode(words).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("tf"))
+    val vocab = spark.read.textFile(vocabPath).toDF("word")
+      .filter(col("word") =!= "").distinct()
+    // no checkpoint here: the vocab is file-sourced, so the corpus explode
+    // runs exactly once — only the derived-vocab form reads tf twice
+    oovScore(tf, vocab)
   }
 
   def oovRateOracle(vocabSize: Int = 50): String =

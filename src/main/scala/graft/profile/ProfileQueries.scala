@@ -436,8 +436,13 @@ object ProfileQueries {
           greatest(lit(1.0), lit(ndvRelTol) * col(s"xndv_$c"))).as(s"ok_ndv_$c")) ++
       numCols.flatMap { c =>
         qTargets.map { case (pct, p) =>
-          ((col(s"lo${pct}_$c").cast("double") / col(s"cnt_$c") <= lit(p + rankTol)) &&
-            (col(s"hi${pct}_$c").cast("double") / col(s"cnt_$c") >= lit(p - rankTol)))
+          // an all-null column has cnt = 0, and 0/0 makes both bounds NULL
+          // — which would fail the oracle's literal TRUE for a reason
+          // unrelated to sketch quality; degrade to a vacuous pass, since
+          // there is no rank to check (ADVICE r7)
+          when(col(s"cnt_$c") === 0, lit(true)).otherwise(
+            (col(s"lo${pct}_$c").cast("double") / col(s"cnt_$c") <= lit(p + rankTol)) &&
+              (col(s"hi${pct}_$c").cast("double") / col(s"cnt_$c") >= lit(p - rankTol)))
             .as(s"ok_q${pct}_$c")
         }
       }

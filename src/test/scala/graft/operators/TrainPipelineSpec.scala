@@ -274,6 +274,31 @@ class TrainPipelineSpec extends AnyFunSuite {
     assert(rows.exists(_._3 == 0L), "no fully-in-vocab doc — vocabulary selection looks broken")
   }
 
+  test("oov rate (file vocab): scoring matches an independent Scala recount against the fixture wordlist") {
+    // the checked-in 10k-entry wordlist stands in for a published
+    // tokenizer vocab.txt: 16 of the corpus's 31 words are in-vocab, the
+    // other 15 plus every filler entry are not — so the file path must
+    // produce real nonzero OOV, unlike the derived top-df vocabulary
+    val vocabPath = getClass.getResource("/vocab_10k.txt").getPath
+    val rows = TextAnalysis.oovRateFromFile(spark, dir, vocabPath).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(rows.length == 500)
+    val vocab = {
+      val src = scala.io.Source.fromFile(vocabPath)
+      try src.getLines().filter(_.nonEmpty).toSet finally src.close()
+    }
+    assert(vocab.size == 10000)
+    val expected = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ").filter(_.nonEmpty)
+        val oov = toks.count(w => !vocab.contains(w)).toLong
+        (r.getLong(0), toks.length.toLong, oov, oov * 1000000L / toks.length)
+      }.sortBy(_._1)
+    assert(rows.toSeq == expected.toSeq, "file-vocab OOV diverges from the direct recount")
+    assert(rows.exists(_._3 > 0L), "fixture must leave some words out-of-vocabulary")
+  }
+
   test("training manifest: flags agree with the piecemeal operators and final_keep is their conjunction") {
     val rows = TextAnalysis.trainingManifest(spark, dir).collect()
       .map(r => (r.getLong(0), r.getBoolean(3), r.getBoolean(4), r.getString(5),

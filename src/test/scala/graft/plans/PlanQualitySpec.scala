@@ -294,8 +294,9 @@ class PlanQualitySpec extends AnyFunSuite {
     }
     assert(!assignNodes.exists(_.nodeName.contains("CartesianProduct")))
     // the full query's post-checkpoint stages: pair join on `cell` must be
-    // a hash join, never a cross product
-    val df = graft.operators.Similarity.semDedup(spark, SparkSuite.Sf0001)
+    // a hash join, never a cross product (the plan twin pins k so that
+    // building the plan runs no auto-k count job — ADVICE r7)
+    val df = graft.operators.Similarity.semDedupPlan(spark, SparkSuite.Sf0001)
     df.collect()
     val names = nodes(df).map(_.nodeName)
     assert(names.exists(_.contains("BroadcastHashJoin")) || names.exists(_.contains("SortMergeJoin")) ||
