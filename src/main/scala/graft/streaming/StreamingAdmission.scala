@@ -26,9 +26,13 @@ import org.apache.spark.sql.functions._
 object StreamingAdmission {
 
   /** Admitted (novel-content) documents: stream ⟕̸ static reference on
-    * md5(text) — left anti. */
+    * md5(text) — left anti. `broadcastRef = false` drops the broadcast
+    * hint — the declaration the 100 TB deployment runs, where the
+    * reference hash table outgrows broadcast range and the planner picks
+    * a SHUFFLED stream-static join (both forms stateless; spec'd under
+    * `autoBroadcastJoinThreshold=-1` in `StreamingAdmissionSpec`). */
   def admitted(spark: SparkSession, stagingDir: String, referenceDir: String,
-      maxFilesPerTrigger: Int = 1): DataFrame = {
+      maxFilesPerTrigger: Int = 1, broadcastRef: Boolean = true): DataFrame = {
     val ref = spark.read.parquet(s"$referenceDir/documents.parquet")
       .select(md5(col("text")).as("text_hash")).distinct()
     spark.readStream
@@ -36,7 +40,7 @@ object StreamingAdmission {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(stagingDir)
       .withColumn("text_hash", md5(col("text")))
-      .join(broadcast(ref), Seq("text_hash"), "left_anti")
+      .join(if (broadcastRef) broadcast(ref) else ref, Seq("text_hash"), "left_anti")
       .select(col("doc_id"), col("text_hash"), col("source"))
   }
 }

@@ -65,4 +65,57 @@ class StreamingAdmissionSpec extends AnyFunSuite {
         "stream-static anti-join should run stateless")
     } finally q.stop()
   }
+
+  test("shuffled stream-static form (broadcast disabled) stays stateless and matches batch") {
+    // the 100 TB fallback StreamingAdmission documents: the reference md5
+    // table outgrows broadcast range, the same declaration plans as a
+    // SHUFFLED stream-static anti-join — it must still run with zero
+    // state operators and agree with the batch twin (VERDICT r7 #3)
+    val dir = SparkSuite.Sf0001
+    val staged = stage(dir)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val q = StreamingAdmission.admitted(spark, staged, dir, broadcastRef = false)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_admission_shuffled").start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.map(_.numInputRows).sum == 1000L, "both staged batches must ingest")
+      // the planner must actually have picked the shuffled join, or this
+      // test silently re-covers the broadcast form
+      val exec = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      // unwrap AQE/stage/reuse wrappers — plain collect stops at them
+      def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a +: allNodes(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => s +: allNodes(s.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r +: allNodes(r.child)
+        case other => other +: other.children.flatMap(allNodes)
+      }
+      val joinNodes = allNodes(exec).map(_.nodeName).filter(_.contains("Join"))
+      assert(joinNodes.nonEmpty, "no join in the executed micro-batch plan")
+      assert(!joinNodes.exists(_.contains("Broadcast")),
+        s"join still broadcast under threshold=-1: ${joinNodes.mkString(",")}")
+      val streamed = spark.table("stream_admission_shuffled")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val ref = spark.read.parquet(s"$dir/documents.parquet")
+        .select(md5(col("text")).as("text_hash")).distinct()
+      val batch = spark.read.parquet(staged)
+        .withColumn("text_hash", md5(col("text")))
+        .join(ref, Seq("text_hash"), "left_anti")
+        .select(col("doc_id"), col("text_hash"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed == batch, "shuffled stream and batch admission sets differ")
+      assert(streamed.size == 500 && streamed.map(_._1).forall(_ >= 2000000L))
+      // stateless in the shuffled form too: stream-static needs no
+      // watermark or join state regardless of the physical join strategy
+      assert(q.recentProgress.forall(p => Option(p.stateOperators).forall(_.isEmpty)),
+        "shuffled stream-static anti-join should run stateless")
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
 }
