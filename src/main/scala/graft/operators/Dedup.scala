@@ -157,18 +157,60 @@ object Dedup {
       .select(col("doc_id"), col("bh.band").as("band"), col("bh.band_hash").as("band_hash"))
   }
 
+  /** BUCKET CAP — the parameter that decides whether the band self-join
+    * survives a template hub. A doc near-duplicated n times puts n members
+    * into the same (band, band_hash) bucket, and the bucket's pair OUTPUT
+    * is n²/2 — at n = 10⁶ that is 5·10¹¹ pairs, which no salting can fix
+    * (salting spreads work across tasks; the output volume itself is
+    * quadratic, and the verify join downstream would drown in it). The
+    * linear-output policy, standard in production near-dup pipelines:
+    * within a bucket, rank members by doc_id; emit ALL pairs among the
+    * first `MaxBucket` members (full recall for every organically-sized
+    * bucket — the largest fixture bucket is 32 at sf0.1) plus STAR pairs
+    * from the rank-1 representative to every member past the cap. Per
+    * bucket that is ≤ cap²/2 + n pairs — linear in n — and the star leg
+    * keeps the bucket CONNECTED, so downstream clustering still collapses
+    * the whole template family into one cluster; only pair-level recall
+    * inside giant buckets is traded, exactly where pairs are redundant
+    * (every member is a near-dup of every other). The same ranked policy
+    * is in the DuckDB oracle, so it is gated wherever a bucket crosses the
+    * cap; `HubSkewSpec` plants a 2000-copy template and pins both the
+    * bounded output and the bounded per-task skew. */
+  private[operators] val MaxBucket = 64
+
+  /** The capped pair generation from a (doc_id, band, band_hash) frame.
+    * Both join legs filter their inputs to bounded bucket slices BEFORE
+    * the join — the dense leg's groups are ≤ cap rows a side, the star
+    * leg's build side is 1 row per bucket — so no task ever enumerates a
+    * quadratic bucket (an equi-join evaluates every same-key row
+    * combination even when a post-filter would discard it). */
+  private def bandPairs(bands: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // rank within bucket in doc_id order: rn_a < rn_b ⟺ id_a < id_b, and
+    // the window task is linear in bucket size (never quadratic)
+    val ranked = bands.withColumn("rn",
+      row_number().over(Window.partitionBy("band", "band_hash").orderBy("doc_id")))
+    val dense = ranked.filter(col("rn") <= MaxBucket)
+    val a = dense.select(col("band"), col("band_hash"), col("doc_id").as("id_a"), col("rn").as("rn_a"))
+    val b = dense.select(col("band"), col("band_hash"), col("doc_id").as("id_b"), col("rn").as("rn_b"))
+    val densePairs = a.join(b, Seq("band", "band_hash"))
+      .filter(col("rn_a") < col("rn_b"))
+      .select("id_a", "id_b")
+    val rep = ranked.filter(col("rn") === 1)
+      .select(col("band"), col("band_hash"), col("doc_id").as("id_a"))
+    val tail = ranked.filter(col("rn") > MaxBucket)
+      .select(col("band"), col("band_hash"), col("doc_id").as("id_b"))
+    val starPairs = rep.join(tail, Seq("band", "band_hash")).select("id_a", "id_b")
+    densePairs.unionAll(starPairs).distinct()
+  }
+
   /** Stage 2 — distinct LSH candidate pairs (id_a < id_b), from the band
-    * self-join on (band, band_hash). Materialized: consumed by the gated
-    * candidates query, the verify stage, and the Jaccard estimator. */
+    * self-join on (band, band_hash) under the [[MaxBucket]] cap policy.
+    * Materialized: consumed by the gated candidates query, the verify
+    * stage, and the Jaccard estimator. */
   private[operators] def sharedCandidatePairs(spark: SparkSession, dir: String): DataFrame =
     memoStage(spark, dir, "candidates") {
-      val bands = bandsFromSig(sharedSignatures(spark, dir))
-      val a = bands.select(col("band"), col("band_hash"), col("doc_id").as("id_a"))
-      val b = bands.select(col("band"), col("band_hash"), col("doc_id").as("id_b"))
-      a.join(b, Seq("band", "band_hash"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+      bandPairs(bandsFromSig(sharedSignatures(spark, dir)))
     }
 
   /** Stage 3 — every LSH candidate pair SCORED once: exact 3-gram Jaccard
@@ -224,16 +266,8 @@ object Dedup {
   /** Fully declarative candidate-pair plan (no materialized stages), for
     * the PLANS.md audit: shows the complete shingle → signature → band
     * self-join pipeline that [[sharedCandidatePairs]] materializes. */
-  def minhashCandidatePairsPlan(spark: SparkSession, dir: String): DataFrame = {
-    val bands = minhashBands(spark, dir)
-    val a = bands.select(col("band"), col("band_hash"), col("doc_id").as("id_a"))
-    val b = bands.select(col("band"), col("band_hash"), col("doc_id").as("id_b"))
-    a.join(b, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-      .orderBy("id_a", "id_b")
-  }
+  def minhashCandidatePairsPlan(spark: SparkSession, dir: String): DataFrame =
+    bandPairs(minhashBands(spark, dir)).orderBy("id_a", "id_b")
 
   /** The same signature/band/pair pipeline in DuckDB SQL. */
   val minhashCandidatePairsOracle: String = {
@@ -262,10 +296,20 @@ object Dedup {
        |  FROM shingled
        |), bands AS (
        |  $bandRows
+       |), ranked AS (
+       |  SELECT doc_id, band, band_hash,
+       |    row_number() OVER (PARTITION BY band, band_hash ORDER BY doc_id) AS rn
+       |  FROM bands
        |)
-       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |FROM bands a JOIN bands b USING (band, band_hash)
-       |WHERE a.doc_id < b.doc_id
+       |SELECT DISTINCT id_a, id_b FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ranked a JOIN ranked b USING (band, band_hash)
+       |  WHERE a.rn < b.rn AND b.rn <= $MaxBucket
+       |  UNION ALL
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ranked a JOIN ranked b USING (band, band_hash)
+       |  WHERE a.rn = 1 AND b.rn > $MaxBucket
+       |)
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -1160,10 +1204,20 @@ object Dedup {
        |  FROM shingled
        |), bands AS (
        |  $bandRows
+       |), ranked AS (
+       |  SELECT doc_id, band, band_hash,
+       |    row_number() OVER (PARTITION BY band, band_hash ORDER BY doc_id) AS rn
+       |  FROM bands
        |), cands AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bands a JOIN bands b USING (band, band_hash)
-       |  WHERE a.doc_id < b.doc_id
+       |  SELECT DISTINCT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |    FROM ranked a JOIN ranked b USING (band, band_hash)
+       |    WHERE a.rn < b.rn AND b.rn <= $MaxBucket
+       |    UNION ALL
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |    FROM ranked a JOIN ranked b USING (band, band_hash)
+       |    WHERE a.rn = 1 AND b.rn > $MaxBucket
+       |  )
        |), sets AS (
        |  SELECT doc_id, list_distinct(sh) AS shd FROM shingled
        |)
@@ -1610,10 +1664,20 @@ object Dedup {
        |  FROM shingled
        |), bands AS (
        |  $bandRows
+       |), ranked AS (
+       |  SELECT doc_id, band, band_hash,
+       |    row_number() OVER (PARTITION BY band, band_hash ORDER BY doc_id) AS rn
+       |  FROM bands
        |), cands AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bands a JOIN bands b USING (band, band_hash)
-       |  WHERE a.doc_id < b.doc_id
+       |  SELECT DISTINCT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |    FROM ranked a JOIN ranked b USING (band, band_hash)
+       |    WHERE a.rn < b.rn AND b.rn <= $MaxBucket
+       |    UNION ALL
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |    FROM ranked a JOIN ranked b USING (band, band_hash)
+       |    WHERE a.rn = 1 AND b.rn > $MaxBucket
+       |  )
        |), sets AS (
        |  SELECT doc_id, list_distinct(sh) AS shd FROM shingled
        |)
