@@ -1,0 +1,116 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Linearity probe for the 100 TB claims (SCALE.md): times the three heavy
+  * corpus builds — the near-dup pipeline ([[graft.operators.Dedup.buildPipeline]]),
+  * the span-family gram stage ([[graft.operators.TextAnalysis.buildSpanStage]]),
+  * and the training manifest ([[graft.operators.TextAnalysis.trainingManifest]]) —
+  * at 1× and `factor`× a seeded synthetic corpus, and reports the measured
+  * scaling exponent per build (`ln(T_f / T_1) / ln(factor)`; 1.0 = linear).
+  *
+  * Corpus construction keeps the DATA CHARACTERISTICS fixed while n grows:
+  * replica k of the base documents table shifts `doc_id` by k·10⁷ (clear of
+  * the +10⁶ near-dup planting offset) and applies a per-replica letter
+  * rotation to `text` (`translate`, k = rotation). Rotation preserves
+  * length, token boundaries, and within-replica near-dup structure exactly,
+  * while making cross-replica shingle overlap ~zero — so LSH bucket sizes,
+  * verified-pair density, and per-doc work are IDENTICAL per replica and
+  * total volume scales exactly ×k. A naive "replicate the rows" corpus
+  * would instead inflate near-dup clusters quadratically and measure a
+  * data-shape change, not engine scaling.
+  *
+  * Usage: runMain graft.cli.ScaleProbe [baseSfDir] [outRoot] [factor] [reps]
+  * Writes corpora under outRoot (NOT /root/testdata) and prints a markdown
+  * table + one JSON line for SCALE.md.
+  */
+object ScaleProbe {
+
+  private val ReplicaSpacing = 10000000L // > Dedup.IdOffset + any fixture id
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+  private val Upper = Lower.toUpperCase
+
+  private def rotated(s: String, k: Int): String = {
+    val n = s.length
+    val r = ((k % n) + n) % n
+    s.substring(r) + s.substring(0, r)
+  }
+
+  /** `factor` deterministic replicas of the base documents table. */
+  private def replicate(base: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { k =>
+      base.select(
+        (col("doc_id") + lit(k * ReplicaSpacing)).as("doc_id"),
+        (if (k == 0) col("text")
+         else translate(col("text"), Lower + Upper,
+           rotated(Lower, k) + rotated(Upper, k))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+
+  private def timeIt(body: => Unit): Double = {
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outRoot = if (args.length > 1) args(1) else "/tmp/graft_scale"
+    val factor  = if (args.length > 2) args(2).toInt else 10
+    val reps    = if (args.length > 3) args(3).toInt else 2
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = spark.read.parquet(s"$baseDir/documents.parquet")
+    val sizes = Seq(1, factor)
+    // both corpora are written by the SAME writer at the same parallelism,
+    // so the 1× run is not advantaged by the fixture's single-file layout
+    sizes.foreach { s =>
+      replicate(base, s).repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$outRoot/x$s/documents.parquet")
+    }
+    spark.range(1000000L).selectExpr("sum(id)").collect() // JVM warm-up
+
+    val builds = Seq[(String, String => DataFrame)](
+      ("dedup_build", d => graft.operators.Dedup.buildPipeline(spark, d)),
+      ("span_build",  d => graft.operators.TextAnalysis.buildSpanStage(spark, d)),
+      ("manifest",    d => graft.operators.TextAnalysis.trainingManifest(spark, d)))
+
+    // per (size, build): best-of-`reps`, memo cleared per rep so each rep
+    // pays the full materialization (manifest deliberately runs AFTER the
+    // dedup build within a rep — its keep-list reuses the verified-pair
+    // stage, the same attribution order the bench uses)
+    val best = sizes.map { s =>
+      val dir = s"$outRoot/x$s"
+      s -> (1 to reps).map { _ =>
+        graft.operators.Dedup.clearSharedStages()
+        builds.map { case (name, mk) => name -> timeIt(noop(mk(dir))) }.toMap
+      }.reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
+    }.toMap
+
+    println(f"%n| build | T(1x) s | T(${factor}x) s | ratio | exponent |")
+    println("|---|---|---|---|---|")
+    val rows = builds.map { case (name, _) =>
+      val t1 = best(1)(name); val tf = best(factor)(name)
+      val ratio = tf / t1
+      val exp = math.log(ratio) / math.log(factor.toDouble)
+      println(f"| $name | $t1%.2f | $tf%.2f | $ratio%.2f× | $exp%.2f |")
+      s""""$name":{"t1":${f"$t1%.3f"},"tf":${f"$tf%.3f"},"exponent":${f"$exp%.3f"}}"""
+    }
+    println(s"""{"factor":$factor,"reps":$reps,"base":"$baseDir",${rows.mkString(",")}}""")
+    spark.stop()
+  }
+}

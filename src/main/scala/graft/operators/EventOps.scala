@@ -6,10 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.Fixtures.table
 
 /** Operators over the `events` stream table: JSON props profiling and
-  * tumbling-window rollups. `ts` arrives as bigint nanos-since-epoch
-  * (parquet TIMESTAMP(NANOS) under `nanosAsLong` — FIXTURES.md gotcha #1)
-  * and is converted with `timestamp_micros(ts div 1000)`, which lands on the
-  * same micro-precision instant DuckDB sees.
+  * tumbling-window rollups. `ts` arrives as TIMESTAMP_NTZ (parquet
+  * TIMESTAMP(MICROS), not UTC-adjusted) and is converted with
+  * `cast(ts as timestamp)` — identity wall-clock under the UTC session —
+  * which lands on the same micro-precision instant DuckDB sees.
   */
 object EventOps {
 
@@ -57,7 +57,7 @@ object EventOps {
     * through DECIMAL(28,10) so partial-agg order can't change the result. */
   def hourlyRollup(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_utc", col("ts").cast("timestamp"))
       .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -85,7 +85,7 @@ object EventOps {
     * predicate depends on the previous stage's result). */
   def signupFunnel(spark: SparkSession, dir: String): DataFrame = {
     val ev = table(spark, dir, "events")
-      .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_type"))
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tus"), col("event_type"))
     val signups = ev.filter(col("event_type") === "signup")
       .groupBy("user_id").agg(min("tus").as("signup_tus"))
     val clicks = ev.filter(col("event_type") === "click")
@@ -133,7 +133,7 @@ object EventOps {
     * `isodow()` (1=Monday). One group-by, 7×24 output cells. */
   def weekdayHourHeatmap(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_utc", col("ts").cast("timestamp"))
       .groupBy(
         (expr("weekday(ts_utc)") + 1).cast("bigint").as("iso_dow"),
         hour(col("ts_utc")).cast("bigint").as("hour_of_day"))
@@ -155,7 +155,7 @@ object EventOps {
   def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
     val weekUs = 7L * 86400 * 1000000
     val ev = table(spark, dir, "events")
-      .select(col("user_id"), expr(s"(ts div 1000) div $weekUs").as("week"), col("event_type"))
+      .select(col("user_id"), expr(s"unix_micros(cast(ts as timestamp)) div $weekUs").as("week"), col("event_type"))
     val cohorts = ev.filter(col("event_type") === "signup")
       .groupBy("user_id").agg(min("week").as("cohort_week"))
     val activity = ev.select("user_id", "week").distinct()
@@ -209,7 +209,7 @@ object EventOps {
     val s = bandedSession(spark, force = true)
     val windowUs = 5L * 60 * 1000000
     val ev = table(s, dir, "events")
-      .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"), col("event_type"))
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tus"), col("event_id"), col("event_type"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("tus").as("p_tus"), col("event_id"))
     val clicks = ev.filter(col("event_type") === "click")
@@ -246,7 +246,7 @@ object EventOps {
   def rangeJoinGlobal(spark: SparkSession, dir: String): DataFrame = {
     val s = bandedSession(spark, force = false)
     val ev = table(s, dir, "events")
-      .select(expr("ts div 1000").as("tus"), col("event_id"), col("event_type"))
+      .select(unix_micros(col("ts").cast("timestamp")).as("tus"), col("event_id"), col("event_type"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("tus").as("p_tus"), col("event_id"))
     val clicks = ev.filter(col("event_type") === "click")
@@ -278,7 +278,7 @@ object EventOps {
   def rangeJoinLeft(spark: SparkSession, dir: String): DataFrame = {
     val s = bandedSession(spark, force = false)
     val ev = table(s, dir, "events")
-      .select(expr("ts div 1000").as("tus"), col("event_id"), col("event_type"))
+      .select(unix_micros(col("ts").cast("timestamp")).as("tus"), col("event_id"), col("event_type"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("tus").as("p_tus"), col("event_id"))
     val clicks = ev.filter(col("event_type") === "click")
@@ -312,7 +312,7 @@ object EventOps {
     * plain GROUP BY cannot produce (it has no rows for silent hours). */
   def hourlyGapFill(spark: SparkSession, dir: String): DataFrame = {
     val ev = table(spark, dir, "events")
-      .withColumn("hour_start", date_trunc("hour", timestamp_micros(expr("ts div 1000"))))
+      .withColumn("hour_start", date_trunc("hour", col("ts").cast("timestamp")))
     val hourly = ev.groupBy("hour_start", "event_type").agg(count(lit(1)).as("n_events"))
     val bounds = ev.agg(min("hour_start").as("h0"), max("hour_start").as("h1"))
     val types = ev.select("event_type").distinct()
@@ -351,7 +351,7 @@ object EventOps {
     * for cross-engine float parity. */
   def slidingRollup(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_utc", col("ts").cast("timestamp"))
       .groupBy(window(col("ts_utc"), "1 hour", "15 minutes"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -384,7 +384,7 @@ object EventOps {
   def purchaseClickAttribution(spark: SparkSession, dir: String): DataFrame = {
     val windowUs = 5L * 60 * 1000000
     val ev = table(spark, dir, "events")
-      .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"), col("event_type"))
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tus"), col("event_id"), col("event_type"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("tus").as("p_tus"), col("event_id"),
         expr(s"tus div $windowUs").as("band"))
@@ -448,7 +448,7 @@ object EventOps {
     val byUser = Window.partitionBy("user_id").orderBy("tus")
     val gapUs = 30L * 60 * 1000000
     val e = table(spark, dir, "events")
-      .select(col("user_id"), expr("ts div 1000").as("tus"))
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tus"))
     val flagged = e.withColumn("prev", lag(col("tus"), 1).over(byUser))
       .withColumn("new_sess",
         when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1L).otherwise(0L))
@@ -498,7 +498,7 @@ object EventOps {
     val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
     table(spark, dir, "events")
       .select(col("user_id"), col("event_id"),
-        expr("ts div 1000").as("tus"), col("event_type"))
+        unix_micros(col("ts").cast("timestamp")).as("tus"), col("event_type"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
       .withColumn("valid_from_us", col("tus"))
@@ -537,7 +537,7 @@ object EventOps {
     * max(ts) + gap. One shuffle on user_id. */
   def sessionWindows(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_utc", col("ts").cast("timestamp"))
       .groupBy(col("user_id"), session_window(col("ts_utc"), "30 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("sess_start"),
@@ -576,7 +576,7 @@ object EventOps {
     * gap-fill zeros first — that variant composes with hourlyGapFill). */
   def hourlyAnomalies(spark: SparkSession, dir: String): DataFrame = {
     val hourly = table(spark, dir, "events")
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_utc", col("ts").cast("timestamp"))
       .groupBy(date_trunc("hour", col("ts_utc")).as("hour_start"))
       .agg(count(lit(1)).as("n_events"))
     val x = col("n_events").cast("decimal(38,0)")
@@ -620,7 +620,7 @@ object EventOps {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("day", "event_type").orderBy("hour_start")
     table(spark, dir, "events")
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_utc", col("ts").cast("timestamp"))
       .groupBy(
         date_trunc("day", col("ts_utc")).as("day"),
         date_trunc("hour", col("ts_utc")).as("hour_start"),
@@ -686,7 +686,7 @@ object EventOps {
     * aggregate, a 1-row total broadcast back — the same fused-profile
     * shape as everything else in the monitoring path. */
   def driftChisq(spark: SparkSession, dir: String): DataFrame = {
-    val isWeekend = expr("weekday(timestamp_micros(ts div 1000))") >= 5
+    val isWeekend = expr("weekday(cast(ts as timestamp))") >= 5
     val cells = table(spark, dir, "events")
       .groupBy("event_type")
       .agg(sum(when(!isWeekend, 1L).otherwise(0L)).as("n_weekday"),
@@ -742,7 +742,7 @@ object EventOps {
     * Output: the statistic, the bin where it occurs, both sample sizes. */
   def driftKs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val isWeekend = expr("weekday(timestamp_micros(ts div 1000))") >= 5
+    val isWeekend = expr("weekday(cast(ts as timestamp))") >= 5
     val bins = table(spark, dir, "events")
       // null measurements carry no distribution information, and the two
       // engines order a null BIN differently in the CDF window — excluded
@@ -802,7 +802,7 @@ object EventOps {
     * same key, no extra machinery. */
   def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
     val xb = col("user_id") % 65536L
-    val yb = expr("(ts div 1000) div 3600000000") % 65536L // micros → hour index
+    val yb = expr("unix_micros(cast(ts as timestamp)) div 3600000000") % 65536L // micros → hour index
     val zkey = (0 until 16).map { i =>
       shiftleft(shiftright(xb, i).bitwiseAND(lit(1L)), 2 * i) +
         shiftleft(shiftright(yb, i).bitwiseAND(lit(1L)), 2 * i + 1)

@@ -326,7 +326,7 @@ object Relational {
     * The DuckDB oracle uses its native ASOF LEFT JOIN. */
   def asOfClickError(spark: SparkSession, dir: String): DataFrame = {
     val ev = table(spark, dir, "events")
-      .select(col("user_id"), expr("ts div 1000").as("tus"),
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tus"),
         col("event_id"), col("event_type"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("tus"), col("event_id"), lit(null).cast("bigint").as("err_id"), lit(0).as("is_err"))

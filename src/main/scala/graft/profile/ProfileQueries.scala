@@ -17,9 +17,9 @@ import graft.Fixtures
 object ProfileQueries {
 
   /** Fused per-table stats as a one-row DataFrame: `n_rows`, `min_<c>`,
-    * `max_<c>` for each profiled column. `events.ts` (bigint nanos) surfaces
-    * as epoch-MICROS (`min_ts`/`max_ts`) so the DuckDB oracle — which reads
-    * parquet TIMESTAMP(NANOS) as micro-precision TIMESTAMP — lands on the
+    * `max_<c>` for each profiled column. `events.ts` (TIMESTAMP_NTZ micros)
+    * surfaces as epoch-MICROS integers (`min_ts`/`max_ts`) so the DuckDB
+    * oracle — `epoch_us(...)` over the same naive timestamps — lands on the
     * identical integer.
     */
   def stats(spark: SparkSession, dir: String, tableName: String): DataFrame = {
@@ -31,7 +31,8 @@ object ProfileQueries {
         Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
           (count(lit(1)) - count(col(c))).as(s"nulls_$c"))) ++
       (if (tableName == "events")
-        Seq(expr("min(ts) div 1000").as("min_ts"), expr("max(ts) div 1000").as("max_ts"),
+        Seq(expr("unix_micros(cast(min(ts) as timestamp))").as("min_ts"),
+          expr("unix_micros(cast(max(ts) as timestamp))").as("max_ts"),
           expr("count(*) - count(ts)").as("nulls_ts"))
       else Seq.empty)
     df.agg(aggs.head, aggs.tail: _*)

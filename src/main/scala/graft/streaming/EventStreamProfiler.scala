@@ -16,10 +16,10 @@ import org.apache.spark.sql.types._
   */
 object EventStreamProfiler {
 
-  /** Fixture `events` schema as read under `nanosAsLong` (ts = bigint nanos). */
+  /** Fixture `events` schema (ts = parquet TIMESTAMP(MICROS), ntz). */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -35,7 +35,7 @@ object EventStreamProfiler {
     spark.readStream
       .schema(eventsSchema)
       .parquet(eventsDir)
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_utc", col("ts").cast("timestamp"))
       .withWatermark("ts_utc", "2 hours")
       .groupBy(window(col("ts_utc"), "1 hour"))
       .agg(
@@ -56,7 +56,7 @@ object EventStreamProfiler {
   /** Batch twin of [[hourlyProfileStream]] for equivalence testing. */
   def hourlyProfileBatch(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_utc", col("ts").cast("timestamp"))
       .groupBy(window(col("ts_utc"), "1 hour"))
       .agg(
         count(lit(1)).as("n_rows"),
@@ -84,7 +84,7 @@ object EventStreamProfiler {
     spark.readStream
       .schema(eventsSchema)
       .parquet(eventsDir)
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_utc", col("ts").cast("timestamp"))
       .withWatermark("ts_utc", "2 hours")
       .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
       .agg(
@@ -105,7 +105,7 @@ object EventStreamProfiler {
     spark.readStream
       .schema(eventsSchema)
       .parquet(eventsDir)
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_utc", col("ts").cast("timestamp"))
       .withWatermark("ts_utc", "2 hours")
       .groupBy(col("user_id"), session_window(col("ts_utc"), "30 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"))

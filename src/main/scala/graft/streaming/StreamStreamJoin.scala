@@ -55,7 +55,7 @@ object StreamStreamJoin {
         .filter(col("event_type") === eventType)
         .select(
           col("user_id").as(s"${prefix}_user"),
-          timestamp_micros(expr("ts div 1000")).as(s"${prefix}_ts"),
+          col("ts").cast("timestamp").as(s"${prefix}_ts"),
           col("event_id").as(s"${prefix}_id"))
         .withWatermark(s"${prefix}_ts", "10 minutes")
     val purchases = side("purchase", "p")

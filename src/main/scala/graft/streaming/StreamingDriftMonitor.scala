@@ -27,7 +27,7 @@ object StreamingDriftMonitor {
       .schema(EventStreamProfiler.eventsSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(eventsDir)
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_utc", col("ts").cast("timestamp"))
       .withWatermark("ts_utc", "1 hour")
     driftSelect(stream.groupBy(window(col("ts_utc"), "1 hour")), refShares)
   }

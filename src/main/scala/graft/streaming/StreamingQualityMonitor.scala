@@ -32,7 +32,7 @@ object StreamingQualityMonitor {
       .schema(EventStreamProfiler.eventsSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(eventsDir)
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_utc", col("ts").cast("timestamp"))
       .withWatermark("ts_utc", "1 hour")
       .groupBy(window(col("ts_utc"), "1 hour"))
       .agg(aggs.head, aggs.tail: _*)

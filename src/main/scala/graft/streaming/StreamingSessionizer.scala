@@ -67,7 +67,7 @@ object StreamingSessionizer {
       .schema(EventStreamProfiler.eventsSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(eventsDir)
-      .select(col("user_id"), expr("ts div 1000").as("tus"))
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tus"))
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateState)

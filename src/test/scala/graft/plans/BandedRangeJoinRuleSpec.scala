@@ -25,7 +25,7 @@ class BandedRangeJoinRuleSpec extends AnyFunSuite {
   /** The NAIVE attribution query — range predicate PLUS a user_id equi key. */
   private def naiveAttribution(s: SparkSession, dir: String = SparkSuite.Sf0001): DataFrame = {
     val ev = s.read.parquet(s"$dir/events.parquet")
-      .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"), col("event_type"))
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tus"), col("event_id"), col("event_type"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("tus").as("p_tus"), col("event_id"))
     val clicks = ev.filter(col("event_type") === "click")
@@ -43,7 +43,7 @@ class BandedRangeJoinRuleSpec extends AnyFunSuite {
   private def pureRange(s: SparkSession, joinType: String,
       dir: String = SparkSuite.Sf0001): DataFrame = {
     val ev = s.read.parquet(s"$dir/events.parquet")
-      .select(expr("ts div 1000").as("tus"), col("event_id"), col("event_type"))
+      .select(unix_micros(col("ts").cast("timestamp")).as("tus"), col("event_id"), col("event_type"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("tus").as("p_tus"), col("event_id"))
     val clicks = ev.filter(col("event_type") === "click")
@@ -105,10 +105,10 @@ class BandedRangeJoinRuleSpec extends AnyFunSuite {
     // independent reference: driver-side nested loop (1000 rows)
     val ps = s.read.parquet(s"${SparkSuite.Sf0001}/events.parquet")
       .filter(col("event_type") === "purchase")
-      .select(expr("ts div 1000"), col("event_id")).collect().map(r => (r.getLong(0), r.getLong(1)))
+      .select(unix_micros(col("ts").cast("timestamp")), col("event_id")).collect().map(r => (r.getLong(0), r.getLong(1)))
     val cs = s.read.parquet(s"${SparkSuite.Sf0001}/events.parquet")
       .filter(col("event_type") === "click")
-      .select(expr("ts div 1000")).collect().map(_.getLong(0))
+      .select(unix_micros(col("ts").cast("timestamp"))).collect().map(_.getLong(0))
     val expected = ps.map { case (pt, id) =>
       id -> cs.count(ct => ct <= pt && ct >= pt - WindowUs).toLong
     }.filter(_._2 > 0).toMap
@@ -142,7 +142,7 @@ class BandedRangeJoinRuleSpec extends AnyFunSuite {
     // instead picks the equivalent orientation p IN [c-W, c] and replicates
     // purchases — the non-preserved side — so preserved rows never duplicate.
     val ev = s.read.parquet(s"${SparkSuite.Sf0001}/events.parquet")
-      .select(expr("ts div 1000").as("tus"), col("event_id"), col("event_type"))
+      .select(unix_micros(col("ts").cast("timestamp")).as("tus"), col("event_id"), col("event_type"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("tus").as("c_tus"), col("event_id"))
     val purchases = ev.filter(col("event_type") === "purchase")

@@ -14,7 +14,7 @@ class StreamStreamJoinSpec extends AnyFunSuite {
     * micro-batch boundary to match later purchases. */
   private def stageTwoBatches(dir: String): String = {
     val events = spark.read.parquet(s"$dir/events.parquet")
-    val median = events.selectExpr("percentile_approx(ts, 0.5)").collect()(0).getLong(0)
+    val median = events.selectExpr("percentile_approx(ts, 0.5)").collect()(0).getAs[java.time.LocalDateTime](0)
     val staged = Files.createTempDirectory("events_ssj")
     def writeOne(cond: org.apache.spark.sql.Column, name: String): java.nio.file.Path = {
       val tmp = Files.createTempDirectory(s"ssj_$name")
@@ -47,7 +47,7 @@ class StreamStreamJoinSpec extends AnyFunSuite {
 
       val windowUs = 5L * 60 * 1000000
       val ev = spark.read.parquet(s"$dir/events.parquet")
-        .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"), col("event_type"))
+        .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tus"), col("event_id"), col("event_type"))
       val p = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("tus").as("p_tus"), col("event_id").as("p_id"))
       val c = ev.filter(col("event_type") === "click")
@@ -73,13 +73,14 @@ class StreamStreamJoinSpec extends AnyFunSuite {
     // purchases null-emit deterministically (sentinel event_id -1, excluded
     // from the comparison)
     val maxTs = spark.read.parquet(s"$dir/events.parquet")
-      .selectExpr("max(ts)").collect()(0).getLong(0)
-    val flushTs = maxTs + 30L * 60 * 1000000000L // +30 min in nanos
+      .selectExpr("max(ts)").collect()(0).getAs[java.time.LocalDateTime](0)
+    val flushTs = maxTs.plusMinutes(30).format(
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
     val flushTmp = Files.createTempDirectory("ssj_flush")
     spark.sql(
       s"""SELECT * FROM VALUES
-         |  (CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST($flushTs AS BIGINT), 'purchase', CAST(0.0 AS DOUBLE)),
-         |  (CAST(-2 AS BIGINT), CAST(-1 AS BIGINT), CAST($flushTs AS BIGINT), 'click',    CAST(0.0 AS DOUBLE))
+         |  (CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), TIMESTAMP_NTZ'$flushTs', 'purchase', CAST(0.0 AS DOUBLE)),
+         |  (CAST(-2 AS BIGINT), CAST(-1 AS BIGINT), TIMESTAMP_NTZ'$flushTs', 'click',    CAST(0.0 AS DOUBLE))
          |  AS t(event_id, user_id, ts, event_type, value)""".stripMargin)
       .coalesce(1).write.mode("overwrite").parquet(flushTmp.toString)
     val part = Files.list(flushTmp).filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
@@ -101,7 +102,7 @@ class StreamStreamJoinSpec extends AnyFunSuite {
 
       val windowUs = 5L * 60 * 1000000
       val ev = spark.read.parquet(s"$dir/events.parquet")
-        .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"), col("event_type"))
+        .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tus"), col("event_id"), col("event_type"))
       val p = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("tus").as("p_tus"), col("event_id").as("p_id"))
       val c = ev.filter(col("event_type") === "click")

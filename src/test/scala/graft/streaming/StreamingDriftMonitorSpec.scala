@@ -17,7 +17,7 @@ class StreamingDriftMonitorSpec extends AnyFunSuite {
     * run exercises cross-batch window accumulation. */
   private def stageTwoBatches(dir: String): String = {
     val events = spark.read.parquet(s"$dir/events.parquet")
-    val median = events.selectExpr("percentile_approx(ts, 0.5)").collect()(0).getLong(0)
+    val median = events.selectExpr("percentile_approx(ts, 0.5)").collect()(0).getAs[java.time.LocalDateTime](0)
     val staged = Files.createTempDirectory("events_drift_stream")
     def writeOne(cond: org.apache.spark.sql.Column, name: String): java.nio.file.Path = {
       val tmp = Files.createTempDirectory(s"d_$name")
@@ -47,7 +47,7 @@ class StreamingDriftMonitorSpec extends AnyFunSuite {
         .map(r => r.getTimestamp(0) -> (r.getLong(7), r.getDouble(8))).toMap
       val batch = StreamingDriftMonitor.driftSelect(
         spark.read.parquet(staged)
-          .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+          .withColumn("ts_utc", col("ts").cast("timestamp"))
           .groupBy(window(col("ts_utc"), "1 hour")),
         uniform).collect()
         .map(r => r.getTimestamp(0) -> (r.getLong(7), r.getDouble(8))).toMap

@@ -19,7 +19,7 @@ class StreamingQualityMonitorSpec extends AnyFunSuite {
 
   private def stageTwoBatches(dir: String): String = {
     val events = spark.read.parquet(s"$dir/events.parquet")
-    val median = events.selectExpr("percentile_approx(ts, 0.5)").collect()(0).getLong(0)
+    val median = events.selectExpr("percentile_approx(ts, 0.5)").collect()(0).getAs[java.time.LocalDateTime](0)
     val staged = Files.createTempDirectory("events_quality_stream")
     def writeOne(cond: org.apache.spark.sql.Column, name: String): java.nio.file.Path = {
       val tmp = Files.createTempDirectory(s"q_$name")

@@ -16,7 +16,7 @@ class StreamingSessionizerSpec extends AnyFunSuite {
     * crosses a batch boundary. */
   private def stageTwoBatches(dir: String): String = {
     val events = spark.read.parquet(s"$dir/events.parquet")
-    val median = events.selectExpr("percentile_approx(ts, 0.5)").collect()(0).getLong(0)
+    val median = events.selectExpr("percentile_approx(ts, 0.5)").collect()(0).getAs[java.time.LocalDateTime](0)
     val staged = Files.createTempDirectory("events_sessions_stream")
     def writeOne(cond: org.apache.spark.sql.Column, name: String): java.nio.file.Path = {
       val tmp = Files.createTempDirectory(s"half_$name")
