@@ -21,9 +21,13 @@ import org.apache.spark.sql.functions._
   * would instead inflate near-dup clusters quadratically and measure a
   * data-shape change, not engine scaling.
   *
-  * Usage: runMain graft.cli.ScaleProbe [baseSfDir] [outRoot] [factor] [reps]
-  * Writes corpora under outRoot (NOT /root/testdata) and prints a markdown
-  * table + one JSON line for SCALE.md.
+  * Usage: runMain graft.cli.ScaleProbe [baseSfDir] [outRoot] [factors] [reps]
+  * `factors` is comma-separated (e.g. `1,10,20`; all ≤26 so letter rotations
+  * stay distinct). Writes corpora under outRoot (NOT /root/testdata) and
+  * prints a markdown table + one JSON line for SCALE.md. The consecutive-pair
+  * exponent between the two LARGEST factors is the asymptotic slope — the 1×
+  * point is fixed-overhead dominated on 32 idle cores and measures overhead
+  * amortization, not marginal cost.
   */
 object ScaleProbe {
 
@@ -60,8 +64,10 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outRoot = if (args.length > 1) args(1) else "/tmp/graft_scale"
-    val factor  = if (args.length > 2) args(2).toInt else 10
+    val factors = (if (args.length > 2) args(2) else "1,10").split(",").map(_.trim.toInt).toSeq
     val reps    = if (args.length > 3) args(3).toInt else 2
+    require(factors.forall(f => f >= 1 && f <= 26) && factors == factors.sorted,
+      "factors must be ascending and ≤26 (letter rotations must stay distinct)")
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -75,7 +81,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
-    val sizes = Seq(1, factor)
+    val sizes = factors
     // both corpora are written by the SAME writer at the same parallelism,
     // so the 1× run is not advantaged by the fixture's single-file layout
     sizes.foreach { s =>
@@ -101,16 +107,21 @@ object ScaleProbe {
       }.reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
     }.toMap
 
-    println(f"%n| build | T(1x) s | T(${factor}x) s | ratio | exponent |")
-    println("|---|---|---|---|---|")
+    // per-build: times at every factor + consecutive-pair exponents
+    // (ln(T_b/T_a)/ln(b/a)); the LAST pair is the asymptotic slope
+    println(f"%n| build | ${sizes.map(s => s"T(${s}x) s").mkString(" | ")} | exponents |")
+    println(s"|---${"|---" * (sizes.size + 1)}|")
     val rows = builds.map { case (name, _) =>
-      val t1 = best(1)(name); val tf = best(factor)(name)
-      val ratio = tf / t1
-      val exp = math.log(ratio) / math.log(factor.toDouble)
-      println(f"| $name | $t1%.2f | $tf%.2f | $ratio%.2f× | $exp%.2f |")
-      s""""$name":{"t1":${f"$t1%.3f"},"tf":${f"$tf%.3f"},"exponent":${f"$exp%.3f"}}"""
+      val ts = sizes.map(s => best(s)(name))
+      val exps = sizes.zip(ts).sliding(2).collect { case Seq((a, ta), (b, tb)) =>
+        math.log(tb / ta) / math.log(b.toDouble / a)
+      }.toSeq
+      println(s"| $name | ${ts.map(t => f"$t%.2f").mkString(" | ")} | " +
+        s"${exps.map(e => f"$e%.2f").mkString(", ")} |")
+      s""""$name":{"t":[${ts.map(t => f"$t%.3f").mkString(",")}],""" +
+        s""""exponents":[${exps.map(e => f"$e%.3f").mkString(",")}]}"""
     }
-    println(s"""{"factor":$factor,"reps":$reps,"base":"$baseDir",${rows.mkString(",")}}""")
+    println(s"""{"factors":[${sizes.mkString(",")}],"reps":$reps,"base":"$baseDir",${rows.mkString(",")}}""")
     spark.stop()
   }
 }
