@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.VectorExpressions.{FloatVectorDot, FloatVectorL2Sq, MinHashSignature, SignLshBuckets, SimHashWords, StringRollingHash}
+import graft.functions.VectorExpressions.{DoubleBits, FloatVectorDot, FloatVectorL2Sq, MinHashSignature, SignLshBuckets, SimHashWords, StringRollingHash}
 
 /** `SparkSessionExtensions` hook exposing the engine's native expressions to
   * SQL — `spark.sql("SELECT vec_dot(a, b) ...")` — so the library composes
@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simhashWords)
     ext.injectFunction(GraftExtensions.vecL2Sq)
     ext.injectFunction(GraftExtensions.signLshBuckets)
+    ext.injectFunction(GraftExtensions.doubleBits)
     ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)
   }
 }
@@ -34,7 +35,7 @@ object GraftExtensions {
     * session predates the library (`withExtensions` only applies at
     * construction time). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(vecDot, rollingHash, minhashSig, simhashWords, vecL2Sq, signLshBuckets).foreach { case (fid, i, b) =>
+    Seq(vecDot, rollingHash, minhashSig, simhashWords, vecL2Sq, signLshBuckets, doubleBits).foreach { case (fid, i, b) =>
       org.apache.spark.sql.graft.ColumnBridge.registerFunction(spark, fid, i, b)
     }
     if (!spark.experimental.extraOptimizations.contains(graft.plans.BandedRangeJoinRule))
@@ -103,6 +104,15 @@ object GraftExtensions {
     (exprs: Seq[Expression]) => {
       requireArity("vec_l2sq", exprs, Seq(2))
       FloatVectorL2Sq(exprs(0), exprs(1))
+    })
+
+  val doubleBits: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("double_bits"),
+    info("double_bits",
+      "double_bits(x) - doubleToLongBits(x + 0.0): injective long encoding of a double (-0.0 folded, NaN canonical) for distinct counting"),
+    (exprs: Seq[Expression]) => {
+      requireArity("double_bits", exprs, Seq(1))
+      DoubleBits(exprs(0))
     })
 
   val signLshBuckets: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

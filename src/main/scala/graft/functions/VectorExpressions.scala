@@ -114,6 +114,32 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** `double_bits(x)`: injective native LONG encoding of a double for
+    * DISTINCT counting — `Double.doubleToLongBits(x + 0.0)`. The `+ 0.0`
+    * folds `-0.0` onto `0.0` and `doubleToLongBits` canonicalizes every
+    * NaN payload, so bits-equality is exactly `countDistinct`'s
+    * value-equality — while the distinct-pair stream stays 8-byte longs
+    * instead of shortest-round-trip strings (`ndvFrame`'s hot path: the
+    * string form pays a Ryu render + UTF8String hash per pair). */
+  case class DoubleBits(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes() =
+      if (child.dataType == DoubleType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"double_bits requires double input, got ${child.dataType}")
+
+    override protected def nullSafeEval(input: Any): Any =
+      java.lang.Double.doubleToLongBits(input.asInstanceOf[Double] + 0.0d)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"java.lang.Double.doubleToLongBits($c + 0.0d)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** `trigram_distinct(s)`: number of DISTINCT hash-keyed word trigrams in
     * one codegen'd pass — the hot loop of the repetition quality rule. The
     * declarative twin (per-word rolling hashes in a `transform`, keys in a
@@ -253,6 +279,9 @@ object VectorExpressions {
 
   def rolling_hash(c: Column): Column =
     ColumnBridge.column(StringRollingHash(ColumnBridge.expression(c)))
+
+  def double_bits(c: Column): Column =
+    ColumnBridge.column(DoubleBits(ColumnBridge.expression(c)))
 
   /** 58-bit-entropy rolling hash (same fold, wider prime modulus). */
   def rolling_hash58(c: Column): Column =
