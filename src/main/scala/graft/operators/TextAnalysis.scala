@@ -82,6 +82,97 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------- Gopher-style rule filters
+  /** Gopher-style document rule filter (Rae et al. 2021 §A1.1 "quality
+    * filtering", RefinedWeb's repetition variant): per-doc word-count band,
+    * mean-word-length band, and the two REPETITION rules that matter on a
+    * word-stream corpus — the character fraction covered by the most
+    * repetitious unigram and bigram. "Most repetitious" is the n-gram
+    * maximizing `occurrences × chars` (a numeric max — no argmax tie-break
+    * needed, and exactly the "fraction of characters in the most common
+    * n-gram" Gopher measures). Bands are Gopher's published [50, 100k]
+    * words / [3, 10] mean chars; repetition cuts at 0.15 (unigram) / 0.20
+    * (bigram, Gopher's 2-gram threshold).
+    *
+    * 100 TB shape: two explode streams (words, adjacent-pair bigrams) each
+    * partial-aggregate to per-doc maxima before the 8-byte doc_id shuffle;
+    * the joins recombine 1-row-per-doc frames. No all-pairs, no windows —
+    * O(words) work, O(distinct grams per doc) state. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val n = sz(words)
+    val wordChars = length(col("text")).cast("bigint") - (n - lit(1L))
+    val base = docs.select(col("doc_id"), n.as("n_words"), wordChars.as("word_chars"))
+    val uni = docs.select(col("doc_id"), explode(words).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(max(col("cnt") * length(col("word")).cast("bigint")).as("top_uni_chars"))
+    // adjacent word pairs via slice+zip (no sequence(): its descending-step
+    // behavior on start>stop would fabricate grams for 1-word docs)
+    val bgArr = zip_with(
+      slice(words, lit(1), size(words) - 1), slice(words, lit(2), size(words) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val bi = docs.select(col("doc_id"), explode(bgArr).as("bgram"))
+      .groupBy("doc_id", "bgram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(max(col("cnt") * (length(col("bgram")).cast("bigint") - lit(1L))).as("top_bi_chars"))
+    val meanLen = col("word_chars").cast("double") / col("n_words")
+    val uniFrac = coalesce(col("top_uni_chars"), lit(0L)).cast("double") / col("word_chars")
+    val biFrac = coalesce(col("top_bi_chars"), lit(0L)).cast("double") / col("word_chars")
+    val wordsOk = col("n_words").between(50L, 100000L)
+    val lenOk = meanLen.between(3.0, 10.0)
+    val uniOk = uniFrac <= 0.15
+    val biOk = biFrac <= 0.20
+    base.join(uni, Seq("doc_id"), "left").join(bi, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_words"),
+        meanLen.as("mean_word_len"),
+        uniFrac.as("top_unigram_char_frac"),
+        biFrac.as("top_bigram_char_frac"),
+        wordsOk.as("words_ok"), lenOk.as("word_len_ok"),
+        uniOk.as("unigram_ok"), biOk.as("bigram_ok"),
+        (wordsOk && lenOk && uniOk && biOk).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val gopherRulesOracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+      |    length(text) - (len(string_split(text, ' ')) - 1) AS word_chars
+      |  FROM documents
+      |), w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+      |), uni AS (
+      |  SELECT doc_id, max(cnt * wl) AS top_uni_chars FROM (
+      |    SELECT doc_id, word, count(*) AS cnt, length(word) AS wl
+      |    FROM w GROUP BY doc_id, word) GROUP BY doc_id
+      |), bg AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, len(string_split(text, ' ')) - 1),
+      |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bgram
+      |  FROM documents
+      |), bi AS (
+      |  SELECT doc_id, max(cnt * (length(bgram) - 1)) AS top_bi_chars FROM (
+      |    SELECT doc_id, bgram, count(*) AS cnt FROM bg GROUP BY doc_id, bgram)
+      |  GROUP BY doc_id
+      |)
+      |SELECT b.doc_id, b.n_words,
+      |  CAST(b.word_chars AS DOUBLE) / b.n_words AS mean_word_len,
+      |  CAST(COALESCE(u.top_uni_chars, 0) AS DOUBLE) / b.word_chars AS top_unigram_char_frac,
+      |  CAST(COALESCE(bi.top_bi_chars, 0) AS DOUBLE) / b.word_chars AS top_bigram_char_frac,
+      |  b.n_words BETWEEN 50 AND 100000 AS words_ok,
+      |  CAST(b.word_chars AS DOUBLE) / b.n_words BETWEEN 3.0 AND 10.0 AS word_len_ok,
+      |  CAST(COALESCE(u.top_uni_chars, 0) AS DOUBLE) / b.word_chars <= 0.15 AS unigram_ok,
+      |  CAST(COALESCE(bi.top_bi_chars, 0) AS DOUBLE) / b.word_chars <= 0.20 AS bigram_ok,
+      |  (b.n_words BETWEEN 50 AND 100000)
+      |    AND (CAST(b.word_chars AS DOUBLE) / b.n_words BETWEEN 3.0 AND 10.0)
+      |    AND (CAST(COALESCE(u.top_uni_chars, 0) AS DOUBLE) / b.word_chars <= 0.15)
+      |    AND (CAST(COALESCE(bi.top_bi_chars, 0) AS DOUBLE) / b.word_chars <= 0.20) AS keep
+      |FROM base b
+      |LEFT JOIN uni u ON u.doc_id = b.doc_id
+      |LEFT JOIN bi ON bi.doc_id = b.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
   /** Marker-word lists for the n-gram-free language-ID heuristic. Scores are
     * marker hit counts; prediction is the max score with alphabetical
     * tie-break, `und` when nothing matches. */
@@ -1119,6 +1210,60 @@ object TextAnalysis {
       |SELECT doc_id, bucket,
       |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
       |FROM hashed ORDER BY doc_id""".stripMargin
+
+  /** CLUSTER-SAFE train/val/test split: the split key is the doc's near-dup
+    * CLUSTER representative (min-label connected component over the
+    * verified-pair graph), falling back to the doc's own id when it has no
+    * near-dups. Hashing the cluster rep instead of the doc id makes
+    * leakage structurally impossible — every member of a near-dup cluster
+    * lands in the SAME split, so no verified pair can straddle train/test
+    * (what [[splitLeakage]] merely DETECTS for the per-doc split, this
+    * PREVENTS; `ClusterSafeSplitSpec` asserts the zero-straddle property).
+    *
+    * 100 TB shape: cluster labels come from the shared materialized pair
+    * graph (log-diameter pointer-jumping propagation over 16 B edges); the
+    * rest is one 8-byte-key left join plus a pure hash projection — no new
+    * corpus scan, no state beyond the label table. */
+  def clusterSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Dedup.corpusWithNearDups(spark, dir).select("doc_id")
+    val clusters = Dedup.dedupClusters(spark, dir)
+    corpus.join(clusters, Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket", mixedHashOf("csplit|", col("split_key")) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+      .select("doc_id", "split_key", "bucket", "split")
+      .orderBy("doc_id")
+  }
+
+  lazy val clusterSafeSplitOracle: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |${Dedup.ngramJaccardPairsOracle.linesIterator.map("    " + _).mkString("\n")}
+       |  ) q
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM pairs
+       |), reach(a, b) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+       |), clusters AS (
+       |  SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id FROM reach GROUP BY a
+       |), corpus AS (
+       |  ${Dedup.corpusSql.linesIterator.mkString("\n|  ")}
+       |), keyed AS (
+       |  SELECT c.doc_id, COALESCE(cl.cluster_id, c.doc_id) AS split_key
+       |  FROM corpus c LEFT JOIN clusters cl ON cl.doc_id = c.doc_id
+       |), hashed AS (
+       |  SELECT doc_id, split_key,
+       |    ${mixedHashSql("csplit|", "split_key").linesIterator.mkString("\n|    ")} % 100 AS bucket
+       |  FROM keyed
+       |)
+       |SELECT doc_id, split_key, bucket,
+       |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM hashed ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------- OOV / vocab coverage
   /** OUT-OF-VOCABULARY rate against a corpus-derived reference vocabulary —
