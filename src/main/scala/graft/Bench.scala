@@ -21,7 +21,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // events.parquet is TIMESTAMP(NANOS); unreadable without this (FIXTURES.md)
+      // inert on the current micros fixtures; kept for nanos parquet inputs
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

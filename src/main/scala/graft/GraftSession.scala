@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSession
 
 /** One place for every session conf the engine depends on.
   *
-  * - `nanosAsLong`: the `events` fixture stores parquet TIMESTAMP(NANOS),
-  *   which Spark 4 refuses to read otherwise (FIXTURES.md gotcha #1).
+  * - `nanosAsLong`: kept for TIMESTAMP(NANOS) parquet inputs generally; the
+  *   `events` fixture itself is TIMESTAMP(MICROS) ntz since the round-8
+  *   testdata regen, where this flag is inert.
   * - UTC session TZ + English month names: reference formats all temporal
   *   output with UTC getters (`/root/reference/src/listTables.tsx:158-167`).
   * - 32 shuffle partitions: sized for local[32]; on a real cluster this is

@@ -13,7 +13,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // events.parquet is TIMESTAMP(NANOS); unreadable without this (FIXTURES.md)
+      // inert on the current micros fixtures; kept for nanos parquet inputs
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
