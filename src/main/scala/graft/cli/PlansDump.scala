@@ -45,7 +45,9 @@ object PlansDump {
     "dedup_pagerank_hubs",     // 3 unrolled Pregel rounds over materialized edges
     "docs_ccnet_buckets",      // (lang,word) freq join + per-language rank window
     "docs_target_affinity",    // bounded feature table broadcast, two linear scans
-    "embedding_label_outliers") // (label,dim) sums broadcast + TakeOrdered top-k
+    "embedding_label_outliers", // (label,dim) sums broadcast + TakeOrdered top-k
+    "docs_gopher_rules",       // two explode streams, per-doc maxima before the shuffle
+    "docs_cluster_safe_split") // cluster-label join + pure hash projection
 
   /** Plan-audit overrides: these queries' gated implementations read
     * memoized materialized stages (the shared-pipeline design — see
