@@ -421,10 +421,15 @@ object ProfileQueries {
     val all = numCols ++ tCols
     val df = Fixtures.table(spark, dir, tableName)
     // the 1-row sketch feeds BOTH the rank-check scan and the final gated
-    // projection; left as a plain plan so the planner's exchange reuse
-    // dedups the heavy scan+partial-agg subtree across the two references
-    // (an eager localCheckpoint here measured 3-6x SLOWER: it blocks that
-    // reuse and serializes a bare pre-AQE job into the timed window)
+    // projection. Exchange reuse does NOT dedup the two consumers (column
+    // pruning narrows the broadcast branch to the quartile aggregates
+    // only — a different partial agg than the full sketch), so the
+    // quartile pass genuinely runs twice. Measured, that is still the
+    // FASTEST form: the duplicated branches run as parallel stages of one
+    // job and the box absorbs them, while checkpointing the 1-row sketch
+    // (eager: 3-6x slower; lazy: +20%) serializes a sketch-only job ahead
+    // of everything else. Redundant-but-parallel beats once-but-serial
+    // here; production profiles call [[sketchProfile]] alone either way.
     val sk = sketchProfile(spark, dir, tableName, rsd, quantileAcc)
     val exactNdv = ndvFrame(df, all)
       .select(all.map(c => col(s"ndv_$c").as(s"xndv_$c")): _*)
