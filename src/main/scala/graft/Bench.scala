@@ -98,8 +98,14 @@ object Bench {
       (name, first, (System.nanoTime() - t0) / 1e9, ok, loadAvg)
     }
     val rerunBest = reruns.collect { case (n, f, r, true, _) => n -> math.min(f, r) }.toMap
+    // one-sided on purpose: contamination/first-touch means the FIRST run
+    // was inflated and the rerun is fast. The opposite shape (rerun ≫
+    // first) is the memo-READING lines whose rerun pays the cleared shared
+    // build by design — min() keeps their honest number and they must NOT
+    // be reported as load-contaminated (the symmetric max>2·min form
+    // misfiled text_span_mask/docs_manifest_rollup exactly that way)
     val loadContaminated = reruns.collect {
-      case (n, f, r, true, _) if math.max(f, r) > 2.0 * math.min(f, r) => n
+      case (n, f, r, true, _) if f > 2.0 * r => n
     }
     val results = timed.map { case (n, s, _, _) => n -> rerunBest.getOrElse(n, s) }
     val errors = timed.collect { case (n, _, false, _) => n }

@@ -121,14 +121,14 @@ object VectorExpressions {
     * value-equality — while the distinct-pair stream stays 8-byte longs
     * instead of shortest-round-trip strings (`ndvFrame`'s hot path: the
     * string form pays a Ryu render + UTF8String hash per pair). */
-  case class DoubleBits(child: Expression) extends UnaryExpression {
+  case class DoubleBits(child: Expression) extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
     override def dataType: DataType = LongType
-    override def checkInputDataTypes() =
-      if (child.dataType == DoubleType)
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      else
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"double_bits requires double input, got ${child.dataType}")
+    // ImplicitCastInputTypes: FLOAT/int/decimal SQL callers widen to double
+    // implicitly (exact for float and int32-and-under; the doc'd contract).
+    // AbstractDataType is private[sql]; the inferred Seq[DoubleType.type]
+    // conforms covariantly without naming it.
+    override def inputTypes = Seq(DoubleType)
 
     override protected def nullSafeEval(input: Any): Any =
       java.lang.Double.doubleToLongBits(input.asInstanceOf[Double] + 0.0d)

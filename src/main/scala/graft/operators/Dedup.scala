@@ -178,31 +178,65 @@ object Dedup {
     * bounded output and the bounded per-task skew. */
   private[operators] val MaxBucket = 64
 
-  /** The capped pair generation from a (doc_id, band, band_hash) frame.
-    * Both join legs filter their inputs to bounded bucket slices BEFORE
-    * the join — the dense leg's groups are ≤ cap rows a side, the star
-    * leg's build side is 1 row per bucket — so no task ever enumerates a
-    * quadratic bucket (an equi-join evaluates every same-key row
-    * combination even when a post-filter would discard it). */
-  private def bandPairs(bands: DataFrame): DataFrame = {
+  /** DuckDB twin of [[cappedBucketPairs]], shared by every oracle that
+    * gates a capped bucket self-join (three minhash-family oracles + the
+    * two simhash pair oracles — a cap-policy change edits ONE block).
+    * Emits two CTEs, `ranked` and `capped(id_a, id_b)`, over bucket CTE
+    * `from` keyed by `keys`; embed after a `|), ` margin. */
+  private[operators] def cappedPairsSql(from: String, keys: Seq[String]): String = {
+    val k = keys.mkString(", ")
+    s"""ranked AS (
+       |  SELECT doc_id, $k,
+       |    row_number() OVER (PARTITION BY $k ORDER BY doc_id) AS rn
+       |  FROM $from
+       |), capped AS (
+       |  SELECT DISTINCT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |    FROM ranked a JOIN ranked b USING ($k)
+       |    WHERE a.rn < b.rn AND b.rn <= $MaxBucket
+       |    UNION ALL
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |    FROM ranked a JOIN ranked b USING ($k)
+       |    WHERE a.rn = 1 AND b.rn > $MaxBucket
+       |  )
+       |)""".stripMargin
+  }
+
+  /** The capped pair generation from ANY (doc_id, bucket-key...) frame —
+    * the shared mechanism behind every LSH-family bucket self-join
+    * (minhash bands AND the simhash block-pair multi-index; a cap
+    * special-cased in one family leaves the other quadratic under the
+    * same template hub). Both join legs filter their inputs to bounded
+    * bucket slices BEFORE the join — the dense leg's groups are ≤ cap
+    * rows a side, the star leg's build side is 1 row per bucket — so no
+    * task ever enumerates a quadratic bucket (an equi-join evaluates
+    * every same-key row combination even when a post-filter would
+    * discard it). Output is the DISTINCT (id_a, id_b) pair set across
+    * buckets; the distinct's input is bounded at keys-per-doc × the
+    * linear capped output, so it never sees quadratic volume either. */
+  private[operators] def cappedBucketPairs(buckets: DataFrame, keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val keyCols = keys.map(col)
     // rank within bucket in doc_id order: rn_a < rn_b ⟺ id_a < id_b, and
     // the window task is linear in bucket size (never quadratic)
-    val ranked = bands.withColumn("rn",
-      row_number().over(Window.partitionBy("band", "band_hash").orderBy("doc_id")))
+    val ranked = buckets.withColumn("rn",
+      row_number().over(Window.partitionBy(keyCols: _*).orderBy("doc_id")))
     val dense = ranked.filter(col("rn") <= MaxBucket)
-    val a = dense.select(col("band"), col("band_hash"), col("doc_id").as("id_a"), col("rn").as("rn_a"))
-    val b = dense.select(col("band"), col("band_hash"), col("doc_id").as("id_b"), col("rn").as("rn_b"))
-    val densePairs = a.join(b, Seq("band", "band_hash"))
+    val a = dense.select(keyCols :+ col("doc_id").as("id_a") :+ col("rn").as("rn_a"): _*)
+    val b = dense.select(keyCols :+ col("doc_id").as("id_b") :+ col("rn").as("rn_b"): _*)
+    val densePairs = a.join(b, keys)
       .filter(col("rn_a") < col("rn_b"))
       .select("id_a", "id_b")
     val rep = ranked.filter(col("rn") === 1)
-      .select(col("band"), col("band_hash"), col("doc_id").as("id_a"))
+      .select(keyCols :+ col("doc_id").as("id_a"): _*)
     val tail = ranked.filter(col("rn") > MaxBucket)
-      .select(col("band"), col("band_hash"), col("doc_id").as("id_b"))
-    val starPairs = rep.join(tail, Seq("band", "band_hash")).select("id_a", "id_b")
+      .select(keyCols :+ col("doc_id").as("id_b"): _*)
+    val starPairs = rep.join(tail, keys).select("id_a", "id_b")
     densePairs.unionAll(starPairs).distinct()
   }
+
+  private def bandPairs(bands: DataFrame): DataFrame =
+    cappedBucketPairs(bands, Seq("band", "band_hash"))
 
   /** Stage 2 — distinct LSH candidate pairs (id_a < id_b), from the band
     * self-join on (band, band_hash) under the [[MaxBucket]] cap policy.
@@ -296,20 +330,8 @@ object Dedup {
        |  FROM shingled
        |), bands AS (
        |  $bandRows
-       |), ranked AS (
-       |  SELECT doc_id, band, band_hash,
-       |    row_number() OVER (PARTITION BY band, band_hash ORDER BY doc_id) AS rn
-       |  FROM bands
-       |)
-       |SELECT DISTINCT id_a, id_b FROM (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM ranked a JOIN ranked b USING (band, band_hash)
-       |  WHERE a.rn < b.rn AND b.rn <= $MaxBucket
-       |  UNION ALL
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM ranked a JOIN ranked b USING (band, band_hash)
-       |  WHERE a.rn = 1 AND b.rn > $MaxBucket
-       |)
+       |), ${cappedPairsSql("bands", Seq("band", "band_hash"))}
+       |SELECT id_a, id_b FROM capped
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -1002,32 +1024,26 @@ object Dedup {
     val sig = memoStage(spark, dir, s"simhash_${bits}_$mod") {
       simhashTable(spark, dir, bits, mod)
     }
-    val probes = sig.select(col("doc_id"), col("simhash"),
+    val probes = sig.select(col("doc_id"),
       explode(array(pairs.zipWithIndex.map { case ((i, j), k) =>
         struct(lit(k).as("blk"), (bval(i) * (1L << blockBits) + bval(j)).as("bval"))
       }: _*)).as("p"))
-      .select(col("doc_id"), col("simhash"), col("p.blk").as("blk"), col("p.bval").as("bval"))
-    val a = probes.select(col("blk"), col("bval"), col("doc_id").as("id_a"), col("simhash").as("sh_a"))
-    val b = probes.select(col("blk"), col("bval"), col("doc_id").as("id_b"), col("simhash").as("sh_b"))
-    // MINIMAL-KEY dedup: a true near-dup pair collides under MANY block-pair
-    // keys (ham<=3 leaves >=1 untouched pair, often all 10 match), so the
-    // join emits it once per matching key. Instead of a DISTINCT shuffle
-    // over the replicated candidates, keep each pair only at its SMALLEST
-    // matching key: mbits packs "does block-pair k match" into bit k (a
-    // LINEAR-size expression — an earlier nested-CASE form re-inlined every
-    // prior comparison per arm, grew quadratically, and fell out of
-    // codegen), and `mbits % 2^blk == 0` says no earlier key matched. The
-    // dedup is a codegen'd per-row filter with zero extra shuffle.
-    def blockEq(i: Int): Column =
-      expr(s"(sh_a div ${1L << (blockBits * i)}) % ${1L << blockBits}") ===
-        expr(s"(sh_b div ${1L << (blockBits * i)}) % ${1L << blockBits}")
-    val matchBits: Column = pairs.zipWithIndex.map { case ((i, j), k) =>
-      when(blockEq(i) && blockEq(j), lit(1L << k)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    a.join(b, Seq("blk", "bval"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("mbits", matchBits)
-      .filter(expr("mbits % shiftleft(CAST(1 AS BIGINT), CAST(blk AS INT)) = 0"))
+      .select(col("doc_id"), col("p.blk").as("blk"), col("p.bval").as("bval"))
+    // the multi-index buckets go through the SAME capped mechanism as the
+    // minhash bands ([[cappedBucketPairs]]): a 10⁶-copy template puts all
+    // copies into every one of its C(blocks,2) probe buckets, and an
+    // uncapped self-join enumerates 10¹² combinations per bucket before
+    // any post-filter can discard them. The cap replaces the earlier
+    // minimal-matching-key dedup (a codegen'd per-row filter): that trick
+    // deduped without a shuffle but required the pair to be PRESENT at
+    // its smallest matching key — under a cap the smallest key's bucket
+    // may not emit it — and its join still enumerated quadratic buckets.
+    // The DISTINCT here sees ≤ C(blocks,2) copies of a bounded pair set.
+    // Signatures ride back in on two 8-byte-key joins against the
+    // memoized sig table rather than through the pair legs.
+    cappedBucketPairs(probes, Seq("blk", "bval"))
+      .join(sig.select(col("doc_id").as("id_a"), col("simhash").as("sh_a")), "id_a")
+      .join(sig.select(col("doc_id").as("id_b"), col("simhash").as("sh_b")), "id_b")
       .withColumn("hamming", expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
       .filter(col("hamming") <= 3)
       .select("id_a", "id_b", "hamming")
@@ -1083,61 +1099,18 @@ object Dedup {
        |  SELECT doc_id, $recombine AS simhash FROM votes
        |), probes AS (
        |  $probeRows
-       |), cand AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       |    a.simhash AS sh_a, b.simhash AS sh_b
-       |  FROM probes a JOIN probes b ON a.blk = b.blk AND a.bval = b.bval
-       |  WHERE a.doc_id < b.doc_id
-       |)
-       |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
-       |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+       |), ${cappedPairsSql("probes", Seq("blk", "bval"))}
+       |SELECT id_a, id_b,
+       |  CAST(bit_count(xor(sga.simhash, sgb.simhash)) AS BIGINT) AS hamming
+       |FROM capped
+       |JOIN sig sga ON sga.doc_id = id_a
+       |JOIN sig sgb ON sgb.doc_id = id_b
+       |WHERE bit_count(xor(sga.simhash, sgb.simhash)) <= 3
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  val simhashHammingPairsOracle: String = {
-    val blockBits = SimPairBits / SimBlocks
-    val votes = (0 until SimPairBits)
-      .map(b => s"sum(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v$b")
-      .mkString(",\n    ")
-    val recombine = (0 until SimPairBits)
-      .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
-      .mkString(" + ")
-    def bval(i: Int) = s"(simhash // ${1L << (blockBits * i)}) % ${1L << blockBits}"
-    val probeRows = blockPairs.zipWithIndex
-      .map { case ((i, j), k) =>
-        s"SELECT doc_id, simhash, $k AS blk, ${bval(i)} * ${1L << blockBits} + ${bval(j)} AS bval FROM sig"
-      }
-      .mkString("\n  UNION ALL\n  ")
-    s"""WITH corpus AS (
-       |  $corpusSql
-       |), wordhash AS (
-       |  SELECT doc_id,
-       |    list_reduce(
-       |      list_prepend(CAST(0 AS BIGINT),
-       |        list_transform(list_filter(string_split(w.word, ''), c -> c != ''),
-       |                       c -> CAST(unicode(c) AS BIGINT))),
-       |      (a, b) -> (a * 31 + b) % 1000000007) AS h
-       |  FROM corpus, unnest(string_split(text, ' ')) AS w(word)
-       |  WHERE w.word != ''
-       |), votes AS (
-       |  SELECT doc_id,
-       |    $votes
-       |  FROM wordhash GROUP BY doc_id
-       |), sig AS (
-       |  SELECT doc_id, $recombine AS simhash FROM votes
-       |), probes AS (
-       |  $probeRows
-       |), cand AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       |                  a.simhash AS sh_a, b.simhash AS sh_b
-       |  FROM probes a JOIN probes b USING (blk, bval)
-       |  WHERE a.doc_id < b.doc_id
-       |)
-       |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
-       |FROM cand
-       |WHERE bit_count(xor(sh_a, sh_b)) <= 3
-       |ORDER BY id_a, id_b""".stripMargin
-  }
+  val simhashHammingPairsOracle: String =
+    simhashPairsOracleAt(SimPairBits, SimBlocks, 1000000007L)
 
   val simhashSignaturesOracle: String = {
     val votes = (0 until SimBits)
@@ -1204,26 +1177,13 @@ object Dedup {
        |  FROM shingled
        |), bands AS (
        |  $bandRows
-       |), ranked AS (
-       |  SELECT doc_id, band, band_hash,
-       |    row_number() OVER (PARTITION BY band, band_hash ORDER BY doc_id) AS rn
-       |  FROM bands
-       |), cands AS (
-       |  SELECT DISTINCT id_a, id_b FROM (
-       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       |    FROM ranked a JOIN ranked b USING (band, band_hash)
-       |    WHERE a.rn < b.rn AND b.rn <= $MaxBucket
-       |    UNION ALL
-       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       |    FROM ranked a JOIN ranked b USING (band, band_hash)
-       |    WHERE a.rn = 1 AND b.rn > $MaxBucket
-       |  )
-       |), sets AS (
+       |), ${cappedPairsSql("bands", Seq("band", "band_hash"))}
+       |, sets AS (
        |  SELECT doc_id, list_distinct(sh) AS shd FROM shingled
        |)
        |SELECT id_a, id_b,
        |  CAST(len(list_intersect(sa.shd, sb.shd)) AS DOUBLE) / len(list_distinct(list_concat(sa.shd, sb.shd))) AS jaccard
-       |FROM cands
+       |FROM capped
        |JOIN sets sa ON sa.doc_id = id_a
        |JOIN sets sb ON sb.doc_id = id_b
        |WHERE CAST(len(list_intersect(sa.shd, sb.shd)) AS DOUBLE) / len(list_distinct(list_concat(sa.shd, sb.shd))) >= 0.5
@@ -1664,28 +1624,15 @@ object Dedup {
        |  FROM shingled
        |), bands AS (
        |  $bandRows
-       |), ranked AS (
-       |  SELECT doc_id, band, band_hash,
-       |    row_number() OVER (PARTITION BY band, band_hash ORDER BY doc_id) AS rn
-       |  FROM bands
-       |), cands AS (
-       |  SELECT DISTINCT id_a, id_b FROM (
-       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       |    FROM ranked a JOIN ranked b USING (band, band_hash)
-       |    WHERE a.rn < b.rn AND b.rn <= $MaxBucket
-       |    UNION ALL
-       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
-       |    FROM ranked a JOIN ranked b USING (band, band_hash)
-       |    WHERE a.rn = 1 AND b.rn > $MaxBucket
-       |  )
-       |), sets AS (
+       |), ${cappedPairsSql("bands", Seq("band", "band_hash"))}
+       |, sets AS (
        |  SELECT doc_id, list_distinct(sh) AS shd FROM shingled
        |)
        |SELECT id_a, id_b,
        |  CAST($matchSum AS BIGINT) AS n_match,
        |  CAST($matchSum AS DOUBLE) / $NumHashes AS est_jaccard,
        |  CAST(len(list_intersect(sa.shd, sb.shd)) AS DOUBLE) / len(list_distinct(list_concat(sa.shd, sb.shd))) AS jaccard
-       |FROM cands
+       |FROM capped
        |JOIN sets sa ON sa.doc_id = id_a
        |JOIN sets sb ON sb.doc_id = id_b
        |JOIN sig sga ON sga.doc_id = id_a

@@ -116,9 +116,16 @@ object TextAnalysis {
       .groupBy("doc_id", "bgram").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id")
       .agg(max(col("cnt") * (length(col("bgram")).cast("bigint") - lit(1L))).as("top_bi_chars"))
-    val meanLen = col("word_chars").cast("double") / col("n_words")
-    val uniFrac = coalesce(col("top_uni_chars"), lit(0L)).cast("double") / col("word_chars")
-    val biFrac = coalesce(col("top_bi_chars"), lit(0L)).cast("double") / col("word_chars")
+    val meanLen = col("word_chars").cast("double") / col("n_words") // n_words ≥ 1 (split of any text)
+    // a whitespace-only doc has word_chars = 0: DuckDB's x/0 is NULL while
+    // Spark ANSI THROWS — guard to NULL so both engines emit the same row
+    // (the NULL then flows identically: flags go NULL, `keep` still
+    // resolves via false-AND-null when the word-count band already fails)
+    def overChars(c: Column): Column =
+      when(col("word_chars") === 0L, lit(null).cast("double"))
+        .otherwise(c.cast("double") / col("word_chars"))
+    val uniFrac = overChars(coalesce(col("top_uni_chars"), lit(0L)))
+    val biFrac = overChars(coalesce(col("top_bi_chars"), lit(0L)))
     val wordsOk = col("n_words").between(50L, 100000L)
     val lenOk = meanLen.between(3.0, 10.0)
     val uniOk = uniFrac <= 0.15
@@ -943,20 +950,27 @@ object TextAnalysis {
     * window PARTITIONED BY shard — N independent per-shard sorts (each
     * 1/Nth of the corpus, the same sort the shard write itself needs),
     * never one global sort. */
-  def shuffleShards(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+  /** THE shard-assignment policy — skey/shard/pos derivation shared by
+    * [[shuffleShards]] (the gated assignment query) and [[trainingSet]]
+    * (the written artifact), so the two can never silently de-synchronize
+    * (they duplicated this line-for-line until round 8's review).
+    * mixedHash, not the plain fold: the order key IS the permutation, and
+    * the plain fold is near-affine in sequential ids — a "shuffle" that
+    * left crawl-adjacent docs adjacent (the exact correlation a training
+    * shuffle exists to break). */
+  private def shardKeyed(docs: DataFrame, nShards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("shard").orderBy("skey", "doc_id")
-    // mixedHash, not the plain fold: the order key IS the permutation, and
-    // the plain fold is near-affine in sequential ids — a "shuffle" that
-    // left crawl-adjacent docs adjacent (the exact correlation a training
-    // shuffle exists to break)
-    table(spark, dir, "documents")
+    docs
       .withColumn("skey", mixedHash("shuf|"))
       .withColumn("shard", col("skey") % nShards)
       .withColumn("pos", row_number().over(w).cast("bigint"))
+  }
+
+  def shuffleShards(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame =
+    shardKeyed(table(spark, dir, "documents"), nShards)
       .select("doc_id", "shard", "pos")
       .orderBy("shard", "pos")
-  }
 
   def shuffleShardsOracle(nShards: Int = 8): String =
     s"""WITH hashed AS (
@@ -1698,16 +1712,13 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val kept = sharedManifest(spark, dir)
       .filter(col("final_keep")).select("doc_id")
-    // ONE window spec: pos = rank, stream_end = running token sum — the
-    // rank order (skey, doc_id) is pos order, so both fold into a single
-    // Exchange + Sort instead of two window stages
+    // shard/pos come from the SHARED [[shardKeyed]] policy (the same
+    // derivation the gated docs_shuffle_shards row checks); the running
+    // token sum rides the same (skey, doc_id) window order, so pos and
+    // stream_end fold into a single Exchange + Sort
     val w = Window.partitionBy("shard").orderBy("skey", "doc_id")
-    table(spark, dir, "documents")
-      .join(kept, "doc_id")
-      .withColumn("skey", mixedHash("shuf|"))
-      .withColumn("shard", col("skey") % nShards)
+    shardKeyed(table(spark, dir, "documents").join(kept, "doc_id"), nShards)
       .withColumn("tokens", sz(words))
-      .withColumn("pos", row_number().over(w).cast("bigint"))
       .withColumn("stream_end",
         sum(col("tokens")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("stream_offset", col("stream_end") - col("tokens"))
@@ -1754,9 +1765,13 @@ object TextAnalysis {
       .groupBy("shard")
       .agg(
         count(lit(1)).as("n_docs"),
-        // offsets are contiguous prefix sums, so window ids cover 0..max:
-        // max+1 counts windows without a second distinct aggregate
-        (max(col("window_id")) + 1L).as("n_windows"),
+        // offsets are contiguous prefix sums from 0, so the packed stream
+        // covers exactly [0, Σtokens) and the window count is
+        // ceil(Σtokens/window). (NOT max(window_id)+1: window_id is the
+        // window holding the doc's START, so a final doc that crosses a
+        // boundary — any doc longer than `window` can cross several —
+        // under-counts the tail windows it spills into.)
+        expr(s"(sum(tokens) + ${window - 1}) div $window").as("n_windows"),
         sum(col("tokens")).as("n_tokens"),
         // per-row hashes < 1e9 but a 100 TB shard holds ~1e12 rows — widen
         // the sum through DECIMAL(38,0) before the modulus (tfidf precedent)
@@ -1794,7 +1809,7 @@ object TextAnalysis {
        |  FROM packed
        |)
        |SELECT shard, count(*) AS n_docs,
-       |  CAST(max(window_id) + 1 AS BIGINT) AS n_windows,
+       |  CAST((sum(tokens) + ${window - 1}) // $window AS BIGINT) AS n_windows,
        |  CAST(sum(tokens) AS BIGINT) AS n_tokens,
        |  CAST(sum(h) % 1000000007 AS BIGINT) AS content_hash
        |FROM rows_h GROUP BY shard ORDER BY shard""".stripMargin

@@ -104,6 +104,25 @@ class HubSkewSpec extends AnyFunSuite {
     }
   }
 
+  test("the simhash multi-index survives the hub through the same cap") {
+    // 2000 byte-identical templates share ONE simhash, so every one of the
+    // C(blocks,2) probe buckets holds the whole family — the exact shape
+    // that was quadratic before cappedBucketPairs covered this family too
+    // (round-8 review: the cap was special-cased in the minhash bands).
+    val pairs = Dedup.simhashHammingPairs(spark, hubDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hubPairs = pairs.filter { case (a, b) => isHub(a) && isHub(b) }
+    // uncapped: ≥ C(2000,2) ≈ 2.0M hub pairs; capped: ≤ probes × (dense + star)
+    assert(hubPairs.nonEmpty, "hub family lost from the simhash pair graph")
+    assert(hubPairs.length <= 100000,
+      s"simhash hub pair volume ${hubPairs.length} — bucket cap not applied")
+    // star legs keep every hub member attached (identical sigs ⇒ ham 0 ≤ 3,
+    // so no candidate is lost to the hamming filter — coverage is exact)
+    val covered = hubPairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val expected = (0 until HubN).map(HubBase + _).toSet
+    assert(expected.subsetOf(covered), s"${(expected -- covered).size} hub docs unpaired (simhash)")
+  }
+
   test("the hub family collapses into one cluster through the capped pair graph") {
     val clusters = Dedup.dedupClustersStar(spark, hubDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap

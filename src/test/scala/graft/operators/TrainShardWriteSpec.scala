@@ -71,7 +71,13 @@ class TrainShardWriteSpec extends AnyFunSuite {
       val docs = byShard(shard)
       assert(nDocs == docs.length)
       assert(nTokens == docs.map(_._4).sum)
-      assert(nWindows == docs.map(_._6).max + 1)
+      // windows COVERED by the contiguous packed stream = ceil(Σtokens/w).
+      // NOT max(window_id)+1: window_id marks each doc's START window, and
+      // a tail doc crossing a boundary spills into windows no doc starts
+      // in (this fixture does exactly that — the old formula read 1 where
+      // the stream covers 2).
+      assert(nWindows == (docs.map(_._4).sum + 2047) / 2048)
+      assert(nWindows >= docs.map(_._6).max + 1)
     }
   }
 }
