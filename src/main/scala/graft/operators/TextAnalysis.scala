@@ -958,9 +958,10 @@ object TextAnalysis {
     * the plain fold is near-affine in sequential ids — a "shuffle" that
     * left crawl-adjacent docs adjacent (the exact correlation a training
     * shuffle exists to break). */
-  private def shardKeyed(docs: DataFrame, nShards: Int): DataFrame = {
+  private def shardKeyed(docs: DataFrame, nShards: Int,
+      orderCols: Seq[Column] = Seq(col("skey"), col("doc_id"))): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    val w = Window.partitionBy("shard").orderBy(orderCols: _*)
     docs
       .withColumn("skey", mixedHash("shuf|"))
       .withColumn("shard", col("skey") % nShards)
@@ -971,6 +972,49 @@ object TextAnalysis {
     shardKeyed(table(spark, dir, "documents"), nShards)
       .select("doc_id", "shard", "pos")
       .orderBy("shard", "pos")
+
+  /** QUALITY-ANNEALED curriculum order over the kept training set — the
+    * "end training on the best data" recipe (data annealing / curriculum
+    * schedules): within each shard, docs are ordered tail → middle → head
+    * by their CCNet-style quality bucket, hash-shuffled WITHIN each
+    * quality class (the [[shardKeyed]] skey breaks crawl adjacency), so a
+    * consumer reading shards in pos order finishes every epoch slice on
+    * head-quality documents. Pure composition over the materialized
+    * manifest — no new corpus scan; one window per shard partition.
+    *
+    * 100 TB shape: identical to [[shuffleShards]] (8 B keys, per-shard
+    * partitioned rank windows, never a global sort) plus a 3-way CASE. */
+  def curriculumOrder(spark: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val kept = sharedManifest(spark, dir)
+      .filter(col("final_keep")).select("doc_id", "bucket")
+    val anneal = when(col("bucket") === "tail", 0)
+      .when(col("bucket") === "middle", 1).otherwise(lit(2))
+    shardKeyed(table(spark, dir, "documents").join(kept, "doc_id"), nShards,
+        orderCols = Seq(anneal, col("skey"), col("doc_id")))
+      .select("doc_id", "shard", "pos", "bucket")
+      .orderBy("shard", "pos")
+  }
+
+  // def: composes trainingManifestOracle (itself a def)
+  def curriculumOrderOracle(nShards: Int = 8): String =
+    s"""WITH manifest AS (
+       |  SELECT * FROM (
+       |${trainingManifestOracle.linesIterator.map("    " + _).mkString("\n")}
+       |  ) m
+       |), kept AS (
+       |  SELECT doc_id, bucket FROM manifest WHERE final_keep
+       |), hashed AS (
+       |  SELECT doc_id, bucket,
+       |    ${mixedHashSql("shuf|").linesIterator.mkString("\n|    ")} AS skey
+       |  FROM kept
+       |)
+       |SELECT doc_id, skey % $nShards AS shard,
+       |  CAST(row_number() OVER (PARTITION BY skey % $nShards
+       |    ORDER BY CASE bucket WHEN 'tail' THEN 0 WHEN 'middle' THEN 1 ELSE 2 END,
+       |             skey, doc_id) AS BIGINT) AS pos,
+       |  bucket
+       |FROM hashed
+       |ORDER BY shard, pos""".stripMargin
 
   def shuffleShardsOracle(nShards: Int = 8): String =
     s"""WITH hashed AS (
