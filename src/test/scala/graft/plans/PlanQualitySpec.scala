@@ -116,6 +116,16 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected WindowGroupLimit pushdown: ${nodes(df).map(_.nodeName).distinct.mkString(",")}")
   }
 
+  test("curriculum-order window is partitioned (anneal is an ORDER BY prefix, not a global sort)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.operators.TextAnalysis.curriculumOrder(spark, SparkSuite.Sf0001)
+    df.collect()
+    val windows = nodes(df).collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the per-shard rank window")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "curriculum rank window lost its shard partition key (single-task global sort)"))
+  }
+
   test("doc-frequency top-20 bounds the word table with TakeOrdered before ranking") {
     val df = graft.operators.TextAnalysis.docFrequency(spark, SparkSuite.Sf0001)
     df.collect()
