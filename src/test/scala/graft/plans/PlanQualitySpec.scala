@@ -116,6 +116,22 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected WindowGroupLimit pushdown: ${nodes(df).map(_.nodeName).distinct.mkString(",")}")
   }
 
+  test("gopher rules: three pruned scans, per-doc maxima aggregated, no window, no cartesian") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.operators.TextAnalysis.gopherRules(spark, SparkSuite.Sf0001)
+    df.collect()
+    val ns = nodes(df)
+    val scans = ns.collect { case s: FileSourceScanExec => s }
+    assert(scans.size <= 3, s"expected ≤3 scans (base + 2 explode streams), got ${scans.size}")
+    // every gram stream reads only (doc_id, text) — column pruning reached the scan
+    scans.foreach(s => assert(s.output.size <= 2,
+      s"unpruned gopher scan: ${s.output.map(_.name).mkString(",")}"))
+    assert(!ns.exists(_.nodeName.contains("CartesianProduct")), "cartesian in gopher plan")
+    assert(ns.collect { case w: WindowExec => w }.isEmpty,
+      "gopher rules must aggregate per-doc maxima, not rank via windows")
+  }
+
   test("curriculum-order window is partitioned (anneal is an ORDER BY prefix, not a global sort)") {
     import org.apache.spark.sql.execution.window.WindowExec
     val df = graft.operators.TextAnalysis.curriculumOrder(spark, SparkSuite.Sf0001)
