@@ -58,15 +58,22 @@ object Bench {
       // its own stages and the build-attribution queries' lines reflect
       // the real cost even when the measured SF equals the warm SF
       graft.operators.Dedup.clearSharedStages()
-      // DATA warm at the MEASURED SF: one full untimed scan of every
-      // table (all columns, noop sink — no result is cached). The
-      // sf0.001 query warmup exercises every code path but at toy input
-      // volume; the first sf0.1 touch otherwise pays cold file cache +
-      // large-batch JIT tiering inside the timed window — 2-4× measured
-      // locally (summary_lineitem 6.5→2.5 s across reps), and the
-      // driver's freshly-written testdata is ALWAYS cache-cold. Warming
-      // input IO is standard bench hygiene; every timed query still does
-      // all of its own compute.
+    } catch { case _: Throwable => () }
+    // DATA warm at the MEASURED SF: one full untimed scan of every
+    // table (all columns, noop sink — no result is cached). The
+    // sf0.001 query warmup exercises every code path but at toy input
+    // volume; the first sf0.1 touch otherwise pays cold file cache +
+    // large-batch JIT tiering inside the timed window — 2-4× measured
+    // locally (summary_lineitem 6.5→2.5 s across reps), and the
+    // driver's freshly-written testdata is ALWAYS cache-cold. Warming
+    // input IO is standard bench hygiene; every timed query still does
+    // all of its own compute. This changes bench semantics from
+    // cold-cache to warm-cache IO, so (ADVICE r8) it is gated behind
+    // SPARK_GRAFT_DATA_WARM (default on) and the emitted JSON carries a
+    // "data_warm" flag so downstream readers can tell warmed from
+    // unwarmed artifacts.
+    val dataWarm = !sys.env.get("SPARK_GRAFT_DATA_WARM").exists(v => v == "0" || v == "false")
+    if (dataWarm) try {
       new java.io.File(sfDir).listFiles(f => f.getName.endsWith(".parquet"))
         .foreach { f =>
           try spark.read.parquet(f.getPath).write.format("noop").mode("overwrite").save()
@@ -103,24 +110,71 @@ object Bench {
     // text_build_spans) honestly rebuilds its materialized stages rather
     // than re-reading its own first run's checkpoint blocks; a memo-READING
     // line's rerun then pays the build too, which min() discards.
+    // (VERDICT r8 #1) The r8 reruns themselves executed at loadavg 24-30 and
+    // so could not exonerate the slowest lines — the rerun is only evidence
+    // when the box is quiet. Three changes:
+    //   1. LOAD GATE: before each rerun, wait (from a shared budget, default
+    //      240 s) until 1-min loadavg < cpus/4. If the budget runs out while
+    //      the box stays busy, the line is marked "adjudicated": false and
+    //      listed under "unadjudicated" — an explicit "this artifact cannot
+    //      judge this line", never a silently-contaminated rerun.
+    //   2. STEADY: after the (memo-cleared) rerun, 2 back-to-back reps with
+    //      memo intact; "steady" = their min. For memo-READING lines this is
+    //      the honest steady-state number; for the build-owning lines
+    //      (dedup_build_pipeline, text_build_spans) it reads its own
+    //      memoized stages and under-measures — which is why the headline
+    //      stays min(first, rerun), never steady.
+    //   3. COVERAGE: rerun every successful line slower than 3 s (bounded by
+    //      SPARK_GRAFT_RERUN_MAX, default 30), not just a fixed top-5 — so
+    //      every slow line in the artifact carries its own adjudication.
     val rerunK = sys.env.get("SPARK_GRAFT_RERUN_K").flatMap(_.toIntOption).getOrElse(5)
-    val reruns = timed.filter(_._3).sortBy(-_._2).take(rerunK).map { case (name, first, _, _) =>
+    val rerunMax = sys.env.get("SPARK_GRAFT_RERUN_MAX").flatMap(_.toIntOption).getOrElse(30)
+    val slowSec = sys.env.get("SPARK_GRAFT_RERUN_THRESHOLD").flatMap(_.toDoubleOption).getOrElse(3.0)
+    val cpuN = Runtime.getRuntime.availableProcessors()
+    val loadGate = sys.env.get("SPARK_GRAFT_RERUN_LOAD_MAX").flatMap(_.toDoubleOption)
+      .getOrElse(cpuN / 4.0)
+    var waitBudgetMs =
+      sys.env.get("SPARK_GRAFT_RERUN_WAIT_SEC").flatMap(_.toIntOption).getOrElse(240) * 1000L
+    def awaitQuietBox(): Unit =
+      while (loadAvg >= loadGate && waitBudgetMs > 0) {
+        val step = math.min(15000L, waitBudgetMs)
+        Thread.sleep(step); waitBudgetMs -= step
+      }
+    case class Rerun(name: String, first: Double, rerun: Double, steady: Double,
+                     ok: Boolean, load: Double, adjudicated: Boolean)
+    val sortedSlow = timed.filter(_._3).sortBy(-_._2)
+    val rerunSet = sortedSlow.take(math.max(rerunK, sortedSlow.count(_._2 > slowSec)))
+      .take(rerunMax)
+    val reruns = rerunSet.map { case (name, first, _, _) =>
+      awaitQuietBox()
+      val preLoad = loadAvg
       spark.sharedState.cacheManager.clearCache()
       graft.operators.Dedup.clearSharedStages()
-      val t0 = System.nanoTime()
-      val ok = try { run(SparkEntry.queries(name)(spark, sfDir)); true } catch { case _: Throwable => false }
-      (name, first, (System.nanoTime() - t0) / 1e9, ok, loadAvg)
+      def once(): Option[Double] = {
+        val t0 = System.nanoTime()
+        try { run(SparkEntry.queries(name)(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
+      }
+      val r = once()
+      val steady = if (r.isDefined) (1 to 2).flatMap(_ => once()) else Seq.empty
+      val postLoad = loadAvg
+      Rerun(name, first, r.getOrElse(-1.0),
+        if (steady.nonEmpty) steady.min else -1.0,
+        r.isDefined, postLoad,
+        r.isDefined && preLoad < loadGate && postLoad < loadGate)
     }
-    val rerunBest = reruns.collect { case (n, f, r, true, _) => n -> math.min(f, r) }.toMap
+    val rerunBest = reruns.collect { case x if x.ok => x.name -> math.min(x.first, x.rerun) }.toMap
     // one-sided on purpose: contamination/first-touch means the FIRST run
     // was inflated and the rerun is fast. The opposite shape (rerun ≫
     // first) is the memo-READING lines whose rerun pays the cleared shared
     // build by design — min() keeps their honest number and they must NOT
     // be reported as load-contaminated (the symmetric max>2·min form
-    // misfiled text_span_mask/docs_manifest_rollup exactly that way)
+    // misfiled text_span_mask/docs_manifest_rollup exactly that way).
+    // Only an ADJUDICATED (low-load) rerun may issue the verdict.
     val loadContaminated = reruns.collect {
-      case (n, f, r, true, _) if f > 2.0 * r => n
+      case x if x.adjudicated && x.first > 2.0 * x.rerun => x.name
     }
+    val unadjudicated = reruns.collect { case x if !x.adjudicated => x.name }
     val results = timed.map { case (n, s, _, _) => n -> rerunBest.getOrElse(n, s) }
     val errors = timed.collect { case (n, _, false, _) => n }
     val qLoads = timed.map { case (n, _, _, l) => n -> l }
@@ -130,13 +184,18 @@ object Bench {
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val loadJson = s""""load":{"start":${fmt(loadStart)},"end":${fmt(loadEnd)},"cpus":${Runtime.getRuntime.availableProcessors()}}"""
-    // {first, rerun} per re-run line + the contamination verdict — the
-    // artifact adjudicates its own slow lines without manual cross-refs
-    val rerunJson = reruns.map { case (n, f, r, ok, l) =>
-      "\"" + n + s"""":{"first":${fmt(f)},"rerun":${fmt(r)},"rerun_ok":$ok,"rerun_load":${fmt(l)}}"""
+    // {first, rerun, steady, adjudicated} per re-run line + the verdict
+    // lists — the artifact adjudicates its own slow lines without manual
+    // cross-refs, and says so explicitly when it could not (load gate
+    // never opened within the wait budget)
+    val rerunJson = reruns.map { x =>
+      "\"" + x.name +
+        s"""":{"first":${fmt(x.first)},"rerun":${fmt(x.rerun)},"steady":${fmt(x.steady)},"rerun_ok":${x.ok},"rerun_load":${fmt(x.load)},"adjudicated":${x.adjudicated}}"""
     }.mkString("{", ",", "}")
     val contamJson = loadContaminated.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val adjJson = s""""rerun":$rerunJson,"load_contaminated":$contamJson"""
+    val unadjJson = unadjudicated.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val adjJson =
+      s""""rerun":$rerunJson,"load_contaminated":$contamJson,"unadjudicated":$unadjJson,"rerun_load_gate":${fmt(loadGate)},"data_warm":$dataWarm"""
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(results)},"sf":"$sfDir","n_queries":${results.size},"errors":$errJson,$loadJson,$adjJson,"query_load":${qjson(qLoads)}}"""
     // Full artifact on disk — survives any stdout truncation.
