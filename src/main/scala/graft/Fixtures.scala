@@ -8,8 +8,37 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Fixtures {
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Inferred-schema memo: `spark.read.parquet` runs a footer-inference
+    * Spark job on EVERY call, so each query construction was paying one
+    * tiny driver job per table touched (and plan-only consumers could
+    * never be job-free). Fixtures are immutable per round, so the schema
+    * is read once per (session, path) and replayed via `.schema(...)`,
+    * which skips inference entirely. Keyed on the session identity because
+    * session confs (e.g. nanosAsLong) change what a footer infers to. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val key = System.identityHashCode(spark) + "|" + path
+    val schema = schemaCache.computeIfAbsent(key, _ => spark.read.parquet(path).schema)
+    val df = spark.read.schema(schema).parquet(path)
+    // Under `spark.sql.legacy.parquet.nanosAsLong` a TIMESTAMP(NANOS)
+    // `events.ts` arrives as LongType (nanos since epoch). Every event
+    // operator assumes the TIMESTAMP(MICROS)-NTZ shape of the current
+    // fixtures, and `cast(bigint as timestamp)` would silently misread
+    // nanos as SECONDS (ADVICE r8) — so re-shape once, at the read
+    // boundary: nanos → micros → the same NTZ wall-clock dtype the
+    // MICROS fixture produces (identity under the UTC session). The
+    // profiler layer reads parquet directly and keeps its documented
+    // nanos-as-bigint profile semantics.
+    if (name == "events" && df.schema.fieldNames.contains("ts") &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000"))
+        .cast("timestamp_ntz"))
+    else df
+  }
 
   val allTables: Seq[String] = Seq(
     "customer", "documents", "embeddings", "events", "lineitem",

@@ -4,9 +4,12 @@ import org.apache.spark.sql.SparkSession
 
 /** One place for every session conf the engine depends on.
   *
-  * - `nanosAsLong`: kept for TIMESTAMP(NANOS) parquet inputs generally; the
-  *   `events` fixture itself is TIMESTAMP(MICROS) ntz since the round-8
-  *   testdata regen, where this flag is inert.
+  * - `nanosAsLong`: kept so TIMESTAMP(NANOS) parquet inputs read (as bigint
+  *   nanos) instead of failing; the `events` fixture itself is
+  *   TIMESTAMP(MICROS) ntz since the round-8 testdata regen, where this flag
+  *   is inert. A genuine nanos `events.ts` is re-shaped to the same
+  *   micros-NTZ dtype at the [[graft.Fixtures.table]] read boundary (ADVICE
+  *   r8) — operators never see the raw long.
   * - UTC session TZ + English month names: reference formats all temporal
   *   output with UTC getters (`/root/reference/src/listTables.tsx:158-167`).
   * - 32 shuffle partitions: sized for local[32]; on a real cluster this is

@@ -319,17 +319,61 @@ class PlanQualitySpec extends AnyFunSuite {
       }
     }
     assert(!assignNodes.exists(_.nodeName.contains("CartesianProduct")))
-    // the full query's post-checkpoint stages: pair join on `cell` must be
-    // a hash join, never a cross product (the plan twin pins k so that
-    // building the plan runs no auto-k count job — ADVICE r7)
+    // the full query via the plan twin (pins k, SKIPS the checkpoint so no
+    // job runs at construction — ADVICE r7/r8): pair join on `cell` must
+    // be a hash join, never a cross product. Without the checkpoint the
+    // centroid-assignment BNLJ is now VISIBLE in this plan too — verify
+    // every BNLJ builds a centroid-sized side, and nothing is a
+    // CartesianProduct.
     val df = graft.operators.Similarity.semDedupPlan(spark, SparkSuite.Sf0001)
     df.collect()
-    val names = nodes(df).map(_.nodeName)
+    val fullNodes = nodes(df)
+    val names = fullNodes.map(_.nodeName)
     assert(names.exists(_.contains("BroadcastHashJoin")) || names.exists(_.contains("SortMergeJoin")) ||
       names.exists(_.contains("ShuffledHashJoin")),
       s"pairwise stage is not an equi-join: ${names.distinct.mkString(",")}")
-    assert(!names.exists(n => n.contains("BroadcastNestedLoop") || n.contains("CartesianProduct")),
+    assert(!names.exists(_.contains("CartesianProduct")),
       "pairwise stage fell back to a corpus-level cross product")
+    fullNodes.collect { case b: BroadcastNestedLoopJoinExec => b }.foreach { b =>
+      allNodes(b).collect { case s: BroadcastQueryStageExec => s }.foreach { s =>
+        val rows = s.getRuntimeStatistics.rowCount.getOrElse(BigInt(Long.MaxValue))
+        assert(rows <= 16, s"full-plan BNLJ broadcasts $rows rows — not the centroid table")
+      }
+    }
+  }
+
+  test("semdedup plan twin: DataFrame construction + optimization runs zero Spark jobs") {
+    // the gated query's auto-k runs one count() job at construction by
+    // design; plan-only consumers must use the twin, which pins k and so
+    // must never touch the cluster just to build a plan (ADVICE r7/r8)
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    // warm construction first: the very first read of a parquet path pays
+    // one schema-inference job, memoized in Fixtures.schemaCache — the
+    // assertion targets the steady state every repeated consumer sees
+    graft.operators.Similarity.semDedupPlan(spark, SparkSuite.Sf0001).queryExecution.optimizedPlan
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val df = graft.operators.Similarity.semDedupPlan(spark, SparkSuite.Sf0001)
+      df.queryExecution.optimizedPlan // force analysis + optimization
+      Thread.sleep(1000) // listener bus is async; let any job event land
+      assert(jobs.get() == 0, s"building the semdedup plan ran ${jobs.get()} Spark jobs")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("oov rate: the corpus tokenize feeds ONE materialized rollup (no double explode)") {
+    // the vocab fit and the scoring join must both read the checkpointed
+    // (doc, word, tf) rollup; without it Spark plans the explode twice as
+    // separate physical subtrees (ADVICE r7/r8)
+    val df = graft.operators.TextAnalysis.oovRate(spark, SparkSuite.Sf0001)
+    df.collect()
+    val gens = nodes(df).filter(_.nodeName.contains("Generate"))
+    assert(gens.isEmpty,
+      s"oovRate's executed plan re-runs the tokenize explode ${gens.size}x — " +
+        "the (doc,word,tf) rollup checkpoint is not being read")
   }
 
   test("shuffle shards: the position window is partitioned by shard (no single-task rank)") {
