@@ -35,7 +35,8 @@ object PlansDump {
     "quality_checks",          // fused per-table rule scans
     "text_decontaminate",      // eval-set grams broadcast, corpus scans once
     "profile_summary_lineitem", // Expand-free exact profile (stacked one-job NDV)
-    "profile_sketch_lineitem",  // gated sketch path + exact-reference scaffolding
+    "profile_sketch_lineitem",  // sketch-only path: one scan, mergeable partials
+    "profile_sketch_gate_lineitem", // gate form: sketch + exact-reference scaffolding
     "ann_pq_topk",             // PQ/ADC: codebook broadcast, (sub,code) lookup join
     "ann_ivfpq_topk",          // IVF contraction + ADC + exact re-rank composition
     "semdedup",                // broadcast quantizer + within-cell pair equi-join
