@@ -104,6 +104,29 @@ class HubSkewSpec extends AnyFunSuite {
     }
   }
 
+  test("cap telemetry: the hub build reports its capped buckets and skipped enumerations") {
+    // the first test's build already executed cappedBucketPairs over the
+    // hub corpus; the observe counters must be visible after the fact.
+    // Re-force deterministically in case test ordering ever changes:
+    Dedup.minhashCandidatePairs(spark, hubDir).count()
+    val (cappedBuckets, droppedPairs) = Dedup.CapTelemetry.last("minhash_bands")
+      .getOrElse(fail("no cap telemetry recorded for the minhash band build"))
+    // the template family and its first-word-dropped twins (J ≈ 0.95, so
+    // their 8-hash sigs usually coincide) land in 1-2 giant buckets per
+    // band × 4 bands ⇒ at least 4 capped buckets; each skips ≥ C(2000,2) −
+    // C(64,2) − 1936 ≈ 2.0M enumerations, so the total is in the millions
+    // — assert orders of magnitude, not exact counts, so organic bucket
+    // composition can shift without breaking the pin
+    assert(cappedBuckets >= 4, s"capped_buckets = $cappedBuckets, expected >= 4")
+    assert(droppedPairs > 10000000L,
+      s"dropped_pairs = $droppedPairs — the 2000-copy hub should skip ~2M enumerations per bucket")
+    // and an organic corpus (sf0.001, largest bucket << cap) reports ZERO
+    Dedup.clearSharedStages()
+    Dedup.minhashCandidatePairs(spark, SparkSuite.Sf0001).count()
+    assert(Dedup.CapTelemetry.last("minhash_bands").contains((0L, 0L)),
+      s"organic corpus reported ${Dedup.CapTelemetry.last("minhash_bands")} — expected (0, 0)")
+  }
+
   test("the simhash multi-index survives the hub through the same cap") {
     // 2000 byte-identical templates share ONE simhash, so every one of the
     // C(blocks,2) probe buckets holds the whole family — the exact shape
