@@ -41,7 +41,8 @@ object ProfileMain {
         if (args.flags.contains("json")) print(TableRenderer.renderJson(profiles))
         else {
           val mode = if (exact) TableRenderer.Exact else TableRenderer.Estimated
-          print(TableRenderer.render(profiles, mode))
+          if (args.flags.contains("color")) print(TableRenderer.renderColor(profiles, mode))
+          else print(TableRenderer.render(profiles, mode))
         }
       } finally spark.stop()
     } catch {
