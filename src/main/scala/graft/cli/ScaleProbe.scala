@@ -21,13 +21,25 @@ import org.apache.spark.sql.functions._
   * would instead inflate near-dup clusters quadratically and measure a
   * data-shape change, not engine scaling.
   *
-  * Usage: runMain graft.cli.ScaleProbe [baseSfDir] [outRoot] [factors] [reps]
+  * The EMBEDDING family (VERDICT r8 #5) probes [[graft.operators.Similarity.semDedup]]
+  * (auto-k cell policy included — the thing whose linearity is claimed) and
+  * [[graft.operators.Similarity.ivfPqTopK]] the same way: replica k of the
+  * embeddings table shifts `vec_id` by k·10⁷, offsets `label` by k, and
+  * CYCLICALLY ROTATES the embedding DIMENSIONS by k — the vector analog of
+  * the letter rotation: intra-replica geometry (norms, dots, near-dup
+  * structure) is preserved exactly, while cross-replica vectors decorrelate,
+  * so cells/buckets grow in COUNT with n rather than in size (naive row
+  * replication would stack every copy of a vector into the same SemDeDup
+  * cell and measure a quadratic data-shape change, not engine scaling).
+  *
+  * Usage: runMain graft.cli.ScaleProbe [baseSfDir] [outRoot] [factors] [reps] [family]
   * `factors` is comma-separated (e.g. `1,10,20`; all ≤26 so letter rotations
-  * stay distinct). Writes corpora under outRoot (NOT /root/testdata) and
-  * prints a markdown table + one JSON line for SCALE.md. The consecutive-pair
-  * exponent between the two LARGEST factors is the asymptotic slope — the 1×
-  * point is fixed-overhead dominated on 32 idle cores and measures overhead
-  * amortization, not marginal cost.
+  * stay distinct); `family` is `docs`, `emb`, or `all` (default). Writes
+  * corpora under outRoot (NOT /root/testdata) and prints a markdown table +
+  * one JSON line for SCALE.md. The consecutive-pair exponent between the two
+  * LARGEST factors is the asymptotic slope — the 1× point is fixed-overhead
+  * dominated on 32 idle cores and measures overhead amortization, not
+  * marginal cost.
   */
 object ScaleProbe {
 
@@ -52,6 +64,19 @@ object ScaleProbe {
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionAll _)
 
+  /** `factor` deterministic replicas of the embeddings table: ids shifted,
+    * labels offset, dimensions cyclically rotated by k (see Scaladoc). */
+  private def replicateEmb(base: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { k =>
+      base.select(
+        (col("vec_id") + lit(k * ReplicaSpacing)).as("vec_id"),
+        (if (k == 0) col("embedding")
+         else concat(
+           slice(col("embedding"), lit(k + 1), size(col("embedding")) - k),
+           slice(col("embedding"), lit(1), lit(k)))).as("embedding"),
+        (col("label") + lit(k)).as("label"))
+    }.reduce(_ unionAll _)
+
   private def timeIt(body: => Unit): Double = {
     val t0 = System.nanoTime()
     body
@@ -66,8 +91,10 @@ object ScaleProbe {
     val outRoot = if (args.length > 1) args(1) else "/tmp/graft_scale"
     val factors = (if (args.length > 2) args(2) else "1,10").split(",").map(_.trim.toInt).toSeq
     val reps    = if (args.length > 3) args(3).toInt else 2
+    val family  = if (args.length > 4) args(4) else "all"
     require(factors.forall(f => f >= 1 && f <= 26) && factors == factors.sorted,
       "factors must be ascending and ≤26 (letter rotations must stay distinct)")
+    require(Set("docs", "emb", "all")(family), s"unknown family: $family")
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -80,20 +107,37 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val base = spark.read.parquet(s"$baseDir/documents.parquet")
     val sizes = factors
-    // both corpora are written by the SAME writer at the same parallelism,
+    val doDocs = family != "emb"
+    val doEmb = family != "docs"
+    // all corpora are written by the SAME writer at the same parallelism,
     // so the 1× run is not advantaged by the fixture's single-file layout
-    sizes.foreach { s =>
-      replicate(base, s).repartition(spark.sparkContext.defaultParallelism)
-        .write.mode("overwrite").parquet(s"$outRoot/x$s/documents.parquet")
+    if (doDocs) {
+      val base = spark.read.parquet(s"$baseDir/documents.parquet")
+      sizes.foreach { s =>
+        replicate(base, s).repartition(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(s"$outRoot/x$s/documents.parquet")
+      }
+    }
+    if (doEmb) {
+      val baseEmb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      sizes.foreach { s =>
+        replicateEmb(baseEmb, s).repartition(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(s"$outRoot/x$s/embeddings.parquet")
+      }
     }
     spark.range(1000000L).selectExpr("sum(id)").collect() // JVM warm-up
 
-    val builds = Seq[(String, String => DataFrame)](
+    val docBuilds = Seq[(String, String => DataFrame)](
       ("dedup_build", d => graft.operators.Dedup.buildPipeline(spark, d)),
       ("span_build",  d => graft.operators.TextAnalysis.buildSpanStage(spark, d)),
       ("manifest",    d => graft.operators.TextAnalysis.trainingManifest(spark, d)))
+    // maxId past every replica id: the probe corpus IS the whole table
+    // (the fixture default 1000 exists for oracle-comparable gating only)
+    val embBuilds = Seq[(String, String => DataFrame)](
+      ("semdedup_build", d => graft.operators.Similarity.semDedup(spark, d, maxId = 1L << 60)),
+      ("ann_ivfpq", d => graft.operators.Similarity.ivfPqTopK(spark, d)))
+    val builds = (if (doDocs) docBuilds else Seq.empty) ++ (if (doEmb) embBuilds else Seq.empty)
 
     // per (size, build): best-of-`reps`, memo cleared per rep so each rep
     // pays the full materialization (manifest deliberately runs AFTER the
