@@ -1120,4 +1120,87 @@ object Similarity {
        |FROM cells c LEFT JOIN dropped dr ON dr.vec_id = c.vec_id
        |ORDER BY c.vec_id""".stripMargin
   }
+
+  // ───────────────────── hybrid retrieval (RRF fusion) ────────────────────
+
+  /** Hybrid retrieval with Reciprocal Rank Fusion — the RAG-serving query
+    * shape: a KEYWORD leg (per-doc hit count of the query terms over
+    * `documents`) and a VECTOR leg (cosine against the query embedding over
+    * `embeddings`, ids aligned doc_id == vec_id) each produce a top-`legK`
+    * ranking, and the fused score is the classic integer-exact RRF
+    * `Σ_legs 10⁶ div (60 + rank)` (Cormack et al.'s k=60), missing leg → 0.
+    *
+    * Scale: each leg is a TakeOrdered head (per-partition top-legK, then a
+    * legK-row merge — never a global sort), the rank windows run over ≤legK
+    * rows, and the fusion join is legK×legK-row-sized regardless of corpus
+    * size. The vector leg broadcasts the single query vector; at 100 TB it
+    * swaps to the IVF/PQ candidate path ([[ivfPqRefinedTopK]]) without
+    * touching the fusion. Integer fused scores keep the ranking
+    * oracle-exact (a floating 1/(60+r) would hang ties on libm rounding).
+    */
+  def hybridRrf(spark: SparkSession, dir: String, queryVec: Long = 0L,
+      terms: Seq[String] = Seq("spark", "window", "hash"),
+      legK: Int = 50, k: Int = 15, rrfK: Int = 60): DataFrame = {
+    val kwTop = table(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").isin(terms: _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("kw_score"))
+      .orderBy(col("kw_score").desc, col("doc_id"))
+      .limit(legK)
+      .withColumn("kw_rank",
+        row_number().over(Window.orderBy(col("kw_score").desc, col("doc_id"))).cast("bigint"))
+      .select("doc_id", "kw_rank")
+    val e = table(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") === queryVec)
+      .select(col("embedding").as("qv"), norm(col("embedding")).as("qn"))
+    val vecTop = e.filter(col("vec_id") =!= queryVec)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", dot(col("qv"), col("embedding")) / (col("qn") * norm(col("embedding"))))
+      .select(col("vec_id"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(legK)
+      .withColumn("vec_rank",
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("bigint"))
+      .select(col("vec_id").as("doc_id"), col("vec_rank"))
+    kwTop.join(vecTop, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr(s"1000000 div ($rrfK + kw_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($rrfK + vec_rank)"), lit(0L)))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("rrf_micro").desc, col("doc_id"))).cast("bigint"))
+      .select("rnk", "doc_id", "kw_rank", "vec_rank", "rrf_micro")
+      .orderBy("rnk")
+  }
+
+  def hybridRrfOracle(queryVec: Long = 0L,
+      terms: Seq[String] = Seq("spark", "window", "hash"),
+      legK: Int = 50, k: Int = 15, rrfK: Int = 60): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH kw AS (
+       |  SELECT doc_id, count(*) AS kw_score
+       |  FROM (SELECT doc_id, w.word FROM documents, unnest(string_split(text, ' ')) AS w(word))
+       |  WHERE word IN ($termList)
+       |  GROUP BY doc_id ORDER BY kw_score DESC, doc_id LIMIT $legK
+       |), kwr AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY kw_score DESC, doc_id) AS kw_rank FROM kw
+       |), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryVec),
+       |vt AS (
+       |  SELECT vec_id, ${cosSql("qv", "embedding")} AS cos
+       |  FROM embeddings, q WHERE vec_id != $queryVec
+       |  ORDER BY cos DESC, vec_id LIMIT $legK
+       |), vr AS (
+       |  SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS vec_rank FROM vt
+       |), fused AS (
+       |  SELECT COALESCE(kwr.doc_id, vr.doc_id) AS doc_id, kw_rank, vec_rank,
+       |    COALESCE(1000000 // ($rrfK + kw_rank), 0) + COALESCE(1000000 // ($rrfK + vec_rank), 0) AS rrf_micro
+       |  FROM kwr FULL OUTER JOIN vr ON kwr.doc_id = vr.doc_id
+       |)
+       |SELECT * FROM (
+       |  SELECT row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS rnk,
+       |         doc_id, kw_rank, vec_rank, rrf_micro
+       |  FROM fused)
+       |WHERE rnk <= $k ORDER BY rnk""".stripMargin
+  }
 }

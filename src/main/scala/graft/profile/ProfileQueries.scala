@@ -671,4 +671,135 @@ object ProfileQueries {
       |FROM o, s
       |WHERE (n * x - sx) * (n * x - sx) > 9 * (n * sq - sx * sx)
       |ORDER BY event_id""".stripMargin
+
+  // ─────────────── key-overlap (joinability / FK-discovery) profile ───────
+
+  /** FK-candidate key pairs profiled by [[keyOverlap]]: (pk table, pk col,
+    * fk table, fk col) over the fixture's TPC-H-ish relationship graph. */
+  val keyPairs: Seq[(String, String, String, String)] = Seq(
+    ("customer", "c_custkey",   "orders",   "o_custkey"),
+    ("nation",   "n_nationkey", "customer", "c_nationkey"),
+    ("orders",   "o_orderkey",  "lineitem", "l_orderkey"),
+    ("part",     "p_partkey",   "lineitem", "l_partkey"),
+    ("supplier", "s_suppkey",   "lineitem", "l_suppkey"))
+
+  /** Cross-table key-overlap profile — the joinability/FK-discovery scan a
+    * catalog profiler runs before recommending joins (the natural next
+    * question after the reference's per-table ranges,
+    * `/root/reference/src/listTables.tsx:236-251`): for each candidate
+    * (pk, fk) pair, the distinct key count on each side, the distinct
+    * intersection, the orphan (fk-without-pk) count, and integer per-mille
+    * containment of fk keys in pk (half-up, the PercentFormat recipe).
+    *
+    * Scale: each side first reduces to DISTINCT over an 8-byte key — a
+    * per-key shuffle whose output is key-cardinality-sized, never
+    * row-count-sized — and the full-outer join then runs over those distinct
+    * sets only. Nothing after the first partial agg is corpus-sized. At
+    * 100 TB the exact distinct-join is replaced by the mergeable-HLL twin
+    * [[keyOverlapSketch]] (one scan per side, KB of state, no join at all).
+    */
+  def keyOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val frames = keyPairs.map { case (pt, pc, ft, fc) =>
+      exactOverlapFrame(spark, dir, pt, pc, ft, fc).select(
+        lit(pt).as("pk_table"), lit(pc).as("pk_col"),
+        lit(ft).as("fk_table"), lit(fc).as("fk_col"),
+        col("ndv_pk"), col("ndv_fk"), col("n_common"), col("orphan_fk"),
+        when(col("ndv_fk") === 0, lit(null).cast("bigint"))
+          .otherwise(expr("(n_common * 1000 + ndv_fk div 2) div ndv_fk"))
+          .as("containment_pm"))
+    }
+    frames.reduce(_ union _).orderBy("pk_table", "fk_table", "fk_col")
+  }
+
+  /** One-row exact overlap stats for a (pk, fk) key pair: full-outer join of
+    * the two DISTINCT key sets with presence markers, folded in one agg. */
+  private def exactOverlapFrame(spark: SparkSession, dir: String,
+      pt: String, pc: String, ft: String, fc: String): DataFrame = {
+    val pk = Fixtures.table(spark, dir, pt)
+      .select(col(pc).as("pk_k")).where(col("pk_k").isNotNull).distinct()
+      .withColumn("p", lit(1))
+    val fk = Fixtures.table(spark, dir, ft)
+      .select(col(fc).as("fk_k")).where(col("fk_k").isNotNull).distinct()
+      .withColumn("f", lit(1))
+    pk.join(fk, col("pk_k") === col("fk_k"), "full_outer")
+      .agg(
+        count(col("p")).as("ndv_pk"),
+        count(col("f")).as("ndv_fk"),
+        sum(when(col("p").isNotNull && col("f").isNotNull, 1L).otherwise(0L)).as("n_common"),
+        sum(when(col("f").isNotNull && col("p").isNull, 1L).otherwise(0L)).as("orphan_fk"))
+  }
+
+  val keyOverlapOracle: String = {
+    val selects = keyPairs.map { case (pt, pc, ft, fc) =>
+      s"""SELECT '$pt' AS pk_table, '$pc' AS pk_col, '$ft' AS fk_table, '$fc' AS fk_col,
+         |  count(p.k) AS ndv_pk, count(f.k) AS ndv_fk,
+         |  CAST(sum(CASE WHEN p.k IS NOT NULL AND f.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+         |  CAST(sum(CASE WHEN f.k IS NOT NULL AND p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_fk,
+         |  CASE WHEN count(f.k) = 0 THEN NULL ELSE
+         |    CAST((CAST(sum(CASE WHEN p.k IS NOT NULL AND f.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000
+         |          + count(f.k) // 2) // count(f.k) AS BIGINT) END AS containment_pm
+         |FROM (SELECT DISTINCT $pc AS k FROM $pt WHERE $pc IS NOT NULL) p
+         |FULL OUTER JOIN (SELECT DISTINCT $fc AS k FROM $ft WHERE $fc IS NOT NULL) f ON p.k = f.k""".stripMargin
+    }
+    selects.mkString("", "\nUNION ALL\n", "\nORDER BY pk_table, fk_table, fk_col")
+  }
+
+  /** The 100 TB twin of [[keyOverlap]]: per side ONE scan folds the key
+    * column into a mergeable Datasketches HLL (`hll_sketch_agg`), and the
+    * overlap comes from sketch algebra — `|A∩B| ≈ est(A) + est(B) −
+    * est(A∪B)` with `hll_union` over the two KB-sized sketches — instead of
+    * a distinct-set join. No shuffle carries keys at all: each scan's
+    * partial sketches merge to one row, exactly the pattern a 1000-executor
+    * profile wants (register-max merge is order-insensitive, so the
+    * estimates are deterministic given the data).
+    *
+    * GATE FORM (driver-oracled): the gated row carries the pair labels and
+    * the EXACT overlap stats verbatim (DuckDB recomputes and hash-compares
+    * them for real), plus one boolean per estimate asserting it lands within
+    * tolerance of the exact value (HLL lgK=12 ⇒ rsd ≈ 1.6 %; the
+    * intersection estimate is a difference of three estimates, so its band
+    * is relative to the UNION size, the quantity that controls its absolute
+    * error). The oracle asserts literal TRUE — a sketch regression flips a
+    * boolean and fails the hash gate. Production profiles at scale read the
+    * estimates alone and never build the exact reference.
+    */
+  def keyOverlapSketch(spark: SparkSession, dir: String,
+      lgK: Int = 12, relTol: Double = 0.05): DataFrame = {
+    val frames = keyPairs.map { case (pt, pc, ft, fc) =>
+      val pkSk = Fixtures.table(spark, dir, pt)
+        .agg(hll_sketch_agg(col(pc), lit(lgK)).as("sk_pk"))
+      val fkSk = Fixtures.table(spark, dir, ft)
+        .agg(hll_sketch_agg(col(fc), lit(lgK)).as("sk_fk"))
+      val est = pkSk.crossJoin(fkSk).select(
+        hll_sketch_estimate(col("sk_pk")).as("est_pk"),
+        hll_sketch_estimate(col("sk_fk")).as("est_fk"),
+        hll_sketch_estimate(hll_union(col("sk_pk"), col("sk_fk"))).as("est_union"))
+      val exact = exactOverlapFrame(spark, dir, pt, pc, ft, fc)
+      val exactUnion = col("ndv_pk") + col("ndv_fk") - col("n_common")
+      def ok(estC: Column, exactC: Column, scaleC: Column): Column =
+        abs(estC - exactC) <= greatest(lit(16.0), lit(relTol) * scaleC.cast("double"))
+      exact.crossJoin(est).select(
+        lit(pt).as("pk_table"), lit(pc).as("pk_col"),
+        lit(ft).as("fk_table"), lit(fc).as("fk_col"),
+        col("ndv_pk"), col("ndv_fk"), col("n_common"), col("orphan_fk"),
+        ok(col("est_pk").cast("double"), col("ndv_pk"), col("ndv_pk")).as("ok_pk"),
+        ok(col("est_fk").cast("double"), col("ndv_fk"), col("ndv_fk")).as("ok_fk"),
+        ok((col("est_pk") + col("est_fk") - col("est_union")).cast("double"),
+          col("n_common"), exactUnion).as("ok_common"))
+    }
+    frames.reduce(_ union _).orderBy("pk_table", "fk_table", "fk_col")
+  }
+
+  val keyOverlapSketchOracle: String = {
+    val selects = keyPairs.map { case (pt, pc, ft, fc) =>
+      s"""SELECT '$pt' AS pk_table, '$pc' AS pk_col, '$ft' AS fk_table, '$fc' AS fk_col,
+         |  count(p.k) AS ndv_pk, count(f.k) AS ndv_fk,
+         |  CAST(sum(CASE WHEN p.k IS NOT NULL AND f.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+         |  CAST(sum(CASE WHEN f.k IS NOT NULL AND p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_fk,
+         |  TRUE AS ok_pk, TRUE AS ok_fk, TRUE AS ok_common
+         |FROM (SELECT DISTINCT $pc AS k FROM $pt WHERE $pc IS NOT NULL) p
+         |FULL OUTER JOIN (SELECT DISTINCT $fc AS k FROM $ft WHERE $fc IS NOT NULL) f ON p.k = f.k""".stripMargin
+    }
+    selects.mkString("", "\nUNION ALL\n", "\nORDER BY pk_table, fk_table, fk_col")
+  }
 }
