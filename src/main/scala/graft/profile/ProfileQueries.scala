@@ -790,6 +790,61 @@ object ProfileQueries {
     frames.reduce(_ union _).orderBy("pk_table", "fk_table", "fk_col")
   }
 
+  // ───────────────── frequent items (Misra-Gries heavy hitters) ───────────
+
+  /** Frequent-items summary — the third mergeable sketch in the 100 TB
+    * profile family (after HLL NDV and GK quantiles): one scan folds the
+    * column into a k-counter Misra-Gries map
+    * ([[graft.functions.MisraGriesAgg]]), O(k) state per partition, merged
+    * without any key-level shuffle. Output is one row: the summary map and
+    * the stream size. Estimates aren't SQL-expressible, so the driver
+    * records the rows-only check; the guarantee is oracle-gated by
+    * [[heavyValuesGate]] and tolerance-spec'd in `MisraGriesSpec`. */
+  def heavyValues(spark: SparkSession, dir: String,
+      tableName: String = "events", column: String = "event_type", k: Int = 5): DataFrame =
+    Fixtures.table(spark, dir, tableName).agg(
+      graft.functions.MisraGriesAgg.misra_gries_agg(col(column), k).as("summary"),
+      count(col(column)).as("n"))
+
+  /** DRIVER-GATED form of the Misra-Gries guarantee, on `documents.lang`
+    * with k=3 (5 distinct values through 3 counters — eviction genuinely
+    * fires; `en` exceeds the n/(k+1) threshold at every fixture SF).
+    *
+    * Borderline summary entries depend on Spark's partial-merge order, so
+    * the gated row projects ORDER-INVARIANT facts only:
+    *  - the exact heavy values (true count · (k+1) > n) with exact counts —
+    *    deterministic, DuckDB recomputes and hash-compares them for real;
+    *  - `found_in_summary`: MG guarantees every true-heavy item survives,
+    *    any merge order — the oracle asserts literal TRUE;
+    *  - `ok_bounds`: AND over ALL summary entries of
+    *    `mg ≤ true ∧ (true − mg)·(k+1) ≤ n` (all-integer, exact) — TRUE by
+    *    the MG bound regardless of which borderline entries survive. */
+  def heavyValuesGate(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docs = Fixtures.table(spark, dir, "documents")
+    val mg = docs.agg(
+      graft.functions.MisraGriesAgg.misra_gries_agg(col("lang"), k).as("summary"),
+      count(col("lang")).as("n"))
+    val exact = docs.groupBy(col("lang").as("value")).agg(count(lit(1)).as("exact_cnt"))
+    val okBounds = mg.select(explode(col("summary")).as(Seq("value", "mg_cnt")), col("n"))
+      .join(exact, Seq("value"), "left")
+      .agg(bool_and(
+        col("mg_cnt") <= col("exact_cnt") &&
+          (col("exact_cnt") - col("mg_cnt")) * (k + 1) <= col("n")).as("ok_bounds"))
+    exact.crossJoin(broadcast(mg))
+      .filter(col("exact_cnt") * (k + 1) > col("n"))
+      .withColumn("found_in_summary", map_contains_key(col("summary"), col("value")))
+      .crossJoin(broadcast(okBounds))
+      .select("value", "exact_cnt", "found_in_summary", "ok_bounds")
+      .orderBy("value")
+  }
+
+  def heavyValuesGateOracle(k: Int = 3): String =
+    s"""SELECT lang AS value, count(*) AS exact_cnt,
+       |  TRUE AS found_in_summary, TRUE AS ok_bounds
+       |FROM documents GROUP BY lang
+       |HAVING count(*) * ${k + 1} > (SELECT count(*) FROM documents)
+       |ORDER BY value""".stripMargin
+
   val keyOverlapSketchOracle: String = {
     val selects = keyPairs.map { case (pt, pc, ft, fc) =>
       s"""SELECT '$pt' AS pk_table, '$pc' AS pk_col, '$ft' AS fk_table, '$fc' AS fk_col,
