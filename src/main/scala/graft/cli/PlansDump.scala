@@ -48,7 +48,10 @@ object PlansDump {
     "docs_target_affinity",    // bounded feature table broadcast, two linear scans
     "embedding_label_outliers", // (label,dim) sums broadcast + TakeOrdered top-k
     "docs_gopher_rules",       // two explode streams, per-doc maxima before the shuffle
-    "docs_cluster_safe_split") // cluster-label join + pure hash projection
+    "docs_cluster_safe_split", // cluster-label join + pure hash projection
+    "profile_key_overlap_sketch", // HLL union algebra: one scan/side, no key join
+    "ann_hybrid_rrf",          // two TakeOrdered legs + legK-sized fusion join
+    "profile_heavy_values_gate") // Misra-Gries partial+final, O(k) state
 
   /** Plan-audit overrides: these queries' gated implementations read
     * memoized materialized stages (the shared-pipeline design — see
