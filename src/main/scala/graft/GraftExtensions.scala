@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.vecL2Sq)
     ext.injectFunction(GraftExtensions.signLshBuckets)
     ext.injectFunction(GraftExtensions.doubleBits)
+    ext.injectFunction(GraftExtensions.misraGries)
     ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)
   }
 }
@@ -35,7 +36,8 @@ object GraftExtensions {
     * session predates the library (`withExtensions` only applies at
     * construction time). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(vecDot, rollingHash, minhashSig, simhashWords, vecL2Sq, signLshBuckets, doubleBits).foreach { case (fid, i, b) =>
+    Seq(vecDot, rollingHash, minhashSig, simhashWords, vecL2Sq, signLshBuckets, doubleBits,
+        misraGries).foreach { case (fid, i, b) =>
       org.apache.spark.sql.graft.ColumnBridge.registerFunction(spark, fid, i, b)
     }
     if (!spark.experimental.extraOptimizations.contains(graft.plans.BandedRangeJoinRule))
@@ -113,6 +115,20 @@ object GraftExtensions {
     (exprs: Seq[Expression]) => {
       requireArity("double_bits", exprs, Seq(1))
       DoubleBits(exprs(0))
+    })
+
+  val misraGries: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("misra_gries_agg"),
+    info("misra_gries_agg",
+      "misra_gries_agg(v, k) - mergeable Misra-Gries frequent-items summary: map value->count with at most k entries, error <= n/(k+1)"),
+    (exprs: Seq[Expression]) => {
+      requireArity("misra_gries_agg", exprs, Seq(2))
+      val k = exprs(1).eval() match {
+        case i: java.lang.Integer => i.intValue()
+        case l: java.lang.Long    => l.intValue()
+        case other => throw new IllegalArgumentException(s"misra_gries_agg k must be an integer literal, got $other")
+      }
+      graft.functions.MisraGriesAgg(exprs(0), k)
     })
 
   val signLshBuckets: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

@@ -85,5 +85,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
     analysisError("SELECT minhash_sig(array('x'))")
     analysisError("SELECT simhash_words('text')")
     analysisError("SELECT sign_lsh_buckets(array(CAST(1.0 AS FLOAT)), 2)")
+    analysisError("SELECT misra_gries_agg('x')")
+  }
+
+  test("SQL misra_gries_agg aggregates and agrees with the Column API (exact regime)") {
+    import spark.implicits._
+    (1 to 90).map(i => s"v${i % 3}").toDF("v").createOrReplaceTempView("mg_in")
+    val viaSql = spark.sql("SELECT misra_gries_agg(v, 8) AS mg FROM mg_in")
+      .collect()(0).getMap[String, Long](0).toMap
+    val viaCol = spark.table("mg_in")
+      .agg(graft.functions.MisraGriesAgg.misra_gries_agg(org.apache.spark.sql.functions.col("v"), 8))
+      .collect()(0).getMap[String, Long](0).toMap
+    // k=8 > 3 distinct: both exact
+    assert(viaSql == Map("v0" -> 30L, "v1" -> 30L, "v2" -> 30L))
+    assert(viaSql == viaCol)
+    // GROUP BY path: the aggregate must also work per-group
+    val grouped = spark.sql(
+      "SELECT length(v) AS g, misra_gries_agg(v, 4) AS mg FROM mg_in GROUP BY length(v)")
+      .collect()
+    assert(grouped.length == 1 && grouped(0).getMap[String, Long](1).values.sum == 90L)
   }
 }
