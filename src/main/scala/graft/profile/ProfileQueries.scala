@@ -699,6 +699,50 @@ object ProfileQueries {
       |WHERE (n * x - sx) * (n * x - sx) > 9 * (n * sq - sx * sx)
       |ORDER BY event_id""".stripMargin
 
+  // ───────────────────── whole-catalog long-format profile ────────────────
+
+  /** The WHOLE LAKE in ONE query: a long-format profile row per
+    * (table, numeric column) — row count, null count, min/max (as double),
+    * decimal-exact average, exact NDV — across every fixture table. The
+    * reference profiles a catalog with one Postgres round-trip per column,
+    * sequentially (`/root/reference/src/listTables.tsx:236-251`); here the
+    * entire catalog is one job: per table one fused algebraic scan + the
+    * stacked one-job NDV frame ([[ndvFrame]]), the 1-row wide profiles
+    * unpivot to long rows in-plan, and the union is a single DAG the
+    * scheduler overlaps across tables — N tables gain N-way inter-table
+    * parallelism on top of per-table partitioning, with zero driver-side
+    * orchestration between them. At 100 TB this is the nightly
+    * profile-the-lake job; swap [[sketchProfile]] per table for the
+    * estimate form and the shape is unchanged. */
+  def catalogProfile(spark: SparkSession, dir: String): DataFrame = {
+    val frames = Fixtures.allTables.map { t =>
+      val cols = Fixtures.numericCols(t)
+      fullProfile(spark, dir, t).select(explode(array(cols.map(c => struct(
+          lit(t).as("tbl"), lit(c).as("col_name"),
+          col("n_rows"), col(s"nulls_$c").as("n_nulls"),
+          col(s"min_$c").cast("double").as("min_d"),
+          col(s"max_$c").cast("double").as("max_d"),
+          col(s"avg_$c").as("avg_d"),
+          col(s"ndv_$c").as("ndv"))): _*)).as("p"))
+        .select("p.*")
+    }
+    frames.reduce(_ union _).orderBy("tbl", "col_name")
+  }
+
+  val catalogProfileOracle: String = {
+    val selects = Fixtures.allTables.flatMap { t =>
+      Fixtures.numericCols(t).map { c =>
+        s"""SELECT '$t' AS tbl, '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  CAST(min($c) AS DOUBLE) AS min_d, CAST(max($c) AS DOUBLE) AS max_d,
+           |  CAST(sum(CAST($c AS DECIMAL(28,${avgScale(t)}))) AS DOUBLE) / count($c) AS avg_d,
+           |  count(DISTINCT $c) AS ndv
+           |FROM $t""".stripMargin
+      }
+    }
+    selects.mkString("", "\nUNION ALL\n", "\nORDER BY tbl, col_name")
+  }
+
   // ─────────────── key-overlap (joinability / FK-discovery) profile ───────
 
   /** FK-candidate key pairs profiled by [[keyOverlap]]: (pk table, pk col,
