@@ -7,7 +7,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
 import org.apache.spark.sql.graft.ColumnBridge
@@ -43,11 +43,17 @@ case class MisraGriesAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+  extends TypedImperativeAggregate[mutable.HashMap[String, Long]]
+  with ImplicitCastInputTypes {
 
   require(k >= 1, "misra_gries_agg needs k >= 1")
 
   override def children: Seq[Expression] = Seq(child)
+  // coerce numeric/date callers to their canonical string render at
+  // analysis time (the DoubleBits pattern) — without this a bigint column
+  // dies mid-job with a ClassCastException in update(). AbstractDataType is
+  // private[sql]; the inferred Seq[StringType.type] conforms covariantly.
+  override def inputTypes = Seq(StringType)
   override def nullable: Boolean = false
   override def dataType: DataType = MapType(StringType, LongType, valueContainsNull = false)
 

@@ -396,7 +396,8 @@ object ProfileQueries {
     def hllIn(c: String): Column = schema(c).dataType match {
       case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
         graft.functions.VectorExpressions.double_bits(col(c).cast("double"))
-      case org.apache.spark.sql.types.DateType => col(c).cast("int")
+      // ANSI forbids CAST date→int; unix_date is the documented ndvFrame recipe
+      case org.apache.spark.sql.types.DateType => expr(s"unix_date(`$c`)")
       case org.apache.spark.sql.types.TimestampType | org.apache.spark.sql.types.TimestampNTZType =>
         expr(s"unix_micros(cast(`$c` as timestamp))")
       case _ => col(c)
@@ -800,17 +801,26 @@ object ProfileQueries {
         sum(when(col("f").isNotNull && col("p").isNull, 1L).otherwise(0L)).as("orphan_fk"))
   }
 
+  /** Shared per-pair oracle body: labels + exact overlap aggregates over the
+    * DISTINCT-sets full-outer join; each gated form appends its own tail
+    * columns (so the join/aggregation shape can never silently diverge
+    * between the exact and sketch oracles). */
+  private def overlapOracleBody(pt: String, pc: String, ft: String, fc: String,
+      tail: String): String =
+    s"""SELECT '$pt' AS pk_table, '$pc' AS pk_col, '$ft' AS fk_table, '$fc' AS fk_col,
+       |  count(p.k) AS ndv_pk, count(f.k) AS ndv_fk,
+       |  CAST(sum(CASE WHEN p.k IS NOT NULL AND f.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       |  CAST(sum(CASE WHEN f.k IS NOT NULL AND p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_fk,
+       |  $tail
+       |FROM (SELECT DISTINCT $pc AS k FROM $pt WHERE $pc IS NOT NULL) p
+       |FULL OUTER JOIN (SELECT DISTINCT $fc AS k FROM $ft WHERE $fc IS NOT NULL) f ON p.k = f.k""".stripMargin
+
   val keyOverlapOracle: String = {
     val selects = keyPairs.map { case (pt, pc, ft, fc) =>
-      s"""SELECT '$pt' AS pk_table, '$pc' AS pk_col, '$ft' AS fk_table, '$fc' AS fk_col,
-         |  count(p.k) AS ndv_pk, count(f.k) AS ndv_fk,
-         |  CAST(sum(CASE WHEN p.k IS NOT NULL AND f.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
-         |  CAST(sum(CASE WHEN f.k IS NOT NULL AND p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_fk,
-         |  CASE WHEN count(f.k) = 0 THEN NULL ELSE
-         |    CAST((CAST(sum(CASE WHEN p.k IS NOT NULL AND f.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000
-         |          + count(f.k) // 2) // count(f.k) AS BIGINT) END AS containment_pm
-         |FROM (SELECT DISTINCT $pc AS k FROM $pt WHERE $pc IS NOT NULL) p
-         |FULL OUTER JOIN (SELECT DISTINCT $fc AS k FROM $ft WHERE $fc IS NOT NULL) f ON p.k = f.k""".stripMargin
+      overlapOracleBody(pt, pc, ft, fc,
+        """CASE WHEN count(f.k) = 0 THEN NULL ELSE
+          |    CAST((CAST(sum(CASE WHEN p.k IS NOT NULL AND f.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000
+          |          + count(f.k) // 2) // count(f.k) AS BIGINT) END AS containment_pm""".stripMargin)
     }
     selects.mkString("", "\nUNION ALL\n", "\nORDER BY pk_table, fk_table, fk_col")
   }
@@ -895,7 +905,12 @@ object ProfileQueries {
     val mg = docs.agg(
       graft.functions.MisraGriesAgg.misra_gries_agg(col("lang"), k).as("summary"),
       count(col("lang")).as("n"))
-    val exact = docs.groupBy(col("lang").as("value")).agg(count(lit(1)).as("exact_cnt"))
+    // the MG stream is the NON-NULL values (the aggregate skips nulls), so
+    // the exact side must exclude the NULL group and the oracle's heavy
+    // threshold must use count(lang), not count(*) — else a null-bearing
+    // column computes a different heavy set on each engine
+    val exact = docs.where(col("lang").isNotNull)
+      .groupBy(col("lang").as("value")).agg(count(lit(1)).as("exact_cnt"))
     val okBounds = mg.select(explode(col("summary")).as(Seq("value", "mg_cnt")), col("n"))
       .join(exact, Seq("value"), "left")
       .agg(bool_and(
@@ -912,19 +927,14 @@ object ProfileQueries {
   def heavyValuesGateOracle(k: Int = 3): String =
     s"""SELECT lang AS value, count(*) AS exact_cnt,
        |  TRUE AS found_in_summary, TRUE AS ok_bounds
-       |FROM documents GROUP BY lang
-       |HAVING count(*) * ${k + 1} > (SELECT count(*) FROM documents)
+       |FROM documents WHERE lang IS NOT NULL GROUP BY lang
+       |HAVING count(*) * ${k + 1} > (SELECT count(lang) FROM documents)
        |ORDER BY value""".stripMargin
 
   val keyOverlapSketchOracle: String = {
     val selects = keyPairs.map { case (pt, pc, ft, fc) =>
-      s"""SELECT '$pt' AS pk_table, '$pc' AS pk_col, '$ft' AS fk_table, '$fc' AS fk_col,
-         |  count(p.k) AS ndv_pk, count(f.k) AS ndv_fk,
-         |  CAST(sum(CASE WHEN p.k IS NOT NULL AND f.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
-         |  CAST(sum(CASE WHEN f.k IS NOT NULL AND p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_fk,
-         |  TRUE AS ok_pk, TRUE AS ok_fk, TRUE AS ok_common
-         |FROM (SELECT DISTINCT $pc AS k FROM $pt WHERE $pc IS NOT NULL) p
-         |FULL OUTER JOIN (SELECT DISTINCT $fc AS k FROM $ft WHERE $fc IS NOT NULL) f ON p.k = f.k""".stripMargin
+      overlapOracleBody(pt, pc, ft, fc,
+        "TRUE AS ok_pk, TRUE AS ok_fk, TRUE AS ok_common")
     }
     selects.mkString("", "\nUNION ALL\n", "\nORDER BY pk_table, fk_table, fk_col")
   }

@@ -104,5 +104,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT length(v) AS g, misra_gries_agg(v, 4) AS mg FROM mg_in GROUP BY length(v)")
       .collect()
     assert(grouped.length == 1 && grouped(0).getMap[String, Long](1).values.sum == 90L)
+    // numeric inputs coerce to their string render at analysis time
+    // (ImplicitCastInputTypes) instead of a mid-job ClassCastException
+    val numeric = spark.sql("SELECT misra_gries_agg(length(v), 8) AS mg FROM mg_in")
+      .collect()(0).getMap[String, Long](0).toMap
+    assert(numeric == Map("2" -> 90L))
   }
 }

@@ -26,8 +26,10 @@ class StreamingHeavyHittersSpec extends AnyFunSuite {
     def writeOne(cond: org.apache.spark.sql.Column, name: String): java.nio.file.Path = {
       val tmp = Files.createTempDirectory(s"hh_$name")
       events.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp)
-        .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      val listing = Files.list(tmp)
+      val part =
+        try listing.filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        finally listing.close()
       Files.copy(part, staged.resolve(s"$name.parquet"), StandardCopyOption.REPLACE_EXISTING)
       staged.resolve(s"$name.parquet")
     }
