@@ -871,6 +871,96 @@ object ProfileQueries {
     frames.reduce(_ union _).orderBy("pk_table", "fk_table", "fk_col")
   }
 
+  // ───────────── sketch-algebra FK discovery (no declared pair list) ──────
+
+  /** Integral (key-shaped) profiled columns per table — the candidate space
+    * [[fkDiscovery]] scores. */
+  private def integralCols(spark: SparkSession, dir: String, t: String): Seq[String] = {
+    val schema = Fixtures.table(spark, dir, t).schema
+    Fixtures.numericCols(t).filter(c => schema(c).dataType match {
+      case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    })
+  }
+
+  /** One HLL sketch row per (table, integral column), materialized ONCE per
+    * (session, dir) — both discovery forms read it, and the two join legs of
+    * the pair cross never re-scan the data. One scan per table builds every
+    * column's sketch in a single fused agg. */
+  private def fkSketchRows(spark: SparkSession, dir: String, lgK: Int): DataFrame =
+    graft.operators.StageMemo(spark, dir, s"fk_sketches_$lgK") {
+      val frames = Fixtures.allTables.flatMap { t =>
+        val cols = integralCols(spark, dir, t)
+        if (cols.isEmpty) None
+        else {
+          val aggs = cols.map(c => hll_sketch_agg(col(c), lit(lgK)).as(s"sk_$c"))
+          Some(Fixtures.table(spark, dir, t).agg(aggs.head, aggs.tail: _*)
+            .select(explode(array(cols.map(c => struct(
+              lit(t).as("tbl"), lit(c).as("col_name"), col(s"sk_$c").as("sk"))): _*)).as("p"))
+            .select("p.*"))
+        }
+      }
+      frames.reduce(_ union _)
+    }
+
+  /** INCLUSION-DEPENDENCY (candidate-FK) DISCOVERY from sketch algebra
+    * alone: every cross-table (column, column) pair is scored for
+    * containment — `|A∩B| / |B| ≈ (est(A)+est(B)−est(A∪B)) / est(B)` — from
+    * the per-column HLL sketches, with NO declared pair list and NO second
+    * pass over the data. The scan cost is one fused sketch agg per table
+    * (shared via [[fkSketchRows]]); the pair cross is (Σ columns)² rows of
+    * KB-sized sketch state, data-independent — at 100 TB the data pass is
+    * unchanged and the pair algebra still runs in milliseconds. This is the
+    * sketch form of classic IND-discovery (SPIDER-style candidate
+    * generation), the crawler step a catalog runs before [[keyOverlap]]
+    * verifies exactly. Output: candidate pairs at containment ≥
+    * `minContainPm` per-mille, ranked. Estimates are engine-specific
+    * (driver records rows-only); [[fkDiscoveryGate]] pins the guarantee
+    * under the DuckDB oracle, and small-domain false positives (every
+    * 25-value nationkey lands inside every 150k-value custkey) are the
+    * documented nature of IND discovery, not a bug. */
+  def fkDiscovery(spark: SparkSession, dir: String,
+      lgK: Int = 12, minContainPm: Long = 900L): DataFrame = {
+    val s = fkSketchRows(spark, dir, lgK)
+    val a = s.select(col("tbl").as("pk_table"), col("col_name").as("pk_col"), col("sk").as("sk_a"))
+    val b = s.select(col("tbl").as("fk_table"), col("col_name").as("fk_col"), col("sk").as("sk_b"))
+    a.crossJoin(b).filter(col("pk_table") =!= col("fk_table"))
+      .withColumn("est_pk", hll_sketch_estimate(col("sk_a")))
+      .withColumn("est_fk", hll_sketch_estimate(col("sk_b")))
+      .withColumn("est_union", hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
+      .withColumn("est_common", greatest(col("est_pk") + col("est_fk") - col("est_union"), lit(0L)))
+      .withColumn("containment_pm", expr("least(1000, (est_common * 1000) div greatest(est_fk, 1))"))
+      .filter(col("containment_pm") >= minContainPm)
+      .select("pk_table", "pk_col", "fk_table", "fk_col", "est_pk", "est_fk", "containment_pm")
+      .orderBy(col("containment_pm").desc, col("pk_table"), col("pk_col"),
+        col("fk_table"), col("fk_col"))
+  }
+
+  /** DRIVER-GATED form: every KNOWN fixture FK pair ([[keyPairs]]) must be
+    * detected by [[fkDiscovery]] — the labels are literals and the
+    * `detected` boolean is TRUE by the HLL error bound (containment of a
+    * true subset estimates ≈ 1000 ‰ ± a few percent at lgK 12, far above
+    * the 900 ‰ cut), so the oracle asserts literal TRUE. */
+  def fkDiscoveryGate(spark: SparkSession, dir: String,
+      lgK: Int = 12, minContainPm: Long = 900L): DataFrame = {
+    import spark.implicits._
+    val found = fkDiscovery(spark, dir, lgK, minContainPm)
+      .select(col("pk_table"), col("pk_col"), col("fk_table"), col("fk_col"), lit(1).as("hit"))
+    val known = keyPairs.toDF("pk_table", "pk_col", "fk_table", "fk_col")
+    known.join(found, Seq("pk_table", "pk_col", "fk_table", "fk_col"), "left")
+      .select(col("pk_table"), col("pk_col"), col("fk_table"), col("fk_col"),
+        col("hit").isNotNull.as("detected"))
+      .orderBy("pk_table", "fk_table", "fk_col")
+  }
+
+  val fkDiscoveryGateOracle: String = {
+    val selects = keyPairs.map { case (pt, pc, ft, fc) =>
+      s"SELECT '$pt' AS pk_table, '$pc' AS pk_col, '$ft' AS fk_table, '$fc' AS fk_col, TRUE AS detected"
+    }
+    selects.mkString("", "\nUNION ALL\n", "\nORDER BY pk_table, fk_table, fk_col")
+  }
+
   // ───────────────── frequent items (Misra-Gries heavy hitters) ───────────
 
   /** Frequent-items summary — the third mergeable sketch in the 100 TB

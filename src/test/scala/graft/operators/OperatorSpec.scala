@@ -21,7 +21,9 @@ class OperatorSpec extends AnyFunSuite {
     val sketchOnly = Set("profile_sketch_lineitem", "profile_sketch_events",
       // Misra-Gries summary map: borderline entries are merge-order-
       // dependent; the guarantee gate is profile_heavy_values_gate
-      "profile_heavy_values")
+      "profile_heavy_values",
+      // HLL containment estimates; the detection gate is oracled
+      "profile_fk_discovery")
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == sketchOnly)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }

@@ -37,6 +37,23 @@ class KeyOverlapSpec extends AnyFunSuite {
       custOrders.getLong(custOrders.fieldIndex("ndv_pk")))
   }
 
+  test("sketch FK discovery: every true FK pair detected near 1000 permille; direction sane") {
+    val cands = ProfileQueries.fkDiscovery(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)) ->
+        r.getLong(r.fieldIndex("containment_pm"))).toMap
+    ProfileQueries.keyPairs.foreach { case (pt, pc, ft, fc) =>
+      val pm = cands.get((pt, pc, ft, fc))
+      assert(pm.isDefined, s"true FK $ft.$fc ⊆ $pt.$pc not discovered")
+      assert(pm.get >= 950, s"true FK $ft.$fc ⊆ $pt.$pc containment $pm")
+    }
+    // true negative: the fixtures' 0-based sequential keys make every
+    // small domain a subset of every larger one, so the only structural
+    // negatives run big-into-small — 200 part keys cannot live inside 10
+    // supplier keys (containment ≈ 50 ‰, far under the 900 cut)
+    val neg = cands.get(("supplier", "s_suppkey", "part", "p_partkey"))
+    assert(neg.isEmpty, s"200-key column read as contained in a 10-key column: $neg")
+  }
+
   test("sketch twin: every tolerance boolean holds and exact columns agree") {
     val exact = ProfileQueries.keyOverlap(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(2), r.getString(3)) ->
