@@ -609,6 +609,59 @@ object ProfileQueries {
             sqrt(col("n") * col("sum_y2") - col("sum_y") * col("sum_y"))))
   }
 
+  /** Measure columns of the pairwise-correlation profile. */
+  private val corrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val corrPairs: Seq[(String, String)] =
+    for { (a, i) <- corrCols.zipWithIndex; b <- corrCols.drop(i + 1) } yield (a, b)
+
+  /** FULL pairwise Pearson-correlation profile of lineitem's measure
+    * columns in ONE scan — the matrix generalization of
+    * [[quantityPriceCorr]]: a single fused aggregation computes every
+    * column's decimal-exact sum and sum-of-squares plus every pair's
+    * cross-product sum (k columns ⇒ 2k + k(k−1)/2 aggregates, all
+    * partial-agg friendly), then each pair's correlation is a fixed-order
+    * double expression over the 1-row result, exploded to long format.
+    * The naive form runs one scan per pair — k(k−1)/2 passes; this is the
+    * stat-fusion posture (SURVEY §4.2) applied to second moments, and at
+    * 100 TB the single pass is the entire cost. Decimal sums make both
+    * engines' doubles bit-identical, so the correlation itself
+    * hash-matches (the [[quantityPriceCorr]] recipe). */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    def d(c: String) = col(c).cast("decimal(18,2)")
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      corrCols.flatMap(c => Seq(
+        sum(d(c)).cast("double").as(s"s_$c"),
+        sum(d(c) * d(c)).cast("double").as(s"q_$c"))) ++
+      corrPairs.map { case (a, b) => sum(d(a) * d(b)).cast("double").as(s"p_${a}_$b") }
+    Fixtures.table(spark, dir, "lineitem")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(corrPairs.map { case (a, b) =>
+        struct(lit(a).as("col_x"), lit(b).as("col_y"), col("n"),
+          ((col("n") * col(s"p_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
+            (sqrt(col("n") * col(s"q_$a") - col(s"s_$a") * col(s"s_$a")) *
+              sqrt(col("n") * col(s"q_$b") - col(s"s_$b") * col(s"s_$b")))).as("corr"))
+      }: _*)).as("p"))
+      .select("p.*")
+      .orderBy("col_x", "col_y")
+  }
+
+  val corrMatrixOracle: String = {
+    def d(c: String) = s"CAST($c AS DECIMAL(18,2))"
+    val sums = corrCols.flatMap(c => Seq(
+      s"CAST(sum(${d(c)}) AS DOUBLE) AS s_$c",
+      s"CAST(sum(${d(c)} * ${d(c)}) AS DOUBLE) AS q_$c")) ++
+      corrPairs.map { case (a, b) => s"CAST(sum(${d(a)} * ${d(b)}) AS DOUBLE) AS p_${a}_$b" }
+    val rows = corrPairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_x, '$b' AS col_y, n,
+         |  (n * p_${a}_$b - s_$a * s_$b) /
+         |  (sqrt(n * q_$a - s_$a * s_$a) * sqrt(n * q_$b - s_$b * s_$b)) AS corr
+         |FROM s""".stripMargin
+    }
+    s"""WITH s AS (SELECT count(*) AS n, ${sums.mkString(", ")} FROM lineitem)
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY col_x, col_y""".stripMargin
+  }
+
   val quantityPriceCorrOracle: String =
     """WITH s AS (
       |  SELECT count(*) AS n,
