@@ -73,6 +73,38 @@ object EventStreamProfiler {
         col("min_user_id"), col("max_user_id"), col("min_value"), col("max_value"),
         col("nulls_value"))
 
+  /** Streaming per-window DISTINCT-USERS monitor (the "DAU per hour"
+    * sketch): each tumbling window folds `user_id` into a Datasketches HLL
+    * — KB of state per open window where exact countDistinct would buffer
+    * every user id seen. Register-max accumulation is order-insensitive,
+    * so the streaming estimate is IDENTICAL to the batch twin's (spec'd as
+    * equality, not tolerance): the sketch depends on the window's value
+    * SET, not arrival order or micro-batch boundaries. */
+  def hourlyDistinctUsersStream(spark: SparkSession, eventsDir: String,
+      lgK: Int = 12, maxFilesPerTrigger: Int = 1): DataFrame =
+    distinctUsersSelect(
+      spark.readStream
+        .schema(eventsSchema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(eventsDir)
+        .withColumn("ts_utc", col("ts").cast("timestamp"))
+        .withWatermark("ts_utc", "2 hours"), lgK)
+
+  /** Batch twin of [[hourlyDistinctUsersStream]]. */
+  def hourlyDistinctUsersBatch(spark: SparkSession, eventsDir: String,
+      lgK: Int = 12): DataFrame =
+    distinctUsersSelect(
+      spark.read.parquet(eventsDir)
+        .withColumn("ts_utc", col("ts").cast("timestamp")), lgK)
+
+  private def distinctUsersSelect(df: DataFrame, lgK: Int): DataFrame =
+    df.groupBy(window(col("ts_utc"), "1 hour"))
+      .agg(
+        hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"),
+        count(col("user_id")).as("n_events"))
+      .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
+        hll_sketch_estimate(col("sk")).as("ndv_users_est"), col("n_events"))
+
   /** Streaming hourly rollup: counts + value sums per (hour, event_type),
     * 2-hour watermark for late data. Append-mode compatible (the aggregate
     * closes once the watermark passes the window end).
