@@ -51,7 +51,9 @@ object PlansDump {
     "docs_cluster_safe_split", // cluster-label join + pure hash projection
     "profile_key_overlap_sketch", // HLL union algebra: one scan/side, no key join
     "ann_hybrid_rrf",          // two TakeOrdered legs + legK-sized fusion join
-    "profile_heavy_values_gate") // Misra-Gries partial+final, O(k) state
+    "profile_heavy_values_gate", // Misra-Gries partial+final, O(k) state
+    "profile_catalog_long",    // whole lake, one DAG: fused scan + NDV per table
+    "profile_corr_matrix")     // all pairwise correlations from one fused scan
 
   /** Plan-audit overrides: these queries' gated implementations read
     * memoized materialized stages (the shared-pipeline design — see
