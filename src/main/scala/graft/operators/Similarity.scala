@@ -1141,7 +1141,56 @@ object Similarity {
   def hybridRrf(spark: SparkSession, dir: String, queryVec: Long = 0L,
       terms: Seq[String] = Seq("spark", "window", "hash"),
       legK: Int = 50, k: Int = 15, rrfK: Int = 60): DataFrame = {
-    val kwTop = table(spark, dir, "documents")
+    val e = table(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") === queryVec)
+      .select(col("embedding").as("qv"), norm(col("embedding")).as("qn"))
+    val vecTop = rankVecLeg(
+      e.filter(col("vec_id") =!= queryVec)
+        .crossJoin(broadcast(q))
+        .withColumn("cos", dot(col("qv"), col("embedding")) / (col("qn") * norm(col("embedding"))))
+        .select(col("vec_id"), col("cos")), legK)
+    fuseRrf(kwLeg(spark, dir, terms, legK), vecTop, rrfK, k)
+  }
+
+  /** [[hybridRrf]] with the IVF candidate path as the vector leg — the
+    * "swap the leg, keep the fusion" composition the 100 TB note promises:
+    * candidates come from the `nprobe` nearest IVF cells (the
+    * [[ivfTopK]] machinery) instead of a full scan, and the keyword leg,
+    * RRF arithmetic, and output contract are untouched. Deterministic
+    * integer cell assignment keeps it oracle-exact end-to-end. */
+  def hybridRrfIvf(spark: SparkSession, dir: String, queryVec: Long = 0L,
+      terms: Seq[String] = Seq("spark", "window", "hash"),
+      legK: Int = 50, k: Int = 15, rrfK: Int = 60,
+      nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    import graft.functions.VectorExpressions.vec_l2sq
+    val e = table(spark, dir, "embeddings")
+    val cents = e.filter(col("vec_id") >= 100 && col("vec_id") < 100 + nCentroids)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+    val dists = e.join(broadcast(cents))
+      .withColumn("dist", vec_l2sq(col("embedding"), col("cv")))
+      .select("vec_id", "cell", "dist")
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("dist"), col("cell"))
+    val cells = dists.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1).select("vec_id", "cell")
+    val probes = dists.filter(col("vec_id") === queryVec)
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= nprobe).select("cell")
+    val q = e.filter(col("vec_id") === queryVec)
+      .select(col("embedding").as("qv"), norm(col("embedding")).as("qn"))
+    val vecTop = rankVecLeg(
+      broadcast(probes).join(cells, "cell")
+        .filter(col("vec_id") =!= queryVec)
+        .join(e, "vec_id")
+        .crossJoin(broadcast(q))
+        .withColumn("cos", dot(col("qv"), col("embedding")) / (col("qn") * norm(col("embedding"))))
+        .select(col("vec_id"), col("cos")), legK)
+    fuseRrf(kwLeg(spark, dir, terms, legK), vecTop, rrfK, k)
+  }
+
+  /** Keyword leg: per-doc hit count of the query terms, top-`legK`. */
+  private def kwLeg(spark: SparkSession, dir: String,
+      terms: Seq[String], legK: Int): DataFrame =
+    table(spark, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(col("word").isin(terms: _*))
       .groupBy("doc_id").agg(count(lit(1)).as("kw_score"))
@@ -1150,18 +1199,19 @@ object Similarity {
       .withColumn("kw_rank",
         row_number().over(Window.orderBy(col("kw_score").desc, col("doc_id"))).cast("bigint"))
       .select("doc_id", "kw_rank")
-    val e = table(spark, dir, "embeddings")
-    val q = e.filter(col("vec_id") === queryVec)
-      .select(col("embedding").as("qv"), norm(col("embedding")).as("qn"))
-    val vecTop = e.filter(col("vec_id") =!= queryVec)
-      .crossJoin(broadcast(q))
-      .withColumn("cos", dot(col("qv"), col("embedding")) / (col("qn") * norm(col("embedding"))))
-      .select(col("vec_id"), col("cos"))
+
+  /** Rank a scored (vec_id, cos) candidate set: TakeOrdered head, then a
+    * ≤legK-row rank window. */
+  private def rankVecLeg(scored: DataFrame, legK: Int): DataFrame =
+    scored
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(legK)
       .withColumn("vec_rank",
         row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("bigint"))
       .select(col("vec_id").as("doc_id"), col("vec_rank"))
+
+  /** The RRF fusion shared by every leg combination. */
+  private def fuseRrf(kwTop: DataFrame, vecTop: DataFrame, rrfK: Int, k: Int): DataFrame =
     kwTop.join(vecTop, Seq("doc_id"), "full_outer")
       .withColumn("rrf_micro",
         coalesce(expr(s"1000000 div ($rrfK + kw_rank)"), lit(0L)) +
@@ -1172,11 +1222,12 @@ object Similarity {
         row_number().over(Window.orderBy(col("rrf_micro").desc, col("doc_id"))).cast("bigint"))
       .select("rnk", "doc_id", "kw_rank", "vec_rank", "rrf_micro")
       .orderBy("rnk")
-  }
 
-  def hybridRrfOracle(queryVec: Long = 0L,
-      terms: Seq[String] = Seq("spark", "window", "hash"),
-      legK: Int = 50, k: Int = 15, rrfK: Int = 60): String = {
+  /** Shared RRF oracle skeleton: `extraCtes` precede the `vt` candidate CTE
+    * (which must yield (vec_id, cos)); the kw leg and fusion are fixed so a
+    * leg swap can never diverge the fusion SQL from the Spark side. */
+  private def rrfOracle(extraCtes: String, vtSql: String, queryVec: Long,
+      terms: Seq[String], legK: Int, k: Int, rrfK: Int): String = {
     val termList = terms.map(t => s"'$t'").mkString(", ")
     s"""WITH kw AS (
        |  SELECT doc_id, count(*) AS kw_score
@@ -1186,10 +1237,9 @@ object Similarity {
        |), kwr AS (
        |  SELECT doc_id, row_number() OVER (ORDER BY kw_score DESC, doc_id) AS kw_rank FROM kw
        |), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryVec),
+       |$extraCtes
        |vt AS (
-       |  SELECT vec_id, ${cosSql("qv", "embedding")} AS cos
-       |  FROM embeddings, q WHERE vec_id != $queryVec
-       |  ORDER BY cos DESC, vec_id LIMIT $legK
+       |$vtSql
        |), vr AS (
        |  SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS vec_rank FROM vt
        |), fused AS (
@@ -1202,5 +1252,43 @@ object Similarity {
        |         doc_id, kw_rank, vec_rank, rrf_micro
        |  FROM fused)
        |WHERE rnk <= $k ORDER BY rnk""".stripMargin
+  }
+
+  def hybridRrfOracle(queryVec: Long = 0L,
+      terms: Seq[String] = Seq("spark", "window", "hash"),
+      legK: Int = 50, k: Int = 15, rrfK: Int = 60): String =
+    rrfOracle("",
+      s"""  SELECT vec_id, ${cosSql("qv", "embedding")} AS cos
+         |  FROM embeddings, q WHERE vec_id != $queryVec
+         |  ORDER BY cos DESC, vec_id LIMIT $legK""".stripMargin,
+      queryVec, terms, legK, k, rrfK)
+
+  def hybridRrfIvfOracle(queryVec: Long = 0L,
+      terms: Seq[String] = Seq("spark", "window", "hash"),
+      legK: Int = 50, k: Int = 15, rrfK: Int = 60,
+      nCentroids: Int = 16, nprobe: Int = 4): String = {
+    val distSql = l2Sql.format("e.embedding", "c.cv")
+    val ctes =
+      s"""cents AS (
+         |  SELECT vec_id AS cell, embedding AS cv FROM embeddings
+         |  WHERE vec_id >= 100 AND vec_id < ${100 + nCentroids}
+         |), d AS (
+         |  SELECT e.vec_id, c.cell, $distSql AS dist
+         |  FROM embeddings e CROSS JOIN cents c
+         |), ranked_cells AS (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |  FROM d
+         |), cells AS (
+         |  SELECT vec_id, cell FROM ranked_cells WHERE rn = 1
+         |), probes AS (
+         |  SELECT cell FROM ranked_cells WHERE vec_id = $queryVec AND rn <= $nprobe
+         |),""".stripMargin
+    rrfOracle(ctes,
+      s"""  SELECT cells.vec_id, ${cosSql("qv", "ce.embedding")} AS cos
+         |  FROM probes JOIN cells USING (cell)
+         |  JOIN embeddings ce ON ce.vec_id = cells.vec_id, q
+         |  WHERE cells.vec_id != $queryVec
+         |  ORDER BY cos DESC, cells.vec_id LIMIT $legK""".stripMargin,
+      queryVec, terms, legK, k, rrfK)
   }
 }
