@@ -77,6 +77,17 @@ object ScaleProbe {
         (col("label") + lit(k)).as("label"))
     }.reduce(_ unionAll _)
 
+  /** `factor` deterministic replicas of lineitem: fact keys (l_orderkey)
+    * shift per replica so key cardinality grows ×k, while dimension keys
+    * and measure distributions stay fixed — the realistic lake-growth shape
+    * (facts accumulate, dimension domains saturate). Row replication is the
+    * RIGHT corpus here, unlike the dedup families: profile cost is per-row
+    * scan + sketch update with no pairwise term to distort. */
+  private def replicateLineitem(base: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { k =>
+      base.withColumn("l_orderkey", col("l_orderkey") + lit(k * ReplicaSpacing))
+    }.reduce(_ unionAll _)
+
   private def timeIt(body: => Unit): Double = {
     val t0 = System.nanoTime()
     body
@@ -94,7 +105,7 @@ object ScaleProbe {
     val family  = if (args.length > 4) args(4) else "all"
     require(factors.forall(f => f >= 1 && f <= 26) && factors == factors.sorted,
       "factors must be ascending and ≤26 (letter rotations must stay distinct)")
-    require(Set("docs", "emb", "all")(family), s"unknown family: $family")
+    require(Set("docs", "emb", "prof", "all")(family), s"unknown family: $family")
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -108,8 +119,9 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val sizes = factors
-    val doDocs = family != "emb"
-    val doEmb = family != "docs"
+    val doDocs = family == "docs" || family == "all"
+    val doEmb = family == "emb" || family == "all"
+    val doProf = family == "prof" || family == "all"
     // all corpora are written by the SAME writer at the same parallelism,
     // so the 1× run is not advantaged by the fixture's single-file layout
     if (doDocs) {
@@ -126,6 +138,13 @@ object ScaleProbe {
           .write.mode("overwrite").parquet(s"$outRoot/x$s/embeddings.parquet")
       }
     }
+    if (doProf) {
+      val baseLi = spark.read.parquet(s"$baseDir/lineitem.parquet")
+      sizes.foreach { s =>
+        replicateLineitem(baseLi, s).repartition(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(s"$outRoot/x$s/lineitem.parquet")
+      }
+    }
     spark.range(1000000L).selectExpr("sum(id)").collect() // JVM warm-up
 
     val docBuilds = Seq[(String, String => DataFrame)](
@@ -137,7 +156,12 @@ object ScaleProbe {
     val embBuilds = Seq[(String, String => DataFrame)](
       ("semdedup_build", d => graft.operators.Similarity.semDedup(spark, d, maxId = 1L << 60)),
       ("ann_ivfpq", d => graft.operators.Similarity.ivfPqTopK(spark, d)))
-    val builds = (if (doDocs) docBuilds else Seq.empty) ++ (if (doEmb) embBuilds else Seq.empty)
+    val profBuilds = Seq[(String, String => DataFrame)](
+      ("sketch_profile", d => graft.profile.ProfileQueries.sketchProfile(spark, d, "lineitem")),
+      ("full_profile",   d => graft.profile.ProfileQueries.fullProfile(spark, d, "lineitem")))
+    val builds = (if (doDocs) docBuilds else Seq.empty) ++
+      (if (doEmb) embBuilds else Seq.empty) ++
+      (if (doProf) profBuilds else Seq.empty)
 
     // per (size, build): best-of-`reps`, memo cleared per rep so each rep
     // pays the full materialization (manifest deliberately runs AFTER the
