@@ -28,10 +28,6 @@ object ProfileMain {
   }
 
   def main(argv: Array[String]): Unit = {
-    val args = parseArgs(argv.toSeq)
-    val data = args.options.getOrElse("data", "/root/testdata/sf0.001")
-    val exact = args.flags.contains("exact")
-    val threads = args.options.get("threads").map(_.toInt).getOrElse(32)
     // DEAD-KNOB PARITY (VERDICT r8 "missing" #3): the reference documents
     // --concurrency and --statement-timeout-ms (README.md:156) but its code
     // never reads them (listTables.tsx:471-501 uses neither). parseArgs
@@ -39,6 +35,12 @@ object ProfileMain {
     // accept-silently-and-ignore behavior, pinned by ProfileCliSpec so a
     // future flag-validation pass can't accidentally start rejecting them.
     try {
+      val args = parseArgs(argv.toSeq)
+      val data = args.options.getOrElse("data", "/root/testdata/sf0.001")
+      val exact = args.flags.contains("exact")
+      // inside the try: a junk --threads=lots must take the documented
+      // stderr + exit-1 path, not an uncaught NumberFormatException
+      val threads = args.options.get("threads").map(_.toInt).getOrElse(32)
       val spark = GraftSession.local(threads)
       try {
         val profiles =

@@ -204,10 +204,15 @@ object Similarity {
     * Shuffle profile at scale: centroid table broadcast (n rows), one
     * window shuffle on vec_id for assignment, bucket equi-join on cell —
     * never a cross product against the corpus. */
-  def ivfTopK(spark: SparkSession, dir: String, numQueries: Int = 5, k: Int = 3,
-      nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+  /** The shared seed-centroid IVF quantizer (centroids = vec_id ∈
+    * [100, 100+n)): per-vector nearest-cell assignment plus the
+    * `nprobe`-cell probe list for rows matching `isQuery` — the ONE copy of
+    * the cells/probes machinery every IVF-shaped consumer (plain, PQ,
+    * hybrid-RRF leg) builds on, so the centroid convention and tie-break
+    * can never drift between them. */
+  private def ivfAssign(e: DataFrame, nCentroids: Int, nprobe: Int,
+      isQuery: Column): (DataFrame, DataFrame) = {
     import graft.functions.VectorExpressions.vec_l2sq
-    val e = table(spark, dir, "embeddings")
     val cents = e.filter(col("vec_id") >= 100 && col("vec_id") < 100 + nCentroids)
       .select(col("vec_id").as("cell"), col("embedding").as("cv"))
     val dists = e.join(broadcast(cents))
@@ -216,10 +221,17 @@ object Similarity {
     val wAssign = Window.partitionBy("vec_id").orderBy(col("dist"), col("cell"))
     val cells = dists.withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1).select("vec_id", "cell")
-    val probes = dists.filter(col("vec_id") < numQueries)
+    val probes = dists.filter(isQuery)
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("cell"))
+    (cells, probes)
+  }
+
+  def ivfTopK(spark: SparkSession, dir: String, numQueries: Int = 5, k: Int = 3,
+      nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+    val (cells, probes) = ivfAssign(e, nCentroids, nprobe, col("vec_id") < numQueries)
     val qv = e.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         norm(col("embedding")).as("qn"))
@@ -237,24 +249,33 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  def ivfTopKOracle(numQueries: Int = 5, k: Int = 3,
-      nCentroids: Int = 16, nprobe: Int = 4): String = {
+  /** Shared oracle CTE text for [[ivfAssign]] — cents → ivf_d →
+    * ranked_cells → cells, plus a probes CTE with a caller-supplied filter
+    * and projection, so the SQL twin of the quantizer has exactly one copy
+    * too. */
+  private def ivfAssignCtes(nCentroids: Int, nprobe: Int, probeWhere: String,
+      probeSelect: String = "vec_id AS query_id, cell"): String = {
     val distSql = l2Sql.format("e.embedding", "c.cv")
-    s"""WITH cents AS (
+    s"""cents AS (
        |  SELECT vec_id AS cell, embedding AS cv FROM embeddings
        |  WHERE vec_id >= 100 AND vec_id < ${100 + nCentroids}
-       |), d AS (
+       |), ivf_d AS (
        |  SELECT e.vec_id, c.cell, $distSql AS dist
        |  FROM embeddings e CROSS JOIN cents c
        |), ranked_cells AS (
        |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-       |  FROM d
+       |  FROM ivf_d
        |), cells AS (
        |  SELECT vec_id, cell FROM ranked_cells WHERE rn = 1
        |), probes AS (
-       |  SELECT vec_id AS query_id, cell FROM ranked_cells
-       |  WHERE vec_id < $numQueries AND rn <= $nprobe
-       |), cands AS (
+       |  SELECT $probeSelect FROM ranked_cells
+       |  WHERE $probeWhere AND rn <= $nprobe
+       |)""".stripMargin
+  }
+
+  def ivfTopKOracle(numQueries: Int = 5, k: Int = 3,
+      nCentroids: Int = 16, nprobe: Int = 4): String = {
+    s"""WITH ${ivfAssignCtes(nCentroids, nprobe, s"vec_id < $numQueries")}, cands AS (
        |  SELECT query_id, cells.vec_id AS cand_id
        |  FROM probes JOIN cells USING (cell)
        |  WHERE query_id != cells.vec_id
@@ -523,20 +544,8 @@ object Similarity {
   def ivfPqTopK(spark: SparkSession, dir: String, numQueries: Int = 5, k: Int = 3,
       nCentroids: Int = 16, nprobe: Int = 4, nCodes: Int = 16, m: Int = 8,
       rerank: Int = 10): DataFrame = {
-    import graft.functions.VectorExpressions.vec_l2sq
     val e = table(spark, dir, "embeddings")
-    val cents = e.filter(col("vec_id") >= 100 && col("vec_id") < 100 + nCentroids)
-      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
-    val dists = e.join(broadcast(cents))
-      .withColumn("dist", vec_l2sq(col("embedding"), col("cv")))
-      .select("vec_id", "cell", "dist")
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("dist"), col("cell"))
-    val cells = dists.withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1).select("vec_id", "cell")
-    val probes = dists.filter(col("vec_id") < numQueries)
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("cell"))
+    val (cells, probes) = ivfAssign(e, nCentroids, nprobe, col("vec_id") < numQueries)
     val cands = broadcast(probes).join(cells, "cell")
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("cand_id"))
@@ -571,22 +580,7 @@ object Similarity {
   def ivfPqTopKOracle(numQueries: Int = 5, k: Int = 3, nCentroids: Int = 16,
       nprobe: Int = 4, nCodes: Int = 16, m: Int = 8, rerank: Int = 10): String = {
     val subDim = 64 / m
-    val distSql = l2Sql.format("e.embedding", "c.cv")
-    s"""WITH cents AS (
-       |  SELECT vec_id AS cell, embedding AS cv FROM embeddings
-       |  WHERE vec_id >= 100 AND vec_id < ${100 + nCentroids}
-       |), ivf_d AS (
-       |  SELECT e.vec_id, c.cell, $distSql AS dist
-       |  FROM embeddings e CROSS JOIN cents c
-       |), ranked_cells AS (
-       |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-       |  FROM ivf_d
-       |), cells AS (
-       |  SELECT vec_id, cell FROM ranked_cells WHERE rn = 1
-       |), probes AS (
-       |  SELECT vec_id AS query_id, cell FROM ranked_cells
-       |  WHERE vec_id < $numQueries AND rn <= $nprobe
-       |), cands AS (
+    s"""WITH ${ivfAssignCtes(nCentroids, nprobe, s"vec_id < $numQueries")}, cands AS (
        |  SELECT query_id, cells.vec_id AS cand_id
        |  FROM probes JOIN cells USING (cell)
        |  WHERE query_id != cells.vec_id
@@ -1162,19 +1156,9 @@ object Similarity {
       terms: Seq[String] = Seq("spark", "window", "hash"),
       legK: Int = 50, k: Int = 15, rrfK: Int = 60,
       nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
-    import graft.functions.VectorExpressions.vec_l2sq
     val e = table(spark, dir, "embeddings")
-    val cents = e.filter(col("vec_id") >= 100 && col("vec_id") < 100 + nCentroids)
-      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
-    val dists = e.join(broadcast(cents))
-      .withColumn("dist", vec_l2sq(col("embedding"), col("cv")))
-      .select("vec_id", "cell", "dist")
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("dist"), col("cell"))
-    val cells = dists.withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1).select("vec_id", "cell")
-    val probes = dists.filter(col("vec_id") === queryVec)
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") <= nprobe).select("cell")
+    val (cells, probesQ) = ivfAssign(e, nCentroids, nprobe, col("vec_id") === queryVec)
+    val probes = probesQ.select("cell")
     val q = e.filter(col("vec_id") === queryVec)
       .select(col("embedding").as("qv"), norm(col("embedding")).as("qn"))
     val vecTop = rankVecLeg(
@@ -1267,22 +1251,8 @@ object Similarity {
       terms: Seq[String] = Seq("spark", "window", "hash"),
       legK: Int = 50, k: Int = 15, rrfK: Int = 60,
       nCentroids: Int = 16, nprobe: Int = 4): String = {
-    val distSql = l2Sql.format("e.embedding", "c.cv")
-    val ctes =
-      s"""cents AS (
-         |  SELECT vec_id AS cell, embedding AS cv FROM embeddings
-         |  WHERE vec_id >= 100 AND vec_id < ${100 + nCentroids}
-         |), d AS (
-         |  SELECT e.vec_id, c.cell, $distSql AS dist
-         |  FROM embeddings e CROSS JOIN cents c
-         |), ranked_cells AS (
-         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-         |  FROM d
-         |), cells AS (
-         |  SELECT vec_id, cell FROM ranked_cells WHERE rn = 1
-         |), probes AS (
-         |  SELECT cell FROM ranked_cells WHERE vec_id = $queryVec AND rn <= $nprobe
-         |),""".stripMargin
+    val ctes = ivfAssignCtes(nCentroids, nprobe,
+      s"vec_id = $queryVec", probeSelect = "cell") + ","
     rrfOracle(ctes,
       s"""  SELECT cells.vec_id, ${cosSql("qv", "ce.embedding")} AS cos
          |  FROM probes JOIN cells USING (cell)

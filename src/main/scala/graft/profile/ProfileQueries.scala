@@ -975,12 +975,16 @@ object ProfileQueries {
     * documented nature of IND discovery, not a bug. */
   def fkDiscovery(spark: SparkSession, dir: String,
       lgK: Int = 12, minContainPm: Long = 900L): DataFrame = {
+    // per-column estimates are computed ONCE on the ~|columns| sketch rows
+    // BEFORE the cross (not per pair — at a 10⁴-column lake that is 10⁴
+    // estimates instead of 10⁸); only est_union is inherently per-pair
     val s = fkSketchRows(spark, dir, lgK)
-    val a = s.select(col("tbl").as("pk_table"), col("col_name").as("pk_col"), col("sk").as("sk_a"))
-    val b = s.select(col("tbl").as("fk_table"), col("col_name").as("fk_col"), col("sk").as("sk_b"))
+      .withColumn("est", hll_sketch_estimate(col("sk")))
+    val a = s.select(col("tbl").as("pk_table"), col("col_name").as("pk_col"),
+      col("sk").as("sk_a"), col("est").as("est_pk"))
+    val b = s.select(col("tbl").as("fk_table"), col("col_name").as("fk_col"),
+      col("sk").as("sk_b"), col("est").as("est_fk"))
     a.crossJoin(b).filter(col("pk_table") =!= col("fk_table"))
-      .withColumn("est_pk", hll_sketch_estimate(col("sk_a")))
-      .withColumn("est_fk", hll_sketch_estimate(col("sk_b")))
       .withColumn("est_union", hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
       .withColumn("est_common", greatest(col("est_pk") + col("est_fk") - col("est_union"), lit(0L)))
       .withColumn("containment_pm", expr("least(1000, (est_common * 1000) div greatest(est_fk, 1))"))

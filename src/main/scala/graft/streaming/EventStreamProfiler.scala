@@ -101,7 +101,9 @@ object EventStreamProfiler {
     df.groupBy(window(col("ts_utc"), "1 hour"))
       .agg(
         hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"),
-        count(col("user_id")).as("n_events"))
+        // count(*) like every other n_events in this file — a null user_id
+        // is still an event (the sketch itself skips nulls)
+        count(lit(1)).as("n_events"))
       .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
         hll_sketch_estimate(col("sk")).as("ndv_users_est"), col("n_events"))
 

@@ -10,25 +10,8 @@ import graft.SparkSuite
 class StreamStreamJoinSpec extends AnyFunSuite {
   lazy val spark = SparkSuite.spark
 
-  /** Two event-time-ordered batches so buffered click state must survive a
-    * micro-batch boundary to match later purchases. */
-  private def stageTwoBatches(dir: String): String = {
-    val events = spark.read.parquet(s"$dir/events.parquet")
-    val median = events.selectExpr("percentile_approx(ts, 0.5)").collect()(0).getAs[java.time.LocalDateTime](0)
-    val staged = Files.createTempDirectory("events_ssj")
-    def writeOne(cond: org.apache.spark.sql.Column, name: String): java.nio.file.Path = {
-      val tmp = Files.createTempDirectory(s"ssj_$name")
-      events.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
-      Files.copy(part, staged.resolve(s"$name.parquet"), StandardCopyOption.REPLACE_EXISTING)
-      staged.resolve(s"$name.parquet")
-    }
-    val f0 = writeOne(col("ts") < median, "batch0")
-    val f1 = writeOne(col("ts") >= median, "batch1")
-    f0.toFile.setLastModified(System.currentTimeMillis() - 120000)
-    f1.toFile.setLastModified(System.currentTimeMillis() - 60000)
-    staged.toString
-  }
+  private def stageTwoBatches(dir: String): String =
+    StreamFixtures.stageEventsTwoBatches(spark, dir, "events_ssj")
 
   test("stream-stream interval join matches the batch inner range join") {
     val dir = SparkSuite.Sf001 // sf0.001 has only 1 matching pair; 0.01 is denser

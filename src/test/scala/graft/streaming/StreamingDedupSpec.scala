@@ -16,20 +16,10 @@ class StreamingDedupSpec extends AnyFunSuite {
     * stream's state must survive the batch boundary to suppress them. */
   private def stageTwoBatches(dir: String): String = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val staged = Files.createTempDirectory("docs_dedup_stream")
-    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): java.nio.file.Path = {
-      val tmp = Files.createTempDirectory(s"dedup_$name")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
-      Files.copy(part, staged.resolve(s"$name.parquet"), StandardCopyOption.REPLACE_EXISTING)
-      staged.resolve(s"$name.parquet")
-    }
-    val copies = docs.withColumn("doc_id", col("doc_id") + 1000000L)
-    val f0 = writeOne(docs, "batch0")
-    val f1 = writeOne(copies, "batch1")
-    f0.toFile.setLastModified(System.currentTimeMillis() - 120000)
-    f1.toFile.setLastModified(System.currentTimeMillis() - 60000)
-    staged.toString
+    // batch 1 = id-shifted exact copies of batch 0: every batch-1 doc is a
+    // duplicate the stateful dedup must reject across the batch boundary
+    StreamFixtures.stageTwoFrames(docs,
+      docs.withColumn("doc_id", col("doc_id") + 1000000L), "docs_dedup_stream")
   }
 
   test("streaming keep-first dedup across micro-batches matches batch keep-first") {

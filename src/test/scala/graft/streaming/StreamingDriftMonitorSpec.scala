@@ -13,25 +13,8 @@ class StreamingDriftMonitorSpec extends AnyFunSuite {
   private val uniform =
     Seq("click", "error", "purchase", "signup", "view").map(_ -> 0.2).toMap
 
-  /** Split the fixture events at the median ts into two stream files so the
-    * run exercises cross-batch window accumulation. */
-  private def stageTwoBatches(dir: String): String = {
-    val events = spark.read.parquet(s"$dir/events.parquet")
-    val median = events.selectExpr("percentile_approx(ts, 0.5)").collect()(0).getAs[java.time.LocalDateTime](0)
-    val staged = Files.createTempDirectory("events_drift_stream")
-    def writeOne(cond: org.apache.spark.sql.Column, name: String): java.nio.file.Path = {
-      val tmp = Files.createTempDirectory(s"d_$name")
-      events.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
-      Files.copy(part, staged.resolve(s"$name.parquet"), StandardCopyOption.REPLACE_EXISTING)
-      staged.resolve(s"$name.parquet")
-    }
-    val f0 = writeOne(col("ts") < median, "batch0")
-    val f1 = writeOne(col("ts") >= median, "batch1")
-    f0.toFile.setLastModified(System.currentTimeMillis() - 120000)
-    f1.toFile.setLastModified(System.currentTimeMillis() - 60000)
-    staged.toString
-  }
+  private def stageTwoBatches(dir: String): String =
+    StreamFixtures.stageEventsTwoBatches(spark, dir, "events_drift_stream")
 
   test("streaming per-window chi2 equals the batch computation on the same windows") {
     val staged = stageTwoBatches(SparkSuite.Sf0001)

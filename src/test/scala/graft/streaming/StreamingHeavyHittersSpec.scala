@@ -16,29 +16,8 @@ import graft.SparkSuite
 class StreamingHeavyHittersSpec extends AnyFunSuite {
   lazy val spark = SparkSuite.spark
 
-  /** Split fixture events at the median ts into two stream files so windows
-    * accumulate across micro-batch boundaries. */
-  private def stageTwoBatches(dir: String): String = {
-    val events = spark.read.parquet(s"$dir/events.parquet")
-    val median = events.selectExpr("percentile_approx(ts, 0.5)").collect()(0)
-      .getAs[java.time.LocalDateTime](0)
-    val staged = Files.createTempDirectory("events_hh_stream")
-    def writeOne(cond: org.apache.spark.sql.Column, name: String): java.nio.file.Path = {
-      val tmp = Files.createTempDirectory(s"hh_$name")
-      events.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val listing = Files.list(tmp)
-      val part =
-        try listing.filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
-        finally listing.close()
-      Files.copy(part, staged.resolve(s"$name.parquet"), StandardCopyOption.REPLACE_EXISTING)
-      staged.resolve(s"$name.parquet")
-    }
-    val f0 = writeOne(col("ts") < median, "batch0")
-    val f1 = writeOne(col("ts") >= median, "batch1")
-    f0.toFile.setLastModified(System.currentTimeMillis() - 120000)
-    f1.toFile.setLastModified(System.currentTimeMillis() - 60000)
-    staged.toString
-  }
+  private def stageTwoBatches(dir: String): String =
+    StreamFixtures.stageEventsTwoBatches(spark, dir, "events_hh_stream")
 
   private def runStream(staged: String, k: Int, name: String): Map[java.sql.Timestamp, (Map[String, Long], Long)] = {
     val q = StreamingHeavyHitters.monitor(spark, staged, k)

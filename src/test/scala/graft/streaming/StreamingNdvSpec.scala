@@ -15,27 +15,8 @@ import graft.SparkSuite
 class StreamingNdvSpec extends AnyFunSuite {
   lazy val spark = SparkSuite.spark
 
-  private def stageTwoBatches(dir: String): String = {
-    val events = spark.read.parquet(s"$dir/events.parquet")
-    val median = events.selectExpr("percentile_approx(ts, 0.5)").collect()(0)
-      .getAs[java.time.LocalDateTime](0)
-    val staged = Files.createTempDirectory("events_ndv_stream")
-    def writeOne(cond: org.apache.spark.sql.Column, name: String): java.nio.file.Path = {
-      val tmp = Files.createTempDirectory(s"ndv_$name")
-      events.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val listing = Files.list(tmp)
-      val part =
-        try listing.filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
-        finally listing.close()
-      Files.copy(part, staged.resolve(s"$name.parquet"), StandardCopyOption.REPLACE_EXISTING)
-      staged.resolve(s"$name.parquet")
-    }
-    val f0 = writeOne(col("ts") < median, "batch0")
-    val f1 = writeOne(col("ts") >= median, "batch1")
-    f0.toFile.setLastModified(System.currentTimeMillis() - 120000)
-    f1.toFile.setLastModified(System.currentTimeMillis() - 60000)
-    staged.toString
-  }
+  private def stageTwoBatches(dir: String): String =
+    StreamFixtures.stageEventsTwoBatches(spark, dir, "events_ndv_stream")
 
   test("streaming per-window HLL user NDV equals the batch twin bit-for-bit") {
     val staged = stageTwoBatches(SparkSuite.Sf0001)

@@ -17,23 +17,8 @@ class StreamingQualityMonitorSpec extends AnyFunSuite {
     InRange("value", 0, 100), // intentionally violated: fixture max ~1000
     ExprRule("value_non_negative", "value >= 0"))
 
-  private def stageTwoBatches(dir: String): String = {
-    val events = spark.read.parquet(s"$dir/events.parquet")
-    val median = events.selectExpr("percentile_approx(ts, 0.5)").collect()(0).getAs[java.time.LocalDateTime](0)
-    val staged = Files.createTempDirectory("events_quality_stream")
-    def writeOne(cond: org.apache.spark.sql.Column, name: String): java.nio.file.Path = {
-      val tmp = Files.createTempDirectory(s"q_$name")
-      events.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
-      Files.copy(part, staged.resolve(s"$name.parquet"), StandardCopyOption.REPLACE_EXISTING)
-      staged.resolve(s"$name.parquet")
-    }
-    val f0 = writeOne(col("ts") < median, "batch0")
-    val f1 = writeOne(col("ts") >= median, "batch1")
-    f0.toFile.setLastModified(System.currentTimeMillis() - 120000)
-    f1.toFile.setLastModified(System.currentTimeMillis() - 60000)
-    staged.toString
-  }
+  private def stageTwoBatches(dir: String): String =
+    StreamFixtures.stageEventsTwoBatches(spark, dir, "events_quality_stream")
 
   test("streaming windowed rule violations sum to the batch totals") {
     val dir = SparkSuite.Sf0001
