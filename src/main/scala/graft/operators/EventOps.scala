@@ -832,4 +832,63 @@ object EventOps {
        |  min(y) AS min_hour, max(y) AS max_hour
        |FROM keyed GROUP BY 1 ORDER BY bucket""".stripMargin
   }
+
+  // ------------------------------------------------- robust (median/MAD) anomalies
+
+  /** Robust per-type outliers (round 9): median/MAD z-scores — the
+    * mean/stddev anomaly twin ([[hourlyAnomalies]]) that heavy tails can't
+    * poison (one whale event shifts a mean arbitrarily; it moves a median
+    * by at most one rank). Flags events with |x − median| > 3.5·1.4826·MAD
+    * (the classic Iglewicz-Hoberg cut at the σ-consistent MAD scale).
+    *
+    * Determinism: values quantize to integer cents; `2·median` and `4·MAD`
+    * are then EXACT BIGINTs on both engines (an even-count median is the
+    * midpoint of two integers — .5 at worst), and the outlier test runs
+    * entirely in integer space (`20000·ad2 > 51891·mad4`). Only the
+    * reported z-score itself touches doubles, with one multiply + one
+    * divide on identical inputs (correctly-rounded IEEE → bit-identical).
+    *
+    * Scale note: exact medians buffer per-group values, so this is the
+    * exact GATE form (groups = event types). The 100 TB path for the same
+    * cut is the KLL quantile sketch already in [[graft.profile
+    * .ProfileQueries.sketchProfile]] — mergeable, KB of state per group. */
+  def robustAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("value"),
+        floor(col("value") * 100 + 0.5).cast("bigint").as("x"))
+    val med = e.groupBy(col("event_type").as("mt"))
+      .agg((median(col("x")) * 2).cast("bigint").as("m2"))
+    val dev = e.join(broadcast(med), col("event_type") === col("mt"))
+      .withColumn("ad2", abs(col("x") * 2 - col("m2")))
+    val mad = dev.groupBy(col("event_type").as("dt"))
+      .agg((median(col("ad2")) * 2).cast("bigint").as("mad4"))
+    dev.join(broadcast(mad), col("event_type") === col("dt"))
+      .filter(col("ad2") * 20000 > col("mad4") * 51891)
+      .select(col("event_id"), col("event_type"), col("value"),
+        ((col("x") * 2 - col("m2")).cast("double") /
+          (lit(1.4826) * col("mad4").cast("double") / 2)).as("robust_z"))
+      .orderBy("event_id")
+  }
+
+  val robustAnomaliesOracle: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type, value,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+      |  FROM events WHERE value IS NOT NULL
+      |), med AS (
+      |  SELECT event_type AS mt, CAST(median(x) * 2 AS BIGINT) AS m2
+      |  FROM e GROUP BY 1
+      |), dev AS (
+      |  SELECT e.*, m2, abs(x * 2 - m2) AS ad2
+      |  FROM e JOIN med ON event_type = mt
+      |), mad AS (
+      |  SELECT event_type AS dt, CAST(median(ad2) * 2 AS BIGINT) AS mad4
+      |  FROM dev GROUP BY 1
+      |)
+      |SELECT event_id, event_type, value,
+      |  CAST(x * 2 - m2 AS DOUBLE) / (1.4826 * CAST(mad4 AS DOUBLE) / 2) AS robust_z
+      |FROM dev JOIN mad ON event_type = dt
+      |WHERE ad2 * 20000 > mad4 * 51891
+      |ORDER BY event_id""".stripMargin
 }

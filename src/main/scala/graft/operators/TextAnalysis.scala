@@ -1904,4 +1904,35 @@ object TextAnalysis {
        |JOIN splits sb ON sb.doc_id = p.id_b
        |WHERE sa.split != sb.split
        |ORDER BY p.id_a, p.id_b""".stripMargin
+
+  // ------------------------------------- PPS sampling (sequential Poisson)
+
+  /** Size-weighted corpus sample (round 9): SEQUENTIAL POISSON SAMPLING
+    * (Ohlsson 1998) — draw k documents with inclusion probability
+    * ~proportional to size (n_chars), the standard PPS design for "sample
+    * 0.1% of the corpus by bytes, not by doc count" (token-budget audits,
+    * eval-slice drawing). Each doc gets priority ξ = u/w with u a
+    * content-independent hash uniform and w its weight; the k smallest
+    * priorities are the sample.
+    *
+    * 100 TB shape: ξ is a pure per-row expression ([[mixedHash]] + one
+    * IEEE divide — u and w are exact-integer doubles, so ξ is
+    * bit-identical on any engine), and the k-smallest is orderBy+limit →
+    * TakeOrderedAndProject: O(k) state per partition, no global sort, no
+    * driver-side corpus state, reproducible at any partitioning — exactly
+    * [[stratifiedSample]]'s determinism story, with weights. */
+  def ppsSample(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        ((mixedHash("pps|") % 1000003 + 1).cast("double") /
+          greatest(col("n_chars"), lit(1L)).cast("double")).as("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(k)
+
+  def ppsSampleOracle(k: Int = 100): String =
+    s"""SELECT doc_id, n_chars,
+       |  CAST(${mixedHashSql("pps|").linesIterator.mkString("\n|  ")} % 1000003 + 1 AS DOUBLE)
+       |    / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS priority
+       |FROM documents
+       |ORDER BY priority, doc_id LIMIT $k""".stripMargin
 }

@@ -1085,4 +1085,99 @@ object ProfileQueries {
     }
     selects.mkString("", "\nUNION ALL\n", "\nORDER BY pk_table, fk_table, fk_col")
   }
+
+  // ------------------------------------------------------- Gini coefficient
+
+  /** Concentration profile (round 9): exact Gini coefficient of
+    * `lineitem.l_extendedprice` — "how unequal are the row values", the
+    * skew-at-a-glance number a data profiler reports next to min/max/NDV.
+    *
+    * Computed WITHOUT a global row sort: values quantize to integer cents
+    * and GROUP BY value first, so the rank formula
+    * `G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)` runs over the per-value frame
+    * using cumulative-count windows, with the per-value contribution
+    * `Σ i·x over the value's run = cents·(c·Cb + c(c+1)/2)` folded exactly
+    * in DECIMAL(38,0) (DuckDB twin: HUGEINT). The single-partition window
+    * is over DISTINCT VALUES, whose cardinality is bounded by the price
+    * domain (~10⁷ cents values) — not by row count — so the shape holds at
+    * 100 TB while the heavy reduce (the value group-by) stays a partial-agg
+    * shuffle on an 8 B key. The final G divides two exactly-computed
+    * integers as doubles (correctly-rounded IEEE ops → bit-identical). */
+  def giniProfile(spark: SparkSession, dir: String,
+      tableName: String = "lineitem", column: String = "l_extendedprice"): DataFrame =
+    giniOf(Fixtures.table(spark, dir, tableName), column)
+
+  /** [[giniProfile]]'s core over an arbitrary frame (unit-testable on
+    * synthetic distributions: constant → 0, one-holder → (n−1)/n). */
+  def giniOf(df: DataFrame, column: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grp = df
+      .filter(col(column).isNotNull)
+      .groupBy(floor(col(column) * 100 + 0.5).cast("decimal(38,0)").as("cents"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("c"))
+    val w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    val contrib = grp
+      .withColumn("cb", coalesce(sum(col("c")).over(w), lit(0).cast("decimal(38,0)")))
+      .select(
+        (col("cents") * (col("c") * col("cb") + (col("c") * (col("c") + 1)) / 2))
+          .cast("decimal(38,0)").as("t_term"),
+        (col("cents") * col("c")).as("s_term"), col("c"))
+    contrib.agg(
+        sum(col("t_term")).as("t"), sum(col("s_term")).as("s"),
+        sum(col("c")).as("n"))
+      .select(
+        col("n").cast("bigint").as("n_rows"),
+        ((lit(2).cast("decimal(38,0)") * col("t") - (col("n") + 1) * col("s")).cast("double") /
+          (col("n") * col("s")).cast("double")).as("gini"))
+  }
+
+  def giniProfileOracle(tableName: String = "lineitem",
+      column: String = "l_extendedprice"): String =
+    s"""WITH grp AS (
+       |  SELECT CAST(floor($column * 100 + 0.5) AS HUGEINT) AS cents,
+       |         CAST(count(*) AS HUGEINT) AS c
+       |  FROM $tableName WHERE $column IS NOT NULL GROUP BY 1
+       |), contrib AS (
+       |  SELECT cents * (c * COALESCE(sum(c) OVER (ORDER BY cents
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |         + (c * (c + 1)) // 2) AS t_term,
+       |         cents * c AS s_term, c
+       |  FROM grp
+       |)
+       |SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+       |  CAST(2 * sum(t_term) - (sum(c) + 1) * sum(s_term) AS DOUBLE)
+       |    / CAST(sum(c) * sum(s_term) AS DOUBLE) AS gini
+       |FROM contrib""".stripMargin
+
+  // ------------------------------------------------------- Benford profile
+
+  /** Leading-digit (Benford) profile of `orders.o_totalprice` — the
+    * fraud/synthetic-data smell test: natural multiplicative amounts follow
+    * log₁₀(1+1/d); uniform or fabricated ones don't. Emitted as per-digit
+    * counts + per-mille shares in INTEGER math (the digit comes from the
+    * first char of the integer-cents string — never from float log₁₀ or
+    * double→string formatting, where engines disagree). One scan, 9-row
+    * output; share = cnt·1000/total divided as exact-integer doubles. */
+  def benfordProfile(spark: SparkSession, dir: String,
+      tableName: String = "orders", column: String = "o_totalprice"): DataFrame = {
+    val digits = Fixtures.table(spark, dir, tableName)
+      .filter(col(column).isNotNull && col(column) > 0)
+      .select(substring(floor(col(column) * 100 + 0.5).cast("bigint").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+    val counts = digits.groupBy("digit").agg(count(lit(1)).as("cnt"))
+    counts.crossJoin(broadcast(counts.agg(sum(col("cnt")).as("total"))))
+      .select(col("digit"), col("cnt"),
+        ((col("cnt") * 1000).cast("double") / col("total").cast("double")).as("permille"))
+      .orderBy("digit")
+  }
+
+  def benfordProfileOracle(tableName: String = "orders",
+      column: String = "o_totalprice"): String =
+    s"""WITH d AS (
+       |  SELECT CAST(substr(CAST(CAST(floor($column * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+       |  FROM $tableName WHERE $column IS NOT NULL AND $column > 0
+       |), c AS (SELECT digit, count(*) AS cnt FROM d GROUP BY digit)
+       |SELECT digit, cnt,
+       |  CAST(cnt * 1000 AS DOUBLE) / CAST((SELECT sum(cnt) FROM c) AS DOUBLE) AS permille
+       |FROM c ORDER BY digit""".stripMargin
 }
