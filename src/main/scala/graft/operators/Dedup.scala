@@ -1695,4 +1695,113 @@ object Dedup {
        |JOIN sig sgb ON sgb.doc_id = id_b
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  // --------------------------------------- prefix-filtering EXACT join
+
+  /** EXACT Jaccard-threshold self-join via prefix filtering (AllPairs /
+    * PPJoin — Bayardo et al. WWW'07, Xiao et al. WWW'08): the
+    * no-false-negatives alternative to MinHash/LSH. Tokens (3-gram
+    * shingles) are globally ordered by ascending document frequency
+    * (rarest first, token tie-break); a doc's PREFIX is its first
+    * ⌊(1−t)·|d|⌋+1 tokens in that order. Theorem: J(a,b) ≥ t ⇒ a and b
+    * share a prefix token — so candidates = docs sharing ≥1 prefix token,
+    * then exact set verification. Where LSH trades recall for speed
+    * (band-miss pairs are silently lost), this is recall-1.0 by
+    * construction — the oracle is literally the brute-force all-pairs
+    * join.
+    *
+    * 100 TB shape: the prefix inverted index joins on RARE tokens (df
+    * ascending ⇒ the popular tokens that blow up an inverted-index join
+    * are exactly the ones excluded from prefixes), plus the AllPairs
+    * length filter (`t·|a| ≤ |b|`) drops cross-size candidates before
+    * verification. The verification join touches candidate pairs only —
+    * never the n² pair space. Candidate volume is corpus-dependent (a
+    * template-heavy corpus inflates it) — the same hub risk the LSH path
+    * caps with [[cappedBucketPairs]]; here the df-ascending order is the
+    * structural mitigation.
+    */
+  def prefixFilterJoinPairs(spark: SparkSession, dir: String, t10: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      // the single-file fixture reads as ONE partition; spread the
+      // CPU-bound shingle explode across cores (same gotcha as
+      // corpusWithNearDups — tokenize was 6 s single-threaded at sf0.1)
+      .repartition(spark.sparkContext.defaultParallelism)
+    // hoist the split: inside shingles()'s lambda, `split(text)` is
+    // re-evaluated per element (no CSE across a HOF boundary) — ~75
+    // splits/doc; pre-splitting to an array column makes tokenize 5x
+    val ws = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val toks = ws.select(col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(1), size(col("ws")) - 2),
+        i => concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1),
+          element_at(col("ws"), i + 2))))).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
+    // ONE tokenize pass feeds everything: rank + doc size ride the same
+    // per-doc window, and the lazy localCheckpoint stops the four
+    // downstream consumers (prefix a/b, verify a/b) from re-exploding the
+    // corpus (measured 2x end-to-end at sf0.1); lazy so plan-only
+    // consumers (PlansDump) still build without running a job
+    val ranked = toks.join(dfreq, "tok")
+      .select(col("doc_id"), col("tok"),
+        row_number().over(wDoc).as("rn"),
+        count(lit(1)).over(Window.partitionBy("doc_id")).as("sz"))
+      .localCheckpoint(false)
+    val prefix = ranked
+      .filter(col("rn") <= expr(s"(sz * (10 - $t10)) div 10") + 1)
+      .select("doc_id", "tok", "rn", "sz")
+    val cands = prefix.select(col("doc_id").as("id_a"), col("tok"),
+        col("rn").as("ra"), col("sz").as("sa"))
+      .join(prefix.select(col("doc_id").as("id_b"), col("tok"),
+        col("rn").as("rb"), col("sz").as("sb")), "tok")
+      .filter(col("id_a") < col("id_b") &&
+        // AllPairs length filter: J ≥ t needs t·|a| ≤ |b| (and symmetric)
+        col("sb") * 10 >= col("sa") * t10 && col("sa") * 10 >= col("sb") * t10)
+      .groupBy("id_a", "id_b", "sa", "sb")
+      .agg(min(col("ra")).as("pa"), min(col("rb")).as("pb"))
+      // PPJoin positional filter: the globally-FIRST common token of a true
+      // pair is always inside both prefixes (that is the prefix lemma), so
+      // min match positions upper-bound the overlap: O ≤ 1 + min(sa−pa,
+      // sb−pb). Require that bound to reach the equivalent overlap
+      // threshold α = ⌈t(sa+sb)/(1+t)⌉ — cuts candidates ~3x here before
+      // the expensive verification, with false negatives impossible.
+      .filter(lit(1) + least(col("sa") - col("pa"), col("sb") - col("pb")) >=
+        expr(s"($t10 * (sa + sb) + ${10 + t10} - 1) div ${10 + t10}"))
+      .select("id_a", "id_b", "sa", "sb")
+    val ta = ranked.select(col("doc_id").as("id_a"), col("tok"))
+    val tb = ranked.select(col("doc_id").as("id_b"), col("tok"))
+    cands.join(ta, "id_a").join(tb, Seq("id_b", "tok"))
+      .groupBy("id_a", "id_b", "sa", "sb")
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") * 10 >= (col("sa") + col("sb") - col("inter")) * t10)
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("sa") + col("sb") - col("inter")).as("un"),
+        (col("inter").cast("double") / (col("sa") + col("sb") - col("inter")).cast("double"))
+          .as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Brute-force all-pairs twin — the exactness claim IS the gate: the
+    * prefix-filtered join must return the identical pair set. */
+  def prefixFilterJoinPairsOracle(t10: Int = 6): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+       |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+       |    )) AS s
+       |  FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+       |  CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT) AS un,
+       |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |    / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+       |FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+       |WHERE len(list_intersect(a.s, b.s)) * 10
+       |      >= $t10 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+       |ORDER BY id_a, id_b""".stripMargin
 }
