@@ -833,6 +833,97 @@ object EventOps {
        |FROM keyed GROUP BY 1 ORDER BY bucket""".stripMargin
   }
 
+  // ------------------------------------------------- transition matrix
+
+  /** Markov transition matrix over event types (round 9): for each user's
+    * time-ordered event stream, count (current → next) type transitions
+    * and their per-mille share within the current type — the
+    * product-analytics "where do users go from X" table, and the input a
+    * path/abandonment analysis consumes.
+    *
+    * One window per user partition (lead), one small keyed aggregate —
+    * the user partitioning IS the 100 TB partitioning. Ties at equal
+    * timestamps break on event_id (total order both engines). Share is
+    * exact-integer-double division. */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val steps = table(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("cur"))
+      .withColumn("nxt", lead(col("cur"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+    val counts = steps.groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("cur").as("tc")).agg(sum(col("n")).as("tot"))
+    counts.join(broadcast(totals), col("cur") === col("tc"))
+      .select(col("cur"), col("nxt"), col("n"),
+        ((col("n") * 1000).cast("double") / col("tot").cast("double")).as("permille"))
+      .orderBy("cur", "nxt")
+  }
+
+  val transitionMatrixOracle: String =
+    """WITH steps AS (
+      |  SELECT event_type AS cur,
+      |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      |  FROM events
+      |), c AS (
+      |  SELECT cur, nxt, count(*) AS n FROM steps WHERE nxt IS NOT NULL GROUP BY 1, 2
+      |)
+      |SELECT cur, nxt, n,
+      |  CAST(n * 1000 AS DOUBLE)
+      |    / CAST(sum(n) OVER (PARTITION BY cur) AS DOUBLE) AS permille
+      |FROM c ORDER BY cur, nxt""".stripMargin
+
+  // ------------------------------------------------- RFM scoring
+
+  /** RFM (recency / frequency / monetary) quintile scoring per user —
+    * the classic CRM segmentation: rank users into 5 equal buckets on
+    * each axis, emit the 3-digit segment code. `ntile` bucket-boundary
+    * semantics are identical on both engines GIVEN a total order, so
+    * every ORDER BY ends with the user id tie-break. Monetary sums route
+    * through DECIMAL; recency is integer epoch-micros.
+    *
+    * 100 TB: one partial+final aggregate to per-user rows (|users|-sized),
+    * then three ntile windows over the user frame — at extreme user
+    * counts these become the same two-level prefix shape as the Gini
+    * profile; here the user frame is the reduced side. */
+  def rfmScores(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = table(spark, dir, "events")
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        max(unix_micros(col("ts").cast("timestamp"))).as("last_us"),
+        count(lit(1)).as("freq"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("monetary"))
+    val r = ntile(5).over(Window.orderBy(col("last_us").desc, col("user_id")))
+    val f = ntile(5).over(Window.orderBy(col("freq").desc, col("user_id")))
+    val m = ntile(5).over(Window.orderBy(col("monetary").desc, col("user_id")))
+    perUser
+      .select(col("user_id"), col("last_us"), col("freq"), col("monetary"),
+        // bigint to match DuckDB's ntile return type
+        r.cast("bigint").as("r_q"), f.cast("bigint").as("f_q"), m.cast("bigint").as("m_q"))
+      .withColumn("rfm_code", col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+      .orderBy("user_id")
+  }
+
+  val rfmScoresOracle: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    max(epoch_us(ts)) AS last_us,
+      |    count(*) AS freq,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+      |  GROUP BY user_id
+      |)
+      |SELECT user_id, last_us, freq, monetary,
+      |  ntile(5) OVER (ORDER BY last_us DESC, user_id) AS r_q,
+      |  ntile(5) OVER (ORDER BY freq DESC, user_id) AS f_q,
+      |  ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m_q,
+      |  ntile(5) OVER (ORDER BY last_us DESC, user_id) * 100
+      |    + ntile(5) OVER (ORDER BY freq DESC, user_id) * 10
+      |    + ntile(5) OVER (ORDER BY monetary DESC, user_id) AS rfm_code
+      |FROM u ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------- robust (median/MAD) anomalies
 
   /** Robust per-type outliers (round 9): median/MAD z-scores — the

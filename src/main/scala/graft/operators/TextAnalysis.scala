@@ -1935,4 +1935,74 @@ object TextAnalysis {
        |    / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS priority
        |FROM documents
        |ORDER BY priority, doc_id LIMIT $k""".stripMargin
+
+  /** Stratified PPS: [[ppsSample]]'s priorities ranked WITHIN each
+    * language — k docs per stratum, size-weighted inside it (the "equal
+    * language representation, longest-doc-biased within" eval draw). The
+    * global TakeOrdered becomes per-stratum rank windows: partitioned by
+    * a bounded key, WindowGroupLimit-prunable, still no global sort. */
+  def ppsStratified(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(col("priority"), col("doc_id"))
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        ((mixedHash("pps|") % 1000003 + 1).cast("double") /
+          greatest(col("n_chars"), lit(1L)).cast("double")).as("priority"))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= k)
+      .select("lang", "rk", "doc_id", "n_chars", "priority")
+      .orderBy("lang", "rk")
+  }
+
+  def ppsStratifiedOracle(k: Int = 20): String =
+    s"""WITH pri AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    CAST(${mixedHashSql("pps|").linesIterator.mkString("\n|    ")} % 1000003 + 1 AS DOUBLE)
+       |      / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS priority
+       |  FROM documents
+       |)
+       |SELECT lang, rk, doc_id, n_chars, priority FROM (
+       |  SELECT lang, doc_id, n_chars, priority,
+       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY priority, doc_id) AS BIGINT) AS rk
+       |  FROM pri) t
+       |WHERE rk <= $k ORDER BY lang, rk""".stripMargin
+
+  // ------------------------------------------------- inverted index
+
+  /** Posting-list build (round 9): term → document frequency + the first
+    * `cap` doc ids (sorted), terms = 3-gram shingles — the IR/text-search
+    * building block, and the audit table "which docs contain this exact
+    * phrase" (e.g. a takedown string or benchmark sentence).
+    *
+    * 100 TB shape: one explode pass, one groupBy on the term; the posting
+    * ARRAY is capped (`slice(sort, cap)`), so a stop-phrase's row costs
+    * O(cap) — df still counts everything, only the materialized list is
+    * bounded. collect_set order is partition-dependent; sort_array
+    * canonicalizes before the slice, so output is deterministic. */
+  def invertedIndex(spark: SparkSession, dir: String, cap: Int = 10): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val ws = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    ws.select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), size(col("ws")) - 2),
+        i => concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1),
+          element_at(col("ws"), i + 2))))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        slice(sort_array(collect_set(col("doc_id"))), 1, cap).as("postings"))
+      .orderBy("term")
+  }
+
+  def invertedIndexOracle(cap: Int = 10): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+       |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+       |  ))) AS term
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 3
+       |)
+       |SELECT term, count(*) AS df,
+       |  list_sort(list(DISTINCT doc_id))[1:$cap] AS postings
+       |FROM toks GROUP BY term ORDER BY term""".stripMargin
 }
