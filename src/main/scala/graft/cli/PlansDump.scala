@@ -53,7 +53,10 @@ object PlansDump {
     "ann_hybrid_rrf",          // two TakeOrdered legs + legK-sized fusion join
     "profile_heavy_values_gate", // Misra-Gries partial+final, O(k) state
     "profile_catalog_long",    // whole lake, one DAG: fused scan + NDV per table
-    "profile_corr_matrix")     // all pairwise correlations from one fused scan
+    "profile_corr_matrix",     // all pairwise correlations from one fused scan
+    "q21_waiting_suppliers",   // EXISTS/NOT-EXISTS as semi+anti hash joins
+    "dedup_prefix_join",       // prefix-filter exact join: rare-token index
+    "profile_gini_lineitem")   // two-level distributed prefix sum
 
   /** Plan-audit overrides: these queries' gated implementations read
     * memoized materialized stages (the shared-pipeline design — see
