@@ -105,7 +105,7 @@ object ScaleProbe {
     val family  = if (args.length > 4) args(4) else "all"
     require(factors.forall(f => f >= 1 && f <= 26) && factors == factors.sorted,
       "factors must be ascending and ≤26 (letter rotations must stay distinct)")
-    require(Set("docs", "emb", "prof", "all")(family), s"unknown family: $family")
+    require(Set("docs", "emb", "prof", "ppj", "all")(family), s"unknown family: $family")
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -119,7 +119,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val sizes = factors
-    val doDocs = family == "docs" || family == "all"
+    val doDocs = family == "docs" || family == "ppj" || family == "all"
     val doEmb = family == "emb" || family == "all"
     val doProf = family == "prof" || family == "all"
     // all corpora are written by the SAME writer at the same parallelism,
@@ -151,6 +151,12 @@ object ScaleProbe {
       ("dedup_build", d => graft.operators.Dedup.buildPipeline(spark, d)),
       ("span_build",  d => graft.operators.TextAnalysis.buildSpanStage(spark, d)),
       ("manifest",    d => graft.operators.TextAnalysis.trainingManifest(spark, d)))
+    // prefix-filter EXACT join: candidate volume is the scaling risk (the
+    // inverted index has no LSH cap) — measured, not argued. Rotated
+    // replicas keep per-replica candidate structure identical, so a
+    // super-linear slope here would mean cross-replica index pollution
+    val ppjBuilds = Seq[(String, String => DataFrame)](
+      ("prefix_join", d => graft.operators.Dedup.prefixFilterJoinPairs(spark, d)))
     // maxId past every replica id: the probe corpus IS the whole table
     // (the fixture default 1000 exists for oracle-comparable gating only)
     val embBuilds = Seq[(String, String => DataFrame)](
@@ -159,7 +165,8 @@ object ScaleProbe {
     val profBuilds = Seq[(String, String => DataFrame)](
       ("sketch_profile", d => graft.profile.ProfileQueries.sketchProfile(spark, d, "lineitem")),
       ("full_profile",   d => graft.profile.ProfileQueries.fullProfile(spark, d, "lineitem")))
-    val builds = (if (doDocs) docBuilds else Seq.empty) ++
+    val builds = (if (family == "ppj") ppjBuilds
+      else if (doDocs) docBuilds else Seq.empty) ++
       (if (doEmb) embBuilds else Seq.empty) ++
       (if (doProf) profBuilds else Seq.empty)
 
