@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared plumbing for [[Verify]] (the driver's full correctness dump) and
+  * [[graft.cli.VerifySubset]] (the dev-loop subset form) — ONE copy of the
+  * session config, the dump-and-isolate loop, and the load-bearing JSON
+  * escaper, so the subset tool can never drift from the real verify path
+  * it claims to mirror.
+  */
+object VerifySupport {
+
+  /** The verify/bench session: local[N] from SPARK_GRAFT_CPUS (default all
+    * cores), matching shuffle partitions, UTC, AQE, nanos legacy read. */
+  def session(): SparkSession = {
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      // inert on the current micros fixtures; kept for nanos parquet inputs
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    * — a tab or CR in builder-authored SQL would otherwise make the
+    * driver's json.load fail and silently zero the round's correctness. */
+  def jsonEscape(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Dump each named query's result to `outDir/<name>` parquet, isolating
+    * per-query failures (one bad query must not zero the round). */
+  def dumpQueries(spark: SparkSession, sfDir: String, outDir: String,
+      names: Iterable[String]): Unit = {
+    new java.io.File(outDir).mkdirs()
+    names.foreach { name =>
+      try SparkEntry.queries(name)(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
+  }
+
+  /** Write `outDir/oracle_sql.json` for the named subset (names without an
+    * oracle entry are omitted — the driver's weaker rows-only path). */
+  def writeOracleJson(outDir: String, names: Iterable[String]): Unit = {
+    val keep = names.toSet
+    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
+      .map { case (k, v) => s"${jsonEscape(k)}: ${jsonEscape(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+  }
+}

@@ -1186,7 +1186,10 @@ object ProfileQueries {
   def benfordProfile(spark: SparkSession, dir: String,
       tableName: String = "orders", column: String = "o_totalprice"): DataFrame = {
     val digits = Fixtures.table(spark, dir, tableName)
-      .filter(col(column).isNotNull && col(column) > 0)
+      // filter on the CENTS being >= 1, not the raw value > 0: a sub-cent
+      // value (0 < v < 0.005) floors to 0 cents and would emit a bogus
+      // digit-0 row, breaking the 1-9 contract on columns like l_tax
+      .filter(col(column).isNotNull && floor(col(column) * 100 + 0.5) >= 1)
       .select(substring(floor(col(column) * 100 + 0.5).cast("bigint").cast("string"), 1, 1)
         .cast("int").as("digit"))
     val counts = digits.groupBy("digit").agg(count(lit(1)).as("cnt"))
@@ -1200,7 +1203,7 @@ object ProfileQueries {
       column: String = "o_totalprice"): String =
     s"""WITH d AS (
        |  SELECT CAST(substr(CAST(CAST(floor($column * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
-       |  FROM $tableName WHERE $column IS NOT NULL AND $column > 0
+       |  FROM $tableName WHERE $column IS NOT NULL AND floor($column * 100 + 0.5) >= 1
        |), c AS (SELECT digit, count(*) AS cnt FROM d GROUP BY digit)
        |SELECT digit, cnt,
        |  CAST(cnt * 1000 AS DOUBLE) / CAST((SELECT sum(cnt) FROM c) AS DOUBLE) AS permille

@@ -59,13 +59,17 @@ class StreamingRobustMonitorSpec extends AnyFunSuite {
       assert(streamed.keySet == batch.keySet, "window/type sets differ")
       assert(streamed.keySet == exact.keySet)
       // KLL k=400 rank error ≲0.9% — on tiny per-window groups one order
-      // statistic of slack (eps covering ±1 rank) absorbs it entirely
-      for ((k, (n, med, iqr, lo, hi)) <- streamed ++ batch) {
+      // statistic of slack (eps covering ±1 rank) absorbs it entirely.
+      // Check stream and batch SEPARATELY (`streamed ++ batch` would be
+      // right-biased: with equal key sets every streamed entry would be
+      // shadowed and the stream path never verified)
+      for ((label, mon) <- Seq("stream" -> streamed, "batch" -> batch);
+           (k, (n, med, iqr, lo, hi)) <- mon) {
         val vs = exact(k)
-        assert(n.toInt == vs.size, s"$k n=$n vs ${vs.size}")
+        assert(n.toInt == vs.size, s"$label $k n=$n vs ${vs.size}")
         val eps = math.max(0.01, 1.0 / vs.size)
-        assert(inRankBand(vs, med, 0.5, eps), s"$k med=$med sorted=$vs")
-        assert(iqr >= 0.0 && lo <= med && med <= hi, s"$k fences inconsistent")
+        assert(inRankBand(vs, med, 0.5, eps), s"$label $k med=$med sorted=$vs")
+        assert(iqr >= 0.0 && lo <= med && med <= hi, s"$label $k fences inconsistent")
       }
     } finally q.stop()
   }
@@ -74,8 +78,10 @@ class StreamingRobustMonitorSpec extends AnyFunSuite {
     val staged = StreamFixtures.stageEventsTwoBatches(spark, SparkSuite.Sf0001, "events_robust_stream2")
     val df = StreamingRobustMonitor.monitorStream(spark, staged)
     val plan = df.queryExecution.analyzed.toString
-    assert(plan.contains("EventTimeWatermark") || df.isStreaming,
-      "expected a watermarked streaming aggregation")
+    // the watermark node must be present — it is what bounds open-window
+    // state (an `|| df.isStreaming` disjunct would make this vacuous)
+    assert(plan.contains("EventTimeWatermark"),
+      s"expected a watermarked streaming aggregation, plan:\n$plan")
     assert(df.isStreaming)
   }
 }
