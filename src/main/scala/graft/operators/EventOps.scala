@@ -37,6 +37,53 @@ object EventOps {
       |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** JSON SCHEMA DISCOVERY (round 9): enumerate every key across a JSON
+    * column and vote a scalar type per value by lexical shape — the
+    * "what's actually inside this jsonb column" profile the reference
+    * can't do (it shows the column type only,
+    * `/root/reference/src/listTables.tsx:113-119`). Emits one row per
+    * (key, inferred type): occurrence count + exact distinct-value count.
+    *
+    * One `from_json` to MAP<STRING,STRING> per row (single parse, like
+    * [[jsonTyped]]), explode, then a keyed aggregate — the key space is
+    * schema-sized, so the shuffle is tiny at any corpus size. Scalar
+    * values only (a nested object classifies as `string` of its JSON
+    * text). The mixed-type classification behavior is spec'd on synthetic
+    * data ([[jsonSchemaOf]]); the fixture's uniform `{"k": int}` keeps
+    * the gated row deterministic. */
+  def jsonSchemaProfile(spark: SparkSession, dir: String): DataFrame =
+    jsonSchemaOf(table(spark, dir, "events"), col("props"))
+
+  /** [[jsonSchemaProfile]]'s core over an arbitrary frame/column. */
+  def jsonSchemaOf(df: DataFrame, c: org.apache.spark.sql.Column): DataFrame =
+    df.filter(c.isNotNull)
+      .select(explode(from_json(c, lit("MAP<STRING, STRING>"))).as(Seq("key", "val")))
+      .withColumn("vtype",
+        when(col("val").isNull, "null")
+          .when(col("val").rlike("^-?[0-9]+$"), "int")
+          .when(col("val").rlike("^-?[0-9]+\\.[0-9]+$"), "float")
+          .when(col("val").isin("true", "false"), "bool")
+          .otherwise("string"))
+      .groupBy("key", "vtype")
+      .agg(count(lit(1)).as("n"), count_distinct(col("val")).as("n_distinct"))
+      .orderBy("key", "vtype")
+
+  val jsonSchemaProfileOracle: String =
+    """WITH kv AS (
+      |  SELECT unnest(json_keys(props)) AS key, props
+      |  FROM events WHERE props IS NOT NULL
+      |), vals AS (
+      |  SELECT key, json_extract_string(props, '$.' || key) AS val FROM kv
+      |)
+      |SELECT key,
+      |  CASE WHEN val IS NULL THEN 'null'
+      |       WHEN regexp_matches(val, '^-?[0-9]+$') THEN 'int'
+      |       WHEN regexp_matches(val, '^-?[0-9]+\.[0-9]+$') THEN 'float'
+      |       WHEN val IN ('true', 'false') THEN 'bool'
+      |       ELSE 'string' END AS vtype,
+      |  count(*) AS n, count(DISTINCT val) AS n_distinct
+      |FROM vals GROUP BY 1, 2 ORDER BY key, vtype""".stripMargin
+
   /** Typed JSON parsing: `from_json` with an explicit schema — ONE parse
     * per row into a struct (vs one `get_json_object` tree-walk per
     * extracted path), which is the right JSON shape at scale and the one

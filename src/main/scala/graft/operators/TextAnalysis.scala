@@ -1967,6 +1967,42 @@ object TextAnalysis {
        |  FROM pri) t
        |WHERE rk <= $k ORDER BY lang, rk""".stripMargin
 
+  // ------------------------------------------------- multi-literal screen
+
+  /** Deterministic screening phrase list: known fixture-vocabulary phrases
+    * spanning hit rates, plus one guaranteed miss (the screen must PROVE
+    * it emits nothing for absent phrases). */
+  val ScreenPhrases: Seq[String] = Seq(
+    "fast fast", "query table", "big scan order", "agg filter part",
+    "table table key", "scan spark fast", "merge batch",
+    "benchmark canary xq9")
+
+  /** Blocklist / contamination screen via the native Aho-Corasick
+    * expression ([[graft.functions.MultiLiteral]]): every (doc, phrase)
+    * containment pair for a K-phrase literal list in ONE pass per
+    * document — the built-in form is K `contains()` scans per row, which
+    * at 10⁴ blocklist phrases is a 10⁴× per-row blowup. The oracle is the
+    * semantic spec: a documents × phrases containment join. */
+  def phraseScreen(spark: SparkSession, dir: String): DataFrame = {
+    val phrases = ScreenPhrases
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.MultiLiteral.multi_literal_matches(col("text"), phrases))
+          .as("pid"))
+      .select(col("doc_id"), col("pid"),
+        element_at(array(phrases.map(lit): _*), col("pid") + 1).as("phrase"))
+      .orderBy("doc_id", "pid")
+  }
+
+  def phraseScreenOracle: String = {
+    val values = ScreenPhrases.zipWithIndex
+      .map { case (p, i) => s"($i, '$p')" }.mkString(", ")
+    s"""SELECT doc_id, p.pid, p.phrase
+       |FROM documents, (VALUES $values) AS p(pid, phrase)
+       |WHERE strpos(text, p.phrase) > 0
+       |ORDER BY doc_id, pid""".stripMargin
+  }
+
   // ------------------------------------------------- inverted index
 
   /** Posting-list build (round 9): term → document frequency + the first
