@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.signLshBuckets)
     ext.injectFunction(GraftExtensions.doubleBits)
     ext.injectFunction(GraftExtensions.misraGries)
+    ext.injectFunction(GraftExtensions.multiLiteralMatches)
     ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)
   }
 }
@@ -37,7 +38,7 @@ object GraftExtensions {
     * construction time). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Seq(vecDot, rollingHash, minhashSig, simhashWords, vecL2Sq, signLshBuckets, doubleBits,
-        misraGries).foreach { case (fid, i, b) =>
+        misraGries, multiLiteralMatches).foreach { case (fid, i, b) =>
       org.apache.spark.sql.graft.ColumnBridge.registerFunction(spark, fid, i, b)
     }
     if (!spark.experimental.extraOptimizations.contains(graft.plans.BandedRangeJoinRule))
@@ -143,5 +144,29 @@ object GraftExtensions {
         case other => throw new IllegalArgumentException(s"sign_lsh_buckets $what must be an integer literal, got $other")
       }
       SignLshBuckets(exprs(0), intLit(exprs(1), "tables"), intLit(exprs(2), "planesPerTable"))
+    })
+
+  val multiLiteralMatches: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("multi_literal_matches"),
+    info("multi_literal_matches",
+      "multi_literal_matches(text, array('p0', 'p1', ...)) - ids of the literal patterns " +
+        "contained in text, found in ONE Aho-Corasick pass (vs one contains() scan per pattern)"),
+    (exprs: Seq[Expression]) => {
+      requireArity("multi_literal_matches", exprs, Seq(2))
+      // the pattern list must be a foldable array of string literals: the
+      // automaton is built ONCE at plan time, not per row
+      val patterns = exprs(1) match {
+        case e if e.foldable => e.eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            a.toObjectArray(org.apache.spark.sql.types.StringType)
+              .map(v => if (v == null) null else v.toString).toSeq
+          case other => throw new IllegalArgumentException(
+            s"multi_literal_matches patterns must be an array literal, got $other")
+        }
+        case other => throw new IllegalArgumentException(
+          s"multi_literal_matches patterns must be foldable, got $other")
+      }
+      require(patterns.forall(_ != null), "multi_literal_matches patterns must be non-null")
+      graft.functions.MultiLiteral.MultiLiteralMatches(exprs(0), patterns)
     })
 }

@@ -880,6 +880,42 @@ object EventOps {
        |FROM keyed GROUP BY 1 ORDER BY bucket""".stripMargin
   }
 
+  // ------------------------------------------------- id coverage / gaps
+
+  /** Sequence-coverage audit (round 9): per id-range bucket, how many ids
+    * are MISSING inside the bucket's observed span — the "did ingestion
+    * drop events" check (dense surrogate keys should have zero holes).
+    * The classic islands-and-gaps window needs a GLOBAL order — a one-task
+    * sort at any scale — so this buckets ids first (`div 1000`) and counts
+    * `span − distinct` per bucket: fully parallel, and a dense-id table
+    * reports 0 everywhere while any dropped range shows up in its bucket.
+    * Cross-bucket boundary holes surface in the bucket whose span shrinks
+    * (its min/max pull inward), keeping the audit sound without a global
+    * sort. All-buckets output (not just violators) so the gate pins the
+    * zero case too. */
+  def idCoverage(spark: SparkSession, dir: String, bucketSize: Int = 1000): DataFrame =
+    table(spark, dir, "events")
+      .select(col("event_id"))
+      .groupBy(expr(s"event_id div $bucketSize").as("bucket"))
+      .agg(count(lit(1)).as("n_ids"),
+        countDistinct(col("event_id")).as("n_distinct"),
+        min(col("event_id")).as("span_min"),
+        max(col("event_id")).as("span_max"))
+      .withColumn("missing_in_span",
+        col("span_max") - col("span_min") + 1 - col("n_distinct"))
+      .withColumn("dup_ids", col("n_ids") - col("n_distinct"))
+      .orderBy("bucket")
+
+  def idCoverageOracle(bucketSize: Int = 1000): String =
+    s"""SELECT event_id // $bucketSize AS bucket,
+       |  count(*) AS n_ids,
+       |  count(DISTINCT event_id) AS n_distinct,
+       |  min(event_id) AS span_min,
+       |  max(event_id) AS span_max,
+       |  max(event_id) - min(event_id) + 1 - count(DISTINCT event_id) AS missing_in_span,
+       |  count(*) - count(DISTINCT event_id) AS dup_ids
+       |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+
   // ------------------------------------------------- transition matrix
 
   /** Markov transition matrix over event types (round 9): for each user's

@@ -110,4 +110,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect()(0).getMap[String, Long](0).toMap
     assert(numeric == Map("2" -> 90L))
   }
+
+  test("SQL multi_literal_matches agrees with the Column API; non-literal patterns rejected") {
+    val viaSql = spark.sql(
+      "SELECT multi_literal_matches('ushers at the show', array('he', 'she', 'his', 'hers')) AS m")
+      .collect()(0).getSeq[Int](0)
+    assert(viaSql == Seq(0, 1, 3)) // he, she, hers — not his
+    val viaCol = spark.range(1).select(
+      graft.functions.MultiLiteral.multi_literal_matches(
+        org.apache.spark.sql.functions.lit("ushers at the show"),
+        Seq("he", "she", "his", "hers")).as("m"))
+      .collect()(0).getSeq[Int](0)
+    assert(viaSql == viaCol)
+    // a non-foldable pattern array would rebuild the automaton per row —
+    // rejected at analysis time
+    spark.range(1).selectExpr("CAST(id AS STRING) AS s").createOrReplaceTempView("mlm_in")
+    val err = intercept[Exception] {
+      spark.sql("SELECT multi_literal_matches(s, array(s)) FROM mlm_in").collect()
+    }
+    assert(err.getMessage.contains("foldable") || err.getMessage.contains("literal"),
+      s"unexpected error: ${err.getMessage}")
+  }
 }
