@@ -61,6 +61,40 @@ case class Unique(columns: Seq[String]) extends Rule {
   val rowPredicate = None
 }
 
+/** TABLE-LEVEL rule: a boolean SQL predicate over aggregates (portable
+  * Spark/DuckDB — e.g. `max(ts) >= DATE '...'` for freshness,
+  * `count(c) = count(*)` for completeness, `count(DISTINCT c) BETWEEN lo
+  * AND hi` for cardinality). Violations = 0 or 1. Fuses into the same
+  * single-scan aggregate as the row-level rules (Deequ-style analyzers,
+  * one pass). */
+case class AggRule(name: String, aggPredicate: String) extends Rule {
+  val rowPredicate = None
+}
+
+object AggRule {
+  /** Freshness: the newest value of `column` is at or after `minDate`
+    * (compared at DATE granularity — portable across ntz/ltz literal
+    * semantics). */
+  def freshness(column: String, minDate: String): AggRule =
+    AggRule(s"freshness($column,$minDate)",
+      s"CAST(max($column) AS DATE) >= DATE '$minDate'")
+
+  /** Completeness: at least `permille`/1000 of rows have a non-null
+    * `column` (integer math — no float thresholds). */
+  def completeness(column: String, permille: Int): AggRule =
+    AggRule(s"completeness($column,$permille)",
+      s"count($column) * 1000 >= count(*) * $permille")
+
+  /** Cardinality: exact distinct count of `column` within [lo, hi].
+    * COST NOTE: a distinct aggregate makes Spark Expand the fused scan
+    * (×2 row multiplication on this table) — intended for LOW-cardinality
+    * enum-like columns; bound a high-cardinality column with the sketch
+    * profile's HLL instead. */
+  def ndvBetween(column: String, lo: Long, hi: Long): AggRule =
+    AggRule(s"ndv_between($column,$lo,$hi)",
+      s"count(DISTINCT $column) BETWEEN $lo AND $hi")
+}
+
 /** Referential integrity: every non-null child value exists in the parent. */
 case class ForeignKey(column: String, parentTable: String, parentColumn: String) extends Rule {
   val name = s"fk($column->$parentTable.$parentColumn)"
@@ -81,8 +115,9 @@ object QualityRunner {
       val df = Fixtures.table(spark, dir, tableName)
       val rowRules = rules.filter(_.rowPredicate.isDefined)
       val fkRules = rules.collect { case f: ForeignKey => f }
+      val aggRules = rules.collect { case a: AggRule => a }
       val fusedResult: Option[DataFrame] =
-        if (rowRules.isEmpty && fkRules.isEmpty) None
+        if (rowRules.isEmpty && fkRules.isEmpty && aggRules.isEmpty) None
         else {
           val withParents = fkRules.zipWithIndex.foldLeft(df) { case (acc, (f, i)) =>
             val parent = Fixtures.table(spark, dir, f.parentTable)
@@ -94,10 +129,14 @@ object QualityRunner {
             fkRules.zipWithIndex.map { case (f, i) =>
               sum(when(col(f.column).isNotNull && col(s"__parent_$i").isNull, 1L)
                 .otherwise(0L)).as(f.name)
-            }
+            } ++
+            // table-level rules ride the SAME fused aggregate: the CASE
+            // wraps aggregate expressions, so it is still one scan
+            aggRules.map(a =>
+              expr(s"CAST(CASE WHEN ${a.aggPredicate} THEN 0 ELSE 1 END AS BIGINT)").as(a.name))
           val row = withParents.agg(aggs.head, aggs.tail: _*)
           // unpivot the one-row agg into (rule, violations)
-          val fused = rowRules ++ fkRules
+          val fused = rowRules ++ fkRules ++ aggRules
           val stacked = fused.map(r =>
             s"'${r.name.replace("'", "''")}', `${r.name}`").mkString(", ")
           Some(row.selectExpr(
@@ -139,6 +178,10 @@ object QualityRunner {
              |FROM $tableName t
              |WHERE t.$c IS NOT NULL
              |  AND NOT EXISTS (SELECT 1 FROM $pTable p WHERE p.$pCol = t.$c)""".stripMargin
+        case a: AggRule =>
+          s"""SELECT '$tableName' AS table_name, '${quoted(a.name)}' AS rule,
+             |  CAST(CASE WHEN ${a.aggPredicate} THEN 0 ELSE 1 END AS BIGINT) AS violations
+             |FROM $tableName""".stripMargin
         case other => sys.error(s"unhandled rule $other")
       }
     }
@@ -168,7 +211,10 @@ object QualitySuite {
       Unique(Seq("o_orderkey")),
       InSet("o_orderstatus", Seq("F", "O", "P")),
       ExprRule("totalprice_positive", "o_totalprice > 0"),
-      ForeignKey("o_custkey", "customer", "c_custkey")),
+      ForeignKey("o_custkey", "customer", "c_custkey"),
+      AggRule.freshness("o_orderdate", "2001-06-01"), // passes: max is 2001-08-01
+      // intentionally failing freshness: the monitor must DETECT staleness
+      AggRule.freshness("o_orderdate", "2002-01-01")),
     "customer" -> Seq(
       NotNull("c_custkey"),
       Unique(Seq("c_custkey")),
@@ -180,11 +226,13 @@ object QualitySuite {
       NotNull("event_id"),
       Unique(Seq("event_id")),
       InSet("event_type", Seq("click", "error", "purchase", "signup", "view")),
-      ExprRule("value_non_negative", "value >= 0")),
+      ExprRule("value_non_negative", "value >= 0"),
+      AggRule.completeness("value", 1000)),
     "documents" -> Seq(
       Unique(Seq("doc_id")),
       ExprRule("n_chars_matches_text", "n_chars = length(text)"),
-      InSet("lang", Seq("de", "en", "es", "fr", "zh"))),
+      InSet("lang", Seq("de", "en", "es", "fr", "zh")),
+      AggRule.ndvBetween("lang", 5, 5)),
     "embeddings" -> Seq(
       Unique(Seq("vec_id")),
       InRange("label", 0, 9)))
