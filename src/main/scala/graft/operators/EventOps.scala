@@ -880,6 +880,112 @@ object EventOps {
        |FROM keyed GROUP BY 1 ORDER BY bucket""".stripMargin
   }
 
+  // ------------------------------------------------- session path mining
+
+  /** Top user journeys (round 9): most frequent within-session event-type
+    * PATHS — the "what do users actually do" sequence-mining table a
+    * product funnel is hypothesized from. Sessions cut at the same
+    * 30-minute gap as [[sessionize]]; the path string is the session's
+    * types in (event-time, event_id) order joined with `>`.
+    *
+    * Shuffle inventory: one per-user window pass (session ids), one
+    * (user, session) aggregate whose ordered path comes from sorting the
+    * session's OWN struct array (collect_list is partition-order-dependent;
+    * sort_array canonicalizes — sessions are human-scale, so the per-group
+    * array is bounded), one path-count aggregate, TakeOrdered top-k. */
+  def sessionPaths(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val gapUs = 30L * 60 * 1000000
+    val flagged = table(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tus"),
+        col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("tus"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_id",
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged
+      .groupBy("user_id", "sess_id")
+      .agg(concat_ws(">",
+        transform(sort_array(collect_list(struct(col("tus"), col("event_id"), col("event_type")))),
+          s => s.getField("event_type"))).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
+
+  def sessionPathsOracle(k: Int = 20): String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type FROM events
+       |), flagged AS (
+       |  SELECT *, CASE WHEN prev IS NULL OR tus - prev > ${30L * 60 * 1000000}
+       |                 THEN 1 ELSE 0 END AS new_sess
+       |  FROM (SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+       |        FROM e) t
+       |), sess AS (
+       |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+       |  FROM flagged
+       |), paths AS (
+       |  SELECT user_id, sess_id,
+       |    string_agg(event_type, '>' ORDER BY tus, event_id) AS path
+       |  FROM sess GROUP BY user_id, sess_id
+       |)
+       |SELECT path, count(*) AS n_sessions
+       |FROM paths GROUP BY path
+       |ORDER BY n_sessions DESC, path LIMIT $k""".stripMargin
+
+  // ------------------------------------------------- trend slopes (OLS)
+
+  /** Per-type activity TREND (round 9): exact least-squares slope of
+    * hourly event counts over time — "is this event type growing or
+    * decaying", the monitor that catches slow regressions a threshold
+    * alert misses. Same exactness recipe as the correlation profile:
+    * every OLS moment (Σx, Σy, Σxy, Σx²) folds in DECIMAL(38,0) over
+    * integer hour indexes and counts, so the closed-form slope
+    * `(nΣxy − ΣxΣy) / (nΣx² − (Σx)²)` divides two exactly-computed
+    * integers as doubles — bit-identical cross-engine. Slope unit:
+    * events/hour per hour (millis scale for readability). */
+  def trendSlopes(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = table(spark, dir, "events")
+      .select(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("x"))
+      .groupBy("event_type", "x")
+      .agg(count(lit(1)).as("y"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    hourly.groupBy("event_type")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(dec(col("x"))).as("sx"),
+        sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("y"))).cast("decimal(38,0)").as("sxy"),
+        sum(dec(col("x")) * dec(col("x"))).cast("decimal(38,0)").as("sxx"))
+      .select(col("event_type"), col("n").cast("bigint").as("n_hours"),
+        col("sy").cast("bigint").as("n_events"),
+        (lit(1000.0) * (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope_milli"))
+      .orderBy("event_type")
+  }
+
+  val trendSlopesOracle: String =
+    """WITH hourly AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS x, count(*) AS y
+      |  FROM events GROUP BY 1, 2
+      |), m AS (
+      |  SELECT event_type,
+      |    CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(x) AS HUGEINT) AS sx,
+      |    CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS sxy,
+      |    CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx
+      |  FROM hourly GROUP BY 1
+      |)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_hours, CAST(sy AS BIGINT) AS n_events,
+      |  1000.0 * CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_milli
+      |FROM m ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------- id coverage / gaps
 
   /** Sequence-coverage audit (round 9): per id-range bucket, how many ids
