@@ -914,6 +914,75 @@ object Similarity {
        |ORDER BY msd_milli2 DESC, vec_id
        |LIMIT $k""".stripMargin
 
+  // --------------------------------------------- nearest-centroid confusion
+
+  /** NEAREST-CENTROID CONFUSION MATRIX (round 9) — embedding-space label
+    * quality eval: assign every vector to its nearest LABEL CENTROID and
+    * cross-tabulate (true label × nearest label). A clean embedding space
+    * is diagonal-dominant; off-diagonal mass localizes which label pairs
+    * blur (mislabeled slices, collapsed clusters) — the 1-NN-to-centroid
+    * cousin of [[labelOutliers]], sharing its exactness recipe: integer
+    * milli-unit coordinates, per-(label, dim) centroid SUMS (never the
+    * float mean), squared distance to label L as Σ(m·n_L − s_L)² with
+    * DECIMAL(38)-widened squares. Cross-label comparison divides by n_L²
+    * as a double (exact integers in, correctly-rounded IEEE out — same
+    * value both engines), argmin breaks ties on label.
+    *
+    * 100 TB shape: the (label × dim) sums table is tiny at any corpus
+    * size and broadcast; per-vector work is |labels|·dims; the confusion
+    * rollup is a |labels|²-key aggregate. */
+  def centroidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = table(spark, dir, "embeddings")
+    val nLab = base.groupBy(col("label").as("c_label")).agg(count(lit(1)).as("n"))
+    val milli = base
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        expr("CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)").as("m"))
+    val sums = milli.groupBy(col("label").as("c_label"), col("dim"))
+      .agg(sum("m").as("s"))
+      .join(nLab, "c_label")
+    val dists = milli.join(broadcast(sums), Seq("dim"))
+      .withColumn("d", col("m") * col("n") - col("s"))
+      .groupBy("vec_id", "label", "c_label")
+      .agg((sum(expr("CAST(d AS DECIMAL(38,0)) * d")).cast("double") /
+        (max(col("n")) * max(col("n"))).cast("double")).as("msd"))
+    val w = Window.partitionBy("vec_id").orderBy(col("msd"), col("c_label"))
+    dists.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("label"), col("c_label").as("nearest_label"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy("label", "nearest_label")
+  }
+
+  def centroidConfusionOracle: String =
+    """WITH milli AS (
+      |  SELECT vec_id, label, CAST(i - 1 AS INTEGER) AS dim,
+      |    CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000) AS BIGINT) AS m
+      |  FROM (SELECT vec_id, label, embedding,
+      |        unnest(generate_series(1, len(embedding))) AS i FROM embeddings)
+      |), nlab AS (
+      |  SELECT label AS c_label, count(*) AS n FROM embeddings GROUP BY 1
+      |), sums AS (
+      |  SELECT sm.c_label, sm.dim, sm.s, nlab.n FROM (
+      |    SELECT label AS c_label, dim, CAST(sum(m) AS BIGINT) AS s
+      |    FROM milli GROUP BY 1, 2
+      |  ) sm JOIN nlab USING (c_label)
+      |), dists AS (
+      |  SELECT mi.vec_id, mi.label, su.c_label,
+      |    CAST(sum(CAST(mi.m * su.n - su.s AS HUGEINT) * (mi.m * su.n - su.s)) AS DOUBLE)
+      |      / CAST(max(su.n) * max(su.n) AS DOUBLE) AS msd
+      |  FROM milli mi JOIN sums su ON su.dim = mi.dim
+      |  GROUP BY 1, 2, 3
+      |), nearest AS (
+      |  SELECT vec_id, label, c_label AS nearest_label FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY msd, c_label) AS rk
+      |    FROM dists) t
+      |  WHERE rk = 1
+      |)
+      |SELECT label, nearest_label, count(*) AS n_vectors
+      |FROM nearest GROUP BY 1, 2 ORDER BY label, nearest_label""".stripMargin
+
   // ------------------------------------------------------ norm extremes
   /** EMBEDDING NORM EXTREMES — the vector-QA spot check: the k largest and
     * k smallest vectors by squared norm (a zeroed, truncated, or
