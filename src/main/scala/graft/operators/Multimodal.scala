@@ -221,6 +221,67 @@ object Multimodal {
         (col("tiles_x") * col("tiles_y")).as("n_tiles"))
       .orderBy("doc_id", "tx", "ty")
 
+  // ------------------------------------------------- perceptual hash (dHash)
+
+  /** 64-bit DIFFERENCE HASH (dHash) — pixel-level near-dup detection for
+    * images, the visual analog of SimHash: decode, box-average down to a
+    * 9×8 grayscale grid, emit bit (x,y) = [cell(x+1,y) > cell(x,y)].
+    * Re-encodes, resizes, and small noise flip few bits (Hamming ≤ ~10);
+    * unrelated images land near 32. Downstream is EXACTLY the SimHash64
+    * machinery: block keys → capped candidate pairs → Hamming verify.
+    *
+    * Determinism is engineered, not hoped: the downsample is an INTEGER
+    * box average over floor-partitioned cell boundaries on the decoded
+    * ARGB raster (Graphics2D/`getScaledInstance` interpolation varies by
+    * platform and is banned here), grayscale is the integer ITU weights
+    * 299r+587g+114b, and comparisons are integer — the same payload hashes
+    * identically on every JVM. */
+  def dHash64(payload: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"payload (${payload.length} bytes) is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val gw = 9; val gh = 8
+    val sums = Array.ofDim[Long](gw, gh)
+    val counts = Array.ofDim[Long](gw, gh)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(gh - 1, y * gh / h)
+      var x = 0
+      while (x < w) {
+        val gx = math.min(gw - 1, x * gw / w)
+        val p = img.getRGB(x, y)
+        val gray = 299L * ((p >>> 16) & 0xff) + 587L * ((p >>> 8) & 0xff) + 114L * (p & 0xff)
+        sums(gx)(gy) += gray
+        counts(gx)(gy) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw - 1) {
+        val a = sums(gx)(gy) * counts(gx + 1)(gy)     // cross-multiplied means:
+        val b = sums(gx + 1)(gy) * counts(gx)(gy)     // exact, no division
+        if (b > a) hash |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  /** Per-partition dHash over a binary-payload dataset — the same
+    * mapPartitions seam as [[extractFeatures]] (codec init once per
+    * partition; only (id, 8-byte hash) ever leaves the decode stage, so
+    * the shuffle after this is SimHash-sized regardless of image bytes). */
+  def imageDHashes(ds: Dataset[(Long, Array[Byte])]): Dataset[(Long, Long)] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { case (id, payload) => (id, dHash64(payload)) })
+  }
+
   def tilePlanOracle(patch: Int = 128): String =
     s"""SELECT doc_id, tx, ty,
        |  tx * $patch AS x0, ty * $patch AS y0,

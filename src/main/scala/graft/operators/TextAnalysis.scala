@@ -238,6 +238,29 @@ object TextAnalysis {
        |FROM documents) s ORDER BY doc_id""".stripMargin
   }
 
+  /** Lang-ID confusion matrix (round 9): [[languageId]]'s prediction
+    * cross-tabulated against the labeled `lang` column — the
+    * classifier-eval table that tells you WHERE the cheap 1-gram heuristic
+    * is wrong (which label it mistakes for which) rather than just how
+    * often. Composition over the langid projection + one
+    * |langs|²-key aggregate. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val preds = languageId(spark, dir).select("doc_id", "pred_lang")
+    table(spark, dir, "documents").select("doc_id", "lang")
+      .join(preds, "doc_id")
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  val langConfusionOracle: String =
+    s"""WITH preds AS (
+       |${languageIdOracle.linesIterator.map("  " + _).mkString("\n")}
+       |)
+       |SELECT d.lang, p.pred_lang, count(*) AS n_docs
+       |FROM documents d JOIN preds p USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin
+
   /** Document frequency: the corpus-level term table (how many docs and how
     * many total occurrences per word) — the integer-exact half of TF-IDF
     * (the IDF log transform is left to consumers: cross-engine `ln` is not
