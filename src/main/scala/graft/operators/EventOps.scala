@@ -555,6 +555,55 @@ object EventOps {
       .orderBy("user_id", "version")
   }
 
+  /** POINT-IN-TIME join (round 9): each purchase event joined to the SCD2
+    * dimension VERSION that was valid at its event time — the versioned-
+    * dimension lookup every warehouse fact load needs ("what was the
+    * user's state when they bought"), and the query that silently goes
+    * wrong as a plain latest-version join. The interval predicate rides a
+    * USER-KEY equi join (hash join + few-versions-per-user residual —
+    * never a nested loop, never a range blow-up); `valid_from` inclusive,
+    * `valid_to` exclusive, open version = null `valid_to`, so every event
+    * matches exactly one version by construction. */
+  def pitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = scd2(spark, dir)
+      .select(col("user_id").as("d_user"), col("version"),
+        col("event_type").as("state_type"), col("valid_from_us"), col("valid_to_us"))
+    table(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"))
+      .join(dim, col("user_id") === col("d_user") &&
+        col("valid_from_us") <= col("tus") &&
+        (col("valid_to_us").isNull || col("tus") < col("valid_to_us")))
+      .select("event_id", "user_id", "tus", "version", "state_type")
+      .orderBy("event_id")
+  }
+
+  val pitJoinOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tus, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+      |  FROM events
+      |), changes AS (
+      |  SELECT user_id, event_id, tus, event_type FROM e
+      |  WHERE prev_type IS NULL OR prev_type != event_type
+      |), dim AS (
+      |  SELECT user_id AS d_user,
+      |    CAST(row_number() OVER w AS BIGINT) AS version,
+      |    event_type AS state_type,
+      |    tus AS valid_from_us,
+      |    lead(tus) OVER w AS valid_to_us
+      |  FROM changes
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+      |)
+      |SELECT f.event_id, f.user_id, f.tus, d.version, d.state_type
+      |FROM (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
+      |      WHERE event_type = 'purchase') f
+      |JOIN dim d ON f.user_id = d.d_user
+      |  AND d.valid_from_us <= f.tus
+      |  AND (d.valid_to_us IS NULL OR f.tus < d.valid_to_us)
+      |ORDER BY f.event_id""".stripMargin
+
   val scd2Oracle: String =
     """WITH e AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS tus, event_type,
