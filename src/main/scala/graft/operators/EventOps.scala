@@ -929,6 +929,76 @@ object EventOps {
        |FROM keyed GROUP BY 1 ORDER BY bucket""".stripMargin
   }
 
+  // ------------------------------------------------- trimmed mean
+
+  /** Trimmed mean per event type (round 9): mean of `value` after dropping
+    * the top and bottom `trimPct`% BY RANK — the robust-location estimate
+    * between the mean (outlier-poisoned) and the median (throws away
+    * everything). Exactness: integer-cents ranks with (cents, event_id)
+    * total order, the keep band is pure integer arithmetic
+    * (`rn > n·p/100 ∧ rn ≤ n − n·p/100`, floor division both sides), and
+    * the kept mean is a decimal sum over cents divided by an exact count.
+    * Rank windows are PARTITIONED by type. */
+  def trimmedMeans(spark: SparkSession, dir: String, trimPct: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = table(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("bigint").as("cents"))
+    val w = Window.partitionBy("event_type").orderBy(col("cents"), col("event_id"))
+    e.withColumn("rn", row_number().over(w).cast("bigint"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(col("rn") > expr(s"(n * $trimPct) div 100") &&
+        col("rn") <= col("n") - expr(s"(n * $trimPct) div 100"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_kept"),
+        (sum(col("cents").cast("decimal(38,0)")).cast("double") /
+          (count(lit(1)) * 100).cast("double")).as("trimmed_mean"))
+      .orderBy("event_type")
+  }
+
+  def trimmedMeansOracle(trimPct: Int = 5): String =
+    s"""WITH ranked AS (
+       |  SELECT event_type,
+       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+       |    CAST(row_number() OVER (PARTITION BY event_type
+       |      ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT), event_id) AS BIGINT) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events WHERE value IS NOT NULL
+       |)
+       |SELECT event_type, count(*) AS n_kept,
+       |  CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE) / CAST(count(*) * 100 AS DOUBLE) AS trimmed_mean
+       |FROM ranked
+       |WHERE rn > (n * $trimPct) // 100 AND rn <= n - (n * $trimPct) // 100
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------- cross-type user overlap
+
+  /** Audience-overlap matrix (round 9): for every ordered pair of event
+    * types, how many distinct users did BOTH — the cross-feature audience
+    * diagnostic (do purchasers also error?). Exact form: distinct
+    * (type, user) pairs self-joined on user — the reduced frame is
+    * (types × users)-bounded, never event-count-bounded. The sketch twin
+    * at extreme user counts is `hll_union` algebra exactly as in
+    * `profile_key_overlap_sketch`. */
+  def typeUserOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val tu = table(spark, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+    tu.select(col("event_type").as("type_a"), col("user_id"))
+      .join(tu.select(col("event_type").as("type_b"), col("user_id")), "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("common_users"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val typeUserOverlapOracle: String =
+    """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |  count(*) AS common_users
+      |FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin
+
   // ------------------------------------------------- session path mining
 
   /** Top user journeys (round 9): most frequent within-session event-type
