@@ -929,6 +929,56 @@ object EventOps {
        |FROM keyed GROUP BY 1 ORDER BY bucket""".stripMargin
   }
 
+  // ------------------------------------------------- OHLC bars
+
+  /** Hourly OHLC bars per event type (round 9): open/high/low/close of
+    * `value` — the time-series downsample (financial candlesticks, metric
+    * roll-ups). Open/close are FIRST/LAST by (event time, event_id): in
+    * Spark, `min(struct(tus, event_id, cents))` — lexicographic struct
+    * ordering makes the aggregate deterministic and partial-merge-safe
+    * (no window needed); the oracle's first/last_value window over the
+    * same total order lands on identical values. Cents in, cents/100 as
+    * exact-integer doubles out. */
+  def ohlcBars(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"),
+        col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("bigint").as("cents"))
+      .withColumn("hour_start", expr("tus div 3600000000"))
+    e.groupBy("hour_start", "event_type")
+      .agg(count(lit(1)).as("n"),
+        (min(struct(col("tus"), col("event_id"), col("cents"))).getField("cents")
+          .cast("double") / 100).as("open"),
+        (max(col("cents")).cast("double") / 100).as("high"),
+        (min(col("cents")).cast("double") / 100).as("low"),
+        (max(struct(col("tus"), col("event_id"), col("cents"))).getField("cents")
+          .cast("double") / 100).as("close"))
+      .orderBy("hour_start", "event_type")
+  }
+
+  val ohlcBarsOracle: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) AS tus, event_id,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+      |    epoch_us(ts) // 3600000000 AS hour_start
+      |  FROM events WHERE value IS NOT NULL
+      |), w AS (
+      |  SELECT hour_start, event_type, cents,
+      |    first_value(cents) OVER win AS o_cents,
+      |    last_value(cents) OVER win AS c_cents
+      |  FROM e
+      |  WINDOW win AS (PARTITION BY hour_start, event_type ORDER BY tus, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |)
+      |SELECT hour_start, event_type, count(*) AS n,
+      |  CAST(min(o_cents) AS DOUBLE) / 100 AS open,
+      |  CAST(max(cents) AS DOUBLE) / 100 AS high,
+      |  CAST(min(cents) AS DOUBLE) / 100 AS low,
+      |  CAST(min(c_cents) AS DOUBLE) / 100 AS close
+      |FROM w GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
+
   // ------------------------------------------------- trimmed mean
 
   /** Trimmed mean per event type (round 9): mean of `value` after dropping
