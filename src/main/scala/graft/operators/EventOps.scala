@@ -1340,4 +1340,126 @@ object EventOps {
       |FROM dev JOIN mad ON event_type = dt
       |WHERE ad2 * 20000 > mad4 * 51891
       |ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------- sweep-line concurrency
+  /** Peak session concurrency per hour — the capacity-planning question
+    * ("how many users are on at once?") answered with the classic sweep
+    * line: sessions become (+1 at start, −1 at end+1µs) delta events, the
+    * running sum over change points IS the concurrency, and per-hour max of
+    * that running value is the report. Sessions reuse [[sessionize]]'s
+    * 30-minute-gap islands.
+    *
+    * Scale shape: the only per-row work is the per-user session windows
+    * (partition-parallel); after `groupBy(tus)` the sweep frame holds
+    * DISTINCT CHANGE-POINT TIMESTAMPS, not rows, and its prefix sum is the
+    * same TWO-LEVEL distributed form as the Gini profile — hour-bucket
+    * local windows in parallel plus a single tiny window over per-hour
+    * delta totals (rows = hours in the corpus). No global row sort ever
+    * happens. Hours with no change points carry no row (documented:
+    * concurrency is constant through such hours, equal to the last
+    * reported running value). */
+  def maxConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("tus")
+    val gapUs = 30L * 60 * 1000000
+    val hourUs = 3600L * 1000000
+    val e = table(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tus"))
+    val sessions = e
+      .withColumn("prev", lag(col("tus"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_id",
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sess_id")
+      .agg(min(col("tus")).as("s_tus"), max(col("tus")).as("e_tus"))
+    // endpoint deltas; end is inclusive, so the -1 lands at end+1us
+    val deltas = sessions.select(col("s_tus").as("tus"), lit(1L).as("d"))
+      .union(sessions.select((col("e_tus") + 1).as("tus"), lit(-1L).as("d")))
+      .groupBy("tus").agg(sum(col("d")).as("d"))
+      .withColumn("bucket", expr(s"tus div $hourUs"))
+    val wLocal = Window.partitionBy("bucket").orderBy("tus")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wBucket = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = deltas.groupBy("bucket").agg(sum(col("d")).as("bd"))
+      .withColumn("bucket_offset", coalesce(sum(col("bd")).over(wBucket), lit(0L)))
+      .select(col("bucket").as("ob"), col("bucket_offset"))
+    deltas
+      .withColumn("local", sum(col("d")).over(wLocal))
+      .join(broadcast(offsets), col("bucket") === col("ob"))
+      .withColumn("conc", col("bucket_offset") + col("local"))
+      .groupBy(col("bucket"))
+      .agg(max(col("conc")).as("peak_concurrency"), count(lit(1)).as("n_change_points"))
+      .select(timestamp_micros(col("bucket") * hourUs).cast("timestamp_ntz").as("hour_start"),
+        col("peak_concurrency"), col("n_change_points"))
+      .orderBy("hour_start")
+  }
+
+  val maxConcurrencyOracle: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+      |g AS (
+      |  SELECT user_id, tus,
+      |    CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+      |              OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS sess_id,
+      |    tus FROM g),
+      |sess AS (
+      |  SELECT user_id, sess_id, min(tus) AS s_tus, max(tus) AS e_tus
+      |  FROM s GROUP BY user_id, sess_id),
+      |deltas AS (
+      |  SELECT tus, CAST(sum(d) AS BIGINT) AS d FROM (
+      |    SELECT s_tus AS tus, 1 AS d FROM sess
+      |    UNION ALL
+      |    SELECT e_tus + 1 AS tus, -1 AS d FROM sess)
+      |  GROUP BY tus),
+      |sweep AS (
+      |  SELECT tus, sum(d) OVER (ORDER BY tus ROWS UNBOUNDED PRECEDING) AS conc
+      |  FROM deltas)
+      |SELECT make_timestamp((tus // 3600000000) * 3600000000) AS hour_start,
+      |       max(conc) AS peak_concurrency, count(*) AS n_change_points
+      |FROM sweep GROUP BY 1 ORDER BY hour_start""".stripMargin
+
+  // ----------------------------------------------------- user growth curve
+  /** Daily audience growth: new users (first-ever appearance), cumulative
+    * registered users, and daily active users in one report — the
+    * product-analytics growth curve. First-seen collapses each user to one
+    * row (`groupBy(user_id).min(day)` — a partial-agg shuffle on the 8 B
+    * user key), daily actives are an exact distinct per day, and the
+    * cumulative sum runs over DISTINCT DAYS only (a calendar-bounded frame
+    * at any corpus size — ~365 rows/year — so the single-partition window
+    * is safe at 100 TB). */
+  def userGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = table(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts").cast("timestamp")).as("day"))
+    val firstSeen = e.groupBy("user_id").agg(min(col("day")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    val actives = e.distinct().groupBy("day").agg(count(lit(1)).as("active_users"))
+    val wDays = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    actives.join(firstSeen, Seq("day"), "left")
+      .na.fill(0L, Seq("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(wDays))
+      .select(col("day"), col("new_users"), col("cum_users"), col("active_users"))
+      .orderBy("day")
+  }
+
+  val userGrowthOracle: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |fs AS (
+      |  SELECT day, count(*) AS new_users FROM (
+      |    SELECT user_id, min(day) AS day FROM e GROUP BY user_id)
+      |  GROUP BY day),
+      |act AS (
+      |  SELECT day, count(DISTINCT user_id) AS active_users FROM e GROUP BY day)
+      |SELECT act.day, COALESCE(new_users, 0) AS new_users,
+      |       CAST(sum(COALESCE(new_users, 0)) OVER (ORDER BY act.day
+      |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users,
+      |       active_users
+      |FROM act LEFT JOIN fs ON act.day = fs.day
+      |ORDER BY act.day""".stripMargin
 }

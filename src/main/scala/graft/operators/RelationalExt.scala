@@ -962,4 +962,48 @@ object RelationalExt {
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  // ------------------------------------------------------- Pareto frontier
+  /** 2-D skyline over `part`: the Pareto frontier maximizing `p_size` while
+    * minimizing `p_retailprice` (strict dominance — a part is dropped iff
+    * some other part is at least as large AND at most as expensive, with at
+    * least one strict). The naive form is the O(n²) NOT-EXISTS self-join
+    * the oracle uses; the engine computes it in two linear passes:
+    *
+    *  1. per-size minimum price — a partial-agg shuffle on a 4 B key whose
+    *     cardinality is the SIZE DOMAIN (bounded), not the row count;
+    *  2. a strict suffix-min window over the distinct sizes (domain-sized
+    *     frame — safe in one partition at any corpus scale) keeps the sizes
+    *     whose best price beats every strictly-larger size;
+    *  3. a broadcast semi-join back to `part` re-attaches every part that
+    *     sits exactly on a surviving (size, min-price) point — equal-priced
+    *     ties all belong to the frontier (an equal point does not dominate).
+    *
+    * Prices compare as raw doubles on both engines (same parquet bits, same
+    * IEEE comparisons) — no rounding enters the dominance test. */
+  def paretoFrontier(spark: SparkSession, dir: String): DataFrame = {
+    val part = table(spark, dir, "part")
+    val bySize = part.groupBy(col("p_size").as("f_size"))
+      .agg(min(col("p_retailprice")).as("minp"))
+    val wSuffix = Window.orderBy(col("f_size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = bySize
+      .withColumn("suff", min(col("minp")).over(wSuffix))
+      .filter(col("suff").isNull || col("minp") < col("suff"))
+      .select(col("f_size"), col("minp"))
+    part.join(broadcast(frontier),
+        col("p_size") === col("f_size") && col("p_retailprice") === col("minp"),
+        "left_semi")
+      .select(col("p_partkey"), col("p_name"), col("p_size"), col("p_retailprice"))
+      .orderBy(col("p_size"), col("p_partkey"))
+  }
+
+  val paretoFrontierOracle: String =
+    """SELECT p_partkey, p_name, p_size, p_retailprice
+      |FROM part p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part q
+      |  WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+      |    AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))
+      |ORDER BY p_size, p_partkey""".stripMargin
 }

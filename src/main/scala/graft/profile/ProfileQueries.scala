@@ -1208,4 +1208,70 @@ object ProfileQueries {
        |SELECT digit, cnt,
        |  CAST(cnt * 1000 AS DOUBLE) / CAST((SELECT sum(cnt) FROM c) AS DOUBLE) AS permille
        |FROM c ORDER BY digit""".stripMargin
+
+  // ---------------------------------------------------- weighted percentiles
+  /** Exact WEIGHTED percentiles (p25/p50/p75) of `l_extendedprice` weighted
+    * by `l_quantity` — "what price does the median UNIT ship at", the
+    * revenue-weighted twin of the row-weighted percentile profile. No libm,
+    * no global row sort: values quantize to integer cents and weights to
+    * integer centi-units (both exact for 2-dp data), the frame collapses to
+    * DISTINCT VALUES via a partial-agg shuffle on an 8 B key, and the
+    * cumulative weight runs as the same TWO-LEVEL distributed prefix as the
+    * Gini profile (cents-range buckets locally in parallel, one tiny window
+    * over per-bucket totals). The lower weighted percentile at q is the
+    * smallest value whose inclusive cumulative weight reaches ⌈q·W⌉ —
+    * pure integer thresholds, so both engines agree bit-for-bit. */
+  def weightedPercentiles(spark: SparkSession, dir: String,
+      tableName: String = "lineitem", valueCol: String = "l_extendedprice",
+      weightCol: String = "l_quantity"): DataFrame =
+    weightedPercentilesOf(Fixtures.table(spark, dir, tableName), valueCol, weightCol)
+
+  /** [[weightedPercentiles]]'s core over an arbitrary frame (unit-testable
+    * on synthetic weight distributions: unit weights reduce to the plain
+    * lower percentile; a dominant weight owns every quantile). */
+  def weightedPercentilesOf(df: DataFrame, valueCol: String,
+      weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grp = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .groupBy(floor(col(valueCol) * 100 + 0.5).cast("bigint").as("cents"))
+      .agg(sum(floor(col(weightCol) * 100 + 0.5).cast("bigint")).as("w"))
+      .withColumn("bucket", expr("cents div 10000"))
+    val wLocal = Window.partitionBy("bucket").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wBucket = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = grp.groupBy("bucket").agg(sum(col("w")).as("bw"))
+      .withColumn("bucket_offset", coalesce(sum(col("bw")).over(wBucket), lit(0L)))
+      .select(col("bucket").as("ob"), col("bucket_offset"))
+    val cum = grp
+      .withColumn("local", sum(col("w")).over(wLocal))
+      .join(broadcast(offsets), col("bucket") === col("ob"))
+      .withColumn("cw", col("bucket_offset") + col("local"))
+    cum.crossJoin(broadcast(cum.agg(max(col("cw")).as("tw"))))
+      .agg(
+        max(col("tw")).as("total_weight"),
+        (min(when(col("cw") * 4 >= col("tw"), col("cents"))).cast("double") / 100).as("wp25"),
+        (min(when(col("cw") * 2 >= col("tw"), col("cents"))).cast("double") / 100).as("wp50"),
+        (min(when(col("cw") * 4 >= col("tw") * 3, col("cents"))).cast("double") / 100).as("wp75"))
+  }
+
+  def weightedPercentilesOracle(tableName: String = "lineitem",
+      valueCol: String = "l_extendedprice", weightCol: String = "l_quantity"): String =
+    s"""WITH grp AS (
+       |  SELECT CAST(floor($valueCol * 100 + 0.5) AS BIGINT) AS cents,
+       |         CAST(sum(CAST(floor($weightCol * 100 + 0.5) AS BIGINT)) AS BIGINT) AS w
+       |  FROM $tableName
+       |  WHERE $valueCol IS NOT NULL AND $weightCol IS NOT NULL
+       |  GROUP BY 1
+       |), cum AS (
+       |  SELECT cents,
+       |    CAST(sum(w) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+       |  FROM grp
+       |), tot AS (SELECT max(cw) AS tw FROM cum)
+       |SELECT CAST(max(tw) AS BIGINT) AS total_weight,
+       |  CAST(min(CASE WHEN cw * 4 >= tw THEN cents END) AS DOUBLE) / 100 AS wp25,
+       |  CAST(min(CASE WHEN cw * 2 >= tw THEN cents END) AS DOUBLE) / 100 AS wp50,
+       |  CAST(min(CASE WHEN cw * 4 >= tw * 3 THEN cents END) AS DOUBLE) / 100 AS wp75
+       |FROM cum, tot""".stripMargin
 }
