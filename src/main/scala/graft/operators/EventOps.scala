@@ -1462,4 +1462,92 @@ object EventOps {
       |       active_users
       |FROM act LEFT JOIN fs ON act.day = fs.day
       |ORDER BY act.day""".stripMargin
+
+  // ---------------------------------------------- interval-interval overlap
+  /** Busy-window audience report: data-derived "busy windows" (maximal runs
+    * of hours whose event count exceeds the per-hour mean — a pure integer
+    * compare, `n · n_hours > total`) interval-joined against user SESSIONS
+    * ([[sessionize]] islands) to count sessions/users active during each
+    * window. This is the interval-INTERVAL overlap join (both sides are
+    * ranges), complementing the point-in-range family (`events_range_join*`).
+    *
+    * Scale shape: the overlap join is NOT a theta join — both interval sides
+    * explode into the hour buckets they cover (expansion bounded by
+    * interval length / bucket width) and meet in an EQUI-join on the 8 B
+    * hour key, with the busy-hour side broadcast (calendar-bounded). The
+    * oracle states the same join as the naive `s_start < w_end AND
+    * s_end >= w_start` theta form. Pair dedup (a session sharing k hours
+    * with a window appears k times) happens on (window, user, session)
+    * keys before counting. */
+  def busyWindowSessions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourUs = 3600L * 1000000
+    val gapUs = 30L * 60 * 1000000
+    val e = table(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tus"))
+    val hourly = e.groupBy(expr(s"tus div $hourUs").as("h"))
+      .agg(count(lit(1)).as("n"))
+    val tot = hourly.agg(sum(col("n")).as("total"), count(lit(1)).as("n_hours"))
+    val busy = hourly.crossJoin(broadcast(tot))
+      .filter(col("n") * col("n_hours") > col("total"))
+      .select("h")
+    // gaps-and-islands over the busy-hour frame (calendar-bounded): runs of
+    // consecutive hours share (h - row_number)
+    val windows = busy
+      .withColumn("grp", col("h") - row_number().over(Window.orderBy("h")))
+      .groupBy("grp").agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val byUser = Window.partitionBy("user_id").orderBy("tus")
+    val sessions = e
+      .withColumn("prev", lag(col("tus"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_id",
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sess_id")
+      .agg(min(col("tus")).as("s_tus"), max(col("tus")).as("e_tus"))
+    val sessHours = sessions.withColumn("h",
+      explode(sequence(expr(s"s_tus div $hourUs"), expr(s"e_tus div $hourUs"))))
+    val winHours = windows.withColumn("h", explode(sequence(col("h0"), col("h1"))))
+    sessHours.join(broadcast(winHours), Seq("h"))
+      .select("h0", "h1", "user_id", "sess_id").distinct()
+      .groupBy("h0", "h1")
+      .agg(count(lit(1)).as("n_sessions"), countDistinct(col("user_id")).as("n_users"))
+      .select(
+        timestamp_micros(col("h0") * hourUs).cast("timestamp_ntz").as("window_start"),
+        timestamp_micros((col("h1") + 1) * hourUs).cast("timestamp_ntz").as("window_end"),
+        (col("h1") - col("h0") + 1).as("n_hours"),
+        col("n_sessions"), col("n_users"))
+      .orderBy("window_start")
+  }
+
+  val busyWindowSessionsOracle: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+      |hourly AS (SELECT tus // 3600000000 AS h, count(*) AS n FROM e GROUP BY 1),
+      |tot AS (SELECT sum(n) AS total, count(*) AS n_hours FROM hourly),
+      |busy AS (SELECT h FROM hourly, tot WHERE n * n_hours > total),
+      |win AS (
+      |  SELECT min(h) AS h0, max(h) AS h1 FROM (
+      |    SELECT h, h - row_number() OVER (ORDER BY h) AS grp FROM busy)
+      |  GROUP BY grp),
+      |g AS (
+      |  SELECT user_id, tus,
+      |    CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+      |              OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS sess_id,
+      |    tus FROM g),
+      |sess AS (
+      |  SELECT user_id, sess_id, min(tus) AS s_tus, max(tus) AS e_tus
+      |  FROM s GROUP BY user_id, sess_id)
+      |SELECT make_timestamp(h0 * 3600000000) AS window_start,
+      |       make_timestamp((h1 + 1) * 3600000000) AS window_end,
+      |       h1 - h0 + 1 AS n_hours,
+      |       count(*) AS n_sessions,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM win JOIN sess
+      |  ON s_tus < (h1 + 1) * 3600000000 AND e_tus >= h0 * 3600000000
+      |GROUP BY h0, h1 ORDER BY window_start""".stripMargin
 }

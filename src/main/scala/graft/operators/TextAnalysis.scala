@@ -2064,4 +2064,70 @@ object TextAnalysis {
        |SELECT term, count(*) AS df,
        |  list_sort(list(DISTINCT doc_id))[1:$cap] AS postings
        |FROM toks GROUP BY term ORDER BY term""".stripMargin
+
+  // ------------------------------------------------------- PMI collocations
+  /** Collocation mining: the word bigrams most over-represented vs chance,
+    * ranked by pointwise mutual information — WITHOUT libm. PMI's log is
+    * monotone in its argument, so ranking by the exact integer ratio
+    * `10⁶ · c(xy) · n₁² / (n_b · c(x) · c(y))` (unigram totals n₁, bigram
+    * total n_b) orders identically to PMI and both engines compute it
+    * bit-for-bit in DECIMAL(38,0)/HUGEINT (the products pass 2⁶³ around
+    * 10⁷ tokens — a 100 TB corpus is ~10¹³).
+    *
+    * Scale shape: bigram and unigram counts are partial-agg shuffles over
+    * vocabulary-bounded keys (never corpus rows past the first combine);
+    * the two count joins are vocab-side only; the min-support filter
+    * (c(xy) ≥ minCount) cuts the frame before ranking, and the top-k is
+    * TakeOrderedAndProject — no global sort anywhere. */
+  def collocations(spark: SparkSession, dir: String, minCount: Int = 20,
+      k: Int = 30): DataFrame = {
+    val toks = table(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(words).as(Seq("pos", "w1")), words.as("toks"))
+      .filter(col("w1") =!= "")
+    val uni = toks.groupBy(col("w1").as("w")).agg(count(lit(1)).as("c"))
+    val big = toks
+      .filter(col("pos") < size(col("toks")) - 1)
+      .select(col("w1"), col("toks").getItem(col("pos") + 1).as("w2"))
+      .filter(col("w2") =!= "")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val totals = uni.agg(sum(col("c")).as("n1")).crossJoin(
+      big.agg(sum(col("c_xy")).as("nb")))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    big
+      .join(uni.select(col("w").as("w1"), col("c").as("cx")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("cy")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("num", dec(col("c_xy")) * dec(col("n1")) * dec(col("n1")) * 1000000)
+      .withColumn("den", dec(col("nb")) * dec(col("cx")) * dec(col("cy")))
+      // `div` is integral (truncating) division — DuckDB's `//` — where
+      // decimal `/` would round half-up and disagree on ratio boundaries
+      .select(col("w1"), col("w2"), col("c_xy"),
+        expr("CAST(num div den AS BIGINT)").as("pmi_ratio_ppm"))
+      .orderBy(col("pmi_ratio_ppm").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  def collocationsOracle(minCount: Int = 20, k: Int = 30): String =
+    s"""WITH toks AS (
+       |  SELECT string_split(text, ' ') AS ts FROM documents
+       |), uni AS (
+       |  SELECT w, CAST(count(*) AS HUGEINT) AS c FROM (
+       |    SELECT unnest(ts) AS w FROM toks) WHERE w <> '' GROUP BY w
+       |), big AS (
+       |  SELECT w1, w2, CAST(count(*) AS HUGEINT) AS c_xy FROM (
+       |    SELECT ts[i] AS w1, ts[i+1] AS w2
+       |    FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM toks))
+       |  WHERE w1 <> '' AND w2 <> ''
+       |  GROUP BY w1, w2 HAVING count(*) >= $minCount
+       |), tot AS (
+       |  SELECT (SELECT sum(c) FROM uni) AS n1, (SELECT sum(c_xy) FROM big) AS nb
+       |)
+       |SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+       |  CAST(c_xy * n1 * n1 * 1000000 // (nb * ux.c * uy.c) AS BIGINT) AS pmi_ratio_ppm
+       |FROM big
+       |JOIN uni ux ON ux.w = big.w1
+       |JOIN uni uy ON uy.w = big.w2
+       |CROSS JOIN tot
+       |ORDER BY pmi_ratio_ppm DESC, w1, w2 LIMIT $k""".stripMargin
 }

@@ -1274,4 +1274,42 @@ object ProfileQueries {
        |  CAST(min(CASE WHEN cw * 2 >= tw THEN cents END) AS DOUBLE) / 100 AS wp50,
        |  CAST(min(CASE WHEN cw * 4 >= tw * 3 THEN cents END) AS DOUBLE) / 100 AS wp75
        |FROM cum, tot""".stripMargin
+
+  // --------------------------------------------------------- HHI concentration
+  /** Herfindahl–Hirschman concentration of language shares within each
+    * document source — "is this source monolingual or a mixed crawl?", the
+    * portfolio-concentration number profilers report next to NDV. HHI =
+    * Σ shareᵢ² computed as one exact integer ratio
+    * `Σcᵢ² · 10⁸ div total²` (HHI ×10⁸; 10⁸ = a 1.0 = full concentration)
+    * in DECIMAL(38,0)/HUGEINT — `total²` wraps int64 past ~3·10⁹ rows per
+    * group, which a 100 TB corpus exceeds. Two partial-agg shuffles on
+    * bounded keys ((source, lang) then source); output is domain-sized. */
+  def hhiProfile(spark: SparkSession, dir: String,
+      tableName: String = "documents", groupCol: String = "source",
+      shareCol: String = "lang"): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    Fixtures.table(spark, dir, tableName)
+      .groupBy(col(groupCol), col(shareCol))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_values"),
+        sum(col("c")).as("total"),
+        sum(dec(col("c")) * dec(col("c"))).as("ss"))
+      .withColumn("num", col("ss") * 100000000L)
+      .withColumn("den", dec(col("total")) * dec(col("total")))
+      .select(col(groupCol), col("n_values"), col("total"),
+        expr("CAST(num div den AS BIGINT)").as("hhi_e8"))
+      .orderBy(groupCol)
+  }
+
+  def hhiProfileOracle(tableName: String = "documents",
+      groupCol: String = "source", shareCol: String = "lang"): String =
+    s"""WITH c AS (
+       |  SELECT $groupCol, $shareCol, CAST(count(*) AS HUGEINT) AS c
+       |  FROM $tableName GROUP BY 1, 2
+       |)
+       |SELECT $groupCol, count(*) AS n_values, CAST(sum(c) AS BIGINT) AS total,
+       |  CAST(sum(c * c) * 100000000 // (sum(c) * sum(c)) AS BIGINT) AS hhi_e8
+       |FROM c GROUP BY $groupCol ORDER BY $groupCol""".stripMargin
 }
