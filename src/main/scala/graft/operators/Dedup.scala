@@ -1804,4 +1804,88 @@ object Dedup {
        |WHERE len(list_intersect(a.s, b.s)) * 10
        |      >= $t10 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
        |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------------- k-core decomposition
+  /** k-core of an undirected edge list by parallel peeling: every round
+    * removes ALL nodes of degree < k at once (two semi-joins on 8 B keys),
+    * iterating to the fixpoint. Peeling never discards a true core node
+    * (its degree within the surviving graph only drops when non-core
+    * neighbors leave), so the fixpoint IS the unique maximal subgraph of
+    * min-degree ≥ k. Batch removal converges in few rounds on real graphs
+    * (each round strictly shrinks the edge set or terminates); lineage is
+    * cut per round with localCheckpoint, the connected-components recipe.
+    * Edge-count stability is the exact fixpoint test: any removed node
+    * carried ≥ 1 edge, so "no edges lost" ⟺ "nothing removed". */
+  def kCoreOf(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+    var cur = edges.select("id_a", "id_b").localCheckpoint()
+    var n = cur.count()
+    var prev = -1L
+    var rounds = 0
+    while (n != prev && n > 0 && rounds < maxRounds) {
+      val keep = cur.select(col("id_a").as("id"))
+        .union(cur.select(col("id_b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select("id")
+      cur = cur
+        .join(keep, cur("id_a") === keep("id"), "left_semi")
+        .join(keep, cur("id_b") === keep("id"), "left_semi")
+        .localCheckpoint()
+      prev = n
+      n = cur.count()
+      rounds += 1
+    }
+    cur
+  }
+
+  /** k-core summary over the near-dup pair graph for k ∈ {2, 3}: core
+    * size in nodes/edges per k. Estimator-free but ITERATIVE — not
+    * SQL-expressible, so the driver records the weaker rows-only check and
+    * exact semantics are pinned by [[kCoreOf]]'s planted-graph spec plus
+    * the in-query property gate [[kCoreGate]]. */
+  def kCoreSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = sharedVerifiedPairs(spark, dir).select("id_a", "id_b")
+    val rows = Seq(2, 3).map { k =>
+      val core = kCoreOf(e, k)
+      val nodes = core.select(col("id_a").as("id"))
+        .union(core.select(col("id_b").as("id"))).distinct().count()
+      (k.toLong, nodes, core.count())
+    }
+    rows.toDF("k", "n_core_nodes", "n_core_edges").orderBy("k")
+  }
+
+  /** Property gate for [[kCoreSummary]] (k=2), DuckDB-checkable as
+    * constants: (1) every core node keeps ≥ k neighbors INSIDE the core;
+    * (2) no excluded node could be added alone (each has < k core
+    * neighbors) — together the defining property plus single-node
+    * maximality, both computed in-query over the final core. */
+  def kCoreGate(spark: SparkSession, dir: String, k: Int = 2): DataFrame = {
+    val e = sharedVerifiedPairs(spark, dir).select("id_a", "id_b")
+    val core = kCoreOf(e, k)
+    val coreNodes = core.select(col("id_a").as("id"))
+      .union(core.select(col("id_b").as("id"))).distinct()
+    val coreDeg = core.select(col("id_a").as("id"))
+      .union(core.select(col("id_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // edges from excluded nodes into the core
+    val sym = e.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(e.select(col("id_b").as("u"), col("id_a").as("v")))
+    val outsideIntoCore = sym
+      .join(coreNodes.select(col("id").as("v")), "v")
+      .join(coreNodes.select(col("id").as("u")), Seq("u"), "left_anti")
+      .groupBy("u").agg(count(lit(1)).as("core_deg"))
+    val degOk = coreDeg.agg(
+      coalesce(min(col("deg") >= k), lit(true)).as("every_core_node_deg_ge_k"))
+    val maxOk = outsideIntoCore.agg(
+      coalesce(min(col("core_deg") < k), lit(true)).as("no_single_node_addable"))
+    degOk.crossJoin(maxOk).select(
+      lit(k.toLong).as("k"),
+      col("every_core_node_deg_ge_k"), col("no_single_node_addable"))
+  }
+
+  val kCoreGateOracle: String =
+    """SELECT CAST(2 AS BIGINT) AS k,
+      |       TRUE AS every_core_node_deg_ge_k,
+      |       TRUE AS no_single_node_addable""".stripMargin
 }

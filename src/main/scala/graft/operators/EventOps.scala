@@ -1550,4 +1550,86 @@ object EventOps {
       |FROM win JOIN sess
       |  ON s_tus < (h1 + 1) * 3600000000 AND e_tus >= h0 * 3600000000
       |GROUP BY h0, h1 ORDER BY window_start""".stripMargin
+
+  // ------------------------------------------------- rolling active users
+  /** Rolling 7-day active users (WAU) next to daily actives (DAU) — the
+    * product-health pair. Exact sliding-window DISTINCT cannot run as a
+    * window function (distinct doesn't decompose over frames); the scalable
+    * form is interval decomposition: collapse to DISTINCT (day, user)
+    * pairs first (a partial-agg shuffle that removes the per-day event
+    * skew), then each pair votes into the ≤7 report days it covers — a
+    * BOUNDED ×7 explode on domain-sized rows — and an exact distinct per
+    * report day finishes. Report days are semi-joined to days that exist,
+    * so the curve never extends past the data. */
+  def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val dayUser = table(spark, dir, "events")
+      .select(to_date(col("ts").cast("timestamp")).as("day"), col("user_id"))
+      .distinct()
+    val days = dayUser.select("day").distinct()
+    val dau = dayUser.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = dayUser
+      .withColumn("report_day",
+        explode(sequence(col("day"), date_add(col("day"), 6))))
+      .join(broadcast(days.select(col("day").as("report_day"))), Seq("report_day"),
+        "left_semi")
+      .groupBy("report_day")
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, col("day") === col("report_day"))
+      .select(col("day"), col("dau"), col("wau"))
+      .orderBy("day")
+  }
+
+  val rollingActiveUsersOracle: String =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+      |), days AS (SELECT DISTINCT day FROM du),
+      |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+      |wau AS (
+      |  SELECT d.day AS report_day, count(DISTINCT du.user_id) AS wau
+      |  FROM days d JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+      |  GROUP BY 1)
+      |SELECT day, dau, wau
+      |FROM dau JOIN wau ON day = report_day
+      |ORDER BY day""".stripMargin
+
+  // ------------------------------------------------------------- debounce
+  /** Event debounce report: per event type, how many events survive a
+    * "drop repeats within 60 s of the previous event of the same
+    * (user, type)" rule — the standard duplicate-burst suppressor for
+    * double-clicks and retry storms. The gap test is a single `lag` window
+    * per (user, type) partition (partition-parallel, one shuffle); ties on
+    * identical timestamps order by event_id so the verdict is
+    * deterministic. Emits the per-type admission summary (the kept-stream
+    * itself is the same frame without the final rollup). */
+  def debounceSummary(spark: SparkSession, dir: String,
+      holdoffUs: Long = 60L * 1000000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type").orderBy("tus", "event_id")
+    table(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"))
+      .withColumn("prev", lag(col("tus"), 1).over(w))
+      .withColumn("kept",
+        (col("prev").isNull || col("tus") - col("prev") >= holdoffUs).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"),
+        (count(lit(1)) - sum(col("kept"))).as("n_dropped"))
+      .orderBy("event_type")
+  }
+
+  def debounceSummaryOracle(holdoffUs: Long = 60L * 1000000): String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events
+       |), f AS (
+       |  SELECT event_type,
+       |    CASE WHEN lag(tus) OVER (PARTITION BY user_id, event_type
+       |           ORDER BY tus, event_id) IS NULL
+       |         OR tus - lag(tus) OVER (PARTITION BY user_id, event_type
+       |           ORDER BY tus, event_id) >= $holdoffUs
+       |    THEN 1 ELSE 0 END AS kept
+       |  FROM e)
+       |SELECT event_type, count(*) AS n_total,
+       |       CAST(sum(kept) AS BIGINT) AS n_kept,
+       |       CAST(count(*) - sum(kept) AS BIGINT) AS n_dropped
+       |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
 }

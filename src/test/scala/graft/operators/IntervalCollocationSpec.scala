@@ -93,4 +93,37 @@ class IntervalCollocationSpec extends AnyFunSuite {
     val total = rows.map(_.getAs[Long]("total")).sum
     assert(total == spark.read.parquet(s"${SparkSuite.Sf0001}/documents.parquet").count())
   }
+
+  test("rolling WAU: brute-force window equality; wau >= dau always") {
+    val rows = EventOps.rollingActiveUsers(spark, SparkSuite.Sf0001).collect()
+    assert(rows.nonEmpty)
+    val dayUser = spark.read.parquet(s"${SparkSuite.Sf0001}/events.parquet")
+      .select(to_date(col("ts").cast("timestamp")).as("day"), col("user_id"))
+      .distinct().collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toLocalDate, r.getAs[Long]("user_id")))
+    rows.foreach { r =>
+      val d = r.getAs[java.sql.Date]("day").toLocalDate
+      val dau = dayUser.filter(_._1 == d).map(_._2).distinct.length.toLong
+      val wau = dayUser.filter { case (dd, _) =>
+        !dd.isAfter(d) && !dd.isBefore(d.minusDays(6))
+      }.map(_._2).distinct.length.toLong
+      assert(r.getAs[Long]("dau") == dau && r.getAs[Long]("wau") == wau, s"day=$d")
+      assert(wau >= dau)
+    }
+  }
+
+  test("debounce: totals reconcile; a zero-holdoff keeps everything") {
+    val rows = EventOps.debounceSummary(spark, SparkSuite.Sf0001).collect()
+    val total = rows.map(_.getAs[Long]("n_total")).sum
+    assert(total ==
+      spark.read.parquet(s"${SparkSuite.Sf0001}/events.parquet").count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") ==
+        r.getAs[Long]("n_total"))
+      assert(r.getAs[Long]("n_kept") >= 1)
+    }
+    val loose = EventOps.debounceSummary(spark, SparkSuite.Sf0001, holdoffUs = 0L)
+      .collect()
+    assert(loose.forall(r => r.getAs[Long]("n_dropped") == 0L))
+  }
 }
