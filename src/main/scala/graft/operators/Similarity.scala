@@ -1330,4 +1330,63 @@ object Similarity {
          |  ORDER BY cos DESC, cells.vec_id LIMIT $legK""".stripMargin,
       queryVec, terms, legK, k, rrfK)
   }
+
+  // -------------------------------------------------- Matryoshka truncation
+  /** Matryoshka truncation probe: how much of each query's full-dimension
+    * top-k survives when candidates are ranked by only the FIRST HALF of
+    * the embedding — the evaluation behind MRL-style "store d/2 floats,
+    * pay half the memory bandwidth" retrieval. Emits the per-query overlap
+    * |topk_full ∩ topk_half| as pure integers (the cosines themselves stay
+    * internal, so no float crosses the oracle hash).
+    *
+    * Scale shape: both rankings are the brute leg's broadcast-queries ⨯
+    * candidates scan with per-query TakeOrdered heads (the IVF/PQ legs
+    * swap in unchanged); the overlap join touches only 2·k rows per query.
+    * Truncation is `slice(embedding, 1, size div 2)` at scan time — at
+    * serving scale that halves the bytes the dot product reads. */
+  def matryoshkaOverlap(spark: SparkSession, dir: String,
+      numQueries: Int = 20, k: Int = 10): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+    def topk(vecExpr: String): DataFrame = {
+      val v = expr(vecExpr)
+      val q = e.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), v.as("qv"))
+        .withColumn("qn", norm(col("qv")))
+      val c = e.select(col("vec_id").as("cand_id"), v.as("cv"))
+        .withColumn("cn", norm(col("cv")))
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+      broadcast(q).join(c, col("query_id") =!= col("cand_id"))
+        .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "cand_id")
+    }
+    val full = topk("embedding")
+    val half = topk("slice(embedding, 1, size(embedding) div 2)")
+    full.join(half, Seq("query_id", "cand_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(col("query_id"), col("n_overlap"), lit(k.toLong).as("k"))
+      .orderBy("query_id")
+  }
+
+  def matryoshkaOverlapOracle(numQueries: Int = 20, k: Int = 10): String = {
+    def topkCte(vec: String, name: String): String =
+      s"""$name AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT q.query_id, c.cand_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY ${cosSql(s"q.qv", s"c.cv")} DESC, c.cand_id) AS rank
+         |    FROM (SELECT vec_id AS query_id, $vec AS qv FROM embeddings
+         |          WHERE vec_id < $numQueries) q
+         |    JOIN (SELECT vec_id AS cand_id, $vec AS cv FROM embeddings) c
+         |      ON q.query_id != c.cand_id)
+         |  WHERE rank <= $k)""".stripMargin
+    s"""WITH ${topkCte("embedding", "full_k")},
+       |${topkCte("embedding[1:len(embedding)//2]", "half_k")}
+       |SELECT f.query_id, count(*) AS n_overlap, CAST($k AS BIGINT) AS k
+       |FROM full_k f JOIN half_k h
+       |  ON f.query_id = h.query_id AND f.cand_id = h.cand_id
+       |GROUP BY f.query_id ORDER BY f.query_id""".stripMargin
+  }
 }

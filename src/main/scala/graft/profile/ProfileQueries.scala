@@ -1303,6 +1303,34 @@ object ProfileQueries {
       .orderBy(groupCol)
   }
 
+  // -------------------------------------------------- Count-Min sketch gate
+  /** Count-Min point-frequency gate over `events.event_type`: build the
+    * CMS in one codegen'd scan (Spark's `count_min_sketch` aggregate —
+    * mergeable O(w·d) state, the 100 TB shape), probe it with
+    * [[graft.functions.Cms.estimate]] for every type, and check the two
+    * CMS guarantees in-query against the exact counts: estimates never
+    * undershoot, and overshoot is bounded by ⌈ε·n⌉ at the sketch's
+    * confidence. The probe side is domain-sized (distinct types ⨯ a
+    * broadcast 1-row sketch), so the eval-only lookup never touches a
+    * corpus-sized frame. Seeded — deterministic across runs/engines. */
+  def cmsGate(spark: SparkSession, dir: String, eps: Double = 0.001): DataFrame = {
+    val e = Fixtures.table(spark, dir, "events")
+    val sk = e.agg(
+      expr(s"count_min_sketch(event_type, CAST($eps AS DOUBLE), CAST(0.99 AS DOUBLE), 42)").as("sk"),
+      count(lit(1)).as("n"))
+    val exact = e.groupBy("event_type").agg(count(lit(1)).as("exact"))
+    exact.crossJoin(broadcast(sk))
+      .withColumn("est", graft.functions.Cms.estimate(col("sk"), col("event_type")))
+      .select(col("event_type"),
+        (col("est") >= col("exact")).as("never_underestimates"),
+        (col("est") <= col("exact") + ceil(col("n") * eps).cast("bigint")).as("within_eps"))
+      .orderBy("event_type")
+  }
+
+  val cmsGateOracle: String =
+    """SELECT event_type, TRUE AS never_underestimates, TRUE AS within_eps
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def hhiProfileOracle(tableName: String = "documents",
       groupCol: String = "source", shareCol: String = "lang"): String =
     s"""WITH c AS (
