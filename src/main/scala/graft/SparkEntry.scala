@@ -97,6 +97,10 @@ object SparkEntry {
       "profile_hhi_lang_by_source" -> ((s, d) => ProfileQueries.hhiProfile(s, d)),
       // Count-Min sketch build + native probe, guarantee-gated in-query
       "profile_cms_gate" -> ((s, d) => ProfileQueries.cmsGate(s, d)),
+      // exact FD mining (A -> B) over orders; branches fused into one DAG
+      "profile_fd_discovery_exact" -> ((s, d) => ProfileQueries.fdDiscovery(s, d)),
+      // co-missingness: rows grouped by their full null bitmask
+      "profile_null_patterns" -> ((s, d) => ProfileQueries.nullPatterns(s, d)),
       // MRL truncation probe: full-dim vs half-dim top-k overlap
       "ann_matryoshka_overlap" -> ((s, d) => Similarity.matryoshkaOverlap(s, d)),
       // 2-D skyline via per-size min + suffix-min over the size domain
@@ -363,6 +367,10 @@ object SparkEntry {
       "text_collocations" -> TextAnalysis.collocationsOracle(),
       "profile_hhi_lang_by_source" -> ProfileQueries.hhiProfileOracle(),
       "profile_cms_gate" -> ProfileQueries.cmsGateOracle,
+      "profile_fd_discovery_exact" -> ProfileQueries.fdDiscoveryOracle("orders",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")),
+      "profile_null_patterns" -> ProfileQueries.nullPatternsOracle,
       "ann_matryoshka_overlap" -> Similarity.matryoshkaOverlapOracle(),
       "q_pareto_frontier" -> RelationalExt.paretoFrontierOracle,
       "profile_weighted_percentiles" -> ProfileQueries.weightedPercentilesOracle(),

@@ -1331,6 +1331,81 @@ object ProfileQueries {
     """SELECT event_type, TRUE AS never_underestimates, TRUE AS within_eps
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------- functional-dependency mining
+  /** Exact functional-dependency discovery over a table's column pairs:
+    * A→B holds iff every A-group contains exactly one distinct B — the
+    * schema-normalization / hidden-key report (the FD complement of
+    * [[fkDiscovery]]'s cross-table INDs). Each directed pair runs as its
+    * own grouped aggregate branch (partial-agg shuffle on the determinant,
+    * then a 1-row rollup), all branches unioned into ONE DataFrame/DAG —
+    * column-pruned scans, no Expand, no pair-explode of corpus rows. At
+    * 100 TB the same report drops in the sketch estimate first
+    * (per-pair HLLs, the [[keyOverlapSketch]] algebra: A→B ⟺
+    * ndv(A) = ndv(A,B)) and reserves these exact branches for the
+    * survivors; the fixtures run the exact form directly. */
+  def fdDiscovery(spark: SparkSession, dir: String,
+      tableName: String = "orders"): DataFrame = {
+    val t = Fixtures.table(spark, dir, tableName)
+    val frames = for {
+      a <- t.columns.toSeq; b <- t.columns.toSeq if a != b
+    } yield t.groupBy(col(a)).agg(countDistinct(col(b)).as("cnt"))
+      .agg(count(lit(1)).as("n_groups"), max(col("cnt")).as("max_ndv"))
+      .select(lit(a).as("det"), lit(b).as("dep"), col("n_groups"),
+        col("max_ndv"), (col("max_ndv") === 1).as("holds"))
+    frames.reduce(_.union(_)).orderBy("det", "dep")
+  }
+
+  def fdDiscoveryOracle(tableName: String = "orders",
+      columns: Seq[String]): String = {
+    val branches = for {
+      a <- columns; b <- columns if a != b
+    } yield s"""SELECT '$a' AS det, '$b' AS dep, count(*) AS n_groups,
+               |  max(cnt) AS max_ndv, max(cnt) = 1 AS holds
+               |FROM (SELECT $a, count(DISTINCT $b) AS cnt
+               |      FROM $tableName GROUP BY $a)""".stripMargin
+    branches.mkString("", "\nUNION ALL\n", "\nORDER BY det, dep")
+  }
+
+  // ------------------------------------------------------ missingness profile
+  /** Null-pattern (missingness) profile: one bit per column, rows grouped
+    * by their full null bitmask — "which columns go missing TOGETHER", the
+    * co-missingness structure a per-column null count cannot show. One
+    * codegen'd projection to a bounded-domain string key (≤ 2^cols
+    * patterns, in practice a handful), one partial-agg shuffle. */
+  def nullPatternsOf(df: DataFrame): DataFrame = {
+    val mask = concat(df.columns.toSeq.map(c => col(c).isNull.cast("int").cast("string")): _*)
+    df.select(mask.as("null_pattern"))
+      .groupBy("null_pattern").agg(count(lit(1)).as("cnt"))
+      .orderBy("null_pattern")
+  }
+
+  /** [[nullPatternsOf]] gated over a derived event view with REAL
+    * missingness (the raw fixtures carry no nulls): conditionally-present
+    * fields of the kind a flattened JSON/event feed produces. Bit order:
+    * (user_id, k_high, v_low, purchase_amt). */
+  def nullPatterns(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("bigint")
+    nullPatternsOf(Fixtures.table(spark, dir, "events").select(
+      col("user_id"),
+      when(k > 50, k).as("k_high"),
+      when(col("value") < 10, col("value")).as("v_low"),
+      when(col("event_type") === "purchase", col("value")).as("purchase_amt")))
+  }
+
+  val nullPatternsOracle: String = {
+    val mask = Seq("user_id", "k_high", "v_low", "purchase_amt")
+      .map(c => s"CAST(CAST($c IS NULL AS INT) AS VARCHAR)").mkString(" || ")
+    s"""WITH v AS (
+       |  SELECT user_id,
+       |    CASE WHEN CAST(props->>'$$.k' AS BIGINT) > 50
+       |         THEN CAST(props->>'$$.k' AS BIGINT) END AS k_high,
+       |    CASE WHEN value < 10 THEN value END AS v_low,
+       |    CASE WHEN event_type = 'purchase' THEN value END AS purchase_amt
+       |  FROM events)
+       |SELECT $mask AS null_pattern, count(*) AS cnt
+       |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def hhiProfileOracle(tableName: String = "documents",
       groupCol: String = "source", shareCol: String = "lang"): String =
     s"""WITH c AS (
