@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.doubleBits)
     ext.injectFunction(GraftExtensions.misraGries)
     ext.injectFunction(GraftExtensions.multiLiteralMatches)
+    ext.injectFunction(GraftExtensions.cmsEstimate)
     ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)
   }
 }
@@ -38,7 +39,7 @@ object GraftExtensions {
     * construction time). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Seq(vecDot, rollingHash, minhashSig, simhashWords, vecL2Sq, signLshBuckets, doubleBits,
-        misraGries, multiLiteralMatches).foreach { case (fid, i, b) =>
+        misraGries, multiLiteralMatches, cmsEstimate).foreach { case (fid, i, b) =>
       org.apache.spark.sql.graft.ColumnBridge.registerFunction(spark, fid, i, b)
     }
     if (!spark.experimental.extraOptimizations.contains(graft.plans.BandedRangeJoinRule))
@@ -144,6 +145,15 @@ object GraftExtensions {
         case other => throw new IllegalArgumentException(s"sign_lsh_buckets $what must be an integer literal, got $other")
       }
       SignLshBuckets(exprs(0), intLit(exprs(1), "tables"), intLit(exprs(2), "planesPerTable"))
+    })
+
+  val cmsEstimate: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cms_estimate"),
+    info("cms_estimate",
+      "cms_estimate(sketch, item) - estimated count of a string item in count_min_sketch() bytes (never under; over by <= eps*n at the sketch confidence)"),
+    (exprs: Seq[Expression]) => {
+      requireArity("cms_estimate", exprs, Seq(2))
+      graft.functions.CmsEstimate(exprs(0), exprs(1))
     })
 
   val multiLiteralMatches: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

@@ -131,4 +131,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("foldable") || err.getMessage.contains("literal"),
       s"unexpected error: ${err.getMessage}")
   }
+
+  test("SQL cms_estimate probes a count_min_sketch built in SQL") {
+    import spark.implicits._
+    (Seq.fill(40)("x") ++ Seq.fill(9)("y")).toDF("v").createOrReplaceTempView("cms_in")
+    val rows = spark.sql(
+      """SELECT cms_estimate(sk, 'x') AS ex, cms_estimate(sk, 'y') AS ey FROM (
+        |  SELECT count_min_sketch(v, CAST(0.001 AS DOUBLE), CAST(0.99 AS DOUBLE), 7) AS sk
+        |  FROM cms_in)""".stripMargin).collect()(0)
+    // eps*n < 1 -> exact
+    assert(rows.getAs[Long]("ex") == 40L && rows.getAs[Long]("ey") == 9L)
+  }
 }
