@@ -243,6 +243,8 @@ object SparkEntry {
       // EXACT Jaccard-threshold join via prefix filtering (AllPairs/PPJoin)
       // — recall-1.0 by construction; the oracle is the brute-force join
       "dedup_prefix_join" -> ((s, d) => Dedup.prefixFilterJoinPairs(s, d)),
+      // asymmetric twin: exact containment join (A mostly inside B)
+      "dedup_containment_join" -> ((s, d) => Dedup.containmentJoinPairs(s, d)),
       "dedup_minhash_est" -> (Dedup.minhashJaccardEstimate(_, _)),
       "dedup_fuzzy_names" -> (Dedup.fuzzyNamePairs(_, _)),
       "dedup_graph_triangles" -> (Dedup.nearDupTriangles(_, _)),
@@ -504,6 +506,7 @@ object SparkEntry {
       "dedup_simhash64" -> Dedup.simhash64SignaturesOracle,
       "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsOracle,
       "dedup_prefix_join" -> Dedup.prefixFilterJoinPairsOracle(),
+      "dedup_containment_join" -> Dedup.containmentJoinPairsOracle(),
       "dedup_minhash_est" -> Dedup.minhashJaccardEstimateOracle,
       "dedup_fuzzy_names" -> Dedup.fuzzyNamePairsOracle,
       "dedup_graph_triangles" -> Dedup.nearDupTrianglesOracle,

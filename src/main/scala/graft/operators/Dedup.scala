@@ -1721,34 +1721,7 @@ object Dedup {
     * structural mitigation.
     */
   def prefixFilterJoinPairs(spark: SparkSession, dir: String, t10: Int = 6): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = table(spark, dir, "documents")
-      .filter(size(split(col("text"), " ")) >= 3)
-      // the single-file fixture reads as ONE partition; spread the
-      // CPU-bound shingle explode across cores (same gotcha as
-      // corpusWithNearDups — tokenize was 6 s single-threaded at sf0.1)
-      .repartition(spark.sparkContext.defaultParallelism)
-    // hoist the split: inside shingles()'s lambda, `split(text)` is
-    // re-evaluated per element (no CSE across a HOF boundary) — ~75
-    // splits/doc; pre-splitting to an array column makes tokenize 5x
-    val ws = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
-    val toks = ws.select(col("doc_id"),
-      explode(array_distinct(transform(
-        sequence(lit(1), size(col("ws")) - 2),
-        i => concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1),
-          element_at(col("ws"), i + 2))))).as("tok"))
-    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
-    // ONE tokenize pass feeds everything: rank + doc size ride the same
-    // per-doc window, and the lazy localCheckpoint stops the four
-    // downstream consumers (prefix a/b, verify a/b) from re-exploding the
-    // corpus (measured 2x end-to-end at sf0.1); lazy so plan-only
-    // consumers (PlansDump) still build without running a job
-    val ranked = toks.join(dfreq, "tok")
-      .select(col("doc_id"), col("tok"),
-        row_number().over(wDoc).as("rn"),
-        count(lit(1)).over(Window.partitionBy("doc_id")).as("sz"))
-      .localCheckpoint(false)
+    val ranked = rankedShingleToks(spark, dir)
     val prefix = ranked
       .filter(col("rn") <= expr(s"(sz * (10 - $t10)) div 10") + 1)
       .select("doc_id", "tok", "rn", "sz")
@@ -1782,6 +1755,98 @@ object Dedup {
           .as("jaccard"))
       .orderBy("id_a", "id_b")
   }
+
+  /** The df-ranked shingle-token frame both prefix-filter joins read:
+    * (doc_id, tok, rn, sz) with rn = the token's rank in the doc under the
+    * global rarest-first order and sz = the doc's distinct-shingle count.
+    * ONE tokenize pass feeds everything: rank + doc size ride the same
+    * per-doc window, and the lazy localCheckpoint stops the downstream
+    * consumers (prefix sides, verify sides) from re-exploding the corpus
+    * (measured 2x end-to-end at sf0.1); lazy so plan-only consumers
+    * (PlansDump) still build without running a job. */
+  private def rankedShingleToks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      // the single-file fixture reads as ONE partition; spread the
+      // CPU-bound shingle explode across cores (same gotcha as
+      // corpusWithNearDups — tokenize was 6 s single-threaded at sf0.1)
+      .repartition(spark.sparkContext.defaultParallelism)
+    // hoist the split: inside shingles()'s lambda, `split(text)` is
+    // re-evaluated per element (no CSE across a HOF boundary) — ~75
+    // splits/doc; pre-splitting to an array column makes tokenize 5x
+    val ws = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val toks = ws.select(col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(1), size(col("ws")) - 2),
+        i => concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1),
+          element_at(col("ws"), i + 2))))).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
+    toks.join(dfreq, "tok")
+      .select(col("doc_id"), col("tok"),
+        row_number().over(wDoc).as("rn"),
+        count(lit(1)).over(Window.partitionBy("doc_id")).as("sz"))
+      .localCheckpoint(false)
+  }
+
+  /** EXACT containment-threshold join — the ASYMMETRIC twin of
+    * [[prefixFilterJoinPairs]]: emit directed pairs where ≥ t of doc A's
+    * shingles also appear in doc B (`|A∩B|/|A| ≥ t`). This is the dedup
+    * case Jaccard structurally misses: a short document embedded verbatim
+    * in a much longer one has tiny J (the union is dominated by B) but
+    * containment 1.0 — exactly the quote/boilerplate/excerpt duplication a
+    * training-corpus pipeline must see. MinHash/LSH misses it for the same
+    * reason (minhash concentrates around J), so the index here is the
+    * containment-prefix: A's first `|A| − ⌈t·|A|⌉ + 1` rarest tokens must
+    * hit SOME token of B (no upper length filter exists — B may be any
+    * size ≥ ⌈t·|A|⌉). Candidates join A-prefixes (rare tokens by
+    * construction) against the full token index, then exact verification
+    * counts the true intersection — no false negatives, and the
+    * brute-force all-ordered-pairs oracle is the gate. */
+  def containmentJoinPairs(spark: SparkSession, dir: String, t10: Int = 9): DataFrame = {
+    val ranked = rankedShingleToks(spark, dir)
+    // α = ⌈t·|A|⌉ required overlap; prefix = sz − α + 1 rarest tokens
+    val aPref = ranked
+      .filter(col("rn") <= col("sz") - expr(s"($t10 * sz + 9) div 10") + 1)
+      .select(col("doc_id").as("id_a"), col("tok"), col("sz").as("sa"))
+    val cands = aPref
+      .join(ranked.select(col("doc_id").as("id_b"), col("tok"), col("sz").as("sb")), "tok")
+      .filter(col("id_a") =!= col("id_b") &&
+        // B must be able to absorb the required overlap: |B| ≥ ⌈t·|A|⌉
+        col("sb") * 10 >= col("sa") * t10)
+      .select("id_a", "id_b", "sa", "sb").distinct()
+    val ta = ranked.select(col("doc_id").as("id_a"), col("tok"))
+    val tb = ranked.select(col("doc_id").as("id_b"), col("tok"))
+    cands.join(ta, "id_a").join(tb, Seq("id_b", "tok"))
+      .groupBy("id_a", "id_b", "sa", "sb")
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") * 10 >= col("sa") * t10)
+      .select(col("id_a"), col("id_b"), col("sa"), col("sb"), col("inter"),
+        (col("inter").cast("double") / col("sa").cast("double")).as("containment"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Brute-force ordered-pairs twin — recall 1.0 is the claim, so the
+    * naive join IS the gate. */
+  def containmentJoinPairsOracle(t10: Int = 9): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+       |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+       |    )) AS s
+       |  FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(len(a.s) AS BIGINT) AS sa, CAST(len(b.s) AS BIGINT) AS sb,
+       |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+       |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(a.s) AS DOUBLE)
+       |    AS containment
+       |FROM toks a JOIN toks b ON a.doc_id != b.doc_id
+       |WHERE len(list_intersect(a.s, b.s)) * 10 >= $t10 * len(a.s)
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** Brute-force all-pairs twin — the exactness claim IS the gate: the
     * prefix-filtered join must return the identical pair set. */
