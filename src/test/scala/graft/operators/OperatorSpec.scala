@@ -23,7 +23,10 @@ class OperatorSpec extends AnyFunSuite {
       // dependent; the guarantee gate is profile_heavy_values_gate
       "profile_heavy_values",
       // HLL containment estimates; the detection gate is oracled
-      "profile_fk_discovery")
+      "profile_fk_discovery",
+      // iterative peel fixpoint (not SQL-expressible); dedup_kcore_gate
+      // carries the in-query property booleans under the oracle
+      "dedup_kcore")
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == sketchOnly)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
