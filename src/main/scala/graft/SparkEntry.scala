@@ -85,6 +85,8 @@ object SparkEntry {
       "events_busy_window_sessions" -> (EventOps.busyWindowSessions(_, _)),
       // exact rolling 7-day distinct users via bounded interval decomposition
       "events_rolling_wau" -> (EventOps.rollingActiveUsers(_, _)),
+      // the sketch form: 7 HLL unions per day, tolerance-gated vs exact
+      "events_rolling_wau_sketch" -> ((s, d) => EventOps.rollingWauSketchGate(s, d)),
       // burst suppression: per-type admission under a 60s same-key holdoff
       "events_debounce" -> ((s, d) => EventOps.debounceSummary(s, d)),
       // k-core of the near-dup pair graph: iterative peel (rows-only) +
@@ -364,6 +366,7 @@ object SparkEntry {
       "events_user_growth" -> EventOps.userGrowthOracle,
       "events_busy_window_sessions" -> EventOps.busyWindowSessionsOracle,
       "events_rolling_wau" -> EventOps.rollingActiveUsersOracle,
+      "events_rolling_wau_sketch" -> EventOps.rollingWauSketchGateOracle,
       "events_debounce" -> EventOps.debounceSummaryOracle(),
       "dedup_kcore_gate" -> Dedup.kCoreGateOracle,
       "text_collocations" -> TextAnalysis.collocationsOracle(),

@@ -56,7 +56,14 @@ object PlansDump {
     "profile_corr_matrix",     // all pairwise correlations from one fused scan
     "q21_waiting_suppliers",   // EXISTS/NOT-EXISTS as semi+anti hash joins
     "dedup_prefix_join",       // prefix-filter exact join: rare-token index
-    "profile_gini_lineitem")   // two-level distributed prefix sum
+    "profile_gini_lineitem",   // two-level distributed prefix sum
+    "dedup_containment_join",  // asymmetric containment prefix join
+    "events_max_concurrency",  // sweep line via two-level prefix
+    "events_busy_window_sessions", // interval-interval bucketed equi-join
+    "events_rolling_wau",      // bounded interval decomposition distinct
+    "q_pareto_frontier",       // domain-sized suffix-min + broadcast semi-join
+    "text_collocations",       // vocab-keyed count joins + TakeOrdered
+    "profile_fd_discovery_exact") // 30 grouped-agg branches in one DAG
 
   /** Plan-audit overrides: these queries' gated implementations read
     * memoized materialized stages (the shared-pipeline design — see

@@ -156,7 +156,11 @@ object ScaleProbe {
     // replicas keep per-replica candidate structure identical, so a
     // super-linear slope here would mean cross-replica index pollution
     val ppjBuilds = Seq[(String, String => DataFrame)](
-      ("prefix_join", d => graft.operators.Dedup.prefixFilterJoinPairs(spark, d)))
+      ("prefix_join", d => graft.operators.Dedup.prefixFilterJoinPairs(spark, d)),
+      // the asymmetric twin shares the token stage but joins A-prefixes
+      // against the FULL index (no upper length filter exists for
+      // containment) — its candidate growth is the thing to measure
+      ("containment_join", d => graft.operators.Dedup.containmentJoinPairs(spark, d)))
     // maxId past every replica id: the probe corpus IS the whole table
     // (the fixture default 1000 exists for oracle-comparable gating only)
     val embBuilds = Seq[(String, String => DataFrame)](

@@ -1592,6 +1592,44 @@ object EventOps {
       |FROM dau JOIN wau ON day = report_day
       |ORDER BY day""".stripMargin
 
+  // ------------------------------------------ rolling WAU, the sketch form
+  /** The 100 TB twin of [[rollingActiveUsers]]: per-day Datasketches HLL
+    * sketches of the user set (one partial-agg scan), then each report
+    * day UNIONS its ≤ 7 day-sketches — KB of state per day, a day-domain
+    * join, zero re-touch of event rows. Where the exact form explodes
+    * distinct (day, user) pairs ×7, this unions 7 sketches per calendar
+    * day regardless of corpus size; the register-max union is
+    * order-insensitive, so the estimate is deterministic. Gate form: the
+    * estimate is tolerance-checked in-query against the exact WAU and the
+    * oracle asserts the boolean (the estimate itself is not
+    * SQL-expressible). */
+  def rollingWauSketchGate(spark: SparkSession, dir: String,
+      tolPct: Int = 5): DataFrame = {
+    val perDay = table(spark, dir, "events")
+      .select(to_date(col("ts").cast("timestamp")).as("day"), col("user_id"))
+      .groupBy("day")
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    val est = perDay.select(col("day").as("report_day"))
+      .join(perDay,
+        col("day").between(date_sub(col("report_day"), 6), col("report_day")))
+      .groupBy("report_day")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("est"))
+    val exact = rollingActiveUsers(spark, dir)
+      .select(col("day").as("report_day"), col("wau"))
+    est.join(exact, "report_day")
+      .select(col("report_day").as("day"), col("wau"),
+        (abs(col("est") - col("wau")) * 100 <= col("wau") * tolPct).as("within_tol"))
+      .orderBy("day")
+  }
+
+  val rollingWauSketchGateOracle: String =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+      |), days AS (SELECT DISTINCT day FROM du)
+      |SELECT d.day, count(DISTINCT du.user_id) AS wau, TRUE AS within_tol
+      |FROM days d JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+      |GROUP BY d.day ORDER BY d.day""".stripMargin
+
   // ------------------------------------------------------------- debounce
   /** Event debounce report: per event type, how many events survive a
     * "drop repeats within 60 s of the previous event of the same

@@ -112,6 +112,12 @@ class IntervalCollocationSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling WAU sketch gate: within tolerance at sf0.001 (deterministic)") {
+    val rows = EventOps.rollingWauSketchGate(spark, SparkSuite.Sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("within_tol")))
+  }
+
   test("debounce: totals reconcile; a zero-holdoff keeps everything") {
     val rows = EventOps.debounceSummary(spark, SparkSuite.Sf0001).collect()
     val total = rows.map(_.getAs[Long]("n_total")).sum
