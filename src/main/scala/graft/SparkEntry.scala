@@ -87,6 +87,12 @@ object SparkEntry {
       "events_rolling_wau" -> (EventOps.rollingActiveUsers(_, _)),
       // the sketch form: 7 HLL unions per day, tolerance-gated vs exact
       "events_rolling_wau_sketch" -> ((s, d) => EventOps.rollingWauSketchGate(s, d)),
+      // robust trend (median of pairwise slopes) + seasonal spike report
+      "events_theil_sen" -> (EventOps.theilSenSlopes(_, _)),
+      "events_seasonal_spikes" -> ((s, d) => EventOps.seasonalSpikes(s, d)),
+      // offline join-skew advisory + log2-bucketed length histogram
+      "profile_join_skew" -> ((s, d) => ProfileQueries.joinSkewProfile(s, d)),
+      "profile_log2_histogram" -> ((s, d) => ProfileQueries.log2Histogram(s, d)),
       // burst suppression: per-type admission under a 60s same-key holdoff
       "events_debounce" -> ((s, d) => EventOps.debounceSummary(s, d)),
       // k-core of the near-dup pair graph: iterative peel (rows-only) +
@@ -367,6 +373,10 @@ object SparkEntry {
       "events_busy_window_sessions" -> EventOps.busyWindowSessionsOracle,
       "events_rolling_wau" -> EventOps.rollingActiveUsersOracle,
       "events_rolling_wau_sketch" -> EventOps.rollingWauSketchGateOracle,
+      "events_theil_sen" -> EventOps.theilSenSlopesOracle,
+      "events_seasonal_spikes" -> EventOps.seasonalSpikesOracle(),
+      "profile_join_skew" -> ProfileQueries.joinSkewProfileOracle(),
+      "profile_log2_histogram" -> ProfileQueries.log2HistogramOracle(),
       "events_debounce" -> EventOps.debounceSummaryOracle(),
       "dedup_kcore_gate" -> Dedup.kCoreGateOracle,
       "text_collocations" -> TextAnalysis.collocationsOracle(),

@@ -1592,6 +1592,97 @@ object EventOps {
       |FROM dau JOIN wau ON day = report_day
       |ORDER BY day""".stripMargin
 
+  // -------------------------------------------------- Theil-Sen robust slope
+  /** Theil–Sen robust trend per event type — the median of all pairwise
+    * slopes of the hourly counts, the estimator that shrugs off the outlier
+    * hours that drag [[trendSlopes]]'s OLS line. The pair join runs over
+    * the HOURLY frame, so its size is (hours spanned)² per type —
+    * calendar-bounded at any corpus scale (a year is ~8.8k hours → 38M
+    * pairs, a broadcast-side job), never corpus-rows². Slopes are exact
+    * IEEE divisions of integer deltas and the median interpolates two
+    * middle doubles identically on both engines. */
+  def theilSenSlopes(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = table(spark, dir, "events")
+      .select(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("x"))
+      .groupBy("event_type", "x")
+      .agg(count(lit(1)).as("y"))
+    val h1 = hourly.select(col("event_type"), col("x").as("x1"), col("y").as("y1"))
+    val h2 = hourly.select(col("event_type").as("et2"), col("x").as("x2"), col("y").as("y2"))
+    h1.join(h2, col("event_type") === col("et2") && col("x1") < col("x2"))
+      .select(col("event_type"),
+        ((col("y2") - col("y1")).cast("double") / (col("x2") - col("x1")).cast("double"))
+          .as("slope"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        (median(col("slope")) * 1000).as("ts_slope_milli"))
+      .orderBy("event_type")
+  }
+
+  val theilSenSlopesOracle: String =
+    """WITH hourly AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS x, count(*) AS y
+      |  FROM events GROUP BY 1, 2
+      |), slopes AS (
+      |  SELECT a.event_type,
+      |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+      |  FROM hourly a JOIN hourly b
+      |    ON a.event_type = b.event_type AND a.x < b.x)
+      |SELECT event_type, count(*) AS n_pairs,
+      |       median(slope) * 1000 AS ts_slope_milli
+      |FROM slopes GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------------- seasonal deviation
+  /** Seasonality-adjusted spike report: each hour's count against the mean
+    * of its (event_type, day-of-week, hour-of-day) SLOT across the corpus —
+    * "busy for a Tuesday 3pm" rather than "busy" ([[hourlyAnomalies]]'s
+    * global z-score can't tell those apart). The baseline stays an exact
+    * integer fraction (slot sum, slot count): deviation_permille =
+    * (y·cnt − sum)·1000 div sum — no float means. Slot keys derive from
+    * pure integer hour arithmetic (epoch-hour div/mod; day 0 = Thursday),
+    * so both engines bucket identically. Top-20 spikes via TakeOrdered. */
+  def seasonalSpikes(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val hourly = table(spark, dir, "events")
+      .select(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
+      .groupBy("event_type", "h")
+      .agg(count(lit(1)).as("y"))
+      .withColumn("dow", expr("((h div 24) + 4) % 7"))
+      .withColumn("hod", expr("h % 24"))
+    val slots = hourly.groupBy(col("event_type").as("st"), col("dow").as("sd"),
+        col("hod").as("sh"))
+      .agg(sum(col("y")).as("slot_sum"), count(lit(1)).as("slot_cnt"))
+    hourly.join(broadcast(slots),
+        col("event_type") === col("st") && col("dow") === col("sd") &&
+          col("hod") === col("sh"))
+      // positive deviations only: Spark `div` truncates toward zero while
+      // DuckDB `//` floors, so negative ratios would disagree — and a
+      // SPIKE report only wants the above-baseline side anyway
+      .filter(col("y") * col("slot_cnt") > col("slot_sum"))
+      .select(col("event_type"), col("h"), col("y"),
+        expr("slot_sum * 1000 div slot_cnt").as("expected_milli"),
+        expr("(y * slot_cnt - slot_sum) * 1000 div slot_sum").as("dev_permille"))
+      .orderBy(col("dev_permille").desc, col("event_type"), col("h"))
+      .limit(k)
+  }
+
+  def seasonalSpikesOracle(k: Int = 20): String =
+    s"""WITH hourly AS (
+       |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS y
+       |  FROM events GROUP BY 1, 2
+       |), slot AS (
+       |  SELECT event_type, ((h // 24) + 4) % 7 AS dow, h % 24 AS hod,
+       |         CAST(sum(y) AS BIGINT) AS slot_sum, count(*) AS slot_cnt
+       |  FROM hourly GROUP BY 1, 2, 3)
+       |SELECT hourly.event_type, h, y,
+       |  slot_sum * 1000 // slot_cnt AS expected_milli,
+       |  (y * slot_cnt - slot_sum) * 1000 // slot_sum AS dev_permille
+       |FROM hourly JOIN slot
+       |  ON hourly.event_type = slot.event_type
+       |  AND ((h // 24) + 4) % 7 = slot.dow AND h % 24 = slot.hod
+       |WHERE y * slot_cnt > slot_sum
+       |ORDER BY dev_permille DESC, hourly.event_type, h LIMIT $k""".stripMargin
+
   // ------------------------------------------ rolling WAU, the sketch form
   /** The 100 TB twin of [[rollingActiveUsers]]: per-day Datasketches HLL
     * sketches of the user set (one partial-agg scan), then each report

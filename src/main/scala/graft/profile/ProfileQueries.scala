@@ -1303,6 +1303,63 @@ object ProfileQueries {
       .orderBy(groupCol)
   }
 
+  // ---------------------------------------------------- join-skew advisor
+  /** Join-skew report for the fact table's join keys — the numbers that
+    * decide salting/AQE-skew-join before a 100 TB join is launched: rows,
+    * NDV, the heaviest key's frequency, its per-mille share, and the
+    * max/mean frequency ratio (1000 = perfectly uniform). One grouped
+    * count per key column (partial-agg shuffle on an 8 B key), 1-row
+    * rollups unioned into one DAG; all ratios are exact integer
+    * divisions. [[graft.operators.AdaptiveSalt]] consumes exactly this
+    * shape at run time — this is the offline advisory twin. */
+  def joinSkewProfile(spark: SparkSession, dir: String,
+      tableName: String = "lineitem",
+      keys: Seq[String] = Seq("l_orderkey", "l_partkey", "l_suppkey")): DataFrame = {
+    val t = Fixtures.table(spark, dir, tableName)
+    keys.map { k =>
+      t.groupBy(col(k)).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("ndv"),
+          max(col("c")).as("max_freq"))
+        .select(lit(k).as("key_col"),
+          col("n_rows").cast("bigint").as("n_rows"), col("ndv"), col("max_freq"),
+          expr("max_freq * 1000 div n_rows").as("top_share_permille"),
+          expr("max_freq * ndv * 1000 div n_rows").as("skew_ratio_milli"))
+    }.reduce(_.union(_)).orderBy("key_col")
+  }
+
+  def joinSkewProfileOracle(tableName: String = "lineitem",
+      keys: Seq[String] = Seq("l_orderkey", "l_partkey", "l_suppkey")): String =
+    keys.map { k =>
+      s"""SELECT '$k' AS key_col, CAST(sum(c) AS BIGINT) AS n_rows,
+         |  count(*) AS ndv, max(c) AS max_freq,
+         |  max(c) * 1000 // sum(c) AS top_share_permille,
+         |  max(c) * count(*) * 1000 // sum(c) AS skew_ratio_milli
+         |FROM (SELECT $k, count(*) AS c FROM $tableName GROUP BY $k)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
+
+  // ---------------------------------------------------- log2 length histogram
+  /** Log₂-bucketed histogram of `documents.n_chars` — the right shape for
+    * heavy-tailed length distributions (equi-width buckets put everything
+    * in bucket 1; equi-depth hides the tail). The bucket index is
+    * `⌊log₂ n⌋ + 1` computed WITHOUT libm as the binary-string length of
+    * the value — exact on both engines. One projection, one bounded
+    * group-by (≤ 64 buckets, ever). */
+  def log2Histogram(spark: SparkSession, dir: String,
+      tableName: String = "documents", column: String = "n_chars"): DataFrame =
+    Fixtures.table(spark, dir, tableName)
+      .filter(col(column) >= 1)
+      .select(length(expr(s"bin($column)")).cast("bigint").as("bucket"), col(column))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"), min(col(column)).as("lo"), max(col(column)).as("hi"))
+      .orderBy("bucket")
+
+  def log2HistogramOracle(tableName: String = "documents",
+      column: String = "n_chars"): String =
+    s"""SELECT CAST(length(bin($column)) AS BIGINT) AS bucket, count(*) AS cnt,
+       |  min($column) AS lo, max($column) AS hi
+       |FROM $tableName WHERE $column >= 1
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------- Count-Min sketch gate
   /** Count-Min point-frequency gate over `events.event_type`: build the
     * CMS in one codegen'd scan (Spark's `count_min_sketch` aggregate —

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+import graft.profile.ProfileQueries
+
+/** Invariants for Theil-Sen, seasonal spikes, join skew, log2 histogram. */
+class RobustTrendSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+
+  test("theil-sen: pair counts are C(hours,2); slope finite") {
+    val rows = EventOps.theilSenSlopes(spark, SparkSuite.Sf0001).collect()
+    assert(rows.nonEmpty)
+    val hourly = spark.read.parquet(s"${SparkSuite.Sf0001}/events.parquet")
+      .select(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
+      .distinct().groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val n = hourly(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_pairs") == n * (n - 1) / 2)
+      assert(!r.getAs[Double]("ts_slope_milli").isNaN)
+    }
+  }
+
+  test("seasonal spikes: all deviations positive, sorted desc, y above expectation") {
+    val rows = EventOps.seasonalSpikes(spark, SparkSuite.Sf0001).collect()
+    assert(rows.nonEmpty)
+    val devs = rows.map(_.getAs[Long]("dev_permille"))
+    assert(devs.forall(_ > 0))
+    assert(devs.zip(devs.tail).forall { case (a, b) => a >= b })
+    rows.foreach(r =>
+      assert(r.getAs[Long]("y") * 1000 > r.getAs[Long]("expected_milli")))
+  }
+
+  test("join skew: uniform-ish synthetic key scores ~1000, hub key scores high") {
+    val rows = ProfileQueries.joinSkewProfile(spark, SparkSuite.Sf0001).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("skew_ratio_milli") >= 1000 - 1) // max >= mean
+      assert(r.getAs[Long]("top_share_permille") * r.getAs[Long]("ndv") >= 999)
+    }
+    import spark.implicits._
+    val hub = (Seq.fill(90)(1L) ++ (2L to 11L)).toDF("k")
+    val skew = ProfileQueries.joinSkewProfile(spark, SparkSuite.Sf0001)
+    // core formula check on a planted hub via the same aggregates
+    val c = hub.groupBy("k").count().agg(max("count"), sum("count"), count(lit(1)))
+      .collect().head
+    assert(c.getLong(0) * c.getLong(2) * 1000 / c.getLong(1) == 9900)
+    assert(skew.columns.contains("skew_ratio_milli"))
+  }
+
+  test("log2 histogram: buckets partition rows; lo/hi inside [2^(b-1), 2^b)") {
+    val rows = ProfileQueries.log2Histogram(spark, SparkSuite.Sf0001).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("cnt")).sum
+    assert(total == spark.read.parquet(s"${SparkSuite.Sf0001}/documents.parquet")
+      .filter(col("n_chars") >= 1).count())
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(r.getAs[Long]("lo") >= (1L << (b - 1)) &&
+        r.getAs[Long]("hi") < (1L << b))
+    }
+  }
+}
