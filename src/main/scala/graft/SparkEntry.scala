@@ -93,6 +93,11 @@ object SparkEntry {
       // offline join-skew advisory + log2-bucketed length histogram
       "profile_join_skew" -> ((s, d) => ProfileQueries.joinSkewProfile(s, d)),
       "profile_log2_histogram" -> ((s, d) => ProfileQueries.log2Histogram(s, d)),
+      // per-dimension embedding hygiene (dead/collapsed dims)
+      "embedding_dim_stats" -> (Similarity.dimStats(_, _)),
+      // small-file FFD compaction plan over the file listing (rows-only:
+      // sequential bin packing isn't SQL; packFFD is spec'd exactly)
+      "profile_compaction_plan" -> ((s, d) => graft.profile.CompactionPlan.plan(s, d)),
       // burst suppression: per-type admission under a 60s same-key holdoff
       "events_debounce" -> ((s, d) => EventOps.debounceSummary(s, d)),
       // k-core of the near-dup pair graph: iterative peel (rows-only) +
@@ -377,6 +382,7 @@ object SparkEntry {
       "events_seasonal_spikes" -> EventOps.seasonalSpikesOracle(),
       "profile_join_skew" -> ProfileQueries.joinSkewProfileOracle(),
       "profile_log2_histogram" -> ProfileQueries.log2HistogramOracle(),
+      "embedding_dim_stats" -> Similarity.dimStatsOracle,
       "events_debounce" -> EventOps.debounceSummaryOracle(),
       "dedup_kcore_gate" -> Dedup.kCoreGateOracle,
       "text_collocations" -> TextAnalysis.collocationsOracle(),

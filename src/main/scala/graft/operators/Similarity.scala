@@ -836,6 +836,53 @@ object Similarity {
       |GROUP BY label, dim
       |ORDER BY label, dim""".stripMargin
 
+  // ------------------------------------------------- per-dimension statistics
+  /** Per-DIMENSION embedding statistics — mean, variance, range per vector
+    * coordinate — the "is this dimension dead / collapsed / unscaled"
+    * hygiene pass run before PCA/quantization decisions (a zero-variance
+    * dim wastes PQ codebook bits; wildly unequal variances break L2
+    * metrics). Same micro-unit recipe as [[labelCentroids]]: values
+    * quantize to exact integers, variance comes division-free as
+    * `(n·Σx² − (Σx)²)` in DECIMAL(38,0)/HUGEINT (int64 wraps past ~10⁹
+    * vectors) and only the final double divide is IEEE. One posexplode
+    * scan, a dim-keyed partial-agg shuffle (≤ vector width groups). */
+  def dimStats(spark: SparkSession, dir: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    table(spark, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("int").as("dim"),
+        expr("CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").as("micro"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("micro")).as("s"),
+        sum(dec(col("micro")) * dec(col("micro"))).as("ss"),
+        min(col("micro")).as("min_micro"), max(col("micro")).as("max_micro"))
+      .select(col("dim"), col("n"),
+        (col("s").cast("double") / col("n")).as("mean_micro"),
+        ((dec(col("n")) * col("ss") - dec(col("s")) * dec(col("s"))).cast("double") /
+          (col("n").cast("double") * col("n").cast("double"))).as("var_micro2"),
+        col("min_micro"), col("max_micro"),
+        (col("min_micro") === col("max_micro")).as("is_dead"))
+      .orderBy("dim")
+  }
+
+  val dimStatsOracle: String =
+    """WITH m AS (
+      |  SELECT CAST(i - 1 AS INTEGER) AS dim,
+      |    CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000) AS HUGEINT) AS micro
+      |  FROM (
+      |    SELECT embedding, unnest(generate_series(1, len(embedding))) AS i
+      |    FROM embeddings)
+      |)
+      |SELECT dim, count(*) AS n,
+      |  CAST(sum(micro) AS DOUBLE) / count(*) AS mean_micro,
+      |  CAST(count(*) * sum(micro * micro) - sum(micro) * sum(micro) AS DOUBLE)
+      |    / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE)) AS var_micro2,
+      |  CAST(min(micro) AS BIGINT) AS min_micro,
+      |  CAST(max(micro) AS BIGINT) AS max_micro,
+      |  min(micro) = max(micro) AS is_dead
+      |FROM m GROUP BY dim ORDER BY dim""".stripMargin
+
   // ------------------------------------------------- label-centroid outliers
   /** LABEL-CENTROID OUTLIERS — mislabeled/contaminated-vector triage: the
     * k vectors farthest from their own label's centroid (a wrong label, a

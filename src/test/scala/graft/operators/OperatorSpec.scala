@@ -26,7 +26,10 @@ class OperatorSpec extends AnyFunSuite {
       "profile_fk_discovery",
       // iterative peel fixpoint (not SQL-expressible); dedup_kcore_gate
       // carries the in-query property booleans under the oracle
-      "dedup_kcore")
+      "dedup_kcore",
+      // sequential FFD bin packing over the file listing (not SQL);
+      // packFFD is pinned exactly by CompactionPlanSpec
+      "profile_compaction_plan")
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == sketchOnly)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
