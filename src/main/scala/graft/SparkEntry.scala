@@ -87,6 +87,8 @@ object SparkEntry {
       "events_rolling_wau" -> (EventOps.rollingActiveUsers(_, _)),
       // the sketch form: 7 HLL unions per day, tolerance-gated vs exact
       "events_rolling_wau_sketch" -> ((s, d) => EventOps.rollingWauSketchGate(s, d)),
+      // funnel-integrity conformance: purchase requires a same-session click
+      "events_conformance" -> (EventOps.purchaseConformance(_, _)),
       // robust trend (median of pairwise slopes) + seasonal spike report
       "events_theil_sen" -> (EventOps.theilSenSlopes(_, _)),
       "events_seasonal_spikes" -> ((s, d) => EventOps.seasonalSpikes(s, d)),
@@ -378,6 +380,7 @@ object SparkEntry {
       "events_busy_window_sessions" -> EventOps.busyWindowSessionsOracle,
       "events_rolling_wau" -> EventOps.rollingActiveUsersOracle,
       "events_rolling_wau_sketch" -> EventOps.rollingWauSketchGateOracle,
+      "events_conformance" -> EventOps.purchaseConformanceOracle,
       "events_theil_sen" -> EventOps.theilSenSlopesOracle,
       "events_seasonal_spikes" -> EventOps.seasonalSpikesOracle(),
       "profile_join_skew" -> ProfileQueries.joinSkewProfileOracle(),

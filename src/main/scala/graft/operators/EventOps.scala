@@ -1592,6 +1592,67 @@ object EventOps {
       |FROM dau JOIN wau ON day = report_day
       |ORDER BY day""".stripMargin
 
+  // ---------------------------------------------- process-conformance check
+  /** Process-mining conformance: "a purchase must be preceded by a click in
+    * the SAME session" — the funnel-integrity rule instrumentation bugs
+    * break first (attribution pipelines silently mis-credit when it fails).
+    * Sessions are [[sessionize]]'s 30-minute islands; clicks-so-far is a
+    * conditional running count over the session partition ordered by
+    * (tus, event_id), and a purchase with zero prior clicks is a
+    * violation. Per-type admission summary plus violation share in exact
+    * per-mille. All windows partition by (user, session) — partition-
+    * parallel, one shuffle, no self-joins. */
+  def purchaseConformance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 30L * 60 * 1000000
+    val byUser = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val e = table(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"))
+      .withColumn("prev", lag(col("tus"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_id",
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    val bySess = Window.partitionBy("user_id", "sess_id").orderBy("tus", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("clicks_before",
+        coalesce(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .over(bySess), lit(0L)))
+      .filter(col("event_type") === "purchase")
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sum(when(col("clicks_before") >= 1, 1L).otherwise(0L)).as("n_conforming"),
+        sum(when(col("clicks_before") === 0, 1L).otherwise(0L)).as("n_violations"))
+      .select(col("n_purchases"), col("n_conforming"), col("n_violations"),
+        expr("n_violations * 1000 div n_purchases").as("violation_permille"))
+  }
+
+  val purchaseConformanceOracle: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events
+      |), g AS (
+      |  SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+      |                  OR tus - lag(tus) OVER w > 1800000000
+      |             THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+      |), s AS (
+      |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+      |    ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM g
+      |), c AS (
+      |  SELECT event_type,
+      |    COALESCE(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id, sess_id ORDER BY tus, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS clicks_before
+      |  FROM s)
+      |SELECT count(*) AS n_purchases,
+      |  CAST(sum(CASE WHEN clicks_before >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_conforming,
+      |  CAST(sum(CASE WHEN clicks_before = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+      |  CAST(sum(CASE WHEN clicks_before = 0 THEN 1 ELSE 0 END) AS BIGINT) * 1000
+      |    // count(*) AS violation_permille
+      |FROM c WHERE event_type = 'purchase'""".stripMargin
+
   // -------------------------------------------------- Theil-Sen robust slope
   /** Theil–Sen robust trend per event type — the median of all pairwise
     * slopes of the hourly counts, the estimator that shrugs off the outlier

@@ -52,6 +52,16 @@ class RobustTrendSpec extends AnyFunSuite {
     assert(skew.columns.contains("skew_ratio_milli"))
   }
 
+  test("conformance: partitions all purchases; permille from the exact ratio") {
+    val r = EventOps.purchaseConformance(spark, SparkSuite.Sf0001).collect().head
+    val purchases = spark.read.parquet(s"${SparkSuite.Sf0001}/events.parquet")
+      .filter(col("event_type") === "purchase").count()
+    assert(r.getAs[Long]("n_purchases") == purchases)
+    assert(r.getAs[Long]("n_conforming") + r.getAs[Long]("n_violations") == purchases)
+    assert(r.getAs[Long]("violation_permille") ==
+      r.getAs[Long]("n_violations") * 1000 / purchases)
+  }
+
   test("log2 histogram: buckets partition rows; lo/hi inside [2^(b-1), 2^b)") {
     val rows = ProfileQueries.log2Histogram(spark, SparkSuite.Sf0001).collect()
     assert(rows.nonEmpty)
