@@ -426,4 +426,41 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected TakeOrderedAndProject for the outlier top-k: ${names.distinct.mkString(",")}")
     assert(!names.exists(n => n.contains("BroadcastNestedLoop") || n.contains("CartesianProduct")))
   }
+
+  test("pareto frontier: frontier reattaches as a broadcast semi-join, no nested loop") {
+    val df = graft.operators.RelationalExt.paretoFrontier(spark, SparkSuite.Sf0001)
+    df.collect()
+    val names = nodes(df).map(_.nodeName)
+    assert(names.exists(_.contains("BroadcastHashJoin")),
+      s"expected broadcast hash semi-join: ${names.distinct.mkString(",")}")
+    assert(!names.exists(n => n.contains("BroadcastNestedLoop") || n.contains("CartesianProduct")),
+      s"dominance test must not plan as a nested loop: ${names.distinct.mkString(",")}")
+  }
+
+  test("containment join: candidates meet by token equi-join, never cartesian") {
+    val df = graft.operators.Dedup.containmentJoinPairs(spark, SparkSuite.Sf0001)
+    df.collect()
+    val names = nodes(df).map(_.nodeName)
+    assert(!names.exists(n => n.contains("BroadcastNestedLoop") || n.contains("CartesianProduct")),
+      s"containment candidates must be an equi-join: ${names.distinct.mkString(",")}")
+  }
+
+  test("collocations: top-k is TakeOrdered, count joins are hash joins") {
+    val df = graft.operators.TextAnalysis.collocations(spark, SparkSuite.Sf0001,
+      minCount = 5, k = 20)
+    df.collect()
+    val names = nodes(df).map(_.nodeName)
+    assert(names.exists(_.contains("TakeOrderedAndProject")),
+      s"expected TakeOrdered for the top-k: ${names.distinct.mkString(",")}")
+    assertBnljOnlyTinyBroadcasts(df, "collocations")
+  }
+
+  test("busy-window sessions: interval sides meet by hour-bucket hash join") {
+    val df = graft.operators.EventOps.busyWindowSessions(spark, SparkSuite.Sf0001)
+    df.collect()
+    val names = nodes(df).map(_.nodeName)
+    assert(names.exists(_.contains("BroadcastHashJoin")),
+      s"expected the broadcast bucket equi-join: ${names.distinct.mkString(",")}")
+    assertBnljOnlyTinyBroadcasts(df, "busy-window")
+  }
 }
