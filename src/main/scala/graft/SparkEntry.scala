@@ -97,6 +97,10 @@ object SparkEntry {
       "profile_log2_histogram" -> ((s, d) => ProfileQueries.log2Histogram(s, d)),
       // per-dimension embedding hygiene (dead/collapsed dims)
       "embedding_dim_stats" -> (Similarity.dimStats(_, _)),
+      // lagged Pearson cross-correlation between type series
+      "events_cross_correlation" -> ((s, d) => EventOps.crossCorrelation(s, d)),
+      // string-column companion of the whole-catalog numeric profile
+      "profile_catalog_strings" -> (ProfileQueries.catalogStringProfile(_, _)),
       // small-file FFD compaction plan over the file listing (rows-only:
       // sequential bin packing isn't SQL; packFFD is spec'd exactly)
       "profile_compaction_plan" -> ((s, d) => graft.profile.CompactionPlan.plan(s, d)),
@@ -386,6 +390,8 @@ object SparkEntry {
       "profile_join_skew" -> ProfileQueries.joinSkewProfileOracle(),
       "profile_log2_histogram" -> ProfileQueries.log2HistogramOracle(),
       "embedding_dim_stats" -> Similarity.dimStatsOracle,
+      "events_cross_correlation" -> EventOps.crossCorrelationOracle(),
+      "profile_catalog_strings" -> ProfileQueries.catalogStringProfileOracle,
       "events_debounce" -> EventOps.debounceSummaryOracle(),
       "dedup_kcore_gate" -> Dedup.kCoreGateOracle,
       "text_collocations" -> TextAnalysis.collocationsOracle(),

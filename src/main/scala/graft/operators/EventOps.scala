@@ -1592,6 +1592,68 @@ object EventOps {
       |FROM dau JOIN wau ON day = report_day
       |ORDER BY day""".stripMargin
 
+  // ---------------------------------------------- lagged cross-correlation
+  /** Lagged cross-correlation between event-type hourly series — "do error
+    * spikes FOLLOW deploy/click spikes, and by how many hours?" — Pearson r
+    * of (x_t, y_(t+lag)) for every ordered type pair at lags −3..+3. All
+    * five moments accumulate in DECIMAL(38,0) over integer (hour, count)
+    * rows and only the final r is an IEEE divide (the [[corrMatrix]]
+    * recipe applied to a lag-shifted self-join). The join is hourly-frame ×
+    * 7 lags — calendar-bounded both sides, equi-join on the shifted hour
+    * key; corpus rows are touched once to build the hourly frame. */
+  def crossCorrelation(spark: SparkSession, dir: String,
+      maxLag: Int = 3): DataFrame = {
+    val hourly = table(spark, dir, "events")
+      .select(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
+      .groupBy("event_type", "h")
+      .agg(count(lit(1)).as("y"))
+    val a = hourly.select(col("event_type").as("type_a"), col("h"), col("y").as("x"))
+      .withColumn("lag", explode(sequence(lit(-maxLag), lit(maxLag))))
+      .withColumn("h2", col("h") + col("lag"))
+    val b = hourly.select(col("event_type").as("type_b"), col("h").as("h2"),
+      col("y").as("yv"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    a.join(b, "h2")
+      .groupBy("type_a", "type_b", "lag")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("yv"))).as("sy"),
+        sum(dec(col("x")) * dec(col("x"))).cast("decimal(38,0)").as("sxx"),
+        sum(dec(col("yv")) * dec(col("yv"))).cast("decimal(38,0)").as("syy"),
+        sum(dec(col("x")) * dec(col("yv"))).cast("decimal(38,0)").as("sxy"))
+      .select(col("type_a"), col("type_b"), col("lag"),
+        col("n").cast("bigint").as("n_hours"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("r"))
+      .orderBy("type_a", "type_b", "lag")
+  }
+
+  def crossCorrelationOracle(maxLag: Int = 3): String =
+    s"""WITH hourly AS (
+       |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS y
+       |  FROM events GROUP BY 1, 2
+       |), a AS (
+       |  SELECT event_type AS type_a, h, y AS x,
+       |         unnest(range(-$maxLag, ${maxLag + 1})) AS lag
+       |  FROM hourly
+       |), m AS (
+       |  SELECT type_a, b.event_type AS type_b, lag,
+       |    CAST(count(*) AS HUGEINT) AS n,
+       |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(b.y) AS HUGEINT) AS sy,
+       |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+       |    CAST(sum(CAST(b.y AS HUGEINT) * b.y) AS HUGEINT) AS syy,
+       |    CAST(sum(CAST(x AS HUGEINT) * b.y) AS HUGEINT) AS sxy
+       |  FROM a JOIN hourly b ON a.h + a.lag = b.h
+       |  GROUP BY 1, 2, 3)
+       |SELECT type_a, type_b, CAST(lag AS INTEGER) AS lag,
+       |  CAST(n AS BIGINT) AS n_hours,
+       |  CAST(n * sxy - sx * sy AS DOUBLE) /
+       |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+       |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+       |FROM m ORDER BY type_a, type_b, lag""".stripMargin
+
   // ---------------------------------------------- process-conformance check
   /** Process-mining conformance: "a purchase must be preceded by a click in
     * the SAME session" — the funnel-integrity rule instrumentation bugs

@@ -1303,6 +1303,52 @@ object ProfileQueries {
       .orderBy(groupCol)
   }
 
+  // --------------------------------------------- whole-catalog string profile
+  /** The string-column companion of [[catalogProfile]]: one row per
+    * (table, string column) with count/nulls/exact NDV/length range/
+    * lexical min+max — the whole lake's text surface in ONE DAG (per-column
+    * 1-row aggregates unioned; each branch scans column-pruned). The fixed
+    * column list mirrors the fixtures' static schemas (production would
+    * enumerate from the catalog the way [[catalogProfile]] does). */
+  val CatalogStringCols: Seq[(String, Seq[String])] = Seq(
+    "customer" -> Seq("c_name", "c_mktsegment"),
+    "documents" -> Seq("lang", "source"),
+    "events" -> Seq("event_type"),
+    "lineitem" -> Seq("l_returnflag", "l_linestatus"),
+    "nation" -> Seq("n_name"),
+    "orders" -> Seq("o_orderstatus", "o_orderpriority"),
+    "part" -> Seq("p_name", "p_brand", "p_type"),
+    "region" -> Seq("r_name"),
+    "supplier" -> Seq("s_name"))
+
+  def catalogStringProfile(spark: SparkSession, dir: String): DataFrame = {
+    val frames = for ((t, cols) <- CatalogStringCols; c <- cols) yield
+      Fixtures.table(spark, dir, t).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col(c).isNull.cast("long")).as("n_nulls"),
+        countDistinct(col(c)).as("ndv"),
+        min(length(col(c))).as("min_len"), max(length(col(c))).as("max_len"),
+        min(col(c)).as("min_val"), max(col(c)).as("max_val"))
+      .select(lit(t).as("table_name"), lit(c).as("column_name"),
+        col("n_rows"), col("n_nulls"), col("ndv"),
+        col("min_len").cast("bigint").as("min_len"),
+        col("max_len").cast("bigint").as("max_len"),
+        col("min_val"), col("max_val"))
+    frames.reduce(_.union(_)).orderBy("table_name", "column_name")
+  }
+
+  val catalogStringProfileOracle: String =
+    CatalogStringCols.flatMap { case (t, cols) => cols.map { c =>
+      s"""SELECT '$t' AS table_name, '$c' AS column_name,
+         |  count(*) AS n_rows,
+         |  CAST(sum(CAST($c IS NULL AS INT)) AS BIGINT) AS n_nulls,
+         |  count(DISTINCT $c) AS ndv,
+         |  CAST(min(length($c)) AS BIGINT) AS min_len,
+         |  CAST(max(length($c)) AS BIGINT) AS max_len,
+         |  min($c) AS min_val, max($c) AS max_val
+         |FROM $t""".stripMargin
+    }}.mkString("", "\nUNION ALL\n", "\nORDER BY table_name, column_name")
+
   // ---------------------------------------------------- join-skew advisor
   /** Join-skew report for the fact table's join keys — the numbers that
     * decide salting/AQE-skew-join before a 100 TB join is launched: rows,

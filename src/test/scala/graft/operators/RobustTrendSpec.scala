@@ -52,6 +52,29 @@ class RobustTrendSpec extends AnyFunSuite {
     assert(skew.columns.contains("skew_ratio_milli"))
   }
 
+  test("cross-correlation: r in [-1,1]; self-correlation at lag 0 is exactly 1") {
+    val rows = EventOps.crossCorrelation(spark, SparkSuite.Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getAs[Double]("r")
+      assert(v >= -1.0000001 && v <= 1.0000001, s"r=$v out of range")
+    }
+    rows.filter(r => r.getAs[String]("type_a") == r.getAs[String]("type_b") &&
+        r.getAs[Int]("lag") == 0)
+      .foreach(r => assert(math.abs(r.getAs[Double]("r") - 1.0) < 1e-12))
+  }
+
+  test("catalog strings: every branch row reconciles with its table") {
+    val rows = graft.profile.ProfileQueries.catalogStringProfile(spark, SparkSuite.Sf0001)
+      .collect()
+    assert(rows.length == 15)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ndv") <= r.getAs[Long]("n_rows"))
+      assert(r.getAs[Long]("min_len") <= r.getAs[Long]("max_len"))
+      assert(r.getAs[String]("min_val") <= r.getAs[String]("max_val"))
+    }
+  }
+
   test("conformance: partitions all purchases; permille from the exact ratio") {
     val r = EventOps.purchaseConformance(spark, SparkSuite.Sf0001).collect().head
     val purchases = spark.read.parquet(s"${SparkSuite.Sf0001}/events.parquet")
