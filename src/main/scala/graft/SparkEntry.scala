@@ -97,6 +97,8 @@ object SparkEntry {
       "profile_log2_histogram" -> ((s, d) => ProfileQueries.log2Histogram(s, d)),
       // per-dimension embedding hygiene (dead/collapsed dims)
       "embedding_dim_stats" -> (Similarity.dimStats(_, _)),
+      // nearest-either-side as-of join via 3-band equi-join
+      "events_asof_nearest" -> ((s, d) => EventOps.asofNearestClick(s, d)),
       // lagged Pearson cross-correlation between type series
       "events_cross_correlation" -> ((s, d) => EventOps.crossCorrelation(s, d)),
       // string-column companion of the whole-catalog numeric profile
@@ -390,6 +392,7 @@ object SparkEntry {
       "profile_join_skew" -> ProfileQueries.joinSkewProfileOracle(),
       "profile_log2_histogram" -> ProfileQueries.log2HistogramOracle(),
       "embedding_dim_stats" -> Similarity.dimStatsOracle,
+      "events_asof_nearest" -> EventOps.asofNearestClickOracle(),
       "events_cross_correlation" -> EventOps.crossCorrelationOracle(),
       "profile_catalog_strings" -> ProfileQueries.catalogStringProfileOracle,
       "events_debounce" -> EventOps.debounceSummaryOracle(),

@@ -1592,6 +1592,56 @@ object EventOps {
       |FROM dau JOIN wau ON day = report_day
       |ORDER BY day""".stripMargin
 
+  // ------------------------------------------------ nearest-event as-of join
+  /** NEAREST as-of join — both directions: each purchase pairs with the
+    * temporally closest click of the same user within ±5 minutes (the
+    * backward-only form is [[purchaseClickAttribution]]; sensor/trade
+    * alignment usually wants nearest-either-side). Banded equi-join: each
+    * purchase probes its own 5-minute band and both neighbors (3 bands —
+    * any |Δt| ≤ window pair shares one of them), then a per-purchase
+    * min-|Δt| rank with an earlier-click tie-break. No theta join: the
+    * band key bounds candidates to a constant per row at any scale. */
+  def asofNearestClick(spark: SparkSession, dir: String,
+      windowUs: Long = 5L * 60 * 1000000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = table(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("tus").as("p_tus"))
+      .withColumn("band",
+        explode(array(expr(s"p_tus div $windowUs") - 1,
+          expr(s"p_tus div $windowUs"), expr(s"p_tus div $windowUs") + 1)))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("tus").as("c_tus"))
+      .withColumn("band", expr(s"c_tus div $windowUs"))
+    val w = Window.partitionBy("event_id")
+      .orderBy(abs(col("c_tus") - col("p_tus")), col("c_tus"))
+    purchases
+      .join(clicks, col("user_id") === col("c_user") && purchases("band") === clicks("band") &&
+        abs(col("c_tus") - col("p_tus")) <= windowUs)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("p_tus"), col("c_tus"),
+        (col("c_tus") - col("p_tus")).as("delta_us"))
+      .orderBy("event_id")
+  }
+
+  def asofNearestClickOracle(windowUs: Long = 5L * 60 * 1000000): String =
+    s"""WITH p AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS p_tus FROM events
+       |  WHERE event_type = 'purchase'
+       |), c AS (
+       |  SELECT user_id, epoch_us(ts) AS c_tus FROM events WHERE event_type = 'click'
+       |), j AS (
+       |  SELECT p.event_id, p.user_id, p.p_tus, c.c_tus,
+       |    row_number() OVER (PARTITION BY p.event_id
+       |      ORDER BY abs(c.c_tus - p.p_tus), c.c_tus) AS rn
+       |  FROM p JOIN c ON c.user_id = p.user_id
+       |    AND abs(c.c_tus - p.p_tus) <= $windowUs)
+       |SELECT event_id, user_id, p_tus, c_tus, c_tus - p_tus AS delta_us
+       |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
+
   // ---------------------------------------------- lagged cross-correlation
   /** Lagged cross-correlation between event-type hourly series — "do error
     * spikes FOLLOW deploy/click spikes, and by how many hours?" — Pearson r
