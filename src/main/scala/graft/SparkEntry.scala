@@ -112,6 +112,8 @@ object SparkEntry {
       // in-query property gate under the oracle
       "dedup_kcore" -> (Dedup.kCoreSummary(_, _)),
       "dedup_kcore_gate" -> ((s, d) => Dedup.kCoreGate(s, d)),
+      // rank-matched quantile normalization of lengths across sources
+      "docs_quantile_normalize" -> ((s, d) => TextAnalysis.quantileNormalize(s, d)),
       // PMI collocations ranked by an exact integer ratio (no libm)
       "text_collocations" -> ((s, d) => TextAnalysis.collocations(s, d)),
       // Herfindahl concentration of language shares per source
@@ -397,6 +399,7 @@ object SparkEntry {
       "profile_catalog_strings" -> ProfileQueries.catalogStringProfileOracle,
       "events_debounce" -> EventOps.debounceSummaryOracle(),
       "dedup_kcore_gate" -> Dedup.kCoreGateOracle,
+      "docs_quantile_normalize" -> TextAnalysis.quantileNormalizeOracle,
       "text_collocations" -> TextAnalysis.collocationsOracle(),
       "profile_hhi_lang_by_source" -> ProfileQueries.hhiProfileOracle(),
       "profile_cms_gate" -> ProfileQueries.cmsGateOracle,

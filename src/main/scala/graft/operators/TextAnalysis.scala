@@ -2065,6 +2065,71 @@ object TextAnalysis {
        |  list_sort(list(DISTINCT doc_id))[1:$cap] AS postings
        |FROM toks GROUP BY term ORDER BY term""".stripMargin
 
+  // ------------------------------------------------- quantile normalization
+  /** Quantile normalization of `n_chars` ACROSS sources — every source's
+    * length distribution is mapped onto the GLOBAL one by rank matching
+    * (the batch-effect correction used when per-source crawling artifacts
+    * shift a feature's distribution): doc at within-source rank r of m
+    * lands on the global value at rank `1 + (r−1)(N−1) div (m−1)`, all in
+    * exact integers (the rank product runs in DECIMAL(38,0) — (N−1)² wraps
+    * int64 past ~10⁹ docs).
+    *
+    * No global row sort: the global rank→value lookup comes from the
+    * grouped-value cumulative frame (the Gini two-level prefix) exploded
+    * into one row per rank — a LINEAR frame joined by equi-key; the
+    * within-source ranks are partition-parallel windows. */
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("source"),
+      col("n_chars"))
+    val ranked = docs
+      .withColumn("r", row_number().over(
+        Window.partitionBy("source").orderBy("n_chars", "doc_id")))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("source")))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val grp = docs.groupBy("n_chars").agg(count(lit(1)).as("c"))
+      .withColumn("bucket", expr("n_chars div 1024"))
+    val wLocal = Window.partitionBy("bucket").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wBucket = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = grp.groupBy("bucket").agg(sum(col("c")).as("bc"))
+      .withColumn("off", coalesce(sum(col("bc")).over(wBucket), lit(0L)))
+      .select(col("bucket").as("ob"), col("off"))
+    val lookup = grp
+      .withColumn("local", sum(col("c")).over(wLocal))
+      .join(broadcast(offsets), col("bucket") === col("ob"))
+      .withColumn("cumw", col("off") + col("local"))
+      .select(col("n_chars").as("v"),
+        explode(sequence(col("cumw") - col("c") + 1, col("cumw"))).as("g"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("g", when(col("m") === 1, expr("(n_total + 1) div 2"))
+        .otherwise(expr(
+          "1 + CAST(CAST(r - 1 AS DECIMAL(38,0)) * (n_total - 1) div (m - 1) AS BIGINT)")))
+      .join(lookup, "g")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("v").as("norm_chars"))
+      .orderBy("doc_id")
+  }
+
+  val quantileNormalizeOracle: String =
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+      |         count(*) OVER (PARTITION BY source) AS m
+      |  FROM d),
+      |n AS (SELECT count(*) AS n_total FROM d),
+      |g AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CASE WHEN m = 1 THEN (n_total + 1) // 2
+      |         ELSE 1 + CAST(CAST(r - 1 AS HUGEINT) * (n_total - 1) // (m - 1) AS BIGINT)
+      |    END AS g
+      |  FROM r, n),
+      |o AS (SELECT n_chars AS v, row_number() OVER (ORDER BY n_chars, doc_id) AS gr FROM d)
+      |SELECT g.doc_id, g.source, g.n_chars, o.v AS norm_chars
+      |FROM g JOIN o ON g.g = o.gr
+      |ORDER BY g.doc_id""".stripMargin
+
   // ------------------------------------------------------- PMI collocations
   /** Collocation mining: the word bigrams most over-represented vs chance,
     * ranked by pointwise mutual information — WITHOUT libm. PMI's log is

@@ -52,6 +52,22 @@ class RobustTrendSpec extends AnyFunSuite {
     assert(skew.columns.contains("skew_ratio_milli"))
   }
 
+  test("quantile normalize: endpoints hit global min/max; monotone per source") {
+    val rows = TextAnalysis.quantileNormalize(spark, SparkSuite.Sf0001).collect()
+    val docs = spark.read.parquet(s"${SparkSuite.Sf0001}/documents.parquet")
+      .select("n_chars").collect().map(_.getLong(0))
+    assert(rows.length == docs.length)
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    bySource.values.foreach { g =>
+      val sorted = g.sortBy(r => (r.getAs[Long]("n_chars"), r.getAs[Long]("doc_id")))
+      // rank matching: lowest doc -> global min, highest -> global max
+      assert(sorted.head.getAs[Long]("norm_chars") == docs.min)
+      assert(sorted.last.getAs[Long]("norm_chars") == docs.max)
+      val norms = sorted.map(_.getAs[Long]("norm_chars"))
+      assert(norms.zip(norms.tail).forall { case (a, b) => a <= b }, "not monotone")
+    }
+  }
+
   test("cross-correlation: r in [-1,1]; self-correlation at lag 0 is exactly 1") {
     val rows = EventOps.crossCorrelation(spark, SparkSuite.Sf0001).collect()
     assert(rows.nonEmpty)
