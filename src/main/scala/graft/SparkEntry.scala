@@ -101,6 +101,8 @@ object SparkEntry {
       "events_asof_nearest" -> ((s, d) => EventOps.asofNearestClick(s, d)),
       // lagged Pearson cross-correlation between type series
       "events_cross_correlation" -> ((s, d) => EventOps.crossCorrelation(s, d)),
+      // k-anonymity / l-diversity release audit over customer
+      "profile_k_anonymity" -> ((s, d) => ProfileQueries.kAnonymity(s, d)),
       // string-column companion of the whole-catalog numeric profile
       "profile_catalog_strings" -> (ProfileQueries.catalogStringProfile(_, _)),
       // small-file FFD compaction plan over the file listing (rows-only:
@@ -396,6 +398,7 @@ object SparkEntry {
       "embedding_dim_stats" -> Similarity.dimStatsOracle,
       "events_asof_nearest" -> EventOps.asofNearestClickOracle(),
       "events_cross_correlation" -> EventOps.crossCorrelationOracle(),
+      "profile_k_anonymity" -> ProfileQueries.kAnonymityOracle(),
       "profile_catalog_strings" -> ProfileQueries.catalogStringProfileOracle,
       "events_debounce" -> EventOps.debounceSummaryOracle(),
       "dedup_kcore_gate" -> Dedup.kCoreGateOracle,

@@ -1303,6 +1303,46 @@ object ProfileQueries {
       .orderBy(groupCol)
   }
 
+  // -------------------------------------------------- k-anonymity audit
+  /** Privacy-risk audit: k-anonymity and l-diversity of the customer table
+    * under the quasi-identifier (nation, market segment) with the account
+    * balance (coarsened to 1000-unit buckets) as the sensitive attribute —
+    * the release-readiness numbers a data-sharing review asks for. A QI
+    * group smaller than k re-identifies its members; a group with few
+    * distinct sensitive values leaks the attribute even at size ≥ k.
+    * Two bounded group-bys (QI domain, then one summary row); per-group
+    * distinct-sensitive is exact. */
+  def kAnonymity(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val groups = Fixtures.table(spark, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000 + 0.5).cast("bigint").as("sens"))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("sz"), countDistinct(col("sens")).as("l"))
+    groups.agg(
+      sum(col("sz")).as("n_rows"),
+      count(lit(1)).as("n_groups"),
+      min(col("sz")).as("min_group_size"),
+      sum(when(col("sz") < k, 1L).otherwise(0L)).as("groups_below_k"),
+      sum(when(col("sz") < k, col("sz")).otherwise(0L)).as("rows_below_k"),
+      min(col("l")).as("min_l_diversity"))
+      .select(col("n_rows").cast("bigint").as("n_rows"), col("n_groups"),
+        col("min_group_size"), col("groups_below_k"),
+        col("rows_below_k").cast("bigint").as("rows_below_k"),
+        col("min_l_diversity"))
+  }
+
+  def kAnonymityOracle(k: Int = 5): String =
+    s"""WITH g AS (
+       |  SELECT c_nationkey, c_mktsegment, count(*) AS sz,
+       |    count(DISTINCT CAST(floor(c_acctbal / 1000 + 0.5) AS BIGINT)) AS l
+       |  FROM customer GROUP BY 1, 2)
+       |SELECT CAST(sum(sz) AS BIGINT) AS n_rows, count(*) AS n_groups,
+       |  min(sz) AS min_group_size,
+       |  CAST(sum(CASE WHEN sz < $k THEN 1 ELSE 0 END) AS BIGINT) AS groups_below_k,
+       |  CAST(sum(CASE WHEN sz < $k THEN sz ELSE 0 END) AS BIGINT) AS rows_below_k,
+       |  min(l) AS min_l_diversity
+       |FROM g""".stripMargin
+
   // --------------------------------------------- whole-catalog string profile
   /** The string-column companion of [[catalogProfile]]: one row per
     * (table, string column) with count/nulls/exact NDV/length range/
