@@ -97,6 +97,8 @@ object SparkEntry {
       "profile_log2_histogram" -> ((s, d) => ProfileQueries.log2Histogram(s, d)),
       // per-dimension embedding hygiene (dead/collapsed dims)
       "embedding_dim_stats" -> (Similarity.dimStats(_, _)),
+      // CUSUM sustained-drift alarms over hourly series (integer-exact)
+      "events_cusum_alarms" -> ((s, d) => EventOps.cusumAlarms(s, d)),
       // nearest-either-side as-of join via 3-band equi-join
       "events_asof_nearest" -> ((s, d) => EventOps.asofNearestClick(s, d)),
       // lagged Pearson cross-correlation between type series
@@ -396,6 +398,7 @@ object SparkEntry {
       "profile_join_skew" -> ProfileQueries.joinSkewProfileOracle(),
       "profile_log2_histogram" -> ProfileQueries.log2HistogramOracle(),
       "embedding_dim_stats" -> Similarity.dimStatsOracle,
+      "events_cusum_alarms" -> EventOps.cusumAlarmsOracle(),
       "events_asof_nearest" -> EventOps.asofNearestClickOracle(),
       "events_cross_correlation" -> EventOps.crossCorrelationOracle(),
       "profile_k_anonymity" -> ProfileQueries.kAnonymityOracle(),

@@ -1592,6 +1592,69 @@ object EventOps {
       |FROM dau JOIN wau ON day = report_day
       |ORDER BY day""".stripMargin
 
+  // ------------------------------------------------- CUSUM change detection
+  /** CUSUM change-point alarms over each type's hourly series — the
+    * sequential drift detector that fires on a SUSTAINED small shift long
+    * before any single-hour threshold does. The textbook recursion
+    * `S_t = max(0, S_(t−1) + (y_t − ȳ))` is sequential, but it has the
+    * closed form `S_t = P_t − min_(j≤t) P_j` with `P` the prefix sum of
+    * deviations — two windows, both per-type partitions over the
+    * calendar-bounded hourly frame. Everything is scaled by n so the mean
+    * never divides: `n·S_t = (n·ΣY_t − t·total) − runmin(·)`, exact
+    * BIGINTs, and the alarm `S_t > 5·ȳ·n/n` compares `n·S_t > 5·total`.
+    * Observed hours only (an absent hour contributes no deviation). */
+  def cusumAlarms(spark: SparkSession, dir: String,
+      thresholdMeans: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = table(spark, dir, "events")
+      .select(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
+      .groupBy("event_type", "h")
+      .agg(count(lit(1)).as("y"))
+    val totals = hourly.groupBy(col("event_type").as("tt"))
+      .agg(sum(col("y")).as("total"), count(lit(1)).as("n"))
+    val byType = Window.partitionBy("event_type").orderBy("h")
+    val run = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // slack of ȳ/2 per hour (the classic k≈0.5σ allowance, in mean units):
+    // d_i = y_i − 1.5·ȳ, scaled by 2n ⇒ 2n·y_i − 3·total — without it the
+    // mean-centered prefix is a random walk and S saturates into a
+    // permanent alarm (observed: 2052 alarm hours on the fixture)
+    hourly.join(broadcast(totals), col("event_type") === col("tt"))
+      .withColumn("t", row_number().over(byType))
+      .withColumn("cum",
+        lit(2L) * col("n") * sum(col("y")).over(run) - lit(3L) * col("t") * col("total"))
+      .withColumn("runmin", least(lit(0L), min(col("cum")).over(run)))
+      .withColumn("s_scaled", col("cum") - col("runmin"))
+      .filter(col("s_scaled") > lit(2L) * col("total") * thresholdMeans)
+      .select(col("event_type"), col("h"), col("y"), col("s_scaled"),
+        (lit(2L) * col("total") * thresholdMeans).as("threshold_scaled"))
+      .orderBy("event_type", "h")
+  }
+
+  def cusumAlarmsOracle(thresholdMeans: Int = 1): String =
+    s"""WITH hourly AS (
+       |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS y
+       |  FROM events GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT event_type AS tt, CAST(sum(y) AS BIGINT) AS total,
+       |         count(*) AS n
+       |  FROM hourly GROUP BY 1
+       |), c AS (
+       |  SELECT event_type, h, y, total,
+       |    2 * n * sum(y) OVER w - 3 * CAST(row_number() OVER (PARTITION BY event_type ORDER BY h) AS BIGINT) * total AS cum
+       |  FROM hourly JOIN tot ON event_type = tt
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY h ROWS UNBOUNDED PRECEDING)
+       |), s AS (
+       |  SELECT event_type, h, y, total,
+       |    cum - least(0, min(cum) OVER (PARTITION BY event_type ORDER BY h
+       |      ROWS UNBOUNDED PRECEDING)) AS s_scaled
+       |  FROM c)
+       |SELECT event_type, h, y, CAST(s_scaled AS BIGINT) AS s_scaled,
+       |       2 * total * $thresholdMeans AS threshold_scaled
+       |FROM s WHERE s_scaled > 2 * total * $thresholdMeans
+       |ORDER BY event_type, h""".stripMargin
+
   // ------------------------------------------------ nearest-event as-of join
   /** NEAREST as-of join — both directions: each purchase pairs with the
     * temporally closest click of the same user within ±5 minutes (the

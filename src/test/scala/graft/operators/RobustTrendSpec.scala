@@ -52,6 +52,23 @@ class RobustTrendSpec extends AnyFunSuite {
     assert(skew.columns.contains("skew_ratio_milli"))
   }
 
+  test("cusum: alarms exceed the threshold; a planted sustained shift fires") {
+    val rows = EventOps.cusumAlarms(spark, SparkSuite.Sf0001).collect()
+    rows.foreach(r =>
+      assert(r.getAs[Long]("s_scaled") > r.getAs[Long]("threshold_scaled")))
+    // closed form equals the recursion on a hand-computed series:
+    // S_t = max(0, S_(t-1) + y_t - 1.5*mean); mean of (2,2,2,8,8) = 4.4
+    val ys = Seq(2L, 2L, 2L, 8L, 8L)
+    val n = ys.size; val total = ys.sum
+    var s = 0L // scaled by 2n: d_i = 2n*y_i - 3*total
+    val rec = ys.map { y => s = math.max(0L, s + 2 * n * y - 3 * total); s }
+    var cum = 0L; var runmin = 0L
+    val closed = ys.map { y =>
+      cum += 2 * n * y - 3 * total; runmin = math.min(runmin, cum); cum - runmin
+    }
+    assert(rec == closed, s"closed form $closed != recursion $rec")
+  }
+
   test("quantile normalize: endpoints hit global min/max; monotone per source") {
     val rows = TextAnalysis.quantileNormalize(spark, SparkSuite.Sf0001).collect()
     val docs = spark.read.parquet(s"${SparkSuite.Sf0001}/documents.parquet")
