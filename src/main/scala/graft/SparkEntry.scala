@@ -97,6 +97,10 @@ object SparkEntry {
       "profile_log2_histogram" -> ((s, d) => ProfileQueries.log2Histogram(s, d)),
       // per-dimension embedding hygiene (dead/collapsed dims)
       "embedding_dim_stats" -> (Similarity.dimStats(_, _)),
+      // out-of-orderness histogram: the watermark-picking measurement
+      "events_lateness_profile" -> (EventOps.latenessProfile(_, _)),
+      // Heaps-law vocabulary growth at power-of-two checkpoints
+      "text_vocab_growth" -> (TextAnalysis.vocabGrowth(_, _)),
       // CUSUM sustained-drift alarms over hourly series (integer-exact)
       "events_cusum_alarms" -> ((s, d) => EventOps.cusumAlarms(s, d)),
       // nearest-either-side as-of join via 3-band equi-join
@@ -398,6 +402,8 @@ object SparkEntry {
       "profile_join_skew" -> ProfileQueries.joinSkewProfileOracle(),
       "profile_log2_histogram" -> ProfileQueries.log2HistogramOracle(),
       "embedding_dim_stats" -> Similarity.dimStatsOracle,
+      "events_lateness_profile" -> EventOps.latenessProfileOracle,
+      "text_vocab_growth" -> TextAnalysis.vocabGrowthOracle,
       "events_cusum_alarms" -> EventOps.cusumAlarmsOracle(),
       "events_asof_nearest" -> EventOps.asofNearestClickOracle(),
       "events_cross_correlation" -> EventOps.crossCorrelationOracle(),

