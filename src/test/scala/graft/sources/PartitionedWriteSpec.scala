@@ -114,4 +114,33 @@ class PartitionedWriteSpec extends AnyFunSuite {
     val b = back.groupBy("event_type").count().collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(a == b)
   }
+
+  test("dynamic partition overwrite backfills ONE partition, leaves the rest") {
+    val docs = spark.read.parquet(s"${SparkSuite.Sf0001}/documents.parquet")
+    val out = Files.createTempDirectory("dyn_overwrite").resolve("t").toString
+    docs.write.partitionBy("lang").parquet(out)
+    val before = spark.read.parquet(out)
+      .groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // backfill: rewrite ONLY lang=en with half its docs (an idempotent
+    // partition reload must not clobber the untouched languages)
+    val en = docs.filter(col("lang") === "en")
+    val half = en.filter(col("doc_id") % 2 === 0)
+    half.write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy("lang").parquet(out)
+    val after = spark.read.parquet(out)
+      .groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(after("en") == half.count(), "en partition not replaced")
+    (before.keySet - "en").foreach(l =>
+      assert(after(l) == before(l), s"untouched partition $l changed"))
+    // rerunning the same backfill is a no-op (idempotent reload)
+    half.write.option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").partitionBy("lang").parquet(out)
+    val again = spark.read.parquet(out).groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(again == after)
+  }
 }
