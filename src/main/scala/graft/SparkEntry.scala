@@ -217,6 +217,7 @@ object SparkEntry {
       "q_window_battery2" -> (RelationalExt.orderWindowBattery2(_, _)),
       "q_regex_funcs" -> (RelationalExt.partRegexFuncs(_, _)),
       "q_shuffle_hash_join" -> (RelationalExt.shuffleHashSpend(_, _)),
+      "q_sort_merge_join" -> (RelationalExt.sortMergeSpend(_, _)),
       "q_map_funcs" -> (RelationalExt.partTagMaps(_, _)),
       "q_string_funcs" -> (RelationalExt.partStringFuncs(_, _)),
       "q_date_funcs" -> (RelationalExt.orderDateFuncs(_, _)),
@@ -459,6 +460,7 @@ object SparkEntry {
       "q_window_battery2" -> RelationalExt.orderWindowBattery2Oracle,
       "q_regex_funcs" -> RelationalExt.partRegexFuncsOracle,
       "q_shuffle_hash_join" -> RelationalExt.shuffleHashSpendOracle,
+      "q_sort_merge_join" -> RelationalExt.sortMergeSpendOracle,
       "q_map_funcs" -> RelationalExt.partTagMapsOracle,
       "q_string_funcs" -> RelationalExt.partStringFuncsOracle,
       "q_date_funcs" -> RelationalExt.orderDateFuncsOracle,

@@ -714,6 +714,29 @@ object RelationalExt {
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin
 
+  /** Explicit MERGE (sort-merge) join — the other end of the strategy
+    * surface: forced when BOTH sides are too large to hash-build (the
+    * 100 TB fact⨝fact default, spill-safe because runs sort-merge on
+    * disk). Same result contract as [[shuffleHashSpend]]; different
+    * hinted physical strategy, pinned by PlanQualitySpec. */
+  def sortMergeSpend(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+    val l = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    o.hint("merge")
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("order_value"))
+      .orderBy("o_orderkey")
+  }
+
+  val sortMergeSpendOracle: String =
+    """SELECT o_orderkey, o_orderdate, count(*) AS n_lines,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS order_value
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderkey, o_orderdate ORDER BY o_orderkey""".stripMargin
+
   // ----------------------------------------------------------- map functions
   /** MapType surface: build a map per row, interrogate its cardinality,
     * explode it back to (key, value) rows — the map plumbing a

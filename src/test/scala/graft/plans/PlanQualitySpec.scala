@@ -427,6 +427,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!names.exists(n => n.contains("BroadcastNestedLoop") || n.contains("CartesianProduct")))
   }
 
+  test("merge hint actually plans a SortMergeJoin") {
+    val df = graft.operators.RelationalExt.sortMergeSpend(spark, SparkSuite.Sf0001)
+    df.collect()
+    val names = nodes(df).map(_.nodeName)
+    assert(names.exists(_.contains("SortMergeJoin")),
+      s"merge hint ignored: ${names.distinct.mkString(",")}")
+  }
+
   test("pareto frontier: frontier reattaches as a broadcast semi-join, no nested loop") {
     val df = graft.operators.RelationalExt.paretoFrontier(spark, SparkSuite.Sf0001)
     df.collect()
