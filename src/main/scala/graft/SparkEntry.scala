@@ -218,6 +218,8 @@ object SparkEntry {
       "q_regex_funcs" -> (RelationalExt.partRegexFuncs(_, _)),
       "q_shuffle_hash_join" -> (RelationalExt.shuffleHashSpend(_, _)),
       "q_sort_merge_join" -> (RelationalExt.sortMergeSpend(_, _)),
+      // association rules: brand pairs by exact integer lift over baskets
+      "q_market_basket" -> ((s, d) => RelationalExt.marketBasket(s, d)),
       "q_map_funcs" -> (RelationalExt.partTagMaps(_, _)),
       "q_string_funcs" -> (RelationalExt.partStringFuncs(_, _)),
       "q_date_funcs" -> (RelationalExt.orderDateFuncs(_, _)),
@@ -461,6 +463,7 @@ object SparkEntry {
       "q_regex_funcs" -> RelationalExt.partRegexFuncsOracle,
       "q_shuffle_hash_join" -> RelationalExt.shuffleHashSpendOracle,
       "q_sort_merge_join" -> RelationalExt.sortMergeSpendOracle,
+      "q_market_basket" -> RelationalExt.marketBasketOracle(),
       "q_map_funcs" -> RelationalExt.partTagMapsOracle,
       "q_string_funcs" -> RelationalExt.partStringFuncsOracle,
       "q_date_funcs" -> RelationalExt.orderDateFuncsOracle,

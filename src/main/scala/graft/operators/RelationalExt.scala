@@ -737,6 +737,64 @@ object RelationalExt {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderkey, o_orderdate ORDER BY o_orderkey""".stripMargin
 
+  // ------------------------------------------------------- market basket
+  /** Association rules over order baskets: which part BRANDS are bought
+    * together beyond chance — support, confidence, and lift per brand pair,
+    * ranked by an exact integer lift ratio (`c_ab·n·10⁶ div (c_a·c_b)` —
+    * the PMI-collocations recipe on baskets; log-free, bit-identical).
+    * Baskets collapse to DISTINCT (order, brand) first; the within-order
+    * pair join is bounded by basket size² (baskets are human-scale), and
+    * every downstream join is brand-keyed (≤ |brands|² rows). */
+  def marketBasket(spark: SparkSession, dir: String, minCount: Int = 10,
+      k: Int = 20): DataFrame = {
+    val basket = table(spark, dir, "lineitem")
+      .join(broadcast(table(spark, dir, "part").select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+      .distinct()
+    // n_orders folds in-plan (no eager count() at DataFrame-construction
+    // time — the semdedup lesson); lift products run in DECIMAL(38,0),
+    // c_ab·n·10⁶ wraps int64 past ~10⁹ baskets
+    val total = basket.agg(countDistinct(col("okey")).as("n_orders"))
+    val brandCnt = basket.groupBy(col("brand")).agg(count(lit(1)).as("c"))
+    val pairs = basket.select(col("okey"), col("brand").as("brand_a"))
+      .join(basket.select(col("okey"), col("brand").as("brand_b")), "okey")
+      .filter(col("brand_a") < col("brand_b"))
+      .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    pairs
+      .join(brandCnt.select(col("brand").as("brand_a"), col("c").as("c_a")), "brand_a")
+      .join(brandCnt.select(col("brand").as("brand_b"), col("c").as("c_b")), "brand_b")
+      .crossJoin(broadcast(total))
+      .select(col("brand_a"), col("brand_b"), col("c_ab"),
+        expr("c_ab * 1000 div n_orders").as("support_permille"),
+        expr("c_ab * 1000 div c_a").as("confidence_permille"),
+        expr("CAST(CAST(c_ab AS DECIMAL(38,0)) * n_orders * 1000000" +
+          " div (CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("brand_a"), col("brand_b"))
+      .limit(k)
+  }
+
+  def marketBasketOracle(minCount: Int = 10, k: Int = 20): String =
+    s"""WITH basket AS (
+       |  SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |), n AS (SELECT count(DISTINCT okey) AS n_orders FROM basket),
+       |bc AS (SELECT brand, count(*) AS c FROM basket GROUP BY brand),
+       |p AS (
+       |  SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS c_ab
+       |  FROM basket a JOIN basket b ON a.okey = b.okey AND a.brand < b.brand
+       |  GROUP BY 1, 2 HAVING count(*) >= $minCount)
+       |SELECT brand_a, brand_b, c_ab,
+       |  c_ab * 1000 // n_orders AS support_permille,
+       |  c_ab * 1000 // ca.c AS confidence_permille,
+       |  c_ab * n_orders * 1000000 // (ca.c * cb.c) AS lift_ppm
+       |FROM p
+       |JOIN bc ca ON ca.brand = p.brand_a
+       |JOIN bc cb ON cb.brand = p.brand_b
+       |CROSS JOIN n
+       |ORDER BY lift_ppm DESC, brand_a, brand_b LIMIT $k""".stripMargin
+
   // ----------------------------------------------------------- map functions
   /** MapType surface: build a map per row, interrogate its cardinality,
     * explode it back to (key, value) rows — the map plumbing a
