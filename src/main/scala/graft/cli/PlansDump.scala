@@ -63,7 +63,12 @@ object PlansDump {
     "events_rolling_wau",      // bounded interval decomposition distinct
     "q_pareto_frontier",       // domain-sized suffix-min + broadcast semi-join
     "text_collocations",       // vocab-keyed count joins + TakeOrdered
-    "profile_fd_discovery_exact") // 30 grouped-agg branches in one DAG
+    "profile_fd_discovery_exact", // 30 grouped-agg branches in one DAG
+    "events_cusum_alarms",     // closed-form CUSUM: two per-type windows
+    "events_lateness_profile", // two-level running max over arrival order
+    "docs_quantile_normalize", // rank match + linear rank->value lookup
+    "text_vocab_growth",       // first-occurrence collapse + two-level prefix
+    "q_market_basket")         // basket pair join + brand-keyed stats
 
   /** Plan-audit overrides: these queries' gated implementations read
     * memoized materialized stages (the shared-pipeline design — see
