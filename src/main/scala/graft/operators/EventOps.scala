@@ -1592,6 +1592,57 @@ object EventOps {
       |FROM dau JOIN wau ON day = report_day
       |ORDER BY day""".stripMargin
 
+  // --------------------------------------------------- Haar wavelet energy
+  /** Multi-scale activity decomposition: un-normalized Haar detail energy
+    * of each type's hourly series at scales 2/4/8/16 hours — "does the
+    * variance live at hour-to-hour jitter or day-scale swings", the
+    * spectral question answered WITHOUT libm (Haar coefficients are sums
+    * and differences of integer counts; energy is their exact square sum
+    * in wide decimals). Scale k's detail per aligned block is
+    * `Σ_even-half y − Σ_odd-half y` — one conditional aggregate per level
+    * over hour-block keys, levels unioned into one DAG. Missing hours
+    * count 0, exactly as a gap-filled series would. */
+  def waveletEnergy(spark: SparkSession, dir: String, levels: Int = 4): DataFrame = {
+    val hourly = table(spark, dir, "events")
+      .select(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
+      .groupBy("event_type", "h")
+      .agg(count(lit(1)).as("y"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val frames = (1 to levels).map { k =>
+      val block = 1L << k
+      val half = 1L << (k - 1)
+      hourly
+        .groupBy(col("event_type"), expr(s"h div $block").as("blk"))
+        .agg(sum(when(expr(s"(h div $half) % 2") === 0, col("y"))
+          .otherwise(-col("y"))).as("detail"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(dec(col("detail")) * dec(col("detail"))).cast("decimal(38,0)")
+            .cast("bigint").as("energy"))
+        .select(col("event_type"), lit(block).as("scale_hours"),
+          col("n_blocks"), col("energy"))
+    }
+    frames.reduce(_.union(_)).orderBy("event_type", "scale_hours")
+  }
+
+  def waveletEnergyOracle(levels: Int = 4): String =
+    (1 to levels).map { k =>
+      val block = 1L << k
+      val half = 1L << (k - 1)
+      s"""SELECT event_type, CAST($block AS BIGINT) AS scale_hours,
+         |  count(*) AS n_blocks,
+         |  CAST(sum(CAST(detail AS HUGEINT) * detail) AS BIGINT) AS energy
+         |FROM (
+         |  SELECT event_type, h // $block AS blk,
+         |    sum(CASE WHEN (h // $half) % 2 = 0 THEN y ELSE -y END) AS detail
+         |  FROM (
+         |    SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS y
+         |    FROM events GROUP BY 1, 2)
+         |  GROUP BY 1, 2)
+         |GROUP BY event_type""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY event_type, scale_hours")
+
   // --------------------------------------------------- lateness profile
   /** Out-of-orderness profile — the measurement that PICKS a streaming
     * watermark instead of guessing one: for each event (in `event_id`

@@ -52,6 +52,25 @@ class RobustTrendSpec extends AnyFunSuite {
     assert(skew.columns.contains("skew_ratio_milli"))
   }
 
+  test("wavelet energy: matches a brute-force Haar transform per type") {
+    val rows = EventOps.waveletEnergy(spark, SparkSuite.Sf0001).collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("energy") >= 0))
+    val hourly = spark.read.parquet(s"${SparkSuite.Sf0001}/events.parquet")
+      .select(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
+      .groupBy("event_type", "h").count()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type"); val blk = r.getAs[Long]("scale_hours")
+      val half = blk / 2
+      val want = hourly.filter(_._1 == t).groupBy(_._2 / blk).values.map { g =>
+        val d = g.map { case (_, h, y) => if ((h / half) % 2 == 0) y else -y }.sum
+        d * d
+      }.sum
+      assert(r.getAs[Long]("energy") == want, s"$t scale $blk")
+    }
+  }
+
   test("lateness profile: buckets partition events; tail below the 120s delay bound") {
     val rows = EventOps.latenessProfile(spark, SparkSuite.Sf0001).collect()
     assert(rows.map(_.getAs[Long]("cnt")).sum ==
