@@ -136,8 +136,32 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
+  /** Normalize `abs(b − a) ≤ w` (the nearest-neighbour spelling) into its
+    * two one-sided conjuncts so the triple matchers see it; the ORIGINAL
+    * abs predicate stays in the rewritten join's condition as the exact
+    * filter, so this expansion is matching-only. */
+  private def expandAbs(e: Expression): Seq[Expression] = {
+    def lits(l: Expression): Option[Expression] = l match {
+      case lit @ Literal(_, LongType | IntegerType) => Some(lit)
+      case _ => None
+    }
+    def split(x: Attribute, y: Attribute, w: Expression): Seq[Expression] =
+      Seq(LessThanOrEqual(x, Add(y, w)), GreaterThanOrEqual(x, Subtract(y, w)))
+    e match {
+      case LessThanOrEqual(Abs(Subtract(x: Attribute, y: Attribute, _), _), l) if lits(l).isDefined =>
+        split(x, y, l)
+      case LessThan(Abs(Subtract(x: Attribute, y: Attribute, _), _), l) if lits(l).isDefined =>
+        split(x, y, l)
+      case GreaterThanOrEqual(l, Abs(Subtract(x: Attribute, y: Attribute, _), _)) if lits(l).isDefined =>
+        split(x, y, l)
+      case GreaterThan(l, Abs(Subtract(x: Attribute, y: Attribute, _), _)) if lits(l).isDefined =>
+        split(x, y, l)
+      case other => Seq(other)
+    }
+  }
+
   private def rewrite(j: Join): Option[LogicalPlan] = {
-    val conjuncts = splitConjunctivePredicates(j.condition.get)
+    val conjuncts = splitConjunctivePredicates(j.condition.get).flatMap(expandAbs)
     val uppers = conjuncts.flatMap(upperTriple)
     val lowers = conjuncts.flatMap(lowerTriple)
     val matched = for {

@@ -172,4 +172,31 @@ class BandedRangeJoinRuleSpec extends AnyFunSuite {
     assert(!plain.queryExecution.optimizedPlan.toString.contains("__graft_band"))
     assert(plain.count() == 25)
   }
+
+  test("abs(b - a) <= w nearest-neighbour spelling is banded and exact") {
+    val s = banded(force = false)
+    val ev = s.read.parquet(s"${SparkSuite.Sf0001}/events.parquet")
+      .select(unix_micros(col("ts").cast("timestamp")).as("tus"),
+        col("event_id"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("tus").as("p_tus"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("tus").as("c_tus"))
+    val df = purchases
+      .join(clicks, abs(col("c_tus") - col("p_tus")) <= WindowUs)
+      .groupBy("event_id").agg(count(lit(1)).as("n_near"))
+      .orderBy("event_id")
+    assert(df.queryExecution.optimizedPlan.toString.contains("__graft_band"),
+      "rule should fire on the abs spelling")
+    assertNoBnlj(df)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ps = ev.filter(col("event_type") === "purchase")
+      .select("tus", "event_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cs = ev.filter(col("event_type") === "click")
+      .select("tus").collect().map(_.getLong(0))
+    val expected = ps.map { case (pt, id) =>
+      id -> cs.count(ct => math.abs(ct - pt) <= WindowUs).toLong
+    }.filter(_._2 > 0).toMap
+    assert(got == expected)
+  }
 }
