@@ -97,6 +97,8 @@ object SparkEntry {
       "profile_log2_histogram" -> ((s, d) => ProfileQueries.log2Histogram(s, d)),
       // per-dimension embedding hygiene (dead/collapsed dims)
       "embedding_dim_stats" -> (Similarity.dimStats(_, _)),
+      // abs-spelled nearest-neighbour range join through the rule
+      "events_range_join_abs" -> (EventOps.absRangeJoinAuto(_, _)),
       // multi-scale Haar detail energy of hourly series (no libm)
       "events_wavelet_energy" -> ((s, d) => EventOps.waveletEnergy(s, d)),
       // out-of-orderness histogram: the watermark-picking measurement
@@ -407,6 +409,7 @@ object SparkEntry {
       "profile_join_skew" -> ProfileQueries.joinSkewProfileOracle(),
       "profile_log2_histogram" -> ProfileQueries.log2HistogramOracle(),
       "embedding_dim_stats" -> Similarity.dimStatsOracle,
+      "events_range_join_abs" -> EventOps.absRangeJoinAutoOracle,
       "events_wavelet_energy" -> EventOps.waveletEnergyOracle(),
       "events_lateness_profile" -> EventOps.latenessProfileOracle,
       "text_vocab_growth" -> TextAnalysis.vocabGrowthOracle,

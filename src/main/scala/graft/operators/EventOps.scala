@@ -282,6 +282,38 @@ object EventOps {
       |GROUP BY p.event_id
       |ORDER BY p.event_id""".stripMargin
 
+  /** The abs-spelled nearest-neighbour range join through the rule: every
+    * purchase against all clicks (any user) within ±5 minutes, written as
+    * the naive `abs(c − p) ≤ w` predicate a user actually types. The rule's
+    * abs-normalization turns it into the three-offset banded equi-join;
+    * DuckDB's IEJoin runs the same predicate natively for the oracle. */
+  def absRangeJoinAuto(spark: SparkSession, dir: String): DataFrame = {
+    val s = bandedSession(spark, force = false)
+    val windowUs = 5L * 60 * 1000000
+    val ev = table(s, dir, "events")
+      .select(unix_micros(col("ts").cast("timestamp")).as("tus"),
+        col("event_id"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("tus").as("p_tus"), col("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("tus").as("c_tus"))
+    purchases.join(clicks, abs(col("c_tus") - col("p_tus")) <= windowUs)
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_near"))
+      .orderBy("event_id")
+  }
+
+  val absRangeJoinAutoOracle: String =
+    """WITH p AS (
+      |  SELECT epoch_us(ts) AS tus, event_id FROM events WHERE event_type = 'purchase'
+      |), c AS (
+      |  SELECT epoch_us(ts) AS tus FROM events WHERE event_type = 'click'
+      |)
+      |SELECT p.event_id, count(*) AS n_near
+      |FROM p JOIN c ON abs(c.tus - p.tus) <= 300000000
+      |GROUP BY p.event_id
+      |ORDER BY p.event_id""".stripMargin
+
   private val GlobalWindowUs = 30L * 60 * 1000000
 
   /** PURE range join — NO equi key anywhere in the condition: every purchase
