@@ -97,6 +97,9 @@ object SparkEntry {
       "profile_log2_histogram" -> ((s, d) => ProfileQueries.log2Histogram(s, d)),
       // per-dimension embedding hygiene (dead/collapsed dims)
       "embedding_dim_stats" -> (Similarity.dimStats(_, _)),
+      // cohort LTV curves (retention's revenue twin) + order aging
+      "events_cohort_ltv" -> (EventOps.cohortLtv(_, _)),
+      "q_order_aging" -> (RelationalExt.orderAging(_, _)),
       // abs-spelled nearest-neighbour range join through the rule
       "events_range_join_abs" -> (EventOps.absRangeJoinAuto(_, _)),
       // multi-scale Haar detail energy of hourly series (no libm)
@@ -409,6 +412,8 @@ object SparkEntry {
       "profile_join_skew" -> ProfileQueries.joinSkewProfileOracle(),
       "profile_log2_histogram" -> ProfileQueries.log2HistogramOracle(),
       "embedding_dim_stats" -> Similarity.dimStatsOracle,
+      "events_cohort_ltv" -> EventOps.cohortLtvOracle,
+      "q_order_aging" -> RelationalExt.orderAgingOracle,
       "events_range_join_abs" -> EventOps.absRangeJoinAutoOracle,
       "events_wavelet_energy" -> EventOps.waveletEnergyOracle(),
       "events_lateness_profile" -> EventOps.latenessProfileOracle,

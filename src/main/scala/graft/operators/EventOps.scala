@@ -230,6 +230,56 @@ object EventOps {
        |ORDER BY c.cohort_week, week_offset""".stripMargin
   }
 
+  /** Cohort LIFETIME-VALUE curves — [[cohortRetention]]'s revenue twin:
+    * purchase value per (signup-cohort week, weeks since signup), plus the
+    * CUMULATIVE LTV running across each cohort's row of the matrix (the
+    * payback-period read: where a cohort's curve crosses acquisition
+    * cost). Sums route through decimal cents for exactness; the cumulative
+    * window partitions by cohort over week offsets — matrix-sized, never
+    * corpus-sized. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekUs = 7L * 86400 * 1000000
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"),
+        expr(s"unix_micros(cast(ts as timestamp)) div $weekUs").as("week"),
+        col("event_type"), col("value"))
+    val cohorts = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("week").as("cohort_week"))
+    val w = Window.partitionBy("cohort_week").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ev.filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .join(cohorts, "user_id")
+      .withColumn("week_offset", col("week") - col("cohort_week"))
+      .filter(col("week_offset") >= 0)
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(floor(col("value") * 100 + 0.5).cast("bigint")).as("revenue_cents"))
+      .withColumn("cum_revenue_cents", sum(col("revenue_cents")).over(w))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val cohortLtvOracle: String = {
+    val weekUs = 7L * 86400 * 1000000
+    s"""WITH cohorts AS (
+       |  SELECT user_id, min(epoch_us(ts) // $weekUs) AS cohort_week
+       |  FROM events WHERE event_type = 'signup' GROUP BY user_id
+       |), p AS (
+       |  SELECT user_id, epoch_us(ts) // $weekUs AS week,
+       |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+       |), m AS (
+       |  SELECT c.cohort_week, p.week - c.cohort_week AS week_offset,
+       |    count(*) AS n_purchases, CAST(sum(cents) AS BIGINT) AS revenue_cents
+       |  FROM p JOIN cohorts c ON p.user_id = c.user_id
+       |  WHERE p.week - c.cohort_week >= 0
+       |  GROUP BY 1, 2)
+       |SELECT cohort_week, week_offset, n_purchases, revenue_cents,
+       |  CAST(sum(revenue_cents) OVER (PARTITION BY cohort_week
+       |    ORDER BY week_offset ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue_cents
+       |FROM m ORDER BY cohort_week, week_offset""".stripMargin
+  }
+
   /** Cloned session with [[graft.plans.BandedRangeJoinRule]] installed, so
     * rule-driven queries never mutate the caller's optimizer state (the
     * round-2 form appended the rule to the SHARED session — every later

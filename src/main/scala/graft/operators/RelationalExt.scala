@@ -737,6 +737,36 @@ object RelationalExt {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderkey, o_orderdate ORDER BY o_orderkey""".stripMargin
 
+  // --------------------------------------------------------- order aging
+  /** Open-order aging report: orders still in status 'O' bucketed by age
+    * (in 30-day buckets relative to the NEWEST order date in the data —
+    * data-derived "now", so the report is deterministic), with counts and
+    * value at risk. The ops backlog question — what's been open longest
+    * and how much money sits there. One scan, a 1-row max-date broadcast,
+    * a bounded bucket group-by. */
+  def orderAging(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val now = o.agg(max(unix_date(col("o_orderdate").cast("date"))).as("now_day"))
+    o.filter(col("o_orderstatus") === "O")
+      .withColumn("day", unix_date(col("o_orderdate").cast("date")))
+      .crossJoin(broadcast(now))
+      .withColumn("age_bucket", expr("(now_day - day) div 30"))
+      .groupBy("age_bucket")
+      .agg(count(lit(1)).as("n_open"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("bigint")).as("value_cents"),
+        min(col("o_orderdate")).as("oldest"))
+      .orderBy("age_bucket")
+  }
+
+  val orderAgingOracle: String =
+    """WITH n AS (SELECT max(CAST(o_orderdate AS DATE)) AS now_day FROM orders)
+      |SELECT CAST((now_day - CAST(o_orderdate AS DATE)) // 30 AS BIGINT) AS age_bucket,
+      |  count(*) AS n_open,
+      |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
+      |  min(o_orderdate) AS oldest
+      |FROM orders, n WHERE o_orderstatus = 'O'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------- market basket
   /** Association rules over order baskets: which part BRANDS are bought
     * together beyond chance — support, confidence, and lift per brand pair,
