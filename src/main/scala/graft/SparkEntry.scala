@@ -97,6 +97,10 @@ object SparkEntry {
       "profile_log2_histogram" -> ((s, d) => ProfileQueries.log2Histogram(s, d)),
       // per-dimension embedding hygiene (dead/collapsed dims)
       "embedding_dim_stats" -> (Similarity.dimStats(_, _)),
+      // SQL-text entry path over registered views
+      "q_sql_text_revenue" -> (RelationalExt.sqlTextRevenue(_, _)),
+      // inter-arrival burstiness (CV^2) per type, exact ppm ratio
+      "events_burstiness" -> (EventOps.burstiness(_, _)),
       // cohort LTV curves (retention's revenue twin) + order aging
       "events_cohort_ltv" -> (EventOps.cohortLtv(_, _)),
       "q_order_aging" -> (RelationalExt.orderAging(_, _)),
@@ -412,6 +416,8 @@ object SparkEntry {
       "profile_join_skew" -> ProfileQueries.joinSkewProfileOracle(),
       "profile_log2_histogram" -> ProfileQueries.log2HistogramOracle(),
       "embedding_dim_stats" -> Similarity.dimStatsOracle,
+      "q_sql_text_revenue" -> RelationalExt.sqlTextRevenueOracle,
+      "events_burstiness" -> EventOps.burstinessOracle,
       "events_cohort_ltv" -> EventOps.cohortLtvOracle,
       "q_order_aging" -> RelationalExt.orderAgingOracle,
       "events_range_join_abs" -> EventOps.absRangeJoinAutoOracle,

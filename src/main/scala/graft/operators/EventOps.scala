@@ -1674,6 +1674,46 @@ object EventOps {
       |FROM dau JOIN wau ON day = report_day
       |ORDER BY day""".stripMargin
 
+  // -------------------------------------------------- burstiness profile
+  /** Inter-arrival burstiness per event type: squared coefficient of
+    * variation of the gaps, `CV² = n·Σg²/(Σg)² − 1`, as an exact
+    * parts-per-million integer ratio (wide decimals; no float moments).
+    * CV² ≈ 1 is a Poisson stream; ≫ 1 is bursty (retry storms, batch
+    * emitters), ≪ 1 is a metronome (schedulers). One lag window per type
+    * partition, one rollup; log₂-bucket detail lives in the gap terms if
+    * a histogram is wanted later. */
+  def burstiness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("tus", "event_id")
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    table(spark, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"))
+      .withColumn("gap", col("tus") - lag(col("tus"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap")).as("sg"),
+        sum(dec(col("gap")) * dec(col("gap"))).cast("decimal(38,0)").as("sgg"))
+      .select(col("event_type"), col("n_gaps"),
+        expr("sg div n_gaps").as("mean_gap_us"),
+        expr("CAST((CAST(n_gaps AS DECIMAL(38,0)) * sgg * 1000000)" +
+          " div (CAST(sg AS DECIMAL(38,0)) * sg) - 1000000 AS BIGINT)").as("cv2_ppm"))
+      .orderBy("event_type")
+  }
+
+  val burstinessOracle: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    tus - lag(tus) OVER (PARTITION BY event_type ORDER BY tus, event_id) AS gap
+      |  FROM (SELECT event_type, event_id, epoch_us(ts) AS tus FROM events))
+      |SELECT event_type, count(*) AS n_gaps,
+      |  CAST(sum(gap) // count(*) AS BIGINT) AS mean_gap_us,
+      |  CAST(CAST(count(*) AS HUGEINT) * sum(CAST(gap AS HUGEINT) * gap) * 1000000
+      |    // (CAST(sum(gap) AS HUGEINT) * sum(gap)) - 1000000 AS BIGINT) AS cv2_ppm
+      |FROM g WHERE gap IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // --------------------------------------------------- Haar wavelet energy
   /** Multi-scale activity decomposition: un-normalized Haar detail energy
     * of each type's hourly series at scales 2/4/8/16 hours — "does the

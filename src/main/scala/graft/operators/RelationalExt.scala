@@ -737,6 +737,35 @@ object RelationalExt {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderkey, o_orderdate ORDER BY o_orderkey""".stripMargin
 
+  // ----------------------------------------------------- SQL-text surface
+  /** The same star join as `q_revenue_by_region`, but issued as SQL TEXT
+    * over registered temp views — the `spark.sql` entry path a SQL-first
+    * user takes (every other gated query drives the DataFrame API; this
+    * one pins that the session's SQL surface, view registration, and the
+    * same Catalyst plan behind it all work end-to-end). */
+  def sqlTextRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Seq("region", "nation", "customer", "orders").foreach { t =>
+      table(spark, dir, t).createOrReplaceTempView(s"g_$t")
+    }
+    spark.sql(
+      """SELECT r_name AS region, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM g_orders
+        |JOIN g_customer ON o_custkey = c_custkey
+        |JOIN g_nation ON c_nationkey = n_nationkey
+        |JOIN g_region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+  }
+
+  val sqlTextRevenueOracle: String =
+    """SELECT r_name AS region, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
   // --------------------------------------------------------- order aging
   /** Open-order aging report: orders still in status 'O' bucketed by age
     * (in 30-day buckets relative to the NEWEST order date in the data —
