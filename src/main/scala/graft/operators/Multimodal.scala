@@ -282,6 +282,65 @@ object Multimodal {
     ds.mapPartitions(_.map { case (id, payload) => (id, dHash64(payload)) })
   }
 
+  // ------------------------------------------------------ WAV audio decode
+  /** Real AUDIO bytes through the decode seam: parse a RIFF/WAVE PCM
+    * payload (header walk + 16-bit little-endian samples — no codec
+    * library needed; WAV-PCM is a fully specified public container) and
+    * emit the features an audio-curation pipeline filters on: sample
+    * rate, channel count, duration, exact integer RMS² and peak
+    * amplitude, and the clipped-sample count (|s| ≥ 32760 — the
+    * distorted-recording screen). Pure integer math end to end, so the
+    * numbers are bit-stable across platforms — unlike float resamplers.
+    * Per-partition work behind the same `mapPartitions` seam as the image
+    * decoders. Throws on non-PCM/compressed payloads — admission should
+    * quarantine, not guess. */
+  case class WavStats(sampleRate: Int, channels: Int, nSamples: Long,
+      durationMs: Long, rms2: Long, peak: Int, nClipped: Long)
+
+  def wavStats(payload: Array[Byte]): WavStats = {
+    val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(payload.length >= 44 && bb.getInt(0) == 0x46464952 /* RIFF */ &&
+      bb.getInt(8) == 0x45564157 /* WAVE */, "not a RIFF/WAVE payload")
+    // chunk walk: find fmt and data (canonical files put them at 12/36,
+    // but extra chunks (LIST) are legal and common)
+    var pos = 12
+    var sampleRate = 0; var channels = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (pos + 8 <= payload.length && (dataOff < 0 || sampleRate == 0)) {
+      val id = bb.getInt(pos); val sz = bb.getInt(pos + 4)
+      if (id == 0x20746d66) { // "fmt "
+        require(bb.getShort(pos + 8) == 1, "compressed WAV: PCM only")
+        channels = bb.getShort(pos + 10)
+        sampleRate = bb.getInt(pos + 12)
+        bits = bb.getShort(pos + 22)
+        require(bits == 16, s"16-bit PCM only, got $bits")
+      } else if (id == 0x61746164) { // "data"
+        dataOff = pos + 8; dataLen = sz
+      }
+      pos += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    require(sampleRate > 0 && dataOff >= 0, "missing fmt/data chunk")
+    val n = dataLen / 2
+    var i = 0; var rms2 = 0L; var peak = 0; var clipped = 0L
+    while (i < n) {
+      val s = bb.getShort(dataOff + 2 * i).toInt
+      rms2 += s.toLong * s
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      if (a >= 32760) clipped += 1
+      i += 1
+    }
+    val frames = n / math.max(channels, 1)
+    WavStats(sampleRate, channels, n.toLong,
+      frames.toLong * 1000 / sampleRate, rms2, peak, clipped)
+  }
+
+  /** Distributed audio feature extraction — the per-partition decode seam. */
+  def audioFeatures(ds: Dataset[(Long, Array[Byte])]): Dataset[(Long, WavStats)] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { case (id, payload) => (id, wavStats(payload)) })
+  }
+
   def tilePlanOracle(patch: Int = 128): String =
     s"""SELECT doc_id, tx, ty,
        |  tx * $patch AS x0, ty * $patch AS y0,
