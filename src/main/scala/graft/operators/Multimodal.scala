@@ -308,6 +308,8 @@ object Multimodal {
     var dataOff = -1; var dataLen = 0
     while (pos + 8 <= payload.length && (dataOff < 0 || sampleRate == 0)) {
       val id = bb.getInt(pos); val sz = bb.getInt(pos + 4)
+      // a malformed negative size would walk the cursor backwards forever
+      require(sz >= 0, s"malformed chunk size $sz at offset $pos")
       if (id == 0x20746d66) { // "fmt "
         require(bb.getShort(pos + 8) == 1, "compressed WAV: PCM only")
         channels = bb.getShort(pos + 10)
