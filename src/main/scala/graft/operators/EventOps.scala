@@ -1695,6 +1695,10 @@ object EventOps {
       .agg(count(lit(1)).as("n_gaps"),
         sum(col("gap")).as("sg"),
         sum(dec(col("gap")) * dec(col("gap"))).cast("decimal(38,0)").as("sgg"))
+      // a type whose events all share one timestamp has sg = 0: Spark's
+      // div would NULL where DuckDB's // errors — drop the degenerate type
+      // on both sides instead
+      .filter(col("sg") > 0)
       .select(col("event_type"), col("n_gaps"),
         expr("sg div n_gaps").as("mean_gap_us"),
         expr("CAST((CAST(n_gaps AS DECIMAL(38,0)) * sgg * 1000000)" +
@@ -1712,7 +1716,8 @@ object EventOps {
       |  CAST(CAST(count(*) AS HUGEINT) * sum(CAST(gap AS HUGEINT) * gap) * 1000000
       |    // (CAST(sum(gap) AS HUGEINT) * sum(gap)) - 1000000 AS BIGINT) AS cv2_ppm
       |FROM g WHERE gap IS NOT NULL
-      |GROUP BY event_type ORDER BY event_type""".stripMargin
+      |GROUP BY event_type HAVING sum(gap) > 0
+      |ORDER BY event_type""".stripMargin
 
   // --------------------------------------------------- Haar wavelet energy
   /** Multi-scale activity decomposition: un-normalized Haar detail energy
