@@ -130,6 +130,8 @@ object SparkEntry {
       // k-core of the near-dup pair graph: iterative peel (rows-only) +
       // in-query property gate under the oracle
       "dedup_kcore" -> (Dedup.kCoreSummary(_, _)),
+      // cluster-size log2 histogram over the CC labels (rows-only)
+      "dedup_cluster_sizes" -> (Dedup.clusterSizeHistogram(_, _)),
       "dedup_kcore_gate" -> ((s, d) => Dedup.kCoreGate(s, d)),
       // rank-matched quantile normalization of lengths across sources
       "docs_quantile_normalize" -> ((s, d) => TextAnalysis.quantileNormalize(s, d)),

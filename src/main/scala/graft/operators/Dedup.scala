@@ -1412,6 +1412,23 @@ object Dedup {
     result.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
   }
 
+  /** Cluster-SIZE distribution of the near-dup graph — "is duplication a
+    * long tail of pairs or a few mega-clusters", the number that decides
+    * whether keep-one dedup recovers 1 % or 40 % of the corpus. Sizes come
+    * from the converged CC labels (cluster-keyed count), then a log₂
+    * histogram over the size domain plus the documents-at-stake mass per
+    * bucket. NOT SQL-expressible (the labels are the iterative CC
+    * fixpoint), so the driver records rows-only; exact cluster semantics
+    * are pinned by the CC specs and [[dedupClusters]]' own oracle. */
+  def clusterSizeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dedupClusters(spark, dir)
+    labels.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      .groupBy(length(expr("bin(sz)")).cast("bigint").as("size_bucket"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"),
+        min(col("sz")).as("min_size"), max(col("sz")).as("max_size"))
+      .orderBy("size_bucket")
+  }
+
   /** Rounds of plain 1-hop propagation before POINTER JUMPING switches on:
     * shallow components (the overwhelmingly common near-dup case — groups
     * of a handful of documents) converge before jumping would pay for its

@@ -29,7 +29,9 @@ class OperatorSpec extends AnyFunSuite {
       "dedup_kcore",
       // sequential FFD bin packing over the file listing (not SQL);
       // packFFD is pinned exactly by CompactionPlanSpec
-      "profile_compaction_plan")
+      "profile_compaction_plan",
+      // log2 histogram over the iterative-CC cluster labels
+      "dedup_cluster_sizes")
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == sketchOnly)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
