@@ -145,6 +145,8 @@ object SparkEntry {
       "profile_fd_discovery_exact" -> ((s, d) => ProfileQueries.fdDiscovery(s, d)),
       // co-missingness: rows grouped by their full null bitmask
       "profile_null_patterns" -> ((s, d) => ProfileQueries.nullPatterns(s, d)),
+      // IVF quantizer health: per-cell population + imbalance ratio
+      "ann_ivf_cell_balance" -> ((s, d) => Similarity.ivfCellBalance(s, d)),
       // MRL truncation probe: full-dim vs half-dim top-k overlap
       "ann_matryoshka_overlap" -> ((s, d) => Similarity.matryoshkaOverlap(s, d)),
       // 2-D skyline via per-size min + suffix-min over the size domain
@@ -441,6 +443,7 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderdate", "o_orderpriority")),
       "profile_null_patterns" -> ProfileQueries.nullPatternsOracle,
+      "ann_ivf_cell_balance" -> Similarity.ivfCellBalanceOracle(),
       "ann_matryoshka_overlap" -> Similarity.matryoshkaOverlapOracle(),
       "q_pareto_frontier" -> RelationalExt.paretoFrontierOracle,
       "profile_weighted_percentiles" -> ProfileQueries.weightedPercentilesOracle(),

@@ -293,6 +293,34 @@ object Similarity {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** IVF CELL-BALANCE report — the quantizer-health read before trusting
+    * any nprobe recall number: per-cell population, per-mille share, and
+    * the max/mean imbalance ratio (1000 = perfectly balanced; a hot cell
+    * makes its probes scan that fraction of the corpus). Same seed-centroid
+    * assignment as every IVF consumer ([[ivfAssign]]), so the report
+    * describes exactly the index the queries use; all ratios exact
+    * integers. */
+  def ivfCellBalance(spark: SparkSession, dir: String,
+      nCentroids: Int = 16): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+    val (cells, _) = ivfAssign(e, nCentroids, 1, lit(false))
+    val sizes = cells.groupBy("cell").agg(count(lit(1)).as("sz"))
+    sizes.crossJoin(broadcast(
+        sizes.agg(sum(col("sz")).as("total"), max(col("sz")).as("mx"))))
+      .select(col("cell"), col("sz"),
+        expr("sz * 1000 div total").as("share_permille"),
+        expr(s"mx * $nCentroids * 1000 div total").as("imbalance_milli"))
+      .orderBy("cell")
+  }
+
+  def ivfCellBalanceOracle(nCentroids: Int = 16): String =
+    s"""WITH ${ivfAssignCtes(nCentroids, 1, "FALSE")},
+       |sizes AS (SELECT cell, count(*) AS sz FROM cells GROUP BY cell),
+       |t AS (SELECT CAST(sum(sz) AS BIGINT) AS total, max(sz) AS mx FROM sizes)
+       |SELECT cell, sz, sz * 1000 // total AS share_permille,
+       |       mx * $nCentroids * 1000 // total AS imbalance_milli
+       |FROM sizes, t ORDER BY cell""".stripMargin
+
   /** ORACLE-GATED IVF with ONE LLOYD REFINEMENT — a real distributed
     * k-means iteration, exactly verified cross-engine. Iteration 0 assigns
     * every vector to its nearest seed centroid (as [[ivfTopK]]); the M-step
