@@ -75,6 +75,7 @@ object SparkEntry {
       // exact Gini via grouped-value prefix sums (no global row sort);
       // Benford digits in integer math
       "profile_gini_lineitem" -> ((s, d) => ProfileQueries.giniProfile(s, d)),
+      "profile_gini_user_activity" -> (ProfileQueries.giniUserActivity(_, _)),
       "profile_benford_totalprice" -> ((s, d) => ProfileQueries.benfordProfile(s, d)),
       // robust (median/MAD) outlier twin of events_hourly_anomalies
       "events_robust_anomalies" -> (EventOps.robustAnomalies(_, _)),
@@ -407,6 +408,7 @@ object SparkEntry {
       "profile_corr_lineitem" -> ProfileQueries.quantityPriceCorrOracle,
       "profile_corr_matrix" -> ProfileQueries.corrMatrixOracle,
       "profile_gini_lineitem" -> ProfileQueries.giniProfileOracle(),
+      "profile_gini_user_activity" -> ProfileQueries.giniUserActivityOracle,
       "profile_benford_totalprice" -> ProfileQueries.benfordProfileOracle(),
       "events_robust_anomalies" -> EventOps.robustAnomaliesOracle,
       "events_max_concurrency" -> EventOps.maxConcurrencyOracle,

@@ -1174,6 +1174,35 @@ object ProfileQueries {
        |    / CAST(sum(c) * sum(s_term) AS DOUBLE) AS gini
        |FROM contrib""".stripMargin
 
+  /** Activity-concentration Gini: inequality of per-user EVENT COUNTS —
+    * "do 1 % of users generate 90 % of events", the audience-health twin
+    * of the revenue Gini. Reuses [[giniOf]] verbatim over the per-user
+    * count frame (counts are integers, so the cents quantization is
+    * exact ×100). */
+  def giniUserActivity(spark: SparkSession, dir: String): DataFrame =
+    giniOf(Fixtures.table(spark, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).cast("double").as("n_events")),
+      "n_events")
+
+  val giniUserActivityOracle: String =
+    """WITH v AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n_events FROM events GROUP BY user_id
+      |), grp AS (
+      |  SELECT CAST(floor(n_events * 100 + 0.5) AS HUGEINT) AS cents,
+      |         CAST(count(*) AS HUGEINT) AS c
+      |  FROM v WHERE n_events IS NOT NULL GROUP BY 1
+      |), contrib AS (
+      |  SELECT cents * (c * COALESCE(sum(c) OVER (ORDER BY cents
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |         + (c * (c + 1)) // 2) AS t_term,
+      |         cents * c AS s_term, c
+      |  FROM grp
+      |)
+      |SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+      |  CAST(2 * sum(t_term) - (sum(c) + 1) * sum(s_term) AS DOUBLE)
+      |    / CAST(sum(c) * sum(s_term) AS DOUBLE) AS gini
+      |FROM contrib""".stripMargin
+
   // ------------------------------------------------------- Benford profile
 
   /** Leading-digit (Benford) profile of `orders.o_totalprice` — the
