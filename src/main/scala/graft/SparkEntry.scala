@@ -146,6 +146,8 @@ object SparkEntry {
       "profile_fd_discovery_exact" -> ((s, d) => ProfileQueries.fdDiscovery(s, d)),
       // co-missingness: rows grouped by their full null bitmask
       "profile_null_patterns" -> ((s, d) => ProfileQueries.nullPatterns(s, d)),
+      // PQ codebook quality: exact quantization error per subspace
+      "ann_pq_distortion" -> ((s, d) => Similarity.pqDistortion(s, d)),
       // IVF quantizer health: per-cell population + imbalance ratio
       "ann_ivf_cell_balance" -> ((s, d) => Similarity.ivfCellBalance(s, d)),
       // MRL truncation probe: full-dim vs half-dim top-k overlap
@@ -445,6 +447,7 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderdate", "o_orderpriority")),
       "profile_null_patterns" -> ProfileQueries.nullPatternsOracle,
+      "ann_pq_distortion" -> Similarity.pqDistortionOracle(),
       "ann_ivf_cell_balance" -> Similarity.ivfCellBalanceOracle(),
       "ann_matryoshka_overlap" -> Similarity.matryoshkaOverlapOracle(),
       "q_pareto_frontier" -> RelationalExt.paretoFrontierOracle,

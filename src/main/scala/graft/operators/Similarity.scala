@@ -517,6 +517,55 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** PQ DISTORTION report — codebook quality per subspace: how much
+    * information the 8-bit code loses, as the exact integer micro²
+    * quantization error each subvector pays at its assigned codeword
+    * (total/mean/max per subspace). A subspace whose mean distortion dwarfs
+    * the others is where ADC ranking goes blind first — the
+    * capacity-planning read for "do I need more codes or an OPQ rotation".
+    * Same codebook/assignment machinery as [[pqTopK]]; one join of the
+    * assignments back to their own distances. */
+  def pqDistortion(spark: SparkSession, dir: String,
+      nCodes: Int = 16, m: Int = 8): DataFrame = {
+    val subDists = pqSubDists(spark, dir, nCodes, m)
+    val codes = pqCodes(spark, dir, nCodes, m).select("vec_id", "sub", "code")
+    codes.join(subDists, Seq("vec_id", "sub", "code"))
+      .groupBy("sub")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("d")).as("total_dist"),
+        expr("sum(d) div count(1)").as("mean_dist"),
+        max(col("d")).as("max_dist"))
+      .orderBy("sub")
+  }
+
+  def pqDistortionOracle(nCodes: Int = 16, m: Int = 8): String = {
+    val subDim = 64 / m
+    s"""WITH dims AS (
+       |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+       |    CAST(i - 1 AS INTEGER) // $subDim AS sub,
+       |    CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000) AS BIGINT) + 1000000 AS x_off
+       |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i
+       |        FROM embeddings)
+       |), codebook AS (
+       |  SELECT vec_id - 100 AS code, dim, x_off AS c_off
+       |  FROM dims WHERE vec_id >= 100 AND vec_id < ${100 + nCodes}
+       |), sub_dists AS (
+       |  SELECT d.vec_id, d.sub, c.code, sum((d.x_off - c.c_off) * (d.x_off - c.c_off)) AS d
+       |  FROM dims d JOIN codebook c USING (dim)
+       |  GROUP BY d.vec_id, d.sub, c.code
+       |), assigned AS (
+       |  SELECT vec_id, sub, code, d FROM (
+       |    SELECT vec_id, sub, code, d,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+       |    FROM sub_dists) WHERE rn = 1
+       |)
+       |SELECT sub, count(*) AS n_vectors,
+       |  CAST(sum(d) AS BIGINT) AS total_dist,
+       |  CAST(sum(d) // count(*) AS BIGINT) AS mean_dist,
+       |  CAST(max(d) AS BIGINT) AS max_dist
+       |FROM assigned GROUP BY sub ORDER BY sub""".stripMargin
+  }
+
   def pqTopKOracle(numQueries: Int = 5, k: Int = 3,
       nCodes: Int = 16, m: Int = 8): String = {
     val subDim = 64 / m
