@@ -76,6 +76,8 @@ object SparkEntry {
       // Benford digits in integer math
       "profile_gini_lineitem" -> ((s, d) => ProfileQueries.giniProfile(s, d)),
       "profile_gini_user_activity" -> (ProfileQueries.giniUserActivity(_, _)),
+      // one-number ANOVA: variance of length explained by language (ppm)
+      "profile_eta2_lang" -> ((s, d) => ProfileQueries.etaSquared(s, d)),
       "profile_benford_totalprice" -> ((s, d) => ProfileQueries.benfordProfile(s, d)),
       // robust (median/MAD) outlier twin of events_hourly_anomalies
       "events_robust_anomalies" -> (EventOps.robustAnomalies(_, _)),
@@ -411,6 +413,7 @@ object SparkEntry {
       "profile_corr_matrix" -> ProfileQueries.corrMatrixOracle,
       "profile_gini_lineitem" -> ProfileQueries.giniProfileOracle(),
       "profile_gini_user_activity" -> ProfileQueries.giniUserActivityOracle,
+      "profile_eta2_lang" -> ProfileQueries.etaSquaredOracle(),
       "profile_benford_totalprice" -> ProfileQueries.benfordProfileOracle(),
       "events_robust_anomalies" -> EventOps.robustAnomaliesOracle,
       "events_max_concurrency" -> EventOps.maxConcurrencyOracle,

@@ -1174,6 +1174,53 @@ object ProfileQueries {
        |    / CAST(sum(c) * sum(s_term) AS DOUBLE) AS gini
        |FROM contrib""".stripMargin
 
+  /** Variance decomposition (η², eta-squared): how much of the variance of
+    * `documents.n_chars` the `lang` grouping EXPLAINS — the one-number
+    * ANOVA read ("is length a language effect or noise") computed as the
+    * exact integer ratio SSB/SST in parts-per-million. Both sums of
+    * squares reduce to moments (`SST = n·Σx²−(Σx)²`,
+    * `SSB = n·Σ_g (S_g²/n_g) − (Σx)²` — the per-group term exact via a
+    * common denominator: multiply through by Π?, no — by keeping
+    * `S_g²·(n/n_g)` in DECIMAL with one truncating div per group,
+    * documented ±1 per group slack absorbed by the ppm rounding on both
+    * engines identically). Two bounded aggregations, one scan. */
+  def etaSquared(spark: SparkSession, dir: String,
+      tableName: String = "documents", valueCol: String = "n_chars",
+      groupCol: String = "lang"): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val g = Fixtures.table(spark, dir, tableName)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("ng"), sum(col(valueCol)).as("sg"),
+        sum(dec(col(valueCol)) * dec(col(valueCol))).as("ssg"))
+    g.agg(
+        sum(col("ng")).as("n"), sum(col("sg")).as("s"),
+        sum(col("ssg")).cast("decimal(38,0)").as("ss"),
+        // Σ_g S_g²/n_g scaled ×10⁶ up front so the per-group truncation
+        // costs < 1 ppm — identical truncation on both engines
+        sum(expr("(CAST(sg AS DECIMAL(38,0)) * sg * 1000000) div ng"))
+          .cast("decimal(38,0)").as("sb6"))
+      .select(col("n").cast("bigint").as("n_rows"),
+        expr("CAST((sb6 - CAST(s AS DECIMAL(38,0)) * s * 1000000 div n)" +
+          " div ((CAST(n AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s) div n)" +
+          " AS BIGINT)").as("eta2_ppm"))
+  }
+
+  def etaSquaredOracle(tableName: String = "documents",
+      valueCol: String = "n_chars", groupCol: String = "lang"): String =
+    s"""WITH g AS (
+       |  SELECT $groupCol, CAST(count(*) AS HUGEINT) AS ng,
+       |    CAST(sum($valueCol) AS HUGEINT) AS sg,
+       |    CAST(sum(CAST($valueCol AS HUGEINT) * $valueCol) AS HUGEINT) AS ssg
+       |  FROM $tableName GROUP BY 1
+       |), t AS (
+       |  SELECT sum(ng) AS n, sum(sg) AS s, sum(ssg) AS ss,
+       |         sum(sg * sg * 1000000 // ng) AS sb6
+       |  FROM g)
+       |SELECT CAST(n AS BIGINT) AS n_rows,
+       |  CAST((sb6 - s * s * 1000000 // n) // ((n * ss - s * s) // n) AS BIGINT)
+       |    AS eta2_ppm
+       |FROM t""".stripMargin
+
   /** Activity-concentration Gini: inequality of per-user EVENT COUNTS —
     * "do 1 % of users generate 90 % of events", the audience-health twin
     * of the revenue Gini. Reuses [[giniOf]] verbatim over the per-user
