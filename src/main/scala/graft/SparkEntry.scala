@@ -76,6 +76,9 @@ object SparkEntry {
       // Benford digits in integer math
       "profile_gini_lineitem" -> ((s, d) => ProfileQueries.giniProfile(s, d)),
       "profile_gini_user_activity" -> (ProfileQueries.giniUserActivity(_, _)),
+      // joint (quantity x discount) histogram + source Lorenz curve
+      "profile_histogram_2d" -> (ProfileQueries.histogram2d(_, _)),
+      "profile_lorenz_sources" -> (ProfileQueries.lorenzSources(_, _)),
       // one-number ANOVA: variance of length explained by language (ppm)
       "profile_eta2_lang" -> ((s, d) => ProfileQueries.etaSquared(s, d)),
       "profile_benford_totalprice" -> ((s, d) => ProfileQueries.benfordProfile(s, d)),
@@ -414,6 +417,8 @@ object SparkEntry {
       "profile_gini_lineitem" -> ProfileQueries.giniProfileOracle(),
       "profile_gini_user_activity" -> ProfileQueries.giniUserActivityOracle,
       "profile_eta2_lang" -> ProfileQueries.etaSquaredOracle(),
+      "profile_histogram_2d" -> ProfileQueries.histogram2dOracle,
+      "profile_lorenz_sources" -> ProfileQueries.lorenzSourcesOracle,
       "profile_benford_totalprice" -> ProfileQueries.benfordProfileOracle(),
       "events_robust_anomalies" -> EventOps.robustAnomaliesOracle,
       "events_max_concurrency" -> EventOps.maxConcurrencyOracle,

@@ -1174,6 +1174,57 @@ object ProfileQueries {
        |    / CAST(sum(c) * sum(s_term) AS DOUBLE) AS gini
        |FROM contrib""".stripMargin
 
+  /** 2-D joint histogram of (quantity, discount) — the dependence profile a
+    * pair of 1-D histograms cannot show (is high discount tied to high
+    * volume?). Buckets are exact integers (quantity is integral; discount
+    * → cents), so the grid is domain-bounded (~50 × 11); one partial-agg
+    * scan. */
+  def histogram2d(spark: SparkSession, dir: String): DataFrame =
+    Fixtures.table(spark, dir, "lineitem")
+      .groupBy(col("l_quantity").cast("bigint").as("qty"),
+        floor(col("l_discount") * 100 + 0.5).cast("bigint").as("disc_pct"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("qty", "disc_pct")
+
+  val histogram2dOracle: String =
+    """SELECT CAST(l_quantity AS BIGINT) AS qty,
+      |  CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_pct,
+      |  count(*) AS cnt
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Lorenz curve of token mass across sources — the PLOT behind the
+    * concentration numbers (HHI, Gini): sources ranked by ascending token
+    * mass, cumulative share in exact per-mille at each rank. The frame is
+    * |sources|-sized, so the single-partition rank window is domain-safe
+    * at any corpus size. */
+  def lorenzSources(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySource = Fixtures.table(spark, dir, "documents")
+      .groupBy("source").agg(sum(col("n_chars")).as("mass"))
+    val w = Window.orderBy(col("mass"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bySource
+      .withColumn("rank", row_number().over(Window.orderBy(col("mass"), col("source"))))
+      .withColumn("cum_mass", sum(col("mass")).over(w))
+      .crossJoin(broadcast(bySource.agg(sum(col("mass")).as("total"))))
+      .select(col("rank").cast("bigint").as("rank"), col("source"), col("mass"),
+        expr("cum_mass * 1000 div total").as("cum_share_permille"))
+      .orderBy("rank")
+  }
+
+  val lorenzSourcesOracle: String =
+    """WITH m AS (
+      |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass
+      |  FROM documents GROUP BY source
+      |), r AS (
+      |  SELECT source, mass,
+      |    row_number() OVER (ORDER BY mass, source) AS rank,
+      |    sum(mass) OVER (ORDER BY mass, source ROWS UNBOUNDED PRECEDING) AS cum_mass
+      |  FROM m)
+      |SELECT CAST(rank AS BIGINT) AS rank, source, mass,
+      |  CAST(cum_mass * 1000 // (SELECT sum(mass) FROM m) AS BIGINT) AS cum_share_permille
+      |FROM r ORDER BY rank""".stripMargin
+
   /** Variance decomposition (η², eta-squared): how much of the variance of
     * `documents.n_chars` the `lang` grouping EXPLAINS — the one-number
     * ANOVA read ("is length a language effect or noise") computed as the
