@@ -105,6 +105,8 @@ object SparkEntry {
       "embedding_dim_stats" -> (Similarity.dimStats(_, _)),
       // SQL-text entry path over registered views
       "q_sql_text_revenue" -> (RelationalExt.sqlTextRevenue(_, _)),
+      // session count at each candidate gap threshold, one pass
+      "events_session_gap_sweep" -> (EventOps.sessionGapSweep(_, _)),
       // inter-arrival burstiness (CV^2) per type, exact ppm ratio
       "events_burstiness" -> (EventOps.burstiness(_, _)),
       // cohort LTV curves (retention's revenue twin) + order aging
@@ -433,6 +435,7 @@ object SparkEntry {
       "profile_log2_histogram" -> ProfileQueries.log2HistogramOracle(),
       "embedding_dim_stats" -> Similarity.dimStatsOracle,
       "q_sql_text_revenue" -> RelationalExt.sqlTextRevenueOracle,
+      "events_session_gap_sweep" -> EventOps.sessionGapSweepOracle,
       "events_burstiness" -> EventOps.burstinessOracle,
       "events_cohort_ltv" -> EventOps.cohortLtvOracle,
       "q_order_aging" -> RelationalExt.orderAgingOracle,

@@ -1674,6 +1674,46 @@ object EventOps {
       |FROM dau JOIN wau ON day = report_day
       |ORDER BY day""".stripMargin
 
+  // ---------------------------------------------- session-gap sensitivity
+  /** Gap-threshold sensitivity sweep — how many sessions each candidate
+    * inactivity threshold (5/15/30/60 min) would produce, from ONE pass:
+    * per-user session count at threshold g is `1 + #(gaps > g)`, so the
+    * corpus-wide count is `n_users + Σ(gap > g)` — four conditional sums
+    * over the same lag frame, no re-sessionization per candidate. The
+    * elbow of this curve is how the 30-minute default gets justified
+    * instead of inherited. */
+  def sessionGapSweep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tus")
+    val mins = Seq(5L, 15L, 30L, 60L)
+    val gaps = table(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tus"))
+      .withColumn("gap", col("tus") - lag(col("tus"), 1).over(w))
+    val agg = gaps.agg(
+      countDistinct(col("user_id")).as("n_users"),
+      mins.map(m => sum((col("gap") > m * 60000000L).cast("long"))
+        .as(s"brk_$m")): _*)
+    val frames = mins.map { m =>
+      agg.select(lit(m).as("gap_minutes"),
+        (col("n_users") + col(s"brk_$m")).as("n_sessions"))
+    }
+    frames.reduce(_.union(_)).orderBy("gap_minutes")
+  }
+
+  val sessionGapSweepOracle: String = {
+    val branches = Seq(5L, 15L, 30L, 60L).map { m =>
+      s"""SELECT CAST($m AS BIGINT) AS gap_minutes,
+         |  (SELECT count(DISTINCT user_id) FROM events)
+         |  + CAST(sum(CASE WHEN gap > ${m * 60000000L} THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_sessions
+         |FROM (
+         |  SELECT epoch_us(ts) - lag(epoch_us(ts))
+         |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS gap
+         |  FROM events)""".stripMargin
+    }
+    branches.mkString("", "\nUNION ALL\n", "\nORDER BY gap_minutes")
+  }
+
   // -------------------------------------------------- burstiness profile
   /** Inter-arrival burstiness per event type: squared coefficient of
     * variation of the gaps, `CV² = n·Σg²/(Σg)² − 1`, as an exact

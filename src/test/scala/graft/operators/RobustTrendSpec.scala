@@ -52,6 +52,18 @@ class RobustTrendSpec extends AnyFunSuite {
     assert(skew.columns.contains("skew_ratio_milli"))
   }
 
+  test("session gap sweep: 30-min point equals the sessionizer's total; monotone") {
+    val rows = EventOps.sessionGapSweep(spark, SparkSuite.Sf0001).collect()
+      .map(r => r.getAs[Long]("gap_minutes") -> r.getAs[Long]("n_sessions")).toMap
+    val fromSessionizer = EventOps.sessionize(spark, SparkSuite.Sf0001)
+      .agg(sum("n_sessions")).collect().head.getLong(0)
+    assert(rows(30L) == fromSessionizer,
+      s"identity broken: sweep=${rows(30L)} sessionizer=$fromSessionizer")
+    // larger gap merges sessions: counts non-increasing in the threshold
+    val ordered = rows.toSeq.sortBy(_._1).map(_._2)
+    assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
+  }
+
   test("wavelet energy: matches a brute-force Haar transform per type") {
     val rows = EventOps.waveletEnergy(spark, SparkSuite.Sf0001).collect()
     assert(rows.nonEmpty && rows.forall(_.getAs[Long]("energy") >= 0))
