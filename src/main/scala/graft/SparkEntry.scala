@@ -105,6 +105,9 @@ object SparkEntry {
       "embedding_dim_stats" -> (Similarity.dimStats(_, _)),
       // SQL-text entry path over registered views
       "q_sql_text_revenue" -> (RelationalExt.sqlTextRevenue(_, _)),
+      // churn-risk dormancy buckets + revenue decile concentration
+      "events_dormancy" -> (EventOps.dormancyBuckets(_, _)),
+      "q_revenue_deciles" -> (RelationalExt.revenueDeciles(_, _)),
       // session count at each candidate gap threshold, one pass
       "events_session_gap_sweep" -> (EventOps.sessionGapSweep(_, _)),
       // inter-arrival burstiness (CV^2) per type, exact ppm ratio
@@ -435,6 +438,8 @@ object SparkEntry {
       "profile_log2_histogram" -> ProfileQueries.log2HistogramOracle(),
       "embedding_dim_stats" -> Similarity.dimStatsOracle,
       "q_sql_text_revenue" -> RelationalExt.sqlTextRevenueOracle,
+      "events_dormancy" -> EventOps.dormancyBucketsOracle,
+      "q_revenue_deciles" -> RelationalExt.revenueDecilesOracle,
       "events_session_gap_sweep" -> EventOps.sessionGapSweepOracle,
       "events_burstiness" -> EventOps.burstinessOracle,
       "events_cohort_ltv" -> EventOps.cohortLtvOracle,

@@ -1674,6 +1674,33 @@ object EventOps {
       |FROM dau JOIN wau ON day = report_day
       |ORDER BY day""".stripMargin
 
+  // ------------------------------------------------------ dormancy buckets
+  /** Dormancy (churn-risk) distribution: users bucketed by days since
+    * their LAST activity, relative to the corpus's newest event (a
+    * data-derived "now", so the report is deterministic). The re-engagement
+    * targeting table: who went quiet, and how long ago. One per-user max,
+    * one calendar-bounded group-by. */
+  def dormancyBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val last = table(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(max(expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")).as("last_day"))
+    last
+      .crossJoin(broadcast(last.agg(max(col("last_day")).as("now_day"))))
+      .withColumn("days_dormant", col("now_day") - col("last_day"))
+      .groupBy(col("days_dormant"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("days_dormant")
+  }
+
+  val dormancyBucketsOracle: String =
+    """WITH last AS (
+      |  SELECT user_id, max(epoch_us(ts) // 86400000000) AS last_day
+      |  FROM events GROUP BY user_id
+      |), n AS (SELECT max(last_day) AS now_day FROM last)
+      |SELECT CAST(now_day - last_day AS BIGINT) AS days_dormant,
+      |  count(*) AS n_users
+      |FROM last, n GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------- session-gap sensitivity
   /** Gap-threshold sensitivity sweep — how many sessions each candidate
     * inactivity threshold (5/15/30/60 min) would produce, from ONE pass:

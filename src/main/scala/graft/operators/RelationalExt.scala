@@ -737,6 +737,41 @@ object RelationalExt {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderkey, o_orderdate ORDER BY o_orderkey""".stripMargin
 
+  // --------------------------------------------------------- decile report
+  /** Revenue decile report: customers ranked by total spend, cut into ten
+    * equal-count buckets, each with its customer count, revenue, and exact
+    * per-mille share — "the top decile is X % of revenue", the
+    * concentration table finance actually reads (the Gini/Lorenz numbers
+    * condensed to ten rows). `ntile` runs over the CUSTOMER frame (already
+    * aggregated — never order-level rows) with a total-order tie-break so
+    * bucket boundaries are engine-independent. */
+  def revenueDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val spend = table(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("bigint")).as("cents"))
+    val w = Window.orderBy(col("cents"), col("o_custkey"))
+    spend
+      .withColumn("decile", ntile(10).over(w).cast("bigint"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("revenue_cents"))
+      .crossJoin(broadcast(spend.agg(sum(col("cents")).as("total"))))
+      .select(col("decile"), col("n_customers"), col("revenue_cents"),
+        expr("revenue_cents * 1000 div total").as("share_permille"))
+      .orderBy("decile")
+  }
+
+  val revenueDecilesOracle: String =
+    """WITH spend AS (
+      |  SELECT o_custkey, CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY o_custkey
+      |), d AS (
+      |  SELECT cents, CAST(ntile(10) OVER (ORDER BY cents, o_custkey) AS BIGINT) AS decile
+      |  FROM spend)
+      |SELECT decile, count(*) AS n_customers,
+      |  CAST(sum(cents) AS BIGINT) AS revenue_cents,
+      |  CAST(sum(cents) * 1000 // (SELECT sum(cents) FROM spend) AS BIGINT) AS share_permille
+      |FROM d GROUP BY decile ORDER BY decile""".stripMargin
+
   // ----------------------------------------------------- SQL-text surface
   /** The same star join as `q_revenue_by_region`, but issued as SQL TEXT
     * over registered temp views — the `spark.sql` entry path a SQL-first
