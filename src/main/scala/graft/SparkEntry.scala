@@ -144,6 +144,8 @@ object SparkEntry {
       // cluster-size log2 histogram over the CC labels (rows-only)
       "dedup_cluster_sizes" -> (Dedup.clusterSizeHistogram(_, _)),
       "dedup_kcore_gate" -> ((s, d) => Dedup.kCoreGate(s, d)),
+      // lexical fingerprint: pairwise TV distance between source vocabularies
+      "text_source_tv_distance" -> (TextAnalysis.sourceTvDistance(_, _)),
       // rank-matched quantile normalization of lengths across sources
       "docs_quantile_normalize" -> ((s, d) => TextAnalysis.quantileNormalize(s, d)),
       // PMI collocations ranked by an exact integer ratio (no libm)
@@ -455,6 +457,7 @@ object SparkEntry {
       "profile_catalog_strings" -> ProfileQueries.catalogStringProfileOracle,
       "events_debounce" -> EventOps.debounceSummaryOracle(),
       "dedup_kcore_gate" -> Dedup.kCoreGateOracle,
+      "text_source_tv_distance" -> TextAnalysis.sourceTvDistanceOracle,
       "docs_quantile_normalize" -> TextAnalysis.quantileNormalizeOracle,
       "text_collocations" -> TextAnalysis.collocationsOracle(),
       "profile_hhi_lang_by_source" -> ProfileQueries.hhiProfileOracle(),

@@ -2065,6 +2065,67 @@ object TextAnalysis {
        |  list_sort(list(DISTINCT doc_id))[1:$cap] AS postings
        |FROM toks GROUP BY term ORDER BY term""".stripMargin
 
+  // --------------------------------------------- source TV-distance matrix
+  /** Lexical similarity matrix between sources: TOTAL-VARIATION distance
+    * between each pair's word distributions, exact in parts-per-million —
+    * the libm-free alternative to JS divergence (TV = ½Σ|p−q|; with
+    * integer counts, `Σ|c_a·n_b − c_b·n_a|` is exact in wide decimals).
+    * Missing words never need a full-outer join: the absent-word mass
+    * folds in algebraically as `n_b·(n_a − Σ_common c_a) + n_a·(n_b −
+    * Σ_common c_b)`, so ONE inner self-join on the vocab-keyed frame plus
+    * per-source totals covers the whole sum. Two sources sharing no
+    * vocabulary score exactly 10⁶; near-identical mixes score ~0 — the
+    * crawl-dialect / syndication fingerprint next to the near-dup
+    * source-overlap matrix. */
+  def sourceTvDistance(spark: SparkSession, dir: String): DataFrame = {
+    val counts = table(spark, dir, "documents")
+      .select(col("source"), explode(words).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("source", "word").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val a = counts.select(col("source").as("source_a"), col("word"), col("c").as("ca"))
+      .join(broadcast(totals.select(col("source").as("source_a"), col("n").as("na"))),
+        "source_a")
+    val b = counts.select(col("source").as("source_b"), col("word"), col("c").as("cb"))
+      .join(broadcast(totals.select(col("source").as("source_b"), col("n").as("nb"))),
+        "source_b")
+    a.join(b, "word")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b", "na", "nb")
+      .agg(
+        sum(abs(dec(col("ca")) * dec(col("nb")) - dec(col("cb")) * dec(col("na"))))
+          .cast("decimal(38,0)").as("common_term"),
+        sum(col("ca")).as("ca_common"), sum(col("cb")).as("cb_common"))
+      .select(col("source_a"), col("source_b"),
+        expr("CAST((common_term + CAST(nb AS DECIMAL(38,0)) * (na - ca_common)" +
+          " + CAST(na AS DECIMAL(38,0)) * (nb - cb_common)) * 500000" +
+          " div (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)").as("tv_ppm"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceTvDistanceOracle: String =
+    """WITH counts AS (
+      |  SELECT source, w AS word, CAST(count(*) AS HUGEINT) AS c FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY 1, 2
+      |), totals AS (
+      |  SELECT source, CAST(sum(c) AS HUGEINT) AS n FROM counts GROUP BY 1
+      |), j AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    ta.n AS na, tb.n AS nb,
+      |    sum(abs(a.c * tb.n - b.c * ta.n)) AS common_term,
+      |    sum(a.c) AS ca_common, sum(b.c) AS cb_common
+      |  FROM counts a
+      |  JOIN counts b ON a.word = b.word AND a.source < b.source
+      |  JOIN totals ta ON ta.source = a.source
+      |  JOIN totals tb ON tb.source = b.source
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT source_a, source_b,
+      |  CAST((common_term + nb * (na - ca_common) + na * (nb - cb_common))
+      |    * 500000 // (na * nb) AS BIGINT) AS tv_ppm
+      |FROM j ORDER BY source_a, source_b""".stripMargin
+
   // ------------------------------------------------- vocabulary growth curve
   /** Heaps-law vocabulary growth: cumulative distinct words vs cumulative
     * tokens as the corpus is read in doc_id order, sampled at power-of-two
