@@ -112,6 +112,36 @@ class IntervalCollocationSpec extends AnyFunSuite {
     }
   }
 
+  test("source TV distance: bounded; disjoint vocabularies score exactly 1e6") {
+    val rows = TextAnalysis.sourceTvDistance(spark, SparkSuite.Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tv = r.getAs[Long]("tv_ppm")
+      assert(tv >= 0 && tv <= 1000000L, s"tv=$tv")
+    }
+    // planted: two sources with zero shared words -> TV = 1.0 exactly.
+    // a third source shares words with both so the pair survives the
+    // common-word inner join (disjoint pairs drop by design)
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "aa bb cc aa", "en", "s1", 10L),
+      (2L, "dd ee ff dd", "en", "s2", 10L),
+      (3L, "aa dd", "en", "s3", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("tv_fix")
+    planted.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.sourceTvDistance(spark, tmp.toString).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        r.getAs[Long]("tv_ppm")).toMap
+    // s1 vs s2 share nothing -> absent from the matrix (inner join);
+    // s1 vs s3: common word 'aa'; exact TV by hand:
+    // s1: aa=2,bb=1,cc=1 (n=4); s3: aa=1,dd=1 (n=2)
+    // sum|ca*nb-cb*na| over common: |2*2-1*4|=0; absent: nb*(4-2)+na*(2-1)=2*2+4*1=8
+    // TV = 8/(2*4*2) = 0.5 -> 500000
+    assert(!got.contains(("s1", "s2")))
+    assert(got(("s1", "s3")) == 500000L, s"got=${got(("s1", "s3"))}")
+  }
+
   test("rolling WAU sketch gate: within tolerance at sf0.001 (deterministic)") {
     val rows = EventOps.rollingWauSketchGate(spark, SparkSuite.Sf0001).collect()
     assert(rows.nonEmpty)
