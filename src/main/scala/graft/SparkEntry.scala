@@ -105,6 +105,8 @@ object SparkEntry {
       "embedding_dim_stats" -> (Similarity.dimStats(_, _)),
       // SQL-text entry path over registered views
       "q_sql_text_revenue" -> (RelationalExt.sqlTextRevenue(_, _)),
+      // exact Mann-Whitney U: weekend vs weekday hourly activity
+      "events_weekend_ranktest" -> (EventOps.weekendRankTest(_, _)),
       // churn-risk dormancy buckets + revenue decile concentration
       "events_dormancy" -> (EventOps.dormancyBuckets(_, _)),
       "q_revenue_deciles" -> (RelationalExt.revenueDeciles(_, _)),
@@ -440,6 +442,7 @@ object SparkEntry {
       "profile_log2_histogram" -> ProfileQueries.log2HistogramOracle(),
       "embedding_dim_stats" -> Similarity.dimStatsOracle,
       "q_sql_text_revenue" -> RelationalExt.sqlTextRevenueOracle,
+      "events_weekend_ranktest" -> EventOps.weekendRankTestOracle,
       "events_dormancy" -> EventOps.dormancyBucketsOracle,
       "q_revenue_deciles" -> RelationalExt.revenueDecilesOracle,
       "events_session_gap_sweep" -> EventOps.sessionGapSweepOracle,

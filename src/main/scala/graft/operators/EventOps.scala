@@ -1674,6 +1674,68 @@ object EventOps {
       |FROM dau JOIN wau ON day = report_day
       |ORDER BY day""".stripMargin
 
+  // ------------------------------------------------ weekend rank test (U)
+  /** Exact Mann–Whitney U for "is weekend hourly activity genuinely
+    * shifted vs weekdays" per event type — the nonparametric answer that
+    * doesn't assume normal hourly counts (robust anomalies proved they
+    * aren't). Everything stays integer: midranks come from the
+    * grouped-VALUE frame (2·below + cnt + 1 — the Gini cumulative trick,
+    * ties handled exactly), and `2U = Σ_we midrank₂ − n_we(n_we+1)`.
+    * Readers compare `u2` against `n_wd·n_we` (its value under no shift);
+    * the z-scaling is left to consumers, keeping libm out. Windows run
+    * over distinct (type, value) rows — domain-bounded. */
+  def weekendRankTest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = table(spark, dir, "events")
+      .select(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
+      .groupBy("event_type", "h")
+      .agg(count(lit(1)).as("y"))
+      .withColumn("is_we", expr("((h div 24) + 4) % 7 >= 5"))
+    val grp = hourly.groupBy("event_type", "y")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("is_we").cast("long")).as("we_cnt"))
+    val w = Window.partitionBy("event_type").orderBy("y")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grp
+      .withColumn("below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("midrank2", lit(2L) * col("below") + col("cnt") + 1)
+      .groupBy("event_type")
+      .agg(sum(col("cnt")).as("n_hours"),
+        sum(col("we_cnt")).as("n_we"),
+        sum(col("we_cnt") * col("midrank2")).as("sum_mr2"))
+      .select(col("event_type"),
+        (col("n_hours") - col("n_we")).as("n_wd"), col("n_we"),
+        (col("sum_mr2") - col("n_we") * (col("n_we") + 1)).as("u2"),
+        ((col("n_hours") - col("n_we")) * col("n_we")).as("u2_null"))
+      .orderBy("event_type")
+  }
+
+  val weekendRankTestOracle: String =
+    """WITH hourly AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS y
+      |  FROM events GROUP BY 1, 2
+      |), f AS (
+      |  SELECT event_type, y,
+      |    CAST(((h // 24) + 4) % 7 >= 5 AS INT) AS is_we
+      |  FROM hourly
+      |), grp AS (
+      |  SELECT event_type, y, count(*) AS cnt,
+      |    CAST(sum(is_we) AS BIGINT) AS we_cnt
+      |  FROM f GROUP BY 1, 2
+      |), r AS (
+      |  SELECT event_type, cnt, we_cnt,
+      |    2 * COALESCE(sum(cnt) OVER (PARTITION BY event_type ORDER BY y
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + cnt + 1 AS midrank2
+      |  FROM grp)
+      |SELECT event_type,
+      |  CAST(sum(cnt) - sum(we_cnt) AS BIGINT) AS n_wd,
+      |  CAST(sum(we_cnt) AS BIGINT) AS n_we,
+      |  CAST(sum(we_cnt * midrank2) - sum(we_cnt) * (sum(we_cnt) + 1) AS BIGINT) AS u2,
+      |  CAST((sum(cnt) - sum(we_cnt)) * sum(we_cnt) AS BIGINT) AS u2_null
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------ dormancy buckets
   /** Dormancy (churn-risk) distribution: users bucketed by days since
     * their LAST activity, relative to the corpus's newest event (a

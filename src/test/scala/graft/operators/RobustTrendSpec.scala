@@ -52,6 +52,32 @@ class RobustTrendSpec extends AnyFunSuite {
     assert(skew.columns.contains("skew_ratio_milli"))
   }
 
+  test("weekend rank test: U2 matches a brute-force midrank computation") {
+    val rows = EventOps.weekendRankTest(spark, SparkSuite.Sf0001).collect()
+    assert(rows.nonEmpty)
+    val hourly = spark.read.parquet(s"${SparkSuite.Sf0001}/events.parquet")
+      .select(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("h"))
+      .groupBy("event_type", "h").count()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val pts = hourly.filter(_._1 == t)
+        .map { case (_, h, y) => (y, ((h / 24) + 4) % 7 >= 5) }
+      val sorted = pts.map(_._1).sorted
+      def midrank2(y: Long): Long = {
+        val below = sorted.count(_ < y); val eq = sorted.count(_ == y)
+        2L * below + eq + 1
+      }
+      val nWe = pts.count(_._2).toLong
+      val u2 = pts.filter(_._2).map(p => midrank2(p._1)).sum - nWe * (nWe + 1)
+      assert(r.getAs[Long]("u2") == u2, s"$t: ${r.getAs[Long]("u2")} vs $u2")
+      assert(r.getAs[Long]("n_we") == nWe)
+      // U bounded by its range [0, n_wd * n_we] (x2 scaling on both)
+      assert(u2 >= 0 && u2 <= 2 * r.getAs[Long]("u2_null"))
+    }
+  }
+
   test("session gap sweep: 30-min point equals the sessionizer's total; monotone") {
     val rows = EventOps.sessionGapSweep(spark, SparkSuite.Sf0001).collect()
       .map(r => r.getAs[Long]("gap_minutes") -> r.getAs[Long]("n_sessions")).toMap
