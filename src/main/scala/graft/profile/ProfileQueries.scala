@@ -1192,6 +1192,57 @@ object ProfileQueries {
       |  count(*) AS cnt
       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Exact Kendall τ-a between quantity and discount — the rank
+    * correlation that Pearson's linearity assumption can't fake, computed
+    * WITHOUT the O(n²) pair walk: concordant/discordant pair counts come
+    * from the (quantity, discount) 2-D GRID ([[histogram2d]]'s shape) —
+    * `C = Σ_cell n_cell · N(strictly greater in both dims)` over a
+    * grid×grid join that is domain-bounded (~550² cells), never row-bounded.
+    * τ-a = (C−D)/(n(n−1)/2); the counts are exact integers and only the
+    * final division is an IEEE double (τ can be negative, where truncating
+    * vs floor integer division would diverge cross-engine). */
+  def kendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val grid = Fixtures.table(spark, dir, "lineitem")
+      .groupBy(col("l_quantity").cast("bigint").as("q"),
+        floor(col("l_discount") * 100 + 0.5).cast("bigint").as("d"))
+      .agg(count(lit(1)).as("c"))
+    val a = grid.select(col("q").as("qa"), col("d").as("da"), col("c").as("ca"))
+    val b = grid.select(col("q").as("qb"), col("d").as("db"), col("c").as("cb"))
+    val dec = (x: Column) => x.cast("decimal(38,0)")
+    val pairs = a.join(broadcast(b),
+        col("qa") < col("qb") || (col("qa") === col("qb") && col("da") < col("db")))
+      .select(col("ca"), col("cb"),
+        (col("qa") < col("qb") && col("da") < col("db")).cast("long").as("conc"),
+        (col("qa") < col("qb") && col("da") > col("db")).cast("long").as("disc"))
+      .agg(sum(dec(col("ca")) * dec(col("cb")) * col("conc")).cast("decimal(38,0)").as("cc"),
+        sum(dec(col("ca")) * dec(col("cb")) * col("disc")).cast("decimal(38,0)").as("dd"))
+    pairs.crossJoin(broadcast(grid.agg(sum(col("c")).as("n"))))
+      .select(col("cc").cast("bigint").as("concordant"),
+        col("dd").cast("bigint").as("discordant"),
+        // tau can be NEGATIVE: truncating `div` (Spark) vs floor `//`
+        // (DuckDB) would disagree below zero, so the final ratio is one
+        // IEEE double division - bit-identical cross-engine
+        expr("CAST(cc - dd AS DOUBLE) * 2 / (CAST(n AS DOUBLE) * (n - 1))")
+          .as("tau_a"))
+  }
+
+  val kendallTauOracle: String =
+    """WITH grid AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+      |    CAST(count(*) AS HUGEINT) AS c
+      |  FROM lineitem GROUP BY 1, 2
+      |), p AS (
+      |  SELECT
+      |    sum(CASE WHEN a.q < b.q AND a.d < b.d THEN a.c * b.c ELSE 0 END) AS cc,
+      |    sum(CASE WHEN a.q < b.q AND a.d > b.d THEN a.c * b.c ELSE 0 END) AS dd
+      |  FROM grid a JOIN grid b
+      |    ON a.q < b.q OR (a.q = b.q AND a.d < b.d)
+      |), n AS (SELECT CAST(sum(c) AS HUGEINT) AS n FROM grid)
+      |SELECT CAST(cc AS BIGINT) AS concordant, CAST(dd AS BIGINT) AS discordant,
+      |  CAST(cc - dd AS DOUBLE) * 2 / (CAST(n AS DOUBLE) * (n - 1)) AS tau_a
+      |FROM p, n""".stripMargin
+
   /** Lorenz curve of token mass across sources — the PLOT behind the
     * concentration numbers (HHI, Gini): sources ranked by ascending token
     * mass, cumulative share in exact per-mille at each rank. The frame is
