@@ -76,6 +76,8 @@ object SparkEntry {
       // Benford digits in integer math
       "profile_gini_lineitem" -> ((s, d) => ProfileQueries.giniProfile(s, d)),
       "profile_gini_user_activity" -> (ProfileQueries.giniUserActivity(_, _)),
+      // Spearman rho over exact midranks (Kendall's sibling)
+      "profile_spearman_rho" -> (ProfileQueries.spearmanRho(_, _)),
       // exact Kendall tau-a from the domain-bounded 2-D grid
       "profile_kendall_tau" -> (ProfileQueries.kendallTau(_, _)),
       // joint (quantity x discount) histogram + source Lorenz curve
@@ -428,6 +430,7 @@ object SparkEntry {
       "profile_gini_lineitem" -> ProfileQueries.giniProfileOracle(),
       "profile_gini_user_activity" -> ProfileQueries.giniUserActivityOracle,
       "profile_eta2_lang" -> ProfileQueries.etaSquaredOracle(),
+      "profile_spearman_rho" -> ProfileQueries.spearmanRhoOracle,
       "profile_kendall_tau" -> ProfileQueries.kendallTauOracle,
       "profile_histogram_2d" -> ProfileQueries.histogram2dOracle,
       "profile_lorenz_sources" -> ProfileQueries.lorenzSourcesOracle,

@@ -1243,6 +1243,68 @@ object ProfileQueries {
       |  CAST(cc - dd AS DOUBLE) * 2 / (CAST(n AS DOUBLE) * (n - 1)) AS tau_a
       |FROM p, n""".stripMargin
 
+  /** Exact Spearman ρ between quantity and discount — Kendall's sibling:
+    * Pearson over MIDRANKS (ties exact, ×2 integer scaling via the
+    * grouped-value cumulative frames of each margin), all moments in
+    * DECIMAL(38,0) over the ~550-cell joint grid, one final IEEE double
+    * (ρ is signed — same truncation-divergence reasoning as τ). The
+    * margins' rank windows run over value domains, never rows. */
+  def spearmanRho(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = Fixtures.table(spark, dir, "lineitem")
+      .groupBy(col("l_quantity").cast("bigint").as("q"),
+        floor(col("l_discount") * 100 + 0.5).cast("bigint").as("d"))
+      .agg(count(lit(1)).as("c"))
+    def midranks(key: String): DataFrame = {
+      val m = grid.groupBy(col(key)).agg(sum(col("c")).as("mc"))
+      val w = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, -1)
+      m.withColumn("below", coalesce(sum(col("mc")).over(w), lit(0L)))
+        .select(col(key), (lit(2L) * col("below") + col("mc") + 1).as(s"mr_$key"))
+    }
+    val dec = (x: Column) => x.cast("decimal(38,0)")
+    val joined = grid
+      .join(broadcast(midranks("q")), "q")
+      .join(broadcast(midranks("d")), "d")
+    joined.agg(
+        sum(col("c")).as("n"),
+        sum(dec(col("c")) * col("mr_q")).cast("decimal(38,0)").as("sx"),
+        sum(dec(col("c")) * col("mr_d")).cast("decimal(38,0)").as("sy"),
+        sum(dec(col("c")) * col("mr_q") * col("mr_q")).cast("decimal(38,0)").as("sxx"),
+        sum(dec(col("c")) * col("mr_d") * col("mr_d")).cast("decimal(38,0)").as("syy"),
+        sum(dec(col("c")) * col("mr_q") * col("mr_d")).cast("decimal(38,0)").as("sxy"))
+      .select(col("n").cast("bigint").as("n_rows"),
+        ((dec(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((dec(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((dec(col("n")) * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("rho"))
+  }
+
+  val spearmanRhoOracle: String =
+    """WITH grid AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+      |    CAST(count(*) AS HUGEINT) AS c
+      |  FROM lineitem GROUP BY 1, 2
+      |), mq AS (
+      |  SELECT q, 2 * COALESCE(sum(mc) OVER (ORDER BY q
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + mc + 1 AS mr_q
+      |  FROM (SELECT q, sum(c) AS mc FROM grid GROUP BY q)
+      |), md AS (
+      |  SELECT d, 2 * COALESCE(sum(mc) OVER (ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + mc + 1 AS mr_d
+      |  FROM (SELECT d, sum(c) AS mc FROM grid GROUP BY d)
+      |), m AS (
+      |  SELECT CAST(sum(c) AS HUGEINT) AS n,
+      |    sum(c * mr_q) AS sx, sum(c * mr_d) AS sy,
+      |    sum(c * mr_q * mr_q) AS sxx, sum(c * mr_d * mr_d) AS syy,
+      |    sum(c * mr_q * mr_d) AS sxy
+      |  FROM grid JOIN mq USING (q) JOIN md USING (d))
+      |SELECT CAST(n AS BIGINT) AS n_rows,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rho
+      |FROM m""".stripMargin
+
   /** Lorenz curve of token mass across sources — the PLOT behind the
     * concentration numbers (HHI, Gini): sources ranked by ascending token
     * mass, cumulative share in exact per-mille at each rank. The frame is
