@@ -49,7 +49,7 @@ object SparkEntry {
       // frequent items (round 9): mergeable Misra-Gries summary (rows-only —
       // estimates aren't SQL-expressible) + its order-invariant guarantee
       // gate under the DuckDB oracle
-      "profile_heavy_values" -> ((s, d) => ProfileQueries.heavyValues(s, d)),
+      "profile_heavy_values" -> ((s, d) => ProfileQueries.heavyValuesRows(s, d)),
       "profile_heavy_values_gate" -> ((s, d) => ProfileQueries.heavyValuesGate(s, d)),
       "profile_summary_lineitem" -> ((s, d) => ProfileQueries.fullProfile(s, d, "lineitem")),
       "profile_summary_orders" -> ((s, d) => ProfileQueries.fullProfile(s, d, "orders")),
@@ -142,6 +142,9 @@ object SparkEntry {
       // small-file FFD compaction plan over the file listing (rows-only:
       // sequential bin packing isn't SQL; packFFD is spec'd exactly)
       "profile_compaction_plan" -> ((s, d) => graft.profile.CompactionPlan.plan(s, d)),
+      // FFD invariants (bytes/files conserved, no overfull bin, 11/9·OPT+1
+      // bound, dense ids) as literal-TRUE booleans under the oracle
+      "profile_compaction_plan_gate" -> ((s, d) => graft.profile.CompactionPlan.planGate(s, d)),
       // burst suppression: per-type admission under a 60s same-key holdoff
       "events_debounce" -> ((s, d) => EventOps.debounceSummary(s, d)),
       // k-core of the near-dup pair graph: iterative peel (rows-only) +
@@ -150,6 +153,9 @@ object SparkEntry {
       // cluster-size log2 histogram over the CC labels (rows-only)
       "dedup_cluster_sizes" -> (Dedup.clusterSizeHistogram(_, _)),
       "dedup_kcore_gate" -> ((s, d) => Dedup.kCoreGate(s, d)),
+      // CC fixpoint invariants (edge-closure, min-label, partition mass)
+      // as literal-TRUE booleans under the oracle
+      "dedup_cluster_sizes_gate" -> (Dedup.clusterSizesGate(_, _)),
       // lexical fingerprint: pairwise TV distance between source vocabularies
       "text_source_tv_distance" -> (TextAnalysis.sourceTvDistance(_, _)),
       // rank-matched quantile normalization of lengths across sources
@@ -178,7 +184,7 @@ object SparkEntry {
       "docs_pps_sample" -> ((s, d) => TextAnalysis.ppsSample(s, d)),
       "docs_pps_stratified" -> ((s, d) => TextAnalysis.ppsStratified(s, d)),
       // posting-list build: term -> df + capped sorted doc list
-      "text_inverted_index" -> ((s, d) => TextAnalysis.invertedIndex(s, d)),
+      "text_inverted_index" -> ((s, d) => TextAnalysis.invertedIndexDigest(s, d)),
       // native Aho-Corasick multi-literal containment screen
       "text_phrase_screen" -> (TextAnalysis.phraseScreen(_, _)),
       // Markov transition matrix + RFM quintile segmentation over events
@@ -466,6 +472,8 @@ object SparkEntry {
       "profile_catalog_strings" -> ProfileQueries.catalogStringProfileOracle,
       "events_debounce" -> EventOps.debounceSummaryOracle(),
       "dedup_kcore_gate" -> Dedup.kCoreGateOracle,
+      "dedup_cluster_sizes_gate" -> Dedup.clusterSizesGateOracle,
+      "profile_compaction_plan_gate" -> graft.profile.CompactionPlan.planGateOracle,
       "text_source_tv_distance" -> TextAnalysis.sourceTvDistanceOracle,
       "docs_quantile_normalize" -> TextAnalysis.quantileNormalizeOracle,
       "text_collocations" -> TextAnalysis.collocationsOracle(),
@@ -482,7 +490,7 @@ object SparkEntry {
       "profile_weighted_percentiles" -> ProfileQueries.weightedPercentilesOracle(),
       "docs_pps_sample" -> TextAnalysis.ppsSampleOracle(),
       "docs_pps_stratified" -> TextAnalysis.ppsStratifiedOracle(),
-      "text_inverted_index" -> TextAnalysis.invertedIndexOracle(),
+      "text_inverted_index" -> TextAnalysis.invertedIndexDigestOracle(),
       "text_phrase_screen" -> TextAnalysis.phraseScreenOracle,
       "events_transition_matrix" -> EventOps.transitionMatrixOracle,
       "events_rfm_scores" -> EventOps.rfmScoresOracle,

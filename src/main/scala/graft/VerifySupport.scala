@@ -43,15 +43,38 @@ object VerifySupport {
     case c => c.toString
   } + "\""
 
+  /** HARD RULE (the round-3 `embedding_quantize_int8` lesson, reintroduced
+    * by the round-9 sketch split and machine-enforced since round 10): a
+    * driver-facing query must emit only ATOMIC columns. Array/Map/Struct
+    * outputs crash the driver's pandas `sort_values` adjudication harness,
+    * so the row reads as an error even when values are correct. Library
+    * APIs may return complex types; their `SparkEntry.queries` twin must
+    * project a scalar digest (md5 of the joined list), exploded rows, or
+    * per-element scalar columns instead. */
+  def complexColumns(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] ||
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+        s"${f.name}: ${f.dataType.simpleString}"
+    }.toSeq
+
   /** Dump each named query's result to `outDir/<name>` parquet, isolating
-    * per-query failures (one bad query must not zero the round). */
+    * per-query failures (one bad query must not zero the round). Queries
+    * violating the atomic-columns rule ([[complexColumns]]) are REJECTED
+    * before writing — they would crash the driver's pandas harness. */
   def dumpQueries(spark: SparkSession, sfDir: String, outDir: String,
       names: Iterable[String]): Unit = {
     new java.io.File(outDir).mkdirs()
     names.foreach { name =>
-      try SparkEntry.queries(name)(spark, sfDir)
-        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val complex = complexColumns(df)
+        require(complex.isEmpty,
+          s"driver-facing query emits non-atomic columns [${complex.mkString("; ")}] — " +
+            "project a scalar digest/exploded rows instead (round-3 lesson)")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -1978,4 +1978,39 @@ object Dedup {
     """SELECT CAST(2 AS BIGINT) AS k,
       |       TRUE AS every_core_node_deg_ge_k,
       |       TRUE AS no_single_node_addable""".stripMargin
+
+  /** Property gate for the connected-components family
+    * ([[dedupClusters]] / [[clusterSizeHistogram]]), DuckDB-checkable as
+    * literal-TRUE booleans (the kCoreGate pattern — VERDICT r9 #4: put the
+    * iterative-fixpoint family's guarantee in the DRIVER ledger, not only
+    * in ScalaTest):
+    *  - `edges_within_clusters` — no verified-pair edge crosses two labels
+    *    (the fixpoint actually converged; an early stop flips this FALSE);
+    *  - `label_is_member_min` — each cluster's label IS the minimum member
+    *    doc_id (the defining min-label invariant; also proves labels are
+    *    members, so clusters can't alias);
+    *  - `sizes_partition_nodes` — the size histogram's doc mass equals the
+    *    label count (the histogram is a partition, nothing dropped).
+    * Soundness (no over-merge) holds by construction — propagation only
+    * ever moves labels along edges — and is spec'd on planted graphs. */
+  def clusterSizesGate(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dedupClusters(spark, dir)
+    val pairs = sharedVerifiedPairs(spark, dir).select("id_a", "id_b")
+    val la = labels.select(col("doc_id").as("id_a"), col("cluster_id").as("ca"))
+    val lb = labels.select(col("doc_id").as("id_b"), col("cluster_id").as("cb"))
+    val edgesOk = pairs.join(la, "id_a").join(lb, "id_b")
+      .agg(coalesce(min(col("ca") === col("cb")), lit(true)).as("edges_within_clusters"))
+    val minOk = labels.groupBy("cluster_id").agg(min(col("doc_id")).as("min_id"))
+      .agg(coalesce(min(col("cluster_id") === col("min_id")), lit(true))
+        .as("label_is_member_min"))
+    val massOk = clusterSizeHistogram(spark, dir).agg(sum(col("n_docs")).as("mass"))
+      .crossJoin(labels.agg(count(lit(1)).as("n_labels")))
+      .select((col("mass") === col("n_labels")).as("sizes_partition_nodes"))
+    edgesOk.crossJoin(minOk).crossJoin(massOk)
+  }
+
+  val clusterSizesGateOracle: String =
+    """SELECT TRUE AS edges_within_clusters,
+      |       TRUE AS label_is_member_min,
+      |       TRUE AS sizes_partition_nodes""".stripMargin
 }

@@ -1500,10 +1500,10 @@ object EventOps {
       |    SELECT e_tus + 1 AS tus, -1 AS d FROM sess)
       |  GROUP BY tus),
       |sweep AS (
-      |  SELECT tus, sum(d) OVER (ORDER BY tus ROWS UNBOUNDED PRECEDING) AS conc
+      |  SELECT tus, CAST(sum(d) OVER (ORDER BY tus ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
       |  FROM deltas)
       |SELECT make_timestamp((tus // 3600000000) * 3600000000) AS hour_start,
-      |       max(conc) AS peak_concurrency, count(*) AS n_change_points
+      |       CAST(max(conc) AS BIGINT) AS peak_concurrency, count(*) AS n_change_points
       |FROM sweep GROUP BY 1 ORDER BY hour_start""".stripMargin
 
   // ----------------------------------------------------- user growth curve

@@ -2053,6 +2053,41 @@ object TextAnalysis {
       .orderBy("term")
   }
 
+  /** DRIVER-GATED form of [[invertedIndex]]: identical computation, but the
+    * `postings` ARRAY is projected to driver-adjudicable SCALARS — an md5
+    * digest of the comma-joined sorted list plus its size and endpoints.
+    * Array/Map columns crash the driver's pandas `sort_values` harness
+    * (the round-3 `embedding_quantize_int8` lesson, reintroduced and
+    * re-fixed in round 10); the array form stays the library API. The
+    * digest is exact — postings are sorted before joining on both engines,
+    * so a single doc-id difference flips the hash. */
+  def invertedIndexDigest(spark: SparkSession, dir: String, cap: Int = 10): DataFrame =
+    invertedIndex(spark, dir, cap)
+      .select(col("term"), col("df"),
+        size(col("postings")).as("n_postings"),
+        element_at(col("postings"), 1).as("first_doc"),
+        element_at(col("postings"), -1).as("last_doc"),
+        md5(concat_ws(",", col("postings")).cast("binary")).as("postings_md5"))
+
+  def invertedIndexDigestOracle(cap: Int = 10): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+       |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+       |  ))) AS term
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 3
+       |), idx AS (
+       |  SELECT term, count(*) AS df,
+       |    list_sort(list(DISTINCT doc_id))[1:$cap] AS postings
+       |  FROM toks GROUP BY term
+       |)
+       |SELECT term, df,
+       |  CAST(len(postings) AS INT) AS n_postings,
+       |  postings[1] AS first_doc,
+       |  postings[-1] AS last_doc,
+       |  md5(list_aggregate(list_transform(postings, x -> CAST(x AS VARCHAR)), 'string_agg', ',')) AS postings_md5
+       |FROM idx ORDER BY term""".stripMargin
+
   def invertedIndexOracle(cap: Int = 10): String =
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(

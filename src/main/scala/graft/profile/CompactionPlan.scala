@@ -55,4 +55,44 @@ object CompactionPlan {
         b.bytes * 1000 / targetBytes, b.alreadyCompact))
       .toDF("bin_id", "n_files", "total_bytes", "fill_permille", "already_compact")
   }
+
+  /** Property gate for [[plan]] (VERDICT r9 #4): the bin-packing invariants
+    * as literal-TRUE booleans under the DuckDB oracle, so the sequential
+    * FFD family's guarantee sits in the DRIVER ledger, not only in
+    * `CompactionPlanSpec`. Checked over the emitted plan + the raw listing:
+    *  - `bytes_conserved` — Σ bin bytes == Σ file bytes (nothing dropped);
+    *  - `files_conserved` — Σ bin file counts == file count;
+    *  - `no_overfull_bin` — every packed (non-already-compact) bin fits the
+    *    target, and every already-compact bin is a single ≥-target file;
+    *  - `ffd_bound_ok` — packed-bin count ≤ (11·OPT)/9 + 1 with
+    *    OPT = ⌈small-bytes/target⌉ (the published FFD guarantee);
+    *  - `ids_dense` — bin_id is exactly 0..n-1. */
+  def planGate(spark: SparkSession, dir: String, tableName: String = "documents",
+      targetBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val p = new Path(s"$dir/$tableName.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listing: Seq[Long] =
+      if (fs.getFileStatus(p).isFile) Seq(fs.getFileStatus(p).getLen)
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen)
+    val smallTotal = listing.filter(_ < targetBytes).sum
+    val opt = (smallTotal + targetBytes - 1) / targetBytes
+    plan(spark, dir, tableName, targetBytes).agg(
+      (sum(col("total_bytes")) === lit(listing.sum)).as("bytes_conserved"),
+      (sum(col("n_files")) === lit(listing.size.toLong)).as("files_conserved"),
+      coalesce(min(when(col("already_compact"),
+          col("n_files") === 1L && col("total_bytes") >= targetBytes)
+        .otherwise(col("total_bytes") <= targetBytes)), lit(true)).as("no_overfull_bin"),
+      (count(when(!col("already_compact"), 1)) <= lit(11L * opt / 9L + 1L)).as("ffd_bound_ok"),
+      (count(lit(1)) === count_distinct(col("bin_id")) &&
+        min(col("bin_id")) === 0L && max(col("bin_id")) === count(lit(1)) - 1L)
+        .as("ids_dense"))
+  }
+
+  val planGateOracle: String =
+    """SELECT TRUE AS bytes_conserved, TRUE AS files_conserved,
+      |       TRUE AS no_overfull_bin, TRUE AS ffd_bound_ok,
+      |       TRUE AS ids_dense""".stripMargin
 }

@@ -415,12 +415,14 @@ object ProfileQueries {
       (numCols ++ tCols).flatMap(c => Seq(
         col(s"min_$c"), col(s"max_$c"), col(s"nulls_$c"),
         hll_sketch_estimate(col(s"hllsk_$c")).as(s"ndv_$c"))) ++
-      numCols.flatMap(c => Seq(
-        col(s"avg_$c"),
-        when(col(s"nulls_$c") === col("n_rows"), lit(null))
-          .otherwise(array(Seq(0.25, 0.5, 0.75).map(p =>
-            kll_sketch_get_quantile_double(col(s"kllsk_$c"), lit(p))): _*))
-          .as(s"quartiles_$c")))
+      numCols.flatMap(c =>
+        col(s"avg_$c") +: Seq(25 -> 0.25, 50 -> 0.5, 75 -> 0.75).map { case (pct, p) =>
+          // scalar columns, not a 3-element array: driver-facing outputs
+          // must stay Array/Map-free (round-3/round-9 harness lesson)
+          when(col(s"nulls_$c") === col("n_rows"), lit(null))
+            .otherwise(kll_sketch_get_quantile_double(col(s"kllsk_$c"), lit(p)))
+            .as(s"q${pct}_$c")
+        })
     df.agg(aggs.head, aggs.tail: _*).select(out: _*)
   }
 
@@ -466,14 +468,15 @@ object ProfileQueries {
     val qTargets = Seq(25 -> 0.25, 50 -> 0.5, 75 -> 0.75)
     val rankAggs = numCols.flatMap { c =>
       count(col(c)).as(s"cnt_$c") +: qTargets.flatMap { case (pct, _) =>
-        val q = element_at(col(s"quartiles_$c"), qTargets.indexWhere(_._1 == pct) + 1)
+        val q = col(s"q${pct}_$c")
         Seq(
           sum(when(col(c).cast("double") < q, 1L).otherwise(0L)).as(s"lo${pct}_$c"),
           sum(when(col(c).cast("double") <= q, 1L).otherwise(0L)).as(s"hi${pct}_$c"))
       }
     }
     val ranks = df
-      .crossJoin(broadcast(sk.select(numCols.map(c => col(s"quartiles_$c")): _*)))
+      .crossJoin(broadcast(sk.select(numCols.flatMap(c =>
+        Seq(25, 50, 75).map(pct => col(s"q${pct}_$c"))): _*)))
       .agg(rankAggs.head, rankAggs.tail: _*)
     val gated =
       Seq(col("n_rows")) ++
@@ -1033,6 +1036,19 @@ object ProfileQueries {
     Fixtures.table(spark, dir, tableName).agg(
       graft.functions.MisraGriesAgg.misra_gries_agg(col(column), k).as("summary"),
       count(col(column)).as("n"))
+
+  /** DRIVER-FACING form of [[heavyValues]]: the MG summary MAP exploded to
+    * scalar (value, mg_count) rows plus the stream size — Map columns crash
+    * the driver's pandas harness (round-3/round-9 lesson), and the driver's
+    * rows-only check needs a clean, sortable frame. Estimates stay
+    * engine-specific (borderline entries depend on partial-merge order), so
+    * this remains rows-only; the guarantee itself is oracle-gated by
+    * [[heavyValuesGate]]. */
+  def heavyValuesRows(spark: SparkSession, dir: String,
+      tableName: String = "events", column: String = "event_type", k: Int = 5): DataFrame =
+    heavyValues(spark, dir, tableName, column, k)
+      .select(explode(col("summary")).as(Seq("value", "mg_count")), col("n"))
+      .orderBy("value")
 
   /** DRIVER-GATED form of the Misra-Gries guarantee, on `documents.lang`
     * with k=3 (5 distinct values through 3 counters — eviction genuinely
@@ -1658,8 +1674,8 @@ object ProfileQueries {
     keys.map { k =>
       s"""SELECT '$k' AS key_col, CAST(sum(c) AS BIGINT) AS n_rows,
          |  count(*) AS ndv, max(c) AS max_freq,
-         |  max(c) * 1000 // sum(c) AS top_share_permille,
-         |  max(c) * count(*) * 1000 // sum(c) AS skew_ratio_milli
+         |  CAST(max(c) * 1000 // sum(c) AS BIGINT) AS top_share_permille,
+         |  CAST(max(c) * count(*) * 1000 // sum(c) AS BIGINT) AS skew_ratio_milli
          |FROM (SELECT $k, count(*) AS c FROM $tableName GROUP BY $k)""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
 

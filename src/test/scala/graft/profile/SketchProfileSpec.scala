@@ -49,7 +49,7 @@ class SketchProfileSpec extends AnyFunSuite {
         // a value comparison fails on low-cardinality columns where exact
         // interpolation sits between elements). Assert each returned
         // quartile's true rank interval covers the target ± 5%.
-        val approxQ = sk.getSeq[Double](sk.fieldIndex(s"quartiles_$c"))
+        val approxQ = Seq(25, 50, 75).map(pct => sk.getDouble(sk.fieldIndex(s"q${pct}_$c")))
         val ranks = spark.sql(
           (s"SELECT count($c) AS n, " +
             approxQ.zipWithIndex.map { case (v, i) =>

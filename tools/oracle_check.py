@@ -5,11 +5,17 @@ Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
 
 Loads each <verifyOutDir>/<query>/ parquet (Spark side), runs the matching
 oracle SQL from oracle_sql.json in DuckDB (with one view per fixture table),
-and compares: column names (sorted), row counts, and values (rows sorted by
-all columns, NaN-safe). Prints per-query OK/FAIL + a diff sample.
+and compares THE WAY THE DRIVER DOES (VERDICT r9 "What's wrong" #6): both
+sides go through pandas (`rel.df()`), columns sorted by name, rows sorted by
+`DataFrame.sort_values` over all columns, then cells stringified AFTER
+pandas dtype coercion. Consequences this deliberately reproduces:
+  - DuckDB HUGEINT (uncast window sums, `//` on HUGEINT) lands as float64
+    in pandas, so `2.0` vs Spark's int64 `2` FAILS here, as at the driver;
+  - Array/Map/Struct output columns make `sort_values` RAISE, so a complex
+    driver-facing projection fails loudly here first (round-3 lesson).
+Prints per-query OK/FAIL + a diff sample.
 """
 import json
-import math
 import sys
 
 import duckdb
@@ -17,23 +23,20 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def norm_cell(v):
-    if v is None:
-        return "\x00NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "\x00NaN"
-        return repr(v)  # shortest round-trip
-    if isinstance(v, bytes):
-        return v.hex()
-    return str(v)
+def frame(rel):
+    """Mirror the driver: pandas coercion first, then sort columns by name
+    and rows by all columns (raises on unsortable/complex dtypes)."""
+    df = rel.df()
+    df = df[sorted(df.columns)]
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
 
 
-def norm_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    out.sort()
-    return [c for c in sorted(cols)], out
+def cells(df):
+    """Stringify AFTER pandas coercion — dtype drift (int64 vs float64)
+    must show, exactly as it does in the driver's hash."""
+    return [tuple(str(v) for v in row) for row in df.itertuples(index=False, name=None)]
 
 
 def main():
@@ -47,14 +50,14 @@ def main():
     for name in sorted(oracles):
         sql = oracles[name]
         try:
-            spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            s_cols, s_rows = norm_rows(spark_rel.columns, spark_rel.fetchall())
-            duck_rel = con.sql(sql)
-            d_cols, d_rows = norm_rows(duck_rel.columns, duck_rel.fetchall())
+            s_df = frame(con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'"))
+            d_df = frame(con.sql(sql))
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
             continue
+        s_cols, d_cols = list(s_df.columns), list(d_df.columns)
+        s_rows, d_rows = cells(s_df), cells(d_df)
         if s_cols != d_cols:
             print(f"FAIL {name}: columns spark={s_cols} duck={d_cols}")
             n_fail += 1
