@@ -145,7 +145,7 @@ object Bench {
     val sortedSlow = timed.filter(_._3).sortBy(-_._2)
     val rerunSet = sortedSlow.take(math.max(rerunK, sortedSlow.count(_._2 > slowSec)))
       .take(rerunMax)
-    val reruns = rerunSet.map { case (name, first, _, _) =>
+    def attempt(name: String, first: Double): Rerun = {
       awaitQuietBox()
       val preLoad = loadAvg
       spark.sharedState.cacheManager.clearCache()
@@ -163,6 +163,37 @@ object Bench {
         r.isDefined, postLoad,
         r.isDefined && preLoad < loadGate && postLoad < loadGate)
     }
+    val firstPass = scala.collection.mutable.LinkedHashMap.empty[String, Rerun]
+    rerunSet.foreach { case (name, first, _, _) => firstPass(name) = attempt(name, first) }
+    // RETRY SWEEP (VERDICT r9 #3): a rerun that executed on a busy box is
+    // marked unadjudicated — r9 shipped dedup_clusters_star with an 87.8 s
+    // rerun line recorded at high load (steady 1.15 s) that a reader could
+    // mistake for engine cost. Re-attempt every unadjudicated line, in up
+    // to 5 passes, from a SEPARATE retry budget, until the load gate admits
+    // a clean rerun. Non-adjudicated retries still contribute evidence:
+    // keep the MINIMUM rerun/steady observed (a busy-box time only ever
+    // overstates), so the artifact's numbers tighten monotonically even if
+    // the gate never opens.
+    def minPos(a: Double, b: Double): Double =
+      if (a < 0) b else if (b < 0) a else math.min(a, b)
+    waitBudgetMs += sys.env.get("SPARK_GRAFT_RERUN_RETRY_SEC")
+      .flatMap(_.toIntOption).getOrElse(240) * 1000L
+    var pass = 0
+    while (pass < 5 && waitBudgetMs > 0 && firstPass.values.exists(!_.adjudicated)) {
+      pass += 1
+      firstPass.collect { case (n, r) if !r.adjudicated => n }.foreach { name =>
+        if (waitBudgetMs > 0) {
+          val prev = firstPass(name)
+          val again = attempt(name, prev.first)
+          firstPass(name) =
+            if (again.adjudicated) again
+            else prev.copy(rerun = minPos(prev.rerun, again.rerun),
+              steady = minPos(prev.steady, again.steady),
+              ok = prev.ok || again.ok, load = math.min(prev.load, again.load))
+        }
+      }
+    }
+    val reruns = firstPass.values.toSeq
     val rerunBest = reruns.collect { case x if x.ok => x.name -> math.min(x.first, x.rerun) }.toMap
     // one-sided on purpose: contamination/first-touch means the FIRST run
     // was inflated and the rerun is fast. The opposite shape (rerun ≫

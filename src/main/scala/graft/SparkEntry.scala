@@ -156,6 +156,12 @@ object SparkEntry {
       // CC fixpoint invariants (edge-closure, min-label, partition mass)
       // as literal-TRUE booleans under the oracle
       "dedup_cluster_sizes_gate" -> (Dedup.clusterSizesGate(_, _)),
+      // web front-door normalizers (round 10): URL canonicalization (the
+      // per-row projection that keys crawl exact-dedup), dedup groups over
+      // the canonical key, and HTML boilerplate strip + tag-density profile
+      "text_url_canonicalize" -> (WebNormalize.urlCanonicalize(_, _)),
+      "dedup_url_groups" -> (WebNormalize.urlDedupGroups(_, _)),
+      "docs_html_strip" -> (WebNormalize.htmlStripProfile(_, _)),
       // lexical fingerprint: pairwise TV distance between source vocabularies
       "text_source_tv_distance" -> (TextAnalysis.sourceTvDistance(_, _)),
       // rank-matched quantile normalization of lengths across sources
@@ -473,6 +479,9 @@ object SparkEntry {
       "events_debounce" -> EventOps.debounceSummaryOracle(),
       "dedup_kcore_gate" -> Dedup.kCoreGateOracle,
       "dedup_cluster_sizes_gate" -> Dedup.clusterSizesGateOracle,
+      "text_url_canonicalize" -> WebNormalize.urlCanonicalizeOracle,
+      "dedup_url_groups" -> WebNormalize.urlDedupGroupsOracle,
+      "docs_html_strip" -> WebNormalize.htmlStripProfileOracle,
       "profile_compaction_plan_gate" -> graft.profile.CompactionPlan.planGateOracle,
       "text_source_tv_distance" -> TextAnalysis.sourceTvDistanceOracle,
       "docs_quantile_normalize" -> TextAnalysis.quantileNormalizeOracle,

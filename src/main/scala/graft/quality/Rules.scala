@@ -119,6 +119,12 @@ object QualityRunner {
       val fusedResult: Option[DataFrame] =
         if (rowRules.isEmpty && fkRules.isEmpty && aggRules.isEmpty) None
         else {
+          // LOAD-BEARING `.distinct()` (ADVICE r9): every row-level AND
+          // AggRule aggregate below is evaluated over `withParents`, so the
+          // FK left joins MUST be row-preserving — distinct parent keys
+          // guarantee ≤1 match per child row. Joining the raw parent would
+          // silently inflate count(*) (completeness, ndv thresholds) the
+          // first time a suite names a non-unique parent column.
           val withParents = fkRules.zipWithIndex.foldLeft(df) { case (acc, (f, i)) =>
             val parent = Fixtures.table(spark, dir, f.parentTable)
               .select(col(f.parentColumn).as(s"__parent_$i")).distinct()

@@ -29,7 +29,18 @@ object StreamingCusum {
   private val HourUs = 3600000000L
 
   /** One CUSUM step per CLOSED hour: 2·S update with d = 2y − 3·ref
-    * (ref + ref/2 slack, scaled by 2). */
+    * (ref + ref/2 slack, scaled by 2).
+    *
+    * LATE-ARRIVAL CONTRACT (ADVICE r9): the per-key state's `hour` is a
+    * HIGH-WATER mark — an event whose hour is BELOW it arrived after that
+    * hour was closed and scored, and is DROPPED here (Append mode has
+    * already emitted the hour's Step; re-opening it would emit a duplicate
+    * and corrupt the S recursion). Within a micro-batch events fold in
+    * event-time order, so "exactly one score per hour" holds for any
+    * intra-batch ordering; ACROSS batches it requires per-key hours to
+    * arrive non-decreasing — violations are dropped, never re-scored.
+    * Upstream, bound disorder with a watermark-sized buffer if late hours
+    * carry signal. */
   def updateState(refPerHour: Long, thresholdMeans: Int)(
       key: String, evs: Iterator[Ev],
       state: GroupState[CusumState]): Iterator[Step] = {
@@ -43,10 +54,12 @@ object StreamingCusum {
     }
     evs.toSeq.sortBy(_.tus).foreach { e =>
       val h = e.tus / HourUs
-      if (h != st.hour) {
+      if (h > st.hour) {
         close()
         st = CusumState(h, 1L, st.s2)
-      } else st = st.copy(inHour = st.inHour + 1)
+      } else if (h == st.hour) st = st.copy(inHour = st.inHour + 1)
+      // h < st.hour: late event for an already-closed hour — drop (see
+      // contract above); a closed hour must never re-score
     }
     // the open hour stays in state; it scores when a later hour arrives
     state.update(st)

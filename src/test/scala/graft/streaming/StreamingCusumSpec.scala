@@ -39,4 +39,41 @@ class StreamingCusumSpec extends AnyFunSuite {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("a late event for an already-closed hour is dropped, never re-scored (ADVICE r9)") {
+    // drive updateState directly with a hand-rolled GroupState double:
+    // batch 1 closes hour 0 (event in hour 1 arrives); batch 2 delivers a
+    // LATE hour-0 event — it must emit nothing and leave state untouched
+    val ref = 2L
+    var saved: Option[StreamingCusum.CusumState] = None
+    class FakeState extends org.apache.spark.sql.streaming.GroupState[StreamingCusum.CusumState] {
+      override def exists: Boolean = saved.isDefined
+      override def get: StreamingCusum.CusumState = saved.get
+      override def getOption: Option[StreamingCusum.CusumState] = saved
+      override def update(s: StreamingCusum.CusumState): Unit = saved = Some(s)
+      override def remove(): Unit = saved = None
+      override def hasTimedOut: Boolean = false
+      override def setTimeoutDuration(ms: Long): Unit = ()
+      override def setTimeoutDuration(d: String): Unit = ()
+      override def setTimeoutTimestamp(ms: Long): Unit = ()
+      override def setTimeoutTimestamp(ms: Long, add: String): Unit = ()
+      override def setTimeoutTimestamp(ts: java.sql.Date): Unit = ()
+      override def setTimeoutTimestamp(ts: java.sql.Date, add: String): Unit = ()
+      override def getCurrentWatermarkMs(): Long = 0L
+      override def getCurrentProcessingTimeMs(): Long = 0L
+    }
+    val hr = 3600000000L
+    val step = StreamingCusum.updateState(ref, 1) _
+    val b1 = step("t", Iterator(
+      StreamingCusum.Ev("t", 10L), StreamingCusum.Ev("t", 20L), // hour 0
+      StreamingCusum.Ev("t", hr + 5L)), new FakeState).toSeq    // hour 1 opens
+    assert(b1.map(_.hour) == Seq(0L), "hour 0 closes exactly once")
+    val stateAfterB1 = saved.get
+    val b2 = step("t", Iterator(StreamingCusum.Ev("t", 30L)), new FakeState).toSeq
+    assert(b2.isEmpty, s"late hour-0 event must be dropped, got $b2")
+    assert(saved.get == stateAfterB1, "late event must not perturb the open-hour state")
+    // and the open hour still closes normally afterwards
+    val b3 = step("t", Iterator(StreamingCusum.Ev("t", 2 * hr + 1L)), new FakeState).toSeq
+    assert(b3.map(_.hour) == Seq(1L), "hour 1 closes once despite the late arrival in between")
+  }
 }
