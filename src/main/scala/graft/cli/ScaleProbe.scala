@@ -88,6 +88,17 @@ object ScaleProbe {
       base.withColumn("l_orderkey", col("l_orderkey") + lit(k * ReplicaSpacing))
     }.reduce(_ unionAll _)
 
+  /** `factor` deterministic replicas of events: event/user ids shift per
+    * replica, ts and event_type stay — facts accumulate while the HOUR and
+    * TYPE domains saturate, which is exactly the regime the rank-test /
+    * Kendall / Gini scale claims rest on (their joins and windows run over
+    * the grouped-VALUE frame, bounded by the domain, never by rows). */
+  private def replicateEvents(base: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { k =>
+      base.withColumn("event_id", col("event_id") + lit(k * ReplicaSpacing))
+        .withColumn("user_id", col("user_id") + lit(k * ReplicaSpacing))
+    }.reduce(_ unionAll _)
+
   private def timeIt(body: => Unit): Double = {
     val t0 = System.nanoTime()
     body
@@ -105,7 +116,7 @@ object ScaleProbe {
     val family  = if (args.length > 4) args(4) else "all"
     require(factors.forall(f => f >= 1 && f <= 26) && factors == factors.sorted,
       "factors must be ascending and ≤26 (letter rotations must stay distinct)")
-    require(Set("docs", "emb", "prof", "ppj", "all")(family), s"unknown family: $family")
+    require(Set("docs", "emb", "prof", "ppj", "stats", "all")(family), s"unknown family: $family")
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -122,6 +133,7 @@ object ScaleProbe {
     val doDocs = family == "docs" || family == "ppj" || family == "all"
     val doEmb = family == "emb" || family == "all"
     val doProf = family == "prof" || family == "all"
+    val doStats = family == "stats" || family == "all"
     // all corpora are written by the SAME writer at the same parallelism,
     // so the 1× run is not advantaged by the fixture's single-file layout
     if (doDocs) {
@@ -138,11 +150,18 @@ object ScaleProbe {
           .write.mode("overwrite").parquet(s"$outRoot/x$s/embeddings.parquet")
       }
     }
-    if (doProf) {
+    if (doProf || doStats) {
       val baseLi = spark.read.parquet(s"$baseDir/lineitem.parquet")
       sizes.foreach { s =>
         replicateLineitem(baseLi, s).repartition(spark.sparkContext.defaultParallelism)
           .write.mode("overwrite").parquet(s"$outRoot/x$s/lineitem.parquet")
+      }
+    }
+    if (doStats) {
+      val baseEv = spark.read.parquet(s"$baseDir/events.parquet")
+      sizes.foreach { s =>
+        replicateEvents(baseEv, s).repartition(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(s"$outRoot/x$s/events.parquet")
       }
     }
     spark.range(1000000L).selectExpr("sum(id)").collect() // JVM warm-up
@@ -169,10 +188,19 @@ object ScaleProbe {
     val profBuilds = Seq[(String, String => DataFrame)](
       ("sketch_profile", d => graft.profile.ProfileQueries.sketchProfile(spark, d, "lineitem")),
       ("full_profile",   d => graft.profile.ProfileQueries.fullProfile(spark, d, "lineitem")))
+    // exact-statistics family (VERDICT r9 #5): each is one row-linear scan
+    // into a DOMAIN-bounded frame (2-D grid, grouped values, distinct
+    // values) — the grid join / midrank window / prefix sum that follows
+    // must stay flat as rows grow; the exponent verifies it
+    val statsBuilds = Seq[(String, String => DataFrame)](
+      ("kendall_tau", d => graft.profile.ProfileQueries.kendallTau(spark, d)),
+      ("gini_lineitem", d => graft.profile.ProfileQueries.giniProfile(spark, d)),
+      ("weekend_ranktest", d => graft.operators.EventOps.weekendRankTest(spark, d)))
     val builds = (if (family == "ppj") ppjBuilds
       else if (doDocs) docBuilds else Seq.empty) ++
       (if (doEmb) embBuilds else Seq.empty) ++
-      (if (doProf) profBuilds else Seq.empty)
+      (if (doProf) profBuilds else Seq.empty) ++
+      (if (doStats) statsBuilds else Seq.empty)
 
     // per (size, build): best-of-`reps`, memo cleared per rep so each rep
     // pays the full materialization (manifest deliberately runs AFTER the
