@@ -68,7 +68,9 @@ object PlansDump {
     "events_lateness_profile", // two-level running max over arrival order
     "docs_quantile_normalize", // rank match + linear rank->value lookup
     "text_vocab_growth",       // first-occurrence collapse + two-level prefix
-    "q_market_basket")         // basket pair join + brand-keyed stats
+    "q_market_basket",         // basket pair join + brand-keyed stats
+    "dedup_url_groups",        // canonicalize projection + one key shuffle
+    "docs_html_strip")         // projection-only boilerplate strip
 
   /** Plan-audit overrides: these queries' gated implementations read
     * memoized materialized stages (the shared-pipeline design — see

@@ -471,4 +471,27 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected the broadcast bucket equi-join: ${names.distinct.mkString(",")}")
     assertBnljOnlyTinyBroadcasts(df, "busy-window")
   }
+
+  test("url dedup: canonicalization stays a projection; one shuffle on the canonical key") {
+    val df = graft.operators.WebNormalize.urlDedupGroups(spark, SparkSuite.Sf0001)
+    df.collect()
+    val ns = nodes(df)
+    val names = ns.map(_.nodeName)
+    // per-row regex canonicalization must not introduce joins or extra
+    // exchanges: exactly the group-by shuffle + the presentation sort
+    val exchanges = names.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"expected ≤2 exchanges (agg + sort): ${names.distinct.mkString(",")}")
+    assert(!names.exists(n => n.contains("Join") || n.contains("CartesianProduct")),
+      s"url dedup must be join-free: ${names.distinct.mkString(",")}")
+    assert(names.exists(_.contains("HashAggregate")), "group-by must be a hash aggregate")
+  }
+
+  test("html strip profile: single scan, no shuffle before the presentation sort") {
+    val df = graft.operators.WebNormalize.htmlStripProfile(spark, SparkSuite.Sf0001)
+    df.collect()
+    val names = nodes(df).map(_.nodeName)
+    assert(scans(df).size == 1, "one documents scan")
+    assert(!names.exists(n => n.contains("Join") || n.contains("HashAggregate")),
+      s"per-row profile must be projection-only: ${names.distinct.mkString(",")}")
+  }
 }
