@@ -23,6 +23,8 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       // inert on the current micros fixtures; kept for nanos parquet inputs
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // sorted-bucket scans report their ordering (see GraftSession)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -22,6 +22,11 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // derive sorted output from sortBy-bucketed scans (one file per bucket):
+    // the SMJ over co-located buckets then needs neither Exchange nor Sort.
+    // Off by default since 3.0 only because it lists files at planning time
+    // — the deliberate tradeoff of a sorted-bucket warehouse layout.
+    .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     .config("spark.ui.enabled", "false")
 
   def local(threads: Int = 32): SparkSession = {

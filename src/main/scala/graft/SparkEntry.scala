@@ -156,6 +156,18 @@ object SparkEntry {
       // CC fixpoint invariants (edge-closure, min-label, partition mass)
       // as literal-TRUE booleans under the oracle
       "dedup_cluster_sizes_gate" -> (Dedup.clusterSizesGate(_, _)),
+      // round-10 depth: ANN recall eval harness, exact hourly-series
+      // autocorrelation (seasonality), Cramér's V categorical association,
+      // Flesch-Kincaid readability, and the bucketed co-located join
+      "ann_recall_eval" -> ((s, d) => Similarity.recallEval(s, d)),
+      "ann_nprobe_sweep" -> ((s, d) => Similarity.nprobeSweep(s, d)),
+      "events_autocorrelation" -> ((s, d) => EventOps.autocorrelation(s, d)),
+      "events_changepoint" -> (EventOps.changepoint(_, _)),
+      "profile_cramers_v" -> ((s, d) => ProfileQueries.cramersV(s, d)),
+      "profile_gk_lambda" -> ((s, d) => ProfileQueries.gkLambda(s, d)),
+      "text_readability" -> (TextAnalysis.readability(_, _)),
+      "q_bucketed_join" -> (RelationalExt.bucketedJoin(_, _)),
+      "dedup_banding_curve" -> ((s, d) => Dedup.bandingCurve(s, d)),
       // web front-door normalizers (round 10): URL canonicalization (the
       // per-row projection that keys crawl exact-dedup), dedup groups over
       // the canonical key, and HTML boilerplate strip + tag-density profile
@@ -479,6 +491,15 @@ object SparkEntry {
       "events_debounce" -> EventOps.debounceSummaryOracle(),
       "dedup_kcore_gate" -> Dedup.kCoreGateOracle,
       "dedup_cluster_sizes_gate" -> Dedup.clusterSizesGateOracle,
+      "ann_recall_eval" -> Similarity.recallEvalOracle(),
+      "ann_nprobe_sweep" -> Similarity.nprobeSweepOracle(),
+      "events_autocorrelation" -> EventOps.autocorrelationOracle(),
+      "events_changepoint" -> EventOps.changepointOracle,
+      "profile_cramers_v" -> ProfileQueries.cramersVOracle(),
+      "profile_gk_lambda" -> ProfileQueries.gkLambdaOracle(),
+      "text_readability" -> TextAnalysis.readabilityOracle,
+      "q_bucketed_join" -> RelationalExt.bucketedJoinOracle,
+      "dedup_banding_curve" -> Dedup.bandingCurveOracle(),
       "text_url_canonicalize" -> WebNormalize.urlCanonicalizeOracle,
       "dedup_url_groups" -> WebNormalize.urlDedupGroupsOracle,
       "docs_html_strip" -> WebNormalize.htmlStripProfileOracle,

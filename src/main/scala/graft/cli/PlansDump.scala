@@ -70,7 +70,12 @@ object PlansDump {
     "text_vocab_growth",       // first-occurrence collapse + two-level prefix
     "q_market_basket",         // basket pair join + brand-keyed stats
     "dedup_url_groups",        // canonicalize projection + one key shuffle
-    "docs_html_strip")         // projection-only boilerplate strip
+    "docs_html_strip",         // projection-only boilerplate strip
+    "q_bucketed_join",         // co-located SMJ: zero exchange/sort at the join
+    "events_autocorrelation",  // row-linear agg -> domain-bounded spine joins
+    "ann_recall_eval",         // gt + two index legs, numQueries·k-row joins
+    "dedup_banding_curve",     // 4 capped band self-joins off one sig stage
+    "profile_cramers_v")       // r×c grid margins, scalars out
 
   /** Plan-audit overrides: these queries' gated implementations read
     * memoized materialized stages (the shared-pipeline design — see

@@ -163,6 +163,19 @@ object ScaleProbe {
         replicateEvents(baseEv, s).repartition(spark.sparkContext.defaultParallelism)
           .write.mode("overwrite").parquet(s"$outRoot/x$s/events.parquet")
       }
+      // cramers_v also reads orders + documents: replicate with shifted keys
+      // (facts accumulate, categorical domains saturate — the r×c grid is
+      // FIXED while n grows, which is the claim the exponent verifies)
+      val baseOrd = spark.read.parquet(s"$baseDir/orders.parquet")
+      val baseDoc = spark.read.parquet(s"$baseDir/documents.parquet")
+      sizes.foreach { s =>
+        (0 until s).map(k => baseOrd.withColumn("o_orderkey",
+            col("o_orderkey") + lit(k * ReplicaSpacing)))
+          .reduce(_ unionAll _).repartition(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(s"$outRoot/x$s/orders.parquet")
+        replicate(baseDoc, s).repartition(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(s"$outRoot/x$s/documents.parquet")
+      }
     }
     spark.range(1000000L).selectExpr("sum(id)").collect() // JVM warm-up
 
@@ -195,7 +208,13 @@ object ScaleProbe {
     val statsBuilds = Seq[(String, String => DataFrame)](
       ("kendall_tau", d => graft.profile.ProfileQueries.kendallTau(spark, d)),
       ("gini_lineitem", d => graft.profile.ProfileQueries.giniProfile(spark, d)),
-      ("weekend_ranktest", d => graft.operators.EventOps.weekendRankTest(spark, d)))
+      ("weekend_ranktest", d => graft.operators.EventOps.weekendRankTest(spark, d)),
+      // round-10 exact statistics: the ACF runs on the dense hour spine
+      // (domain-bounded) after one row-linear partial agg; V/λ run on the
+      // fixed r×c grid after one row-linear cell count
+      ("autocorrelation", d => graft.operators.EventOps.autocorrelation(spark, d)),
+      ("cramers_v", d => graft.profile.ProfileQueries.cramersV(spark, d)),
+      ("gk_lambda", d => graft.profile.ProfileQueries.gkLambda(spark, d)))
     val builds = (if (family == "ppj") ppjBuilds
       else if (doDocs) docBuilds else Seq.empty) ++
       (if (doEmb) embBuilds else Seq.empty) ++

@@ -391,6 +391,107 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ------------------------------------------- banding calibration curve
+  /** LSH BANDING CALIBRATION — the measured S-curve tradeoff every
+    * production near-dup deployment tunes before committing a banding: with
+    * the SAME 8-hash signatures, sweep every (n_bands × band_size)
+    * factorization — (8×1) loosest … (1×8) strictest — and measure, per
+    * config: candidate volume, true pairs among candidates (exact 3-gram
+    * J ≥ 0.5), integer precision permille, and how many PLANTED near-dup
+    * pairs (doc_id + $IdOffset copies) the banding recovers. Tightening the
+    * banding must monotonically trade recall for precision; this query
+    * turns that from folklore into a regression-tested table.
+    *
+    * Scale shape: signatures come from the shared materialized stage; each
+    * config is one band self-join under the SAME [[MaxBucket]] cap policy
+    * as production candidate generation (so the curve measures the policy
+    * actually deployed), and only candidate pairs — never all pairs — are
+    * Jaccard-scored. */
+  def bandingCurve(spark: SparkSession, dir: String): DataFrame = {
+    val configs = Seq((8, 1), (4, 2), (2, 4), (1, 8)) // (n_bands, band_size)
+    val sig = sharedSignatures(spark, dir)
+    val sets = memoStage(spark, dir, "curve_sets")(shingleSets(spark, dir))
+    configs.map { case (nb, r) =>
+      val bands = (0 until nb).map { b =>
+        val parts = (0 until r).map(j => element_at(col("sig"), b * r + j + 1))
+        struct(lit(b).as("band"), md5(concat(parts: _*)).as("band_hash"))
+      }
+      val bandDf = sig.select(col("doc_id"), explode(array(bands: _*)).as("bh"))
+        .select(col("doc_id"), col("bh.band").as("band"), col("bh.band_hash").as("band_hash"))
+      val scored = cappedBucketPairs(bandDf, Seq("band", "band_hash"), tag = s"curve_${nb}x$r")
+        .join(sets.select(col("doc_id").as("id_a"), col("shd").as("sh_a")), "id_a")
+        .join(sets.select(col("doc_id").as("id_b"), col("shd").as("sh_b")), "id_b")
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))))
+      scored.agg(
+        count(lit(1)).as("n_candidates"),
+        sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("id_b") === col("id_a") + IdOffset, 1L).otherwise(0L))
+          .as("planted_found"))
+        .select(lit(nb.toLong).as("n_bands"), lit(r.toLong).as("band_size"),
+          col("n_candidates"), col("n_true"),
+          expr("""CAST(CASE WHEN n_candidates = 0 THEN 0
+                 |     ELSE n_true * 1000 div n_candidates END AS BIGINT)""".stripMargin)
+            .as("precision_permille"),
+          col("planted_found"))
+    }.reduce(_ unionAll _).orderBy("band_size")
+  }
+
+  def bandingCurveOracle(): String = {
+    val sigExprs = (0 until NumHashes)
+      .map(i => s"list_min(list_transform(sh, s -> md5('$i|' || s))) AS h$i")
+      .mkString(",\n    ")
+    val jac = "CAST(len(list_intersect(sa.shd, sb.shd)) AS DOUBLE) / " +
+      "len(list_distinct(list_concat(sa.shd, sb.shd)))"
+    def cfg(nb: Int, r: Int): String = {
+      val bandRows = (0 until nb).map { b =>
+        val parts = (0 until r).map(j => s"h${b * r + j}").mkString(" || ")
+        s"SELECT doc_id, $b AS band, md5($parts) AS band_hash FROM sig"
+      }.mkString("\n      UNION ALL\n      ")
+      s"""SELECT CAST($nb AS BIGINT) AS n_bands, CAST($r AS BIGINT) AS band_size,
+         |  count(*) AS n_candidates,
+         |  CAST(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         |  CAST(sum(CASE WHEN id_b = id_a + $IdOffset THEN 1 ELSE 0 END) AS BIGINT) AS planted_found
+         |FROM (
+         |  SELECT id_a, id_b, $jac AS jaccard
+         |  FROM (
+         |    WITH bands AS (
+         |      $bandRows
+         |    ), ${cappedPairsSql("bands", Seq("band", "band_hash"))}
+         |    SELECT id_a, id_b FROM capped
+         |  ) p
+         |  JOIN sets sa ON sa.doc_id = id_a
+         |  JOIN sets sb ON sb.doc_id = id_b
+         |)""".stripMargin
+    }
+    val unions = Seq((8, 1), (4, 2), (2, 4), (1, 8)).map(c => cfg(c._1, c._2))
+      .mkString("(\n", "\n) UNION ALL (\n", "\n)")
+    s"""WITH corpus AS (
+       |  $corpusSql
+       |), shingled AS (
+       |  SELECT doc_id,
+       |    list_transform(
+       |      range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+       |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+       |    ) AS sh
+       |  FROM corpus
+       |  WHERE len(string_split(text, ' ')) >= 3
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $sigExprs
+       |  FROM shingled
+       |), sets AS (
+       |  SELECT doc_id, list_distinct(sh) AS shd FROM shingled
+       |)
+       |SELECT n_bands, band_size, n_candidates, n_true,
+       |  CAST(CASE WHEN n_candidates = 0 THEN 0
+       |       ELSE n_true * 1000 // n_candidates END AS BIGINT) AS precision_permille,
+       |  planted_found
+       |FROM ($unions)
+       |ORDER BY band_size""".stripMargin
+  }
+
   // ------------------------------------------- pipeline build (gated)
   /** Materializes the three shared stages and reports their sizes —
     * (n_docs, n_candidates, n_verified), the numbers an operator watches

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Fixtures.table
@@ -2364,4 +2364,167 @@ object EventOps {
        |       CAST(sum(kept) AS BIGINT) AS n_kept,
        |       CAST(count(*) - sum(kept) AS BIGINT) AS n_dropped
        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------- autocorrelation (seasonality)
+  /** EXACT AUTOCORRELATION of the gap-filled hourly count series, per event
+    * type, at the lags that matter for event data (1-3 h persistence, 6/12 h
+    * harmonics, 24 h daily, 48 h, 168 h weekly) — the seasonality detector
+    * behind "is this series daily-periodic?" before anyone fits a forecast.
+    *
+    * Integer-exact cross-engine, no libm: with n dense hours and S = Σx,
+    * the centered series is scaled through by n — d_t = n·x_t − S (DECIMAL
+    * (38,0), exact at any corpus size) — so ACF(L) = Σ d_t·d_{t+L} / Σ d_t²
+    * needs no fractional mean. The ppm ratio is sign-adjusted around a
+    * single non-negative floor division (`(-num) * 1e6 div den` when num<0)
+    * because Spark's `div` truncates toward zero while DuckDB's `//` floors
+    * — they agree only on non-negative operands (the IVF-Lloyd lesson).
+    * Constant series (den = 0) are excluded rather than divided by zero.
+    *
+    * 100 TB shape: ONE scan partial-aggregates events to (type, hour)
+    * counts; everything after runs on the dense spine — types × hours rows,
+    * domain-bounded, not corpus-bounded. The 8 lag joins are hash joins on
+    * that tiny series; the spine explode is a single-row sequence(). */
+  /** (event_type, h, x): the gap-filled hourly count series over the global
+    * [min, max] hour spine — the shared input of [[autocorrelation]] and
+    * [[changepoint]]. One row-linear partial aggregate; everything after is
+    * domain-bounded (types × hours). */
+  private def denseHourly(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000
+    val ev = table(spark, dir, "events")
+      .select(col("event_type"),
+        expr(s"unix_micros(cast(ts as timestamp)) div $hourUs").as("h"))
+    val counts = ev.groupBy("event_type", "h").agg(count(lit(1)).as("x"))
+    val bounds = ev.agg(min("h").as("h0"), max("h").as("h1"))
+    val spine = bounds.select(explode(expr("sequence(h0, h1)")).as("h"))
+      .crossJoin(ev.select("event_type").distinct())
+    spine.join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"), coalesce(col("x"), lit(0L)).as("x"))
+  }
+
+  /** DuckDB twin of [[denseHourly]]: CTEs ev → counts → bounds → spine →
+    * types → dense (x cast HUGEINT). */
+  private val denseHourlySql: String =
+    s"""ev AS (
+       |  SELECT event_type, epoch_us(ts) // ${3600L * 1000000} AS h FROM events
+       |), counts AS (
+       |  SELECT event_type, h, count(*) AS x FROM ev GROUP BY 1, 2
+       |), bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev
+       |), spine AS (SELECT unnest(range(h0, h1 + 1)) AS h FROM bounds
+       |), types AS (SELECT DISTINCT event_type FROM ev
+       |), dense AS (
+       |  SELECT t.event_type, s.h, CAST(COALESCE(c.x, 0) AS HUGEINT) AS x
+       |  FROM spine s CROSS JOIN types t
+       |  LEFT JOIN counts c ON c.h = s.h AND c.event_type = t.event_type
+       |)""".stripMargin
+
+  def autocorrelation(spark: SparkSession, dir: String,
+      lags: Seq[Int] = Seq(1, 2, 3, 6, 12, 24, 48, 168)): DataFrame = {
+    import spark.implicits._
+    val dense = denseHourly(spark, dir)
+    val totals = dense.groupBy("event_type")
+      .agg(sum("x").as("s"), count(lit(1)).as("n_hours"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val d = dense.join(totals, "event_type")
+      .select(col("event_type"), col("h"),
+        (dec(col("n_hours")) * dec(col("x")) - dec(col("s"))).as("d"))
+    val dens = d.groupBy("event_type").agg(sum(col("d") * col("d")).as("den"))
+    val nums = d.as("a")
+      .crossJoin(broadcast(lags.map(_.toLong).toDF("lag")))
+      .join(d.as("b"),
+        col("b.event_type") === col("a.event_type") &&
+          col("b.h") === col("a.h") + col("lag"))
+      .groupBy(col("a.event_type").as("event_type"), col("lag"))
+      .agg(sum(col("a.d") * col("b.d")).as("num"))
+    nums.join(dens, "event_type")
+      .filter(col("den") > 0)
+      .select(col("event_type"), col("lag"),
+        expr("""CAST(CASE WHEN num < 0 THEN -((-num) * 1000000 div den)
+                |     ELSE num * 1000000 div den END AS BIGINT)""".stripMargin)
+          .as("acf_ppm"))
+      .orderBy("event_type", "lag")
+  }
+
+  def autocorrelationOracle(lags: Seq[Int] = Seq(1, 2, 3, 6, 12, 24, 48, 168)): String =
+    s"""WITH $denseHourlySql, tot AS (
+       |  SELECT event_type, sum(x) AS s, CAST(count(*) AS HUGEINT) AS n_hours
+       |  FROM dense GROUP BY 1
+       |), d AS (
+       |  SELECT dense.event_type, h, n_hours * x - s AS d
+       |  FROM dense JOIN tot ON dense.event_type = tot.event_type
+       |), dens AS (SELECT event_type, sum(d * d) AS den FROM d GROUP BY 1
+       |), lags AS (SELECT unnest([${lags.mkString(", ")}]) AS lag
+       |), nums AS (
+       |  SELECT a.event_type, lag, sum(a.d * b.d) AS num
+       |  FROM d a CROSS JOIN lags
+       |  JOIN d b ON b.event_type = a.event_type AND b.h = a.h + lag
+       |  GROUP BY 1, 2
+       |)
+       |SELECT n.event_type, CAST(lag AS BIGINT) AS lag,
+       |  CAST(CASE WHEN num < 0 THEN -((-num) * 1000000 // den)
+       |       ELSE num * 1000000 // den END AS BIGINT) AS acf_ppm
+       |FROM nums n JOIN dens USING (event_type)
+       |WHERE den > 0
+       |ORDER BY event_type, lag""".stripMargin
+
+  // ----------------------------------------------- changepoint (mean shift)
+  /** EXACT CHANGE-POINT DETECTION — binary segmentation's first split, per
+    * event type: the hour boundary t that maximizes the mean-shift scan
+    * statistic G_t = t·(n−t)·(mean_L − mean_R)² over the gap-filled hourly
+    * series. The CUSUM alarms ([[cusumAlarms]]) flag that drift happened;
+    * this locates WHERE, which is what an incident review asks first.
+    *
+    * Integer-exact: with prefix sum A_t and total S, mean_L − mean_R =
+    * (A_t·n − S·t)/(t·(n−t)), so G_t = (A_t·n − S·t)² / (t·(n−t)) — squared
+    * numerator (non-negative) floor-divided once in DECIMAL(38,0), ranked
+    * with ties to the earliest hour. Segment means reported in milli-units
+    * (non-negative floor division again). Shape: the prefix sum is one
+    * window over the domain-bounded dense series; argmax is a per-type
+    * row_number — same two-shuffle profile as every spine statistic. */
+  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dense = denseHourly(spark, dir)
+    val wCum = Window.partitionBy("event_type").orderBy("h")
+    val tot = dense.groupBy("event_type")
+      .agg(sum("x").as("s"), count(lit(1)).as("n_hours"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val g = dense
+      .withColumn("t", row_number().over(wCum).cast("bigint"))
+      .withColumn("a", sum("x").over(wCum))
+      .join(tot, "event_type")
+      .filter(col("t") < col("n_hours"))
+      .withColumn("dev",
+        dec(col("a")) * dec(col("n_hours")) - dec(col("s")) * dec(col("t")))
+      .withColumn("g_stat",
+        expr("CAST((dev * dev) div (CAST(t AS DECIMAL(38,0)) * (n_hours - t)) AS BIGINT)"))
+    val wPick = Window.partitionBy("event_type").orderBy(col("g_stat").desc, col("t"))
+    g.withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+      .select(col("event_type"), col("h").as("split_hour"), col("t"),
+        col("n_hours"), col("g_stat"),
+        expr("CAST(a * 1000 div t AS BIGINT)").as("mean_left_milli"),
+        expr("CAST((s - a) * 1000 div (n_hours - t) AS BIGINT)").as("mean_right_milli"))
+      .orderBy("event_type")
+  }
+
+  val changepointOracle: String =
+    s"""WITH $denseHourlySql, tot AS (
+       |  SELECT event_type, sum(x) AS s, CAST(count(*) AS HUGEINT) AS n_hours
+       |  FROM dense GROUP BY 1
+       |), pre AS (
+       |  SELECT d.event_type, h,
+       |    CAST(row_number() OVER (PARTITION BY d.event_type ORDER BY h) AS HUGEINT) AS t,
+       |    sum(x) OVER (PARTITION BY d.event_type ORDER BY h) AS a,
+       |    s, n_hours
+       |  FROM dense d JOIN tot ON d.event_type = tot.event_type
+       |), g AS (
+       |  SELECT event_type, h, t, n_hours, a, s,
+       |    (a * n_hours - s * t) * (a * n_hours - s * t) // (t * (n_hours - t)) AS g_stat
+       |  FROM pre WHERE t < n_hours
+       |)
+       |SELECT event_type, h AS split_hour, CAST(t AS BIGINT) AS t,
+       |  CAST(n_hours AS BIGINT) AS n_hours, CAST(g_stat AS BIGINT) AS g_stat,
+       |  CAST(a * 1000 // t AS BIGINT) AS mean_left_milli,
+       |  CAST((s - a) * 1000 // (n_hours - t) AS BIGINT) AS mean_right_milli
+       |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+       |        ORDER BY g_stat DESC, t) AS rn FROM g)
+       |WHERE rn = 1 ORDER BY event_type""".stripMargin
 }

@@ -1513,4 +1513,94 @@ object Similarity {
        |  ON f.query_id = h.query_id AND f.cand_id = h.cand_id
        |GROUP BY f.query_id ORDER BY f.query_id""".stripMargin
   }
+
+  /** RECALL@k EVALUATION HARNESS — the number every ANN deployment is
+    * tuned by: for each query, how many of the brute-force top-k does each
+    * approximate index (seed-centroid IVF, sign-LSH) return? One row per
+    * (query, method) with the hit count and integer recall permille, so
+    * quantizer/banding changes are regression-tested by value, not vibes.
+    * Queries with an empty approximate result still emit a 0-hit row (left
+    * join from the ground-truth query universe) — a silent index miss must
+    * not vanish from the report.
+    *
+    * 100 TB shape: the ground truth is one scan (broadcast query set), each
+    * index leg is its own bucketed probe (never all-pairs), and the recall
+    * join touches only numQueries·k rows — evaluation cost is index-probe
+    * cost, not corpus cost. Everything (folds, tie-breaks, integer
+    * permille) is deterministic, so the WHOLE eval sits under the DuckDB
+    * oracle like the legs themselves. */
+  def recallEval(spark: SparkSession, dir: String, numQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    val gt = cosineTopK(spark, dir, numQueries, k).select("query_id", "cand_id")
+    val legs = Seq(
+      "ivf" -> ivfTopK(spark, dir, numQueries, k).select("query_id", "cand_id"),
+      "signlsh" -> SignLsh.topK(spark, dir, numQueries, k).select("query_id", "cand_id"))
+    val queries = gt.select("query_id").distinct()
+    legs.map { case (name, leg) =>
+      val hits = gt.join(leg, Seq("query_id", "cand_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      queries.join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), lit(name).as("method"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          expr(s"CAST(coalesce(hits, 0) * 1000 div $k AS BIGINT)").as("recall_permille"))
+    }.reduce(_ unionAll _).orderBy("method", "query_id")
+  }
+
+  def recallEvalOracle(numQueries: Int = 5, k: Int = 10): String =
+    s"""WITH gt AS (
+       |  SELECT query_id, cand_id FROM (${cosineTopKOracle(numQueries, k)}) t
+       |), ivf_k AS (
+       |  SELECT query_id, cand_id FROM (${ivfTopKOracle(numQueries, k)}) t
+       |), lsh_k AS (
+       |  SELECT query_id, cand_id FROM (${SignLsh.topKOracle(numQueries, k)}) t
+       |), m AS (
+       |  SELECT 'ivf' AS method, query_id, cand_id FROM ivf_k
+       |  UNION ALL
+       |  SELECT 'signlsh' AS method, query_id, cand_id FROM lsh_k
+       |), hits AS (
+       |  SELECT m.method, m.query_id, count(*) AS h
+       |  FROM m JOIN gt USING (query_id, cand_id) GROUP BY 1, 2
+       |)
+       |SELECT q.query_id, mm.method,
+       |  CAST(coalesce(hits.h, 0) AS BIGINT) AS hits,
+       |  CAST(coalesce(hits.h, 0) * 1000 // $k AS BIGINT) AS recall_permille
+       |FROM (SELECT DISTINCT query_id FROM gt) q
+       |CROSS JOIN (SELECT 'ivf' AS method UNION ALL SELECT 'signlsh') mm
+       |LEFT JOIN hits ON hits.query_id = q.query_id AND hits.method = mm.method
+       |ORDER BY mm.method, q.query_id""".stripMargin
+
+  /** NPROBE TUNING SWEEP — the other knob [[recallEval]] doesn't touch:
+    * aggregate IVF recall@k as the probe count doubles 1→2→4→8 (of 16
+    * cells). This is THE capacity-planning curve for an IVF deployment —
+    * each probe step adds |corpus|/n_cells candidates per query, and this
+    * query prints exactly what that buys in recall, integer permille,
+    * regression-tested cross-engine. Monotone non-decreasing by
+    * construction (more probes ⊇ fewer). */
+  def nprobeSweep(spark: SparkSession, dir: String, numQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    val gt = cosineTopK(spark, dir, numQueries, k).select("query_id", "cand_id")
+    Seq(1, 2, 4, 8).map { np =>
+      gt.join(
+          ivfTopK(spark, dir, numQueries, k, nprobe = np).select("query_id", "cand_id"),
+          Seq("query_id", "cand_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(np.toLong).as("nprobe"), col("hits"),
+          expr(s"CAST(hits * 1000 div ${numQueries * k} AS BIGINT)").as("recall_permille"))
+    }.reduce(_ unionAll _).orderBy("nprobe")
+  }
+
+  def nprobeSweepOracle(numQueries: Int = 5, k: Int = 10): String = {
+    def cfg(np: Int): String =
+      s"""SELECT CAST($np AS BIGINT) AS nprobe, count(*) AS hits,
+         |  CAST(count(*) * 1000 // ${numQueries * k} AS BIGINT) AS recall_permille
+         |FROM (SELECT query_id, cand_id
+         |      FROM (${ivfTopKOracle(numQueries, k, nprobe = np)}) t) i
+         |JOIN gt USING (query_id, cand_id)""".stripMargin
+    s"""WITH gt AS (
+       |  SELECT query_id, cand_id FROM (${cosineTopKOracle(numQueries, k)}) t
+       |)
+       |SELECT * FROM (
+       |(${Seq(1, 2, 4, 8).map(cfg).mkString(")\nUNION ALL\n(")})
+       |) ORDER BY nprobe""".stripMargin
+  }
 }

@@ -42,6 +42,43 @@ object TextAnalysis {
       |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS bpe_ish_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** READABILITY — integer-exact Flesch-Kincaid grade per document, the
+    * classic audience-level filter in corpus curation (alongside Gopher
+    * rules and quality scores). Heuristic counts, all from shared-dialect
+    * regexes: words = alpha runs, sentences = terminal-punct marks,
+    * syllables = vowel-group runs ([aeiouyAEIOUY]+ — deliberately includes
+    * uppercase in the class instead of lower()ing, so no engine's Unicode
+    * case table is involved). FK grade = 0.39·(w/s) + 11.8·(y/w) − 15.59,
+    * held in centi-units with each term floor-divided independently
+    * (`(39·w) div s + (1180·y) div w − 1559`) — every division is
+    * non-negative, so Spark `div` ≡ DuckDB `//` and the score is
+    * bit-identical cross-engine. One scan, per-row projection, codegen'd
+    * regex — the 100 TB cost is the scan. */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        greatest(expr("regexp_count(text, '[A-Za-z]+')").cast("bigint"), lit(1L))
+          .as("n_words"),
+        greatest(expr("regexp_count(text, '[.!?]')").cast("bigint"), lit(1L))
+          .as("n_sentences"),
+        expr("regexp_count(text, '[aeiouyAEIOUY]+')").cast("bigint").as("n_syllables"))
+      .withColumn("fk_centi",
+        expr("""CAST((39 * n_words) div n_sentences
+               |  + (1180 * n_syllables) div n_words - 1559 AS BIGINT)""".stripMargin))
+      .orderBy("doc_id")
+
+  val readabilityOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1) AS n_words,
+      |    greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS n_sentences,
+      |    len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS n_syllables
+      |  FROM documents)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  CAST((39 * n_words) // n_sentences
+      |    + (1180 * n_syllables) // n_words - 1559 AS BIGINT) AS fk_centi
+      |FROM m ORDER BY doc_id""".stripMargin
+
   private val StopEn = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
 
   /** Reusable per-row quality gate (shared by [[qualityScores]] and

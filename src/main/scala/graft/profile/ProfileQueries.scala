@@ -1814,4 +1814,126 @@ object ProfileQueries {
        |SELECT $groupCol, count(*) AS n_values, CAST(sum(c) AS BIGINT) AS total,
        |  CAST(sum(c * c) * 100000000 // (sum(c) * sum(c)) AS BIGINT) AS hhi_e8
        |FROM c GROUP BY $groupCol ORDER BY $groupCol""".stripMargin
+
+  // ----------------------------------------- categorical association (χ²/V)
+  /** The column pairs [[cramersV]] profiles: low-cardinality categorical
+    * columns whose dependence a profiler should surface (status×priority,
+    * flag×status, lang×source). One definition drives query and oracle. */
+  private val cramersPairs: Seq[(String, String, String)] = Seq(
+    ("orders", "o_orderstatus", "o_orderpriority"),
+    ("lineitem", "l_returnflag", "l_linestatus"),
+    ("documents", "lang", "source"))
+
+  /** CRAMÉR'S V — the categorical-categorical association profile (the
+    * nominal twin of the Pearson/Spearman/Kendall numeric suite): for each
+    * low-cardinality column pair, the Pearson χ² statistic and V² =
+    * χ²/(n·min(r−1, c−1)), both as exact floor-division integers.
+    *
+    * Integer-exact, no libm: per contingency cell, the χ² contribution
+    * (o−e)²/e is multiplied through by n — (n·o_ij − r_i·c_j)² / (n·r_i·c_j)
+    * — and each cell's term is floored at ppm scale in DECIMAL(38,0)
+    * (`(n·o−r·c)²·10⁶ div (n·r·c)`, all operands non-negative so Spark `div`
+    * ≡ DuckDB `//`), then summed exactly: `chi2_ppm` is a deterministic
+    * χ²·10⁶ lower bound within one ulp per cell on BOTH engines. Magnitudes:
+    * n⁴·10⁶ — inside DECIMAL(38,0)/HUGEINT up to n ≈ 3·10⁷ rows; past that
+    * the ppm scale (not the statistic) must drop, which a 100 TB deployment
+    * does by profiling per-partition samples anyway.
+    *
+    * 100 TB shape: ONE scan per table partial-aggregates to the r×c cell
+    * grid (≤ tens of rows); margins and the V² division run on that grid.
+    * No shuffle touches row-level data after the cell count. */
+  def cramersV(spark: SparkSession, dir: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    cramersPairs.map { case (t, a, b) =>
+      val cells = Fixtures.table(spark, dir, t)
+        .groupBy(col(a).as("va"), col(b).as("vb"))
+        .agg(count(lit(1)).as("o"))
+      val rows = cells.groupBy("va").agg(sum("o").as("r"))
+      val cols_ = cells.groupBy("vb").agg(sum("o").as("c"))
+      val tot = cells.agg(sum("o").as("n"),
+        countDistinct("va").as("r_card"), countDistinct("vb").as("c_card"))
+      cells.join(rows, "va").join(cols_, "vb").crossJoin(broadcast(tot))
+        .withColumn("dev", dec(col("n")) * dec(col("o")) - dec(col("r")) * dec(col("c")))
+        .withColumn("term",
+          expr("(dev * dev * 1000000) div (CAST(n AS DECIMAL(38,0)) * r * c)"))
+        .groupBy("n", "r_card", "c_card")
+        .agg(sum("term").as("chi2_ppm_d"))
+        .select(
+          lit(t).as("tbl"), lit(a).as("col_a"), lit(b).as("col_b"),
+          col("n"), col("r_card"), col("c_card"),
+          expr("CAST(chi2_ppm_d AS BIGINT)").as("chi2_ppm"),
+          expr("""CAST((chi2_ppm_d * 1000) div
+                 |  (CAST(n AS DECIMAL(38,0)) * least(r_card - 1, c_card - 1))
+                 |  AS BIGINT)""".stripMargin).as("v2_ppb"))
+    }.reduce(_ unionAll _).orderBy("tbl", "col_a")
+  }
+
+  def cramersVOracle(): String =
+    cramersPairs.map { case (t, a, b) =>
+      s"""SELECT tbl, col_a, col_b,
+         |  CAST(n AS BIGINT) AS n, CAST(r_card AS BIGINT) AS r_card,
+         |  CAST(c_card AS BIGINT) AS c_card,
+         |  CAST(chi2_ppm_d AS BIGINT) AS chi2_ppm,
+         |  CAST(chi2_ppm_d * 1000 // (n * least(r_card - 1, c_card - 1)) AS BIGINT) AS v2_ppb
+         |FROM (
+         |  SELECT '$t' AS tbl, '$a' AS col_a, '$b' AS col_b,
+         |    any_value(n) AS n, any_value(r_card) AS r_card, any_value(c_card) AS c_card,
+         |    sum((n * o - r * c) * (n * o - r * c) * 1000000 // (n * r * c)) AS chi2_ppm_d
+         |  FROM (
+         |    SELECT o, n, r_card, c_card,
+         |      sum(o) OVER (PARTITION BY va) AS r,
+         |      sum(o) OVER (PARTITION BY vb) AS c
+         |    FROM (
+         |      SELECT va, vb, CAST(count(*) AS HUGEINT) AS o FROM
+         |        (SELECT $a AS va, $b AS vb FROM $t) GROUP BY 1, 2
+         |    ) cells
+         |    CROSS JOIN (
+         |      SELECT CAST(count(*) AS HUGEINT) AS n,
+         |        CAST(count(DISTINCT $a) AS HUGEINT) AS r_card,
+         |        CAST(count(DISTINCT $b) AS HUGEINT) AS c_card
+         |      FROM $t)
+         |  )
+         |)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY tbl, col_a")
+
+  /** GOODMAN–KRUSKAL LAMBDA — the proportional-reduction-in-error partner
+    * of [[cramersV]]: λ_{b|a} = (Σ_i max_j o_ij − max_j c_j)/(n − max_j c_j)
+    * answers "knowing column a, how much better do I guess column b?" —
+    * directional, where V is symmetric, and PURE integer (counts, maxima,
+    * one non-negative floor division to ppm): no decimal routing at all.
+    * Both directions per pair; same shared pair list, so V and λ can never
+    * profile different columns. 100 TB shape: identical to V — one scan to
+    * the r×c grid, margins on the grid, scalars out. */
+  def gkLambda(spark: SparkSession, dir: String): DataFrame =
+    cramersPairs.map { case (t, a, b) =>
+      val cells = Fixtures.table(spark, dir, t)
+        .groupBy(col(a).as("va"), col(b).as("vb")).agg(count(lit(1)).as("o"))
+      val s1 = cells.groupBy("va").agg(max("o").as("rmax"), sum("o").as("r"))
+        .agg(sum("rmax").as("sum_rowmax"), max("r").as("max_r"), sum("r").as("n"))
+      val s2 = cells.groupBy("vb").agg(max("o").as("cmax"), sum("o").as("c"))
+        .agg(sum("cmax").as("sum_colmax"), max("c").as("max_c"))
+      s1.crossJoin(broadcast(s2)).select(
+        lit(t).as("tbl"), lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+        expr("CAST((sum_rowmax - max_c) * 1000000 div (n - max_c) AS BIGINT)")
+          .as("lambda_ab_ppm"),
+        expr("CAST((sum_colmax - max_r) * 1000000 div (n - max_r) AS BIGINT)")
+          .as("lambda_ba_ppm"))
+    }.reduce(_ unionAll _).orderBy("tbl")
+
+  def gkLambdaOracle(): String =
+    cramersPairs.map { case (t, a, b) =>
+      def cellsSql =
+        s"(SELECT $a AS va, $b AS vb, CAST(count(*) AS HUGEINT) AS o FROM $t GROUP BY 1, 2)"
+      s"""SELECT '$t' AS tbl, '$a' AS col_a, '$b' AS col_b,
+         |  CAST(n AS BIGINT) AS n,
+         |  CAST((sum_rowmax - max_c) * 1000000 // (n - max_c) AS BIGINT) AS lambda_ab_ppm,
+         |  CAST((sum_colmax - max_r) * 1000000 // (n - max_r) AS BIGINT) AS lambda_ba_ppm
+         |FROM (
+         |  SELECT sum(rmax) AS sum_rowmax, max(r) AS max_r, sum(r) AS n
+         |  FROM (SELECT va, max(o) AS rmax, sum(o) AS r FROM $cellsSql GROUP BY va)
+         |) CROSS JOIN (
+         |  SELECT sum(cmax) AS sum_colmax, max(c) AS max_c
+         |  FROM (SELECT vb, max(o) AS cmax, sum(o) AS c FROM $cellsSql GROUP BY vb)
+         |)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY tbl")
 }

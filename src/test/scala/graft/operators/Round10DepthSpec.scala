@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+import graft.profile.ProfileQueries
+
+/** Round-10 depth operators, each verified against an ORACLE-INDEPENDENT
+  * recompute (plain Scala BigInt / java.util.regex over the raw fixture) so
+  * the DuckDB gate is the second check, not the only one.
+  */
+class Round10DepthSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  val dir = SparkSuite.Sf0001
+
+  test("recall eval rows are the exact intersections of the public legs") {
+    val rows = Similarity.recallEval(spark, dir).collect()
+    assert(rows.length == 10, s"expected 5 queries x 2 methods, got ${rows.length}")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gt = pairs(Similarity.cosineTopK(spark, dir, 5, 10))
+    val legs = Map(
+      "ivf" -> pairs(Similarity.ivfTopK(spark, dir, 5, 10)),
+      "signlsh" -> pairs(Similarity.SignLsh.topK(spark, dir, 5, 10)))
+    rows.foreach { r =>
+      val (q, m, hits, perm) = (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
+      val expect = gt.count(p => p._1 == q && legs(m).contains(p))
+      assert(hits == expect, s"query $q method $m: hits $hits != $expect")
+      assert(perm == hits * 1000 / 10)
+    }
+    // the harness is only useful if it measures something non-trivial: at
+    // least one method must recover at least one true neighbor
+    assert(rows.map(_.getLong(2)).sum > 0, "all legs scored zero recall")
+  }
+
+  test("autocorrelation matches a BigInt recompute of the dense hourly series") {
+    val got = EventOps.autocorrelation(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val h0 = ev.map(_._2).min
+    val n = (ev.map(_._2).max - h0 + 1).toInt
+    var checked = 0
+    ev.map(_._1).distinct.foreach { t =>
+      val xs = Array.fill(n)(0L)
+      ev.filter(_._1 == t).foreach { case (_, h) => xs((h - h0).toInt) += 1 }
+      val s = BigInt(xs.sum)
+      val d = xs.map(x => BigInt(n) * x - s)
+      val den = d.map(v => v * v).sum
+      Seq(1, 2, 3, 6, 12, 24, 48, 168).filter(l => den > 0 && l < n).foreach { lag =>
+        val num = (0 until n - lag).map(i => d(i) * d(i + lag)).sum
+        val expect = if (num < 0) -((-num) * 1000000 / den) else num * 1000000 / den
+        assert(got.get((t, lag.toLong)).contains(expect.toLong),
+          s"$t lag=$lag: got ${got.get((t, lag.toLong))}, want $expect")
+        checked += 1
+      }
+    }
+    assert(checked == got.size, s"recompute covered $checked of ${got.size} rows")
+  }
+
+  test("changepoint matches a BigInt argmax over the dense hourly prefix sums") {
+    val got = EventOps.changepoint(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val h0 = ev.map(_._2).min
+    val n = (ev.map(_._2).max - h0 + 1).toInt
+    ev.map(_._1).distinct.foreach { t =>
+      val xs = Array.fill(n)(0L)
+      ev.filter(_._1 == t).foreach { case (_, h) => xs((h - h0).toInt) += 1 }
+      val s = BigInt(xs.sum)
+      var a = BigInt(0)
+      val cands = (1 until n).map { tt =>
+        a += xs(tt - 1)
+        val dev = a * n - s * tt
+        (tt, a, dev * dev / (BigInt(tt) * (n - tt)))
+      }
+      val (bt, ba, bg) = cands.maxBy { case (tt, _, gg) => (gg, BigInt(-tt)) }
+      val expect = (h0 + bt - 1, bt.toLong, n.toLong, bg.toLong,
+        (ba * 1000 / bt).toLong, ((s - ba) * 1000 / (n - bt)).toLong)
+      assert(got(t) == expect, s"$t: got ${got(t)}, want $expect")
+    }
+  }
+
+  test("cramers V matches a BigInt recompute of the contingency tables") {
+    val got = ProfileQueries.cramersV(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    Seq(("orders", "o_orderstatus", "o_orderpriority"),
+      ("lineitem", "l_returnflag", "l_linestatus"),
+      ("documents", "lang", "source")).foreach { case (t, a, b) =>
+      val cells = spark.read.parquet(s"$dir/$t.parquet").groupBy(a, b).count()
+        .collect().map(r => ((r.get(0).toString, r.get(1).toString), r.getLong(2)))
+      val nTot = BigInt(cells.map(_._2).sum)
+      val rM = cells.groupBy(_._1._1).map { case (k, cs) => k -> BigInt(cs.map(_._2).sum) }
+      val cM = cells.groupBy(_._1._2).map { case (k, cs) => k -> BigInt(cs.map(_._2).sum) }
+      val chi = cells.map { case ((va, vb), o) =>
+        val dev = nTot * o - rM(va) * cM(vb)
+        dev * dev * 1000000 / (nTot * rM(va) * cM(vb))
+      }.sum
+      val v2 = chi * 1000 / (nTot * BigInt(math.min(rM.size, cM.size) - 1))
+      assert(got(t) == ((nTot.toLong, rM.size.toLong, cM.size.toLong, chi.toLong, v2.toLong)),
+        s"$t($a,$b): got ${got(t)}")
+      // V^2 is a normalized association: inside [0, 1] in ppb
+      assert(v2 >= 0 && v2 <= BigInt(1000000000), s"$t v2_ppb=$v2 out of range")
+    }
+  }
+
+  test("nprobe sweep is monotone and its np=4 row equals recallEval's ivf total") {
+    val rows = Similarity.nprobeSweep(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set(1L, 2L, 4L, 8L))
+    // more probes can only add candidates: recall is non-decreasing
+    Seq(1L -> 2L, 2L -> 4L, 4L -> 8L).foreach { case (lo, hi) =>
+      assert(rows(lo)._1 <= rows(hi)._1, s"recall regressed $lo→$hi: $rows")
+    }
+    rows.foreach { case (_, (hits, perm)) =>
+      assert(hits >= 0 && hits <= 50 && perm == hits * 1000 / 50)
+    }
+    val ivfTotal = Similarity.recallEval(spark, dir).collect()
+      .filter(_.getString(1) == "ivf").map(_.getLong(2)).sum
+    assert(rows(4L)._1 == ivfTotal, "np=4 must equal recallEval's default-ivf hits")
+  }
+
+  test("gk lambda matches a BigInt recompute of the contingency tables") {
+    val got = ProfileQueries.gkLambda(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    Seq(("orders", "o_orderstatus", "o_orderpriority"),
+      ("lineitem", "l_returnflag", "l_linestatus"),
+      ("documents", "lang", "source")).foreach { case (t, a, b) =>
+      val cells = spark.read.parquet(s"$dir/$t.parquet").groupBy(a, b).count()
+        .collect().map(r => ((r.get(0).toString, r.get(1).toString), r.getLong(2)))
+      val n = cells.map(_._2).sum
+      val byRow = cells.groupBy(_._1._1).view.mapValues(_.map(_._2)).toMap
+      val byCol = cells.groupBy(_._1._2).view.mapValues(_.map(_._2)).toMap
+      val maxC = byCol.values.map(_.sum).max
+      val maxR = byRow.values.map(_.sum).max
+      val lamAb = (byRow.values.map(_.max).sum - maxC) * 1000000L / (n - maxC)
+      val lamBa = (byCol.values.map(_.max).sum - maxR) * 1000000L / (n - maxR)
+      assert(got(t) == ((n, lamAb, lamBa)), s"$t($a,$b): got ${got(t)}, want ($n,$lamAb,$lamBa)")
+      assert(lamAb >= 0 && lamAb <= 1000000 && lamBa >= 0 && lamBa <= 1000000)
+    }
+  }
+
+  test("banding curve matches a Scala recompute of the capped band self-join") {
+    val got = Dedup.bandingCurve(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == Set((8L, 1L), (4L, 2L), (2L, 4L), (1L, 8L)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Dedup.corpusWithNearDups(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val shd = docs.map { case (id, sh) => id -> sh.toSet }.toMap
+    val sigs = docs.map { case (id, sh) =>
+      id -> (0 until 8).map(i => sh.map(s => md5hex(s"$i|$s")).min)
+    }
+    got.keys.foreach { case (nb, r) =>
+      val buckets = sigs.flatMap { case (id, sig) =>
+        (0 until nb.toInt).map { b =>
+          (b, md5hex((0 until r.toInt).map(j => sig(b * r.toInt + j)).mkString)) -> id
+        }
+      }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+      val pairs = buckets.values.flatMap { ids =>
+        val dense = ids.take(Dedup.MaxBucket)
+        val densePairs = for {
+          i <- dense.indices; j <- i + 1 until dense.size
+        } yield (dense(i), dense(j))
+        densePairs ++ ids.drop(Dedup.MaxBucket).map(x => (ids.head, x))
+      }.toSet
+      val jacs = pairs.toSeq.map { case (a, b) =>
+        (a, b, (shd(a) & shd(b)).size.toDouble / (shd(a) | shd(b)).size)
+      }
+      val nc = jacs.size.toLong
+      val nt = jacs.count(_._3 >= 0.5).toLong
+      val pf = jacs.count(p => p._2 == p._1 + Dedup.IdOffset).toLong
+      val prec = if (nc == 0) 0L else nt * 1000 / nc
+      assert(got((nb, r)) == ((nc, nt, prec, pf)),
+        s"config ${nb}x$r: got ${got((nb, r))}, want ($nc,$nt,$prec,$pf)")
+    }
+  }
+
+  test("readability counts match java.util.regex over the raw text") {
+    import java.util.regex.Pattern
+    def cnt(p: Pattern, s: String): Long = {
+      val m = p.matcher(s); var c = 0L; while (m.find()) c += 1; c
+    }
+    val (pw, ps, py) = (Pattern.compile("[A-Za-z]+"),
+      Pattern.compile("[.!?]"), Pattern.compile("[aeiouyAEIOUY]+"))
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextAnalysis.readability(spark, dir).collect()
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val text = texts(r.getLong(0))
+      val (w, s, y) = (math.max(cnt(pw, text), 1L), math.max(cnt(ps, text), 1L),
+        cnt(py, text))
+      assert(r.getLong(1) == w && r.getLong(2) == s && r.getLong(3) == y,
+        s"doc ${r.getLong(0)}: counts (${r.getLong(1)},${r.getLong(2)},${r.getLong(3)}) != ($w,$s,$y)")
+      assert(r.getLong(4) == 39 * w / s + 1180 * y / w - 1559)
+    }
+  }
+}

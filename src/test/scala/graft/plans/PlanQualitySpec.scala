@@ -494,4 +494,32 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!names.exists(n => n.contains("Join") || n.contains("HashAggregate")),
       s"per-row profile must be projection-only: ${names.distinct.mkString(",")}")
   }
+
+  test("bucketed join: no exchange and no sort feeds the sort-merge join") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val df = graft.operators.RelationalExt.bucketedJoin(spark, SparkSuite.Sf0001)
+    df.collect()
+    val smjs = nodes(df).collect { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty, s"expected a sort-merge join over the bucketed tables: " +
+      s"${nodes(df).map(_.nodeName).distinct.mkString(",")}")
+    val bad = smjs.flatMap(j => allNodes(j).filterNot(_ eq j)).filter {
+      case _: SortExec => true
+      case _: ShuffleExchangeLike => true
+      case _ => false
+    }
+    assert(bad.isEmpty,
+      s"bucketed SMJ inputs must be exchange/sort-free, found: ${bad.map(_.nodeName).mkString(",")}")
+    // and the co-located join computes the same answer as the plain join
+    val li = spark.read.parquet(s"${SparkSuite.Sf0001}/lineitem.parquet")
+    val o = spark.read.parquet(s"${SparkSuite.Sf0001}/orders.parquet")
+    val plain = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy("o_orderpriority").collect().map(_.toSeq).toSeq
+    assert(df.collect().map(_.toSeq).toSeq == plain)
+  }
 }
