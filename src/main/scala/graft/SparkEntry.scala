@@ -167,6 +167,8 @@ object SparkEntry {
       "profile_gk_lambda" -> ((s, d) => ProfileQueries.gkLambda(s, d)),
       "text_readability" -> (TextAnalysis.readability(_, _)),
       "q_bucketed_join" -> (RelationalExt.bucketedJoin(_, _)),
+      "q_partition_pruned" -> (PartitionedTables.partitionPruned(_, _)),
+      "q_dynamic_partition_pruning" -> (PartitionedTables.dppJoin(_, _)),
       "dedup_banding_curve" -> ((s, d) => Dedup.bandingCurve(s, d)),
       // web front-door normalizers (round 10): URL canonicalization (the
       // per-row projection that keys crawl exact-dedup), dedup groups over
@@ -499,6 +501,8 @@ object SparkEntry {
       "profile_gk_lambda" -> ProfileQueries.gkLambdaOracle(),
       "text_readability" -> TextAnalysis.readabilityOracle,
       "q_bucketed_join" -> RelationalExt.bucketedJoinOracle,
+      "q_partition_pruned" -> PartitionedTables.partitionPrunedOracle,
+      "q_dynamic_partition_pruning" -> PartitionedTables.dppJoinOracle,
       "dedup_banding_curve" -> Dedup.bandingCurveOracle(),
       "text_url_canonicalize" -> WebNormalize.urlCanonicalizeOracle,
       "dedup_url_groups" -> WebNormalize.urlDedupGroupsOracle,

@@ -72,6 +72,8 @@ object PlansDump {
     "dedup_url_groups",        // canonicalize projection + one key shuffle
     "docs_html_strip",         // projection-only boilerplate strip
     "q_bucketed_join",         // co-located SMJ: zero exchange/sort at the join
+    "q_partition_pruned",      // static date predicate -> 7/30 dirs scanned
+    "q_dynamic_partition_pruning", // dim filter prunes fact scan at runtime
     "events_autocorrelation",  // row-linear agg -> domain-bounded spine joins
     "ann_recall_eval",         // gt + two index legs, numQueries·k-row joins
     "dedup_banding_curve",     // 4 capped band self-joins off one sig stage

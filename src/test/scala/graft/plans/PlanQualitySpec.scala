@@ -522,4 +522,24 @@ class PlanQualitySpec extends AnyFunSuite {
       .orderBy("o_orderpriority").collect().map(_.toSeq).toSeq
     assert(df.collect().map(_.toSeq).toSeq == plain)
   }
+
+  test("static partition pruning reads 7 of the 30 date directories") {
+    val df = graft.operators.PartitionedTables.partitionPruned(spark, SparkSuite.Sf0001)
+    df.collect()
+    val scan = scans(df).head
+    assert(scan.partitionFilters.nonEmpty, "date predicate must be a partition filter")
+    assert(scan.metadata.get("PartitionFilters").exists(_.contains("event_date")),
+      s"PartitionFilters=${scan.metadata.get("PartitionFilters")}")
+    assert(scan.selectedPartitions.partitionCount == 7,
+      s"expected 7 pruned partitions, got ${scan.selectedPartitions.partitionCount}")
+  }
+
+  test("dim-side day filter prunes the fact scan via dynamic partition pruning") {
+    val df = graft.operators.PartitionedTables.dppJoin(spark, SparkSuite.Sf0001)
+    df.collect()
+    val scan = scans(df).find(_.metadata.get("Location").exists(_.contains("graft_events_byday")))
+      .getOrElse(fail("no partitioned events scan in plan"))
+    assert(scan.partitionFilters.exists(_.toString.contains("dynamicpruning")),
+      s"expected dynamicpruningexpression, got ${scan.partitionFilters.mkString(";")}")
+  }
 }
