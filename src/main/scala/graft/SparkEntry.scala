@@ -203,6 +203,8 @@ object SparkEntry {
       // sequential Poisson PPS sampling (Ohlsson 1998) over documents
       "docs_pps_sample" -> ((s, d) => TextAnalysis.ppsSample(s, d)),
       "docs_pps_stratified" -> ((s, d) => TextAnalysis.ppsStratified(s, d)),
+      "docs_pps_ht_gate" -> ((s, d) => TextAnalysis.ppsHtGate(s, d)),
+      "events_seasonal_backtest" -> (EventOps.seasonalBacktest(_, _)),
       // posting-list build: term -> df + capped sorted doc list
       "text_inverted_index" -> ((s, d) => TextAnalysis.invertedIndexDigest(s, d)),
       // native Aho-Corasick multi-literal containment screen
@@ -524,6 +526,8 @@ object SparkEntry {
       "profile_weighted_percentiles" -> ProfileQueries.weightedPercentilesOracle(),
       "docs_pps_sample" -> TextAnalysis.ppsSampleOracle(),
       "docs_pps_stratified" -> TextAnalysis.ppsStratifiedOracle(),
+      "docs_pps_ht_gate" -> TextAnalysis.ppsHtGateOracle(),
+      "events_seasonal_backtest" -> EventOps.seasonalBacktestOracle,
       "text_inverted_index" -> TextAnalysis.invertedIndexDigestOracle(),
       "text_phrase_screen" -> TextAnalysis.phraseScreenOracle,
       "events_transition_matrix" -> EventOps.transitionMatrixOracle,

@@ -2527,4 +2527,70 @@ object EventOps {
        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
        |        ORDER BY g_stat DESC, t) AS rn FROM g)
        |WHERE rn = 1 ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------- seasonal forecast backtest
+  /** FORECAST BACKTEST — the evaluation loop behind every capacity
+    * forecast: score the seasonal-naive predictor (x̂_t = x_{t−168}, "same
+    * hour last week") against the 1-step naive baseline (x̂_t = x_{t−1})
+    * over the gap-filled hourly series, per event type. Reports MAE in
+    * milli-events, signed bias, and the skill score
+    * (MAE_naive − MAE_seasonal)/MAE_naive in permille — positive skill =
+    * the weekly pattern is real and exploitable, the go/no-go number for
+    * shipping a seasonal forecast at all.
+    *
+    * Integer-exact: absolute errors are integer counts summed in
+    * DECIMAL(38,0); every division is floored on non-negative operands,
+    * with the signed bias/skill routed through the sign-adjusted form
+    * (negate after abs-division) so Spark `div` ≡ DuckDB `//`. Shape: two
+    * lag windows over the domain-bounded spine — nothing row-scale after
+    * the one partial aggregate. */
+  def seasonalBacktest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dense = denseHourly(spark, dir)
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    dense
+      .withColumn("f168", lag("x", 168).over(w))
+      .withColumn("f1", lag("x", 1).over(w))
+      .filter(col("f168").isNotNull)
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n_test"),
+        sum(dec(abs(col("x") - col("f168")))).as("ae168"),
+        sum(dec(abs(col("x") - col("f1")))).as("ae1"),
+        sum(dec(col("x") - col("f168"))).as("bias_sum"))
+      .select(col("event_type"), col("n_test"),
+        expr("CAST(ae168 * 1000 div n_test AS BIGINT)").as("mae_seasonal_milli"),
+        expr("CAST(ae1 * 1000 div n_test AS BIGINT)").as("mae_naive_milli"),
+        expr("""CAST(CASE WHEN bias_sum < 0 THEN -((-bias_sum) * 1000 div n_test)
+               |     ELSE bias_sum * 1000 div n_test END AS BIGINT)""".stripMargin)
+          .as("bias_milli"),
+        expr("""CAST(CASE WHEN ae1 = 0 THEN 0
+               |     WHEN ae1 >= ae168 THEN (ae1 - ae168) * 1000 div ae1
+               |     ELSE -((ae168 - ae1) * 1000 div ae1) END AS BIGINT)""".stripMargin)
+          .as("skill_permille"))
+      .orderBy("event_type")
+  }
+
+  val seasonalBacktestOracle: String =
+    s"""WITH $denseHourlySql, lagged AS (
+       |  SELECT event_type, x,
+       |    lag(x, 168) OVER (PARTITION BY event_type ORDER BY h) AS f168,
+       |    lag(x, 1) OVER (PARTITION BY event_type ORDER BY h) AS f1
+       |  FROM dense
+       |), agg AS (
+       |  SELECT event_type, count(*) AS n_test,
+       |    sum(abs(x - f168)) AS ae168,
+       |    sum(abs(x - f1)) AS ae1,
+       |    sum(x - f168) AS bias_sum
+       |  FROM lagged WHERE f168 IS NOT NULL GROUP BY event_type
+       |)
+       |SELECT event_type, n_test,
+       |  CAST(ae168 * 1000 // n_test AS BIGINT) AS mae_seasonal_milli,
+       |  CAST(ae1 * 1000 // n_test AS BIGINT) AS mae_naive_milli,
+       |  CAST(CASE WHEN bias_sum < 0 THEN -((-bias_sum) * 1000 // n_test)
+       |       ELSE bias_sum * 1000 // n_test END AS BIGINT) AS bias_milli,
+       |  CAST(CASE WHEN ae1 = 0 THEN 0
+       |       WHEN ae1 >= ae168 THEN (ae1 - ae168) * 1000 // ae1
+       |       ELSE -((ae168 - ae1) * 1000 // ae1) END AS BIGINT) AS skill_permille
+       |FROM agg ORDER BY event_type""".stripMargin
 }

@@ -2014,6 +2014,82 @@ object TextAnalysis {
       .orderBy("lang", "rk")
   }
 
+  /** HORVITZ–THOMPSON ESTIMATION GATE — the reason PPS sampling exists:
+    * from the k-doc [[ppsSample]], estimate corpus totals with
+    * inverse-inclusion weights (π_i ≈ min(1, k·w_i/W)) and report the
+    * relative error against the true totals, all in exact integer
+    * arithmetic (1/π held in ppm, floor divisions on non-negative
+    * operands). The char-total estimate is tight BY CONSTRUCTION
+    * (w_i·(W/(k·w_i)) = W/k per draw — the PPS self-normalizing property,
+    * up to π-capping and floors); the doc-count estimate carries real
+    * design variance and its tolerance documents it. `chars_ok`/`docs_ok`
+    * are computed in-query — the spec asserts them TRUE at both fixture
+    * SFs; the oracle pins every number bit-exactly.
+    *
+    * 100 TB shape: one scan for the totals, the TakeOrdered sample, and a
+    * k-row estimator — the audit costs the profile scan, nothing more. */
+  def ppsHtGate(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val tot = table(spark, dir, "documents")
+      .agg(sum(dec(greatest(col("n_chars"), lit(1L)))).as("true_chars"),
+        count(lit(1)).as("true_docs"))
+    ppsSample(spark, dir, k)
+      .select(greatest(col("n_chars"), lit(1L)).as("w"))
+      .crossJoin(broadcast(tot))
+      .withColumn("inv_ppm",
+        expr(s"""CAST(CASE WHEN $k * CAST(w AS DECIMAL(38,0)) >= true_chars
+                |     THEN 1000000
+                |     ELSE (true_chars * 1000000) div ($k * w) END AS BIGINT)""".stripMargin))
+      .groupBy("true_chars", "true_docs")
+      .agg(count(lit(1)).as("n_sample"),
+        sum(expr("CAST(w AS DECIMAL(38,0)) * inv_ppm")).as("wsum"),
+        sum(dec(col("inv_ppm"))).as("isum"))
+      .select(col("n_sample"),
+        expr("CAST(true_docs AS BIGINT)").as("true_docs"),
+        expr("CAST(isum div 1000 AS BIGINT)").as("est_docs_milli"),
+        expr("""CAST((greatest(isum div 1000, true_docs * 1000)
+               |  - least(isum div 1000, true_docs * 1000)) div true_docs AS BIGINT)"""
+          .stripMargin).as("err_docs_permille"),
+        expr("CAST(true_chars AS BIGINT)").as("true_chars"),
+        expr("CAST(wsum div 1000000 AS BIGINT)").as("est_chars"),
+        expr("""CAST((greatest(wsum div 1000000, true_chars)
+               |  - least(wsum div 1000000, true_chars)) * 1000 div true_chars AS BIGINT)"""
+          .stripMargin).as("err_chars_permille"))
+      .withColumn("chars_ok", col("err_chars_permille") <= 20)
+      .withColumn("docs_ok", col("err_docs_permille") <= 300)
+  }
+
+  def ppsHtGateOracle(k: Int = 100): String =
+    s"""WITH tot AS (
+       |  SELECT CAST(sum(GREATEST(n_chars, 1)) AS HUGEINT) AS true_chars,
+       |         count(*) AS true_docs
+       |  FROM documents
+       |), sample AS (
+       |  SELECT GREATEST(n_chars, 1) AS w FROM (${ppsSampleOracle(k).linesIterator.mkString("\n|    ")}) s
+       |), est AS (
+       |  SELECT count(*) AS n_sample, any_value(true_chars) AS true_chars,
+       |    any_value(true_docs) AS true_docs,
+       |    sum(CAST(w AS HUGEINT) * inv_ppm) AS wsum, sum(inv_ppm) AS isum
+       |  FROM (
+       |    SELECT w, true_chars, true_docs,
+       |      CASE WHEN $k * CAST(w AS HUGEINT) >= true_chars THEN 1000000
+       |           ELSE (true_chars * 1000000) // ($k * w) END AS inv_ppm
+       |    FROM sample CROSS JOIN tot)
+       |)
+       |SELECT *, err_chars_permille <= 20 AS chars_ok, err_docs_permille <= 300 AS docs_ok
+       |FROM (
+       |  SELECT n_sample,
+       |    CAST(true_docs AS BIGINT) AS true_docs,
+       |    CAST(isum // 1000 AS BIGINT) AS est_docs_milli,
+       |    CAST((greatest(isum // 1000, true_docs * 1000)
+       |      - least(isum // 1000, true_docs * 1000)) // true_docs AS BIGINT) AS err_docs_permille,
+       |    CAST(true_chars AS BIGINT) AS true_chars,
+       |    CAST(wsum // 1000000 AS BIGINT) AS est_chars,
+       |    CAST((greatest(wsum // 1000000, true_chars)
+       |      - least(wsum // 1000000, true_chars)) * 1000 // true_chars AS BIGINT) AS err_chars_permille
+       |  FROM est
+       |)""".stripMargin
+
   def ppsStratifiedOracle(k: Int = 20): String =
     s"""WITH pri AS (
        |  SELECT doc_id, lang, n_chars,

@@ -190,6 +190,48 @@ class Round10DepthSpec extends AnyFunSuite {
     }
   }
 
+  test("seasonal backtest matches a BigInt recompute over the dense series") {
+    val got = EventOps.seasonalBacktest(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val h0 = ev.map(_._2).min
+    val n = (ev.map(_._2).max - h0 + 1).toInt
+    ev.map(_._1).distinct.foreach { t =>
+      val xs = Array.fill(n)(0L)
+      ev.filter(_._1 == t).foreach { case (_, h) => xs((h - h0).toInt) += 1 }
+      val test = (168 until n)
+      val nTest = BigInt(test.size)
+      val ae168 = test.map(i => BigInt((xs(i) - xs(i - 168)).abs)).sum
+      val ae1 = test.map(i => BigInt((xs(i) - xs(i - 1)).abs)).sum
+      val bias = test.map(i => BigInt(xs(i) - xs(i - 168))).sum
+      def sdiv(a: BigInt, b: BigInt): Long =
+        (if (a < 0) -((-a) * 1000 / b) else a * 1000 / b).toLong
+      val skill =
+        if (ae1 == 0) 0L
+        else if (ae1 >= ae168) ((ae1 - ae168) * 1000 / ae1).toLong
+        else -(((ae168 - ae1) * 1000 / ae1)).toLong
+      val expect = (nTest.toLong, (ae168 * 1000 / nTest).toLong,
+        (ae1 * 1000 / nTest).toLong, sdiv(bias, nTest), skill)
+      assert(got(t) == expect, s"$t: got ${got(t)}, want $expect")
+    }
+  }
+
+  test("HT estimator gate holds: char totals tight, doc counts within design tolerance") {
+    val r = TextAnalysis.ppsHtGate(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == 100, "sample size")
+    assert(row.getBoolean(7), s"chars_ok false: err=${row.getLong(6)} permille")
+    assert(row.getBoolean(8), s"docs_ok false: err=${row.getLong(3)} permille")
+    // the PPS self-normalizing property: the char-total estimate is
+    // floor-tight, not merely within tolerance
+    assert(row.getLong(6) <= 1, s"char estimate should be ~exact, err=${row.getLong(6)}")
+  }
+
   test("readability counts match java.util.regex over the raw text") {
     import java.util.regex.Pattern
     def cnt(p: Pattern, s: String): Long = {
