@@ -205,6 +205,8 @@ object SparkEntry {
       "docs_pps_stratified" -> ((s, d) => TextAnalysis.ppsStratified(s, d)),
       "docs_pps_ht_gate" -> ((s, d) => TextAnalysis.ppsHtGate(s, d)),
       "events_seasonal_backtest" -> (EventOps.seasonalBacktest(_, _)),
+      "events_user_intensity" -> (EventOps.userIntensity(_, _)),
+      "profile_pk_discovery" -> (ProfileQueries.pkDiscovery(_, _)),
       // posting-list build: term -> df + capped sorted doc list
       "text_inverted_index" -> ((s, d) => TextAnalysis.invertedIndexDigest(s, d)),
       // native Aho-Corasick multi-literal containment screen
@@ -528,6 +530,8 @@ object SparkEntry {
       "docs_pps_stratified" -> TextAnalysis.ppsStratifiedOracle(),
       "docs_pps_ht_gate" -> TextAnalysis.ppsHtGateOracle(),
       "events_seasonal_backtest" -> EventOps.seasonalBacktestOracle,
+      "events_user_intensity" -> EventOps.userIntensityOracle,
+      "profile_pk_discovery" -> ProfileQueries.pkDiscoveryOracle,
       "text_inverted_index" -> TextAnalysis.invertedIndexDigestOracle(),
       "text_phrase_screen" -> TextAnalysis.phraseScreenOracle,
       "events_transition_matrix" -> EventOps.transitionMatrixOracle,

@@ -2571,6 +2571,69 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------- per-user temporal intensity
+  /** USER TEMPORAL-INTENSITY PROFILE — the feature-engineering pass behind
+    * abuse/bot screening and engagement segmentation: per user, total
+    * volume, active-hour coverage, the PEAK single-hour rate, the MINIMUM
+    * inter-arrival gap (microseconds; the two features that separate
+    * scripted traffic from humans), activity span, and events per active
+    * hour in milli-units. Complements [[rfmScores]] (value-based quantiles)
+    * and [[burstiness]] (per-type CV²) with per-USER rate features.
+    * Single-event users have no gaps — `min_gap_us` is −1 for them
+    * (sentinel, documented; NULL would round-trip differently through the
+    * two engines' frames). One shuffle on user_id; everything per-group. */
+  def userIntensity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourUs = 3600L * 1000000
+    val ev = table(spark, dir, "events").select(col("user_id"),
+      expr("unix_micros(cast(ts as timestamp))").as("tus"),
+      expr(s"unix_micros(cast(ts as timestamp)) div $hourUs").as("h"))
+    val hourly = ev.groupBy("user_id", "h").agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_active_hours"), max("c").as("peak_hourly"))
+    val w = Window.partitionBy("user_id").orderBy("tus")
+    val gaps = ev.withColumn("gap", col("tus") - lag("tus", 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy("user_id").agg(min("gap").as("min_gap"))
+    ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), (max("h") - min("h") + 1).as("span_hours"))
+      .join(hourly, "user_id")
+      .join(gaps, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"), col("n_active_hours"),
+        col("peak_hourly"), col("span_hours"),
+        coalesce(col("min_gap"), lit(-1L)).as("min_gap_us"),
+        expr("CAST(n_events * 1000 div n_active_hours AS BIGINT)")
+          .as("events_per_active_hour_milli"))
+      .orderBy("user_id")
+  }
+
+  val userIntensityOracle: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_us(ts) AS tus,
+       |         epoch_us(ts) // ${3600L * 1000000} AS h
+       |  FROM events
+       |), hourly AS (
+       |  SELECT user_id, count(*) AS n_active_hours, max(c) AS peak_hourly
+       |  FROM (SELECT user_id, h, count(*) AS c FROM ev GROUP BY 1, 2)
+       |  GROUP BY user_id
+       |), gaps AS (
+       |  SELECT user_id, min(gap) AS min_gap FROM (
+       |    SELECT user_id,
+       |      tus - lag(tus, 1) OVER (PARTITION BY user_id ORDER BY tus) AS gap
+       |    FROM ev)
+       |  WHERE gap IS NOT NULL GROUP BY user_id
+       |), base AS (
+       |  SELECT user_id, count(*) AS n_events, max(h) - min(h) + 1 AS span_hours
+       |  FROM ev GROUP BY user_id
+       |)
+       |SELECT b.user_id, n_events, n_active_hours, peak_hourly, span_hours,
+       |  COALESCE(min_gap, -1) AS min_gap_us,
+       |  CAST(n_events * 1000 // n_active_hours AS BIGINT) AS events_per_active_hour_milli
+       |FROM base b
+       |JOIN hourly USING (user_id)
+       |LEFT JOIN gaps USING (user_id)
+       |ORDER BY user_id""".stripMargin
+
   val seasonalBacktestOracle: String =
     s"""WITH $denseHourlySql, lagged AS (
        |  SELECT event_type, x,

@@ -1896,6 +1896,38 @@ object ProfileQueries {
          |)""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY tbl, col_a")
 
+  /** PRIMARY-KEY DISCOVERY — the missing third of the key-mining trio
+    * (FD discovery finds column implications, FK discovery finds
+    * cross-table containment; this finds the unique identifiers): every
+    * column of every table, numeric AND string, flagged `is_pk` when it is
+    * null-free and its exact NDV equals the row count. A pure derivation
+    * over the two whole-catalog profiles — the expensive scans are the
+    * SAME one-DAG-per-table fused profiles the catalog queries already
+    * run, so the discovery costs a 45-row flag projection on top. */
+  def pkDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    val num = catalogProfile(spark, dir)
+      .select(col("tbl"), col("col_name").as("column_name"),
+        col("n_rows"), col("n_nulls"), col("ndv"))
+    val str = catalogStringProfile(spark, dir)
+      .select(col("table_name").as("tbl"), col("column_name"),
+        col("n_rows"), col("n_nulls"), col("ndv"))
+    num.unionAll(str)
+      .withColumn("is_pk", col("n_nulls") === 0 && col("ndv") === col("n_rows"))
+      .orderBy("tbl", "column_name")
+  }
+
+  def pkDiscoveryOracle: String =
+    s"""SELECT tbl, column_name, n_rows, n_nulls, ndv,
+       |  n_nulls = 0 AND ndv = n_rows AS is_pk
+       |FROM (
+       |  SELECT tbl, col_name AS column_name, n_rows, n_nulls, ndv
+       |  FROM (${catalogProfileOracle.linesIterator.mkString("\n|    ")}) num
+       |  UNION ALL
+       |  SELECT table_name AS tbl, column_name, n_rows, n_nulls, ndv
+       |  FROM (${catalogStringProfileOracle.linesIterator.mkString("\n|    ")}) str
+       |)
+       |ORDER BY tbl, column_name""".stripMargin
+
   /** GOODMAN–KRUSKAL LAMBDA — the proportional-reduction-in-error partner
     * of [[cramersV]]: λ_{b|a} = (Σ_i max_j o_ij − max_j c_j)/(n − max_j c_j)
     * answers "knowing column a, how much better do I guess column b?" —

@@ -232,6 +232,42 @@ class Round10DepthSpec extends AnyFunSuite {
     assert(row.getLong(6) <= 1, s"char estimate should be ~exact, err=${row.getLong(6)}")
   }
 
+  test("pk discovery flags exactly the unique null-free columns") {
+    val flags = ProfileQueries.pkDiscovery(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(5)).toMap
+    // known identifiers must be found
+    Seq(("orders", "o_orderkey"), ("customer", "c_custkey"),
+      ("documents", "doc_id"), ("part", "p_partkey"),
+      ("supplier", "s_suppkey"), ("events", "event_id")).foreach { k =>
+      assert(flags(k), s"$k should be a discovered PK")
+    }
+    // repeated / low-cardinality columns must not be
+    Seq(("lineitem", "l_orderkey"), ("documents", "lang"),
+      ("orders", "o_custkey")).foreach { k =>
+      assert(!flags(k), s"$k must NOT be flagged as a PK")
+    }
+  }
+
+  test("user intensity matches a Scala recompute for every user") {
+    val got = EventOps.userIntensity(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("tus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.size == ev.map(_._1).distinct.length)
+    ev.groupBy(_._1).foreach { case (u, rows) =>
+      val ts = rows.map(_._2).sorted
+      val hs = ts.map(_ / 3600000000L)
+      val hourCounts = hs.groupBy(identity).view.mapValues(_.size.toLong)
+      val gaps = ts.zip(ts.tail).map { case (a, b) => b - a }
+      val expect = (ts.length.toLong, hourCounts.size.toLong, hourCounts.values.max,
+        hs.max - hs.min + 1, if (gaps.isEmpty) -1L else gaps.min,
+        ts.length * 1000L / hourCounts.size)
+      assert(got(u) == expect, s"user $u: got ${got(u)}, want $expect")
+    }
+  }
+
   test("readability counts match java.util.regex over the raw text") {
     import java.util.regex.Pattern
     def cnt(p: Pattern, s: String): Long = {
