@@ -206,6 +206,7 @@ object SparkEntry {
       "docs_pps_ht_gate" -> ((s, d) => TextAnalysis.ppsHtGate(s, d)),
       "events_seasonal_backtest" -> (EventOps.seasonalBacktest(_, _)),
       "events_user_intensity" -> (EventOps.userIntensity(_, _)),
+      "events_conversion_lag" -> (EventOps.conversionLag(_, _)),
       "profile_pk_discovery" -> (ProfileQueries.pkDiscovery(_, _)),
       // posting-list build: term -> df + capped sorted doc list
       "text_inverted_index" -> ((s, d) => TextAnalysis.invertedIndexDigest(s, d)),
@@ -531,6 +532,7 @@ object SparkEntry {
       "docs_pps_ht_gate" -> TextAnalysis.ppsHtGateOracle(),
       "events_seasonal_backtest" -> EventOps.seasonalBacktestOracle,
       "events_user_intensity" -> EventOps.userIntensityOracle,
+      "events_conversion_lag" -> EventOps.conversionLagOracle,
       "profile_pk_discovery" -> ProfileQueries.pkDiscoveryOracle,
       "text_inverted_index" -> TextAnalysis.invertedIndexDigestOracle(),
       "text_phrase_screen" -> TextAnalysis.phraseScreenOracle,

@@ -392,7 +392,9 @@ object Dedup {
   }
 
   // ------------------------------------------- banding calibration curve
-  /** LSH BANDING CALIBRATION — the measured S-curve tradeoff every
+  /** LSH BANDING CALIBRATION — the measured S-curve tradeoff (the banded
+    * MinHash collision analysis of Broder '97 / Leskovec-Rajaraman-Ullman,
+    * MMDS ch. 3) every
     * production near-dup deployment tunes before committing a banding: with
     * the SAME 8-hash signatures, sweep every (n_bands × band_size)
     * factorization — (8×1) loosest … (1×8) strictest — and measure, per

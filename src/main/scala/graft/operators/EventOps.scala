@@ -2467,7 +2467,8 @@ object EventOps {
        |ORDER BY event_type, lag""".stripMargin
 
   // ----------------------------------------------- changepoint (mean shift)
-  /** EXACT CHANGE-POINT DETECTION — binary segmentation's first split, per
+  /** EXACT CHANGE-POINT DETECTION — binary segmentation's first split
+    * (Edwards & Cavalli-Sforza '65; the CUSUM-scan form of Page '54), per
     * event type: the hour boundary t that maximizes the mean-shift scan
     * statistic G_t = t·(n−t)·(mean_L − mean_R)² over the gap-filled hourly
     * series. The CUSUM alarms ([[cusumAlarms]]) flag that drift happened;
@@ -2569,6 +2570,74 @@ object EventOps {
                |     ELSE -((ae168 - ae1) * 1000 div ae1) END AS BIGINT)""".stripMargin)
           .as("skill_permille"))
       .orderBy("event_type")
+  }
+
+  // --------------------------------------------------- conversion lag deciles
+  /** CONVERSION-LAG DISTRIBUTION — the latency report behind attribution
+    * windows: for every purchase with a click in the preceding hour, the
+    * lag to the NEAREST prior click, cut into ten equal-count deciles with
+    * exact integer min/max/mean milliseconds per bucket. This is how the
+    * 5-minute attribution window of [[purchaseClickAttribution]] gets
+    * CHOSEN — read the decile table, see where the mass sits.
+    *
+    * Shape: the candidate join is the same banded equi-join as every range
+    * join here (band + band+1 keys, never a cross product); the decile
+    * ntile runs over the CONVERTING-PURCHASE frame (already one row per
+    * purchase — at lake scale swap in the two-level-prefix exact
+    * percentile path of `profile_weighted_percentiles` if even that frame
+    * is too wide for one window task), with a total-order tie-break so
+    * bucket boundaries are engine-independent. */
+  def conversionLag(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val windowUs = 3600L * 1000000
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tus"),
+        col("event_id"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tus").as("p_tus"), col("event_id"),
+        expr(s"tus div $windowUs").as("band"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("tus").as("c_tus"))
+      .withColumn("band",
+        explode(array(expr(s"c_tus div $windowUs"), expr(s"c_tus div $windowUs") + 1)))
+    val lags = purchases
+      .join(clicks,
+        col("user_id") === col("c_user") && purchases("band") === clicks("band") &&
+          col("c_tus") <= col("p_tus") && col("c_tus") >= col("p_tus") - windowUs)
+      .groupBy("event_id")
+      .agg(min(col("p_tus") - col("c_tus")).as("lag_us"))
+    val w = Window.orderBy(col("lag_us"), col("event_id"))
+    lags
+      .withColumn("decile", ntile(10).over(w).cast("bigint"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_purchases"),
+        expr("CAST(min(lag_us) div 1000 AS BIGINT)").as("min_lag_ms"),
+        expr("CAST(max(lag_us) div 1000 AS BIGINT)").as("max_lag_ms"),
+        expr("CAST(sum(lag_us) div (count(*) * 1000) AS BIGINT)").as("mean_lag_ms"))
+      .orderBy("decile")
+  }
+
+  val conversionLagOracle: String = {
+    val windowUs = 3600L * 1000000
+    s"""WITH p AS (
+       |  SELECT user_id, epoch_us(ts) AS p_tus, event_id FROM events
+       |  WHERE event_type = 'purchase'
+       |), c AS (
+       |  SELECT user_id, epoch_us(ts) AS c_tus FROM events WHERE event_type = 'click'
+       |), lags AS (
+       |  SELECT p.event_id, min(p.p_tus - c.c_tus) AS lag_us
+       |  FROM p JOIN c ON p.user_id = c.user_id
+       |    AND c.c_tus <= p.p_tus AND c.c_tus >= p.p_tus - $windowUs
+       |  GROUP BY p.event_id
+       |), d AS (
+       |  SELECT lag_us, CAST(ntile(10) OVER (ORDER BY lag_us, event_id) AS BIGINT) AS decile
+       |  FROM lags
+       |)
+       |SELECT decile, count(*) AS n_purchases,
+       |  CAST(min(lag_us) // 1000 AS BIGINT) AS min_lag_ms,
+       |  CAST(max(lag_us) // 1000 AS BIGINT) AS max_lag_ms,
+       |  CAST(sum(lag_us) // (count(*) * 1000) AS BIGINT) AS mean_lag_ms
+       |FROM d GROUP BY decile ORDER BY decile""".stripMargin
   }
 
   // ---------------------------------------------- per-user temporal intensity

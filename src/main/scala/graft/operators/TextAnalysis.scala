@@ -2014,7 +2014,8 @@ object TextAnalysis {
       .orderBy("lang", "rk")
   }
 
-  /** HORVITZ–THOMPSON ESTIMATION GATE — the reason PPS sampling exists:
+  /** HORVITZ–THOMPSON ESTIMATION GATE (Horvitz & Thompson 1952, over the
+    * Ohlsson '98 sequential Poisson design) — the reason PPS sampling exists:
     * from the k-doc [[ppsSample]], estimate corpus totals with
     * inverse-inclusion weights (π_i ≈ min(1, k·w_i/W)) and report the
     * relative error against the true totals, all in exact integer

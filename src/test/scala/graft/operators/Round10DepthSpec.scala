@@ -232,6 +232,37 @@ class Round10DepthSpec extends AnyFunSuite {
     assert(row.getLong(6) <= 1, s"char estimate should be ~exact, err=${row.getLong(6)}")
   }
 
+  test("conversion lag deciles match a Scala recompute of nearest-prior-click lags") {
+    val got = EventOps.conversionLag(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("tus"),
+        col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val win = 3600L * 1000000
+    val clicksByUser = ev.filter(_._4 == "click").groupBy(_._1)
+      .map { case (u, rs) => u -> rs.map(_._2) }
+    val lags = ev.filter(_._4 == "purchase").flatMap { case (u, pt, eid, _) =>
+      val cands = clicksByUser.getOrElse(u, Array.empty[Long])
+        .filter(ct => ct <= pt && ct >= pt - win)
+      if (cands.isEmpty) None else Some((eid, pt - cands.max))
+    }.sortBy { case (eid, lag) => (lag, eid) }
+    val n = lags.length
+    val base = n / 10; val extra = n % 10
+    var idx = 0
+    val expect = (1 to 10).flatMap { dec =>
+      val sz = base + (if (dec <= extra) 1 else 0)
+      val bucket = lags.slice(idx, idx + sz).map(_._2)
+      idx += sz
+      if (sz == 0) None
+      else Some(dec.toLong -> ((sz.toLong, bucket.min / 1000, bucket.max / 1000,
+        bucket.map(BigInt(_)).sum.toLong / (sz * 1000L))))
+    }.toMap
+    assert(lags.nonEmpty, "fixture must produce at least one converting purchase")
+    assert(got == expect, s"got $got\nwant $expect")
+  }
+
   test("pk discovery flags exactly the unique null-free columns") {
     val flags = ProfileQueries.pkDiscovery(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(5)).toMap
