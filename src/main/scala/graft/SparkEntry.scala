@@ -362,6 +362,7 @@ object SparkEntry {
       "dedup_funnel" -> (Dedup.dedupFunnel(_, _)),
       "dedup_source_overlap" -> (Dedup.sourceOverlap(_, _)),
       "dedup_keep_list" -> (Dedup.dedupKeepList(_, _)),
+      "dedup_impact_by_source" -> (Dedup.dedupImpactBySource(_, _)),
       "dedup_keep_best" -> (Dedup.dedupKeepBest(_, _)),
       "dedup_ensemble" -> (Dedup.dedupEnsemble(_, _)),
       "text_oov_rate" -> (TextAnalysis.oovRate(_, _)),
@@ -681,6 +682,7 @@ object SparkEntry {
       "dedup_funnel" -> Dedup.dedupFunnelOracle,
       "dedup_source_overlap" -> Dedup.sourceOverlapOracle,
       "dedup_keep_list" -> Dedup.dedupKeepListOracle,
+      "dedup_impact_by_source" -> Dedup.dedupImpactBySourceOracle,
       "dedup_keep_best" -> Dedup.dedupKeepBestOracle,
       "dedup_ensemble" -> Dedup.dedupEnsembleOracle,
       "text_oov_rate" -> TextAnalysis.oovRateOracle(),

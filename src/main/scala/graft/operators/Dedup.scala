@@ -582,6 +582,43 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** DEDUP IMPACT BY SOURCE — the curation report a data owner reads after
+    * a dedup pass: per source, how many docs the keep-one-per-cluster
+    * policy retains vs drops, in counts and integer permille. Planted
+    * near-dup copies (doc_id ≥ IdOffset) attribute back to their base
+    * doc's source, so a source whose content is heavily templated shows
+    * its true drop rate. A group-by over the keep-list join — no corpus
+    * re-hashing (the cluster labels are the materialized stage). */
+  def dedupImpactBySource(spark: SparkSession, dir: String): DataFrame = {
+    val src = table(spark, dir, "documents").select(col("doc_id").as("base_id"), col("source"))
+    dedupKeepList(spark, dir)
+      .withColumn("base_id",
+        when(col("doc_id") >= IdOffset, col("doc_id") - IdOffset).otherwise(col("doc_id")))
+      .join(src, "base_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("keep").as("n_kept"))
+      .select(col("source"), col("n_docs"),
+        expr("CAST(n_kept AS BIGINT)").as("n_kept"),
+        (col("n_docs") - col("n_kept")).cast("bigint").as("n_dropped"),
+        expr("(n_docs - n_kept) * 1000 div n_docs").as("drop_permille"))
+      .orderBy("source")
+  }
+
+  def dedupImpactBySourceOracle: String =
+    s"""WITH kl AS (
+       |  SELECT * FROM (
+       |${dedupKeepListOracle.linesIterator.map("    " + _).mkString("\n")}
+       |  ) q
+       |)
+       |SELECT d.source, count(*) AS n_docs,
+       |  CAST(sum(kl.keep) AS BIGINT) AS n_kept,
+       |  CAST(count(*) - sum(kl.keep) AS BIGINT) AS n_dropped,
+       |  CAST((count(*) - sum(kl.keep)) * 1000 // count(*) AS BIGINT) AS drop_permille
+       |FROM kl
+       |JOIN documents d ON d.doc_id =
+       |  CASE WHEN kl.doc_id >= $IdOffset THEN kl.doc_id - $IdOffset ELSE kl.doc_id END
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   // def, not val: composes dedupClustersOracle (defined later in the file)
   def dedupKeepListOracle: String =
     s"""WITH corpus AS (

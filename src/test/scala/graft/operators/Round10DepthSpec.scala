@@ -263,6 +263,26 @@ class Round10DepthSpec extends AnyFunSuite {
     assert(got == expect, s"got $got\nwant $expect")
   }
 
+  test("dedup impact by source matches a recompute from the keep list") {
+    val got = Dedup.dedupImpactBySource(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val kl = Dedup.dedupKeepList(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val srcOf = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = kl.groupBy { case (id, _) => srcOf(if (id >= 1000000L) id - 1000000L else id) }
+      .map { case (s, rows) =>
+        val n = rows.length.toLong; val kept = rows.map(_._2).sum
+        s -> ((n, kept, n - kept, (n - kept) * 1000 / n))
+      }
+    assert(got == expect, s"got $got\nwant $expect")
+    // the planted copies guarantee real drops: overall drop rate must be ~half
+    val dropped = got.values.map(_._3).sum
+    assert(dropped > 0, "dedup must drop the planted near-dup copies")
+  }
+
   test("pk discovery flags exactly the unique null-free columns") {
     val flags = ProfileQueries.pkDiscovery(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(5)).toMap
