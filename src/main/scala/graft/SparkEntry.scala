@@ -129,6 +129,7 @@ object SparkEntry {
       "events_lateness_profile" -> (EventOps.latenessProfile(_, _)),
       // Heaps-law vocabulary growth at power-of-two checkpoints
       "text_vocab_growth" -> (TextAnalysis.vocabGrowth(_, _)),
+      "text_zipf_profile" -> (TextAnalysis.zipfProfile(_, _)),
       // CUSUM sustained-drift alarms over hourly series (integer-exact)
       "events_cusum_alarms" -> ((s, d) => EventOps.cusumAlarms(s, d)),
       // nearest-either-side as-of join via 3-band equi-join
@@ -160,6 +161,7 @@ object SparkEntry {
       // autocorrelation (seasonality), Cramér's V categorical association,
       // Flesch-Kincaid readability, and the bucketed co-located join
       "ann_recall_eval" -> ((s, d) => Similarity.recallEval(s, d)),
+      "embedding_knn_mutual" -> ((s, d) => Similarity.knnGraphMutual(s, d)),
       "ann_nprobe_sweep" -> ((s, d) => Similarity.nprobeSweep(s, d)),
       "events_autocorrelation" -> ((s, d) => EventOps.autocorrelation(s, d)),
       "events_changepoint" -> (EventOps.changepoint(_, _)),
@@ -363,6 +365,7 @@ object SparkEntry {
       "dedup_source_overlap" -> (Dedup.sourceOverlap(_, _)),
       "dedup_keep_list" -> (Dedup.dedupKeepList(_, _)),
       "dedup_impact_by_source" -> (Dedup.dedupImpactBySource(_, _)),
+      "dedup_quality_bias" -> (Dedup.dedupQualityBias(_, _)),
       "dedup_keep_best" -> (Dedup.dedupKeepBest(_, _)),
       "dedup_ensemble" -> (Dedup.dedupEnsemble(_, _)),
       "text_oov_rate" -> (TextAnalysis.oovRate(_, _)),
@@ -491,6 +494,7 @@ object SparkEntry {
       "events_wavelet_energy" -> EventOps.waveletEnergyOracle(),
       "events_lateness_profile" -> EventOps.latenessProfileOracle,
       "text_vocab_growth" -> TextAnalysis.vocabGrowthOracle,
+      "text_zipf_profile" -> TextAnalysis.zipfProfileOracle,
       "events_cusum_alarms" -> EventOps.cusumAlarmsOracle(),
       "events_asof_nearest" -> EventOps.asofNearestClickOracle(),
       "events_cross_correlation" -> EventOps.crossCorrelationOracle(),
@@ -500,6 +504,7 @@ object SparkEntry {
       "dedup_kcore_gate" -> Dedup.kCoreGateOracle,
       "dedup_cluster_sizes_gate" -> Dedup.clusterSizesGateOracle,
       "ann_recall_eval" -> Similarity.recallEvalOracle(),
+      "embedding_knn_mutual" -> Similarity.knnGraphMutualOracle(),
       "ann_nprobe_sweep" -> Similarity.nprobeSweepOracle(),
       "events_autocorrelation" -> EventOps.autocorrelationOracle(),
       "events_changepoint" -> EventOps.changepointOracle,
@@ -683,6 +688,7 @@ object SparkEntry {
       "dedup_source_overlap" -> Dedup.sourceOverlapOracle,
       "dedup_keep_list" -> Dedup.dedupKeepListOracle,
       "dedup_impact_by_source" -> Dedup.dedupImpactBySourceOracle,
+      "dedup_quality_bias" -> Dedup.dedupQualityBiasOracle,
       "dedup_keep_best" -> Dedup.dedupKeepBestOracle,
       "dedup_ensemble" -> Dedup.dedupEnsembleOracle,
       "text_oov_rate" -> TextAnalysis.oovRateOracle(),

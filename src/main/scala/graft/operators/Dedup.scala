@@ -619,6 +619,52 @@ object Dedup {
        |  CASE WHEN kl.doc_id >= $IdOffset THEN kl.doc_id - $IdOffset ELSE kl.doc_id END
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** DEDUP × QUALITY SELECTION-BIAS AUDIT — near-dup removal is supposed
+    * to delete templated boilerplate, which skews low-quality; this
+    * cross-tab checks that belief on THIS corpus instead of assuming it.
+    * Docs are cohorted by the [[TextAnalysis.qualityPrune]] keep decision
+    * (top-700‰ stopword-score per source) and each cohort reports its
+    * dedup drop rate from the keep list. If the kept-quality cohort loses
+    * as much as the pruned cohort, dedup is eating unique signal, not
+    * boilerplate — the report that catches an over-aggressive threshold
+    * before a training run does. Planted copies attribute to their base
+    * doc (which carries the quality score). Two materialized stages
+    * joined on an 8-byte key; output is 2 rows. */
+  def dedupQualityBias(spark: SparkSession, dir: String): DataFrame = {
+    val quality = TextAnalysis.qualityPrune(spark, dir)
+      .select(col("doc_id").as("base_id"), col("keep").as("quality_keep"))
+    dedupKeepList(spark, dir)
+      .withColumn("base_id",
+        when(col("doc_id") >= IdOffset, col("doc_id") - IdOffset).otherwise(col("doc_id")))
+      .join(quality, "base_id")
+      .groupBy("quality_keep")
+      .agg(count(lit(1)).as("n_docs"), sum("keep").as("n_kept"))
+      .select(col("quality_keep"), col("n_docs"),
+        expr("CAST(n_kept AS BIGINT)").as("n_kept"),
+        (col("n_docs") - col("n_kept")).cast("bigint").as("n_dropped"),
+        expr("(n_docs - n_kept) * 1000 div n_docs").as("drop_permille"))
+      .orderBy("quality_keep")
+  }
+
+  def dedupQualityBiasOracle: String =
+    s"""WITH kl AS (
+       |  SELECT * FROM (
+       |${dedupKeepListOracle.linesIterator.map("    " + _).mkString("\n")}
+       |  ) q
+       |), qp AS (
+       |  SELECT * FROM (
+       |${TextAnalysis.qualityPruneOracle().linesIterator.map("    " + _).mkString("\n")}
+       |  ) q2
+       |)
+       |SELECT qp.keep AS quality_keep, count(*) AS n_docs,
+       |  CAST(sum(kl.keep) AS BIGINT) AS n_kept,
+       |  CAST(count(*) - sum(kl.keep) AS BIGINT) AS n_dropped,
+       |  CAST((count(*) - sum(kl.keep)) * 1000 // count(*) AS BIGINT) AS drop_permille
+       |FROM kl
+       |JOIN qp ON qp.doc_id =
+       |  CASE WHEN kl.doc_id >= $IdOffset THEN kl.doc_id - $IdOffset ELSE kl.doc_id END
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // def, not val: composes dedupClustersOracle (defined later in the file)
   def dedupKeepListOracle: String =
     s"""WITH corpus AS (

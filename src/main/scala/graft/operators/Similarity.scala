@@ -86,6 +86,95 @@ object Similarity {
        |SELECT query_id, cand_id, rank, cos FROM ranked
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  // ------------------------------------------------ kNN-graph diagnostics
+  /** kNN-GRAPH SYMMETRY / HUBNESS diagnostic — per label: how many of the
+    * exact cosine k-nearest-neighbor edges are MUTUAL (a ∈ knn(b) and
+    * b ∈ knn(a)), the max in-degree (hubs), and the count of vectors never
+    * chosen as anyone's neighbor (anti-hubs). High-dimensional embedding
+    * spaces concentrate: hubness explodes and mutuality collapses as
+    * intrinsic dimension rises (Radovanović et al., JMLR 2010), which
+    * degrades every kNN-based downstream (semdedup, kNN-LM retrieval,
+    * label propagation). This is the one-page health check run on an
+    * evaluation sample before trusting those pipelines.
+    *
+    * Scale shape: like the recall-eval harness, the exact n² scoring is
+    * the EVAL harness over a bounded sample — the production path builds
+    * candidate edges from the IVF/LSH buckets; the mutual and in-degree
+    * rollups are linear in edges (n·k) either way. Norms are computed
+    * once and the edge list is checkpointed once for its three consumers
+    * (mutual both sides, in-degree). */
+  def knnGraphMutual(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("nrm", norm(col("embedding")))
+      .localCheckpoint(false)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      col("nrm").as("nb"))
+    val w = Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
+    val edges = a.join(b, col("id_a") =!= col("id_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("id_a", "id_b")
+      .localCheckpoint(false)
+    val mut = edges.as("x")
+      .join(edges.as("y"),
+        col("x.id_a") === col("y.id_b") && col("x.id_b") === col("y.id_a"), "left_semi")
+      .groupBy("id_a").agg(count(lit(1)).as("n_mut"))
+      .withColumnRenamed("id_a", "vec_id")
+    val indeg = edges.groupBy("id_b").agg(count(lit(1)).as("in_deg"))
+      .withColumnRenamed("id_b", "vec_id")
+    e.select(col("vec_id"), col("label"))
+      .join(mut, Seq("vec_id"), "left")
+      .join(indeg, Seq("vec_id"), "left")
+      .na.fill(0L, Seq("n_mut", "in_deg"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("n_mut")).as("n_mutual"),
+        max(col("in_deg")).as("max_in_degree"),
+        sum(when(col("in_deg") === 0L, 1L).otherwise(0L)).as("n_never_chosen"))
+      .select(col("label").cast("bigint").as("label"), col("n_vecs"),
+        (col("n_vecs") * k).cast("bigint").as("n_edges"),
+        expr("CAST(n_mutual AS BIGINT)").as("n_mutual"),
+        expr(s"CAST(n_mutual * 1000 div (n_vecs * $k) AS BIGINT)").as("mutual_permille"),
+        expr("CAST(max_in_degree AS BIGINT)").as("max_in_degree"),
+        expr("CAST(n_never_chosen AS BIGINT)").as("n_never_chosen"))
+      .orderBy("label")
+  }
+
+  def knnGraphMutualOracle(k: Int = 5): String =
+    s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+       |scored AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |         ${cosSql("a.embedding", "b.embedding")} AS cos
+       |  FROM e a JOIN e b ON a.vec_id != b.vec_id
+       |), edges AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT id_a, id_b,
+       |           row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rnk
+       |    FROM scored) r WHERE rnk <= $k
+       |), mut AS (
+       |  SELECT x.id_a AS vec_id, count(*) AS n_mut
+       |  FROM edges x JOIN edges y ON x.id_a = y.id_b AND x.id_b = y.id_a
+       |  GROUP BY 1
+       |), indeg AS (
+       |  SELECT id_b AS vec_id, count(*) AS in_deg FROM edges GROUP BY 1
+       |), per AS (
+       |  SELECT e.vec_id, e.label, COALESCE(m.n_mut, 0) AS n_mut,
+       |         COALESCE(i.in_deg, 0) AS in_deg
+       |  FROM e LEFT JOIN mut m USING (vec_id) LEFT JOIN indeg i USING (vec_id)
+       |)
+       |SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
+       |  CAST(count(*) * $k AS BIGINT) AS n_edges,
+       |  CAST(sum(n_mut) AS BIGINT) AS n_mutual,
+       |  CAST(sum(n_mut) * 1000 // (count(*) * $k) AS BIGINT) AS mutual_permille,
+       |  CAST(max(in_deg) AS BIGINT) AS max_in_degree,
+       |  CAST(sum(CASE WHEN in_deg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_never_chosen
+       |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Embedding near-duplicate pairs: label-blocked (the coarse partition
     * stands in for an IVF cell), vec_id-bounded, cosine ≥ 0.9. The block
     * join keeps the pair count linear-ish instead of n².

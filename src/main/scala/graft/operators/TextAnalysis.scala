@@ -2341,6 +2341,57 @@ object TextAnalysis {
       |FROM cum WHERE (docs_seen & (docs_seen - 1)) = 0
       |ORDER BY docs_seen""".stripMargin
 
+  // ---------------------------------------------- Zipf frequency spectrum
+  /** ZIPF FREQUENCY SPECTRUM — the corpus-health companion of
+    * [[vocabGrowth]]: word types binned by log₂ of their corpus frequency
+    * (bucket = bit length of the count, the same dialect-shared `bin()`
+    * trick as the numeric log₂ histograms), with type/token counts and
+    * integer-permille shares per bucket. Bucket 1 is the hapax legomena
+    * (freq 1) — their type share is the classic ~50% Zipf sanity check,
+    * and a corpus whose spectrum deviates hard (hapax collapse → heavy
+    * templating/duplication; hapax explosion → OCR noise or tokenizer
+    * mismatch) fails curation before any model sees it.
+    *
+    * 100 TB shape: one explode stream partial-aggregates per-partition on
+    * `word` (map-side combine) before the single word-keyed shuffle; the
+    * bucket rollup is O(log maxFreq) ≤ 64 rows, recombined with the 1-row
+    * corpus totals by broadcast. No windows, no all-pairs. */
+  def zipfProfile(spark: SparkSession, dir: String): DataFrame = {
+    val freqs = table(spark, dir, "documents")
+      .select(explode(words).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("f"))
+    val buckets = freqs
+      .select(length(expr("bin(f)")).cast("bigint").as("bucket"), col("f"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_types"), sum(col("f")).as("n_tokens"),
+        min(col("f")).as("lo_freq"), max(col("f")).as("hi_freq"))
+    val totals = buckets.agg(sum(col("n_tokens")).as("tt"), sum(col("n_types")).as("ty"))
+    buckets.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_types"), col("n_tokens"),
+        col("lo_freq"), col("hi_freq"),
+        expr("CAST(n_tokens * 1000 div tt AS BIGINT)").as("token_permille"),
+        expr("CAST(n_types * 1000 div ty AS BIGINT)").as("type_permille"))
+      .orderBy("bucket")
+  }
+
+  val zipfProfileOracle: String =
+    """WITH f AS (
+      |  SELECT w, count(*) AS f FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY w
+      |), b AS (
+      |  SELECT CAST(length(bin(f)) AS BIGINT) AS bucket, count(*) AS n_types,
+      |         CAST(sum(f) AS BIGINT) AS n_tokens, min(f) AS lo_freq, max(f) AS hi_freq
+      |  FROM f GROUP BY 1
+      |), t AS (
+      |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tt, CAST(sum(n_types) AS BIGINT) AS ty FROM b
+      |)
+      |SELECT bucket, n_types, n_tokens, lo_freq, hi_freq,
+      |       CAST(n_tokens * 1000 // tt AS BIGINT) AS token_permille,
+      |       CAST(n_types * 1000 // ty AS BIGINT) AS type_permille
+      |FROM b, t ORDER BY bucket""".stripMargin
+
   // ------------------------------------------------- quantile normalization
   /** Quantile normalization of `n_chars` ACROSS sources — every source's
     * length distribution is mapped onto the GLOBAL one by rank matching

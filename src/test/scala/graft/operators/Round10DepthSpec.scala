@@ -340,4 +340,69 @@ class Round10DepthSpec extends AnyFunSuite {
       assert(r.getLong(4) == 39 * w / s + 1180 * y / w - 1559)
     }
   }
+
+  test("zipf profile matches a plain-Scala frequency spectrum") {
+    val freqs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).map { case (_, g) => g.length.toLong }
+    val byBucket = freqs.groupBy(f => 64L - java.lang.Long.numberOfLeadingZeros(f))
+    val tt = freqs.sum
+    val ty = freqs.size.toLong
+    val expect = byBucket.map { case (b, fs) =>
+      b -> ((fs.size.toLong, fs.sum, fs.min, fs.max,
+        fs.sum * 1000 / tt, fs.size * 1000L / ty))
+    }
+    val got = TextAnalysis.zipfProfile(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == expect, s"got $got\nwant $expect")
+  }
+
+  test("dedup quality bias matches a recompute from its two input stages") {
+    val kl = Dedup.dedupKeepList(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val qKeep = TextAnalysis.qualityPrune(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val expect = kl.groupBy { case (id, _) => qKeep(if (id >= 1000000L) id - 1000000L else id) }
+      .map { case (q, rows) =>
+        val n = rows.length.toLong; val kept = rows.map(_._2).sum
+        q -> ((n, kept, n - kept, (n - kept) * 1000 / n))
+      }
+    val got = Dedup.dedupQualityBias(spark, dir).collect()
+      .map(r => r.getBoolean(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect, s"got $got\nwant $expect")
+    assert(got.values.map(_._3).sum > 0, "planted copies must produce drops")
+  }
+
+  test("knn mutual-graph diagnostic matches a sequential-fold recompute") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val nrm = vecs.map { case (id, v, _) => id -> math.sqrt(dot(v, v)) }.toMap
+    val k = 5
+    val knn: Map[Long, Seq[Long]] = vecs.map { case (id, v, _) =>
+      id -> vecs.filter(_._1 != id)
+        .map { case (j, u, _) => (j, dot(v, u) / (nrm(id) * nrm(j))) }
+        .sortBy { case (j, c) => (-c, j) }.take(k).map(_._1).toSeq
+    }.toMap
+    val edges = knn.toSeq.flatMap { case (a, ns) => ns.map(a -> _) }.toSet
+    val inDeg = edges.toSeq.groupBy(_._2).map { case (j, es) => j -> es.size.toLong }
+    val expect = vecs.groupBy(_._3).map { case (lab, vs) =>
+      val n = vs.length.toLong
+      val nMut = vs.map { case (id, _, _) => knn(id).count(j => edges.contains(j -> id)).toLong }.sum
+      lab.toLong -> ((n, n * k, nMut, nMut * 1000 / (n * k),
+        vs.map(v => inDeg.getOrElse(v._1, 0L)).max,
+        vs.count(v => !inDeg.contains(v._1)).toLong))
+    }
+    val got = Similarity.knnGraphMutual(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == expect, s"got $got\nwant $expect")
+  }
 }
