@@ -130,6 +130,7 @@ object SparkEntry {
       // Heaps-law vocabulary growth at power-of-two checkpoints
       "text_vocab_growth" -> (TextAnalysis.vocabGrowth(_, _)),
       "text_zipf_profile" -> (TextAnalysis.zipfProfile(_, _)),
+      "text_lexical_diversity" -> (TextAnalysis.lexicalDiversity(_, _)),
       // CUSUM sustained-drift alarms over hourly series (integer-exact)
       "events_cusum_alarms" -> ((s, d) => EventOps.cusumAlarms(s, d)),
       // nearest-either-side as-of join via 3-band equi-join
@@ -495,6 +496,7 @@ object SparkEntry {
       "events_lateness_profile" -> EventOps.latenessProfileOracle,
       "text_vocab_growth" -> TextAnalysis.vocabGrowthOracle,
       "text_zipf_profile" -> TextAnalysis.zipfProfileOracle,
+      "text_lexical_diversity" -> TextAnalysis.lexicalDiversityOracle,
       "events_cusum_alarms" -> EventOps.cusumAlarmsOracle(),
       "events_asof_nearest" -> EventOps.asofNearestClickOracle(),
       "events_cross_correlation" -> EventOps.crossCorrelationOracle(),

@@ -2392,6 +2392,58 @@ object TextAnalysis {
       |       CAST(n_types * 1000 // ty AS BIGINT) AS type_permille
       |FROM b, t ORDER BY bucket""".stripMargin
 
+  // -------------------------------------------- per-source lexical diversity
+  /** PER-SOURCE LEXICAL DIVERSITY — the [[zipfProfile]] spectrum collapsed
+    * to the three numbers a source-mix review reads: type/token ratio,
+    * hapax share of the vocabulary, and the Simpson repeated-token
+    * probability Σf(f−1)/N(N−1) — the chance two tokens drawn from the
+    * source are the same word, i.e. templating concentration (the
+    * token-level analogue of the HHI the source profile already computes
+    * over languages). All three are exact integer ratios (permille / ppm):
+    * the Simpson numerator runs in DECIMAL(38,0) because Σf² wraps int64
+    * once a source passes ~3·10⁹ occurrences of one token.
+    *
+    * 100 TB shape: explode → (source, word) partial agg (map-side combine)
+    * → per-source rollup of O(vocab) rows; no windows, no joins. */
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val f = table(spark, dir, "documents")
+      .select(col("source"), explode(words).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("source", "word").agg(count(lit(1)).as("f"))
+    f.groupBy("source")
+      .agg(sum(col("f")).as("n_tokens_raw"), count(lit(1)).as("n_types"),
+        sum(when(col("f") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+        sum(expr("CAST(f AS DECIMAL(38,0)) * (f - 1)")).as("coll"))
+      .select(col("source"),
+        expr("CAST(n_tokens_raw AS BIGINT)").as("n_tokens"),
+        col("n_types"),
+        expr("CAST(n_hapax AS BIGINT)").as("n_hapax"),
+        expr("CAST(n_types * 1000 div n_tokens_raw AS BIGINT)").as("ttr_permille"),
+        expr("CAST(n_hapax * 1000 div n_types AS BIGINT)").as("hapax_permille"),
+        expr("""CAST((1000000 * coll) div
+               |  (CAST(n_tokens_raw AS DECIMAL(38,0)) * (n_tokens_raw - 1)) AS BIGINT)"""
+          .stripMargin).as("simpson_ppm"))
+      .orderBy("source")
+  }
+
+  val lexicalDiversityOracle: String =
+    """WITH f AS (
+      |  SELECT source, w, count(*) AS f FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY source, w
+      |), agg AS (
+      |  SELECT source, sum(f) AS n_tokens, count(*) AS n_types,
+      |         sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS n_hapax,
+      |         sum(f * (f - 1)) AS coll
+      |  FROM f GROUP BY source
+      |)
+      |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, n_types,
+      |       CAST(n_hapax AS BIGINT) AS n_hapax,
+      |       CAST(n_types * 1000 // n_tokens AS BIGINT) AS ttr_permille,
+      |       CAST(n_hapax * 1000 // n_types AS BIGINT) AS hapax_permille,
+      |       CAST(1000000 * coll // (n_tokens * (n_tokens - 1)) AS BIGINT) AS simpson_ppm
+      |FROM agg ORDER BY source""".stripMargin
+
   // ------------------------------------------------- quantile normalization
   /** Quantile normalization of `n_chars` ACROSS sources — every source's
     * length distribution is mapped onto the GLOBAL one by rank matching

@@ -359,6 +359,27 @@ class Round10DepthSpec extends AnyFunSuite {
     assert(got == expect, s"got $got\nwant $expect")
   }
 
+  test("lexical diversity matches a plain-Scala per-source recompute") {
+    val bySource = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "text").collect()
+      .groupBy(_.getString(0))
+      .map { case (s, rows) =>
+        s -> rows.flatMap(_.getString(1).split(" ", -1)).filter(_.nonEmpty)
+          .groupBy(identity).map { case (_, g) => g.length.toLong }
+      }
+    val expect = bySource.map { case (s, freqs) =>
+      val n = freqs.sum; val ty = freqs.size.toLong
+      val hapax = freqs.count(_ == 1L).toLong
+      val coll = freqs.map(f => BigInt(f) * (f - 1)).sum
+      s -> ((n, ty, hapax, ty * 1000 / n, hapax * 1000 / ty,
+        (BigInt(1000000) * coll / (BigInt(n) * (n - 1))).toLong))
+    }
+    val got = TextAnalysis.lexicalDiversity(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == expect, s"got $got\nwant $expect")
+  }
+
   test("dedup quality bias matches a recompute from its two input stages") {
     val kl = Dedup.dedupKeepList(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2)))
