@@ -77,7 +77,9 @@ object PlansDump {
     "events_autocorrelation",  // row-linear agg -> domain-bounded spine joins
     "ann_recall_eval",         // gt + two index legs, numQueries·k-row joins
     "dedup_banding_curve",     // 4 capped band self-joins off one sig stage
-    "profile_cramers_v")       // r×c grid margins, scalars out
+    "profile_cramers_v",       // r×c grid margins, scalars out
+    "text_lexical_diversity",  // two-level partial+final rollup, join-free
+    "embedding_knn_mutual")    // checkpointed kNN edges, 3 linear consumers
 
   /** Plan-audit overrides: these queries' gated implementations read
     * memoized materialized stages (the shared-pipeline design — see

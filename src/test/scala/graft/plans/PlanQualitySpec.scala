@@ -495,6 +495,32 @@ class PlanQualitySpec extends AnyFunSuite {
       s"per-row profile must be projection-only: ${names.distinct.mkString(",")}")
   }
 
+  test("lexical diversity: two partial+final aggs, join-free, decimal stays in codegen") {
+    val df = graft.operators.TextAnalysis.lexicalDiversity(spark, SparkSuite.Sf0001)
+    df.collect()
+    val names = nodes(df).map(_.nodeName)
+    assert(!names.exists(n => n.contains("Join") || n.contains("CartesianProduct")),
+      s"per-source rollup must be join-free: ${names.distinct.mkString(",")}")
+    // explode → (source,word) agg → source agg → sort: at most 3 exchanges
+    assert(names.count(_.contains("Exchange")) <= 3,
+      s"expected ≤3 exchanges: ${names.distinct.mkString(",")}")
+    assert(names.count(_.contains("HashAggregate")) >= 4,
+      "both group-bys must be partial+final hash aggregates")
+  }
+
+  test("knn mutual graph: edge list built once and reused by all three consumers") {
+    val df = graft.operators.Similarity.knnGraphMutual(spark, SparkSuite.Sf0001)
+    df.collect()
+    val names = nodes(df).map(_.nodeName)
+    // the n² scoring must NOT re-run per consumer: the checkpointed edge
+    // RDD shows up as scan nodes, never as repeated BroadcastNestedLoop
+    // over the raw embeddings
+    val nlj = names.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nlj == 0, s"scored self-join must not reappear downstream: ${names.distinct.mkString(",")}")
+    assert(names.exists(_.contains("Scan ExistingRDD")),
+      s"expected checkpointed edge scans: ${names.distinct.mkString(",")}")
+  }
+
   test("bucketed join: no exchange and no sort feeds the sort-merge join") {
     import org.apache.spark.sql.execution.SortExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
