@@ -209,6 +209,7 @@ object SparkEntry {
       "docs_pps_ht_gate" -> ((s, d) => TextAnalysis.ppsHtGate(s, d)),
       "events_seasonal_backtest" -> (EventOps.seasonalBacktest(_, _)),
       "events_user_intensity" -> (EventOps.userIntensity(_, _)),
+      "events_bot_regularity" -> ((s, d) => EventOps.botRegularity(s, d)),
       "events_conversion_lag" -> (EventOps.conversionLag(_, _)),
       "profile_pk_discovery" -> (ProfileQueries.pkDiscovery(_, _)),
       // posting-list build: term -> df + capped sorted doc list
@@ -367,6 +368,7 @@ object SparkEntry {
       "dedup_keep_list" -> (Dedup.dedupKeepList(_, _)),
       "dedup_impact_by_source" -> (Dedup.dedupImpactBySource(_, _)),
       "dedup_quality_bias" -> (Dedup.dedupQualityBias(_, _)),
+      "dedup_weights" -> (Dedup.dedupWeights(_, _)),
       "dedup_keep_best" -> (Dedup.dedupKeepBest(_, _)),
       "dedup_ensemble" -> (Dedup.dedupEnsemble(_, _)),
       "text_oov_rate" -> (TextAnalysis.oovRate(_, _)),
@@ -540,6 +542,7 @@ object SparkEntry {
       "docs_pps_ht_gate" -> TextAnalysis.ppsHtGateOracle(),
       "events_seasonal_backtest" -> EventOps.seasonalBacktestOracle,
       "events_user_intensity" -> EventOps.userIntensityOracle,
+      "events_bot_regularity" -> EventOps.botRegularityOracle(),
       "events_conversion_lag" -> EventOps.conversionLagOracle,
       "profile_pk_discovery" -> ProfileQueries.pkDiscoveryOracle,
       "text_inverted_index" -> TextAnalysis.invertedIndexDigestOracle(),
@@ -691,6 +694,7 @@ object SparkEntry {
       "dedup_keep_list" -> Dedup.dedupKeepListOracle,
       "dedup_impact_by_source" -> Dedup.dedupImpactBySourceOracle,
       "dedup_quality_bias" -> Dedup.dedupQualityBiasOracle,
+      "dedup_weights" -> Dedup.dedupWeightsOracle,
       "dedup_keep_best" -> Dedup.dedupKeepBestOracle,
       "dedup_ensemble" -> Dedup.dedupEnsembleOracle,
       "text_oov_rate" -> TextAnalysis.oovRateOracle(),

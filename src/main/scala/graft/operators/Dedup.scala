@@ -665,6 +665,65 @@ object Dedup {
        |  CASE WHEN kl.doc_id >= $IdOffset THEN kl.doc_id - $IdOffset ELSE kl.doc_id END
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** DEDUP SURVIVOR WEIGHTS — the estimation fix that makes a deduped
+    * corpus statistically usable: keep-one-per-cluster biases every
+    * downstream count unless each surviving doc is reweighted by the
+    * number of docs it represents (its cluster size — the Horvitz-Thompson
+    * inverse-inclusion weight, here exact because inclusion is
+    * deterministic). Per source: raw corpus docs, survivors, the doc mass
+    * the survivors REPRESENT under cluster-size weights, and the coverage
+    * permille. Source-pure clusters ⇒ coverage ≡ 1000; deviation is
+    * cross-source clustering reassigning mass to the keeper's source —
+    * exactly the drift a weighted-estimate user must know about.
+    * All linear joins over the materialized keep list; no re-hashing. */
+  def dedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val kl = dedupKeepList(spark, dir)
+      .withColumn("base_id",
+        when(col("doc_id") >= IdOffset, col("doc_id") - IdOffset).otherwise(col("doc_id")))
+    val src = table(spark, dir, "documents").select(col("doc_id").as("base_id"), col("source"))
+    val kls = kl.join(src, "base_id")
+    val raw = kls.groupBy("source").agg(count(lit(1)).as("raw_docs"))
+    val sizes = kl.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    val rep = kls.filter(col("keep") === 1L)
+      .join(sizes, "cluster_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("kept_docs"), sum(col("cluster_size")).as("represented"))
+    raw.join(rep, Seq("source"), "left")
+      .select(col("source"), col("raw_docs"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        expr("CAST(COALESCE(represented, 0) AS BIGINT)").as("represented"),
+        expr("CAST(COALESCE(represented, 0) * 1000 div raw_docs AS BIGINT)")
+          .as("coverage_permille"))
+      .orderBy("source")
+  }
+
+  def dedupWeightsOracle: String =
+    s"""WITH kl AS (
+       |  SELECT * FROM (
+       |${dedupKeepListOracle.linesIterator.map("    " + _).mkString("\n")}
+       |  ) q
+       |), m AS (
+       |  SELECT kl.*, CASE WHEN doc_id >= $IdOffset THEN doc_id - $IdOffset
+       |                    ELSE doc_id END AS base_id FROM kl
+       |), j AS (
+       |  SELECT m.*, d.source FROM m JOIN documents d ON d.doc_id = m.base_id
+       |), raw AS (
+       |  SELECT source, count(*) AS raw_docs FROM j GROUP BY source
+       |), sz AS (
+       |  SELECT cluster_id, count(*) AS cluster_size FROM kl GROUP BY cluster_id
+       |), rep AS (
+       |  SELECT j.source, count(*) AS kept_docs,
+       |         CAST(sum(sz.cluster_size) AS BIGINT) AS represented
+       |  FROM j JOIN sz ON sz.cluster_id = j.cluster_id
+       |  WHERE j.keep = 1 GROUP BY j.source
+       |)
+       |SELECT r.source, r.raw_docs,
+       |  COALESCE(rep.kept_docs, 0) AS kept_docs,
+       |  COALESCE(rep.represented, 0) AS represented,
+       |  CAST(COALESCE(rep.represented, 0) * 1000 // r.raw_docs AS BIGINT) AS coverage_permille
+       |FROM raw r LEFT JOIN rep ON rep.source = r.source
+       |ORDER BY r.source""".stripMargin
+
   // def, not val: composes dedupClustersOracle (defined later in the file)
   def dedupKeepListOracle: String =
     s"""WITH corpus AS (

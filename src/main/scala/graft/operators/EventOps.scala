@@ -2703,6 +2703,61 @@ object EventOps {
        |LEFT JOIN gaps USING (user_id)
        |ORDER BY user_id""".stripMargin
 
+  // ----------------------------------------------- bot / metronome detector
+  /** INTER-ARRIVAL REGULARITY (bot detector) — per user, the squared
+    * coefficient of variation of inter-event gaps in exact ppm:
+    * CV² = n·Σg²/(Σg)² − 1, computed as one integer expression in
+    * DECIMAL(38,0) (Σg² wraps int64 at hour-scale microsecond gaps). Human
+    * traffic is bursty (CV² ≳ 10⁶, the Poisson line); schedulers and
+    * scrapers are metronomic (CV² ≈ 0) — the standard first screen before
+    * counting "users" in a web corpus. Gaps come from a per-user
+    * partitioned window (no global sort); Σg/Σg² are order-invariant under
+    * timestamp ties, so the report is deterministic across engines and
+    * partitionings. */
+  def botRegularity(spark: SparkSession, dir: String, minEvents: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = table(spark, dir, "events").select(col("user_id"),
+      expr("unix_micros(cast(ts as timestamp))").as("tus"))
+    val w = Window.partitionBy("user_id").orderBy("tus")
+    ev.withColumn("gap", col("tus") - lag("tus", 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap")).as("s1"),
+        sum(expr("CAST(gap AS DECIMAL(38,0)) * gap")).as("s2"))
+      .filter(col("n_gaps") >= minEvents - 1)
+      .select(col("user_id"), col("n_gaps"),
+        expr("CAST(s1 div n_gaps AS BIGINT)").as("mean_gap_us"),
+        expr("""CAST((1000000 * (n_gaps * s2 - CAST(s1 AS DECIMAL(38,0)) * s1))
+               |  div (CAST(s1 AS DECIMAL(38,0)) * s1) AS BIGINT)""".stripMargin)
+          .as("cv2_ppm"),
+        expr("""(1000000 * (n_gaps * s2 - CAST(s1 AS DECIMAL(38,0)) * s1))
+               |  div (CAST(s1 AS DECIMAL(38,0)) * s1) < 250000""".stripMargin)
+          .as("is_regular"))
+      .orderBy("user_id")
+  }
+
+  def botRegularityOracle(minEvents: Int = 10): String =
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_us(ts) AS tus FROM events
+       |), g AS (
+       |  SELECT user_id,
+       |    tus - lag(tus, 1) OVER (PARTITION BY user_id ORDER BY tus) AS gap
+       |  FROM ev
+       |), a AS (
+       |  SELECT user_id, count(*) AS n_gaps, sum(gap) AS s1,
+       |         sum(CAST(gap AS HUGEINT) * gap) AS s2
+       |  FROM g WHERE gap IS NOT NULL GROUP BY user_id
+       |)
+       |SELECT user_id, n_gaps,
+       |  CAST(s1 // n_gaps AS BIGINT) AS mean_gap_us,
+       |  CAST((1000000 * (n_gaps * s2 - CAST(s1 AS HUGEINT) * s1))
+       |    // (CAST(s1 AS HUGEINT) * s1) AS BIGINT) AS cv2_ppm,
+       |  (1000000 * (n_gaps * s2 - CAST(s1 AS HUGEINT) * s1))
+       |    // (CAST(s1 AS HUGEINT) * s1) < 250000 AS is_regular
+       |FROM a WHERE n_gaps >= ${minEvents - 1}
+       |ORDER BY user_id""".stripMargin
+
   val seasonalBacktestOracle: String =
     s"""WITH $denseHourlySql, lagged AS (
        |  SELECT event_type, x,

@@ -283,6 +283,48 @@ class Round10DepthSpec extends AnyFunSuite {
     assert(dropped > 0, "dedup must drop the planted near-dup copies")
   }
 
+  test("dedup weights conserve total doc mass and match a keep-list recompute") {
+    val kl = Dedup.dedupKeepList(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val srcOf = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def src(id: Long) = srcOf(if (id >= 1000000L) id - 1000000L else id)
+    val clusterSize = kl.groupBy(_._2).map { case (c, g) => c -> g.length.toLong }
+    val expect = kl.groupBy(t => src(t._1)).map { case (s, rows) =>
+      val keepers = rows.filter(_._3 == 1L)
+      val rep = keepers.map(t => clusterSize(t._2)).sum
+      s -> ((rows.length.toLong, keepers.length.toLong, rep,
+        rep * 1000 / rows.length))
+    }
+    val got = Dedup.dedupWeights(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect, s"got $got\nwant $expect")
+    // HT mass conservation: survivors represent the whole corpus exactly
+    assert(got.values.map(_._3).sum == kl.length.toLong,
+      "sum(represented) must equal the corpus size")
+  }
+
+  test("bot regularity matches a BigInt recompute of per-user gap moments") {
+    val byUser = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("user_id", "unix_micros(cast(ts as timestamp)) as tus").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (u, rows) => u -> rows.map(_._2).sorted }
+    val expect = byUser.flatMap { case (u, ts) =>
+      val gaps = ts.zip(ts.tail).map { case (a, b) => b - a }
+      if (gaps.length < 9) None
+      else {
+        val n = BigInt(gaps.length); val s1 = gaps.map(BigInt(_)).sum
+        val s2 = gaps.map(g => BigInt(g) * g).sum
+        val cv2 = (BigInt(1000000) * (n * s2 - s1 * s1)) / (s1 * s1)
+        Some(u -> ((n.toLong, (s1 / n).toLong, cv2.toLong, cv2 < 250000)))
+      }
+    }
+    val got = EventOps.botRegularity(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got == expect, s"got ${got.size} rows, want ${expect.size}")
+  }
+
   test("pk discovery flags exactly the unique null-free columns") {
     val flags = ProfileQueries.pkDiscovery(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(5)).toMap
