@@ -210,6 +210,7 @@ object SparkEntry {
       "events_seasonal_backtest" -> (EventOps.seasonalBacktest(_, _)),
       "events_user_intensity" -> (EventOps.userIntensity(_, _)),
       "events_bot_regularity" -> ((s, d) => EventOps.botRegularity(s, d)),
+      "events_attribution" -> ((s, d) => EventOps.attribution(s, d)),
       "events_conversion_lag" -> (EventOps.conversionLag(_, _)),
       "profile_pk_discovery" -> (ProfileQueries.pkDiscovery(_, _)),
       // posting-list build: term -> df + capped sorted doc list
@@ -543,6 +544,7 @@ object SparkEntry {
       "events_seasonal_backtest" -> EventOps.seasonalBacktestOracle,
       "events_user_intensity" -> EventOps.userIntensityOracle,
       "events_bot_regularity" -> EventOps.botRegularityOracle(),
+      "events_attribution" -> EventOps.attributionOracle(),
       "events_conversion_lag" -> EventOps.conversionLagOracle,
       "profile_pk_discovery" -> ProfileQueries.pkDiscoveryOracle,
       "text_inverted_index" -> TextAnalysis.invertedIndexDigestOracle(),

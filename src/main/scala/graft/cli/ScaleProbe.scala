@@ -214,7 +214,14 @@ object ScaleProbe {
       // fixed r×c grid after one row-linear cell count
       ("autocorrelation", d => graft.operators.EventOps.autocorrelation(spark, d)),
       ("cramers_v", d => graft.profile.ProfileQueries.cramersV(spark, d)),
-      ("gk_lambda", d => graft.profile.ProfileQueries.gkLambda(spark, d)))
+      ("gk_lambda", d => graft.profile.ProfileQueries.gkLambda(spark, d)),
+      // round-10 batch 2: explode → word-keyed partial agg (vocab grows ×k
+      // under replica letter-rotation, so the combine stays per-replica);
+      // the bot screen is a per-user partitioned window (users grow ×k,
+      // per-user series fixed) — all three must stay ~linear
+      ("zipf_profile", d => graft.operators.TextAnalysis.zipfProfile(spark, d)),
+      ("lexical_diversity", d => graft.operators.TextAnalysis.lexicalDiversity(spark, d)),
+      ("bot_regularity", d => graft.operators.EventOps.botRegularity(spark, d)))
     val builds = (if (family == "ppj") ppjBuilds
       else if (doDocs) docBuilds else Seq.empty) ++
       (if (doEmb) embBuilds else Seq.empty) ++

@@ -2758,6 +2758,77 @@ object EventOps {
        |FROM a WHERE n_gaps >= ${minEvents - 1}
        |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------- multi-touch attribution
+  /** MULTI-TOUCH ATTRIBUTION — conversion credit assignment, the classic
+    * marketing-analytics rollup: every `purchase` looks back `windowHours`
+    * at the same user's `click`/`view` touches and credit is split three
+    * ways at once — first-touch (all to the earliest), last-touch (all to
+    * the latest), linear (1000‰ split evenly, remainder to the last touch
+    * so every conversion distributes EXACTLY 1000). Integer permille
+    * throughout: each model's column sums to 1000 × attributed
+    * conversions, an invariant the spec asserts. Ties inside a conversion
+    * break on event_id, so credit is deterministic across engines.
+    *
+    * 100 TB shape: conversions ⨝ touches is a user-keyed equi-join (8-byte
+    * shuffle key) with the look-back window as a post-join filter —
+    * per-user frames are bounded, and the per-conversion rank windows sort
+    * only a user's touches inside one partition. No global sort, no
+    * cross-user work. */
+  def attribution(spark: SparkSession, dir: String, windowHours: Int = 72): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val winUs = windowHours * 3600L * 1000000L
+    val ev = table(spark, dir, "events").select(col("event_id"), col("user_id"),
+      col("event_type"), expr("unix_micros(cast(ts as timestamp))").as("tus"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"), col("user_id"), col("tus").as("cts"))
+    val touch = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_type").as("touch_type"),
+        col("tus").as("tts"), col("event_id").as("touch_id"))
+    val w = Window.partitionBy("conv_id")
+    conv.join(touch, Seq("user_id"))
+      .filter(col("tts") < col("cts") && col("tts") >= col("cts") - winUs)
+      .withColumn("rk_first", row_number().over(w.orderBy(col("tts"), col("touch_id"))))
+      .withColumn("rk_last", row_number().over(w.orderBy(col("tts").desc, col("touch_id").desc)))
+      .withColumn("n_touches", count(lit(1)).over(w))
+      .select(col("touch_type"),
+        when(col("rk_first") === 1, 1000L).otherwise(0L).as("fc"),
+        when(col("rk_last") === 1, 1000L).otherwise(0L).as("lc"),
+        (expr("1000 div n_touches") +
+          when(col("rk_last") === 1, expr("1000 % n_touches")).otherwise(0L)).as("nc"))
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_touch_events"),
+        sum(col("fc")).cast("bigint").as("first_touch_milli"),
+        sum(col("lc")).cast("bigint").as("last_touch_milli"),
+        sum(col("nc")).cast("bigint").as("linear_milli"))
+      .orderBy("touch_type")
+  }
+
+  def attributionOracle(windowHours: Int = 72): String = {
+    val winUs = windowHours * 3600L * 1000000L
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events
+       |), conv AS (
+       |  SELECT event_id AS conv_id, user_id, tus AS cts FROM ev
+       |  WHERE event_type = 'purchase'
+       |), touch AS (
+       |  SELECT user_id, event_type AS touch_type, tus AS tts, event_id AS touch_id
+       |  FROM ev WHERE event_type IN ('click', 'view')
+       |), j AS (
+       |  SELECT conv_id, touch_type, tts, touch_id,
+       |    row_number() OVER (PARTITION BY conv_id ORDER BY tts, touch_id) AS rk_first,
+       |    row_number() OVER (PARTITION BY conv_id ORDER BY tts DESC, touch_id DESC) AS rk_last,
+       |    count(*) OVER (PARTITION BY conv_id) AS n_touches
+       |  FROM conv JOIN touch USING (user_id)
+       |  WHERE tts < cts AND tts >= cts - $winUs
+       |)
+       |SELECT touch_type, count(*) AS n_touch_events,
+       |  CAST(sum(CASE WHEN rk_first = 1 THEN 1000 ELSE 0 END) AS BIGINT) AS first_touch_milli,
+       |  CAST(sum(CASE WHEN rk_last = 1 THEN 1000 ELSE 0 END) AS BIGINT) AS last_touch_milli,
+       |  CAST(sum(1000 // n_touches +
+       |           CASE WHEN rk_last = 1 THEN 1000 % n_touches ELSE 0 END) AS BIGINT) AS linear_milli
+       |FROM j GROUP BY touch_type ORDER BY touch_type""".stripMargin
+  }
+
   val seasonalBacktestOracle: String =
     s"""WITH $denseHourlySql, lagged AS (
        |  SELECT event_type, x,

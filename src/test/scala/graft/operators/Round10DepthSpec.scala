@@ -325,6 +325,42 @@ class Round10DepthSpec extends AnyFunSuite {
     assert(got == expect, s"got ${got.size} rows, want ${expect.size}")
   }
 
+  test("attribution matches a plain-Scala credit recompute and conserves credit") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("event_id", "user_id", "event_type",
+        "unix_micros(cast(ts as timestamp)) as tus").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val touches = ev.filter(t => t._3 == "click" || t._3 == "view")
+    val winUs = 72L * 3600 * 1000000
+    val credits = collection.mutable.Map[String, (Long, Long, Long, Long)]()
+      .withDefaultValue((0L, 0L, 0L, 0L))
+    var attributed = 0L
+    ev.filter(_._3 == "purchase").foreach { case (_, u, _, cts) =>
+      val win = touches.filter(t => t._2 == u && t._4 < cts && t._4 >= cts - winUs)
+        .sortBy(t => (t._4, t._1))
+      if (win.nonEmpty) {
+        attributed += 1
+        val n = win.length
+        win.zipWithIndex.foreach { case ((_, _, ty, _), i) =>
+          val (c, f, l, lin) = credits(ty)
+          credits(ty) = (c + 1,
+            f + (if (i == 0) 1000L else 0L),
+            l + (if (i == n - 1) 1000L else 0L),
+            lin + 1000L / n + (if (i == n - 1) 1000L % n else 0L))
+        }
+      }
+    }
+    val got = EventOps.attribution(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == credits.toMap, s"got $got\nwant ${credits.toMap}")
+    // every model distributes exactly 1000 per attributed conversion
+    Seq(2, 3, 4).foreach { i =>
+      val tot = got.values.map(v => i match {
+        case 2 => v._2; case 3 => v._3; case _ => v._4 }).sum
+      assert(tot == attributed * 1000L, s"model col $i: $tot != ${attributed * 1000}")
+    }
+  }
+
   test("pk discovery flags exactly the unique null-free columns") {
     val flags = ProfileQueries.pkDiscovery(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(5)).toMap
