@@ -428,6 +428,7 @@ object SparkEntry {
       "multimodal_resize" -> (Multimodal.resizePlan(_, _)),
       "multimodal_frames" -> (Multimodal.frameSamples(_, _)),
       "multimodal_tiles" -> (Multimodal.tilePlan(_, _)),
+      "multimodal_audio_profile" -> (Multimodal.audioProfile(_, _)),
       // data-quality validation rules (the north-star surface)
       "quality_checks" -> (graft.quality.QualitySuite.run(_, _)))
   }
@@ -736,6 +737,7 @@ object SparkEntry {
       "multimodal_resize" -> Multimodal.resizePlanOracle,
       "multimodal_frames" -> Multimodal.frameSamplesOracle,
       "multimodal_tiles" -> Multimodal.tilePlanOracle(),
+      "multimodal_audio_profile" -> Multimodal.audioProfileOracle,
       "quality_checks" -> graft.quality.QualitySuite.oracle)
   }
 }

@@ -343,6 +343,72 @@ object Multimodal {
     ds.mapPartitions(_.map { case (id, payload) => (id, wavStats(payload)) })
   }
 
+  /** Canonical 16-bit mono PCM WAV with a deterministic integer waveform:
+    * doc d gets 64+(d%64) samples at 8 kHz; every 10th doc is a planted
+    * CLIPPED recording (full-scale ±32767 square wave) the profile must
+    * flag. The synthesis is pure integer arithmetic, so an oracle can
+    * predict every stat closed-form without parsing bytes. */
+  private[operators] def synthWav(docId: Long, n: Int, sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(0x46464952); bb.putInt(36 + dataLen); bb.putInt(0x45564157) // RIFF/WAVE
+    bb.putInt(0x20746d66); bb.putInt(16)                                  // fmt , PCM
+    bb.putShort(1); bb.putShort(1); bb.putInt(sampleRate)
+    bb.putInt(sampleRate * 2); bb.putShort(2); bb.putShort(16)
+    bb.putInt(0x61746164); bb.putInt(dataLen)                             // data
+    var t = 0
+    while (t < n) {
+      val s = if (docId % 10 == 0) { if (t % 2 == 0) 32767 else -32767 }
+      else (((docId * 31 + t * 17) % 2048) - 1024).toInt
+      bb.putShort(s.toShort); t += 1
+    }
+    bb.array()
+  }
+
+  /** AUDIO CURATION PROFILE, driver-gated end to end: synthesize the
+    * deterministic WAV payload per doc, push the BYTES through the real
+    * [[wavStats]] RIFF parser behind the [[audioFeatures]] mapPartitions
+    * seam, and emit the integer features an audio pipeline filters on —
+    * with the clipped-recording screen catching the planted full-scale
+    * docs. The oracle never parses a byte: it predicts every stat from
+    * the synthesis arithmetic, so a parser regression (header walk,
+    * sample decode, clipping threshold) breaks the gate. At 100 TB the
+    * synthesis step is replaced by reading a binary column; only
+    * (id, 7 integers) ever exits the decode seam. */
+  def audioProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = table(spark, dir, "documents").select(col("doc_id")).as[Long]
+    audioFeatures(ids.map(id => (id, synthWav(id, (64 + (id % 64)).toInt))))
+      .map { case (id, w) => (id, w.sampleRate.toLong, w.channels.toLong,
+        w.nSamples, w.durationMs, w.rms2, w.peak.toLong, w.nClipped) }
+      .toDF("doc_id", "sample_rate", "channels", "n_samples", "duration_ms",
+        "rms2", "peak", "n_clipped")
+      .orderBy("doc_id")
+  }
+
+  val audioProfileOracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents
+      |), samples AS (
+      |  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS t FROM base
+      |), s AS (
+      |  SELECT doc_id, n,
+      |    CASE WHEN doc_id % 10 = 0
+      |         THEN CASE WHEN t % 2 = 0 THEN 32767 ELSE -32767 END
+      |         ELSE (doc_id * 31 + t * 17) % 2048 - 1024 END AS v
+      |  FROM samples
+      |)
+      |SELECT doc_id,
+      |  CAST(8000 AS BIGINT) AS sample_rate,
+      |  CAST(1 AS BIGINT) AS channels,
+      |  CAST(max(n) AS BIGINT) AS n_samples,
+      |  CAST(max(n) * 1000 // 8000 AS BIGINT) AS duration_ms,
+      |  CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS rms2,
+      |  CAST(max(abs(v)) AS BIGINT) AS peak,
+      |  CAST(sum(CASE WHEN abs(v) >= 32760 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+      |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def tilePlanOracle(patch: Int = 128): String =
     s"""SELECT doc_id, tx, ty,
        |  tx * $patch AS x0, ty * $patch AS y0,

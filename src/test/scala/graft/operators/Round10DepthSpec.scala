@@ -361,6 +361,22 @@ class Round10DepthSpec extends AnyFunSuite {
     }
   }
 
+  test("audio profile flags exactly the planted clipped recordings") {
+    val rows = Multimodal.audioProfile(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, n, clipped, peak) = (r.getLong(0), r.getLong(3), r.getLong(7), r.getLong(6))
+      assert(n == 64 + id % 64, s"doc $id: n_samples $n")
+      if (id % 10 == 0) {
+        assert(clipped == n && peak == 32767L,
+          s"doc $id: planted full-scale doc must be fully clipped ($clipped/$n, peak $peak)")
+      } else {
+        assert(clipped == 0L && peak <= 1024L,
+          s"doc $id: clean doc flagged ($clipped clipped, peak $peak)")
+      }
+    }
+  }
+
   test("pk discovery flags exactly the unique null-free columns") {
     val flags = ProfileQueries.pkDiscovery(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(5)).toMap
