@@ -429,6 +429,7 @@ object SparkEntry {
       "multimodal_frames" -> (Multimodal.frameSamples(_, _)),
       "multimodal_tiles" -> (Multimodal.tilePlan(_, _)),
       "multimodal_audio_profile" -> (Multimodal.audioProfile(_, _)),
+      "multimodal_image_dhash" -> (Multimodal.imageDHashProfile(_, _)),
       // data-quality validation rules (the north-star surface)
       "quality_checks" -> (graft.quality.QualitySuite.run(_, _)))
   }
@@ -738,6 +739,7 @@ object SparkEntry {
       "multimodal_frames" -> Multimodal.frameSamplesOracle,
       "multimodal_tiles" -> Multimodal.tilePlanOracle(),
       "multimodal_audio_profile" -> Multimodal.audioProfileOracle,
+      "multimodal_image_dhash" -> Multimodal.imageDHashProfileOracle,
       "quality_checks" -> graft.quality.QualitySuite.oracle)
   }
 }

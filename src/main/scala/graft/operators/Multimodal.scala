@@ -282,6 +282,81 @@ object Multimodal {
     ds.mapPartitions(_.map { case (id, payload) => (id, dHash64(payload)) })
   }
 
+  /** Deterministic small grayscale-gradient PNG for doc d: dimensions
+    * 18+(d%10) × 16+(d%7), pixel v(x,y) = (d·7 + x·13 + y·29) mod 256 on
+    * all three channels. PNG is lossless, so the decoded raster is the
+    * formula — an oracle can recompute any integer pixel statistic,
+    * including the dHash grid, without touching bytes. */
+  private[operators] def synthPng(docId: Long): Array[Byte] = {
+    val w = 18 + (docId % 10).toInt; val h = 16 + (docId % 7).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((docId * 7 + x * 13 + y * 29) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** IMAGE PERCEPTUAL-HASH PROFILE, driver-gated end to end: synthesize
+    * the deterministic PNG per doc, push the BYTES through the real
+    * ImageIO decode + [[dHash64]] integer box-average behind the
+    * [[imageDHashes]] mapPartitions seam, and emit the 64-bit hash. The
+    * oracle recomputes every hash BIT-FOR-BIT from the synthesis formula
+    * in SQL (floor-partitioned 9×8 cells, cross-multiplied mean compares
+    * — the exact arithmetic of the operator), so any drift in the codec
+    * path, the grid mapping, or the comparison breaks 500 rows at once.
+    * At 100 TB the synthesis is replaced by a binary column read; only
+    * (id, 8-byte hash) exits the seam, and the hash feeds the SimHash
+    * block-key dedup machinery unchanged. */
+  def imageDHashProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = table(spark, dir, "documents").select(col("doc_id")).as[Long]
+    imageDHashes(ids.map(id => (id, synthPng(id))))
+      .toDF("doc_id", "dhash")
+      .select(col("doc_id"),
+        (lit(18) + col("doc_id") % 10).cast("bigint").as("width"),
+        (lit(16) + col("doc_id") % 7).cast("bigint").as("height"),
+        col("dhash"))
+      .orderBy("doc_id")
+  }
+
+  val imageDHashProfileOracle: String =
+    """WITH dims AS (
+      |  SELECT doc_id, 18 + doc_id % 10 AS w, 16 + doc_id % 7 AS h FROM documents
+      |), px AS (
+      |  SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
+      |  FROM (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM dims)
+      |), cell AS (
+      |  SELECT doc_id,
+      |    least(8, x * 9 // w) AS gx, least(7, y * 8 // h) AS gy,
+      |    1000 * ((doc_id * 7 + x * 13 + y * 29) % 256) AS gray
+      |  FROM px
+      |), grid AS (
+      |  SELECT doc_id, gx, gy, sum(gray) AS s, count(*) AS c
+      |  FROM cell GROUP BY 1, 2, 3
+      |), bits AS (
+      |  SELECT a.doc_id, a.gy, a.gx,
+      |    CASE WHEN b.s * a.c > a.s * b.c THEN 1 ELSE 0 END AS bit
+      |  FROM grid a
+      |  JOIN grid b ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+      |)
+      |SELECT d.doc_id, CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+      |  CAST(sum(CASE WHEN bit = 1 THEN
+      |      CASE WHEN gy * 8 + gx = 63 THEN -9223372036854775807 - 1
+      |           ELSE CAST(1 AS BIGINT) << (gy * 8 + gx) END
+      |    ELSE 0 END) AS BIGINT) AS dhash
+      |FROM dims d JOIN bits USING (doc_id)
+      |GROUP BY d.doc_id, d.w, d.h ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------------------------------ WAV audio decode
   /** Real AUDIO bytes through the decode seam: parse a RIFF/WAVE PCM
     * payload (header walk + 16-bit little-endian samples — no codec

@@ -377,6 +377,20 @@ class Round10DepthSpec extends AnyFunSuite {
     }
   }
 
+  test("image dhash profile matches direct decode and is non-degenerate") {
+    val rows = Multimodal.imageDHashProfile(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(rows.nonEmpty)
+    // the distributed seam must equal a direct local decode of the same bytes
+    rows.take(5).foreach { case (id, h) =>
+      assert(h == Multimodal.dHash64(Multimodal.synthPng(id)),
+        s"doc $id: seam hash differs from direct decode")
+    }
+    // gradient phase varies per doc: hashes must not collapse to one value
+    assert(rows.values.toSet.size > rows.size / 4,
+      s"dhash degenerate: ${rows.values.toSet.size} distinct of ${rows.size}")
+  }
+
   test("pk discovery flags exactly the unique null-free columns") {
     val flags = ProfileQueries.pkDiscovery(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(5)).toMap
