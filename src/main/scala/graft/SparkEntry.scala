@@ -430,6 +430,7 @@ object SparkEntry {
       "multimodal_tiles" -> (Multimodal.tilePlan(_, _)),
       "multimodal_audio_profile" -> (Multimodal.audioProfile(_, _)),
       "multimodal_image_dhash" -> (Multimodal.imageDHashProfile(_, _)),
+      "dedup_image_groups" -> (Multimodal.imageDupGroups(_, _)),
       // data-quality validation rules (the north-star surface)
       "quality_checks" -> (graft.quality.QualitySuite.run(_, _)))
   }
@@ -740,6 +741,7 @@ object SparkEntry {
       "multimodal_tiles" -> Multimodal.tilePlanOracle(),
       "multimodal_audio_profile" -> Multimodal.audioProfileOracle,
       "multimodal_image_dhash" -> Multimodal.imageDHashProfileOracle,
+      "dedup_image_groups" -> Multimodal.imageDupGroupsOracle,
       "quality_checks" -> graft.quality.QualitySuite.oracle)
   }
 }

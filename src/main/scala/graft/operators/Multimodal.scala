@@ -357,6 +357,59 @@ object Multimodal {
       |FROM dims d JOIN bits USING (doc_id)
       |GROUP BY d.doc_id, d.w, d.h ORDER BY d.doc_id""".stripMargin
 
+  /** VISUAL DUPLICATE GROUPS — the dedup half of the image story: every
+    * doc carries the image of its 5-group leader (doc_id − doc_id%5), the
+    * REAL decode+dHash seam hashes the bytes, and an exact group-by over
+    * the 64-bit hashes recovers the groups with keep-smallest keepers —
+    * decode → perceptual hash → hash-keyed dedup, end to end, with only
+    * (id, 8-byte hash) ever crossing the shuffle (the whole point of
+    * hashing at the seam: the group-by cost is SimHash-sized no matter
+    * how large the images are). The oracle recomputes each leader's hash
+    * bit-for-bit from the synthesis formula and groups identically, so
+    * the gate covers the codec path AND the grouping policy. */
+  def imageDupGroups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = table(spark, dir, "documents").select(col("doc_id")).as[Long]
+    imageDHashes(ids.map(id => (id, synthPng(id - id % 5))))
+      .toDF("doc_id", "dhash")
+      .groupBy("dhash")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+      .orderBy("keeper")
+  }
+
+  val imageDupGroupsOracle: String =
+    """WITH dims AS (
+      |  SELECT doc_id, doc_id - doc_id % 5 AS l,
+      |         18 + (doc_id - doc_id % 5) % 10 AS w,
+      |         16 + (doc_id - doc_id % 5) % 7 AS h
+      |  FROM documents
+      |), px AS (
+      |  SELECT doc_id, l, w, h, x, unnest(generate_series(0, h - 1)) AS y
+      |  FROM (SELECT doc_id, l, w, h, unnest(generate_series(0, w - 1)) AS x FROM dims)
+      |), cell AS (
+      |  SELECT doc_id,
+      |    least(8, x * 9 // w) AS gx, least(7, y * 8 // h) AS gy,
+      |    1000 * ((l * 7 + x * 13 + y * 29) % 256) AS gray
+      |  FROM px
+      |), grid AS (
+      |  SELECT doc_id, gx, gy, sum(gray) AS s, count(*) AS c
+      |  FROM cell GROUP BY 1, 2, 3
+      |), bits AS (
+      |  SELECT a.doc_id, a.gy, a.gx,
+      |    CASE WHEN b.s * a.c > a.s * b.c THEN 1 ELSE 0 END AS bit
+      |  FROM grid a
+      |  JOIN grid b ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+      |), hashes AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN bit = 1 THEN
+      |        CASE WHEN gy * 8 + gx = 63 THEN -9223372036854775807 - 1
+      |             ELSE CAST(1 AS BIGINT) << (gy * 8 + gx) END
+      |      ELSE 0 END) AS BIGINT) AS dhash
+      |  FROM bits GROUP BY doc_id
+      |)
+      |SELECT dhash, count(*) AS n_docs, min(doc_id) AS keeper
+      |FROM hashes GROUP BY dhash ORDER BY keeper""".stripMargin
+
   // ------------------------------------------------------ WAV audio decode
   /** Real AUDIO bytes through the decode seam: parse a RIFF/WAVE PCM
     * payload (header walk + 16-bit little-endian samples — no codec

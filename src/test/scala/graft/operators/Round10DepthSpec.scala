@@ -391,6 +391,17 @@ class Round10DepthSpec extends AnyFunSuite {
       s"dhash degenerate: ${rows.values.toSet.size} distinct of ${rows.size}")
   }
 
+  test("image dup groups recover exactly the planted 5-groups") {
+    val rows = Multimodal.imageDupGroups(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_._2).sum == nDocs, "every doc must land in a group")
+    rows.foreach { case (_, n, keeper) =>
+      assert(keeper % 5 == 0, s"keeper $keeper must be the group leader")
+      assert(n == math.min(5L, nDocs - keeper), s"group at $keeper has $n docs")
+    }
+  }
+
   test("pk discovery flags exactly the unique null-free columns") {
     val flags = ProfileQueries.pkDiscovery(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(5)).toMap
