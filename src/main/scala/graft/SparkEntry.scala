@@ -139,6 +139,7 @@ object SparkEntry {
       "events_cross_correlation" -> ((s, d) => EventOps.crossCorrelation(s, d)),
       // k-anonymity / l-diversity release audit over customer
       "profile_k_anonymity" -> ((s, d) => ProfileQueries.kAnonymity(s, d)),
+      "profile_anonymization_ladder" -> ((s, d) => ProfileQueries.anonymizationLadder(s, d)),
       // string-column companion of the whole-catalog numeric profile
       "profile_catalog_strings" -> (ProfileQueries.catalogStringProfile(_, _)),
       // small-file FFD compaction plan over the file listing (rows-only:
@@ -507,6 +508,7 @@ object SparkEntry {
       "events_asof_nearest" -> EventOps.asofNearestClickOracle(),
       "events_cross_correlation" -> EventOps.crossCorrelationOracle(),
       "profile_k_anonymity" -> ProfileQueries.kAnonymityOracle(),
+      "profile_anonymization_ladder" -> ProfileQueries.anonymizationLadderOracle(),
       "profile_catalog_strings" -> ProfileQueries.catalogStringProfileOracle,
       "events_debounce" -> EventOps.debounceSummaryOracle(),
       "dedup_kcore_gate" -> Dedup.kCoreGateOracle,

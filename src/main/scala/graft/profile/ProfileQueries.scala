@@ -1599,6 +1599,59 @@ object ProfileQueries {
        |  min(l) AS min_l_diversity
        |FROM g""".stripMargin
 
+  /** ANONYMIZATION GENERALIZATION LADDER — the planning table for
+    * k-anonymous release: the quasi-identifier is coarsened level by
+    * level (0: nation+segment → 1: region+segment → 2: region → 3:
+    * global) and each level reports its group count, smallest class, and
+    * rows still below k — the reader picks the first level where k_ok
+    * flips true (the minimal generalization that satisfies k). One
+    * GROUPING SETS aggregate computes all four levels in a single Expand
+    * + shuffle (no four-scan union); the level is derived from key
+    * nullness, identical in both dialects, so no grouping_id() drift.
+    * The ladder is domain-sized at any corpus scale. */
+  def anonymizationLadder(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val base = Fixtures.table(spark, dir, "customer")
+      .join(Fixtures.table(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_nationkey").as("nat"), col("n_regionkey").as("reg"),
+        col("c_mktsegment").as("seg"))
+    val g = base
+      .groupingSets(
+        Seq(Seq(col("nat"), col("seg")), Seq(col("reg"), col("seg")),
+          Seq(col("reg")), Seq()),
+        col("nat"), col("reg"), col("seg"))
+      .agg(count(lit(1)).as("sz"))
+    g.select(
+        when(col("nat").isNotNull, 0L)
+          .when(col("seg").isNotNull && col("reg").isNotNull, 1L)
+          .when(col("reg").isNotNull, 2L).otherwise(3L).as("level"), col("sz"))
+      .groupBy("level")
+      .agg(count(lit(1)).as("n_groups"), min(col("sz")).as("min_group_size"),
+        sum(when(col("sz") < k, col("sz")).otherwise(0L)).cast("bigint")
+          .as("rows_below_k"),
+        (min(col("sz")) >= k).as("k_ok"))
+      .orderBy("level")
+  }
+
+  def anonymizationLadderOracle(k: Int = 5): String =
+    s"""WITH base AS (
+       |  SELECT c_nationkey AS nat, n_regionkey AS reg, c_mktsegment AS seg
+       |  FROM customer JOIN nation ON n_nationkey = c_nationkey
+       |), g AS (
+       |  SELECT nat, reg, seg, count(*) AS sz FROM base
+       |  GROUP BY GROUPING SETS ((nat, seg), (reg, seg), (reg), ())
+       |), lv AS (
+       |  SELECT CASE WHEN nat IS NOT NULL THEN 0
+       |              WHEN seg IS NOT NULL AND reg IS NOT NULL THEN 1
+       |              WHEN reg IS NOT NULL THEN 2 ELSE 3 END AS level, sz
+       |  FROM g
+       |)
+       |SELECT CAST(level AS BIGINT) AS level, count(*) AS n_groups,
+       |  min(sz) AS min_group_size,
+       |  CAST(sum(CASE WHEN sz < $k THEN sz ELSE 0 END) AS BIGINT) AS rows_below_k,
+       |  min(sz) >= $k AS k_ok
+       |FROM lv GROUP BY level ORDER BY level""".stripMargin
+
   // --------------------------------------------- whole-catalog string profile
   /** The string-column companion of [[catalogProfile]]: one row per
     * (table, string column) with count/nulls/exact NDV/length range/

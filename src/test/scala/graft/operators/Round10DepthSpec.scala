@@ -402,6 +402,30 @@ class Round10DepthSpec extends AnyFunSuite {
     }
   }
 
+  test("anonymization ladder matches a plain-Scala recompute at every level") {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select("c_nationkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val regOf = spark.read.parquet(s"$dir/nation.parquet")
+      .select("n_nationkey", "n_regionkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ladder[K](key: ((Long, String)) => K): (Long, Long, Long, Boolean) = {
+      val sizes = cust.groupBy(key).map(_._2.length.toLong)
+      (sizes.size.toLong, sizes.min, sizes.filter(_ < 5).sum, sizes.min >= 5)
+    }
+    val expect = Map(
+      0L -> ladder(c => (c._1, c._2)),
+      1L -> ladder(c => (regOf(c._1), c._2)),
+      2L -> ladder(c => regOf(c._1)),
+      3L -> ladder(_ => ()))
+    val got = ProfileQueries.anonymizationLadder(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got == expect, s"got $got\nwant $expect")
+    // the ladder is monotone: once generalization reaches k, it stays there
+    val oks = (0L to 3L).map(l => got(l)._4)
+    assert(!oks.zip(oks.tail).exists { case (a, b) => a && !b }, s"non-monotone: $oks")
+  }
+
   test("pk discovery flags exactly the unique null-free columns") {
     val flags = ProfileQueries.pkDiscovery(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(5)).toMap
