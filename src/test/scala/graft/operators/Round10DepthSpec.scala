@@ -404,10 +404,10 @@ class Round10DepthSpec extends AnyFunSuite {
 
   test("anonymization ladder matches a plain-Scala recompute at every level") {
     val cust = spark.read.parquet(s"$dir/customer.parquet")
-      .select("c_nationkey", "c_mktsegment").collect()
+      .selectExpr("cast(c_nationkey as bigint)", "c_mktsegment").collect()
       .map(r => (r.getLong(0), r.getString(1)))
     val regOf = spark.read.parquet(s"$dir/nation.parquet")
-      .select("n_nationkey", "n_regionkey").collect()
+      .selectExpr("cast(n_nationkey as bigint)", "cast(n_regionkey as bigint)").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     def ladder[K](key: ((Long, String)) => K): (Long, Long, Long, Boolean) = {
       val sizes = cust.groupBy(key).map(_._2.length.toLong)
