@@ -371,6 +371,7 @@ object SparkEntry {
       "dedup_impact_by_source" -> (Dedup.dedupImpactBySource(_, _)),
       "dedup_quality_bias" -> (Dedup.dedupQualityBias(_, _)),
       "dedup_weights" -> (Dedup.dedupWeights(_, _)),
+      "dedup_cdc_chunks" -> (Dedup.cdcChunks(_, _)),
       "dedup_keep_best" -> (Dedup.dedupKeepBest(_, _)),
       "dedup_ensemble" -> (Dedup.dedupEnsemble(_, _)),
       "text_oov_rate" -> (TextAnalysis.oovRate(_, _)),
@@ -702,6 +703,7 @@ object SparkEntry {
       "dedup_impact_by_source" -> Dedup.dedupImpactBySourceOracle,
       "dedup_quality_bias" -> Dedup.dedupQualityBiasOracle,
       "dedup_weights" -> Dedup.dedupWeightsOracle,
+      "dedup_cdc_chunks" -> Dedup.cdcChunksOracle,
       "dedup_keep_best" -> Dedup.dedupKeepBestOracle,
       "dedup_ensemble" -> Dedup.dedupEnsembleOracle,
       "text_oov_rate" -> TextAnalysis.oovRateOracle(),

@@ -619,6 +619,87 @@ object Dedup {
        |  CASE WHEN kl.doc_id >= $IdOffset THEN kl.doc_id - $IdOffset ELSE kl.doc_id END
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** CONTENT-DEFINED CHUNKING dedup report — the storage-dedup/partial-
+    * overlap angle the document-level families miss: words stream through
+    * a per-word rolling hash, a word is a chunk BOUNDARY when its hash ≡ 0
+    * (mod 16, expected ~16-word chunks), and chunk identity is the md5 of
+    * the chunk's words. Because boundaries depend only on CONTENT, a
+    * shared passage chunks identically in every doc that contains it
+    * regardless of offset (the CDC property rsync/LBFS/backup dedup rest
+    * on — fixed-width chunks would misalign after one inserted word). The
+    * near-dup corpus makes the report non-trivial: planted copies share
+    * most chunks, so cross-doc chunk reuse is the sub-document dup mass.
+    *
+    * 100 TB shape: one explode stream, a per-doc partitioned prefix sum
+    * for chunk ids, one (doc, chunk) rollup, one chunk-hash rollup — all
+    * 16-byte-key shuffles, no pair joins at all. */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = corpusWithNearDups(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+      .withColumn("b",
+        when(graft.functions.VectorExpressions.rolling_hash(col("word")) % 16 === 0, 1L)
+          .otherwise(0L))
+      .withColumn("chunk", sum(col("b")).over(
+        Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val chunks = toks.groupBy(col("doc_id"), col("chunk"))
+      .agg(md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+            s => s.getField("word")), " ")).as("ch"),
+        count(lit(1)).as("nw"))
+    val perHash = chunks.groupBy("ch")
+      .agg(count(lit(1)).as("n_inst"), countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("nw")).as("w"))
+    perHash.agg(
+        sum(col("n_inst")).as("nc"), count(lit(1)).as("nd"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("nx"),
+        sum(col("w")).as("tw"))
+      .select(
+        expr("CAST(nc AS BIGINT)").as("n_chunks"),
+        col("nd").as("n_distinct_chunks"),
+        expr("CAST(nx AS BIGINT)").as("n_cross_doc_chunks"),
+        expr("CAST(1000 * (nc - nd) div nc AS BIGINT)").as("chunk_dup_permille"),
+        expr("CAST(1000 * tw div nc AS BIGINT)").as("mean_words_per_chunk_milli"))
+  }
+
+  def cdcChunksOracle: String =
+    s"""WITH corpus AS (
+       |  ${corpusSql.linesIterator.mkString("\n|  ")}
+       |), toks AS (
+       |  SELECT doc_id, i AS pos, string_split(text, ' ')[i] AS word
+       |  FROM corpus, unnest(generate_series(1, len(string_split(text, ' ')))) AS s(i)
+       |), marked AS (
+       |  SELECT doc_id, pos, word,
+       |    CASE WHEN list_reduce(
+       |        list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(list_filter(string_split(word, ''), c -> c != ''),
+       |            c -> CAST(unicode(c) AS BIGINT))),
+       |        (a, b) -> (a * 31 + b) % 1000000007) % 16 = 0
+       |      THEN 1 ELSE 0 END AS b
+       |  FROM toks WHERE word != ''
+       |), numbered AS (
+       |  SELECT doc_id, pos, word,
+       |    CAST(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS chunk
+       |  FROM marked
+       |), chunks AS (
+       |  SELECT doc_id, chunk, md5(string_agg(word, ' ' ORDER BY pos)) AS ch,
+       |         count(*) AS nw
+       |  FROM numbered GROUP BY doc_id, chunk
+       |), per_hash AS (
+       |  SELECT ch, count(*) AS n_inst, count(DISTINCT doc_id) AS n_docs,
+       |         CAST(sum(nw) AS BIGINT) AS w
+       |  FROM chunks GROUP BY ch
+       |)
+       |SELECT CAST(sum(n_inst) AS BIGINT) AS n_chunks,
+       |  count(*) AS n_distinct_chunks,
+       |  CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_doc_chunks,
+       |  CAST(1000 * (sum(n_inst) - count(*)) // sum(n_inst) AS BIGINT) AS chunk_dup_permille,
+       |  CAST(1000 * sum(w) // sum(n_inst) AS BIGINT) AS mean_words_per_chunk_milli
+       |FROM per_hash""".stripMargin
+
   /** DEDUP × QUALITY SELECTION-BIAS AUDIT — near-dup removal is supposed
     * to delete templated boilerplate, which skews low-quality; this
     * cross-tab checks that belief on THIS corpus instead of assuming it.

@@ -426,6 +426,40 @@ class Round10DepthSpec extends AnyFunSuite {
     assert(!oks.zip(oks.tail).exists { case (a, b) => a && !b }, s"non-monotone: $oks")
   }
 
+  test("cdc chunks match a plain-Scala rolling-hash recompute") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def roll(w: String): Long =
+      w.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
+    val docs = Dedup.corpusWithNearDups(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val chunks = docs.flatMap { case (id, text) =>
+      val ws = text.split(" ", -1).filter(_.nonEmpty)
+      var c = 0L
+      val buf = collection.mutable.ArrayBuffer[(Long, Long, String)]()
+      ws.foreach { w =>
+        if (roll(w) % 16 == 0) c += 1
+        buf += ((id, c, w))
+      }
+      buf.groupBy(t => (t._1, t._2)).map { case (_, g) =>
+        (md5hex(g.map(_._3).mkString(" ")), g.head._1, g.length.toLong)
+      }
+    }
+    val perHash = chunks.groupBy(_._1).map { case (_, g) =>
+      (g.length.toLong, g.map(_._2).distinct.length.toLong, g.map(_._3).sum)
+    }
+    val nc = perHash.map(_._1).sum; val nd = perHash.size.toLong
+    val nx = perHash.count(_._2 >= 2).toLong; val tw = perHash.map(_._3).sum
+    val expect = (nc, nd, nx, 1000 * (nc - nd) / nc, 1000 * tw / nc)
+    val r = Dedup.cdcChunks(spark, dir).collect().head
+    val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(got == expect, s"got $got\nwant $expect")
+    // the planted near-dup copies must share sub-document chunks
+    assert(got._3 > 0, "no cross-doc chunks found")
+  }
+
   test("pk discovery flags exactly the unique null-free columns") {
     val flags = ProfileQueries.pkDiscovery(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(5)).toMap
