@@ -372,6 +372,7 @@ object SparkEntry {
       "dedup_quality_bias" -> (Dedup.dedupQualityBias(_, _)),
       "dedup_weights" -> (Dedup.dedupWeights(_, _)),
       "dedup_cdc_chunks" -> (Dedup.cdcChunks(_, _)),
+      "dedup_cluster_lang_purity" -> (Dedup.clusterLangPurity(_, _)),
       "dedup_keep_best" -> (Dedup.dedupKeepBest(_, _)),
       "dedup_ensemble" -> (Dedup.dedupEnsemble(_, _)),
       "text_oov_rate" -> (TextAnalysis.oovRate(_, _)),
@@ -704,6 +705,7 @@ object SparkEntry {
       "dedup_quality_bias" -> Dedup.dedupQualityBiasOracle,
       "dedup_weights" -> Dedup.dedupWeightsOracle,
       "dedup_cdc_chunks" -> Dedup.cdcChunksOracle,
+      "dedup_cluster_lang_purity" -> Dedup.clusterLangPurityOracle,
       "dedup_keep_best" -> Dedup.dedupKeepBestOracle,
       "dedup_ensemble" -> Dedup.dedupEnsembleOracle,
       "text_oov_rate" -> TextAnalysis.oovRateOracle(),

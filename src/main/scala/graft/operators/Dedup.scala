@@ -700,6 +700,49 @@ object Dedup {
        |  CAST(1000 * sum(w) // sum(n_inst) AS BIGINT) AS mean_words_per_chunk_milli
        |FROM per_hash""".stripMargin
 
+  /** CLUSTER LANGUAGE PURITY — near-dup clusters that mix languages are a
+    * smell worth its own report: legitimate near-dups share language;
+    * cross-language clusters usually mean templated boilerplate (the same
+    * nav/footer skeleton translated) or a shingle space too coarse for
+    * short docs — either way the keep-one policy is about to pick one
+    * language's copy and silently delete the other's. Per multi-doc
+    * cluster the distinct base-doc languages; rolled up to the counts a
+    * reviewer reads. Joins over the materialized cluster labels. */
+  def clusterLangPurity(spark: SparkSession, dir: String): DataFrame = {
+    val langs = table(spark, dir, "documents").select(col("doc_id").as("base_id"), col("lang"))
+    val per = dedupClusters(spark, dir)
+      .withColumn("base_id",
+        when(col("doc_id") >= IdOffset, col("doc_id") - IdOffset).otherwise(col("doc_id")))
+      .join(langs, "base_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("lang")).as("n_langs"))
+    per.agg(count(lit(1)).as("nc"),
+        sum(when(col("n_langs") >= 2, 1L).otherwise(0L)).as("nm"),
+        max(col("n_langs")).as("mx"))
+      .select(col("nc").as("n_clusters"),
+        expr("CAST(nm AS BIGINT)").as("n_multilang"),
+        expr("CAST(nm * 1000 div nc AS BIGINT)").as("multilang_permille"),
+        col("mx").as("max_langs"))
+  }
+
+  def clusterLangPurityOracle: String =
+    s"""WITH clusters AS (
+       |  SELECT * FROM (
+       |${dedupClustersOracle.linesIterator.map("    " + _).mkString("\n")}
+       |  ) q
+       |), per AS (
+       |  SELECT c.cluster_id, count(*) AS n_docs, count(DISTINCT d.lang) AS n_langs
+       |  FROM clusters c JOIN documents d ON d.doc_id =
+       |    CASE WHEN c.doc_id >= $IdOffset THEN c.doc_id - $IdOffset ELSE c.doc_id END
+       |  GROUP BY c.cluster_id
+       |)
+       |SELECT count(*) AS n_clusters,
+       |  CAST(sum(CASE WHEN n_langs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_multilang,
+       |  CAST(sum(CASE WHEN n_langs >= 2 THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+       |    AS multilang_permille,
+       |  max(n_langs) AS max_langs
+       |FROM per""".stripMargin
+
   /** DEDUP × QUALITY SELECTION-BIAS AUDIT — near-dup removal is supposed
     * to delete templated boilerplate, which skews low-quality; this
     * cross-tab checks that belief on THIS corpus instead of assuming it.

@@ -460,6 +460,22 @@ class Round10DepthSpec extends AnyFunSuite {
     assert(got._3 > 0, "no cross-doc chunks found")
   }
 
+  test("cluster language purity matches a recompute from the cluster labels") {
+    val langOf = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val per = Dedup.dedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(1), langOf {
+        val id = r.getLong(0); if (id >= 1000000L) id - 1000000L else id
+      }))
+      .groupBy(_._1).map { case (_, g) => g.map(_._2).distinct.length }
+    val expect = (per.size.toLong, per.count(_ >= 2).toLong,
+      per.count(_ >= 2).toLong * 1000 / per.size, per.max.toLong)
+    val r = Dedup.clusterLangPurity(spark, dir).collect().head
+    val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(got == expect, s"got $got\nwant $expect")
+  }
+
   test("pk discovery flags exactly the unique null-free columns") {
     val flags = ProfileQueries.pkDiscovery(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(5)).toMap
