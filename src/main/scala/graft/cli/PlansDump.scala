@@ -79,7 +79,9 @@ object PlansDump {
     "dedup_banding_curve",     // 4 capped band self-joins off one sig stage
     "profile_cramers_v",       // r×c grid margins, scalars out
     "text_lexical_diversity",  // two-level partial+final rollup, join-free
-    "embedding_knn_mutual")    // checkpointed kNN edges, 3 linear consumers
+    "embedding_knn_mutual",    // checkpointed kNN edges, 3 linear consumers
+    "dedup_cdc_chunks",        // CDC: explode -> per-doc prefix -> hash rollups
+    "events_attribution")      // user-keyed interval join + conversion windows
 
   /** Plan-audit overrides: these queries' gated implementations read
     * memoized materialized stages (the shared-pipeline design — see

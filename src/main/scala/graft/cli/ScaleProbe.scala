@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions._
   * replication would stack every copy of a vector into the same SemDeDup
   * cell and measure a quadratic data-shape change, not engine scaling).
   *
-  * Usage: runMain graft.cli.ScaleProbe [baseSfDir] [outRoot] [factors] [reps] [family]
+  * Usage: runMain graft.cli.ScaleProbe [baseSfDir] [outRoot] [factors] [reps] [family] [onlyBuilds]
   * `factors` is comma-separated (e.g. `1,10,20`; all ≤26 so letter rotations
   * stay distinct); `family` is `docs`, `emb`, or `all` (default). Writes
   * corpora under outRoot (NOT /root/testdata) and prints a markdown table +
@@ -114,6 +114,12 @@ object ScaleProbe {
     val factors = (if (args.length > 2) args(2) else "1,10").split(",").map(_.trim.toInt).toSeq
     val reps    = if (args.length > 3) args(3).toInt else 2
     val family  = if (args.length > 4) args(4) else "all"
+    // optional comma-separated build-name filter (args(5)): probe only the
+    // named builds within the family — lets a new build be measured without
+    // re-timing the whole family's already-recorded rows
+    val only: Set[String] =
+      if (args.length > 5) args(5).split(",").map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty
     require(factors.forall(f => f >= 1 && f <= 26) && factors == factors.sorted,
       "factors must be ascending and ≤26 (letter rotations must stay distinct)")
     require(Set("docs", "emb", "prof", "ppj", "stats", "all")(family), s"unknown family: $family")
@@ -221,12 +227,20 @@ object ScaleProbe {
       // per-user series fixed) — all three must stay ~linear
       ("zipf_profile", d => graft.operators.TextAnalysis.zipfProfile(spark, d)),
       ("lexical_diversity", d => graft.operators.TextAnalysis.lexicalDiversity(spark, d)),
-      ("bot_regularity", d => graft.operators.EventOps.botRegularity(spark, d)))
-    val builds = (if (family == "ppj") ppjBuilds
+      ("bot_regularity", d => graft.operators.EventOps.botRegularity(spark, d)),
+      // batch 3: CDC is explode → per-doc prefix window → two hash
+      // rollups (16-byte keys, no pair joins); attribution is a user-keyed
+      // equi-join + per-conversion windows — both must stay ~linear
+      ("cdc_chunks", d => graft.operators.Dedup.cdcChunks(spark, d)),
+      ("attribution", d => graft.operators.EventOps.attribution(spark, d)))
+    val allBuilds = (if (family == "ppj") ppjBuilds
       else if (doDocs) docBuilds else Seq.empty) ++
       (if (doEmb) embBuilds else Seq.empty) ++
       (if (doProf) profBuilds else Seq.empty) ++
       (if (doStats) statsBuilds else Seq.empty)
+    val builds =
+      if (only.isEmpty) allBuilds else allBuilds.filter(b => only(b._1))
+    require(builds.nonEmpty, s"build filter matched nothing: ${only.mkString(",")}")
 
     // per (size, build): best-of-`reps`, memo cleared per rep so each rep
     // pays the full materialization (manifest deliberately runs AFTER the
