@@ -390,6 +390,10 @@ object SparkEntry {
       "ann_ivf_refined_topk" -> (Similarity.ivfRefinedTopK(_, _)),
       "ann_pq_topk" -> (Similarity.pqTopK(_, _)),
       "ann_ivfpq_topk" -> (Similarity.ivfPqTopK(_, _)),
+      // int8 scalar-quantized screen + exact float rerank
+      "ann_sq8_topk" -> (Similarity.sq8TopK(_, _)),
+      // contrastive hard-negative mining with triplet-violation flags
+      "embedding_hard_negatives" -> (Similarity.hardNegatives(_, _)),
       "semdedup" -> (Similarity.semDedup(_, _)),
       "embedding_near_dups" -> (Similarity.embeddingNearDups(_, _)),
       "embedding_centroids" -> (Similarity.labelCentroids(_, _)),
@@ -720,6 +724,8 @@ object SparkEntry {
       "ann_ivf_refined_topk" -> Similarity.ivfRefinedTopKOracle(),
       "ann_pq_topk" -> Similarity.pqTopKOracle(),
       "ann_ivfpq_topk" -> Similarity.ivfPqTopKOracle(),
+      "ann_sq8_topk" -> Similarity.sq8TopKOracle(),
+      "embedding_hard_negatives" -> Similarity.hardNegativesOracle(),
       "semdedup" -> Similarity.semDedupOracle(),
       "embedding_near_dups" -> Similarity.embeddingNearDupsOracle(),
       "embedding_centroids" -> Similarity.labelCentroidsOracle,

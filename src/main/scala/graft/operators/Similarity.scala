@@ -1678,6 +1678,152 @@ object Similarity {
     }.reduce(_ unionAll _).orderBy("nprobe")
   }
 
+  // ------------------------------------------- hard-negative mining (contrastive)
+  /** HARD-NEGATIVE MINING — the contrastive-training data op: for each
+    * query vector, the k most-similar candidates with a DIFFERENT label
+    * ("hard" negatives — close in embedding space, wrong class), plus the
+    * nearest same-label positive's cosine and a per-negative triplet
+    * violation flag (`neg_cos > pos_cos` at margin 0). This is how
+    * embedding-model training sets are mined (in-batch negatives are easy;
+    * retrieval-mined hard negatives are what moves the metric) and the
+    * violation count is the health signal: a well-separated space has few.
+    *
+    * 100 TB shape: same as [[recallEval]] — the query set is a bounded,
+    * broadcast eval sample; candidates stream through one scan. The
+    * production mining path swaps the exact scan for the IVF/LSH bucketed
+    * probes (candidate generation is index-probe cost, not corpus cost);
+    * the label anti-filter and per-query top-k window are unchanged.
+    * Determinism: the strict-fold cosine is bit-identical cross-engine,
+    * `max(cos)` over bit-identical doubles is order-independent, ties
+    * break on cand_id, and queries with no same-label partner coalesce
+    * `violation` to false (NULL pos_cos stays NULL — visible, sortable). */
+  def hardNegatives(spark: SparkSession, dir: String, numQueries: Int = 20,
+      k: Int = 5): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"),
+        norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("label").as("qlabel"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+      col("nrm").as("cn"), col("label").as("clabel"))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("cand_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val pos = scored.filter(col("clabel") === col("qlabel"))
+      .groupBy("query_id").agg(max(col("cos")).as("pos_cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    scored.filter(col("clabel") =!= col("qlabel"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .join(pos, Seq("query_id"), "left")
+      .select(col("query_id"), col("cand_id").as("neg_id"), col("rank"),
+        col("cos").as("neg_cos"), col("pos_cos"),
+        coalesce(col("cos") > col("pos_cos"), lit(false)).as("violation"))
+      .orderBy("query_id", "rank")
+  }
+
+  def hardNegativesOracle(numQueries: Int = 20, k: Int = 5): String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+       |  FROM embeddings WHERE vec_id < $numQueries
+       |), c AS (
+       |  SELECT vec_id AS cand_id, embedding AS cv, label AS clabel FROM embeddings
+       |), scored AS (
+       |  SELECT query_id, cand_id, qlabel, clabel, ${cosSql("qv", "cv")} AS cos
+       |  FROM q JOIN c ON query_id != cand_id
+       |), pos AS (
+       |  SELECT query_id, max(cos) AS pos_cos
+       |  FROM scored WHERE clabel = qlabel GROUP BY query_id
+       |), negs AS (
+       |  SELECT query_id, cand_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+       |  FROM scored WHERE clabel != qlabel
+       |)
+       |SELECT n.query_id, n.cand_id AS neg_id, n.rank, n.cos AS neg_cos,
+       |       p.pos_cos, coalesce(n.cos > p.pos_cos, FALSE) AS violation
+       |FROM negs n LEFT JOIN pos p USING (query_id)
+       |WHERE n.rank <= $k
+       |ORDER BY n.query_id, n.rank""".stripMargin
+
+  // ------------------------------------------------ scalar-quantized ANN (SQ8)
+  /** SQ8 ADC TOP-K — the scalar-quantization serving leg the family lacked
+    * (PQ covers codebook quantization; this is its simpler, rerank-friendly
+    * sibling): every vector is unit-normalized and quantized to int8 once
+    * ([[quantizeInt8Vectors]]' exact floor(x·127+0.5) policy), the screen
+    * ranks candidates by the INTEGER dot product of the int8 codes (pure
+    * BIGINT arithmetic — order-independent, overflow-free at 64·127² ≈ 10⁶,
+    * bit-identical cross-engine by construction, no float in the hot loop),
+    * and the top `rerank` survivors per query are re-scored with the exact
+    * float cosine. Asymmetric-distance flavor with 4× less memory traffic
+    * than float32 and SIMD-able int MACs — the standard first-stage filter
+    * when a full PQ codebook isn't warranted.
+    *
+    * 100 TB shape: quantization is one embarrassingly-parallel scan (stored
+    * once, read many); the screen is the same broadcast-queries/one-scan
+    * pass as [[cosineTopK]] but over 64 B codes instead of 256 B floats;
+    * only numQueries·rerank rows reach the float rerank. On a real corpus
+    * the screen composes with the IVF cell probe (scan a cell's codes, not
+    * the corpus) — candidate cost is index-probe cost. */
+  def sq8TopK(spark: SparkSession, dir: String, numQueries: Int = 5, k: Int = 3,
+      rerank: Int = 12): DataFrame = {
+    val nrm = norm(col("embedding"))
+    val e = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") / nrm * 127 + 0.5).cast("long")).as("q8"))
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("q8").as("qq"), norm(col("embedding")).as("qn"))
+    val c = e.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+      col("q8").as("cq"), norm(col("embedding")).as("cn"))
+    val adcCol = aggregate(zip_with(col("qq"), col("cq"), (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v)
+    val wAdc = Window.partitionBy("query_id").orderBy(col("adc").desc, col("cand_id"))
+    val wCos = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    broadcast(q).join(c, col("query_id") =!= col("cand_id"))
+      .withColumn("adc", adcCol)
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= rerank)
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wCos).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("rank"), col("adc"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  def sq8TopKOracle(numQueries: Int = 5, k: Int = 3, rerank: Int = 12): String = {
+    val nrmSql = s"sqrt(${dotSql.format("embedding", "embedding")})"
+    val q8Sql =
+      s"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / $nrmSql * 127 + 0.5) AS BIGINT))"
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, $q8Sql AS q8 FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, q8 AS qq FROM e
+       |  WHERE vec_id < $numQueries
+       |), c AS (
+       |  SELECT vec_id AS cand_id, embedding AS cv, q8 AS cq FROM e
+       |), scored AS (
+       |  SELECT query_id, cand_id, qv, cv,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(list_zip(qq, cq), x -> x[1] * x[2])),
+       |      (acc, v) -> acc + v) AS adc
+       |  FROM q JOIN c ON query_id != cand_id
+       |), screened AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, cand_id) AS adc_rank
+       |  FROM scored
+       |), reranked AS (
+       |  SELECT query_id, cand_id, adc, ${cosSql("qv", "cv")} AS cos
+       |  FROM screened WHERE adc_rank <= $rerank
+       |), ranked AS (
+       |  SELECT query_id, cand_id, adc, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+       |  FROM reranked
+       |)
+       |SELECT query_id, cand_id, rank, adc, cos FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   def nprobeSweepOracle(numQueries: Int = 5, k: Int = 10): String = {
     def cfg(np: Int): String =
       s"""SELECT CAST($np AS BIGINT) AS nprobe, count(*) AS hits,

@@ -619,4 +619,77 @@ class Round10DepthSpec extends AnyFunSuite {
         r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
     assert(got == expect, s"got $got\nwant $expect")
   }
+
+  private def loadVecs(): Array[(Long, Array[Float], Int)] =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+
+  /** Strict left-to-right fold, the engine's `aggregate` order. */
+  private def dotLR(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  test("sq8 ADC top-k matches an int8 screen + exact rerank in plain Scala") {
+    val vecs = loadVecs()
+    val nrm = vecs.map { case (id, v, _) => id -> math.sqrt(dotLR(v, v)) }.toMap
+    val q8 = vecs.map { case (id, v, _) =>
+      id -> v.map(x => math.floor(x.toDouble / nrm(id) * 127 + 0.5).toLong)
+    }.toMap
+    val (numQueries, k, rerank) = (5, 3, 12)
+    val expect = vecs.filter(_._1 < numQueries).sortBy(_._1).flatMap { case (qid, qv, _) =>
+      val screened = vecs.filter(_._1 != qid)
+        .map { case (cid, _, _) =>
+          (cid, q8(qid).zip(q8(cid)).map { case (x, y) => x * y }.sum)
+        }
+        .sortBy { case (cid, adc) => (-adc, cid) }.take(rerank)
+      screened
+        .map { case (cid, adc) =>
+          val cv = vecs.find(_._1 == cid).get._2
+          (cid, adc, dotLR(qv, cv) / (nrm(qid) * nrm(cid)))
+        }
+        .sortBy { case (cid, _, cos) => (-cos, cid) }.take(k)
+        .zipWithIndex
+        .map { case ((cid, adc, cos), i) => (qid, cid, (i + 1).toLong, adc, cos) }
+    }.toSeq
+    val got = Similarity.sq8TopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    assert(got == expect, s"got $got\nwant $expect")
+    // the screen must be doing real work: ADC order at rerank depth must
+    // recover the exact top-k (rerank >= k is the design contract here)
+    assert(got.size == numQueries * k)
+  }
+
+  test("hard negatives match a plain Scala recompute with triplet flags") {
+    val vecs = loadVecs()
+    val nrm = vecs.map { case (id, v, _) => id -> math.sqrt(dotLR(v, v)) }.toMap
+    val (numQueries, k) = (20, 5)
+    val expect = vecs.filter(_._1 < numQueries).sortBy(_._1).flatMap {
+      case (qid, qv, qlab) =>
+        val scored = vecs.filter(_._1 != qid).map { case (cid, cv, clab) =>
+          (cid, clab, dotLR(qv, cv) / (nrm(qid) * nrm(cid)))
+        }
+        val posCos = scored.filter(_._2 == qlab).map(_._3) match {
+          case a if a.isEmpty => None
+          case a => Some(a.max)
+        }
+        scored.filter(_._2 != qlab)
+          .sortBy { case (cid, _, cos) => (-cos, cid) }.take(k)
+          .zipWithIndex.map { case ((cid, _, cos), i) =>
+            (qid, cid, (i + 1).toLong, cos, posCos, posCos.exists(cos > _))
+          }
+    }.toSeq
+    val got = Similarity.hardNegatives(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getBoolean(5)))
+      .toSeq
+    assert(got == expect, s"got ${got.take(8)}...\nwant ${expect.take(8)}...")
+    // mining is only meaningful if the space is imperfect somewhere AND the
+    // flag is not vacuously true: both flag values must appear
+    assert(got.map(_._6).distinct.size == 2,
+      s"violation flag is constant (${got.map(_._6).distinct}) - fixture degenerate?")
+  }
 }
