@@ -392,6 +392,10 @@ object SparkEntry {
       "ann_ivfpq_topk" -> (Similarity.ivfPqTopK(_, _)),
       // int8 scalar-quantized screen + exact float rerank
       "ann_sq8_topk" -> (Similarity.sq8TopK(_, _)),
+      // frozen-centroid batch assignment + growth/drift maintenance report
+      "ann_ivf_incremental" -> (Similarity.ivfIncremental(_, _)),
+      // pairwise dimension correlations (PCA/whitening/PQ-split input)
+      "embedding_corr_dims" -> (Similarity.dimCorrMatrix(_, _)),
       // contrastive hard-negative mining with triplet-violation flags
       "embedding_hard_negatives" -> (Similarity.hardNegatives(_, _)),
       "semdedup" -> (Similarity.semDedup(_, _)),
@@ -725,6 +729,8 @@ object SparkEntry {
       "ann_pq_topk" -> Similarity.pqTopKOracle(),
       "ann_ivfpq_topk" -> Similarity.ivfPqTopKOracle(),
       "ann_sq8_topk" -> Similarity.sq8TopKOracle(),
+      "ann_ivf_incremental" -> Similarity.ivfIncrementalOracle(),
+      "embedding_corr_dims" -> Similarity.dimCorrMatrixOracle,
       "embedding_hard_negatives" -> Similarity.hardNegativesOracle(),
       "semdedup" -> Similarity.semDedupOracle(),
       "embedding_near_dups" -> Similarity.embeddingNearDupsOracle(),

@@ -1678,6 +1678,154 @@ object Similarity {
     }.reduce(_ unionAll _).orderBy("nprobe")
   }
 
+  // ------------------------------------------- dimension correlation matrix
+  /** PAIRWISE DIMENSION CORRELATION — the input PCA/whitening/Mahalanobis
+    * decisions are made from: Pearson correlation for every dimension pair
+    * (i < j) of the embedding space. Redundant (highly correlated) dims
+    * mean the effective dimension is lower than the stored one — PQ
+    * subspace splits and Matryoshka truncation depths are chosen off
+    * exactly this matrix.
+    *
+    * Shape: per-vector micro-quantization (exact BIGINT, the [[dimStats]]
+    * recipe), then the d(d−1)/2 pair products are generated ROW-LOCALLY by
+    * a nested array transform and partially aggregated straight into the
+    * final (i,j) groups — NO self-join, no shuffle before the partial agg;
+    * the only exchange carries ≤ d² groups per partition regardless of
+    * corpus size (the classic distributed outer-product accumulation).
+    * Sums ride in DECIMAL(38,0) (int64 wraps past ~10⁹ vectors); the final
+    * correlation is a fixed-order double expression over exact integer
+    * sums, bit-identical cross-engine (the corrMatrix recipe). */
+  def dimCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val e = table(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))")
+          .as("m"))
+    // marginals: one explode, ≤ d groups
+    val marg = e.select(posexplode(col("m")).as(Seq("dim", "v")))
+      .groupBy(col("dim").cast("int").as("dim"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("v"))).as("s"),
+        sum(dec(col("v")) * dec(col("v"))).as("q"))
+    // pair products: row-local nested transform, no join
+    val pairs = e.select(explode(expr(
+      """flatten(transform(sequence(0, size(m) - 2), i ->
+        |  transform(sequence(i + 1, size(m) - 1), j ->
+        |    struct(CAST(i AS INT) AS dim_i, CAST(j AS INT) AS dim_j,
+        |           m[i] * m[j] AS xy))))""".stripMargin)).as("p"))
+      .select("p.*")
+      .groupBy("dim_i", "dim_j")
+      .agg(count(lit(1)).as("n"), sum(dec(col("xy"))).as("sxy"))
+    val mi = marg.select(col("dim").as("dim_i"), col("s").cast("double").as("si"),
+      col("q").cast("double").as("qi"))
+    val mj = marg.select(col("dim").as("dim_j"), col("s").cast("double").as("sj"),
+      col("q").cast("double").as("qj"))
+    pairs.join(broadcast(mi), "dim_i").join(broadcast(mj), "dim_j")
+      .select(col("dim_i"), col("dim_j"), col("n"),
+        ((col("n") * col("sxy").cast("double") - col("si") * col("sj")) /
+          (sqrt(col("n") * col("qi") - col("si") * col("si")) *
+            sqrt(col("n") * col("qj") - col("sj") * col("sj")))).as("corr"))
+      .orderBy("dim_i", "dim_j")
+  }
+
+  val dimCorrMatrixOracle: String =
+    """WITH x AS (
+      |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+      |         CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000) AS BIGINT) AS v
+      |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i
+      |        FROM embeddings)
+      |), m AS (
+      |  SELECT dim, count(*) AS n, sum(v) AS s, sum(v * v) AS q FROM x GROUP BY dim
+      |), p AS (
+      |  SELECT a.dim AS dim_i, b.dim AS dim_j, count(*) AS n, sum(a.v * b.v) AS sxy
+      |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim < b.dim
+      |  GROUP BY 1, 2
+      |)
+      |SELECT dim_i, dim_j, p.n,
+      |  (p.n * CAST(sxy AS DOUBLE) - CAST(mi.s AS DOUBLE) * CAST(mj.s AS DOUBLE)) /
+      |  (sqrt(p.n * CAST(mi.q AS DOUBLE) - CAST(mi.s AS DOUBLE) * CAST(mi.s AS DOUBLE)) *
+      |   sqrt(p.n * CAST(mj.q AS DOUBLE) - CAST(mj.s AS DOUBLE) * CAST(mj.s AS DOUBLE))) AS corr
+      |FROM p JOIN m mi ON mi.dim = p.dim_i JOIN m mj ON mj.dim = p.dim_j
+      |ORDER BY dim_i, dim_j""".stripMargin
+
+  // ------------------------------------------- IVF incremental maintenance
+  /** IVF INDEX MAINTENANCE — the ingest-time operation a 100 TB vector
+    * store actually runs: new vectors (vec_id ≥ `baseMax`, the "arriving
+    * batch") are assigned to the FROZEN seed centroids — no re-clustering —
+    * and the report tells the operator when re-training is due. Per cell:
+    * base/new member counts, growth permille, mean assignment distance of
+    * base vs new members (exact integer micro-units), and the drift
+    * permille (new mean ÷ base mean) — a cell whose new members sit much
+    * farther from the centroid than its base members is drifting out of
+    * its Voronoi region, and re-clustering is overdue.
+    *
+    * Shape: one broadcast of the centroid table, one scan of the corpus,
+    * a per-vector argmin window, and a 16-group rollup — assignment cost
+    * is O(batch·cells) with no shuffle beyond the per-vector window, which
+    * is why incremental assign-and-monitor (not nightly re-KMeans) is the
+    * production posture. Every cell is guaranteed non-empty in base (its
+    * own centroid assigns to itself at distance 0). */
+  def ivfIncremental(spark: SparkSession, dir: String, nCentroids: Int = 16,
+      baseMax: Long = 400): DataFrame = {
+    import graft.functions.VectorExpressions.vec_l2sq
+    val e = table(spark, dir, "embeddings")
+    val cents = e.filter(col("vec_id") >= 100 && col("vec_id") < 100 + nCentroids)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cell"))
+    e.join(broadcast(cents))
+      .withColumn("dist", vec_l2sq(col("embedding"), col("cv")))
+      .select(col("vec_id"), col("cell"), col("dist"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .withColumn("micro", expr("CAST(floor(dist * 1000000) AS BIGINT)"))
+      .withColumn("is_new", col("vec_id") >= baseMax)
+      .groupBy("cell")
+      .agg(
+        sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(!col("is_new"), col("micro")).otherwise(0L)).as("sb"),
+        sum(when(col("is_new"), col("micro")).otherwise(0L)).as("sn"))
+      .select(col("cell"), col("n_base"), col("n_new"),
+        expr("n_new * 1000 div n_base").as("growth_permille"),
+        expr("sb div n_base").as("base_mean_micro"),
+        expr("CASE WHEN n_new = 0 THEN 0 ELSE sn div n_new END").as("new_mean_micro"),
+        expr("""CASE WHEN n_new = 0 OR sb div n_base = 0 THEN 0
+                |ELSE (sn div n_new) * 1000 div (sb div n_base) END""".stripMargin)
+          .as("drift_permille"))
+      .orderBy("cell")
+  }
+
+  def ivfIncrementalOracle(nCentroids: Int = 16, baseMax: Long = 400): String = {
+    val distSql = l2Sql.format("e.embedding", "c.cv")
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cell, embedding AS cv FROM embeddings
+       |  WHERE vec_id >= 100 AND vec_id < ${100 + nCentroids}
+       |), d AS (
+       |  SELECT e.vec_id, c.cell, $distSql AS dist
+       |  FROM embeddings e CROSS JOIN cents c
+       |), ranked AS (
+       |  SELECT vec_id, cell, dist,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |  FROM d
+       |), assigned AS (
+       |  SELECT vec_id, cell, CAST(floor(dist * 1000000) AS BIGINT) AS micro,
+       |         vec_id >= $baseMax AS is_new
+       |  FROM ranked WHERE rn = 1
+       |), g AS (
+       |  SELECT cell,
+       |    CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS n_base,
+       |    CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       |    CAST(sum(CASE WHEN is_new THEN 0 ELSE micro END) AS BIGINT) AS sb,
+       |    CAST(sum(CASE WHEN is_new THEN micro ELSE 0 END) AS BIGINT) AS sn
+       |  FROM assigned GROUP BY cell
+       |)
+       |SELECT cell, n_base, n_new,
+       |  CAST(n_new * 1000 // n_base AS BIGINT) AS growth_permille,
+       |  CAST(sb // n_base AS BIGINT) AS base_mean_micro,
+       |  CAST(CASE WHEN n_new = 0 THEN 0 ELSE sn // n_new END AS BIGINT) AS new_mean_micro,
+       |  CAST(CASE WHEN n_new = 0 OR sb // n_base = 0 THEN 0
+       |       ELSE (sn // n_new) * 1000 // (sb // n_base) END AS BIGINT) AS drift_permille
+       |FROM g ORDER BY cell""".stripMargin
+  }
+
   // ------------------------------------------- hard-negative mining (contrastive)
   /** HARD-NEGATIVE MINING — the contrastive-training data op: for each
     * query vector, the k most-similar candidates with a DIFFERENT label

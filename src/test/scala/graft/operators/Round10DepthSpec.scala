@@ -692,4 +692,62 @@ class Round10DepthSpec extends AnyFunSuite {
     assert(got.map(_._6).distinct.size == 2,
       s"violation flag is constant (${got.map(_._6).distinct}) - fixture degenerate?")
   }
+
+  test("dimension correlation matrix matches a BigInt recompute") {
+    val vecs = loadVecs()
+    val d = vecs.head._2.length
+    val micro = vecs.map { case (_, v, _) =>
+      v.map(x => math.floor(x.toDouble * 1000000).toLong)
+    }
+    val n = vecs.length.toLong
+    val s = Array.tabulate(d)(i => micro.map(r => BigInt(r(i))).sum)
+    val q = Array.tabulate(d)(i => micro.map(r => BigInt(r(i)) * r(i)).sum)
+    val got = Similarity.dimCorrMatrix(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.size == d * (d - 1) / 2)
+    var checked = 0
+    for (i <- 0 until d; j <- i + 1 until d) {
+      val sxy = micro.map(r => BigInt(r(i)) * r(j)).sum
+      val corr = (n * sxy.toDouble - s(i).toDouble * s(j).toDouble) /
+        (math.sqrt(n * q(i).toDouble - s(i).toDouble * s(i).toDouble) *
+          math.sqrt(n * q(j).toDouble - s(j).toDouble * s(j).toDouble))
+      val (gn, gc) = got((i, j))
+      assert(gn == n && gc == corr, s"($i,$j): got ($gn,$gc) want ($n,$corr)")
+      checked += 1
+    }
+    assert(checked == got.size)
+  }
+
+  test("ivf incremental maintenance matches a plain Scala assignment") {
+    val vecs = loadVecs()
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) {
+        val t = a(i).toDouble - b(i).toDouble; acc += t * t; i += 1
+      }
+      acc
+    }
+    val cents = vecs.filter(v => v._1 >= 100 && v._1 < 116)
+      .map(v => (v._1, v._2)).sortBy(_._1)
+    val assigned = vecs.map { case (id, v, _) =>
+      val (cell, dist) = cents.map { case (c, cv) => (c, l2(v, cv)) }
+        .minBy { case (c, dd) => (dd, c) }
+      (id, cell, math.floor(dist * 1000000).toLong, id >= 400)
+    }
+    val expect = assigned.groupBy(_._2).toSeq.sortBy(_._1).map { case (cell, as) =>
+      val base = as.filter(!_._4); val nw = as.filter(_._4)
+      val nb = base.length.toLong; val nn = nw.length.toLong
+      val bm = base.map(_._3).sum / nb
+      val nm = if (nn == 0) 0L else nw.map(_._3).sum / nn
+      val drift = if (nn == 0 || bm == 0) 0L else nm * 1000 / bm
+      (cell, nb, nn, nn * 1000 / nb, bm, nm, drift)
+    }
+    val got = Similarity.ivfIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expect, s"got $got\nwant $expect")
+    // the report is only a maintenance signal if the batch actually landed:
+    // the fixture's 100 post-base vectors must appear somewhere
+    assert(got.map(_._3).sum == vecs.count(_._1 >= 400).toLong)
+  }
 }
