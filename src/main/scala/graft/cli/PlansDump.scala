@@ -81,7 +81,9 @@ object PlansDump {
     "text_lexical_diversity",  // two-level partial+final rollup, join-free
     "embedding_knn_mutual",    // checkpointed kNN edges, 3 linear consumers
     "dedup_cdc_chunks",        // CDC: explode -> per-doc prefix -> hash rollups
-    "events_attribution")      // user-keyed interval join + conversion windows
+    "events_attribution",      // user-keyed interval join + conversion windows
+    "ann_sq8_topk",            // int8 ADC screen, float rerank on survivors
+    "embedding_corr_dims")     // row-local pair products, d^2-group shuffle
 
   /** Plan-audit overrides: these queries' gated implementations read
     * memoized materialized stages (the shared-pipeline design — see

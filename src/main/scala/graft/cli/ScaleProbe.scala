@@ -203,7 +203,12 @@ object ScaleProbe {
     // (the fixture default 1000 exists for oracle-comparable gating only)
     val embBuilds = Seq[(String, String => DataFrame)](
       ("semdedup_build", d => graft.operators.Similarity.semDedup(spark, d, maxId = 1L << 60)),
-      ("ann_ivfpq", d => graft.operators.Similarity.ivfPqTopK(spark, d)))
+      ("ann_ivfpq", d => graft.operators.Similarity.ivfPqTopK(spark, d)),
+      // round-10 batch 4: corr matrix is row-local pair products into a
+      // d^2-bounded shuffle; incremental IVF is one broadcast-centroid scan
+      // + a per-vector window — both must stay ~linear in corpus size
+      ("dim_corr", d => graft.operators.Similarity.dimCorrMatrix(spark, d)),
+      ("ivf_incremental", d => graft.operators.Similarity.ivfIncremental(spark, d)))
     val profBuilds = Seq[(String, String => DataFrame)](
       ("sketch_profile", d => graft.profile.ProfileQueries.sketchProfile(spark, d, "lineitem")),
       ("full_profile",   d => graft.profile.ProfileQueries.fullProfile(spark, d, "lineitem")))

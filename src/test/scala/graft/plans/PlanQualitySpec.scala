@@ -568,4 +568,31 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(scan.partitionFilters.exists(_.toString.contains("dynamicpruning")),
       s"expected dynamicpruningexpression, got ${scan.partitionFilters.mkString(";")}")
   }
+
+  test("dimension correlation matrix builds pair products without any shuffle join") {
+    val df = graft.operators.Similarity.dimCorrMatrix(spark, SparkSuite.Sf0001)
+    df.collect()
+    val names = nodes(df).map(_.nodeName)
+    // the d(d-1)/2 products are generated row-locally: the only joins are
+    // the two broadcast marginal recombines; a SortMergeJoin or shuffled
+    // hash join here would mean the outer-product shape regressed to a
+    // corpus self-join
+    assert(!names.exists(n => n.contains("SortMergeJoin") || n.contains("ShuffledHashJoin") ||
+      n.contains("CartesianProduct") || n.contains("BroadcastNestedLoop")),
+      s"pair products regressed to a shuffle join: ${names.distinct.mkString(",")}")
+    assert(names.count(_.contains("BroadcastHashJoin")) == 2,
+      s"expected exactly the two broadcast marginal joins: ${names.distinct.mkString(",")}")
+  }
+
+  test("ivf incremental assignment broadcasts centroids and shuffles only the argmin window") {
+    val df = graft.operators.Similarity.ivfIncremental(spark, SparkSuite.Sf0001)
+    df.collect()
+    val names = nodes(df).map(_.nodeName)
+    // the corpus x centroids product is a broadcast (16-row centroid table),
+    // never a shuffle join; the per-vector argmin is a partitioned window
+    assert(!names.exists(n => n.contains("SortMergeJoin") || n.contains("ShuffledHashJoin") ||
+      n.contains("CartesianProduct")),
+      s"centroid recombine regressed to a shuffle join: ${names.distinct.mkString(",")}")
+    assert(names.exists(_.contains("Window")), "expected the per-vector argmin window")
+  }
 }
