@@ -396,6 +396,8 @@ object SparkEntry {
       "ann_ivf_incremental" -> (Similarity.ivfIncremental(_, _)),
       // pairwise dimension correlations (PCA/whitening/PQ-split input)
       "embedding_corr_dims" -> (Similarity.dimCorrMatrix(_, _)),
+      // top PC: distributed covariance, d-bounded integer power iteration
+      "embedding_top_pc" -> (Similarity.topPrincipalComponent(_, _)),
       // contrastive hard-negative mining with triplet-violation flags
       "embedding_hard_negatives" -> (Similarity.hardNegatives(_, _)),
       "semdedup" -> (Similarity.semDedup(_, _)),
@@ -731,6 +733,7 @@ object SparkEntry {
       "ann_sq8_topk" -> Similarity.sq8TopKOracle(),
       "ann_ivf_incremental" -> Similarity.ivfIncrementalOracle(),
       "embedding_corr_dims" -> Similarity.dimCorrMatrixOracle,
+      "embedding_top_pc" -> Similarity.topPrincipalComponentOracle(),
       "embedding_hard_negatives" -> Similarity.hardNegativesOracle(),
       "semdedup" -> Similarity.semDedupOracle(),
       "embedding_near_dups" -> Similarity.embeddingNearDupsOracle(),

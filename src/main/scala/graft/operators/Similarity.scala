@@ -1695,7 +1695,12 @@ object Similarity {
     * Sums ride in DECIMAL(38,0) (int64 wraps past ~10⁹ vectors); the final
     * correlation is a fixed-order double expression over exact integer
     * sums, bit-identical cross-engine (the corrMatrix recipe). */
-  def dimCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared covariance scaffolding: exact micro-unit marginals
+    * (dim, n, Σx, Σx²) and upper-triangle pair sums (dim_i, dim_j, n, Σxy)
+    * in DECIMAL(38,0) — the ONE copy [[dimCorrMatrix]] and
+    * [[topPrincipalComponent]] both read, so the quantization policy and
+    * the shuffle-free pair-product shape can never drift between them. */
+  private def covarianceSums(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val e = table(spark, dir, "embeddings")
       .select(col("vec_id"),
@@ -1715,6 +1720,11 @@ object Similarity {
       .select("p.*")
       .groupBy("dim_i", "dim_j")
       .agg(count(lit(1)).as("n"), sum(dec(col("xy"))).as("sxy"))
+    (marg, pairs)
+  }
+
+  def dimCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val (marg, pairs) = covarianceSums(spark, dir)
     val mi = marg.select(col("dim").as("dim_i"), col("s").cast("double").as("si"),
       col("q").cast("double").as("qi"))
     val mj = marg.select(col("dim").as("dim_j"), col("s").cast("double").as("sj"),
@@ -1746,6 +1756,112 @@ object Similarity {
       |   sqrt(p.n * CAST(mj.q AS DOUBLE) - CAST(mj.s AS DOUBLE) * CAST(mj.s AS DOUBLE))) AS corr
       |FROM p JOIN m mi ON mi.dim = p.dim_i JOIN m mj ON mj.dim = p.dim_j
       |ORDER BY dim_i, dim_j""".stripMargin
+
+  // ------------------------------------------- top principal component
+  /** TOP PRINCIPAL COMPONENT — 12 exact-integer power iterations on the
+    * covariance matrix: the "what direction dominates this embedding
+    * space" answer behind whitening, ABF/OPQ rotation decisions, and
+    * dead-dimension diagnosis. The 100 TB factorization is the point:
+    * the DISTRIBUTED part is the covariance accumulation (the
+    * [[covarianceSums]] scaffolding — row-local pair products, d²-bounded
+    * shuffle, corpus never collected); the eigensolve then runs on d²
+    * numbers — bounded by DIMENSION, not corpus — driver-side, exactly
+    * like the probe ranking in [[Ivf.annCandidates]] is bounded by query
+    * count. Every iteration is integer arithmetic (BigInt matrix-vector
+    * products, rescale to max|v|=10⁶ by truncating division — BigInt `/`
+    * and DuckDB `//` both truncate toward zero), so the full 12-step
+    * trajectory and the final Rayleigh/trace ratio are bit-reproducible
+    * cross-engine, and the ORACLE replays the identical iterations as 12
+    * unrolled SQL stages. Output: the `topK` dims by |loading| with the
+    * integer micro-loading and the explained-variance permille
+    * (λ̂/trace(C), truncating). Convergence is NOT claimed — the output
+    * is defined as "12 iterations from the all-ones start", which is the
+    * deterministic contract both engines honor. */
+  def topPrincipalComponent(spark: SparkSession, dir: String, iters: Int = 12,
+      topK: Int = 10): DataFrame = {
+    val (margDf, pairsDf) = covarianceSums(spark, dir)
+    val ms = margDf.collect() // d rows — bounded by dimension, not corpus
+    val ps = pairsDf.collect() // d(d-1)/2 rows
+    val d = ms.length
+    val n = BigInt(ms.head.getLong(1))
+    val s = Array.ofDim[BigInt](d); val q = Array.ofDim[BigInt](d)
+    ms.foreach { r =>
+      s(r.getInt(0)) = BigInt(r.getDecimal(2).toBigInteger)
+      q(r.getInt(0)) = BigInt(r.getDecimal(3).toBigInteger)
+    }
+    val c = Array.fill(d, d)(BigInt(0))
+    (0 until d).foreach(i => c(i)(i) = n * q(i) - s(i) * s(i))
+    ps.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val v = n * BigInt(r.getDecimal(3).toBigInteger) - s(i) * s(j)
+      c(i)(j) = v; c(j)(i) = v
+    }
+    var v = Array.fill(d)(BigInt(1000000))
+    (0 until iters).foreach { _ =>
+      val mv = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
+      val m = mv.map(_.abs).max
+      if (m != 0) v = mv.map(x => x * 1000000 / m)
+    }
+    val num = (for (i <- 0 until d; j <- 0 until d) yield c(i)(j) * v(i) * v(j)).sum
+    val den = v.map(x => x * x).sum
+    val trace = (0 until d).map(i => c(i)(i)).sum
+    val expl = (num * 1000 / (den * trace)).toLong
+    val rows = (0 until d).map(i => (i, v(i)))
+      .sortBy { case (i, x) => (-x.abs, BigInt(i)) }.take(topK)
+      .zipWithIndex
+      .map { case ((dim, load), r) => ((r + 1).toLong, dim, load.toLong, expl) }
+    import spark.implicits._
+    rows.toDF("rank", "dim", "loading_micro", "explained_permille")
+  }
+
+  /** Every CTE is MATERIALIZED: without it DuckDB inlines `cm` (and
+    * transitively `x`) into each of the 12 unrolled iterations, expanding
+    * the plan (and the parquet open count) exponentially. */
+  def topPrincipalComponentOracle(iters: Int = 12, topK: Int = 10): String = {
+    val iterCtes = (1 to iters).map { k =>
+      s"""mv$k AS MATERIALIZED (
+         |  SELECT cm.i AS j, sum(cm.c * v${k - 1}.v) AS mv
+         |  FROM cm JOIN v${k - 1} ON cm.j = v${k - 1}.j GROUP BY 1
+         |), v$k AS MATERIALIZED (
+         |  SELECT j, mv * 1000000 // (SELECT max(abs(mv)) FROM mv$k) AS v FROM mv$k
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH x AS MATERIALIZED (
+       |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+       |         CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000) AS BIGINT) AS v
+       |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i
+       |        FROM embeddings)
+       |), nv AS MATERIALIZED (SELECT count(*) AS n FROM embeddings),
+       |m AS MATERIALIZED (SELECT dim, sum(v) AS s, sum(v * v) AS q FROM x GROUP BY dim),
+       |p AS MATERIALIZED (
+       |  SELECT a.dim AS i, b.dim AS j, sum(a.v * b.v) AS sxy
+       |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim < b.dim
+       |  GROUP BY 1, 2
+       |), cm AS MATERIALIZED (
+       |  SELECT i, j, (SELECT n FROM nv) * sxy - mi.s * mj.s AS c
+       |  FROM p JOIN m mi ON mi.dim = p.i JOIN m mj ON mj.dim = p.j
+       |  UNION ALL
+       |  SELECT p.j, p.i, (SELECT n FROM nv) * sxy - mi.s * mj.s
+       |  FROM p JOIN m mi ON mi.dim = p.i JOIN m mj ON mj.dim = p.j
+       |  UNION ALL
+       |  SELECT dim, dim, (SELECT n FROM nv) * q - s * s FROM m
+       |), v0 AS MATERIALIZED (SELECT dim AS j, CAST(1000000 AS HUGEINT) AS v FROM m),
+       |$iterCtes,
+       |lam AS (
+       |  SELECT sum(cm.c * va.v * vb.v) AS num
+       |  FROM cm JOIN v$iters va ON va.j = cm.i JOIN v$iters vb ON vb.j = cm.j
+       |), dn AS (SELECT sum(v * v) AS dd FROM v$iters),
+       |tr AS (SELECT sum(c) AS t FROM cm WHERE i = j),
+       |ranked AS (
+       |  SELECT j AS dim, v, row_number() OVER (ORDER BY abs(v) DESC, j) AS rank
+       |  FROM v$iters
+       |)
+       |SELECT CAST(rank AS BIGINT) AS rank, CAST(dim AS INTEGER) AS dim,
+       |  CAST(v AS BIGINT) AS loading_micro,
+       |  CAST((SELECT num FROM lam) * 1000 // ((SELECT dd FROM dn) * (SELECT t FROM tr)) AS BIGINT)
+       |    AS explained_permille
+       |FROM ranked WHERE rank <= $topK ORDER BY rank""".stripMargin
+  }
 
   // ------------------------------------------- IVF incremental maintenance
   /** IVF INDEX MAINTENANCE — the ingest-time operation a 100 TB vector

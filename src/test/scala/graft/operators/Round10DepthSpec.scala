@@ -750,4 +750,38 @@ class Round10DepthSpec extends AnyFunSuite {
     // the fixture's 100 post-base vectors must appear somewhere
     assert(got.map(_._3).sum == vecs.count(_._1 >= 400).toLong)
   }
+
+  test("top principal component matches an independent covariance + iteration") {
+    val vecs = loadVecs()
+    val d = vecs.head._2.length
+    val micro = vecs.map(_._2.map(x => BigInt(math.floor(x.toDouble * 1000000).toLong)))
+    val n = BigInt(vecs.length)
+    // covariance recomputed straight from the raw floats, not via the
+    // engine's marginal/pair frames
+    val c = Array.tabulate(d, d) { (i, j) =>
+      val sxy = micro.map(r => r(i) * r(j)).sum
+      val si = micro.map(_(i)).sum
+      val sj = micro.map(_(j)).sum
+      n * sxy - si * sj
+    }
+    var v = Array.fill(d)(BigInt(1000000))
+    (0 until 12).foreach { _ =>
+      val mv = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
+      val m = mv.map(_.abs).max
+      if (m != 0) v = mv.map(x => x * 1000000 / m)
+    }
+    val num = (for (i <- 0 until d; j <- 0 until d) yield c(i)(j) * v(i) * v(j)).sum
+    val den = v.map(x => x * x).sum
+    val trace = (0 until d).map(i => c(i)(i)).sum
+    val expl = (num * 1000 / (den * trace)).toLong
+    val expect = (0 until d).map(i => (i, v(i)))
+      .sortBy { case (i, x) => (-x.abs, BigInt(i)) }.take(10)
+      .zipWithIndex.map { case ((dim, load), r) => ((r + 1).toLong, dim, load.toLong, expl) }
+    val got = Similarity.topPrincipalComponent(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect, s"got $got\nwant $expect")
+    // contract properties: the scale pin and a meaningful dominant direction
+    assert(got.head._3.abs == 1000000L, "max |loading| must be exactly 1e6")
+    assert(expl > 0 && expl <= 1000, s"explained permille out of range: $expl")
+  }
 }
