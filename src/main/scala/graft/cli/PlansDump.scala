@@ -76,7 +76,7 @@ object PlansDump {
     "q_dynamic_partition_pruning", // dim filter prunes fact scan at runtime
     "events_autocorrelation",  // row-linear agg -> domain-bounded spine joins
     "ann_recall_eval",         // gt + two index legs, numQueries·k-row joins
-    "dedup_banding_curve",     // 4 capped band self-joins off one sig stage
+    "dedup_banding_curve",     // 4 capped band joins, one shared verify pass
     "profile_cramers_v",       // r×c grid margins, scalars out
     "text_lexical_diversity",  // two-level partial+final rollup, join-free
     "embedding_knn_mutual",    // checkpointed kNN edges, 3 linear consumers

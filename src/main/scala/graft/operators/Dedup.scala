@@ -261,11 +261,18 @@ object Dedup {
     def last(tag: String): Option[(Long, Long)] = metrics.get(tag)
   }
 
+  /** `keep`: key columns to RETAIN in the output alongside (id_a, id_b) —
+    * lets several bucket families (e.g. the banding sweep's four configs)
+    * share ONE window + join + distinct by folding the family id into the
+    * bucket key; pairs are then distinct per kept-key group, exactly as if
+    * each family ran its own call. Must be a subset of `keys`. */
   private[operators] def cappedBucketPairs(buckets: DataFrame, keys: Seq[String],
-      tag: String): DataFrame = {
+      tag: String, keep: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(keep.forall(keys.contains), s"keep ⊄ keys: $keep vs $keys")
     CapTelemetry.ensureListener(buckets.sparkSession)
     val keyCols = keys.map(col)
+    val outCols = keep :+ "id_a" :+ "id_b"
     // rank within bucket in doc_id order: rn_a < rn_b ⟺ id_a < id_b, and
     // the window task is linear in bucket size (never quadratic)
     val ranked = buckets.withColumn("rn",
@@ -275,7 +282,7 @@ object Dedup {
     val b = dense.select(keyCols :+ col("doc_id").as("id_b") :+ col("rn").as("rn_b"): _*)
     val densePairs = a.join(b, keys)
       .filter(col("rn_a") < col("rn_b"))
-      .select("id_a", "id_b")
+      .select(outCols.head, outCols.tail: _*)
     val rep = ranked.filter(col("rn") === 1)
       .select(keyCols :+ col("doc_id").as("id_a"): _*)
     // telemetry rides the over-cap leg (its only consumer is the star
@@ -287,7 +294,7 @@ object Dedup {
         sum(when(col("rn") === MaxBucket + 1, 1L).otherwise(0L)).as("capped_buckets"),
         sum(col("rn") - 2).as("dropped_pairs"))
       .select(keyCols :+ col("doc_id").as("id_b"): _*)
-    val starPairs = rep.join(tail, keys).select("id_a", "id_b")
+    val starPairs = rep.join(tail, keys).select(outCols.head, outCols.tail: _*)
     densePairs.unionAll(starPairs).distinct()
   }
 
@@ -413,31 +420,49 @@ object Dedup {
     val configs = Seq((8, 1), (4, 2), (2, 4), (1, 8)) // (n_bands, band_size)
     val sig = sharedSignatures(spark, dir)
     val sets = memoStage(spark, dir, "curve_sets")(shingleSets(spark, dir))
-    configs.map { case (nb, r) =>
-      val bands = (0 until nb).map { b =>
+    // ALL configs' bands in one explode, the config id folded into the
+    // bucket key: one window, one pair join, one distinct for the whole
+    // sweep instead of four (per-config caps and per-config pair dedup are
+    // preserved because (n_bands, band_size) partitions the buckets)
+    val allBands = configs.flatMap { case (nb, r) =>
+      (0 until nb).map { b =>
         val parts = (0 until r).map(j => element_at(col("sig"), b * r + j + 1))
-        struct(lit(b).as("band"), md5(concat(parts: _*)).as("band_hash"))
+        struct(lit(nb.toLong).as("n_bands"), lit(r.toLong).as("band_size"),
+          lit(b).as("band"), md5(concat(parts: _*)).as("band_hash"))
       }
-      val bandDf = sig.select(col("doc_id"), explode(array(bands: _*)).as("bh"))
-        .select(col("doc_id"), col("bh.band").as("band"), col("bh.band_hash").as("band_hash"))
-      val scored = cappedBucketPairs(bandDf, Seq("band", "band_hash"), tag = s"curve_${nb}x$r")
-        .join(sets.select(col("doc_id").as("id_a"), col("shd").as("sh_a")), "id_a")
-        .join(sets.select(col("doc_id").as("id_b"), col("shd").as("sh_b")), "id_b")
-        .withColumn("jaccard",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))))
-      scored.agg(
+    }
+    val bandDf = sig.select(col("doc_id"), explode(array(allBands: _*)).as("bh"))
+      .select(col("doc_id"), col("bh.n_bands").as("n_bands"),
+        col("bh.band_size").as("band_size"), col("bh.band").as("band"),
+        col("bh.band_hash").as("band_hash"))
+    val cands = cappedBucketPairs(bandDf,
+      Seq("n_bands", "band_size", "band", "band_hash"), tag = "curve_sweep",
+      keep = Seq("n_bands", "band_size"))
+    // a looser banding's candidates largely contain a tighter one's, so the
+    // expensive exact-Jaccard verification runs ONCE per DISTINCT pair
+    // across the whole sweep (≈ the loosest config's volume), not once per
+    // (config, pair); configs then re-attach by equi-join. One job, one
+    // aggregation — identical values to the per-config form.
+    val scoredUniq = cands.select("id_a", "id_b").distinct()
+      .join(sets.select(col("doc_id").as("id_a"), col("shd").as("sh_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("shd").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .select("id_a", "id_b", "jaccard")
+    cands.join(scoredUniq, Seq("id_a", "id_b"))
+      .groupBy("n_bands", "band_size")
+      .agg(
         count(lit(1)).as("n_candidates"),
         sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_true"),
         sum(when(col("id_b") === col("id_a") + IdOffset, 1L).otherwise(0L))
           .as("planted_found"))
-        .select(lit(nb.toLong).as("n_bands"), lit(r.toLong).as("band_size"),
-          col("n_candidates"), col("n_true"),
-          expr("""CAST(CASE WHEN n_candidates = 0 THEN 0
-                 |     ELSE n_true * 1000 div n_candidates END AS BIGINT)""".stripMargin)
-            .as("precision_permille"),
-          col("planted_found"))
-    }.reduce(_ unionAll _).orderBy("band_size")
+      .select(col("n_bands"), col("band_size"), col("n_candidates"), col("n_true"),
+        expr("""CAST(CASE WHEN n_candidates = 0 THEN 0
+               |     ELSE n_true * 1000 div n_candidates END AS BIGINT)""".stripMargin)
+          .as("precision_permille"),
+        col("planted_found"))
+      .orderBy("band_size")
   }
 
   def bandingCurveOracle(): String = {
