@@ -220,6 +220,8 @@ object SparkEntry {
       "text_phrase_screen" -> (TextAnalysis.phraseScreen(_, _)),
       // Markov transition matrix + RFM quintile segmentation over events
       "events_transition_matrix" -> (EventOps.transitionMatrix(_, _)),
+      // stationary mix of the journey chain: integer ppm power iteration
+      "events_markov_stationary" -> (EventOps.markovStationary(_, _)),
       "events_rfm_scores" -> (EventOps.rfmScores(_, _)),
       // sequence-coverage audit: per-bucket missing/duplicate id counts
       "events_id_coverage" -> ((s, d) => EventOps.idCoverage(s, d)),
@@ -567,6 +569,7 @@ object SparkEntry {
       "text_inverted_index" -> TextAnalysis.invertedIndexDigestOracle(),
       "text_phrase_screen" -> TextAnalysis.phraseScreenOracle,
       "events_transition_matrix" -> EventOps.transitionMatrixOracle,
+      "events_markov_stationary" -> EventOps.markovStationaryOracle(),
       "events_rfm_scores" -> EventOps.rfmScoresOracle,
       "events_id_coverage" -> EventOps.idCoverageOracle(),
       "events_session_paths" -> EventOps.sessionPathsOracle(),

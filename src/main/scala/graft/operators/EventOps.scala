@@ -1313,6 +1313,92 @@ object EventOps {
       |    / CAST(sum(n) OVER (PARTITION BY cur) AS DOUBLE) AS permille
       |FROM c ORDER BY cur, nxt""".stripMargin
 
+  // ------------------------------------------------- Markov stationary mix
+  /** MARKOV STATIONARY DISTRIBUTION of the user-journey transition chain —
+    * the long-run share of time a user's session spends in each event type,
+    * the number capacity planning and "where do journeys settle" product
+    * analyses read off the [[transitionMatrix]]. Transition probabilities
+    * are exact integer ppm (`n·10⁶ div rowsum`, truncating in both
+    * dialects), and the dominant left eigenvector comes from 12 integer
+    * power iterations with max-rescale — the same bounded-eigensolve
+    * posture as `embedding_top_pc`: the DISTRIBUTED work is the transition
+    * count (one lead window + one (cur,nxt) aggregate, linear in events);
+    * the iteration runs on k² ppm integers, bounded by the event-type
+    * DOMAIN, not the corpus, and the oracle replays the identical 12
+    * iterations as unrolled MATERIALIZED CTEs. Types are restricted to the
+    * strongly-reachable surface (appear as a source; edges into
+    * never-source absorbing types are dropped) so every row of the ppm
+    * matrix is defined; missing incoming mass coalesces to 0 on both
+    * engines. Output per type: outgoing step count and stationary permille
+    * (v_i·1000 div Σv — sums to ≤1000 with truncation slack). */
+  def markovStationary(spark: SparkSession, dir: String, iters: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val steps = table(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("cur"))
+      .withColumn("nxt", lead(col("cur"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+    val counts = steps.groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+    val edges = counts.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val sources = edges.map(_._1).distinct.sorted // the defined-row universe
+    val idx = sources.zipWithIndex.toMap
+    val kept = edges.filter(e => idx.contains(e._2))
+    val rowTot = kept.groupBy(_._1).map { case (c, es) => c -> es.map(_._3).sum }
+    val nOut = sources.map(s => rowTot.getOrElse(s, 0L))
+    val p = Array.fill(sources.length, sources.length)(BigInt(0))
+    kept.foreach { case (c, x, n) =>
+      p(idx(c))(idx(x)) = BigInt(n) * 1000000 / rowTot(c)
+    }
+    var v = Array.fill(sources.length)(BigInt(1000000))
+    (0 until iters).foreach { _ =>
+      val mv = Array.tabulate(sources.length)(j =>
+        sources.indices.map(i => v(i) * p(i)(j)).sum)
+      val m = mv.max
+      if (m != 0) v = mv.map(x => x * 1000000 / m)
+    }
+    val tot = v.sum
+    import spark.implicits._
+    sources.indices.map(i =>
+      (sources(i), nOut(i), (v(i) * 1000 / tot).toLong))
+      .toDF("event_type", "n_out", "stationary_permille")
+      .orderBy("event_type")
+  }
+
+  def markovStationaryOracle(iters: Int = 12): String = {
+    val iterCtes = (1 to iters).map { k =>
+      s"""mv$k AS MATERIALIZED (
+         |  SELECT p.j AS t, sum(v${k - 1}.v * p.p) AS w
+         |  FROM p JOIN v${k - 1} ON v${k - 1}.t = p.i GROUP BY 1
+         |), v$k AS MATERIALIZED (
+         |  SELECT u.t, coalesce(mv$k.w, 0) * 1000000 // (SELECT max(w) FROM mv$k) AS v
+         |  FROM u LEFT JOIN mv$k ON mv$k.t = u.t
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH steps AS MATERIALIZED (
+       |  SELECT event_type AS cur,
+       |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+       |  FROM events
+       |), c AS MATERIALIZED (
+       |  SELECT cur, nxt, count(*) AS n FROM steps WHERE nxt IS NOT NULL GROUP BY 1, 2
+       |), u AS MATERIALIZED (SELECT DISTINCT cur AS t FROM c),
+       |ck AS MATERIALIZED (
+       |  SELECT cur, nxt, n FROM c WHERE nxt IN (SELECT t FROM u)
+       |), r AS MATERIALIZED (SELECT cur, sum(n) AS tot FROM ck GROUP BY cur),
+       |p AS MATERIALIZED (
+       |  SELECT ck.cur AS i, ck.nxt AS j, ck.n * 1000000 // r.tot AS p
+       |  FROM ck JOIN r ON r.cur = ck.cur
+       |), v0 AS MATERIALIZED (SELECT t, CAST(1000000 AS HUGEINT) AS v FROM u),
+       |$iterCtes,
+       |nout AS (
+       |  SELECT cur AS t, CAST(sum(n) AS BIGINT) AS n_out FROM ck GROUP BY 1
+       |)
+       |SELECT u.t AS event_type, coalesce(nout.n_out, 0) AS n_out,
+       |  CAST(v$iters.v * 1000 // (SELECT sum(v) FROM v$iters) AS BIGINT)
+       |    AS stationary_permille
+       |FROM u JOIN v$iters ON v$iters.t = u.t LEFT JOIN nout ON nout.t = u.t
+       |ORDER BY event_type""".stripMargin
+  }
+
   // ------------------------------------------------- RFM scoring
 
   /** RFM (recency / frequency / monetary) quintile scoring per user —

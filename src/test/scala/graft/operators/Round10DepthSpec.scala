@@ -784,4 +784,36 @@ class Round10DepthSpec extends AnyFunSuite {
     assert(got.head._3.abs == 1000000L, "max |loading| must be exactly 1e6")
     assert(expl > 0 && expl <= 1000, s"explained permille out of range: $expl")
   }
+
+  test("markov stationary matches an independent chain recompute") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val steps = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("cur"))
+      .withColumn("nxt", org.apache.spark.sql.functions.lead(col("cur"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select("cur", "nxt").collect().map(r => (r.getString(0), r.getString(1)))
+    val sources = steps.map(_._1).distinct.sorted
+    val kept = steps.filter(s => sources.contains(s._2))
+    val counts = kept.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val rowTot = kept.groupBy(_._1).map { case (c, es) => c -> es.length.toLong }
+    val idx = sources.zipWithIndex.toMap
+    val p = Array.fill(sources.length, sources.length)(BigInt(0))
+    counts.foreach { case ((c, x), n) => p(idx(c))(idx(x)) = BigInt(n) * 1000000 / rowTot(c) }
+    var v = Array.fill(sources.length)(BigInt(1000000))
+    (0 until 12).foreach { _ =>
+      val mv = Array.tabulate(sources.length)(j => sources.indices.map(i => v(i) * p(i)(j)).sum)
+      val m = mv.max
+      if (m != 0) v = mv.map(x => x * 1000000 / m)
+    }
+    val tot = v.sum
+    val expect = sources.indices
+      .map(i => (sources(i), rowTot.getOrElse(sources(i), 0L), (v(i) * 1000 / tot).toLong))
+    val got = EventOps.markovStationary(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect, s"got $got\nwant $expect")
+    // a stationary mix: truncation only ever loses mass, never adds
+    val mass = got.map(_._3).sum
+    assert(mass > 900 && mass <= 1000, s"stationary mass $mass out of range")
+  }
 }
