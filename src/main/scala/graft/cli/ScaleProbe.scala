@@ -237,7 +237,10 @@ object ScaleProbe {
       // rollups (16-byte keys, no pair joins); attribution is a user-keyed
       // equi-join + per-conversion windows — both must stay ~linear
       ("cdc_chunks", d => graft.operators.Dedup.cdcChunks(spark, d)),
-      ("attribution", d => graft.operators.EventOps.attribution(spark, d)))
+      ("attribution", d => graft.operators.EventOps.attribution(spark, d)),
+      // batch 5: the distributed part is one lead window + a (cur,nxt)
+      // count; the k^2 eigensolve is domain-bounded driver work
+      ("markov_stationary", d => graft.operators.EventOps.markovStationary(spark, d)))
     val allBuilds = (if (family == "ppj") ppjBuilds
       else if (doDocs) docBuilds else Seq.empty) ++
       (if (doEmb) embBuilds else Seq.empty) ++
