@@ -213,6 +213,10 @@ object SparkEntry {
       "events_bot_regularity" -> ((s, d) => EventOps.botRegularity(s, d)),
       "events_attribution" -> ((s, d) => EventOps.attribution(s, d)),
       "events_conversion_lag" -> (EventOps.conversionLag(_, _)),
+      // experiment readout: 2x2 spend cells + DiD estimate, hash-split arms
+      "events_diff_in_diff" -> ((s, d) => EventOps.diffInDiff(s, d)),
+      // dyadic-weight EWMA level forecast backtest (exact integer weights)
+      "events_forecast_ewma" -> ((s, d) => EventOps.ewmaBacktest(s, d)),
       "profile_pk_discovery" -> (ProfileQueries.pkDiscovery(_, _)),
       // posting-list build: term -> df + capped sorted doc list
       "text_inverted_index" -> ((s, d) => TextAnalysis.invertedIndexDigest(s, d)),
@@ -565,6 +569,8 @@ object SparkEntry {
       "events_bot_regularity" -> EventOps.botRegularityOracle(),
       "events_attribution" -> EventOps.attributionOracle(),
       "events_conversion_lag" -> EventOps.conversionLagOracle,
+      "events_diff_in_diff" -> EventOps.diffInDiffOracle(),
+      "events_forecast_ewma" -> EventOps.ewmaBacktestOracle(),
       "profile_pk_discovery" -> ProfileQueries.pkDiscoveryOracle,
       "text_inverted_index" -> TextAnalysis.invertedIndexDigestOracle(),
       "text_phrase_screen" -> TextAnalysis.phraseScreenOracle,

@@ -2937,4 +2937,171 @@ object EventOps {
        |       WHEN ae1 >= ae168 THEN (ae1 - ae168) * 1000 // ae1
        |       ELSE -((ae168 - ae1) * 1000 // ae1) END AS BIGINT) AS skill_permille
        |FROM agg ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------- difference-in-differences
+  /** DIFFERENCE-IN-DIFFERENCES — the experiment-readout primitive: purchase
+    * spend per (arm × period) cell and the DiD estimate, in exact milli
+    * units. Arm assignment is the content-independent
+    * `mixedHash("ab|" ‖ user_id) % 2` bucket (the reproducible A/B split —
+    * the same user lands in the same arm at any partitioning or rerun);
+    * the period boundary is the midpoint of the observed event-time range,
+    * so pre/post windows are equal by construction. Cell means are floor
+    * divisions of non-negative milli sums (identical truncation in both
+    * engines); the DiD estimate is plain BIGINT subtraction of the four
+    * cell means.
+    *
+    * 100 TB shape: ONE scan → conditional aggregates (the 2×2 pivot is 8
+    * partial-agg columns, map-side combined); the range midpoint is a
+    * 1-row broadcast. No shuffle wider than the single global agg. */
+  def diffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events").select(
+      col("user_id"), col("event_type"),
+      expr("unix_micros(cast(ts as timestamp))").as("tus"),
+      expr("CAST(floor(value * 1000) AS BIGINT)").as("vm"))
+    val mid = ev.agg(expr("(min(tus) + max(tus)) div 2").as("mid"))
+    ev.filter(col("event_type") === "purchase")
+      .crossJoin(broadcast(mid))
+      .select(
+        (TextAnalysis.mixedHashOf("ab|", col("user_id")) % 2 === 1).as("treat"),
+        (col("tus") >= col("mid")).as("post"), col("vm"))
+      .agg(
+        sum(when(!col("treat") && !col("post"), 1L).otherwise(0L)).as("n_pre_ctrl"),
+        sum(when(col("treat") && !col("post"), 1L).otherwise(0L)).as("n_pre_treat"),
+        sum(when(!col("treat") && col("post"), 1L).otherwise(0L)).as("n_post_ctrl"),
+        sum(when(col("treat") && col("post"), 1L).otherwise(0L)).as("n_post_treat"),
+        sum(when(!col("treat") && !col("post"), col("vm")).otherwise(0L)).as("s_pre_ctrl"),
+        sum(when(col("treat") && !col("post"), col("vm")).otherwise(0L)).as("s_pre_treat"),
+        sum(when(!col("treat") && col("post"), col("vm")).otherwise(0L)).as("s_post_ctrl"),
+        sum(when(col("treat") && col("post"), col("vm")).otherwise(0L)).as("s_post_treat"))
+      .select(
+        col("n_pre_ctrl"), col("n_pre_treat"), col("n_post_ctrl"), col("n_post_treat"),
+        expr("s_pre_ctrl div n_pre_ctrl").as("mean_pre_ctrl_milli"),
+        expr("s_pre_treat div n_pre_treat").as("mean_pre_treat_milli"),
+        expr("s_post_ctrl div n_post_ctrl").as("mean_post_ctrl_milli"),
+        expr("s_post_treat div n_post_treat").as("mean_post_treat_milli"),
+        expr("""(s_post_treat div n_post_treat - s_pre_treat div n_pre_treat)
+               | - (s_post_ctrl div n_post_ctrl - s_pre_ctrl div n_pre_ctrl)""".stripMargin)
+          .as("did_milli"))
+  }
+
+  def diffInDiffOracle(): String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS tus,
+       |    CAST(floor(value * 1000) AS BIGINT) AS vm
+       |  FROM events
+       |), mid AS (SELECT (min(tus) + max(tus)) // 2 AS mid FROM ev),
+       |cells AS (
+       |  SELECT ${TextAnalysis.mixedHashSql("ab|", "user_id").linesIterator.mkString("\n|    ")} % 2 = 1 AS treat,
+       |    tus >= mid AS post, vm
+       |  FROM ev CROSS JOIN mid WHERE event_type = 'purchase'
+       |), agg AS (
+       |  SELECT
+       |    sum(CASE WHEN NOT treat AND NOT post THEN 1 ELSE 0 END) AS n_pre_ctrl,
+       |    sum(CASE WHEN treat AND NOT post THEN 1 ELSE 0 END) AS n_pre_treat,
+       |    sum(CASE WHEN NOT treat AND post THEN 1 ELSE 0 END) AS n_post_ctrl,
+       |    sum(CASE WHEN treat AND post THEN 1 ELSE 0 END) AS n_post_treat,
+       |    sum(CASE WHEN NOT treat AND NOT post THEN vm ELSE 0 END) AS s_pre_ctrl,
+       |    sum(CASE WHEN treat AND NOT post THEN vm ELSE 0 END) AS s_pre_treat,
+       |    sum(CASE WHEN NOT treat AND post THEN vm ELSE 0 END) AS s_post_ctrl,
+       |    sum(CASE WHEN treat AND post THEN vm ELSE 0 END) AS s_post_treat
+       |  FROM cells
+       |)
+       |SELECT CAST(n_pre_ctrl AS BIGINT) AS n_pre_ctrl,
+       |  CAST(n_pre_treat AS BIGINT) AS n_pre_treat,
+       |  CAST(n_post_ctrl AS BIGINT) AS n_post_ctrl,
+       |  CAST(n_post_treat AS BIGINT) AS n_post_treat,
+       |  CAST(s_pre_ctrl // n_pre_ctrl AS BIGINT) AS mean_pre_ctrl_milli,
+       |  CAST(s_pre_treat // n_pre_treat AS BIGINT) AS mean_pre_treat_milli,
+       |  CAST(s_post_ctrl // n_post_ctrl AS BIGINT) AS mean_post_ctrl_milli,
+       |  CAST(s_post_treat // n_post_treat AS BIGINT) AS mean_post_treat_milli,
+       |  CAST((s_post_treat // n_post_treat - s_pre_treat // n_pre_treat)
+       |    - (s_post_ctrl // n_post_ctrl - s_pre_ctrl // n_pre_ctrl) AS BIGINT) AS did_milli
+       |FROM agg""".stripMargin
+
+  // ----------------------------------------------- dyadic EWMA forecast
+  /** DYADIC EWMA FORECAST BACKTEST — one-step-ahead level forecasting of
+    * the dense hourly series per type, with EXACT integer weights: the
+    * window is the last 8 hours weighted 128,64,…,1 (α=½ exponential decay
+    * truncated at K=8), so fc_milli = 1000·Σ 2^(8−k)·x_(t−k) div 255 —
+    * no floating smoothing state, bit-identical everywhere. Reported per
+    * type: scored hours, MAE and signed bias of the forecast (milli), and
+    * the next-hour forecast a monitor would alert on. Complements
+    * [[seasonalBacktest]] (seasonal-naive lag-168) with the smoothed-level
+    * model that reacts to drift within a day.
+    *
+    * 100 TB shape: the hourly rollup is the only data-sized agg; the spine
+    * join and the 8 lag windows run on the (types × hours) series —
+    * domain-bounded, partitioned by type, never a global sort. */
+  def ewmaBacktest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = table(spark, dir, "events")
+      .select(expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("h"),
+        col("event_type"))
+    val hourly = ev.groupBy("event_type", "h").agg(count(lit(1)).as("x"))
+    val bounds = ev.agg(min("h").as("h0"), max("h").as("h1"))
+    val dense = bounds
+      .select(explode(expr("sequence(h0, h1)")).as("h"))
+      .crossJoin(ev.select("event_type").distinct())
+      .join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"), coalesce(col("x"), lit(0L)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    // nnum at row t = SUM_{j=0..7} 2^(7-j)*x_(t-j): the weighted window that
+    // FORECASTS hour t+1. The forecast scored at t is therefore lag(nnum,1).
+    val fc = dense.select(col("event_type"), col("h"), col("x"),
+      (0 to 7).map(j => lag("x", j).over(w) * lit(1L << (7 - j)))
+        .reduce(_ + _).as("nnum"))
+      .withColumn("fcnum", lag("nnum", 1).over(w))
+      .withColumn("fc_milli", expr("fcnum * 1000 div 255"))
+      .withColumn("err", col("x") * 1000L - col("fc_milli"))
+    fc.groupBy("event_type")
+      .agg(sum(when(col("fcnum").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+        sum(abs(col("err"))).as("ae"),
+        sum(col("err")).as("es"),
+        max_by(col("nnum"), col("h")).as("last_nnum"))
+      .select(col("event_type"), col("n_scored"),
+        expr("ae div n_scored").as("mae_milli"),
+        expr("""CASE WHEN es < 0 THEN -((-es) div n_scored)
+               |  ELSE es div n_scored END""".stripMargin).as("bias_milli"),
+        expr("last_nnum * 1000 div 255").as("next_fc_milli"))
+      .orderBy("event_type")
+  }
+
+  def ewmaBacktestOracle(): String =
+    """WITH ev AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS h, event_type FROM events
+      |), hourly AS (
+      |  SELECT event_type, h, count(*) AS x FROM ev GROUP BY 1, 2
+      |), bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+      |dense AS (
+      |  SELECT t.event_type, s.h, COALESCE(hr.x, 0) AS x
+      |  FROM (SELECT unnest(generate_series(h0, h1)) AS h FROM bounds) s
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM ev) t
+      |  LEFT JOIN hourly hr ON hr.event_type = t.event_type AND hr.h = s.h
+      |), win AS (
+      |  SELECT event_type, h, x,
+      |    128 * x
+      |    + 64 * lag(x, 1) OVER w + 32 * lag(x, 2) OVER w
+      |    + 16 * lag(x, 3) OVER w + 8 * lag(x, 4) OVER w
+      |    + 4 * lag(x, 5) OVER w + 2 * lag(x, 6) OVER w
+      |    + lag(x, 7) OVER w AS nnum
+      |  FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY h)
+      |), fc AS (
+      |  SELECT event_type, h, x, nnum,
+      |    lag(nnum, 1) OVER (PARTITION BY event_type ORDER BY h) AS fcnum
+      |  FROM win
+      |), scored AS (
+      |  SELECT event_type, h, x, nnum, fcnum,
+      |    x * 1000 - fcnum * 1000 // 255 AS err
+      |  FROM fc
+      |)
+      |SELECT event_type,
+      |  CAST(sum(CASE WHEN fcnum IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+      |  CAST(sum(abs(err)) // sum(CASE WHEN fcnum IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS mae_milli,
+      |  CAST(CASE WHEN sum(err) < 0
+      |    THEN -((-sum(err)) // sum(CASE WHEN fcnum IS NOT NULL THEN 1 ELSE 0 END))
+      |    ELSE sum(err) // sum(CASE WHEN fcnum IS NOT NULL THEN 1 ELSE 0 END) END
+      |    AS BIGINT) AS bias_milli,
+      |  CAST(max_by(nnum, h) * 1000 // 255 AS BIGINT) AS next_fc_milli
+      |FROM scored GROUP BY event_type ORDER BY event_type""".stripMargin
 }

@@ -816,4 +816,65 @@ class Round10DepthSpec extends AnyFunSuite {
     val mass = got.map(_._3).sum
     assert(mass > 900 && mass <= 1000, s"stationary mass $mass out of range")
   }
+
+  test("diff-in-diff matches a plain-Scala cell recompute") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("tus"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("vm"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val mid = (ev.map(_._3).min + ev.map(_._3).max) / 2
+    // arm recompute via the engine's own hash column (the hash itself is
+    // spec'd in MixedHashSpec territory; here we pin the cell algebra)
+    val arms = spark.read.parquet(s"$dir/events.parquet").select(col("user_id"))
+      .distinct()
+      .withColumn("t", TextAnalysis.mixedHashOf("ab|", col("user_id")) % 2 === 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val cells = ev.filter(_._2 == "purchase").groupBy { case (u, _, t, _) =>
+      (arms(u), t >= mid) }
+    def n(tr: Boolean, po: Boolean) = cells.getOrElse((tr, po), Array.empty).length.toLong
+    def m(tr: Boolean, po: Boolean) = {
+      val g = cells((tr, po)); g.map(_._4).sum / g.length }
+    val did = (m(true, true) - m(true, false)) - (m(false, true) - m(false, false))
+    val r = EventOps.diffInDiff(spark, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((n(false, false), n(true, false), n(false, true), n(true, true))))
+    assert((r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)) ==
+      ((m(false, false), m(true, false), m(false, true), m(true, true))))
+    assert(r.getLong(8) == did)
+    // both arms populated in both periods, else the readout is vacuous
+    Seq((false, false), (true, false), (false, true), (true, true))
+      .foreach(c => assert(n(c._1, c._2) > 0, s"empty cell $c"))
+  }
+
+  test("EWMA backtest matches a BigInt recompute of the dyadic forecast") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val (h0, h1) = (ev.map(_._2).min, ev.map(_._2).max)
+    val types = ev.map(_._1).distinct.sorted
+    val counts = ev.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val expect = types.map { t =>
+      val xs = (h0 to h1).map(h => counts.getOrElse((t, h), 0L))
+      val nn = xs.indices.map { i =>          // nnum at index i, needs 8 vals
+        if (i < 7) None
+        else Some((0 to 7).map(j => xs(i - j) * (1L << (7 - j))).sum)
+      }
+      val scored = xs.indices.flatMap(i =>
+        if (i >= 1) nn(i - 1).map(f => xs(i) * 1000L - f * 1000L / 255L) else None)
+      val ns = scored.length.toLong
+      val es = scored.sum
+      val bias = if (es < 0) -((-es) / ns) else es / ns
+      (t, ns, scored.map(math.abs).sum / ns, bias, nn.last.get * 1000L / 255L)
+    }.toSeq
+    val got = EventOps.ewmaBacktest(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expect, s"got $got\nwant $expect")
+    // the forecaster must actually track the series: MAE under 2x the mean
+    // hourly level (in milli), or it is no better than predicting zero
+    val level = ev.length.toLong * 1000 / ((h1 - h0 + 1) * types.length)
+    got.foreach { case (t, _, mae, _, _) =>
+      assert(mae < 2 * level * types.length, s"$t MAE $mae vs level $level") }
+  }
 }
