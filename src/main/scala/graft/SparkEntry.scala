@@ -343,6 +343,10 @@ object SparkEntry {
       "docs_gopher_rules" -> (TextAnalysis.gopherRules(_, _)),
       "docs_curriculum_order" -> (TextAnalysis.curriculumOrder(_, _)),
       "docs_corpus_report" -> (TextAnalysis.corpusReport(_, _)),
+      // overlapping token-window chunk plan (the RAG embedding front door)
+      "docs_rag_chunks" -> ((s, d) => TextAnalysis.ragChunks(s, d)),
+      // hash-deterministic Poisson-bootstrap CI for per-source mean length
+      "docs_bootstrap_ci" -> ((s, d) => TextAnalysis.bootstrapCi(s, d)),
       // dedup family
       "dedup_build_pipeline" -> (Dedup.buildPipeline(_, _)),
       "dedup_exact_groups" -> (Dedup.exactDupGroups(_, _)),
@@ -695,6 +699,8 @@ object SparkEntry {
       "docs_gopher_rules" -> TextAnalysis.gopherRulesOracle,
       "docs_curriculum_order" -> TextAnalysis.curriculumOrderOracle(),
       "docs_corpus_report" -> TextAnalysis.corpusReportOracle,
+      "docs_rag_chunks" -> TextAnalysis.ragChunksOracle(),
+      "docs_bootstrap_ci" -> TextAnalysis.bootstrapCiOracle(),
       "dedup_build_pipeline" -> Dedup.buildPipelineOracle,
       "dedup_exact_groups" -> Dedup.exactDupGroupsOracle,
       "dedup_exact_keep_first" -> Dedup.exactDedupKeepFirstOracle,

@@ -2574,4 +2574,149 @@ object TextAnalysis {
        |JOIN uni uy ON uy.w = big.w2
        |CROSS JOIN tot
        |ORDER BY pmi_ratio_ppm DESC, w1, w2 LIMIT $k""".stripMargin
+
+  // -------------------------------------------------------- RAG chunking
+  /** RAG CHUNK PLAN — the retrieval front-door: every document split into
+    * overlapping token windows (64 tokens, stride 48 → 16-token overlap,
+    * the common retrieval-chunking shape), each chunk carrying its stable
+    * coordinates (token start/length) and an md5 content fingerprint of
+    * the space-rejoined window. Chunk identity is (doc_id, chunk_idx) —
+    * re-chunking an unchanged doc reproduces identical fingerprints, so an
+    * embedding cache keys off chunk_md5 and only novel chunks are ever
+    * re-embedded. A short trailing window is emitted as-is (never padded,
+    * never silently dropped), so concatenating chunks at stride boundaries
+    * reconstructs the doc exactly.
+    *
+    * 100 TB shape: a pure per-row projection + explode — no shuffle at all
+    * except the presentation sort; the chunk stream feeds the embedding
+    * seam partition-locally. */
+  def ragChunks(spark: SparkSession, dir: String,
+      window: Int = 64, stride: Int = 48): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("bigint"))
+      .withColumn("n_chunks", expr(
+        s"CASE WHEN n_tokens <= $window THEN 1L" +
+          s" ELSE 1L + (n_tokens - $window + ${stride - 1}) div $stride END"))
+      .select(col("doc_id"), col("toks"), col("n_tokens"),
+        explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_idx"))
+      .withColumn("tok_start", col("chunk_idx") * stride.toLong)
+      .withColumn("tok_len", least(lit(window.toLong), col("n_tokens") - col("tok_start")))
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        col("tok_start"), col("tok_len"),
+        md5(expr("array_join(slice(toks, cast(tok_start + 1 as int), cast(tok_len as int)), ' ')"))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
+  def ragChunksOracle(window: Int = 64, stride: Int = 48): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, toks, n_tokens,
+       |    CASE WHEN n_tokens <= $window THEN 1
+       |      ELSE 1 + (n_tokens - $window + ${stride - 1}) // $stride END AS n_chunks
+       |  FROM t
+       |), x AS (
+       |  SELECT doc_id, toks, n_tokens,
+       |    unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+       |  FROM c
+       |)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, n_tokens,
+       |  CAST(chunk_idx * $stride AS BIGINT) AS tok_start,
+       |  CAST(LEAST($window, n_tokens - chunk_idx * $stride) AS BIGINT) AS tok_len,
+       |  md5(array_to_string(
+       |    toks[CAST(chunk_idx * $stride + 1 AS INTEGER) :
+       |         CAST(chunk_idx * $stride + LEAST($window, n_tokens - chunk_idx * $stride) AS INTEGER)],
+       |    ' ')) AS chunk_md5
+       |FROM x ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // --------------------------------------------------- Poisson bootstrap
+  /** POISSON BOOTSTRAP CI (Chamandy et al., "Estimating Uncertainty for
+    * Massive Data Streams", Google 2012) — per-source confidence interval
+    * for mean document length WITHOUT resampling coordination: each (doc,
+    * replicate) pair draws a Poisson(1) multiplicity from the
+    * content-independent mixedHash (inverse-CDF thresholds in millionths,
+    * capped at 6), so every replicate is a deterministic weighted mean any
+    * engine reproduces bit-for-bit. The classic n-out-of-n bootstrap needs
+    * a global row count per draw; the Poisson form is a PER-ROW projection
+    * — the only shuffle carries (source × replicate) partial sums. CI
+    * bounds are the 2nd and 39th order statistics of the 40 replicate
+    * means (2.5%/97.5%, ties broken by replicate id).
+    *
+    * 100 TB shape: one scan, a 40-way row-local explode, map-side combine
+    * down to |sources|·40 groups; the quantile step runs on ≤ 40 rows per
+    * source. */
+  def bootstrapCi(spark: SparkSession, dir: String, reps: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(spark, dir, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+    val point = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      expr("sum(n_chars) * 1000 div count(*)").as("mean_milli"))
+    val m = docs
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        explode(expr(s"sequence(1, $reps)")).as("rep"))
+      .withColumn("u", mixedHashOf("boot|",
+        concat(col("doc_id").cast("string"), lit("|"), col("rep").cast("string"))) % 1000000L)
+      .withColumn("m", expr(
+        """CASE WHEN u < 367879 THEN 0L WHEN u < 735758 THEN 1L
+          | WHEN u < 919698 THEN 2L WHEN u < 981011 THEN 3L
+          | WHEN u < 996340 THEN 4L WHEN u < 999405 THEN 5L ELSE 6L END""".stripMargin))
+      .groupBy("source", "rep")
+      .agg(sum(col("m")).as("sw"),
+        sum(col("m") * col("n_chars")).as("swx"))
+      .withColumn("rep_mean_milli",
+        expr("CAST(CAST(swx AS DECIMAL(38,0)) * 1000 div sw AS BIGINT)"))
+    val ranked = m.withColumn("rn",
+      row_number().over(Window.partitionBy("source").orderBy(col("rep_mean_milli"), col("rep"))))
+    val ci = ranked.groupBy("source").agg(
+      max(when(col("rn") === 2, col("rep_mean_milli"))).as("boot_lo_milli"),
+      max(when(col("rn") === reps - 1, col("rep_mean_milli"))).as("boot_hi_milli"))
+    point.join(ci, Seq("source"))
+      .select(col("source"), col("n_docs"), col("mean_milli"),
+        col("boot_lo_milli"), col("boot_hi_milli"),
+        (col("boot_hi_milli") - col("boot_lo_milli")).as("ci_width_milli"))
+      .orderBy("source")
+  }
+
+  def bootstrapCiOracle(reps: Int = 40): String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, source, n_chars FROM documents
+       |), point AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    sum(n_chars) * 1000 // count(*) AS mean_milli
+       |  FROM docs GROUP BY source
+       |), drawn AS (
+       |  SELECT source, n_chars, rep,
+       |    ${mixedHashSql("boot|", "CAST(doc_id AS VARCHAR) || '|' || CAST(rep AS VARCHAR)")} % 1000000 AS u
+       |  FROM docs, (SELECT unnest(generate_series(1, $reps)) AS rep)
+       |), weighted AS (
+       |  SELECT source, rep,
+       |    CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+       |      WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+       |      WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5 ELSE 6 END AS m,
+       |    n_chars
+       |  FROM drawn
+       |), repmeans AS (
+       |  SELECT source, rep,
+       |    CAST(CAST(sum(m * n_chars) AS HUGEINT) * 1000 // sum(m) AS BIGINT)
+       |      AS rep_mean_milli
+       |  FROM weighted GROUP BY source, rep
+       |), ranked AS (
+       |  SELECT source, rep_mean_milli,
+       |    row_number() OVER (PARTITION BY source ORDER BY rep_mean_milli, rep) AS rn
+       |  FROM repmeans
+       |), ci AS (
+       |  SELECT source,
+       |    max(CASE WHEN rn = 2 THEN rep_mean_milli END) AS boot_lo_milli,
+       |    max(CASE WHEN rn = ${reps - 1} THEN rep_mean_milli END) AS boot_hi_milli
+       |  FROM ranked GROUP BY source
+       |)
+       |SELECT p.source, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(mean_milli AS BIGINT) AS mean_milli,
+       |  boot_lo_milli, boot_hi_milli,
+       |  boot_hi_milli - boot_lo_milli AS ci_width_milli
+       |FROM point p JOIN ci USING (source)
+       |ORDER BY source""".stripMargin
 }

@@ -877,4 +877,63 @@ class Round10DepthSpec extends AnyFunSuite {
     got.foreach { case (t, _, mae, _, _) =>
       assert(mae < 2 * level * types.length, s"$t MAE $mae vs level $level") }
   }
+
+  test("RAG chunks match a plain-Scala re-chunking and tile the doc exactly") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val (w, st) = (64, 48)
+    val expect = docs.toSeq.sortBy(_._1).flatMap { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val n = toks.length
+      val nc = if (n <= w) 1 else 1 + (n - w + st - 1) / st
+      (0 until nc).map { c =>
+        val start = c * st
+        val len = math.min(w, n - start)
+        (id, c.toLong, n.toLong, start.toLong, len.toLong,
+          md5hex(toks.slice(start, start + len).mkString(" ")))
+      }
+    }
+    val got = TextAnalysis.ragChunks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getString(5))).toSeq
+    assert(got == expect)
+    // tiling: the final chunk always reaches the last token
+    got.groupBy(_._1).foreach { case (id, cs) =>
+      val last = cs.maxBy(_._2)
+      assert(last._4 + last._5 == last._3, s"doc $id not fully tiled")
+    }
+  }
+
+  test("Poisson bootstrap CI matches a plain-Scala replicate recompute") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def mixed(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      hex.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    }
+    def pois(u: Long): Long =
+      if (u < 367879) 0 else if (u < 735758) 1 else if (u < 919698) 2
+      else if (u < 981011) 3 else if (u < 996340) 4 else if (u < 999405) 5 else 6
+    val reps = 40
+    val expect = docs.groupBy(_._2).toSeq.sortBy(_._1).map { case (src, ds) =>
+      val point = ds.map(_._3).sum * 1000 / ds.length
+      val means = (1 to reps).map { r =>
+        val ws = ds.map(d => pois(mixed(s"boot|${d._1}|$r") % 1000000L) -> d._3)
+        (BigInt(ws.map(p => p._1 * p._2).sum) * 1000 / ws.map(_._1).sum).toLong -> r.toLong
+      }.sortBy(identity).map(_._1)
+      (src, ds.length.toLong, point, means(1), means(reps - 2), means(reps - 2) - means(1))
+    }
+    val got = TextAnalysis.bootstrapCi(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toSeq
+    assert(got == expect, s"got $got\nwant $expect")
+    // the interval must bracket the point estimate on this fixture
+    got.foreach { case (src, _, m, lo, hi, _) =>
+      assert(lo <= m && m <= hi, s"$src: CI [$lo,$hi] misses point $m") }
+  }
 }
