@@ -32,4 +32,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 322-query bench session JIT-compiles tens of thousands of generated
+  // classes (whole-stage codegen emits fresh classes per plan); the JDK 17
+  // default 240 MB code cache fills late in the run, the sweeper starts
+  // flushing hot methods, and end-of-session reruns degrade 10-15×
+  // (round-10 artifact: embedding_corr_dims steady 63.5 s in-session vs
+  // 3.8-4.2 s in a fresh JVM). 512 MB keeps the whole session compiled.
+  "-XX:ReservedCodeCacheSize=512m",
 )

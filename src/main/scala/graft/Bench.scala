@@ -10,6 +10,50 @@ import java.nio.charset.StandardCharsets
   * `bench_full.json` in the working directory so nothing is lost either way.
   */
 object Bench {
+  /** The LAST stdout line: the driver's ~2 KB tail capture must always end in
+    * complete JSON even after sbt's own trailer lines. Kept ≤ ~500 bytes by
+    * construction (top-3 queries only, ≤3 error names); `BenchContractSpec`
+    * gates the size so the round-9/10 regression (detail maps grew the
+    * "compact" line past the window → parsed:null) cannot recur.
+    */
+  private[graft] def compactTotalLine(
+      total: Double, results: Seq[(String, Double)], errors: Seq[String],
+      loadJson: String, jvmJson: String, dataWarm: Boolean, sfDir: String): String = {
+    def fmt(v: Double): String = f"$v%.3f"
+    val top3 = results.sortBy(-_._2).take(3)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val errHead = errors.take(3).map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$top3,"queries_omitted":${math.max(0, results.size - 3)},"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"errors":$errHead,$loadJson,$jvmJson,"data_warm":$dataWarm,"full":"bench_full.json"}"""
+  }
+
+  /** Min-of-3-reps steady time of one query measured in a FORKED FRESH JVM
+    * (graft.cli.TimeQuery, same config/action), or -1 on any failure. The
+    * fork inherits this JVM's flags/classpath but gets its own warehouse
+    * dir, so a query that (re)creates bucketed/partitioned tables never
+    * contends with the still-running bench session. `BenchContractSpec`
+    * exercises the fork end-to-end. */
+  private[graft] def freshJvmMin(name: String, sfDir: String): Double = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+      val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+      val cmd = (Seq(javaBin) ++ inherited ++ Seq(
+        s"-Dspark.sql.warehouse.dir=/tmp/graft-freshjvm-wh-${ProcessHandle.current.pid}",
+        "-Dderby.system.home=/tmp/graft-freshjvm-derby",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.cli.TimeQuery", name, sfDir, "3")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+      val done = p.waitFor()
+      val reps = "rep \\d+: ([0-9.]+) s".r.findAllMatchIn(out).map(_.group(1).toDouble).toSeq
+      if (done == 0 && reps.nonEmpty) reps.min else -1.0
+    } catch { case _: Throwable => -1.0 }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to every core on the box: the driver only sets SPARK_GRAFT_SF_DIR,
@@ -143,7 +187,8 @@ object Bench {
         Thread.sleep(step); waitBudgetMs -= step
       }
     case class Rerun(name: String, first: Double, rerun: Double, steady: Double,
-                     ok: Boolean, load: Double, adjudicated: Boolean)
+                     ok: Boolean, load: Double, adjudicated: Boolean,
+                     fresh: Double = -1.0)
     val sortedSlow = timed.filter(_._3).sortBy(-_._2)
     val rerunSet = sortedSlow.take(math.max(rerunK, sortedSlow.count(_._2 > slowSec)))
       .take(rerunMax)
@@ -195,8 +240,31 @@ object Bench {
         }
       }
     }
+    // FRESH-JVM ADJUDICATION (VERDICT r10 #2): the r10 artifact carried
+    // steady/rerun numbers 10-15× the plan's real cost (embedding_corr_dims
+    // steady 63.5 s vs 3.8-4.2 s isolated) — a property of the AGED 322-query
+    // JVM (code-cache exhaustion; see build.sbt's ReservedCodeCacheSize note),
+    // not of the plan, and invisible to the loadavg gate. Any line whose
+    // in-session rerun/steady exceeds max(2×first, threshold) is re-measured
+    // in a FORKED FRESH JVM (graft.cli.TimeQuery, same config/action, 3 reps);
+    // the fork's min rep becomes the line's "fresh" field and caps "steady",
+    // so the artifact never ships a session-degradation number as plan cost.
+    val freshMax = sys.env.get("SPARK_GRAFT_FRESH_MAX").flatMap(_.toIntOption).getOrElse(6)
+    val freshCandidates = firstPass.values.toSeq.filter { x =>
+      x.ok && math.max(x.rerun, x.steady) > math.max(2.0 * x.first, slowSec)
+    }.sortBy(x => -math.max(x.rerun, x.steady)).take(freshMax)
+    freshCandidates.foreach { x =>
+      val f = Bench.freshJvmMin(x.name, sfDir)
+      if (f > 0) firstPass(x.name) = x.copy(fresh = f,
+        steady = if (x.steady > 0) math.min(x.steady, f) else f)
+    }
     val reruns = firstPass.values.toSeq
-    val rerunBest = reruns.collect { case x if x.ok => x.name -> math.min(x.first, x.rerun) }.toMap
+    // headline per-query = best evidence available: min over first, rerun,
+    // and (when forked) the fresh-JVM measurement — each only ever
+    // OVERSTATES plan cost (contention, cold cache, session aging)
+    val rerunBest = reruns.collect { case x if x.ok =>
+      x.name -> Seq(x.first, x.rerun, x.fresh).filter(_ > 0).min
+    }.toMap
     // one-sided on purpose: contamination/first-touch means the FIRST run
     // was inflated and the rerun is fast. The opposite shape (rerun ≫
     // first) is the memo-READING lines whose rerun pays the cleared shared
@@ -222,13 +290,28 @@ object Bench {
     // cross-refs, and says so explicitly when it could not (load gate
     // never opened within the wait budget)
     val rerunJson = reruns.map { x =>
+      val freshField = if (x.fresh > 0) s""","fresh":${fmt(x.fresh)}""" else ""
       "\"" + x.name +
-        s"""":{"first":${fmt(x.first)},"rerun":${fmt(x.rerun)},"steady":${fmt(x.steady)},"rerun_ok":${x.ok},"rerun_load":${fmt(x.load)},"adjudicated":${x.adjudicated}}"""
+        s"""":{"first":${fmt(x.first)},"rerun":${fmt(x.rerun)},"steady":${fmt(x.steady)}$freshField,"rerun_ok":${x.ok},"rerun_load":${fmt(x.load)},"adjudicated":${x.adjudicated}}"""
     }.mkString("{", ",", "}")
     val contamJson = loadContaminated.map("\"" + _ + "\"").mkString("[", ",", "]")
     val unadjJson = unadjudicated.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // JVM-health snapshot at artifact-write time: code-cache occupancy and
+    // cumulative GC time. The round-10 late-session 15× rerun degradation was
+    // diagnosable only by re-timing outside the session; with these two
+    // numbers in the artifact the next anomaly self-explains (VERDICT r10 #2).
+    val jvmJson = {
+      import scala.jdk.CollectionConverters._
+      val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.toLowerCase.contains("code"))
+      val usedMb = pools.map(_.getUsage.getUsed).sum >> 20
+      val maxMb = pools.map(p => math.max(p.getUsage.getMax, 0L)).sum >> 20
+      val gcSec = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum / 1000.0
+      s""""jvm":{"code_cache_used_mb":$usedMb,"code_cache_max_mb":$maxMb,"gc_sec":${fmt(gcSec)}}"""
+    }
     val adjJson =
-      s""""rerun":$rerunJson,"load_contaminated":$contamJson,"unadjudicated":$unadjJson,"rerun_load_gate":${fmt(loadGate)},"data_warm":$dataWarm"""
+      s""""rerun":$rerunJson,"load_contaminated":$contamJson,"unadjudicated":$unadjJson,"rerun_load_gate":${fmt(loadGate)},"data_warm":$dataWarm,$jvmJson"""
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(results)},"sf":"$sfDir","n_queries":${results.size},"errors":$errJson,$loadJson,$adjJson,"query_load":${qjson(qLoads)}}"""
     // Full artifact on disk — survives any stdout truncation.
@@ -236,13 +319,21 @@ object Bench {
       (fullLine + "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     catch { case _: Throwable => () }
-    // Full line first (captured when the window is large enough) ...
+    // STDOUT CONTRACT (VERDICT r10 #1): the driver keeps only a ~2 KB stdout
+    // TAIL, and sbt appends its own "[success] Total time…" lines after us —
+    // so the VERY last line we print must be small enough that (final line +
+    // sbt trailer) < 2 KB. Rounds 9-10 shipped parsed:null because the
+    // "compact" line had grown the full rerun-adjudication map (~4 KB).
+    // Three lines, most detailed first:
+    //   1. the full per-query artifact (same bytes as bench_full.json),
+    //   2. a detail line: 25 slowest + the adjudication maps,
+    //   3. LAST: a ≤~500-byte total line — total, top-3 queries, counts,
+    //      load, jvm health, pointer to bench_full.json.
     println(fullLine)
-    // ... compact line LAST so a 2 KB tail always ends with parseable JSON:
-    // total + the 25 slowest queries + an explicit omission count + pointer.
     val slowest = results.sortBy(-_._2).take(25)
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(slowest)},"sf":"$sfDir","n_queries":${results.size},"queries_omitted":${results.size - slowest.size},"errors":$errJson,$loadJson,$adjJson,"full":"bench_full.json"}""")
+      s"""{"metric":"detail","value":${fmt(total)},"unit":"sec","queries":${qjson(slowest)},"queries_omitted":${results.size - slowest.size},$adjJson}""")
+    println(Bench.compactTotalLine(total, results, errors, loadJson, jvmJson, dataWarm, sfDir))
     spark.stop()
   }
 }

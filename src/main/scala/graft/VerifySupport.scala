@@ -61,6 +61,28 @@ object VerifySupport {
         s"${f.name}: ${f.dataType.simpleString}"
     }.toSeq
 
+  /** Queries deliberately registered WITHOUT a DuckDB oracle, each with a
+    * one-line justification; every entry carries a brute-force or property
+    * spec plus an oracle-gated scalar twin. Lives in main (not the spec) so
+    * the generated operator index (`graft.cli.OperatorsIndex`) can report
+    * the gate type per query from the same single source of truth the
+    * `DriverSurfaceSpec` allowlist test enforces bidirectionally. */
+  val rowsOnlyJustified: Map[String, String] = Map(
+    "dedup_cluster_sizes" -> ("iterative min-label fixpoint (connected components) isn't " +
+      "SQL-expressible; brute-force-verified in ConnectedComponentsSpec, scalar twin dedup_cluster_sizes_gate"),
+    "dedup_kcore" -> ("iterative peel fixpoint isn't SQL-expressible; " +
+      "brute-force-verified in KCoreSpec, scalar twin dedup_kcore_gate"),
+    "profile_compaction_plan" -> ("sequential first-fit-decreasing bin-packing is order-dependent, " +
+      "not SQL-expressible; invariants property-spec'd in CompactionPlanSpec, scalar twin profile_compaction_plan_gate"),
+    "profile_fk_discovery" -> ("HLL containment estimates are engine-specific; the known-pair " +
+      "detection guarantee is oracle-gated as profile_fk_discovery_gate"),
+    "profile_heavy_values" -> ("Misra-Gries borderline entries depend on partial-merge order; " +
+      "the MG guarantee is oracle-gated as profile_heavy_values_gate"),
+    "profile_sketch_lineitem" -> ("HLL/KLL estimates are engine-specific; exact-stat columns + " +
+      "estimate booleans are oracle-gated as profile_sketch_gate_lineitem"),
+    "profile_sketch_events" -> ("HLL/KLL estimates are engine-specific; exact-stat columns + " +
+      "estimate booleans are oracle-gated as profile_sketch_gate_events"))
+
   /** Dump each named query's result to `outDir/<name>` parquet, isolating
     * per-query failures (one bad query must not zero the round). Queries
     * violating the atomic-columns rule ([[complexColumns]]) are REJECTED

@@ -240,7 +240,18 @@ object ScaleProbe {
       ("attribution", d => graft.operators.EventOps.attribution(spark, d)),
       // batch 5: the distributed part is one lead window + a (cur,nxt)
       // count; the k^2 eigensolve is domain-bounded driver work
-      ("markov_stationary", d => graft.operators.EventOps.markovStationary(spark, d)))
+      ("markov_stationary", d => graft.operators.EventOps.markovStationary(spark, d)),
+      // batch 6 (VERDICT r10 #3): the remaining round-10 depth families.
+      // rag_chunks is a per-doc window + chunk explode (row-linear, chunk
+      // count ∝ corpus chars); bootstrap_ci is R Poisson-weight passes over
+      // one grouped frame (R fixed ⇒ linear); diff-in-diff and the EWMA
+      // backtest aggregate to the day/hour spine (domain-bounded) after one
+      // row-linear pass; readability is a pure per-row projection + rollup
+      ("rag_chunks", d => graft.operators.TextAnalysis.ragChunks(spark, d)),
+      ("bootstrap_ci", d => graft.operators.TextAnalysis.bootstrapCi(spark, d)),
+      ("diff_in_diff", d => graft.operators.EventOps.diffInDiff(spark, d)),
+      ("forecast_ewma", d => graft.operators.EventOps.ewmaBacktest(spark, d)),
+      ("readability", d => graft.operators.TextAnalysis.readability(spark, d)))
     val allBuilds = (if (family == "ppj") ppjBuilds
       else if (doDocs) docBuilds else Seq.empty) ++
       (if (doEmb) embBuilds else Seq.empty) ++

@@ -1699,7 +1699,22 @@ object Similarity {
     * (dim, n, Σx, Σx²) and upper-triangle pair sums (dim_i, dim_j, n, Σxy)
     * in DECIMAL(38,0) — the ONE copy [[dimCorrMatrix]] and
     * [[topPrincipalComponent]] both read, so the quantization policy and
-    * the shuffle-free pair-product shape can never drift between them. */
+    * the shuffle-free pair-product shape can never drift between them.
+    *
+    * d-SCALING BOUNDARY (VERDICT r10 #5): the row-local explode emits
+    * d(d−1)/2 structs per vector — ~2k at the fixture's d=64, which is the
+    * right form (codegen'd projection, partial agg collapses to ≤ d² groups
+    * before the only exchange; measured flat through 20× corpus in SCALE.md
+    * §7 batch 4). The explode VOLUME grows quadratically in d, not in n: at
+    * d≈1024 it is ~523k structs/row and explode materialization dominates
+    * the scan. Past roughly d≈256, the right form is a
+    * `TypedImperativeAggregate` accumulating one packed upper-triangle
+    * d(d+1)/2 buffer of longs per PARTITION (update = d² fused
+    * multiply-adds per row with no per-pair row materialization; merge =
+    * buffer add; ~4 MB per task at d=1024) — same exact integer sums, same
+    * final expression, different accumulation shape. Not shipped at d=64:
+    * the explode form is faster there (no buffer serialization between
+    * partial and final), and the fixture gates exactness either way. */
   private def covarianceSums(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val e = table(spark, dir, "embeddings")

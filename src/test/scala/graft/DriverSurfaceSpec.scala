@@ -21,22 +21,10 @@ class DriverSurfaceSpec extends AnyFunSuite {
   val dir = SparkSuite.Sf0001
 
   /** Queries deliberately registered WITHOUT a DuckDB oracle, with why.
-    * Each carries a brute-force or property spec instead (named below). */
-  val rowsOnlyJustified: Map[String, String] = Map(
-    "dedup_cluster_sizes" -> ("iterative min-label fixpoint (connected components) isn't " +
-      "SQL-expressible; brute-force-verified in ConnectedComponentsSpec, scalar twin dedup_cluster_sizes_gate"),
-    "dedup_kcore" -> ("iterative peel fixpoint isn't SQL-expressible; " +
-      "brute-force-verified in KCoreSpec, scalar twin dedup_kcore_gate"),
-    "profile_compaction_plan" -> ("sequential first-fit-decreasing bin-packing is order-dependent, " +
-      "not SQL-expressible; invariants property-spec'd in CompactionPlanSpec, scalar twin profile_compaction_plan_gate"),
-    "profile_fk_discovery" -> ("HLL containment estimates are engine-specific; the known-pair " +
-      "detection guarantee is oracle-gated as profile_fk_discovery_gate"),
-    "profile_heavy_values" -> ("Misra-Gries borderline entries depend on partial-merge order; " +
-      "the MG guarantee is oracle-gated as profile_heavy_values_gate"),
-    "profile_sketch_lineitem" -> ("HLL/KLL estimates are engine-specific; exact-stat columns + " +
-      "estimate booleans are oracle-gated as profile_sketch_gate_lineitem"),
-    "profile_sketch_events" -> ("HLL/KLL estimates are engine-specific; exact-stat columns + " +
-      "estimate booleans are oracle-gated as profile_sketch_gate_events"))
+    * Moved to main ([[VerifySupport.rowsOnlyJustified]]) in round 11 so the
+    * generated operator index reads the same single source of truth this
+    * spec enforces. */
+  val rowsOnlyJustified: Map[String, String] = VerifySupport.rowsOnlyJustified
 
   test("every driver-facing query emits only atomic (pandas-sortable) columns") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>

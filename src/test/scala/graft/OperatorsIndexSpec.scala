@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cli.OperatorsIndex
+
+/** Pins the generated operator index's resolution invariants under `sbt
+  * test`: every runtime query must parse to an `Object.method` registration
+  * and locate to a real `def` in the main tree — so OPERATORS.md can never
+  * silently drop or mislabel a query (it either regenerates complete or the
+  * build fails).
+  */
+class OperatorsIndexSpec extends AnyFunSuite {
+
+  lazy val rows = OperatorsIndex.buildRows(".")
+
+  test("every registered query resolves to an implementation site") {
+    assert(rows.size == SparkEntry.queries.size)
+    rows.foreach { r =>
+      assert(r.file.endsWith(".scala") && r.line > 0, s"${r.name}: ${r.file}:${r.line}")
+      assert(new java.io.File(r.file).isFile, s"${r.name}: missing ${r.file}")
+    }
+  }
+
+  test("gate column matches the driver ledger maps exactly") {
+    rows.foreach { r =>
+      if (SparkEntry.oracleSql.contains(r.name)) assert(r.gate == "oracle", r.name)
+      else assert(r.gate.startsWith("rows-only — "), r.name)
+    }
+    assert(rows.count(_.gate != "oracle") == VerifySupport.rowsOnlyJustified.size)
+  }
+
+  test("scale exponents attach to probed methods") {
+    // the probe builds that call a SparkEntry-registered method must surface
+    // in at least this many rows (several builds cover non-query stages)
+    val probed = rows.filter(_.scaleExp.isDefined)
+    assert(probed.size >= 15, s"only ${probed.map(_.name)} carry exponents")
+    // spot-pins: round-10 batch families the verdict asked to see covered
+    val names = probed.map(_.name).toSet
+    Seq("docs_rag_chunks", "docs_bootstrap_ci", "events_diff_in_diff",
+        "events_forecast_ewma", "text_readability", "events_attribution",
+        "dedup_cdc_chunks").foreach { q =>
+      assert(names(q), s"$q lost its scale-probe linkage")
+    }
+  }
+}
