@@ -389,6 +389,14 @@ object SparkEntry {
       "docs_training_manifest" -> (TextAnalysis.trainingManifest(_, _)),
       "docs_manifest_rollup" -> (TextAnalysis.manifestRollup(_, _)),
       "docs_shard_write" -> (TextAnalysis.shardWriteGate(_, _)),
+      // per-shard manifest sidecar written WITH the artifact (round 11):
+      // the summary a loader reads instead of scanning shards, gated by
+      // recomputing every column from the raw tables
+      "docs_shard_manifest" -> ((s, d) => TextAnalysis.shardManifest(s, d)),
+      // the pre-ship sign-off table (round 11): keep accounting + the
+      // three release audits (contamination, takedown, split leakage)
+      // over the SAME kept set, in one long exact-integer report
+      "docs_release_report" -> (TextAnalysis.releaseReport(_, _)),
       // similarity search
       "ann_cosine_topk" -> (Similarity.cosineTopK(_, _)),
       // hybrid retrieval (round 9): keyword leg + vector leg fused with
@@ -737,6 +745,8 @@ object SparkEntry {
       "docs_training_manifest" -> TextAnalysis.trainingManifestOracle,
       "docs_manifest_rollup" -> TextAnalysis.manifestRollupOracle,
       "docs_shard_write" -> TextAnalysis.shardWriteOracle(),
+      "docs_shard_manifest" -> TextAnalysis.shardManifestOracle(),
+      "docs_release_report" -> TextAnalysis.releaseReportOracle,
       "ann_cosine_topk" -> Similarity.cosineTopKOracle(),
       "ann_hybrid_rrf" -> Similarity.hybridRrfOracle(),
       "ann_hybrid_rrf_ivf" -> Similarity.hybridRrfIvfOracle(),

@@ -83,7 +83,8 @@ object PlansDump {
     "dedup_cdc_chunks",        // CDC: explode -> per-doc prefix -> hash rollups
     "events_attribution",      // user-keyed interval join + conversion windows
     "ann_sq8_topk",            // int8 ADC screen, float rerank on survivors
-    "embedding_corr_dims")     // row-local pair products, d^2-group shuffle
+    "embedding_corr_dims",     // row-local pair products, d^2-group shuffle
+    "docs_release_report")     // audit joins on broadcast sets, 1-row branches
 
   /** Plan-audit overrides: these queries' gated implementations read
     * memoized materialized stages (the shared-pipeline design — see

@@ -26,7 +26,7 @@ import graft.Fixtures.table
   */
 object Dedup {
 
-  private[operators] val IdOffset = 1000000L
+  private[graft] val IdOffset = 1000000L
 
   /** documents ∪ perturbed(documents): plants one near-duplicate per doc.
     * Repartitioned to the cluster's parallelism: the fixture file is a
@@ -1127,6 +1127,24 @@ object Dedup {
     linked.join(TextAnalysis.shuffleShards(spark, dir).select("doc_id", "shard"), "doc_id")
       .select("doc_id", "shard", "n_linked")
       .orderBy("doc_id")
+  }
+
+  /** The full PURGE SET behind [[takedownManifest]]: the requested docs
+    * PLUS their verified near-duplicates (same content, different id) as
+    * one distinct id column — the set a release must not contain. Shared
+    * by [[TextAnalysis.releaseReport]]'s `kept_takedown` gate. Shape:
+    * requests broadcast against the materialized pair graph; only 8 B ids
+    * move. */
+  def takedownPurgeSet(spark: SparkSession, dir: String): DataFrame = {
+    val requests = table(spark, dir, "documents")
+      .filter(col("doc_id") % 41 === 0).select("doc_id")
+    val pairs = sharedVerifiedPairs(spark, dir).select("id_a", "id_b")
+    val edges = pairs.select(col("id_a").as("req"), col("id_b").as("nbr"))
+      .unionAll(pairs.select(col("id_b").as("req"), col("id_a").as("nbr")))
+    val linked = broadcast(requests)
+      .join(edges, col("doc_id") === col("req"))
+      .select(col("nbr").as("doc_id"))
+    requests.unionAll(linked).distinct()
   }
 
   // lazy: composes ngramJaccardPairsOracle (defined later in the file)

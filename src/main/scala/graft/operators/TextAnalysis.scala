@@ -1841,14 +1841,105 @@ object TextAnalysis {
 
   /** Runs the write; returns the output path. Overwrite-mode, so reruns
     * replace the artifact — [[TrainShardWriteSpec]] pins bit-identical
-    * rerun content. */
+    * rerun content. Since round 11 the write also emits the PER-SHARD
+    * MANIFEST beside the data ([[shardManifestPath]]) — see
+    * [[shardManifest]]. */
   def shardWrite(spark: SparkSession, dir: String,
       nShards: Int = 8, window: Int = 2048): String = {
     val out = shardWritePath(dir)
     graft.sources.TableSources.writePartitioned(
       trainingSet(spark, dir, nShards, window), out, Seq("shard"))
+    shardSummary(spark, out, window).coalesce(1)
+      .write.mode("overwrite").parquet(shardManifestPath(dir))
     out
   }
+
+  /** Manifest sidecar path (beside the shard artifact). */
+  def shardManifestPath(dir: String): String = shardWritePath(dir) + "_manifest"
+
+  /** The per-shard summary the write emits, computed from the files AS
+    * WRITTEN (read-back, not the pre-write plan): docs / tokens / packed
+    * windows, lang+source cardinalities, the shortest doc, residual exact
+    * text duplicates (0 if upstream dedup held), and the order+content
+    * hash. Texts are md5'd to 16 B BEFORE the multi-distinct aggregate so
+    * the Expand the three count-distincts need replicates narrow rows,
+    * never the payload. */
+  private def shardSummary(spark: SparkSession, out: String, window: Int): DataFrame =
+    spark.read.parquet(out)
+      .select(col("shard").cast("bigint").as("shard"),
+        col("tokens"), col("lang"), col("source"),
+        md5(col("text")).as("th"),
+        mixedHashOf("sw|", concat_ws("|",
+          col("doc_id"), col("pos"), col("stream_offset"), col("text"))).as("h"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("n_tokens"),
+        expr(s"(sum(tokens) + ${window - 1}) div $window").as("n_windows"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("tokens")).as("min_tokens"),
+        (count(lit(1)) - countDistinct(col("th"))).as("n_dup_texts"),
+        expr("CAST(sum(CAST(h AS DECIMAL(38,0))) % 1000000007 AS BIGINT)").as("content_hash"))
+
+  /** PER-SHARD MANIFEST, GATED (VERDICT r10 #7): runs the write, then
+    * returns the manifest parquet the write left beside the artifact —
+    * the summary a downstream trainer/loader reads INSTEAD of scanning the
+    * shards (doc/token/window counts for scheduling, lang/source
+    * cardinalities and residual-duplicate count for sanity, the content
+    * hash for change detection). The oracle recomputes every column from
+    * the raw tables through the full keep→shard→pack composition, so a
+    * manifest that disagrees with its own artifact cannot pass.
+    *
+    * 100 TB shape: one extra pass over the just-written artifact (narrow
+    * projection: the text contributes only its md5 and row hash), output
+    * is nShards rows — the standard write-then-validate tax, and the
+    * manifest is exactly what makes later pipeline stages NOT re-scan the
+    * data to answer "what's in shard 5". */
+  def shardManifest(spark: SparkSession, dir: String,
+      nShards: Int = 8, window: Int = 2048): DataFrame = {
+    shardWrite(spark, dir, nShards, window)
+    spark.read.parquet(shardManifestPath(dir)).orderBy("shard")
+  }
+
+  // def: composes trainingManifestOracle (itself a def)
+  def shardManifestOracle(nShards: Int = 8, window: Int = 2048): String =
+    s"""WITH manifest AS (
+       |  SELECT * FROM (
+       |${trainingManifestOracle.linesIterator.map("    " + _).mkString("\n")}
+       |  ) m
+       |), kept AS (
+       |  SELECT d.doc_id, d.text, d.lang, d.source FROM documents d
+       |  JOIN manifest mm ON mm.doc_id = d.doc_id WHERE mm.final_keep
+       |), hashed AS (
+       |  SELECT doc_id, text, lang, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+       |    ${mixedHashSql("shuf|").linesIterator.mkString("\n|    ")} AS skey
+       |  FROM kept
+       |), sharded AS (
+       |  SELECT *, skey % $nShards AS shard,
+       |    CAST(row_number() OVER (PARTITION BY skey % $nShards ORDER BY skey, doc_id) AS BIGINT) AS pos
+       |  FROM hashed
+       |), packed AS (
+       |  SELECT *, CAST(sum(tokens) OVER (PARTITION BY shard ORDER BY skey, doc_id
+       |    ROWS UNBOUNDED PRECEDING) - tokens AS BIGINT) AS stream_offset
+       |  FROM sharded
+       |), rows_h AS (
+       |  SELECT shard, tokens, lang, source, text,
+       |    ${mixedHashSql("sw|",
+             "CAST(doc_id AS VARCHAR) || '|' || CAST(pos AS VARCHAR) || '|' || " +
+             "CAST(stream_offset AS VARCHAR) || '|' || text").linesIterator.mkString("\n|    ")} AS h
+       |  FROM packed
+       |)
+       |SELECT shard, count(*) AS n_docs,
+       |  CAST(sum(tokens) AS BIGINT) AS n_tokens,
+       |  CAST((sum(tokens) + ${window - 1}) // $window AS BIGINT) AS n_windows,
+       |  count(DISTINCT lang) AS n_langs,
+       |  count(DISTINCT source) AS n_sources,
+       |  CAST(min(tokens) AS BIGINT) AS min_tokens,
+       |  count(*) - count(DISTINCT text) AS n_dup_texts,
+       |  CAST(sum(h) % 1000000007 AS BIGINT) AS content_hash
+       |FROM rows_h GROUP BY shard ORDER BY shard""".stripMargin
 
   /** The GATE on the written artifact: write, then READ BACK the parquet
     * and report per-shard docs / packed windows / tokens / an order- and
@@ -1964,6 +2055,121 @@ object TextAnalysis {
        |JOIN splits sb ON sb.doc_id = p.id_b
        |WHERE sa.split != sb.split
        |ORDER BY p.id_a, p.id_b""".stripMargin
+
+  // ----------------------------------------------- corpus release report
+  /** The CORPUS RELEASE REPORT (VERDICT r10 #7) — the one table a data
+    * owner signs off on before shipping a training set: the manifest's
+    * keep accounting (docs/tokens, exact ppm survival) composed with the
+    * three pre-release AUDITS over the SAME kept set —
+    *   - `kept_contaminated`: kept docs sharing a word 5-gram with the
+    *     eval set ([[decontaminate]] run against the release, not the raw
+    *     corpus — the number that must be 0 before benchmarks mean
+    *     anything);
+    *   - `kept_takedown`: kept docs in the takedown purge set (requests ∪
+    *     verified near-duplicates, [[Dedup.takedownPurgeSet]] — must be 0
+    *     for a compliant release);
+    *   - `leaked_pairs`: verified near-dup pairs straddling splits
+    *     ([[splitLeakage]]'s count — the benchmark-integrity residual).
+    * Long format (metric, value), exact integers, so one diff of two
+    * release reports is the whole regression story between two corpus
+    * versions.
+    *
+    * 100 TB shape: every input is an already-materialized stage (manifest,
+    * verified-pair graph) or a bounded audit join (eval grams broadcast,
+    * requests broadcast); the composition adds 1-row aggregate branches in
+    * ONE DAG and moves 8 B keys — no new corpus scan beyond the audits a
+    * release would run anyway. */
+  def releaseReport(spark: SparkSession, dir: String): DataFrame = {
+    val m = sharedManifest(spark, dir)
+    val toks = table(spark, dir, "documents")
+      .select(col("doc_id"), sz(words).as("n_tokens"))
+    val mt = m.select("doc_id", "final_keep").join(toks, "doc_id")
+    val kept = m.filter(col("final_keep")).select("doc_id")
+    def row1(name: String, v: Column, from: DataFrame): DataFrame =
+      from.agg(v.cast("bigint").as("value")).select(lit(name).as("metric"), col("value"))
+    val totals = mt.agg(
+      count(lit(1)).as("docs_total"),
+      sum(when(col("final_keep"), 1L).otherwise(0L)).as("docs_kept"),
+      sum(col("n_tokens")).as("tokens_total"),
+      sum(when(col("final_keep"), col("n_tokens")).otherwise(0L)).as("tokens_kept"))
+    val totalRows = totals.selectExpr(
+      """stack(5,
+        |  'docs_total', docs_total,
+        |  'docs_kept', docs_kept,
+        |  'tokens_total', tokens_total,
+        |  'tokens_kept', tokens_kept,
+        |  'tokens_kept_ppm',
+        |  CAST((CAST(tokens_kept AS DECIMAL(38,0)) * 1000000) div tokens_total AS BIGINT)
+        |) AS (metric, value)""".stripMargin)
+    val contaminated = row1("kept_contaminated", count(lit(1)),
+      kept.join(decontaminate(spark, dir).select("doc_id"), "doc_id"))
+    val takedown = row1("kept_takedown", count(lit(1)),
+      kept.join(Dedup.takedownPurgeSet(spark, dir), "doc_id"))
+    val leaks = row1("leaked_pairs", count(lit(1)), splitLeakage(spark, dir))
+    totalRows.unionAll(contaminated).unionAll(takedown).unionAll(leaks)
+      .orderBy("metric")
+  }
+
+  // def: composes trainingManifestOracle (itself a def)
+  def releaseReportOracle: String =
+    s"""WITH manifest AS (
+       |  SELECT * FROM (
+       |${trainingManifestOracle.linesIterator.map("    " + _).mkString("\n")}
+       |  ) m
+       |), toks AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents
+       |), mt AS (
+       |  SELECT m.doc_id, m.final_keep, t.n_tokens FROM manifest m JOIN toks t USING (doc_id)
+       |), kept AS (
+       |  SELECT doc_id FROM manifest WHERE final_keep
+       |), contam AS (
+       |  SELECT * FROM (
+       |${decontaminateOracle.linesIterator.map("    " + _).mkString("\n")}
+       |  ) c
+       |), pairs AS (
+       |  SELECT * FROM (
+       |${Dedup.ngramJaccardPairsOracle.linesIterator.map("    " + _).mkString("\n")}
+       |  ) p
+       |), corpus AS (
+       |  ${Dedup.corpusSql.linesIterator.mkString("\n|  ")}
+       |), splits AS (
+       |  SELECT doc_id,
+       |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |    ${splitHashSql("doc_id").linesIterator.mkString("\n|    ")} AS b
+       |    FROM corpus)
+       |), requests AS (
+       |  SELECT doc_id FROM documents WHERE doc_id % 41 = 0
+       |), purge AS (
+       |  SELECT doc_id FROM requests
+       |  UNION
+       |  SELECT p.id_b AS doc_id FROM pairs p JOIN requests r ON p.id_a = r.doc_id
+       |  UNION
+       |  SELECT p.id_a AS doc_id FROM pairs p JOIN requests r ON p.id_b = r.doc_id
+       |)
+       |SELECT metric, value FROM (
+       |  SELECT 'docs_total' AS metric, count(*) AS value FROM mt
+       |  UNION ALL
+       |  SELECT 'docs_kept', CAST(sum(CASE WHEN final_keep THEN 1 ELSE 0 END) AS BIGINT) FROM mt
+       |  UNION ALL
+       |  SELECT 'tokens_total', CAST(sum(n_tokens) AS BIGINT) FROM mt
+       |  UNION ALL
+       |  SELECT 'tokens_kept', CAST(sum(CASE WHEN final_keep THEN n_tokens ELSE 0 END) AS BIGINT) FROM mt
+       |  UNION ALL
+       |  SELECT 'tokens_kept_ppm',
+       |    CAST((sum(CASE WHEN final_keep THEN n_tokens ELSE 0 END) * 1000000)
+       |         // sum(n_tokens) AS BIGINT) FROM mt
+       |  UNION ALL
+       |  SELECT 'kept_contaminated', count(*) FROM kept k JOIN contam c ON c.doc_id = k.doc_id
+       |  UNION ALL
+       |  SELECT 'kept_takedown', count(*) FROM kept k JOIN purge p ON p.doc_id = k.doc_id
+       |  UNION ALL
+       |  SELECT 'leaked_pairs', count(*)
+       |  FROM pairs p
+       |  JOIN splits sa ON sa.doc_id = p.id_a
+       |  JOIN splits sb ON sb.doc_id = p.id_b
+       |  WHERE sa.split != sb.split
+       |) ORDER BY metric""".stripMargin
 
   // ------------------------------------- PPS sampling (sequential Poisson)
 

@@ -80,4 +80,49 @@ class TrainShardWriteSpec extends AnyFunSuite {
       assert(nWindows >= docs.map(_._6).max + 1)
     }
   }
+
+  test("manifest sidecar: written beside the artifact and true of the written rows") {
+    // shardManifest runs the write (which emits the sidecar) then reads
+    // the sidecar back — value-exactness vs the raw-table recompute is
+    // driver-gated (docs_shard_manifest oracle); here we pin the SIDECAR
+    // properties: it exists on disk next to the data, and each summary
+    // row is true of the artifact rows it describes
+    val man = TextAnalysis.shardManifest(spark, dir).collect()
+    assert(new java.io.File(TextAnalysis.shardManifestPath(dir)).isDirectory,
+      "manifest sidecar parquet not written beside the shard artifact")
+    val rows = snapshot(TextAnalysis.shardWritePath(dir))
+    val byShard = rows.groupBy(_._1)
+    assert(man.map(_.getLong(0)).toSet == byShard.keySet)
+    man.foreach { r =>
+      val docs = byShard(r.getLong(0))
+      assert(r.getLong(1) == docs.length) // n_docs
+      assert(r.getLong(2) == docs.map(_._4).sum) // n_tokens
+      assert(r.getLong(3) == (docs.map(_._4).sum + 2047) / 2048) // n_windows
+      assert(r.getLong(6) == docs.map(_._4).min) // min_tokens
+      // post-dedup artifact: no shard may hold two identical texts
+      assert(r.getLong(7) == docs.length - docs.map(_._7).distinct.length,
+        s"shard ${r.getLong(0)} n_dup_texts wrong")
+      assert(r.getLong(7) == 0L, "kept set contains exact-duplicate texts")
+    }
+  }
+
+  test("release report: internal consistency of the sign-off metrics") {
+    val m = TextAnalysis.releaseReport(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.keySet == Set("docs_total", "docs_kept", "tokens_total",
+      "tokens_kept", "tokens_kept_ppm", "kept_contaminated", "kept_takedown",
+      "leaked_pairs"))
+    assert(m("docs_kept") > 0 && m("docs_kept") < m("docs_total"))
+    assert(m("tokens_kept") > 0 && m("tokens_kept") < m("tokens_total"))
+    assert(m("tokens_kept_ppm") ==
+      m("tokens_kept") * 1000000L / m("tokens_total"))
+    // audits are subsets of the kept set / pair graph
+    assert(m("kept_contaminated") <= m("docs_kept"))
+    assert(m("kept_takedown") <= m("docs_kept"))
+    // fixture plants contamination (originals of every 97th perturbed copy)
+    // and takedown requests (doc_id % 41) — a release report that reads 0
+    // everywhere would mean the audits are disconnected from the data
+    assert(m("kept_contaminated") > 0, "planted contamination not surfaced")
+    assert(m("kept_takedown") > 0, "planted takedown requests not surfaced")
+  }
 }

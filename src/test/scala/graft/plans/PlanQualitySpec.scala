@@ -595,4 +595,16 @@ class PlanQualitySpec extends AnyFunSuite {
       s"centroid recombine regressed to a shuffle join: ${names.distinct.mkString(",")}")
     assert(names.exists(_.contains("Window")), "expected the per-vector argmin window")
   }
+
+  test("release report: audit joins never go nested-loop; key joins stay on 8-byte ids") {
+    val df = graft.operators.TextAnalysis.releaseReport(spark, SparkSuite.Sf0001)
+    df.collect()
+    val names = nodes(df).map(_.nodeName)
+    // contamination grams and takedown requests are broadcast-sized; the
+    // kept-set joins move doc_id only — a BroadcastNestedLoopJoin or
+    // CartesianProduct anywhere means an audit regressed to a pair scan
+    assert(!names.exists(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoop")),
+      s"release audit regressed to a product join: ${names.distinct.mkString(",")}")
+  }
 }
