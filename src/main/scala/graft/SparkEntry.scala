@@ -397,6 +397,12 @@ object SparkEntry {
       // three release audits (contamination, takedown, split leakage)
       // over the SAME kept set, in one long exact-integer report
       "docs_release_report" -> (TextAnalysis.releaseReport(_, _)),
+      // which keep-rule cut what, and what relaxing each would buy
+      // (round 11): sole-blocker attribution over the shared manifest
+      "docs_keep_ablation" -> (TextAnalysis.keepAblation(_, _)),
+      // verification-threshold tuning table over the one pair graph
+      // (round 11): pair volume / docs touched / max degree per J cut
+      "dedup_threshold_sweep" -> (Dedup.thresholdSweep(_, _)),
       // similarity search
       "ann_cosine_topk" -> (Similarity.cosineTopK(_, _)),
       // hybrid retrieval (round 9): keyword leg + vector leg fused with
@@ -747,6 +753,8 @@ object SparkEntry {
       "docs_shard_write" -> TextAnalysis.shardWriteOracle(),
       "docs_shard_manifest" -> TextAnalysis.shardManifestOracle(),
       "docs_release_report" -> TextAnalysis.releaseReportOracle,
+      "docs_keep_ablation" -> TextAnalysis.keepAblationOracle,
+      "dedup_threshold_sweep" -> Dedup.thresholdSweepOracle,
       "ann_cosine_topk" -> Similarity.cosineTopKOracle(),
       "ann_hybrid_rrf" -> Similarity.hybridRrfOracle(),
       "ann_hybrid_rrf_ivf" -> Similarity.hybridRrfIvfOracle(),

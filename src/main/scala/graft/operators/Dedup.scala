@@ -1129,6 +1129,72 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** VERIFICATION-THRESHOLD SWEEP (round 11) — the tuning table for the
+    * dedup knob [[dedupBandingCurve]] does NOT cover: banding fixes which
+    * pairs are CANDIDATES; the verification threshold fixes which survive.
+    * From the ONE materialized verified-pair graph, per candidate threshold
+    * t ∈ {0.5 … 1.0}: surviving pair volume, documents touched by any
+    * surviving pair (the upper bound on keep-policy drops), and the max
+    * per-doc degree (the mega-cluster early-warning — a hub that explodes
+    * as t falls means near-identical boilerplate, not true duplication).
+    * One pass: the pair table (already ≪ corpus) explodes ×|thresholds|,
+    * then two bounded group-bys; thresholds with zero survivors still get
+    * a row (left join from the threshold spine). Threshold compares run
+    * `jaccard·1000 ≥ t` in IEEE doubles on both engines — bit-identical
+    * because both compute the same |∩|/|∪| division. */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val th = Seq(500L, 600L, 700L, 800L, 900L, 1000L)
+    val spine = th.toDF("t_permille")
+    val hits = sharedVerifiedPairs(spark, dir)
+      .withColumn("t_permille", explode(array(th.map(lit): _*)))
+      .filter(col("jaccard") * 1000.0 >= col("t_permille").cast("double"))
+    val nPairs = hits.groupBy("t_permille").agg(count(lit(1)).as("n_pairs"))
+    val docs = hits
+      .select(col("t_permille"), explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .groupBy("t_permille", "doc_id").agg(count(lit(1)).as("degree"))
+      .groupBy("t_permille")
+      .agg(count(lit(1)).as("n_docs_linked"), max(col("degree")).as("max_degree"))
+    spine.join(nPairs, Seq("t_permille"), "left").join(docs, Seq("t_permille"), "left")
+      .select(col("t_permille"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_linked"), lit(0L)).as("n_docs_linked"),
+        coalesce(col("max_degree"), lit(0L)).as("max_degree"))
+      .orderBy("t_permille")
+  }
+
+  // lazy: composes ngramJaccardPairsOracle (defined later in the file)
+  lazy val thresholdSweepOracle: String =
+    s"""WITH pairs AS (
+       |  SELECT * FROM (
+       |${ngramJaccardPairsOracle.linesIterator.map("    " + _).mkString("\n")}
+       |  ) p
+       |), th AS (
+       |  SELECT CAST(unnest([500, 600, 700, 800, 900, 1000]) AS BIGINT) AS t_permille
+       |), hits AS (
+       |  SELECT t.t_permille, p.id_a, p.id_b FROM pairs p
+       |  JOIN th t ON p.jaccard * 1000 >= CAST(t.t_permille AS DOUBLE)
+       |), np AS (
+       |  SELECT t_permille, count(*) AS n_pairs FROM hits GROUP BY t_permille
+       |), deg AS (
+       |  SELECT t_permille, doc_id, count(*) AS degree FROM (
+       |    SELECT t_permille, id_a AS doc_id FROM hits
+       |    UNION ALL
+       |    SELECT t_permille, id_b AS doc_id FROM hits
+       |  ) GROUP BY t_permille, doc_id
+       |), docs AS (
+       |  SELECT t_permille, count(*) AS n_docs_linked, max(degree) AS max_degree
+       |  FROM deg GROUP BY t_permille
+       |)
+       |SELECT t.t_permille,
+       |  CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |  CAST(coalesce(docs.n_docs_linked, 0) AS BIGINT) AS n_docs_linked,
+       |  CAST(coalesce(docs.max_degree, 0) AS BIGINT) AS max_degree
+       |FROM th t
+       |LEFT JOIN np USING (t_permille)
+       |LEFT JOIN docs USING (t_permille)
+       |ORDER BY t.t_permille""".stripMargin
+
   /** The full PURGE SET behind [[takedownManifest]]: the requested docs
     * PLUS their verified near-duplicates (same content, different id) as
     * one distinct id column — the set a release must not contain. Shared

@@ -2056,6 +2056,62 @@ object TextAnalysis {
        |WHERE sa.split != sb.split
        |ORDER BY p.id_a, p.id_b""".stripMargin
 
+  // ----------------------------------------------- keep-rule ablation
+  /** KEEP-RULE ABLATION (round 11) — the question right after "what did
+    * cleaning cut" ([[manifestRollup]]) is "WHICH rule cut it, and what
+    * would relaxing it buy": per manifest keep-rule (dedup / quality /
+    * bucket), how many docs it blocks at all, how many it is the SOLE
+    * blocker of (exactly the docs recovered if that one rule were
+    * dropped), and the resulting keep count without it. One conditional
+    * aggregate over the shared manifest — flags only, no corpus re-scan;
+    * output is 3 rows regardless of scale. */
+  def keepAblation(spark: SparkSession, dir: String): DataFrame =
+    sharedManifest(spark, dir)
+      .agg(
+        sum(when(col("final_keep"), 1L).otherwise(0L)).as("kept"),
+        sum(when(!col("keep_dedup"), 1L).otherwise(0L)).as("dedup_blocked"),
+        sum(when(!col("keep_dedup") && col("keep_quality") && col("keep_bucket"), 1L)
+          .otherwise(0L)).as("dedup_sole"),
+        sum(when(!col("keep_quality"), 1L).otherwise(0L)).as("quality_blocked"),
+        sum(when(!col("keep_quality") && col("keep_dedup") && col("keep_bucket"), 1L)
+          .otherwise(0L)).as("quality_sole"),
+        sum(when(!col("keep_bucket"), 1L).otherwise(0L)).as("bucket_blocked"),
+        sum(when(!col("keep_bucket") && col("keep_dedup") && col("keep_quality"), 1L)
+          .otherwise(0L)).as("bucket_sole"))
+      .selectExpr(
+        """stack(3,
+          |  'dedup',   dedup_blocked,   dedup_sole,   kept + dedup_sole,
+          |  'quality', quality_blocked, quality_sole, kept + quality_sole,
+          |  'bucket',  bucket_blocked,  bucket_sole,  kept + bucket_sole
+          |) AS (rule, n_blocked, n_sole_blocked, n_kept_if_dropped)""".stripMargin)
+      .orderBy("rule")
+
+  // def: composes trainingManifestOracle (itself a def)
+  def keepAblationOracle: String =
+    s"""WITH manifest AS (
+       |  SELECT * FROM (
+       |${trainingManifestOracle.linesIterator.map("    " + _).mkString("\n")}
+       |  ) m
+       |), s AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN final_keep THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+       |    CAST(sum(CASE WHEN NOT keep_dedup THEN 1 ELSE 0 END) AS BIGINT) AS dedup_blocked,
+       |    CAST(sum(CASE WHEN NOT keep_dedup AND keep_quality AND keep_bucket THEN 1 ELSE 0 END) AS BIGINT) AS dedup_sole,
+       |    CAST(sum(CASE WHEN NOT keep_quality THEN 1 ELSE 0 END) AS BIGINT) AS quality_blocked,
+       |    CAST(sum(CASE WHEN NOT keep_quality AND keep_dedup AND keep_bucket THEN 1 ELSE 0 END) AS BIGINT) AS quality_sole,
+       |    CAST(sum(CASE WHEN NOT keep_bucket THEN 1 ELSE 0 END) AS BIGINT) AS bucket_blocked,
+       |    CAST(sum(CASE WHEN NOT keep_bucket AND keep_dedup AND keep_quality THEN 1 ELSE 0 END) AS BIGINT) AS bucket_sole
+       |  FROM manifest
+       |)
+       |SELECT rule, n_blocked, n_sole_blocked, n_kept_if_dropped FROM (
+       |  SELECT 'dedup' AS rule, dedup_blocked AS n_blocked,
+       |    dedup_sole AS n_sole_blocked, kept + dedup_sole AS n_kept_if_dropped FROM s
+       |  UNION ALL
+       |  SELECT 'quality', quality_blocked, quality_sole, kept + quality_sole FROM s
+       |  UNION ALL
+       |  SELECT 'bucket', bucket_blocked, bucket_sole, kept + bucket_sole FROM s
+       |) ORDER BY rule""".stripMargin
+
   // ----------------------------------------------- corpus release report
   /** The CORPUS RELEASE REPORT (VERDICT r10 #7) — the one table a data
     * owner signs off on before shipping a training set: the manifest's
