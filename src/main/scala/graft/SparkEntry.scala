@@ -325,6 +325,9 @@ object SparkEntry {
       "text_pii_mask" -> (TextAnalysis.piiMask(_, _)),
       "docs_stratified_sample" -> (TextAnalysis.stratifiedSample(_, _)),
       "text_decontaminate" -> (TextAnalysis.decontaminate(_, _)),
+      // verbatim character-window screen (round 11): the second
+      // decontamination pass, catching leaks 5-gram word overlap can miss
+      "text_substring_contamination" -> (TextAnalysis.substringContamination(_, _)),
       "text_repetition" -> (TextAnalysis.repetitionRatio(_, _)),
       "text_pack_sequences" -> (TextAnalysis.packSequences(_, _)),
       "text_build_spans" -> (TextAnalysis.buildSpanStage(_, _)),
@@ -695,6 +698,7 @@ object SparkEntry {
       "text_pii_mask" -> TextAnalysis.piiMaskOracle,
       "docs_stratified_sample" -> TextAnalysis.stratifiedSampleOracle,
       "text_decontaminate" -> TextAnalysis.decontaminateOracle,
+      "text_substring_contamination" -> TextAnalysis.substringContaminationOracle,
       "text_repetition" -> TextAnalysis.repetitionRatioOracle,
       "text_pack_sequences" -> TextAnalysis.packSequencesOracle,
       "text_build_spans" -> TextAnalysis.buildSpanStageOracle,

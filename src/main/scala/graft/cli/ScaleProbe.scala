@@ -251,7 +251,17 @@ object ScaleProbe {
       ("bootstrap_ci", d => graft.operators.TextAnalysis.bootstrapCi(spark, d)),
       ("diff_in_diff", d => graft.operators.EventOps.diffInDiff(spark, d)),
       ("forecast_ewma", d => graft.operators.EventOps.ewmaBacktest(spark, d)),
-      ("readability", d => graft.operators.TextAnalysis.readability(spark, d)))
+      ("readability", d => graft.operators.TextAnalysis.readability(spark, d)),
+      // batch 7 (round 11): the curation/release tables. threshold_sweep
+      // explodes the (≪ corpus) pair graph ×6; keep_ablation reads
+      // manifest flags only; release_report composes materialized stages
+      // + broadcast audits; substring_contam is one scan with |snips|
+      // row-local probes; shard_manifest writes + re-reads the artifact
+      ("threshold_sweep", d => graft.operators.Dedup.thresholdSweep(spark, d)),
+      ("keep_ablation", d => graft.operators.TextAnalysis.keepAblation(spark, d)),
+      ("release_report", d => graft.operators.TextAnalysis.releaseReport(spark, d)),
+      ("substring_contam", d => graft.operators.TextAnalysis.substringContamination(spark, d)),
+      ("shard_manifest", d => graft.operators.TextAnalysis.shardManifest(spark, d)))
     val allBuilds = (if (family == "ppj") ppjBuilds
       else if (doDocs) docBuilds else Seq.empty) ++
       (if (doEmb) embBuilds else Seq.empty) ++

@@ -1707,14 +1707,21 @@ object Similarity {
     * before the only exchange; measured flat through 20× corpus in SCALE.md
     * §7 batch 4). The explode VOLUME grows quadratically in d, not in n: at
     * d≈1024 it is ~523k structs/row and explode materialization dominates
-    * the scan. Past roughly d≈256, the right form is a
-    * `TypedImperativeAggregate` accumulating one packed upper-triangle
-    * d(d+1)/2 buffer of longs per PARTITION (update = d² fused
-    * multiply-adds per row with no per-pair row materialization; merge =
-    * buffer add; ~4 MB per task at d=1024) — same exact integer sums, same
-    * final expression, different accumulation shape. Not shipped at d=64:
-    * the explode form is faster there (no buffer serialization between
-    * partial and final), and the fixture gates exactness either way. */
+    * the scan. Past [[AccumDimThreshold]] (d≈256) the pair stage
+    * AUTO-SWITCHES (round 11) to [[pairSumsAccum]] — a
+    * `TypedImperativeAggregate` ([[graft.functions.OuterProductAgg]])
+    * accumulating one packed upper-triangle buffer per PARTITION in
+    * 128-bit integer cells (update = d² fused multiply-adds per row with
+    * no per-pair row materialization; merge = carry-propagated buffer
+    * add; 16 B·d(d−1)/2 ≈ 8 MB per task at d=1024) — same exact
+    * DECIMAL(38,0) sums, same output frame, different accumulation shape.
+    * At d=64 the explode form stays the default (no buffer serialization
+    * between partial and final); `OuterProductAggSpec` pins bit-equality
+    * of the two forms on the fixture. */
+  /** Above this dimension the explode volume (d(d−1)/2 structs/row)
+    * dominates the scan and [[pairSumsAccum]] takes over automatically. */
+  private val AccumDimThreshold = 256
+
   private def covarianceSums(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val e = table(spark, dir, "embeddings")
@@ -1726,17 +1733,37 @@ object Similarity {
       .groupBy(col("dim").cast("int").as("dim"))
       .agg(count(lit(1)).as("n"), sum(dec(col("v"))).as("s"),
         sum(dec(col("v")) * dec(col("v"))).as("q"))
-    // pair products: row-local nested transform, no join
-    val pairs = e.select(explode(expr(
-      """flatten(transform(sequence(0, size(m) - 2), i ->
-        |  transform(sequence(i + 1, size(m) - 1), j ->
-        |    struct(CAST(i AS INT) AS dim_i, CAST(j AS INT) AS dim_j,
-        |           m[i] * m[j] AS xy))))""".stripMargin)).as("p"))
-      .select("p.*")
-      .groupBy("dim_i", "dim_j")
-      .agg(count(lit(1)).as("n"), sum(dec(col("xy"))).as("sxy"))
+    // dimension is data, not schema: one 1-row lookup decides the
+    // accumulation shape (the semdedup auto-k eager-action precedent)
+    val d = e.select(size(col("m"))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    val useAccum = d > AccumDimThreshold ||
+      sys.props.get("graft.covariance.accumulate").contains("true")
+    val pairs =
+      if (useAccum) pairSumsAccum(e, d)
+      else e.select(explode(expr(
+        """flatten(transform(sequence(0, size(m) - 2), i ->
+          |  transform(sequence(i + 1, size(m) - 1), j ->
+          |    struct(CAST(i AS INT) AS dim_i, CAST(j AS INT) AS dim_j,
+          |           m[i] * m[j] AS xy))))""".stripMargin)).as("p"))
+        .select("p.*")
+        .groupBy("dim_i", "dim_j")
+        .agg(count(lit(1)).as("n"), sum(dec(col("xy"))).as("sxy"))
     (marg, pairs)
   }
+
+  /** The d > [[AccumDimThreshold]] pair-sum form (also forced via
+    * `-Dgraft.covariance.accumulate=true` for the equality spec): ONE
+    * packed 128-bit upper-triangle buffer per partition
+    * ([[graft.functions.OuterProductAgg]]) instead of d(d−1)/2 exploded
+    * structs per row — same exact DECIMAL(38,0) sums, same output frame,
+    * different accumulation shape. */
+  private def pairSumsAccum(e: DataFrame, d: Int): DataFrame =
+    e.agg(count(lit(1)).as("n"),
+        graft.functions.OuterProductAgg.outer_product_agg(col("m"), d).as("op"))
+      .select(col("n"), explode(col("op")).as("p"))
+      .select(col("p.dim_i").as("dim_i"), col("p.dim_j").as("dim_j"),
+        col("n"), col("p.sxy").as("sxy"))
 
   def dimCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
     val (marg, pairs) = covarianceSums(spark, dir)

@@ -681,6 +681,54 @@ object TextAnalysis {
       |GROUP BY g.doc_id
       |ORDER BY g.doc_id""".stripMargin
 
+  // ------------------------------------- substring-level decontamination
+  /** SUBSTRING contamination screen — the word-5-gram overlap
+    * ([[decontaminate]]) misses leaks that cross token boundaries oddly
+    * (markup stripped differently, punctuation re-spaced); the standard
+    * second screen is VERBATIM CHARACTER WINDOWS: a fixed-length snippet
+    * from each eval doc, flagged wherever it appears verbatim in a
+    * training doc. Snippets here are the 60 chars at offset 21 of each
+    * eval doc (≥80 chars) — inside the fixture's perturbation (the eval
+    * copies drop only the first word), so every planted original must be
+    * caught (recall-spec'd).
+    *
+    * 100 TB shape: eval snippets are benchmark-sized → ONE distinct
+    * snippet array in a broadcast 1-row frame; the corpus pays one scan
+    * with |snippets| substring probes per row — row-local, no join at
+    * all (the same posture as [[graft.streaming.StreamingDecontaminate]]).
+    * If the snippet set grew to ~10⁵+ the per-row probe loop is the
+    * bottleneck and the right form is one Aho-Corasick automaton built
+    * driver-side and applied in a mapPartitions seam — documented, not
+    * shipped: no benchmark is that large. */
+  def substringContamination(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Dedup.corpusWithNearDups(spark, dir)
+    val snips = corpus
+      .filter(col("doc_id") >= Dedup.IdOffset && col("doc_id") % 97 === 0 &&
+        length(col("text")) >= 80)
+      .select(substring(col("text"), 21, 60).as("snippet")).distinct()
+      .agg(sort_array(collect_set(col("snippet"))).as("snips"))
+    corpus.filter(col("doc_id") < Dedup.IdOffset)
+      .crossJoin(broadcast(snips))
+      .select(col("doc_id"),
+        size(filter(col("snips"), s => contains(col("text"), s)))
+          .cast("bigint").as("n_matched_snippets"))
+      .filter(col("n_matched_snippets") > 0L)
+      .orderBy("doc_id")
+  }
+
+  val substringContaminationOracle: String =
+    s"""WITH corpus AS (
+       |  ${Dedup.corpusSql.linesIterator.mkString("\n|  ")}
+       |), snips AS (
+       |  SELECT DISTINCT substring(text, 21, 60) AS snippet FROM corpus
+       |  WHERE doc_id >= ${Dedup.IdOffset} AND doc_id % 97 = 0 AND length(text) >= 80
+       |)
+       |SELECT c.doc_id, count(*) AS n_matched_snippets
+       |FROM corpus c JOIN snips s ON contains(c.text, s.snippet)
+       |WHERE c.doc_id < ${Dedup.IdOffset}
+       |GROUP BY c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   // ------------------------------------------------------- repetition ratio
   /** Intra-document REPETITION: fraction of duplicated word 3-grams per doc
     * (Gopher/RefinedWeb-style quality rule — machine-generated and spammy

@@ -31,6 +31,26 @@ class TrainPipelineSpec extends AnyFunSuite {
       s"missed planted contamination: ${(planted -- flagged).take(5)}")
   }
 
+  test("substring screen catches every planted verbatim window") {
+    val out = TextAnalysis.substringContamination(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) < 1000000L, "eval (reference) docs must not appear in the report")
+      assert(r.getLong(1) >= 1L)
+    }
+    // eval copy = original minus its first word, so the copy's chars
+    // [21, 80] are verbatim inside the original — every original whose
+    // perturbed text still has ≥80 chars MUST be flagged
+    val planted = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 97 === 70 &&
+        length(expr("substring(text, instr(text, ' ') + 1)")) >= 80)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(planted.nonEmpty, "fixture should plant qualifying eval windows")
+    val flagged = out.map(_.getLong(0)).toSet
+    assert(planted.subsetOf(flagged),
+      s"missed planted verbatim leak: ${(planted -- flagged).take(5)}")
+  }
+
   test("sequence packing tiles each language's token stream exactly") {
     val rows = TextAnalysis.packSequences(spark, dir).collect()
       .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
