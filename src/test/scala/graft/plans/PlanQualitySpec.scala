@@ -596,6 +596,34 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(names.exists(_.contains("Window")), "expected the per-vector argmin window")
   }
 
+  test("substring screen: the only BNLJ is the 1-row snippet broadcast; corpus scans once") {
+    val df = graft.operators.TextAnalysis.substringContamination(spark, SparkSuite.Sf0001)
+    df.collect()
+    val ns = nodes(df)
+    val names = ns.map(_.nodeName)
+    // the snippet array rides a 1-row broadcast; any OTHER nested-loop /
+    // cartesian would mean the row-local probe regressed to a pair scan
+    assert(!names.exists(_.contains("CartesianProduct")), names.distinct.mkString(","))
+    val bnlj = ns.filter(_.nodeName.contains("BroadcastNestedLoop"))
+    assert(bnlj.size <= 1, s"extra nested-loop joins: ${names.distinct.mkString(",")}")
+    // two corpus materializations (snippet aggregate + probe scan), each
+    // a 2-scan union by corpusWithNearDups construction — anything above
+    // 4 means a leg re-derives the corpus instead of reusing its plan
+    assert(scans(df).count(_.metadata.get("Location").exists(_.contains("documents"))) <= 4,
+      "substring screen re-scans the corpus")
+  }
+
+  test("threshold sweep: pair-graph explode aggregates partial+final, no cartesian") {
+    val df = graft.operators.Dedup.thresholdSweep(spark, SparkSuite.Sf0001)
+    df.collect()
+    val names = nodes(df).map(_.nodeName)
+    assert(!names.exists(_.contains("CartesianProduct")), names.distinct.mkString(","))
+    // both rollups over the exploded (threshold, pair) rows must combine
+    // map-side before their exchanges
+    assert(names.count(_.contains("HashAggregate")) >= 4,
+      s"expected partial+final aggregates: ${names.distinct.mkString(",")}")
+  }
+
   test("release report: audit joins never go nested-loop; key joins stay on 8-byte ids") {
     val df = graft.operators.TextAnalysis.releaseReport(spark, SparkSuite.Sf0001)
     df.collect()
