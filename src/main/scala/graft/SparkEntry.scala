@@ -107,6 +107,8 @@ object SparkEntry {
       "profile_log2_histogram" -> ((s, d) => ProfileQueries.log2Histogram(s, d)),
       // per-dimension embedding hygiene (dead/collapsed dims)
       "embedding_dim_stats" -> (Similarity.dimStats(_, _)),
+      // centroid drift between corpus versions, exact micro^2 (round 11)
+      "embedding_version_drift" -> (Similarity.versionDrift(_, _)),
       // SQL-text entry path over registered views
       "q_sql_text_revenue" -> (RelationalExt.sqlTextRevenue(_, _)),
       // exact Mann-Whitney U: weekend vs weekday hourly activity
@@ -529,6 +531,7 @@ object SparkEntry {
       "profile_join_skew" -> ProfileQueries.joinSkewProfileOracle(),
       "profile_log2_histogram" -> ProfileQueries.log2HistogramOracle(),
       "embedding_dim_stats" -> Similarity.dimStatsOracle,
+      "embedding_version_drift" -> Similarity.versionDriftOracle,
       "q_sql_text_revenue" -> RelationalExt.sqlTextRevenueOracle,
       "events_weekend_ranktest" -> EventOps.weekendRankTestOracle,
       "events_dormancy" -> EventOps.dormancyBucketsOracle,

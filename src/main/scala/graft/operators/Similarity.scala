@@ -1779,6 +1779,71 @@ object Similarity {
       .orderBy("dim_i", "dim_j")
   }
 
+  /** EMBEDDING VERSION DRIFT (round 11) — "did the embedding space move
+    * between corpus versions": per label, the squared L2 distance between
+    * the two versions' centroids in exact micro² integer math. Versions
+    * are the deterministic id-parity split (the same two-cohort twin the
+    * events drift ops use); in production the version tag is a real
+    * column and the split predicate is the only line that changes.
+    *
+    * Exactness: centroids are ratio vectors (Σx/n), so the shift is
+    * computed over a COMMON DENOMINATOR — Σ_d (s1_d·n2 − s2_d·n1)² div
+    * (n1·n2)² — all DECIMAL(38,0) integer terms (t ≲ 10¹³, t² ≲ 10²⁶,
+    * Σ_d ≲ 10²⁸ — inside 38 digits), one truncating division at the end,
+    * bit-identical cross-engine.
+    *
+    * 100 TB shape: one scan explodes (label, version, dim) partial sums —
+    * the only exchange carries ≤ |labels|·d·2 groups; the drift algebra
+    * runs on that bounded frame. */
+  def versionDrift(spark: SparkSession, dir: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val e = table(spark, dir, "embeddings")
+      .select(col("label"), (col("vec_id") % 2 === 0).as("v1"),
+        expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT))")
+          .as("m"))
+    val counts = e.groupBy("label").agg(
+      sum(when(col("v1"), 1L).otherwise(0L)).as("n1"),
+      sum(when(!col("v1"), 1L).otherwise(0L)).as("n2"))
+    val dimSums = e.select(col("label"), col("v1"),
+        posexplode(col("m")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(sum(when(col("v1"), dec(col("x"))).otherwise(dec(lit(0L)))).as("s1"),
+        sum(when(!col("v1"), dec(col("x"))).otherwise(dec(lit(0L)))).as("s2"))
+    dimSums.join(counts, "label")
+      .withColumn("t", col("s1") * dec(col("n2")) - col("s2") * dec(col("n1")))
+      .groupBy("label", "n1", "n2")
+      .agg(expr(
+        """CAST(sum(t * t) div (CAST(n1 AS DECIMAL(38,0)) * n2 * n1 * n2) AS BIGINT)""")
+        .as("shift_micro2"))
+      .select("label", "n1", "n2", "shift_micro2")
+      .orderBy("label")
+  }
+
+  val versionDriftOracle: String =
+    """WITH x AS (
+      |  SELECT label, vec_id % 2 = 0 AS v1, CAST(i - 1 AS INTEGER) AS dim,
+      |         CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000) AS BIGINT) AS v
+      |  FROM (SELECT vec_id, label, embedding, unnest(generate_series(1, len(embedding))) AS i
+      |        FROM embeddings)
+      |), counts AS (
+      |  -- one dim-0 row per vector: counts per version without a rescan
+      |  SELECT label,
+      |    CAST(sum(CASE WHEN v1 AND dim = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN NOT v1 AND dim = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |  FROM x GROUP BY label
+      |), dims AS (
+      |  SELECT label, dim,
+      |    CAST(sum(CASE WHEN v1 THEN v ELSE 0 END) AS HUGEINT) AS s1,
+      |    CAST(sum(CASE WHEN NOT v1 THEN v ELSE 0 END) AS HUGEINT) AS s2
+      |  FROM x GROUP BY label, dim
+      |)
+      |SELECT d.label, c.n1, c.n2,
+      |  CAST(sum((s1 * c.n2 - s2 * c.n1) * (s1 * c.n2 - s2 * c.n1))
+      |       // (CAST(c.n1 AS HUGEINT) * c.n2 * c.n1 * c.n2) AS BIGINT) AS shift_micro2
+      |FROM dims d JOIN counts c ON c.label = d.label
+      |GROUP BY d.label, c.n1, c.n2
+      |ORDER BY d.label""".stripMargin
+
   val dimCorrMatrixOracle: String =
     """WITH x AS (
       |  SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
