@@ -208,7 +208,9 @@ object ScaleProbe {
       // d^2-bounded shuffle; incremental IVF is one broadcast-centroid scan
       // + a per-vector window — both must stay ~linear in corpus size
       ("dim_corr", d => graft.operators.Similarity.dimCorrMatrix(spark, d)),
-      ("ivf_incremental", d => graft.operators.Similarity.ivfIncremental(spark, d)))
+      ("ivf_incremental", d => graft.operators.Similarity.ivfIncremental(spark, d)),
+      // round 11: one scan into a labels×dims-bounded frame — must stay flat
+      ("version_drift", d => graft.operators.Similarity.versionDrift(spark, d)))
     val profBuilds = Seq[(String, String => DataFrame)](
       ("sketch_profile", d => graft.profile.ProfileQueries.sketchProfile(spark, d, "lineitem")),
       ("full_profile",   d => graft.profile.ProfileQueries.fullProfile(spark, d, "lineitem")))
