@@ -332,6 +332,9 @@ object SparkEntry {
       "text_substring_contamination" -> (TextAnalysis.substringContamination(_, _)),
       "text_repetition" -> (TextAnalysis.repetitionRatio(_, _)),
       "text_pack_sequences" -> (TextAnalysis.packSequences(_, _)),
+      // the max-seq-len knob table (round 11): windows / tail pad /
+      // boundary-straddling docs+tokens per candidate window length
+      "text_packing_sweep" -> (TextAnalysis.packingSweep(_, _)),
       "text_build_spans" -> (TextAnalysis.buildSpanStage(_, _)),
       "text_dup_spans" -> (TextAnalysis.dupSpans(_, _)),
       "text_span_mask" -> (TextAnalysis.spanMask(_, _)),
@@ -704,6 +707,7 @@ object SparkEntry {
       "text_substring_contamination" -> TextAnalysis.substringContaminationOracle,
       "text_repetition" -> TextAnalysis.repetitionRatioOracle,
       "text_pack_sequences" -> TextAnalysis.packSequencesOracle,
+      "text_packing_sweep" -> TextAnalysis.packingSweepOracle,
       "text_build_spans" -> TextAnalysis.buildSpanStageOracle,
       "text_dup_spans" -> TextAnalysis.dupSpansOracle,
       "text_span_mask" -> TextAnalysis.spanMaskOracle,

@@ -821,6 +821,86 @@ object TextAnalysis {
       |WINDOW w AS (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- packing-length sweep
+  /** SEQUENCE-LENGTH SWEEP (round 11) — the max-seq-len knob table behind
+    * [[packSequences]]: per candidate window length L ∈ {512 … 8192}, what
+    * the pack-then-chunk regime costs — window count (GPU-step budget),
+    * tail padding (the only pad this regime pays, one partial window per
+    * language stream), and the SEAM damage: documents whose token span
+    * straddles a window boundary (their attention is severed mid-doc) and
+    * the token volume inside those documents. Larger L → fewer, cleaner
+    * sequences but quadratic attention cost; this table is what a data
+    * owner reads to pick L.
+    *
+    * 100 TB shape: ONE corpus scan projected to (8 B id, lang, 2 longs)
+    * before the ×|L| explode, so the explode replicates narrow rows, never
+    * text, and partial-aggregates map-side into |L| groups; the per-lang
+    * cumsum is [[packSequences]]' partition-local sort (key (lang, shard)
+    * at scale — never a global sort); the stream-total branch is a
+    * |langs|-row frame crossed with the |L|-row spine. All columns exact
+    * integers — `(a + L − 1) div L` ceilings, no floats anywhere. */
+  def packingSweep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lens = Seq(512L, 1024L, 2048L, 4096L, 8192L)
+    val spine = explode(array(lens.map(lit): _*))
+    val toks = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), sz(words).as("tokens"))
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seams = toks
+      .withColumn("stream_offset", sum(col("tokens")).over(w) - col("tokens"))
+      .withColumn("window_len", spine)
+      .withColumn("straddles", expr(
+        "(stream_offset div window_len) != ((stream_offset + tokens - 1) div window_len)"))
+      .groupBy("window_len")
+      .agg(
+        sum(when(col("straddles"), 1L).otherwise(0L)).as("n_docs_straddle"),
+        sum(when(col("straddles"), col("tokens")).otherwise(0L)).as("straddle_tokens"))
+    val windows = toks.groupBy("lang").agg(sum("tokens").as("stream_tokens"))
+      .withColumn("window_len", spine)
+      .withColumn("n_win", expr("(stream_tokens + window_len - 1) div window_len"))
+      .groupBy("window_len")
+      .agg(
+        sum(col("n_win")).as("n_windows"),
+        sum(expr("n_win * window_len - stream_tokens")).as("tail_pad_tokens"))
+    windows.join(seams, "window_len")
+      .select("window_len", "n_windows", "tail_pad_tokens",
+        "n_docs_straddle", "straddle_tokens")
+      .orderBy("window_len")
+  }
+
+  val packingSweepOracle: String =
+    """WITH docs AS (
+      |  SELECT doc_id, lang,
+      |    CAST(tokens AS BIGINT) AS tokens,
+      |    CAST(sum(tokens) OVER w - tokens AS BIGINT) AS stream_offset
+      |  FROM (SELECT doc_id, lang, len(string_split(text, ' ')) AS tokens FROM documents)
+      |  WINDOW w AS (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |), lens AS (
+      |  SELECT CAST(unnest([512, 1024, 2048, 4096, 8192]) AS BIGINT) AS window_len
+      |), seams AS (
+      |  SELECT l.window_len,
+      |    CAST(sum(CASE WHEN (d.stream_offset // l.window_len)
+      |                     != ((d.stream_offset + d.tokens - 1) // l.window_len)
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_straddle,
+      |    CAST(sum(CASE WHEN (d.stream_offset // l.window_len)
+      |                     != ((d.stream_offset + d.tokens - 1) // l.window_len)
+      |             THEN d.tokens ELSE 0 END) AS BIGINT) AS straddle_tokens
+      |  FROM docs d CROSS JOIN lens l GROUP BY l.window_len
+      |), streams AS (
+      |  SELECT lang, CAST(sum(tokens) AS BIGINT) AS stream_tokens FROM docs GROUP BY lang
+      |), wins AS (
+      |  SELECT l.window_len,
+      |    CAST(sum((s.stream_tokens + l.window_len - 1) // l.window_len) AS BIGINT) AS n_windows,
+      |    CAST(sum(((s.stream_tokens + l.window_len - 1) // l.window_len) * l.window_len
+      |             - s.stream_tokens) AS BIGINT) AS tail_pad_tokens
+      |  FROM streams s CROSS JOIN lens l GROUP BY l.window_len
+      |)
+      |SELECT w.window_len, w.n_windows, w.tail_pad_tokens,
+      |  s.n_docs_straddle, s.straddle_tokens
+      |FROM wins w JOIN seams s USING (window_len)
+      |ORDER BY w.window_len""".stripMargin
+
   // ------------------------------------------------------ repeated spans
   /** CROSS-DOCUMENT repeated-span detection — the diagnostic behind exact
     * substring deduplication (Lee et al. 2022, arXiv:2107.06499: training

@@ -36,6 +36,27 @@ class CurationReportsSpec extends AnyFunSuite {
     assert(sweep(500L)._1 > 0, "planted near-dups missing from the sweep")
   }
 
+  test("packing sweep matches a per-length brute force over the token streams") {
+    val docs = TextAnalysis.packSequences(spark, dir)
+      .select("lang", "tokens", "stream_offset")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val sweep = TextAnalysis.packingSweep(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(sweep.keySet == Set(512L, 1024L, 2048L, 4096L, 8192L))
+    val streams = docs.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    sweep.foreach { case (l, (nWin, pad, nStraddle, straddleToks)) =>
+      val wins = streams.values.map(t => (t + l - 1) / l).sum
+      assert(nWin == wins, s"L=$l n_windows")
+      assert(pad == streams.values.map(t => ((t + l - 1) / l) * l - t).sum, s"L=$l tail_pad")
+      val straddling = docs.filter { case (_, t, off) => off / l != (off + t - 1) / l }
+      assert(nStraddle == straddling.length.toLong, s"L=$l n_docs_straddle")
+      assert(straddleToks == straddling.map(_._2).sum, s"L=$l straddle_tokens")
+    }
+    // the fixture must populate the knob trade-off, or the table is vacuous
+    assert(sweep(512L)._3 > sweep(8192L)._3, "straddle count must fall as L rises")
+    assert(sweep(512L)._1 > sweep(8192L)._1, "window count must fall as L rises")
+  }
+
   test("keep ablation matches a brute force over the manifest flags") {
     val m = TextAnalysis.trainingManifest(spark, dir)
       .select("keep_dedup", "keep_quality", "keep_bucket")

@@ -624,6 +624,24 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected partial+final aggregates: ${names.distinct.mkString(",")}")
   }
 
+  test("packing sweep: narrow projection before the explode; scans prune to 3 columns") {
+    val df = graft.operators.TextAnalysis.packingSweep(spark, SparkSuite.Sf0001)
+    df.collect()
+    val names = nodes(df).map(_.nodeName)
+    assert(!names.exists(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoop")), names.distinct.mkString(","))
+    // the x5 length explode must replicate (id, lang, longs) rows, never
+    // text: every documents scan reads only the 3 columns the sweep needs
+    scans(df).filter(_.metadata.get("Location").exists(_.contains("documents")))
+      .foreach { s =>
+        assert(s.requiredSchema.fieldNames.toSet.subsetOf(Set("doc_id", "lang", "text")),
+          s"scan reads ${s.requiredSchema.fieldNames.mkString(",")}")
+      }
+    // both rollups combine map-side before their exchanges
+    assert(names.count(_.contains("HashAggregate")) >= 4,
+      s"expected partial+final aggregates: ${names.distinct.mkString(",")}")
+  }
+
   test("release report: audit joins never go nested-loop; key joins stay on 8-byte ids") {
     val df = graft.operators.TextAnalysis.releaseReport(spark, SparkSuite.Sf0001)
     df.collect()
