@@ -446,6 +446,9 @@ object SparkEntry {
       "events_hourly" -> (EventOps.hourlyRollup(_, _)),
       "events_sliding" -> (EventOps.slidingRollup(_, _)),
       "events_gapfill" -> (EventOps.hourlyGapFill(_, _)),
+      // right-to-be-forgotten impact over the event log (round 11):
+      // purge volume + hourly partitions needing rewrite, long format
+      "events_deletion_impact" -> (EventOps.deletionImpact(_, _)),
       "events_funnel" -> (EventOps.signupFunnel(_, _)),
       "events_cohorts" -> (EventOps.cohortRetention(_, _)),
       "events_scd2" -> (EventOps.scd2(_, _)),
@@ -790,6 +793,7 @@ object SparkEntry {
       "events_hourly" -> EventOps.hourlyRollupOracle,
       "events_sliding" -> EventOps.slidingRollupOracle,
       "events_gapfill" -> EventOps.hourlyGapFillOracle,
+      "events_deletion_impact" -> EventOps.deletionImpactOracle,
       "events_funnel" -> EventOps.signupFunnelOracle,
       "events_cohorts" -> EventOps.cohortRetentionOracle,
       "events_scd2" -> EventOps.scd2Oracle,

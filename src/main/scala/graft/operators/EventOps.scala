@@ -471,6 +471,85 @@ object EventOps {
       |LEFT JOIN hourly h ON h.hour_start = s.hour_start AND h.event_type = t.event_type
       |ORDER BY s.hour_start, t.event_type""".stripMargin
 
+  // ------------------------------------------------- deletion impact
+  /** USER-DELETION IMPACT report (round 11) — the event-log side of the
+    * right-to-be-forgotten surface ([[graft.operators.Dedup.takedownManifest]]
+    * covers documents): for a deterministic purge list of users, the one
+    * long exact-integer table a compliance owner reads before scheduling
+    * the erasure job — purge volume (users / events / ppm of the log),
+    * event types touched, the heaviest single user (the rewrite
+    * straggler), and the OPERATIONAL cost: how many hourly partitions
+    * contain at least one purged row and must be rewritten, vs the
+    * partition total. `partitions_touched` ≈ `partitions_total` is the
+    * signal to erase via tombstone+compaction instead of eager rewrite.
+    *
+    * 100 TB shape: ONE scan projected to (user_id, type, hour, flag)
+    * before a single multi-distinct aggregate — the Expand replicates
+    * 4 narrow columns, never payloads (the [[TextAnalysis.shardManifest]]
+    * precedent); the heaviest-user branch is a keyed count capped by
+    * |purged users| rows then a 1-row max. Purge lists are erasure-batch
+    * sized (thousands) — in production the flag is a broadcast-hash
+    * membership probe instead of the modulus, same plan shape. */
+  def deletionImpact(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(
+        col("user_id"), col("event_type"),
+        date_trunc("hour", col("ts").cast("timestamp")).as("hour_start"),
+        (col("user_id") % 7 === 3).as("purged"))
+    val totals = ev.agg(
+      count(lit(1)).as("events_total"),
+      sum(when(col("purged"), 1L).otherwise(0L)).as("purge_events"),
+      countDistinct(when(col("purged"), col("user_id"))).as("purge_users"),
+      countDistinct(when(col("purged"), col("event_type"))).as("purge_types"),
+      countDistinct(col("hour_start")).as("partitions_total"),
+      countDistinct(when(col("purged"), col("hour_start"))).as("partitions_touched"))
+    val totalRows = totals.selectExpr(
+      """stack(7,
+        |  'events_total', events_total,
+        |  'purge_events', purge_events,
+        |  'purge_ppm', (purge_events * 1000000) div events_total,
+        |  'purge_users', purge_users,
+        |  'purge_types', purge_types,
+        |  'partitions_total', partitions_total,
+        |  'partitions_touched', partitions_touched
+        |) AS (metric, value)""".stripMargin)
+    val heaviest = ev.filter(col("purged"))
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .agg(coalesce(max(col("n")), lit(0L)).as("value"))
+      .select(lit("max_user_purge_events").as("metric"), col("value"))
+    totalRows.unionAll(heaviest).orderBy("metric")
+  }
+
+  val deletionImpactOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, date_trunc('hour', ts) AS hour_start,
+      |    user_id % 7 = 3 AS purged
+      |  FROM events
+      |), t AS (
+      |  SELECT
+      |    count(*) AS events_total,
+      |    CAST(sum(CASE WHEN purged THEN 1 ELSE 0 END) AS BIGINT) AS purge_events,
+      |    count(DISTINCT CASE WHEN purged THEN user_id END) AS purge_users,
+      |    count(DISTINCT CASE WHEN purged THEN event_type END) AS purge_types,
+      |    count(DISTINCT hour_start) AS partitions_total,
+      |    count(DISTINCT CASE WHEN purged THEN hour_start END) AS partitions_touched
+      |  FROM ev
+      |), heaviest AS (
+      |  SELECT CAST(coalesce(max(n), 0) AS BIGINT) AS v FROM (
+      |    SELECT count(*) AS n FROM ev WHERE purged GROUP BY user_id
+      |  )
+      |)
+      |SELECT metric, value FROM (
+      |  SELECT 'events_total' AS metric, events_total AS value FROM t
+      |  UNION ALL SELECT 'purge_events', purge_events FROM t
+      |  UNION ALL SELECT 'purge_ppm', (purge_events * 1000000) // events_total FROM t
+      |  UNION ALL SELECT 'purge_users', purge_users FROM t
+      |  UNION ALL SELECT 'purge_types', purge_types FROM t
+      |  UNION ALL SELECT 'partitions_total', partitions_total FROM t
+      |  UNION ALL SELECT 'partitions_touched', partitions_touched FROM t
+      |  UNION ALL SELECT 'max_user_purge_events', v FROM heaviest
+      |) ORDER BY metric""".stripMargin
+
   /** SLIDING-window rollup: 1-hour windows every 15 minutes — each event
     * lands in exactly 4 overlapping windows. Spark's `window(ts, size,
     * slide)` expands the row into its windows BEFORE the aggregate (same

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+
+/** Brute-force gates for the round-11 governance reports (deletion impact,
+  * release diff). The DuckDB oracles pin cross-engine value equality; these
+  * specs pin the SEMANTICS against naive recomputations an auditor would
+  * trust, and that the fixtures actually exercise each report's signal.
+  */
+class GovernanceReportsSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  val dir = SparkSuite.Sf0001
+
+  test("deletion impact matches a brute force over the raw event log") {
+    val report = EventOps.deletionImpact(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = graft.Fixtures.table(spark, dir, "events")
+      .selectExpr("user_id", "event_type",
+        "date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.get(2)))
+    val purged = ev.filter(_._1 % 7 == 3)
+    assert(report("events_total") == ev.length.toLong)
+    assert(report("purge_events") == purged.length.toLong)
+    assert(report("purge_ppm") == purged.length.toLong * 1000000L / ev.length)
+    assert(report("purge_users") == purged.map(_._1).distinct.length.toLong)
+    assert(report("purge_types") == purged.map(_._2).distinct.length.toLong)
+    assert(report("partitions_total") == ev.map(_._3).distinct.length.toLong)
+    assert(report("partitions_touched") == purged.map(_._3).distinct.length.toLong)
+    val heaviest =
+      if (purged.isEmpty) 0L
+      else purged.groupBy(_._1).values.map(_.length).max.toLong
+    assert(report("max_user_purge_events") == heaviest)
+    // the fixture must exercise the report: a purge that touches nothing
+    // (or everything) would make the partition-rewrite signal vacuous
+    assert(report("purge_events") > 0, "purge list selects no events")
+    assert(report("partitions_touched") > 0)
+    assert(report("partitions_touched") < report("partitions_total"),
+      "purge touches every partition - rewrite accounting is vacuous")
+  }
+}

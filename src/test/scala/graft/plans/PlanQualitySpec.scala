@@ -642,6 +642,24 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected partial+final aggregates: ${names.distinct.mkString(",")}")
   }
 
+  test("deletion impact: one narrow multi-distinct pass; no product joins") {
+    val df = graft.operators.EventOps.deletionImpact(spark, SparkSuite.Sf0001)
+    df.collect()
+    val names = nodes(df).map(_.nodeName)
+    assert(!names.exists(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoop")), names.distinct.mkString(","))
+    // the multi-distinct Expand must replicate the 4-column projection,
+    // never payloads: every events scan prunes to the 3 source columns
+    scans(df).filter(_.metadata.get("Location").exists(_.contains("events")))
+      .foreach { s =>
+        assert(s.requiredSchema.fieldNames.toSet.subsetOf(
+          Set("user_id", "event_type", "ts")),
+          s"scan reads ${s.requiredSchema.fieldNames.mkString(",")}")
+      }
+    assert(names.count(_.contains("HashAggregate")) >= 4,
+      s"expected partial+final aggregates: ${names.distinct.mkString(",")}")
+  }
+
   test("release report: audit joins never go nested-loop; key joins stay on 8-byte ids") {
     val df = graft.operators.TextAnalysis.releaseReport(spark, SparkSuite.Sf0001)
     df.collect()
