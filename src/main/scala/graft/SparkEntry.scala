@@ -405,6 +405,9 @@ object SparkEntry {
       // three release audits (contamination, takedown, split leakage)
       // over the SAME kept set, in one long exact-integer report
       "docs_release_report" -> (TextAnalysis.releaseReport(_, _)),
+      // release A -> B churn per source (round 11): bucket rule relaxed
+      // + takedown purge applied, docs/tokens added/removed in one pass
+      "docs_release_diff" -> (TextAnalysis.releaseDiff(_, _)),
       // which keep-rule cut what, and what relaxing each would buy
       // (round 11): sole-blocker attribution over the shared manifest
       "docs_keep_ablation" -> (TextAnalysis.keepAblation(_, _)),
@@ -767,6 +770,7 @@ object SparkEntry {
       "docs_shard_write" -> TextAnalysis.shardWriteOracle(),
       "docs_shard_manifest" -> TextAnalysis.shardManifestOracle(),
       "docs_release_report" -> TextAnalysis.releaseReportOracle,
+      "docs_release_diff" -> TextAnalysis.releaseDiffOracle,
       "docs_keep_ablation" -> TextAnalysis.keepAblationOracle,
       "dedup_threshold_sweep" -> Dedup.thresholdSweepOracle,
       "ann_cosine_topk" -> Similarity.cosineTopKOracle(),

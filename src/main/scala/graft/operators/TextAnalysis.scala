@@ -2355,6 +2355,85 @@ object TextAnalysis {
        |  WHERE sa.split != sb.split
        |) ORDER BY metric""".stripMargin
 
+  // ----------------------------------------------- corpus release diff
+  /** RELEASE-TO-RELEASE DIFF (round 11) — [[releaseReport]] said "diffing
+    * two release reports is the whole regression story"; this table IS
+    * that diff, computed in one pass. Version A = the shipped manifest
+    * (`final_keep`); version B = the next release candidate: the CCNet
+    * bucket rule relaxed (recovering its sole-blocked docs — exactly what
+    * [[keepAblation]] priced) AND the takedown purge applied
+    * ([[Dedup.takedownPurgeSet]] — what compliance requires). Per source:
+    * docs/tokens under each version, docs added and removed by the
+    * change, and the signed token delta — the per-source churn a data
+    * owner reads before re-training on version B.
+    *
+    * 100 TB shape: both versions are COLUMN expressions over the one
+    * materialized manifest joined to a (doc, token) projection — the diff
+    * adds no corpus scan and no new shuffle beyond the |sources|-row
+    * aggregate; the purge set is takedown-sized and broadcasts. Exact
+    * integers throughout (the delta is a signed BIGINT). */
+  def releaseDiff(spark: SparkSession, dir: String): DataFrame = {
+    val toks = table(spark, dir, "documents")
+      .select(col("doc_id"), sz(words).as("n_tokens"))
+    val purge = Dedup.takedownPurgeSet(spark, dir).withColumn("purged", lit(1L))
+    sharedManifest(spark, dir)
+      .select("doc_id", "source", "keep_dedup", "keep_quality", "final_keep")
+      .join(toks, "doc_id")
+      .join(broadcast(purge), Seq("doc_id"), "left")
+      .withColumn("keep_a", col("final_keep"))
+      .withColumn("keep_b",
+        col("keep_dedup") && col("keep_quality") && col("purged").isNull)
+      .groupBy("source")
+      .agg(
+        sum(when(col("keep_a"), 1L).otherwise(0L)).as("docs_a"),
+        sum(when(col("keep_b"), 1L).otherwise(0L)).as("docs_b"),
+        sum(when(col("keep_b") && !col("keep_a"), 1L).otherwise(0L)).as("docs_added"),
+        sum(when(col("keep_a") && !col("keep_b"), 1L).otherwise(0L)).as("docs_removed"),
+        sum(when(col("keep_a"), col("n_tokens")).otherwise(0L)).as("tokens_a"),
+        sum(when(col("keep_b"), col("n_tokens")).otherwise(0L)).as("tokens_b"))
+      .withColumn("tokens_delta", col("tokens_b") - col("tokens_a"))
+      .orderBy("source")
+  }
+
+  // def: composes trainingManifestOracle (itself a def)
+  def releaseDiffOracle: String =
+    s"""WITH manifest AS (
+       |  SELECT * FROM (
+       |${trainingManifestOracle.linesIterator.map("    " + _).mkString("\n")}
+       |  ) m
+       |), toks AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents
+       |), pairs AS (
+       |  SELECT * FROM (
+       |${Dedup.ngramJaccardPairsOracle.linesIterator.map("    " + _).mkString("\n")}
+       |  ) p
+       |), requests AS (
+       |  SELECT doc_id FROM documents WHERE doc_id % 41 = 0
+       |), purge AS (
+       |  SELECT doc_id FROM requests
+       |  UNION
+       |  SELECT p.id_b AS doc_id FROM pairs p JOIN requests r ON p.id_a = r.doc_id
+       |  UNION
+       |  SELECT p.id_a AS doc_id FROM pairs p JOIN requests r ON p.id_b = r.doc_id
+       |), flags AS (
+       |  SELECT m.source, t.n_tokens,
+       |    m.final_keep AS keep_a,
+       |    (m.keep_dedup AND m.keep_quality AND p.doc_id IS NULL) AS keep_b
+       |  FROM manifest m
+       |  JOIN toks t USING (doc_id)
+       |  LEFT JOIN purge p USING (doc_id)
+       |)
+       |SELECT source,
+       |  CAST(sum(CASE WHEN keep_a THEN 1 ELSE 0 END) AS BIGINT) AS docs_a,
+       |  CAST(sum(CASE WHEN keep_b THEN 1 ELSE 0 END) AS BIGINT) AS docs_b,
+       |  CAST(sum(CASE WHEN keep_b AND NOT keep_a THEN 1 ELSE 0 END) AS BIGINT) AS docs_added,
+       |  CAST(sum(CASE WHEN keep_a AND NOT keep_b THEN 1 ELSE 0 END) AS BIGINT) AS docs_removed,
+       |  CAST(sum(CASE WHEN keep_a THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_a,
+       |  CAST(sum(CASE WHEN keep_b THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_b,
+       |  CAST(sum(CASE WHEN keep_b THEN n_tokens ELSE 0 END)
+       |     - sum(CASE WHEN keep_a THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_delta
+       |FROM flags GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------- PPS sampling (sequential Poisson)
 
   /** Size-weighted corpus sample (round 9): SEQUENTIAL POISSON SAMPLING

@@ -13,6 +13,40 @@ class GovernanceReportsSpec extends AnyFunSuite {
   lazy val spark = SparkSuite.spark
   val dir = SparkSuite.Sf0001
 
+  test("release diff matches a brute force over manifest + purge flags") {
+    val purge = Dedup.takedownPurgeSet(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val toks = TextAnalysis.tokenCounts(spark, dir)
+      .select("doc_id", "ws_tokens")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = TextAnalysis.trainingManifest(spark, dir)
+      .select("doc_id", "source", "keep_dedup", "keep_quality", "final_keep")
+      .collect().map { r =>
+        val a = r.getBoolean(4)
+        val b = r.getBoolean(2) && r.getBoolean(3) && !purge.contains(r.getLong(0))
+        (r.getString(1), toks(r.getLong(0)), a, b)
+      }
+    val diff = TextAnalysis.releaseDiff(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+         r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(diff.keySet == m.map(_._1).distinct.toSet)
+    diff.foreach { case (src, (da, db, added, removed, ta, tb, delta)) =>
+      val rows = m.filter(_._1 == src)
+      assert(da == rows.count(_._3).toLong, s"$src docs_a")
+      assert(db == rows.count(_._4).toLong, s"$src docs_b")
+      assert(added == rows.count(r => r._4 && !r._3).toLong, s"$src docs_added")
+      assert(removed == rows.count(r => r._3 && !r._4).toLong, s"$src docs_removed")
+      assert(ta == rows.filter(_._3).map(_._2).sum, s"$src tokens_a")
+      assert(tb == rows.filter(_._4).map(_._2).sum, s"$src tokens_b")
+      assert(delta == tb - ta, s"$src tokens_delta")
+    }
+    // the fixture must exercise BOTH directions of the churn: the bucket
+    // relaxation recovers docs AND the takedown purge removes kept docs
+    assert(diff.values.map(_._3).sum > 0, "rule change adds nothing")
+    assert(diff.values.map(_._4).sum > 0, "purge removes nothing kept")
+  }
+
   test("deletion impact matches a brute force over the raw event log") {
     val report = EventOps.deletionImpact(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -660,6 +660,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected partial+final aggregates: ${names.distinct.mkString(",")}")
   }
 
+  test("release diff: purge set broadcasts; no product joins; one manifest pass") {
+    val df = graft.operators.TextAnalysis.releaseDiff(spark, SparkSuite.Sf0001)
+    df.collect()
+    val names = nodes(df).map(_.nodeName)
+    assert(!names.exists(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoop")),
+      s"release diff regressed to a product join: ${names.distinct.mkString(",")}")
+    // the takedown purge set must ride a broadcast, never a shuffle join
+    assert(names.exists(_.contains("BroadcastHashJoin")),
+      s"expected a broadcast purge join: ${names.distinct.mkString(",")}")
+  }
+
   test("release report: audit joins never go nested-loop; key joins stay on 8-byte ids") {
     val df = graft.operators.TextAnalysis.releaseReport(spark, SparkSuite.Sf0001)
     df.collect()
