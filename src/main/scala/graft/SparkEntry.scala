@@ -401,6 +401,9 @@ object SparkEntry {
       // the summary a loader reads instead of scanning shards, gated by
       // recomputing every column from the raw tables
       "docs_shard_manifest" -> ((s, d) => TextAnalysis.shardManifest(s, d)),
+      // straggler predictor off the manifest sidecar (round 11):
+      // max-shard/total permille ratios for tokens and packed windows
+      "docs_shard_balance" -> ((s, d) => TextAnalysis.shardBalance(s, d)),
       // the pre-ship sign-off table (round 11): keep accounting + the
       // three release audits (contamination, takedown, split leakage)
       // over the SAME kept set, in one long exact-integer report
@@ -769,6 +772,7 @@ object SparkEntry {
       "docs_manifest_rollup" -> TextAnalysis.manifestRollupOracle,
       "docs_shard_write" -> TextAnalysis.shardWriteOracle(),
       "docs_shard_manifest" -> TextAnalysis.shardManifestOracle(),
+      "docs_shard_balance" -> TextAnalysis.shardBalanceOracle(),
       "docs_release_report" -> TextAnalysis.releaseReportOracle,
       "docs_release_diff" -> TextAnalysis.releaseDiffOracle,
       "docs_keep_ablation" -> TextAnalysis.keepAblationOracle,

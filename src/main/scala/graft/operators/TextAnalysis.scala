@@ -2069,6 +2069,79 @@ object TextAnalysis {
        |  CAST(sum(h) % 1000000007 AS BIGINT) AS content_hash
        |FROM rows_h GROUP BY shard ORDER BY shard""".stripMargin
 
+  // ----------------------------------------------- shard balance report
+  /** SHARD-BALANCE rollup (round 11) — the straggler predictor a trainer
+    * reads off the [[shardManifest]] sidecar before launching a run: a
+    * data-parallel epoch's step count is gated by the HEAVIEST shard, so
+    * the permille ratios `max·n_shards·1000 / total` for tokens and packed
+    * windows (1000 = perfectly balanced) price the idle time every other
+    * rank pays. `windows_imbalance_permille` is the operative one — steps
+    * are windows — and crossing ~1100 is the standard re-shard trigger.
+    *
+    * 100 TB shape: reads the n_shards-row manifest the write already
+    * emitted — NOT the shards — so the report is O(n_shards) regardless of
+    * corpus size; the ratio products widen through DECIMAL(38,0) before
+    * the floor division (10¹³ tokens × 10⁴ shards × 10³ would wrap
+    * int64). The write itself is owned by the gated manifest line. */
+  def shardBalance(spark: SparkSession, dir: String,
+      nShards: Int = 8, window: Int = 2048): DataFrame =
+    shardManifest(spark, dir, nShards, window)
+      .agg(
+        count(lit(1)).as("n_shards"),
+        sum(col("n_docs")).as("docs_total"),
+        sum(col("n_tokens")).as("tokens_total"),
+        min(col("n_tokens")).as("tokens_min_shard"),
+        max(col("n_tokens")).as("tokens_max_shard"),
+        sum(col("n_windows")).as("windows_total"),
+        max(col("n_windows")).as("windows_max_shard"))
+      .selectExpr(
+        """stack(8,
+          |  'n_shards', n_shards,
+          |  'docs_total', docs_total,
+          |  'tokens_total', tokens_total,
+          |  'tokens_min_shard', tokens_min_shard,
+          |  'tokens_max_shard', tokens_max_shard,
+          |  'tokens_imbalance_permille',
+          |  CAST((CAST(tokens_max_shard AS DECIMAL(38,0)) * n_shards * 1000)
+          |       div tokens_total AS BIGINT),
+          |  'windows_total', windows_total,
+          |  'windows_imbalance_permille',
+          |  CAST((CAST(windows_max_shard AS DECIMAL(38,0)) * n_shards * 1000)
+          |       div windows_total AS BIGINT)
+          |) AS (metric, value)""".stripMargin)
+      .orderBy("metric")
+
+  // def: composes shardManifestOracle (itself a def)
+  def shardBalanceOracle(nShards: Int = 8, window: Int = 2048): String =
+    s"""WITH shards AS (
+       |  SELECT * FROM (
+       |${shardManifestOracle(nShards, window).linesIterator.map("    " + _).mkString("\n")}
+       |  ) s
+       |), t AS (
+       |  SELECT count(*) AS n_shards,
+       |    CAST(sum(n_docs) AS BIGINT) AS docs_total,
+       |    CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+       |    CAST(min(n_tokens) AS BIGINT) AS tokens_min_shard,
+       |    CAST(max(n_tokens) AS BIGINT) AS tokens_max_shard,
+       |    CAST(sum(n_windows) AS BIGINT) AS windows_total,
+       |    CAST(max(n_windows) AS BIGINT) AS windows_max_shard
+       |  FROM shards
+       |)
+       |SELECT metric, value FROM (
+       |  SELECT 'n_shards' AS metric, n_shards AS value FROM t
+       |  UNION ALL SELECT 'docs_total', docs_total FROM t
+       |  UNION ALL SELECT 'tokens_total', tokens_total FROM t
+       |  UNION ALL SELECT 'tokens_min_shard', tokens_min_shard FROM t
+       |  UNION ALL SELECT 'tokens_max_shard', tokens_max_shard FROM t
+       |  UNION ALL SELECT 'tokens_imbalance_permille',
+       |    CAST((CAST(tokens_max_shard AS HUGEINT) * n_shards * 1000)
+       |         // tokens_total AS BIGINT) FROM t
+       |  UNION ALL SELECT 'windows_total', windows_total FROM t
+       |  UNION ALL SELECT 'windows_imbalance_permille',
+       |    CAST((CAST(windows_max_shard AS HUGEINT) * n_shards * 1000)
+       |         // windows_total AS BIGINT) FROM t
+       |) ORDER BY metric""".stripMargin
+
   /** The GATE on the written artifact: write, then READ BACK the parquet
     * and report per-shard docs / packed windows / tokens / an order- and
     * content-sensitive hash — compared against DuckDB recomputing the

@@ -47,6 +47,30 @@ class GovernanceReportsSpec extends AnyFunSuite {
     assert(diff.values.map(_._4).sum > 0, "purge removes nothing kept")
   }
 
+  test("shard balance matches a brute force over the manifest sidecar") {
+    val shards = TextAnalysis.shardManifest(spark, dir)
+      .select("n_docs", "n_tokens", "n_windows")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val report = TextAnalysis.shardBalance(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = shards.length.toLong
+    val toks = shards.map(_._2)
+    val wins = shards.map(_._3)
+    assert(report("n_shards") == n)
+    assert(report("docs_total") == shards.map(_._1).sum)
+    assert(report("tokens_total") == toks.sum)
+    assert(report("tokens_min_shard") == toks.min)
+    assert(report("tokens_max_shard") == toks.max)
+    assert(report("tokens_imbalance_permille") == toks.max * n * 1000L / toks.sum)
+    assert(report("windows_total") == wins.sum)
+    assert(report("windows_imbalance_permille") == wins.max * n * 1000L / wins.sum)
+    // a perfectly-balanced OR degenerate (single-shard) fixture would make
+    // the straggler signal vacuous
+    assert(n > 1)
+    assert(report("tokens_imbalance_permille") > 1000L,
+      "fixture shards are exactly balanced - imbalance signal untested")
+  }
+
   test("deletion impact matches a brute force over the raw event log") {
     val report = EventOps.deletionImpact(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
