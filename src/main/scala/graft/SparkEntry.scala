@@ -167,6 +167,9 @@ object SparkEntry {
       "ann_recall_eval" -> ((s, d) => Similarity.recallEval(s, d)),
       "embedding_knn_mutual" -> ((s, d) => Similarity.knnGraphMutual(s, d)),
       "ann_nprobe_sweep" -> ((s, d) => Similarity.nprobeSweep(s, d)),
+      // the byte-budget knob (round 11): recall@10 per bytes/vector down
+      // the flat/SQ8/PQ/IVFPQ compression ladder
+      "ann_compression_sweep" -> ((s, d) => Similarity.compressionSweep(s, d)),
       "events_autocorrelation" -> ((s, d) => EventOps.autocorrelation(s, d)),
       "events_changepoint" -> (EventOps.changepoint(_, _)),
       "profile_cramers_v" -> ((s, d) => ProfileQueries.cramersV(s, d)),
@@ -327,6 +330,9 @@ object SparkEntry {
       "text_pii_mask" -> (TextAnalysis.piiMask(_, _)),
       "docs_stratified_sample" -> (TextAnalysis.stratifiedSample(_, _)),
       "text_decontaminate" -> (TextAnalysis.decontaminate(_, _)),
+      // the eval owner's view of the same overlap (round 11): per
+      // benchmark item, how many training docs/grams/sources burn it
+      "text_eval_burn" -> (TextAnalysis.evalBurn(_, _)),
       // verbatim character-window screen (round 11): the second
       // decontamination pass, catching leaks 5-gram word overlap can miss
       "text_substring_contamination" -> (TextAnalysis.substringContamination(_, _)),
@@ -570,6 +576,7 @@ object SparkEntry {
       "ann_recall_eval" -> Similarity.recallEvalOracle(),
       "embedding_knn_mutual" -> Similarity.knnGraphMutualOracle(),
       "ann_nprobe_sweep" -> Similarity.nprobeSweepOracle(),
+      "ann_compression_sweep" -> Similarity.compressionSweepOracle(),
       "events_autocorrelation" -> EventOps.autocorrelationOracle(),
       "events_changepoint" -> EventOps.changepointOracle,
       "profile_cramers_v" -> ProfileQueries.cramersVOracle(),
@@ -713,6 +720,7 @@ object SparkEntry {
       "text_pii_mask" -> TextAnalysis.piiMaskOracle,
       "docs_stratified_sample" -> TextAnalysis.stratifiedSampleOracle,
       "text_decontaminate" -> TextAnalysis.decontaminateOracle,
+      "text_eval_burn" -> TextAnalysis.evalBurnOracle,
       "text_substring_contamination" -> TextAnalysis.substringContaminationOracle,
       "text_repetition" -> TextAnalysis.repetitionRatioOracle,
       "text_pack_sequences" -> TextAnalysis.packSequencesOracle,

@@ -263,7 +263,16 @@ object ScaleProbe {
       ("keep_ablation", d => graft.operators.TextAnalysis.keepAblation(spark, d)),
       ("release_report", d => graft.operators.TextAnalysis.releaseReport(spark, d)),
       ("substring_contam", d => graft.operators.TextAnalysis.substringContamination(spark, d)),
-      ("shard_manifest", d => graft.operators.TextAnalysis.shardManifest(spark, d)))
+      ("shard_manifest", d => graft.operators.TextAnalysis.shardManifest(spark, d)),
+      // batch 8 (round 11): governance + packing tables. packing_sweep is
+      // one narrow projection ×5 lengths into |L| groups (row-linear);
+      // deletion_impact is one multi-distinct pass over 4 narrow columns;
+      // release_diff re-reads the materialized manifest + broadcast purge;
+      // shard_balance reads the n_shards-row sidecar (write owns the cost)
+      ("packing_sweep", d => graft.operators.TextAnalysis.packingSweep(spark, d)),
+      ("deletion_impact", d => graft.operators.EventOps.deletionImpact(spark, d)),
+      ("release_diff", d => graft.operators.TextAnalysis.releaseDiff(spark, d)),
+      ("shard_balance", d => graft.operators.TextAnalysis.shardBalance(spark, d)))
     val allBuilds = (if (family == "ppj") ppjBuilds
       else if (doDocs) docBuilds else Seq.empty) ++
       (if (doEmb) embBuilds else Seq.empty) ++

@@ -1678,6 +1678,72 @@ object Similarity {
     }.reduce(_ unionAll _).orderBy("nprobe")
   }
 
+  // --------------------------------------------- compression ladder sweep
+  /** INDEX-COMPRESSION SWEEP (round 11) — the third ANN knob table after
+    * [[recallEval]] (method) and [[nprobeSweep]] (probe count): aggregate
+    * recall@k per BYTES PER VECTOR down the standard compression ladder —
+    * flat float32 (the ground truth itself, 4d B), SQ8 scalar quantization
+    * (d B, ADC shortlist + exact rerank), pure PQ-ADC (m B), and
+    * IVF+PQ+rerank (m B + the cell pruning). At 10¹¹ vectors storage is
+    * the binding constraint — 4d B/vec is 25 TB of RAM at d=64 — and this
+    * table prices exactly what each 4×/32× compression step costs in
+    * recall. Bytes are the fixture's d=64 constants (1 B/code PQ storage,
+    * the FAISS convention); a query with zero hits still gets its row.
+    *
+    * 100 TB shape: each leg is the already-gated bucketed/broadcast probe
+    * (never all-pairs); the recall joins touch numQueries·k rows. Like
+    * [[recallEval]], the whole eval is deterministic integer math under
+    * the DuckDB oracle. */
+  def compressionSweep(spark: SparkSession, dir: String, numQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    val gt = cosineTopK(spark, dir, numQueries, k).select("query_id", "cand_id")
+    val legs = Seq(
+      ("flat_f32", 256L, gt),
+      ("sq8", 64L,
+        sq8TopK(spark, dir, numQueries, k, rerank = 2 * k).select("query_id", "cand_id")),
+      ("pq8", 8L,
+        pqTopK(spark, dir, numQueries, k).select("query_id", "cand_id")),
+      ("ivfpq8", 8L,
+        ivfPqTopK(spark, dir, numQueries, k, rerank = 2 * k).select("query_id", "cand_id")))
+    legs.map { case (name, bytes, leg) =>
+      gt.join(leg, Seq("query_id", "cand_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(name).as("method"), lit(bytes).as("bytes_per_vec"),
+          col("hits"),
+          expr(s"CAST(hits * 1000 div ${numQueries * k} AS BIGINT)").as("recall_permille"))
+    }.reduce(_ unionAll _).orderBy("method")
+  }
+
+  def compressionSweepOracle(numQueries: Int = 5, k: Int = 10): String =
+    s"""WITH gt AS (
+       |  SELECT query_id, cand_id FROM (${cosineTopKOracle(numQueries, k)}) t
+       |), sq8_k AS (
+       |  SELECT query_id, cand_id FROM (${sq8TopKOracle(numQueries, k, 2 * k)}) t
+       |), pq_k AS (
+       |  SELECT query_id, cand_id FROM (${pqTopKOracle(numQueries, k)}) t
+       |), ivfpq_k AS (
+       |  SELECT query_id, cand_id FROM (
+       |    ${ivfPqTopKOracle(numQueries, k, rerank = 2 * k)}) t
+       |), m AS (
+       |  SELECT 'flat_f32' AS method, query_id, cand_id FROM gt
+       |  UNION ALL SELECT 'sq8', query_id, cand_id FROM sq8_k
+       |  UNION ALL SELECT 'pq8', query_id, cand_id FROM pq_k
+       |  UNION ALL SELECT 'ivfpq8', query_id, cand_id FROM ivfpq_k
+       |), spine AS (
+       |  SELECT 'flat_f32' AS method, CAST(256 AS BIGINT) AS bytes_per_vec
+       |  UNION ALL SELECT 'sq8', 64
+       |  UNION ALL SELECT 'pq8', 8
+       |  UNION ALL SELECT 'ivfpq8', 8
+       |), hits AS (
+       |  SELECT m.method, count(*) AS h
+       |  FROM m JOIN gt USING (query_id, cand_id) GROUP BY m.method
+       |)
+       |SELECT s.method, s.bytes_per_vec,
+       |  CAST(coalesce(hits.h, 0) AS BIGINT) AS hits,
+       |  CAST(coalesce(hits.h, 0) * 1000 // ${numQueries * k} AS BIGINT) AS recall_permille
+       |FROM spine s LEFT JOIN hits USING (method)
+       |ORDER BY s.method""".stripMargin
+
   // ------------------------------------------- dimension correlation matrix
   /** PAIRWISE DIMENSION CORRELATION — the input PCA/whitening/Mahalanobis
     * decisions are made from: Pearson correlation for every dimension pair

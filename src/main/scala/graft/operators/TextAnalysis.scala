@@ -681,6 +681,89 @@ object TextAnalysis {
       |GROUP BY g.doc_id
       |ORDER BY g.doc_id""".stripMargin
 
+  // ------------------------------------------------- eval-side burn report
+  /** EVAL-SIDE BURN REPORT (round 11) — [[decontaminate]] answers the data
+    * owner's question (which TRAINING docs to drop); this is the eval
+    * owner's view of the same overlap: per benchmark item, how burned is
+    * it — how many training docs share a word 5-gram with it, how many of
+    * its own grams leaked, and how many distinct sources carry the leak
+    * (one source = a takedown fixes it; many = the item is public text and
+    * the benchmark needs a replacement). Items with zero overlap still get
+    * their row (left join from the eval spine) — the table doubles as the
+    * "still-clean items" list.
+    *
+    * 100 TB shape: the eval side is benchmark-sized, so its distinct
+    * (item, gram) table BROADCASTS against the corpus's exploded grams —
+    * the same one-scan posture as [[decontaminate]]; only matching rows
+    * reach the source join and the per-item multi-distinct aggregate,
+    * whose Expand replicates (id, id, gram, source) rows bounded by the
+    * leak volume, never the corpus. */
+  def evalBurn(spark: SparkSession, dir: String): DataFrame = {
+    def grams(df: DataFrame): DataFrame = {
+      val ws = split(col("text"), " ")
+      df.filter(size(ws) >= 5)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(1), size(ws) - 4),
+            i => concat_ws(" ", (0 until 5).map(o => element_at(ws, i + o)): _*))).as("gram"))
+    }
+    val corpus = Dedup.corpusWithNearDups(spark, dir)
+    val isEval = col("doc_id") >= Dedup.IdOffset && col("doc_id") % 97 === 0
+    val evalDocs = corpus.filter(isEval)
+    val evalGrams = grams(evalDocs)
+      .select(col("doc_id").as("eval_id"), col("gram")).distinct()
+    val trainGrams = grams(corpus.filter(col("doc_id") < Dedup.IdOffset))
+      .select(col("doc_id").as("train_id"), col("gram")).distinct()
+    val src = table(spark, dir, "documents")
+      .select(col("doc_id").as("train_id"), col("source"))
+    val hits = broadcast(evalGrams).join(trainGrams, "gram")
+      .join(src, "train_id")
+      .groupBy("eval_id")
+      .agg(
+        countDistinct(col("train_id")).as("n_train_docs"),
+        countDistinct(col("gram")).as("n_shared_grams"),
+        countDistinct(col("source")).as("n_sources"))
+    evalDocs.select(col("doc_id").as("eval_id"))
+      .join(hits, Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        coalesce(col("n_sources"), lit(0L)).as("n_sources"))
+      .orderBy("eval_id")
+  }
+
+  def evalBurnOracle: String =
+    s"""WITH corpus AS (
+       |  ${Dedup.corpusSql.linesIterator.mkString("\n|  ")}
+       |), grams AS (
+       |  ${oracleGramsSql("corpus").linesIterator.mkString("\n|  ")}
+       |), eval_grams AS (
+       |  SELECT DISTINCT doc_id AS eval_id, gram FROM grams
+       |  WHERE doc_id >= ${Dedup.IdOffset} AND doc_id % 97 = 0
+       |), train_grams AS (
+       |  SELECT DISTINCT doc_id AS train_id, gram FROM grams
+       |  WHERE doc_id < ${Dedup.IdOffset}
+       |), src AS (
+       |  SELECT doc_id AS train_id, source FROM documents
+       |), hits AS (
+       |  SELECT e.eval_id,
+       |    count(DISTINCT t.train_id) AS n_train_docs,
+       |    count(DISTINCT e.gram) AS n_shared_grams,
+       |    count(DISTINCT s.source) AS n_sources
+       |  FROM eval_grams e
+       |  JOIN train_grams t USING (gram)
+       |  JOIN src s USING (train_id)
+       |  GROUP BY e.eval_id
+       |), spine AS (
+       |  SELECT doc_id AS eval_id FROM corpus
+       |  WHERE doc_id >= ${Dedup.IdOffset} AND doc_id % 97 = 0
+       |)
+       |SELECT s.eval_id,
+       |  CAST(coalesce(h.n_train_docs, 0) AS BIGINT) AS n_train_docs,
+       |  CAST(coalesce(h.n_shared_grams, 0) AS BIGINT) AS n_shared_grams,
+       |  CAST(coalesce(h.n_sources, 0) AS BIGINT) AS n_sources
+       |FROM spine s LEFT JOIN hits h USING (eval_id)
+       |ORDER BY s.eval_id""".stripMargin
+
   // ------------------------------------- substring-level decontamination
   /** SUBSTRING contamination screen — the word-5-gram overlap
     * ([[decontaminate]]) misses leaks that cross token boundaries oddly

@@ -672,6 +672,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected a broadcast purge join: ${names.distinct.mkString(",")}")
   }
 
+  test("eval burn: eval grams broadcast against the corpus explode; no products") {
+    val df = graft.operators.TextAnalysis.evalBurn(spark, SparkSuite.Sf0001)
+    df.collect()
+    val names = nodes(df).map(_.nodeName)
+    assert(!names.exists(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoop")),
+      s"burn report regressed to a product join: ${names.distinct.mkString(",")}")
+    // the benchmark-sized eval gram table must ride broadcasts, never a
+    // corpus-sized shuffle join
+    assert(names.exists(_.contains("BroadcastHashJoin")),
+      s"expected broadcast gram/source joins: ${names.distinct.mkString(",")}")
+  }
+
   test("release report: audit joins never go nested-loop; key joins stay on 8-byte ids") {
     val df = graft.operators.TextAnalysis.releaseReport(spark, SparkSuite.Sf0001)
     df.collect()
