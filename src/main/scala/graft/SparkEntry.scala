@@ -243,6 +243,9 @@ object SparkEntry {
       // hourly OHLC bars: first/last via lexicographic struct aggregates
       "events_ohlc_hourly" -> (EventOps.ohlcBars(_, _)),
       "q_snapshot_diff" -> (RelationalExt.snapshotDiff(_, _)),
+      // right-to-be-forgotten down the FK chain (round 11): purge list ->
+      // orders -> lineitems, plus monthly partitions needing rewrite
+      "q_deletion_cascade" -> (RelationalExt.deletionCascade(_, _)),
       "profile_percentiles_quantity" -> (ProfileQueries.quantityPercentiles(_, _)),
       "profile_outliers_value" -> (ProfileQueries.valueOutliers(_, _)),
       // relational coverage (SURVEY §2.2-§2.5)
@@ -328,6 +331,9 @@ object SparkEntry {
       "text_doc_freq" -> (TextAnalysis.docFrequency(_, _)),
       "text_clean_pipeline" -> (TextAnalysis.cleanPipeline(_, _)),
       "text_pii_mask" -> (TextAnalysis.piiMask(_, _)),
+      // PII density per source (round 11): planted email/phone rates,
+      // the compliance rollup above the per-doc redaction
+      "text_pii_rates" -> (TextAnalysis.piiRates(_, _)),
       "docs_stratified_sample" -> (TextAnalysis.stratifiedSample(_, _)),
       "text_decontaminate" -> (TextAnalysis.decontaminate(_, _)),
       // the eval owner's view of the same overlap (round 11): per
@@ -627,6 +633,7 @@ object SparkEntry {
       "events_type_user_overlap" -> EventOps.typeUserOverlapOracle,
       "events_ohlc_hourly" -> EventOps.ohlcBarsOracle,
       "q_snapshot_diff" -> RelationalExt.snapshotDiffOracle,
+      "q_deletion_cascade" -> RelationalExt.deletionCascadeOracle,
       "q_salted_skew_join" -> Relational.saltedSupplierRevenueOracle,
       "q_rollup_pricing" -> Relational.pricingRollupOracle,
       "q_rollup_flags" -> RelationalExt.pricingRollupFlagsOracle,
@@ -718,6 +725,7 @@ object SparkEntry {
       "text_doc_freq" -> TextAnalysis.docFrequencyOracle,
       "text_clean_pipeline" -> TextAnalysis.cleanPipelineOracle,
       "text_pii_mask" -> TextAnalysis.piiMaskOracle,
+      "text_pii_rates" -> TextAnalysis.piiRatesOracle,
       "docs_stratified_sample" -> TextAnalysis.stratifiedSampleOracle,
       "text_decontaminate" -> TextAnalysis.decontaminateOracle,
       "text_eval_burn" -> TextAnalysis.evalBurnOracle,

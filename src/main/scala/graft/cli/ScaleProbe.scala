@@ -174,6 +174,13 @@ object ScaleProbe {
       // FIXED while n grows, which is the claim the exponent verifies)
       val baseOrd = spark.read.parquet(s"$baseDir/orders.parquet")
       val baseDoc = spark.read.parquet(s"$baseDir/documents.parquet")
+      // deletion_cascade walks customer → orders → lineitem: lineitem
+      // replicates with the SAME orderkey shift as orders (the FK chain
+      // stays intact per replica); customer copies UNREPLICATED — the
+      // purge-list dimension saturates while facts accumulate, exactly
+      // the regime the cascade's broadcast claim rests on
+      val baseLi2 = spark.read.parquet(s"$baseDir/lineitem.parquet")
+      val baseCust = spark.read.parquet(s"$baseDir/customer.parquet")
       sizes.foreach { s =>
         (0 until s).map(k => baseOrd.withColumn("o_orderkey",
             col("o_orderkey") + lit(k * ReplicaSpacing)))
@@ -181,6 +188,9 @@ object ScaleProbe {
           .write.mode("overwrite").parquet(s"$outRoot/x$s/orders.parquet")
         replicate(baseDoc, s).repartition(spark.sparkContext.defaultParallelism)
           .write.mode("overwrite").parquet(s"$outRoot/x$s/documents.parquet")
+        replicateLineitem(baseLi2, s).repartition(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(s"$outRoot/x$s/lineitem.parquet")
+        baseCust.write.mode("overwrite").parquet(s"$outRoot/x$s/customer.parquet")
       }
     }
     spark.range(1000000L).selectExpr("sum(id)").collect() // JVM warm-up
@@ -210,7 +220,10 @@ object ScaleProbe {
       ("dim_corr", d => graft.operators.Similarity.dimCorrMatrix(spark, d)),
       ("ivf_incremental", d => graft.operators.Similarity.ivfIncremental(spark, d)),
       // round 11: one scan into a labels×dims-bounded frame — must stay flat
-      ("version_drift", d => graft.operators.Similarity.versionDrift(spark, d)))
+      ("version_drift", d => graft.operators.Similarity.versionDrift(spark, d)),
+      // round 11: four already-bucketed index probes + numQueries·k joins;
+      // cost must track the legs (index probes), never all-pairs
+      ("compression_sweep", d => graft.operators.Similarity.compressionSweep(spark, d)))
     val profBuilds = Seq[(String, String => DataFrame)](
       ("sketch_profile", d => graft.profile.ProfileQueries.sketchProfile(spark, d, "lineitem")),
       ("full_profile",   d => graft.profile.ProfileQueries.fullProfile(spark, d, "lineitem")))
@@ -272,7 +285,14 @@ object ScaleProbe {
       ("packing_sweep", d => graft.operators.TextAnalysis.packingSweep(spark, d)),
       ("deletion_impact", d => graft.operators.EventOps.deletionImpact(spark, d)),
       ("release_diff", d => graft.operators.TextAnalysis.releaseDiff(spark, d)),
-      ("shard_balance", d => graft.operators.TextAnalysis.shardBalance(spark, d)))
+      ("shard_balance", d => graft.operators.TextAnalysis.shardBalance(spark, d)),
+      // round 11: eval grams broadcast against one corpus-gram explode —
+      // must track the decontaminate scan, never eval×corpus
+      ("eval_burn", d => graft.operators.TextAnalysis.evalBurn(spark, d)),
+      // round 11: broadcast purge flag + the one orderkey shuffle join;
+      // pii_rates is a pure projection + |sources|-row rollup
+      ("deletion_cascade", d => graft.operators.RelationalExt.deletionCascade(spark, d)),
+      ("pii_rates", d => graft.operators.TextAnalysis.piiRates(spark, d)))
     val allBuilds = (if (family == "ppj") ppjBuilds
       else if (doDocs) docBuilds else Seq.empty) ++
       (if (doEmb) embBuilds else Seq.empty) ++

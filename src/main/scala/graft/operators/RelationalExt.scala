@@ -397,6 +397,93 @@ object RelationalExt {
       |  FROM orders b FULL JOIN next n ON b.o_orderkey = n.o_orderkey
       |) GROUP BY change ORDER BY change""".stripMargin
 
+  // --------------------------------------------------------- deletion cascade
+  /** REFERENTIAL DELETION CASCADE (round 11) — the relational side of the
+    * right-to-be-forgotten surface ([[graft.operators.EventOps.deletionImpact]]
+    * covers the event log, [[graft.operators.Dedup.takedownManifest]] the
+    * corpus): for a deterministic purge list of customers, the erasure
+    * work list DOWN the foreign-key chain — orders of those customers,
+    * line items of those orders — plus the operational cost: how many
+    * monthly order partitions contain purged rows and must be rewritten.
+    * Long exact-integer format, one row per metric.
+    *
+    * 100 TB shape: the purge list is erasure-batch sized → it BROADCASTS
+    * against orders (one scan, flag column); the purged-order keys then
+    * flag lineitem through the standard o_orderkey shuffle equi-join —
+    * the one join in the cascade that must shuffle, because 2% of 10⁹
+    * orders no longer broadcasts (co-located for free if both tables are
+    * bucketed by orderkey, the `q_bucketed_join` layout). Every count is
+    * a conditional aggregate branch on an already-flagged scan — no
+    * second pass over any table. */
+  def deletionCascade(spark: SparkSession, dir: String): DataFrame = {
+    val purged = table(spark, dir, "customer")
+      .filter(col("c_custkey") % 53 === 0)
+      .select(col("c_custkey"), lit(1L).as("pc"))
+    val custRows = table(spark, dir, "customer")
+      .agg(count(lit(1)).as("customers_total"),
+        sum(when(col("c_custkey") % 53 === 0, 1L).otherwise(0L)).as("customers_purged"))
+      .selectExpr(
+        """stack(2,
+          |  'customers_total', customers_total,
+          |  'customers_purged', customers_purged
+          |) AS (metric, value)""".stripMargin)
+    val ord = table(spark, dir, "orders")
+      .join(broadcast(purged), col("o_custkey") === col("c_custkey"), "left")
+      .select(col("o_orderkey"),
+        date_trunc("month", col("o_orderdate").cast("timestamp")).as("month"),
+        col("pc").isNotNull.as("purged"))
+    val ordRows = ord
+      .agg(count(lit(1)).as("orders_total"),
+        sum(when(col("purged"), 1L).otherwise(0L)).as("orders_purged"),
+        countDistinct(col("month")).as("order_months_total"),
+        countDistinct(when(col("purged"), col("month"))).as("order_months_touched"))
+      .selectExpr(
+        """stack(4,
+          |  'orders_total', orders_total,
+          |  'orders_purged', orders_purged,
+          |  'order_months_total', order_months_total,
+          |  'order_months_touched', order_months_touched
+          |) AS (metric, value)""".stripMargin)
+    val purgedOrders = ord.filter(col("purged")).select(col("o_orderkey"), lit(1L).as("po"))
+    val liRows = table(spark, dir, "lineitem").select("l_orderkey")
+      .join(purgedOrders, col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(count(lit(1)).as("lineitems_total"),
+        sum(when(col("po").isNotNull, 1L).otherwise(0L)).as("lineitems_purged"))
+      .selectExpr(
+        """stack(2,
+          |  'lineitems_total', lineitems_total,
+          |  'lineitems_purged', lineitems_purged
+          |) AS (metric, value)""".stripMargin)
+    custRows.unionAll(ordRows).unionAll(liRows).orderBy("metric")
+  }
+
+  val deletionCascadeOracle: String =
+    """WITH purged AS (
+      |  SELECT c_custkey FROM customer WHERE c_custkey % 53 = 0
+      |), ord AS (
+      |  SELECT o.o_orderkey, date_trunc('month', o.o_orderdate) AS month,
+      |    p.c_custkey IS NOT NULL AS purged
+      |  FROM orders o LEFT JOIN purged p ON o.o_custkey = p.c_custkey
+      |), li AS (
+      |  SELECT l.l_orderkey, (o.o_orderkey IS NOT NULL) AS purged
+      |  FROM lineitem l
+      |  LEFT JOIN (SELECT o_orderkey FROM ord WHERE purged) o
+      |    ON l.l_orderkey = o.o_orderkey
+      |)
+      |SELECT metric, value FROM (
+      |  SELECT 'customers_total' AS metric, count(*) AS value FROM customer
+      |  UNION ALL SELECT 'customers_purged', count(*) FROM purged
+      |  UNION ALL SELECT 'orders_total', count(*) FROM ord
+      |  UNION ALL SELECT 'orders_purged',
+      |    CAST(sum(CASE WHEN purged THEN 1 ELSE 0 END) AS BIGINT) FROM ord
+      |  UNION ALL SELECT 'order_months_total', count(DISTINCT month) FROM ord
+      |  UNION ALL SELECT 'order_months_touched',
+      |    count(DISTINCT CASE WHEN purged THEN month END) FROM ord
+      |  UNION ALL SELECT 'lineitems_total', count(*) FROM li
+      |  UNION ALL SELECT 'lineitems_purged',
+      |    CAST(sum(CASE WHEN purged THEN 1 ELSE 0 END) AS BIGINT) FROM li
+      |) ORDER BY metric""".stripMargin
+
   // ------------------------------------------------------------------ having
   /** HAVING: post-aggregation filter — planned as a Filter above the final
     * HashAggregate, so the predicate runs on group rows (tiny), never on

@@ -521,6 +521,81 @@ object TextAnalysis {
       |  CAST(len(regexp_extract_all(m, '<PHONE>')) AS BIGINT) AS n_phones
       |FROM masked ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------- PII density rates
+  /** PII DENSITY BY SOURCE (round 11) — the compliance rollup above
+    * [[piiMask]]'s per-document redaction: per source, how many documents
+    * carry any PII (exact integer ppm), split by kind, plus total match
+    * volumes — the table that decides which sources need the expensive
+    * NER-grade pass vs the cheap regex pass, and the per-release trend a
+    * privacy owner tracks. The fixture prose is synthetic, so PII is
+    * PLANTED selectively (every 3rd doc an email, every 5th a phone) —
+    * rates land at ~333k/200k ppm by construction, so a broken regex or a
+    * broken rollup both move the table.
+    *
+    * 100 TB shape: one codegen'd projection (the same char-class-only
+    * Java∩RE2 regexes as [[piiMask]]) into a |sources|-row partial+final
+    * aggregate — scan-bound, embarrassingly parallel, no shuffle beyond
+    * the group-by. */
+  def piiRates(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" reach user"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" call +1-555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))).as("raw"))
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("raw"), lit(EmailRe), lit(0))).cast("bigint"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(
+          regexp_replace(col("raw"), EmailRe, "<EMAIL>"),
+          lit(PhoneRe), lit(0))).cast("bigint"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_emails") > 0, 1L).otherwise(0L)).as("docs_email"),
+        sum(when(col("n_phones") > 0, 1L).otherwise(0L)).as("docs_phone"),
+        sum(when(col("n_emails") > 0 || col("n_phones") > 0, 1L).otherwise(0L)).as("docs_any"),
+        sum(col("n_emails")).as("emails_total"),
+        sum(col("n_phones")).as("phones_total"))
+      .withColumn("pii_ppm", expr("(docs_any * 1000000) div n_docs"))
+      .select("source", "n_docs", "docs_email", "docs_phone", "docs_any",
+        "pii_ppm", "emails_total", "phones_total")
+      .orderBy("source")
+
+  val piiRatesOracle: String =
+    """WITH raw AS (
+      |  SELECT doc_id, source,
+      |    text
+      |    || CASE WHEN doc_id % 3 = 0
+      |            THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |            ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 0
+      |            THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |            ELSE '' END AS raw
+      |  FROM documents
+      |), counted AS (
+      |  SELECT source,
+      |    CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+      |    CAST(len(regexp_extract_all(
+      |      regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |      '\+?[0-9][0-9-]{5,}[0-9]')) AS BIGINT) AS n_phones
+      |  FROM raw
+      |)
+      |SELECT source,
+      |  count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_email,
+      |  CAST(sum(CASE WHEN n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_phone,
+      |  CAST(sum(CASE WHEN n_emails > 0 OR n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_any,
+      |  CAST((sum(CASE WHEN n_emails > 0 OR n_phones > 0 THEN 1 ELSE 0 END) * 1000000)
+      |       // count(*) AS BIGINT) AS pii_ppm,
+      |  CAST(sum(n_emails) AS BIGINT) AS emails_total,
+      |  CAST(sum(n_phones) AS BIGINT) AS phones_total
+      |FROM counted GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------- deterministic hash sampling
   /** WELL-MIXED deterministic bucket hash: the polynomial fold applied to
     * the MD5 HEX of (prefix ‖ doc_id), not to the raw key. The plain fold

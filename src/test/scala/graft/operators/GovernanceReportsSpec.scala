@@ -71,6 +71,58 @@ class GovernanceReportsSpec extends AnyFunSuite {
       "fixture shards are exactly balanced - imbalance signal untested")
   }
 
+  test("deletion cascade matches a brute force down the FK chain") {
+    val cust = graft.Fixtures.table(spark, dir, "customer")
+      .select("c_custkey").collect().map(_.getLong(0))
+    val purged = cust.filter(_ % 53 == 0).toSet
+    val orders = graft.Fixtures.table(spark, dir, "orders")
+      .selectExpr("o_orderkey", "o_custkey",
+        "date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS month")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2)))
+    val purgedOrders = orders.filter(o => purged(o._2))
+    val li = graft.Fixtures.table(spark, dir, "lineitem")
+      .select("l_orderkey").collect().map(_.getLong(0))
+    val purgedOrderKeys = purgedOrders.map(_._1).toSet
+    val report = RelationalExt.deletionCascade(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(report("customers_total") == cust.length.toLong)
+    assert(report("customers_purged") == purged.size.toLong)
+    assert(report("orders_total") == orders.length.toLong)
+    assert(report("orders_purged") == purgedOrders.length.toLong)
+    assert(report("order_months_total") == orders.map(_._3).distinct.length.toLong)
+    assert(report("order_months_touched") == purgedOrders.map(_._3).distinct.length.toLong)
+    assert(report("lineitems_total") == li.length.toLong)
+    assert(report("lineitems_purged") == li.count(purgedOrderKeys).toLong)
+    // the fixture must exercise the cascade end to end
+    assert(report("customers_purged") > 0 && report("lineitems_purged") > 0,
+      "purge list cascades to nothing")
+  }
+
+  test("pii rates match the planted decoration exactly, per source") {
+    val docs = graft.Fixtures.table(spark, dir, "documents")
+      .select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val rates = TextAnalysis.piiRates(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+         r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(rates.keySet == docs.map(_._2).distinct.toSet)
+    rates.foreach { case (src, (n, de, dp, da, ppm, emails, phones)) =>
+      val ids = docs.filter(_._2 == src).map(_._1)
+      // the synthetic prose carries no PII of its own, so counts are
+      // exactly the planted decoration: every 3rd doc one email, every
+      // 5th one phone
+      assert(n == ids.length.toLong, s"$src n_docs")
+      assert(de == ids.count(_ % 3 == 0).toLong, s"$src docs_email")
+      assert(dp == ids.count(_ % 5 == 0).toLong, s"$src docs_phone")
+      assert(da == ids.count(i => i % 3 == 0 || i % 5 == 0).toLong, s"$src docs_any")
+      assert(ppm == da * 1000000L / n, s"$src pii_ppm")
+      assert(emails == de && phones == dp, s"$src totals")
+    }
+    // both PII kinds must actually occur on the fixture
+    assert(rates.values.map(_._2).sum > 0 && rates.values.map(_._3).sum > 0)
+  }
+
   test("deletion impact matches a brute force over the raw event log") {
     val report = EventOps.deletionImpact(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -685,6 +685,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected broadcast gram/source joins: ${names.distinct.mkString(",")}")
   }
 
+  test("deletion cascade: purge list broadcasts; only the orderkey join shuffles") {
+    val df = graft.operators.RelationalExt.deletionCascade(spark, SparkSuite.Sf0001)
+    df.collect()
+    val names = nodes(df).map(_.nodeName)
+    assert(!names.exists(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoop")), names.distinct.mkString(","))
+    // the purge flag on orders must ride a broadcast — a shuffle there
+    // would move the orders table to co-locate with a thousand-row list
+    assert(names.exists(_.contains("BroadcastHashJoin")),
+      s"expected the broadcast purge join: ${names.distinct.mkString(",")}")
+  }
+
   test("release report: audit joins never go nested-loop; key joins stay on 8-byte ids") {
     val df = graft.operators.TextAnalysis.releaseReport(spark, SparkSuite.Sf0001)
     df.collect()
