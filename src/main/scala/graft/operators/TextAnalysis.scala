@@ -482,8 +482,10 @@ object TextAnalysis {
     * the comparison harness. Patterns are character-class-only so Java
     * regex and RE2 agree; one codegen'd projection, no shuffle, trivially
     * parallel at 100 TB. */
-  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  private val PhoneRe = "\\+?[0-9][0-9-]{5,}[0-9]"
+  // private[graft]: graft.streaming.StreamingPiiGuard applies the SAME
+  // patterns at ingest time — one definition, no batch/stream drift
+  private[graft] val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val PhoneRe = "\\+?[0-9][0-9-]{5,}[0-9]"
 
   def piiMask(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
