@@ -129,6 +129,9 @@ object SparkEntry {
       "events_wavelet_energy" -> ((s, d) => EventOps.waveletEnergy(s, d)),
       // out-of-orderness histogram: the watermark-picking measurement
       "events_lateness_profile" -> (EventOps.latenessProfile(_, _)),
+      // the watermark knob (round 11): events dropped per candidate
+      // withWatermark delay, exact ppm — the completeness/latency table
+      "events_watermark_sweep" -> (EventOps.watermarkSweep(_, _)),
       // Heaps-law vocabulary growth at power-of-two checkpoints
       "text_vocab_growth" -> (TextAnalysis.vocabGrowth(_, _)),
       "text_zipf_profile" -> (TextAnalysis.zipfProfile(_, _)),
@@ -416,6 +419,9 @@ object SparkEntry {
       // straggler predictor off the manifest sidecar (round 11):
       // max-shard/total permille ratios for tokens and packed windows
       "docs_shard_balance" -> ((s, d) => TextAnalysis.shardBalance(s, d)),
+      // the actionable follow-on (round 11): per-shard split/merge/ok
+      // plan at exact-integer 1.2x/0.8x token thresholds
+      "docs_shard_rebalance" -> ((s, d) => TextAnalysis.shardRebalance(s, d)),
       // the pre-ship sign-off table (round 11): keep accounting + the
       // three release audits (contamination, takedown, split leakage)
       // over the SAME kept set, in one long exact-integer report
@@ -429,6 +435,9 @@ object SparkEntry {
       // verification-threshold tuning table over the one pair graph
       // (round 11): pair volume / docs touched / max degree per J cut
       "dedup_threshold_sweep" -> (Dedup.thresholdSweep(_, _)),
+      // the eyeball set (round 11): k pairs nearest the J=0.5 decision
+      // boundary, with content md5s for the reviewer
+      "dedup_audit_sample" -> ((s, d) => Dedup.auditSample(s, d)),
       // similarity search
       "ann_cosine_topk" -> (Similarity.cosineTopK(_, _)),
       // hybrid retrieval (round 9): keyword leg + vector leg fused with
@@ -452,6 +461,9 @@ object SparkEntry {
       "embedding_hard_negatives" -> (Similarity.hardNegatives(_, _)),
       "semdedup" -> (Similarity.semDedup(_, _)),
       "embedding_near_dups" -> (Similarity.embeddingNearDups(_, _)),
+      // storage-level exact duplicate vectors (round 11): planted
+      // re-ingest, 16 B hash keys only across the shuffle
+      "embedding_exact_dups" -> (Similarity.exactVectorDups(_, _)),
       "embedding_centroids" -> (Similarity.labelCentroids(_, _)),
       "embedding_label_outliers" -> (Similarity.labelOutliers(_, _)),
       // embedding-space label eval: (true x nearest-centroid) cross-tab
@@ -567,6 +579,7 @@ object SparkEntry {
       "events_range_join_abs" -> EventOps.absRangeJoinAutoOracle,
       "events_wavelet_energy" -> EventOps.waveletEnergyOracle(),
       "events_lateness_profile" -> EventOps.latenessProfileOracle,
+      "events_watermark_sweep" -> EventOps.watermarkSweepOracle,
       "text_vocab_growth" -> TextAnalysis.vocabGrowthOracle,
       "text_zipf_profile" -> TextAnalysis.zipfProfileOracle,
       "text_lexical_diversity" -> TextAnalysis.lexicalDiversityOracle,
@@ -789,10 +802,12 @@ object SparkEntry {
       "docs_shard_write" -> TextAnalysis.shardWriteOracle(),
       "docs_shard_manifest" -> TextAnalysis.shardManifestOracle(),
       "docs_shard_balance" -> TextAnalysis.shardBalanceOracle(),
+      "docs_shard_rebalance" -> TextAnalysis.shardRebalanceOracle(),
       "docs_release_report" -> TextAnalysis.releaseReportOracle,
       "docs_release_diff" -> TextAnalysis.releaseDiffOracle,
       "docs_keep_ablation" -> TextAnalysis.keepAblationOracle,
       "dedup_threshold_sweep" -> Dedup.thresholdSweepOracle,
+      "dedup_audit_sample" -> Dedup.auditSampleOracle,
       "ann_cosine_topk" -> Similarity.cosineTopKOracle(),
       "ann_hybrid_rrf" -> Similarity.hybridRrfOracle(),
       "ann_hybrid_rrf_ivf" -> Similarity.hybridRrfIvfOracle(),
@@ -808,6 +823,7 @@ object SparkEntry {
       "embedding_hard_negatives" -> Similarity.hardNegativesOracle(),
       "semdedup" -> Similarity.semDedupOracle(),
       "embedding_near_dups" -> Similarity.embeddingNearDupsOracle(),
+      "embedding_exact_dups" -> Similarity.exactVectorDupsOracle,
       "embedding_centroids" -> Similarity.labelCentroidsOracle,
       "embedding_label_outliers" -> Similarity.labelOutliersOracle(),
       "embedding_centroid_confusion" -> Similarity.centroidConfusionOracle,

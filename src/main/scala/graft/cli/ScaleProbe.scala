@@ -223,7 +223,9 @@ object ScaleProbe {
       ("version_drift", d => graft.operators.Similarity.versionDrift(spark, d)),
       // round 11: four already-bucketed index probes + numQueries·k joins;
       // cost must track the legs (index probes), never all-pairs
-      ("compression_sweep", d => graft.operators.Similarity.compressionSweep(spark, d)))
+      ("compression_sweep", d => graft.operators.Similarity.compressionSweep(spark, d)),
+      // round 11: one scan, 16 B hash shuffle keys — text exact-dedup's band
+      ("exact_vector_dups", d => graft.operators.Similarity.exactVectorDups(spark, d)))
     val profBuilds = Seq[(String, String => DataFrame)](
       ("sketch_profile", d => graft.profile.ProfileQueries.sketchProfile(spark, d, "lineitem")),
       ("full_profile",   d => graft.profile.ProfileQueries.fullProfile(spark, d, "lineitem")))
@@ -292,7 +294,15 @@ object ScaleProbe {
       // round 11: broadcast purge flag + the one orderkey shuffle join;
       // pii_rates is a pure projection + |sources|-row rollup
       ("deletion_cascade", d => graft.operators.RelationalExt.deletionCascade(spark, d)),
-      ("pii_rates", d => graft.operators.TextAnalysis.piiRates(spark, d)))
+      ("pii_rates", d => graft.operators.TextAnalysis.piiRates(spark, d)),
+      // round 11: rebalance reads the n_shards-row sidecar; the audit
+      // sample is TakeOrdered over the (≪ corpus) pair graph + 2
+      // broadcast md5 joins — it runs FIRST here and owns the LSH build
+      ("audit_sample", d => graft.operators.Dedup.auditSample(spark, d)),
+      ("shard_rebalance", d => graft.operators.TextAnalysis.shardRebalance(spark, d)),
+      // round 11: the x6 delay explode rides the lateness frame's 8 B
+      // projection — must track the two-level prefix, never re-sort
+      ("watermark_sweep", d => graft.operators.EventOps.watermarkSweep(spark, d)))
     val allBuilds = (if (family == "ppj") ppjBuilds
       else if (doDocs) docBuilds else Seq.empty) ++
       (if (doEmb) embBuilds else Seq.empty) ++

@@ -1195,6 +1195,60 @@ object Dedup {
        |LEFT JOIN docs USING (t_permille)
        |ORDER BY t.t_permille""".stripMargin
 
+  // ------------------------------------------------- pair audit sample
+  /** DEDUP AUDIT SAMPLE (round 11) — the eyeball set: the k verified
+    * pairs whose Jaccard sits CLOSEST to the keep/drop decision boundary
+    * (J = 0.5), with a content md5 per side so a reviewer can pull the
+    * exact texts. Pairs far from the boundary are obviously right; the
+    * cusp band is where a threshold moves real documents, and sampling it
+    * deterministically (distance, then ids) makes two reviewers — or two
+    * releases — audit the SAME pairs.
+    *
+    * 100 TB shape: the pair graph is already ≪ corpus; the k-nearest cusp
+    * selection is orderBy+limit → TakeOrderedAndProject (O(k) state per
+    * partition, no global sort); the k sampled ids then BROADCAST against
+    * the corpus for their md5s — two tiny joins, one corpus scan.
+    * The permille floor runs on the same IEEE division both engines
+    * compute, the [[thresholdSweep]] precedent. */
+  def auditSample(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val cusp = sharedVerifiedPairs(spark, dir)
+      .select(col("id_a"), col("id_b"),
+        floor(col("jaccard") * 1000).cast("bigint").as("j_permille"))
+      .withColumn("cusp_dist", abs(col("j_permille") - 500))
+      .orderBy(col("cusp_dist"), col("id_a"), col("id_b"))
+      .limit(k)
+    val texts = corpusWithNearDups(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    broadcast(cusp)
+      .join(texts.select(col("doc_id").as("id_a"), col("h").as("md5_a")), "id_a")
+      .join(texts.select(col("doc_id").as("id_b"), col("h").as("md5_b")), "id_b")
+      .select("id_a", "id_b", "j_permille", "cusp_dist", "md5_a", "md5_b")
+      .orderBy("id_a", "id_b")
+  }
+
+  // lazy: composes ngramJaccardPairsOracle (defined later in the file)
+  lazy val auditSampleOracle: String =
+    s"""WITH pairs AS (
+       |  SELECT * FROM (
+       |${ngramJaccardPairsOracle.linesIterator.map("    " + _).mkString("\n")}
+       |  ) p
+       |), corpus AS (
+       |  ${corpusSql.linesIterator.mkString("\n|  ")}
+       |), sampled AS (
+       |  SELECT id_a, id_b,
+       |    CAST(floor(jaccard * 1000) AS BIGINT) AS j_permille,
+       |    abs(CAST(floor(jaccard * 1000) AS BIGINT) - 500) AS cusp_dist
+       |  FROM pairs
+       |  ORDER BY cusp_dist, id_a, id_b
+       |  LIMIT 20
+       |)
+       |SELECT s.id_a, s.id_b, s.j_permille, s.cusp_dist,
+       |  md5(ca.text) AS md5_a, md5(cb.text) AS md5_b
+       |FROM sampled s
+       |JOIN corpus ca ON ca.doc_id = s.id_a
+       |JOIN corpus cb ON cb.doc_id = s.id_b
+       |ORDER BY s.id_a, s.id_b""".stripMargin
+
   /** The full PURGE SET behind [[takedownManifest]]: the requested docs
     * PLUS their verified near-duplicates (same content, different id) as
     * one distinct id column — the set a release must not contain. Shared

@@ -2077,7 +2077,10 @@ object EventOps {
     * bucket-offset frame) — no global sort, no single-partition window over
     * rows. Bucket index is the binary-string length of the lateness in
     * seconds (+1) — no libm. */
-  def latenessProfile(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-event lateness (µs behind the running event-time max in arrival
+    * order) — the shared core of [[latenessProfile]] and [[watermarkSweep]].
+    * Two-level prefix shape as documented on the profile. */
+  private def latenessFrame(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val MinLong = Long.MinValue
     // the fixture's event_id order is PERFECTLY time-sorted (measured:
@@ -2104,12 +2107,16 @@ object EventOps {
       .withColumn("late_us",
         when(col("runprev") === MinLong, 0L)
           .otherwise(greatest(lit(0L), col("runprev") - col("tus"))))
+      .select("late_us")
+  }
+
+  def latenessProfile(spark: SparkSession, dir: String): DataFrame =
+    latenessFrame(spark, dir)
       .select(length(expr("bin(late_us div 1000000 + 1)")).cast("bigint")
         .as("late_bucket"), col("late_us"))
       .groupBy("late_bucket")
       .agg(count(lit(1)).as("cnt"), max(col("late_us")).as("max_late_us"))
       .orderBy("late_bucket")
-  }
 
   val latenessProfileOracle: String =
     s"""WITH e AS (
@@ -2123,6 +2130,54 @@ object EventOps {
        |SELECT CAST(length(bin(late_us // 1000000 + 1)) AS BIGINT) AS late_bucket,
        |       count(*) AS cnt, CAST(max(late_us) AS BIGINT) AS max_late_us
        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------- watermark sweep
+  /** WATERMARK-DELAY SWEEP (round 11) — [[latenessProfile]] measures how
+    * out-of-order the stream is; this table prices the KNOB: for each
+    * candidate `withWatermark` delay, exactly how many events arrive later
+    * than the watermark allows and are DROPPED (exact ppm). Read the row
+    * where dropped_ppm hits your loss budget and that is the delay — the
+    * completeness-vs-latency trade every stateful streaming job makes
+    * (the 18 streaming twins here included), printed as a decision table
+    * instead of guessed.
+    *
+    * 100 TB shape: the ×|delays| explode runs on the 8-byte late_us
+    * projection AFTER the two-level prefix (the profile's own distributed
+    * shape), partial-aggregating into |delays| groups — sweep cost is one
+    * narrow pass over what the profile already computes. */
+  def watermarkSweep(spark: SparkSession, dir: String): DataFrame = {
+    val delays = Seq(1L, 5L, 15L, 30L, 60L, 120L)
+    latenessFrame(spark, dir)
+      .withColumn("delay_s", explode(array(delays.map(lit): _*)))
+      .groupBy("delay_s")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > col("delay_s") * 1000000L, 1L).otherwise(0L))
+          .as("n_dropped"))
+      .withColumn("dropped_ppm", expr("(n_dropped * 1000000) div n_events"))
+      .select("delay_s", "n_events", "n_dropped", "dropped_ppm")
+      .orderBy("delay_s")
+  }
+
+  val watermarkSweepOracle: String =
+    s"""WITH e AS (
+       |  SELECT event_id, epoch_us(ts) AS tus,
+       |    epoch_us(ts) + ${TextAnalysis.mixedHashSql("late|", "event_id")} % 120000000 AS arr
+       |  FROM events),
+       |l AS (
+       |  SELECT greatest(0, COALESCE(max(tus) OVER (ORDER BY arr, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), tus) - tus) AS late_us
+       |  FROM e),
+       |d AS (
+       |  SELECT CAST(unnest([1, 5, 15, 30, 60, 120]) AS BIGINT) AS delay_s)
+       |SELECT d.delay_s,
+       |  count(*) AS n_events,
+       |  CAST(sum(CASE WHEN l.late_us > d.delay_s * 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dropped,
+       |  CAST((sum(CASE WHEN l.late_us > d.delay_s * 1000000 THEN 1 ELSE 0 END) * 1000000)
+       |       // count(*) AS BIGINT) AS dropped_ppm
+       |FROM l CROSS JOIN d
+       |GROUP BY d.delay_s ORDER BY d.delay_s""".stripMargin
 
   // ------------------------------------------------- CUSUM change detection
   /** CUSUM change-point alarms over each type's hourly series — the

@@ -229,6 +229,53 @@ object Similarity {
        |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.9
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ------------------------------------------------- exact vector dedup
+  /** EXACT duplicate VECTORS (round 11) — the storage audit below
+    * [[embeddingNearDups]]'s geometric one: the same embedding stored
+    * under two ids (re-ingested batch, double-featurized doc) wastes index
+    * memory and — worse — puts the same point in an ANN result twice. Key
+    * = md5 of the micro-quantized coordinate string (the repo's exact
+    * ⌊x·10⁶⌋ convention, so float formatting can't desync the engines).
+    * The fixture's vectors are all distinct, so duplicates are PLANTED
+    * (every 41st vector re-ingested verbatim under id+10⁶ — the
+    * [[graft.operators.Dedup.exactDupGroups]] recipe); the op must find
+    * exactly those groups and nothing else (spec'd).
+    *
+    * 100 TB shape: identical to text exact-dedup — one scan, a 16 B hash
+    * as the only shuffle key, count-per-group; no vector ever crosses the
+    * exchange. */
+  def exactVectorDups(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "embeddings").select("vec_id", "embedding")
+    val reingested = base.filter(col("vec_id") % 41 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    base.unionAll(reingested)
+      .select(col("vec_id"),
+        md5(concat_ws(",", transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000).cast("long").cast("string")))).as("vh"))
+      .groupBy("vh")
+      .agg(min(col("vec_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+  }
+
+  val exactVectorDupsOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+      |  WHERE vec_id % 41 = 0
+      |), hashed AS (
+      |  SELECT vec_id,
+      |    md5(array_to_string(list_transform(embedding,
+      |      x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS VARCHAR)),
+      |      ',')) AS vh
+      |  FROM e
+      |)
+      |SELECT CAST(min(vec_id) AS BIGINT) AS keep_id, count(*) AS n_copies
+      |FROM hashed GROUP BY vh HAVING count(*) > 1
+      |ORDER BY keep_id""".stripMargin
+
   /** IVF-style ANN: a coarse quantizer (seeded MLlib k-means) partitions the
     * vector space into cells; each vector is indexed under its cell, and a
     * query probes only the `nprobe` nearest cells — the inverted-file layout

@@ -2302,6 +2302,57 @@ object TextAnalysis {
        |         // windows_total AS BIGINT) FROM t
        |) ORDER BY metric""".stripMargin
 
+  // ----------------------------------------------- shard rebalance plan
+  /** SHARD REBALANCE PLAN (round 11) — the actionable follow-on to
+    * [[shardBalance]]'s diagnosis: per shard, its token share as an exact
+    * permille of the balanced mean and the ACTION the rewrite job takes —
+    * `split` past 1.2× the mean (the straggler), `merge` below 0.8× (the
+    * under-filled rank), `ok` otherwise. Thresholds compare as pure
+    * integer cross-products (`tokens·n·5 ≷ total·6 / total·4`), so the
+    * plan is bit-identical on any engine and idempotent run-to-run — the
+    * property a scheduled compaction job needs.
+    *
+    * 100 TB shape: O(n_shards) like the balance report — the 1-row totals
+    * aggregate broadcasts back over the n_shards-row manifest; products
+    * widen through DECIMAL(38,0) before comparison (10¹³ tokens × 10⁴
+    * shards × 5 nears int64). */
+  def shardRebalance(spark: SparkSession, dir: String,
+      nShards: Int = 8, window: Int = 2048): DataFrame = {
+    val m = shardManifest(spark, dir, nShards, window).select("shard", "n_tokens")
+    val totals = m.agg(count(lit(1)).as("n_shards"),
+      sum(col("n_tokens")).as("tokens_total"))
+    m.crossJoin(broadcast(totals))
+      .withColumn("tokens_ratio_permille",
+        expr("CAST((CAST(n_tokens AS DECIMAL(38,0)) * n_shards * 1000) div tokens_total AS BIGINT)"))
+      .withColumn("action",
+        when(expr("CAST(n_tokens AS DECIMAL(38,0)) * n_shards * 5 > CAST(tokens_total AS DECIMAL(38,0)) * 6"), "split")
+          .when(expr("CAST(n_tokens AS DECIMAL(38,0)) * n_shards * 5 < CAST(tokens_total AS DECIMAL(38,0)) * 4"), "merge")
+          .otherwise("ok"))
+      .select("shard", "n_tokens", "tokens_ratio_permille", "action")
+      .orderBy("shard")
+  }
+
+  // def: composes shardManifestOracle (itself a def)
+  def shardRebalanceOracle(nShards: Int = 8, window: Int = 2048): String =
+    s"""WITH shards AS (
+       |  SELECT * FROM (
+       |${shardManifestOracle(nShards, window).linesIterator.map("    " + _).mkString("\n")}
+       |  ) s
+       |), t AS (
+       |  SELECT count(*) AS n_shards, CAST(sum(n_tokens) AS BIGINT) AS tokens_total
+       |  FROM shards
+       |)
+       |SELECT s.shard, s.n_tokens,
+       |  CAST((CAST(s.n_tokens AS HUGEINT) * t.n_shards * 1000) // t.tokens_total AS BIGINT)
+       |    AS tokens_ratio_permille,
+       |  CASE WHEN CAST(s.n_tokens AS HUGEINT) * t.n_shards * 5 > CAST(t.tokens_total AS HUGEINT) * 6
+       |       THEN 'split'
+       |       WHEN CAST(s.n_tokens AS HUGEINT) * t.n_shards * 5 < CAST(t.tokens_total AS HUGEINT) * 4
+       |       THEN 'merge'
+       |       ELSE 'ok' END AS action
+       |FROM shards s CROSS JOIN t
+       |ORDER BY s.shard""".stripMargin
+
   /** The GATE on the written artifact: write, then READ BACK the parquet
     * and report per-shard docs / packed windows / tokens / an order- and
     * content-sensitive hash — compared against DuckDB recomputing the

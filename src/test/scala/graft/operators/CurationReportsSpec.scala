@@ -57,6 +57,33 @@ class CurationReportsSpec extends AnyFunSuite {
     assert(sweep(512L)._1 > sweep(8192L)._1, "window count must fall as L rises")
   }
 
+  test("audit sample is exactly the k pairs nearest the decision boundary") {
+    val pairs = Dedup.ngramJaccardPairs(spark, dir)
+      .select("id_a", "id_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = pairs
+      .map { case (a, b, j) =>
+        val perm = math.floor(j * 1000).toLong
+        (math.abs(perm - 500L), a, b, perm)
+      }
+      .sortBy(t => (t._1, t._2, t._3))
+      .take(20)
+      .map(t => (t._2, t._3, t._4, t._1)).toSet
+    val texts = Dedup.corpusWithNearDups(spark, dir)
+      .selectExpr("doc_id", "md5(text) AS h")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sample = Dedup.auditSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    assert(sample.map(t => (t._1, t._2, t._3, t._4)).toSet == expected)
+    sample.foreach { case (a, b, _, _, ma, mb) =>
+      assert(ma == texts(a) && mb == texts(b), s"md5 mismatch for pair ($a,$b)")
+    }
+    assert(sample.length == math.min(20, pairs.length))
+    // the sample must actually straddle the cusp band, not sit at J=1
+    assert(sample.map(_._4).min < 500L, "no pair anywhere near the boundary")
+  }
+
   test("keep ablation matches a brute force over the manifest flags") {
     val m = TextAnalysis.trainingManifest(spark, dir)
       .select("keep_dedup", "keep_quality", "keep_bucket")

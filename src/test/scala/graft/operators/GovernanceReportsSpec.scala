@@ -123,6 +123,29 @@ class GovernanceReportsSpec extends AnyFunSuite {
     assert(rates.values.map(_._2).sum > 0 && rates.values.map(_._3).sum > 0)
   }
 
+  test("shard rebalance plan matches integer-threshold brute force") {
+    val shards = TextAnalysis.shardManifest(spark, dir)
+      .select("shard", "n_tokens")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = shards.size.toLong
+    val total = shards.values.sum
+    val plan = TextAnalysis.shardRebalance(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(plan.map(_._1).toSet == shards.keySet)
+    plan.foreach { case (shard, toks, permille, action) =>
+      assert(toks == shards(shard), s"shard $shard tokens")
+      assert(permille == BigInt(toks) * n * 1000 / total, s"shard $shard permille")
+      val expected =
+        if (BigInt(toks) * n * 5 > BigInt(total) * 6) "split"
+        else if (BigInt(toks) * n * 5 < BigInt(total) * 4) "merge"
+        else "ok"
+      assert(action == expected, s"shard $shard action")
+    }
+    // the fixture's shards are hash-uneven enough that the plan must
+    // recommend at least one action, or the table is vacuous
+    assert(plan.exists(_._4 != "ok"), "rebalance plan recommends nothing")
+  }
+
   test("deletion impact matches a brute force over the raw event log") {
     val report = EventOps.deletionImpact(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

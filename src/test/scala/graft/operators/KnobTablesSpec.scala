@@ -4,10 +4,11 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSuite
 
-/** Brute-force gates for the round-11 knob tables (ANN compression ladder,
-  * eval-side burn report). The DuckDB oracles pin cross-engine value
-  * equality; these specs pin the SEMANTICS against naive recomputations
-  * and that the fixtures populate each table's signal.
+/** Brute-force gates for the round-11 knob tables and audits (ANN
+  * compression ladder, eval-side burn report, exact-vector dedup). The
+  * DuckDB oracles pin cross-engine value equality; these specs pin the
+  * SEMANTICS against naive recomputations and that the fixtures populate
+  * each table's signal.
   */
 class KnobTablesSpec extends AnyFunSuite {
   lazy val spark = SparkSuite.spark
@@ -40,6 +41,57 @@ class KnobTablesSpec extends AnyFunSuite {
       "every compressed index is perfect - the knob table is vacuous")
     // each method returns at most k rows per query, so permille <= 1000
     assert(sweep.values.forall(_._3 <= 1000L))
+  }
+
+  test("exact vector dups find exactly the planted re-ingest, nothing else") {
+    val groups = Similarity.exactVectorDups(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = graft.Fixtures.table(spark, dir, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0))
+    // the fixture's vectors are pairwise distinct, so the duplicate
+    // groups must be EXACTLY the planted re-ingest: every 41st vector,
+    // keep_id = the original (min of the pair), 2 copies each
+    val planted = ids.filter(_ % 41 == 0).toSet
+    assert(groups.keySet == planted,
+      s"extra=${(groups.keySet -- planted).take(5)} missing=${(planted -- groups.keySet).take(5)}")
+    assert(groups.values.forall(_ == 2L), "planted groups must have exactly 2 copies")
+    assert(groups.nonEmpty)
+  }
+
+  test("watermark sweep matches a sequential recomputation of the lateness") {
+    import org.apache.spark.sql.functions._
+    // independent re-derivation: trust only the per-event arrival hash
+    // (property-tested elsewhere); recompute the running-max lateness
+    // SEQUENTIALLY — the two-level distributed prefix is what's at risk
+    val rows = graft.Fixtures.table(spark, dir, "events")
+      .select(col("event_id"), unix_micros(col("ts").cast("timestamp")).as("tus"))
+      .withColumn("arr",
+        col("tus") + TextAnalysis.mixedHashOf("late|", col("event_id")) % 120000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._3, t._1))
+    var runMax = Long.MinValue
+    val lates = rows.map { case (_, tus, _) =>
+      val late = if (runMax == Long.MinValue) 0L else math.max(0L, runMax - tus)
+      runMax = math.max(runMax, tus)
+      late
+    }
+    val sweep = EventOps.watermarkSweep(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(sweep.keySet == Set(1L, 5L, 15L, 30L, 60L, 120L))
+    sweep.foreach { case (d, (n, dropped, ppm)) =>
+      assert(n == rows.length.toLong, s"d=$d n_events")
+      assert(dropped == lates.count(_ > d * 1000000L).toLong, s"d=$d n_dropped")
+      assert(ppm == dropped * 1000000L / n, s"d=$d ppm")
+    }
+    // the simulated delay is < 120 s, so a 120 s watermark drops nothing;
+    // a 1 s watermark must drop something or the sweep is vacuous
+    assert(sweep(120L)._2 == 0L, "120 s watermark must be lossless")
+    assert(sweep(1L)._2 > 0L, "1 s watermark drops nothing - signal missing")
+    // monotone: a longer delay never drops more
+    val ds = Seq(1L, 5L, 15L, 30L, 60L, 120L)
+    ds.sliding(2).foreach { case Seq(a, b) =>
+      assert(sweep(a)._2 >= sweep(b)._2, "drop count must fall as delay rises")
+    }
   }
 
   test("eval burn matches a brute force and catches every planted original") {

@@ -697,6 +697,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected the broadcast purge join: ${names.distinct.mkString(",")}")
   }
 
+  test("audit sample: cusp selection is TakeOrdered; md5 joins broadcast") {
+    val df = graft.operators.Dedup.auditSample(spark, SparkSuite.Sf0001)
+    df.collect()
+    val names = nodes(df).map(_.nodeName)
+    assert(names.exists(_.contains("TakeOrderedAndProject")),
+      s"k-nearest cusp selection regressed to a global sort: ${names.distinct.mkString(",")}")
+    assert(!names.exists(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoop")), names.distinct.mkString(","))
+    assert(names.exists(_.contains("BroadcastHashJoin")),
+      s"expected broadcast md5 joins: ${names.distinct.mkString(",")}")
+  }
+
   test("release report: audit joins never go nested-loop; key joins stay on 8-byte ids") {
     val df = graft.operators.TextAnalysis.releaseReport(spark, SparkSuite.Sf0001)
     df.collect()
