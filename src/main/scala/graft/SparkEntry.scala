@@ -208,6 +208,12 @@ object SparkEntry {
       "ann_ivf_cell_balance" -> ((s, d) => Similarity.ivfCellBalance(s, d)),
       // MRL truncation probe: full-dim vs half-dim top-k overlap
       "ann_matryoshka_overlap" -> ((s, d) => Similarity.matryoshkaOverlap(s, d)),
+      // filtered vector search (round 11): pre-filter exact top-k under a
+      // label predicate, with the eligible-pool size per query
+      "ann_filtered_topk" -> ((s, d) => Similarity.filteredTopK(s, d)),
+      // the post-filter strategy on the unfiltered IVF index, each hit
+      // flagged against the exact filtered answer (filtered recall)
+      "ann_filtered_ivf" -> ((s, d) => Similarity.filteredIvfTopK(s, d)),
       // 2-D skyline via per-size min + suffix-min over the size domain
       "q_pareto_frontier" -> (RelationalExt.paretoFrontier(_, _)),
       // exact weighted percentiles via grouped-value two-level prefix sums
@@ -328,6 +334,9 @@ object SparkEntry {
       // text analysis (BASELINE.json LLM-pipeline operators)
       "text_token_counts" -> (TextAnalysis.tokenCounts(_, _)),
       "text_quality" -> (TextAnalysis.qualityScores(_, _)),
+      // code-vs-prose composition per source (round 11): planted
+      // code-rendered docs, symbol-density detector, exact ppm rollup
+      "text_code_detect" -> (TextAnalysis.codeDetect(_, _)),
       "text_langid" -> (TextAnalysis.languageId(_, _)),
       "text_lang_confusion" -> (TextAnalysis.langConfusion(_, _)),
       "text_fingerprints" -> (TextAnalysis.fingerprints(_, _)),
@@ -364,6 +373,9 @@ object SparkEntry {
       "docs_split_leakage" -> (TextAnalysis.splitLeakage(_, _)),
       "docs_cluster_safe_split" -> (TextAnalysis.clusterSafeSplit(_, _)),
       "docs_gopher_rules" -> (TextAnalysis.gopherRules(_, _)),
+      // filter-redundancy read (round 11): pairwise 2x2 confusion +
+      // Cohen's kappa across the four keep decisions, one corpus pass
+      "docs_filter_agreement" -> (TextAnalysis.filterAgreement(_, _)),
       "docs_curriculum_order" -> (TextAnalysis.curriculumOrder(_, _)),
       "docs_corpus_report" -> (TextAnalysis.corpusReport(_, _)),
       // overlapping token-window chunk plan (the RAG embedding front door)
@@ -621,6 +633,8 @@ object SparkEntry {
       "ann_pq_distortion" -> Similarity.pqDistortionOracle(),
       "ann_ivf_cell_balance" -> Similarity.ivfCellBalanceOracle(),
       "ann_matryoshka_overlap" -> Similarity.matryoshkaOverlapOracle(),
+      "ann_filtered_topk" -> Similarity.filteredTopKOracle(),
+      "ann_filtered_ivf" -> Similarity.filteredIvfTopKOracle(),
       "q_pareto_frontier" -> RelationalExt.paretoFrontierOracle,
       "profile_weighted_percentiles" -> ProfileQueries.weightedPercentilesOracle(),
       "docs_pps_sample" -> TextAnalysis.ppsSampleOracle(),
@@ -732,6 +746,7 @@ object SparkEntry {
       "q_except_all" -> RelationalExt.customerNationsExceptAllOracle,
       "text_token_counts" -> TextAnalysis.tokenCountsOracle,
       "text_quality" -> TextAnalysis.qualityScoresOracle,
+      "text_code_detect" -> TextAnalysis.codeDetectOracle,
       "text_langid" -> TextAnalysis.languageIdOracle,
       "text_lang_confusion" -> TextAnalysis.langConfusionOracle,
       "text_fingerprints" -> TextAnalysis.fingerprintsOracle,
@@ -760,6 +775,7 @@ object SparkEntry {
       "docs_split_leakage" -> TextAnalysis.splitLeakageOracle,
       "docs_cluster_safe_split" -> TextAnalysis.clusterSafeSplitOracle,
       "docs_gopher_rules" -> TextAnalysis.gopherRulesOracle,
+      "docs_filter_agreement" -> TextAnalysis.filterAgreementOracle,
       "docs_curriculum_order" -> TextAnalysis.curriculumOrderOracle(),
       "docs_corpus_report" -> TextAnalysis.corpusReportOracle,
       "docs_rag_chunks" -> TextAnalysis.ragChunksOracle(),

@@ -457,6 +457,127 @@ object Similarity {
        |       mx * $nCentroids * 1000 // total AS imbalance_milli
        |FROM sizes, t ORDER BY cell""".stripMargin
 
+  // ------------------------------------------------ filtered vector search
+  /** FILTERED EXACT TOP-K — vector search under a metadata predicate, the
+    * request shape every production vector store serves ("nearest
+    * neighbors WHERE label = X"): each query retrieves its k nearest
+    * cosine neighbors among candidates sharing ITS OWN label (self
+    * excluded), plus the eligible-pool size so the table shows the
+    * selectivity the predicate imposed. This is the PRE-FILTER strategy —
+    * the predicate lands on the candidate scan (parquet-pushdown-able at
+    * scale) and the scoring runs over survivors only — optimal when the
+    * filter is selective; the post-filter alternative (probe an
+    * unfiltered index, discard, re-probe deeper) is [[filteredIvfTopK]].
+    * Queries broadcast; no shuffle carries the corpus. */
+  def filteredTopK(spark: SparkSession, dir: String, numQueries: Int = 8,
+      k: Int = 3): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("embedding").as("qv"), norm(col("embedding")).as("qn"))
+    val c = e.select(col("vec_id").as("cand_id"), col("label").as("clabel"),
+      col("embedding").as("cv"), norm(col("embedding")).as("cn"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    broadcast(q)
+      .join(c, col("qlabel") === col("clabel") && col("query_id") =!= col("cand_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("n_eligible", count(lit(1)).over(Window.partitionBy("query_id")))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("qlabel").cast("bigint").as("label"),
+        col("cand_id"), col("rank"), col("cos"), col("n_eligible"))
+      .orderBy("query_id", "rank")
+  }
+
+  def filteredTopKOracle(numQueries: Int = 8, k: Int = 3): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, CAST(label AS BIGINT) AS label,
+       |             embedding AS qv FROM embeddings WHERE vec_id < $numQueries),
+       |c AS (SELECT vec_id AS cand_id, CAST(label AS BIGINT) AS clabel,
+       |        embedding AS cv FROM embeddings),
+       |scored AS (
+       |  SELECT query_id, label, cand_id, ${cosSql("qv", "cv")} AS cos
+       |  FROM q JOIN c ON label = clabel AND query_id != cand_id
+       |), ranked AS (
+       |  SELECT query_id, label, cand_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank,
+       |         count(*) OVER (PARTITION BY query_id) AS n_eligible
+       |  FROM scored
+       |)
+       |SELECT query_id, label, cand_id, rank, cos, n_eligible FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** FILTERED IVF TOP-K — the POST-FILTER strategy on an unfiltered index:
+    * probe the query's nprobe nearest cells of the shared seed-centroid
+    * IVF ([[ivfAssign]] — the index does not know about the predicate),
+    * THEN apply the label filter to the surfaced candidates and rank the
+    * survivors. The `hit` column marks agreement with the exact filtered
+    * answer ([[filteredTopK]]), so the table carries its own
+    * filtered-recall story — the number an operator watches, because
+    * post-filtering starves exactly when the predicate is selective
+    * (expected survivors per probe ≈ |cell| · selectivity). The
+    * production mitigations are probing ~nprobe/selectivity cells or
+    * partitioning the index BY the filter column when it is
+    * low-cardinality; this table is how you detect that you need them.
+    * Index build, probe, filter, and the exact twin are all
+    * deterministic strict-fold math, so the whole comparison sits under
+    * the DuckDB oracle. Scale shape: the probe side is the usual
+    * broadcast-probes bucket join; the exact twin is the eval harness
+    * over a bounded query set, same posture as [[recallEval]]. */
+  def filteredIvfTopK(spark: SparkSession, dir: String, numQueries: Int = 8,
+      k: Int = 3, nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+    val (cells, probes) = ivfAssign(e, nCentroids, nprobe, col("vec_id") < numQueries)
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("embedding").as("qv"), norm(col("embedding")).as("qn"))
+    val c = e.select(col("vec_id").as("cand_id"), col("label").as("clabel"),
+      col("embedding").as("cv"), norm(col("embedding")).as("cn"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    val approx = broadcast(probes).join(cells, "cell")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"))
+      .join(broadcast(q), "query_id").join(c, "cand_id")
+      .filter(col("qlabel") === col("clabel"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+    val exact = filteredTopK(spark, dir, numQueries, k)
+      .select(col("query_id"), col("cand_id"), lit(1L).as("hit"))
+    approx.join(broadcast(exact), Seq("query_id", "cand_id"), "left")
+      .select(col("query_id"), col("cand_id"), col("rank"), col("cos"),
+        coalesce(col("hit"), lit(0L)).as("hit"))
+      .orderBy("query_id", "rank")
+  }
+
+  def filteredIvfTopKOracle(numQueries: Int = 8, k: Int = 3,
+      nCentroids: Int = 16, nprobe: Int = 4): String =
+    s"""WITH ${ivfAssignCtes(nCentroids, nprobe, s"vec_id < $numQueries")}, fcands AS (
+       |  SELECT query_id, cells.vec_id AS cand_id
+       |  FROM probes JOIN cells USING (cell)
+       |  WHERE query_id != cells.vec_id
+       |), scored AS (
+       |  SELECT query_id, cand_id, ${cosSql("qe.embedding", "ce.embedding")} AS cos
+       |  FROM fcands
+       |  JOIN embeddings qe ON qe.vec_id = query_id
+       |  JOIN embeddings ce ON ce.vec_id = cand_id AND ce.label = qe.label
+       |), ranked AS (
+       |  SELECT query_id, cand_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+       |  FROM scored
+       |), exact_scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS xrank
+       |  FROM embeddings q
+       |  JOIN embeddings c ON q.label = c.label AND q.vec_id != c.vec_id
+       |  WHERE q.vec_id < $numQueries
+       |), exact AS (SELECT query_id, cand_id FROM exact_scored WHERE xrank <= $k)
+       |SELECT r.query_id, r.cand_id, r.rank, r.cos,
+       |       CAST(CASE WHEN e.cand_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS hit
+       |FROM ranked r LEFT JOIN exact e
+       |  ON e.query_id = r.query_id AND e.cand_id = r.cand_id
+       |WHERE r.rank <= $k ORDER BY r.query_id, r.rank""".stripMargin
+
   /** ORACLE-GATED IVF with ONE LLOYD REFINEMENT — a real distributed
     * k-means iteration, exactly verified cross-engine. Iteration 0 assigns
     * every vector to its nearest seed centroid (as [[ivfTopK]]); the M-step

@@ -1589,6 +1589,116 @@ object TextAnalysis {
        |FROM ranked ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------- filter agreement (kappa)
+  /** The four per-doc keep decisions the curation surface already gates,
+    * as one boolean per filter: Gopher rule bands, the stopword quality
+    * screen, the CCNet surprisal bucket (keep = not `tail`), and the
+    * per-source quality prune. One row per doc — the frame every
+    * agreement/ablation question reads. */
+  private def filterFlags(spark: SparkSession, dir: String): DataFrame =
+    gopherRules(spark, dir).select(col("doc_id"), col("keep").as("gopher"))
+      .join(qualityScores(spark, dir)
+        .select(col("doc_id"), col("passes_quality").as("quality")), "doc_id")
+      .join(unigramSurprisal(spark, dir)
+        .select(col("doc_id"), (col("bucket") =!= "tail").as("ccnet")), "doc_id")
+      .join(qualityPrune(spark, dir)
+        .select(col("doc_id"), col("keep").as("prune")), "doc_id")
+
+  private val filterNames = Seq("gopher", "quality", "ccnet", "prune")
+  private val filterPairs: Seq[(String, String)] =
+    for { i <- filterNames.indices; j <- (i + 1) until filterNames.size }
+      yield (filterNames(i), filterNames(j))
+
+  /** FILTER-AGREEMENT MATRIX — for every pair of quality filters, the 2×2
+    * confusion counts, exact half-up agreement permille, and COHEN'S KAPPA
+    * (chance-corrected agreement, Cohen 1960): κ = (p_o − p_e)/(1 − p_e)
+    * with p_e from the marginal keep rates. This is the redundancy read a
+    * curation owner takes before stacking filters: κ ≈ 1 means the second
+    * filter adds nothing; κ ≈ 0 means it cuts an independent dimension
+    * (and the union will over-prune); negative κ means the filters
+    * actively disagree and one of them is probably mis-calibrated for
+    * this corpus. Kappa is emitted as the IEEE quotient of two exact
+    * int64 counts (n·agree − E over n² − E, products ≤ n² — int64-safe to
+    * ~3·10⁹ docs, the 100 TB regime; beyond that the counts widen to
+    * DECIMAL like the tfidf path), so both engines compute bit-identical
+    * doubles; NULL when a degenerate pair leaves no chance variation.
+    *
+    * Scale shape: ONE pass builds the four flags (each filter's own
+    * sub-linear pipeline), ONE count-only aggregate folds all 24
+    * conditional sums map-side into a single row, and the 6 output rows
+    * are projections of that broadcast-sized row — nothing after the
+    * flags frame is corpus-sized. */
+  def filterAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = filterPairs.flatMap { case (a, b) =>
+      Seq(
+        sum(when(col(a) && col(b), 1L).otherwise(0L)).as(s"${a}_${b}_bk"),
+        sum(when(!col(a) && !col(b), 1L).otherwise(0L)).as(s"${a}_${b}_bd"),
+        sum(when(col(a) && !col(b), 1L).otherwise(0L)).as(s"${a}_${b}_oa"),
+        sum(when(!col(a) && col(b), 1L).otherwise(0L)).as(s"${a}_${b}_ob"))
+    }
+    val one = filterFlags(spark, dir)
+      .agg(count(lit(1)).as("n_docs"), aggs: _*)
+      .localCheckpoint(false) // 1 row; its 6 consumers must not refold the corpus
+    filterPairs.map { case (a, b) =>
+      one.select(lit(a).as("filter_a"), lit(b).as("filter_b"), col("n_docs"),
+        col(s"${a}_${b}_bk").as("both_keep"), col(s"${a}_${b}_bd").as("both_drop"),
+        col(s"${a}_${b}_oa").as("only_a"), col(s"${a}_${b}_ob").as("only_b"))
+    }.reduce(_ unionAll _)
+      .withColumn("agree_permille",
+        expr("(1000 * (both_keep + both_drop) + n_docs div 2) div n_docs"))
+      .withColumn("kappa", expr(
+        """CASE WHEN n_docs * n_docs =
+          |  (both_keep + only_a) * (both_keep + only_b)
+          |    + (both_drop + only_b) * (both_drop + only_a) THEN NULL
+          |ELSE CAST(n_docs * (both_keep + both_drop)
+          |    - ((both_keep + only_a) * (both_keep + only_b)
+          |       + (both_drop + only_b) * (both_drop + only_a)) AS DOUBLE)
+          |  / (n_docs * n_docs
+          |     - ((both_keep + only_a) * (both_keep + only_b)
+          |        + (both_drop + only_b) * (both_drop + only_a))) END""".stripMargin))
+      .orderBy("filter_a", "filter_b")
+  }
+
+  def filterAgreementOracle: String = {
+    val aggs = filterPairs.flatMap { case (a, b) => Seq(
+      s"CAST(sum(CASE WHEN $a AND $b THEN 1 ELSE 0 END) AS BIGINT) AS ${a}_${b}_bk",
+      s"CAST(sum(CASE WHEN NOT $a AND NOT $b THEN 1 ELSE 0 END) AS BIGINT) AS ${a}_${b}_bd",
+      s"CAST(sum(CASE WHEN $a AND NOT $b THEN 1 ELSE 0 END) AS BIGINT) AS ${a}_${b}_oa",
+      s"CAST(sum(CASE WHEN NOT $a AND $b THEN 1 ELSE 0 END) AS BIGINT) AS ${a}_${b}_ob")
+    }.mkString(",\n    ")
+    val branches = filterPairs.map { case (a, b) =>
+      s"""SELECT '$a' AS filter_a, '$b' AS filter_b, n_docs,
+         |    ${a}_${b}_bk AS both_keep, ${a}_${b}_bd AS both_drop,
+         |    ${a}_${b}_oa AS only_a, ${a}_${b}_ob AS only_b FROM one""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH g AS (SELECT doc_id, keep AS gopher FROM ($gopherRulesOracle) t),
+       |q AS (SELECT doc_id, passes_quality AS quality FROM ($qualityScoresOracle) t),
+       |c AS (SELECT doc_id, bucket != 'tail' AS ccnet FROM ($unigramSurprisalOracle) t),
+       |p AS (SELECT doc_id, keep AS prune FROM (${qualityPruneOracle()}) t),
+       |wide AS (
+       |  SELECT g.doc_id, gopher, quality, ccnet, prune
+       |  FROM g JOIN q USING (doc_id) JOIN c USING (doc_id) JOIN p USING (doc_id)
+       |), one AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    $aggs
+       |  FROM wide
+       |), rows_ AS (
+       |$branches
+       |)
+       |SELECT filter_a, filter_b, n_docs, both_keep, both_drop, only_a, only_b,
+       |  (1000 * (both_keep + both_drop) + n_docs // 2) // n_docs AS agree_permille,
+       |  CASE WHEN n_docs * n_docs =
+       |    (both_keep + only_a) * (both_keep + only_b)
+       |      + (both_drop + only_b) * (both_drop + only_a) THEN NULL
+       |  ELSE CAST(n_docs * (both_keep + both_drop)
+       |      - ((both_keep + only_a) * (both_keep + only_b)
+       |         + (both_drop + only_b) * (both_drop + only_a)) AS DOUBLE)
+       |    / (n_docs * n_docs
+       |       - ((both_keep + only_a) * (both_keep + only_b)
+       |          + (both_drop + only_b) * (both_drop + only_a))) END AS kappa
+       |FROM rows_ ORDER BY filter_a, filter_b""".stripMargin
+  }
+
   // --------------------------------------------- deterministic data splits
   /** Deterministic TRAIN/VAL/TEST assignment — hash of the doc IDENTITY
     * (never the text: editing a doc must not move it across splits), 100
@@ -3472,4 +3582,90 @@ object TextAnalysis {
        |  boot_hi_milli - boot_lo_milli AS ci_width_milli
        |FROM point p JOIN ci USING (source)
        |ORDER BY source""".stripMargin
+
+  // ----------------------------------------------- code-likeness screen
+  /** Deterministic code-rendered twin of each doc for the code screen
+    * (the [[graft.operators.WebNormalize]] `rawHtml` pattern): every
+    * doc_id % 7 == 0 doc is re-rendered as a function skeleton with its
+    * first 120 chars semicolon-delimited, the rest pass through verbatim.
+    * One expression string shared by the Spark plan and the DuckDB
+    * oracle, so the planted shape cannot drift between engines. At 100 TB
+    * the synthesis is replaced by the raw crawl text — the DETECTOR below
+    * is the operator. */
+  private val codeRenderSql: String =
+    """CASE WHEN doc_id % 7 = 0
+      |     THEN 'void f() { return (' || replace(substring(text, 1, 120), ' ', '; ') || '); }'
+      |     ELSE text END""".stripMargin
+
+  /** Per-doc code-likeness flags over the rendered text: pure
+    * length/replace counting (no regex dialect to reconcile) of the
+    * symbols prose never carries — `;` `{}` `()` — plus a `return`
+    * keyword hit, folded into an exact half-up symbol-density permille
+    * and the keep decision `is_code = density ≥ 15‰ AND (keyword OR ≥ 5
+    * semicolons)`. Row-local projection end to end. */
+  private[graft] def codeFlags(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .withColumn("r", expr(codeRenderSql))
+      .withColumn("chars", length(col("r")).cast("bigint"))
+      .withColumn("n_semi",
+        (length(col("r")) - length(expr("replace(r, ';', '')"))).cast("bigint"))
+      .withColumn("n_brace",
+        (length(col("r")) * 2 - length(expr("replace(r, '{', '')"))
+          - length(expr("replace(r, '}', '')"))).cast("bigint"))
+      .withColumn("n_paren",
+        (length(col("r")) * 2 - length(expr("replace(r, '(', '')"))
+          - length(expr("replace(r, ')', '')"))).cast("bigint"))
+      .withColumn("kw_return",
+        expr("CAST((length(r) - length(replace(r, 'return ', ''))) div 7 AS BIGINT)"))
+      .withColumn("symbols", col("n_semi") + col("n_brace") + col("n_paren"))
+      .withColumn("symbol_permille",
+        expr("(1000 * symbols + chars div 2) div chars"))
+      .withColumn("is_code",
+        col("symbol_permille") >= 15 && (col("kw_return") >= 1 || col("n_semi") >= 5))
+
+  /** CODE-LIKENESS RATES BY SOURCE — the prose/code composition read a
+    * mixture owner takes before setting code-vs-text sampling weights
+    * (and the screen that catches a "text" source that is secretly a code
+    * dump): per source, docs, code-flagged docs, exact half-up ppm, and
+    * the max symbol density seen. Detector signals are pure
+    * length/replace counting over a row-local projection; the rollup is a
+    * 20-group aggregate with map-side partials — the scan is the whole
+    * cost at any scale. */
+  def codeDetect(spark: SparkSession, dir: String): DataFrame =
+    codeFlags(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_code"), 1L).otherwise(0L)).as("code_docs"),
+        max(col("symbol_permille")).as("max_symbol_permille"))
+      .withColumn("code_ppm",
+        expr("(code_docs * 1000000 + n_docs div 2) div n_docs"))
+      .select("source", "n_docs", "code_docs", "code_ppm", "max_symbol_permille")
+      .orderBy("source")
+
+  val codeDetectOracle: String = {
+    val render = codeRenderSql.replace("\n", "\n  ")
+    s"""WITH rendered AS (
+       |  SELECT doc_id, source, $render AS r FROM documents
+       |), sig AS (
+       |  SELECT doc_id, source,
+       |    CAST(length(r) AS BIGINT) AS chars,
+       |    CAST(length(r) - length(replace(r, ';', '')) AS BIGINT) AS n_semi,
+       |    CAST(length(r) * 2 - length(replace(r, '{', '')) - length(replace(r, '}', '')) AS BIGINT) AS n_brace,
+       |    CAST(length(r) * 2 - length(replace(r, '(', '')) - length(replace(r, ')', '')) AS BIGINT) AS n_paren,
+       |    CAST((length(r) - length(replace(r, 'return ', ''))) // 7 AS BIGINT) AS kw_return
+       |  FROM rendered
+       |), flags AS (
+       |  SELECT source,
+       |    (1000 * (n_semi + n_brace + n_paren) + chars // 2) // chars AS symbol_permille,
+       |    ((1000 * (n_semi + n_brace + n_paren) + chars // 2) // chars >= 15
+       |      AND (kw_return >= 1 OR n_semi >= 5)) AS is_code
+       |  FROM sig
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN is_code THEN 1 ELSE 0 END) AS BIGINT) AS code_docs,
+       |  (CAST(sum(CASE WHEN is_code THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+       |    + CAST(count(*) AS BIGINT) // 2) // CAST(count(*) AS BIGINT) AS code_ppm,
+       |  max(symbol_permille) AS max_symbol_permille
+       |FROM flags GROUP BY source ORDER BY source""".stripMargin
+  }
 }

@@ -720,4 +720,51 @@ class PlanQualitySpec extends AnyFunSuite {
       n.contains("BroadcastNestedLoop")),
       s"release audit regressed to a product join: ${names.distinct.mkString(",")}")
   }
+
+  test("filtered search: queries broadcast on the label equi-key; no product joins") {
+    // pre-filter form: the label predicate is an EQUI key — losing it to a
+    // nested-loop join would score every (query, candidate) pair, the exact
+    // failure filtered search exists to avoid
+    val pre = graft.operators.Similarity.filteredTopK(spark, SparkSuite.Sf0001)
+    pre.collect()
+    val preNames = nodes(pre).map(_.nodeName)
+    assert(!preNames.exists(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoop")),
+      s"pre-filter search regressed to a product join: ${preNames.distinct.mkString(",")}")
+    assert(preNames.exists(_.contains("BroadcastHashJoin")),
+      s"expected broadcast query-side joins: ${preNames.distinct.mkString(",")}")
+    // post-filter IVF form: the only nested-loop joins allowed are the
+    // documented n-row centroid broadcasts inside ivfAssign (every vector
+    // must meet every centroid by construction); candidate/query/exact
+    // joins must all stay hash
+    val post = graft.operators.Similarity.filteredIvfTopK(spark, SparkSuite.Sf0001)
+    post.collect()
+    val postNodes = nodes(post)
+    assert(!postNodes.exists(_.nodeName.contains("CartesianProduct")))
+    val bnlj = postNodes.filter(_.nodeName.contains("BroadcastNestedLoop"))
+    assert(bnlj.size <= 2, // assignment + probe legs of the one ivfAssign
+      s"unexpected nested-loop joins beyond the centroid broadcast: ${bnlj.size}")
+    assert(postNodes.map(_.nodeName).count(_.contains("BroadcastHashJoin")) >= 3,
+      "candidate/query/exact joins must plan as broadcast hash joins")
+  }
+
+  test("code detect: scan prunes to the 3 needed columns; rollup is partial+final") {
+    val df = graft.operators.TextAnalysis.codeDetect(spark, SparkSuite.Sf0001)
+    val scan = scans(df).head
+    assert(scan.requiredSchema.fieldNames.toSet == Set("doc_id", "source", "text"),
+      s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}")
+    val aggs = nodes(df).filter(_.nodeName.contains("HashAggregate"))
+    assert(aggs.size >= 2, "expected partial and final HashAggregate for the source rollup")
+  }
+
+  test("filter agreement: the 6 output rows reuse the single folded row, not the corpus") {
+    val df = graft.operators.TextAnalysis.filterAgreement(spark, SparkSuite.Sf0001)
+    df.collect()
+    // the corpus-sized flag fold happens ONCE behind a checkpoint; the six
+    // pair projections must read that 1-row RDD, so the executed plan may
+    // contain no parquet scan at all (a scan here means a branch re-folded
+    // the corpus six times)
+    assert(scans(df).isEmpty,
+      s"filter-agreement branches re-read the corpus: ${nodes(df).map(_.nodeName).distinct.mkString(",")}")
+  }
 }
