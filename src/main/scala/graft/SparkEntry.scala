@@ -519,6 +519,9 @@ object SparkEntry {
       "multimodal_frames" -> (Multimodal.frameSamples(_, _)),
       "multimodal_tiles" -> (Multimodal.tilePlan(_, _)),
       "multimodal_audio_profile" -> (Multimodal.audioProfile(_, _)),
+      // frame-energy VAD over the same decode seam (round 11): voiced
+      // frames, longest voiced run, exact speech permille per clip
+      "multimodal_audio_vad" -> (Multimodal.audioVad(_, _)),
       "multimodal_image_dhash" -> (Multimodal.imageDHashProfile(_, _)),
       "dedup_image_groups" -> (Multimodal.imageDupGroups(_, _)),
       // data-quality validation rules (the north-star surface)
@@ -865,6 +868,7 @@ object SparkEntry {
       "multimodal_frames" -> Multimodal.frameSamplesOracle,
       "multimodal_tiles" -> Multimodal.tilePlanOracle(),
       "multimodal_audio_profile" -> Multimodal.audioProfileOracle,
+      "multimodal_audio_vad" -> Multimodal.audioVadOracle,
       "multimodal_image_dhash" -> Multimodal.imageDHashProfileOracle,
       "dedup_image_groups" -> Multimodal.imageDupGroupsOracle,
       "quality_checks" -> graft.quality.QualitySuite.oracle)

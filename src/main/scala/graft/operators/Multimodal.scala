@@ -537,6 +537,129 @@ object Multimodal {
       |  CAST(sum(CASE WHEN abs(v) >= 32760 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ WAV energy VAD
+  /** Per-clip energy VAD over the RIFF parse: split the PCM stream into
+    * `frameLen`-sample frames (partial tail dropped — the standard
+    * frame-synchronous convention) and gate each frame on exact integer
+    * energy Σs² ≥ `thr`. Emits the three numbers a speech-curation
+    * pipeline filters on — frame count, voiced-frame count, and the
+    * LONGEST VOICED RUN (the min-utterance-length screen) — computed
+    * row-locally inside the decode seam, so only (id, 3 ints) ever exits
+    * it; no shuffle sees samples at any scale. Same chunk-walk contract
+    * as [[wavStats]] (16-bit PCM only, throws on compressed payloads). */
+  case class VadStats(nFrames: Long, activeFrames: Long, longestRun: Long)
+
+  def vadStats(payload: Array[Byte], frameLen: Int = 20, thr: Long = 10000L): VadStats = {
+    val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(payload.length >= 44 && bb.getInt(0) == 0x46464952 &&
+      bb.getInt(8) == 0x45564157, "not a RIFF/WAVE payload")
+    var pos = 12
+    var haveFmt = false
+    var dataOff = -1; var dataLen = 0
+    while (pos + 8 <= payload.length && (dataOff < 0 || !haveFmt)) {
+      val id = bb.getInt(pos); val sz = bb.getInt(pos + 4)
+      require(sz >= 0, s"malformed chunk size $sz at offset $pos")
+      if (id == 0x20746d66) { // "fmt "
+        require(bb.getShort(pos + 8) == 1, "compressed WAV: PCM only")
+        require(bb.getShort(pos + 22) == 16, "16-bit PCM only")
+        haveFmt = true
+      } else if (id == 0x61746164) { dataOff = pos + 8; dataLen = sz } // "data"
+      pos += 8 + sz + (sz & 1)
+    }
+    require(haveFmt && dataOff >= 0, "missing fmt/data chunk")
+    val nFrames = (dataLen / 2) / frameLen
+    var f = 0; var active = 0L; var run = 0L; var best = 0L
+    while (f < nFrames) {
+      var i = 0; var e = 0L
+      while (i < frameLen) {
+        val s = bb.getShort(dataOff + 2 * (f * frameLen + i)).toInt
+        e += s.toLong * s; i += 1
+      }
+      if (e >= thr) { active += 1; run += 1; if (run > best) best = run }
+      else run = 0
+      f += 1
+    }
+    VadStats(nFrames.toLong, active, best)
+  }
+
+  /** Deterministic VAD fixture waveform: [[synthWav]]'s header with a
+    * planted silence structure — every frame where `(frame + doc) % 3 == 0`
+    * is digital zero, the rest carry the integer noise pattern (whose
+    * per-frame energy provably clears the 10⁴ gate: at most ~12 of 20
+    * consecutive 17-step residues can sit inside the ±100 band, so ≥ 8
+    * samples contribute ≥ 10⁴ each). The VAD must recover exactly the
+    * planted voiced/silent frame pattern. */
+  private[operators] def synthVadWav(docId: Long, n: Int, sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(0x46464952); bb.putInt(36 + dataLen); bb.putInt(0x45564157)
+    bb.putInt(0x20746d66); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(sampleRate)
+    bb.putInt(sampleRate * 2); bb.putShort(2); bb.putShort(16)
+    bb.putInt(0x61746164); bb.putInt(dataLen)
+    var t = 0
+    while (t < n) {
+      val s = if ((t / 20 + docId) % 3 == 0) 0
+      else (((docId * 31 + t * 17) % 2048) - 1024).toInt
+      bb.putShort(s.toShort); t += 1
+    }
+    bb.array()
+  }
+
+  /** AUDIO VAD PROFILE, driver-gated end to end: synthesize the
+    * silence-planted WAV per doc, run the real [[vadStats]] frame-energy
+    * gate through the decode seam, and emit the voiced-frame accounting
+    * plus exact half-up speech permille. The oracle re-derives every
+    * frame energy from the synthesis arithmetic in SQL (gaps-and-islands
+    * for the longest run) without parsing a byte — a parser or gate
+    * regression breaks the hash. 100 TB shape: identical to
+    * [[audioProfile]] — per-partition decode, 4-int exit, the scan is
+    * the cost. */
+  def audioVad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = table(spark, dir, "documents").select(col("doc_id")).as[Long]
+    ids.map { id =>
+      val v = vadStats(synthVadWav(id, (64 + (id % 64)).toInt))
+      (id, v.nFrames, v.activeFrames, v.longestRun)
+    }.toDF("doc_id", "n_frames", "active_frames", "longest_run")
+      .withColumn("speech_permille",
+        expr("(1000 * active_frames + n_frames div 2) div n_frames"))
+      .orderBy("doc_id")
+  }
+
+  val audioVadOracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, (64 + doc_id % 64) // 20 AS nf FROM documents
+      |), ts AS (
+      |  SELECT doc_id, nf, unnest(generate_series(0, nf * 20 - 1)) AS t FROM base
+      |), s AS (
+      |  SELECT doc_id, nf, t // 20 AS f,
+      |    CASE WHEN (t // 20 + doc_id) % 3 = 0 THEN 0
+      |         ELSE (doc_id * 31 + t * 17) % 2048 - 1024 END AS v
+      |  FROM ts
+      |), fr AS (
+      |  SELECT doc_id, nf, f, sum(CAST(v AS BIGINT) * v) >= 10000 AS active
+      |  FROM s GROUP BY doc_id, nf, f
+      |), runs AS (
+      |  SELECT doc_id, active,
+      |    f - row_number() OVER (PARTITION BY doc_id, active ORDER BY f) AS grp
+      |  FROM fr
+      |), runlen AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS rl
+      |  FROM runs WHERE active GROUP BY doc_id, grp
+      |), agg AS (
+      |  SELECT doc_id, CAST(max(nf) AS BIGINT) AS n_frames,
+      |    CAST(sum(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT) AS active_frames
+      |  FROM fr GROUP BY doc_id
+      |)
+      |SELECT a.doc_id, a.n_frames, a.active_frames,
+      |  coalesce(max(r.rl), 0) AS longest_run,
+      |  (1000 * a.active_frames + a.n_frames // 2) // a.n_frames AS speech_permille
+      |FROM agg a LEFT JOIN runlen r ON r.doc_id = a.doc_id
+      |GROUP BY a.doc_id, a.n_frames, a.active_frames
+      |ORDER BY a.doc_id""".stripMargin
+
   def tilePlanOracle(patch: Int = 128): String =
     s"""SELECT doc_id, tx, ty,
        |  tx * $patch AS x0, ty * $patch AS y0,

@@ -54,6 +54,45 @@ class AudioDecodeSpec extends AnyFunSuite {
     assert(st.rms2 == brute)
   }
 
+  test("VAD: frame gate recovers a hand-built silence pattern exactly") {
+    // 5 frames of 20 samples: voiced, silent, voiced, voiced, silent
+    val frame = Array.tabulate(20)(i => ((i * 37) % 400 - 200).toShort)
+    val zero = new Array[Short](20)
+    val samples = frame ++ zero ++ frame ++ frame ++ zero
+    val v = Multimodal.vadStats(wav(8000, 1, samples))
+    assert(v == Multimodal.VadStats(5, 3, 2))
+    // a partial tail frame is dropped, never counted voiced
+    val v2 = Multimodal.vadStats(wav(8000, 1, samples ++ frame.take(7)))
+    assert(v2 == Multimodal.VadStats(5, 3, 2))
+    // threshold honors exact integer energy: a frame at energy 9999 is silent
+    val sub = Array.tabulate[Short](20)(i => if (i < 4) 49 else 0) // 4*2401 = 9604
+    assert(Multimodal.vadStats(wav(8000, 1, sub)) == Multimodal.VadStats(1, 0, 0))
+    val at = Array.tabulate[Short](20)(i => if (i < 4) 50 else 0) // 4*2500 = 10000
+    assert(Multimodal.vadStats(wav(8000, 1, at)) == Multimodal.VadStats(1, 1, 1))
+  }
+
+  test("VAD fixture: the planted (frame + doc) % 3 silence structure surfaces") {
+    val dir = SparkSuite.Sf0001
+    val rows = Multimodal.audioVad(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0); val nf = r.getLong(1)
+      assert(nf == (64 + id % 64) / 20)
+      val expectActive = (0L until nf).count(f => (f + id) % 3 != 0).toLong
+      assert(r.getLong(2) == expectActive, s"doc $id active frames")
+      // longest voiced run of the %3 pattern, brute-forced
+      val pattern = (0L until nf).map(f => (f + id) % 3 != 0)
+      val best = pattern.foldLeft((0L, 0L)) { case ((run, b), a) =>
+        if (a) (run + 1, math.max(b, run + 1)) else (0L, b)
+      }._2
+      assert(r.getLong(3) == best, s"doc $id longest run")
+      assert(r.getLong(4) == (1000 * expectActive + nf / 2) / nf)
+    }
+    // the plant must actually create variety: not every clip fully voiced
+    assert(rows.exists(r => r.getLong(2) < r.getLong(1)))
+    assert(rows.exists(r => r.getLong(3) >= 2))
+  }
+
   test("distributed seam: per-partition decode matches local; junk rejected") {
     import spark.implicits._
     val payloads = (1L to 8L).map { i =>
