@@ -337,6 +337,9 @@ object SparkEntry {
       // code-vs-prose composition per source (round 11): planted
       // code-rendered docs, symbol-density detector, exact ppm rollup
       "text_code_detect" -> (TextAnalysis.codeDetect(_, _)),
+      // tokenizer fertility (round 11): chars-per-token / tokens-per-doc
+      // milli ratios per (lang, source) — the byte→token budget converter
+      "text_fertility" -> (TextAnalysis.fertility(_, _)),
       "text_langid" -> (TextAnalysis.languageId(_, _)),
       "text_lang_confusion" -> (TextAnalysis.langConfusion(_, _)),
       "text_fingerprints" -> (TextAnalysis.fingerprints(_, _)),
@@ -492,6 +495,12 @@ object SparkEntry {
       // purge volume + hourly partitions needing rewrite, long format
       "events_deletion_impact" -> (EventOps.deletionImpact(_, _)),
       "events_funnel" -> (EventOps.signupFunnel(_, _)),
+      // time-bounded funnel (round 11): conversion windows per stage plus
+      // the per-stage lag columns the windows are tuned from
+      "events_funnel_bounded" -> (EventOps.signupFunnelBounded(_, _)),
+      // experiment hygiene (round 11): deterministic 50/50 assignment,
+      // per-variant volumes, exact chi-square SRM gate at the 95% critical
+      "events_ab_srm" -> (EventOps.abSrm(_, _)),
       "events_cohorts" -> (EventOps.cohortRetention(_, _)),
       "events_scd2" -> (EventOps.scd2(_, _)),
       // point-in-time join: facts to the SCD2 version valid at event time
@@ -750,6 +759,7 @@ object SparkEntry {
       "text_token_counts" -> TextAnalysis.tokenCountsOracle,
       "text_quality" -> TextAnalysis.qualityScoresOracle,
       "text_code_detect" -> TextAnalysis.codeDetectOracle,
+      "text_fertility" -> TextAnalysis.fertilityOracle,
       "text_langid" -> TextAnalysis.languageIdOracle,
       "text_lang_confusion" -> TextAnalysis.langConfusionOracle,
       "text_fingerprints" -> TextAnalysis.fingerprintsOracle,
@@ -854,6 +864,8 @@ object SparkEntry {
       "events_gapfill" -> EventOps.hourlyGapFillOracle,
       "events_deletion_impact" -> EventOps.deletionImpactOracle,
       "events_funnel" -> EventOps.signupFunnelOracle,
+      "events_funnel_bounded" -> EventOps.signupFunnelBoundedOracle(),
+      "events_ab_srm" -> EventOps.abSrmOracle,
       "events_cohorts" -> EventOps.cohortRetentionOracle,
       "events_scd2" -> EventOps.scd2Oracle,
       "events_pit_join" -> EventOps.pitJoinOracle,

@@ -225,7 +225,12 @@ object ScaleProbe {
       // cost must track the legs (index probes), never all-pairs
       ("compression_sweep", d => graft.operators.Similarity.compressionSweep(spark, d)),
       // round 11: one scan, 16 B hash shuffle keys — text exact-dedup's band
-      ("exact_vector_dups", d => graft.operators.Similarity.exactVectorDups(spark, d)))
+      ("exact_vector_dups", d => graft.operators.Similarity.exactVectorDups(spark, d)),
+      // round 11: filtered search — the pre-filter leg must track the
+      // label-filtered scan (selectivity fixed ⇒ linear in corpus); the
+      // post-filter leg rides the IVF probe + the bounded exact twin
+      ("filtered_topk", d => graft.operators.Similarity.filteredTopK(spark, d)),
+      ("filtered_ivf", d => graft.operators.Similarity.filteredIvfTopK(spark, d)))
     val profBuilds = Seq[(String, String => DataFrame)](
       ("sketch_profile", d => graft.profile.ProfileQueries.sketchProfile(spark, d, "lineitem")),
       ("full_profile",   d => graft.profile.ProfileQueries.fullProfile(spark, d, "lineitem")))
@@ -302,7 +307,20 @@ object ScaleProbe {
       ("shard_rebalance", d => graft.operators.TextAnalysis.shardRebalance(spark, d)),
       // round 11: the x6 delay explode rides the lateness frame's 8 B
       // projection — must track the two-level prefix, never re-sort
-      ("watermark_sweep", d => graft.operators.EventOps.watermarkSweep(spark, d)))
+      ("watermark_sweep", d => graft.operators.EventOps.watermarkSweep(spark, d)),
+      // batch 9 (round 11, session 3): filter_agreement folds the four
+      // keep pipelines once into ONE row (the gopher/surprisal explodes
+      // dominate — their band); code_detect and audio_vad are pure
+      // per-row projections/seams into source- and doc-bounded frames
+      ("filter_agreement", d => graft.operators.TextAnalysis.filterAgreement(spark, d)),
+      ("code_detect", d => graft.operators.TextAnalysis.codeDetect(spark, d)),
+      ("audio_vad", d => graft.operators.Multimodal.audioVad(spark, d)),
+      // bounded funnel = three user-keyed aggs + two user joins (the
+      // unbounded funnel's band); SRM is one distinct fold + 2 groups;
+      // fertility is a scan into |lang|×|source| groups
+      ("funnel_bounded", d => graft.operators.EventOps.signupFunnelBounded(spark, d)),
+      ("ab_srm", d => graft.operators.EventOps.abSrm(spark, d)),
+      ("fertility", d => graft.operators.TextAnalysis.fertility(spark, d)))
     val allBuilds = (if (family == "ppj") ppjBuilds
       else if (doDocs) docBuilds else Seq.empty) ++
       (if (doEmb) embBuilds else Seq.empty) ++

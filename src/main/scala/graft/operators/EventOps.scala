@@ -174,6 +174,127 @@ object EventOps {
       |LEFT JOIN p ON s.user_id = p.user_id
       |ORDER BY s.user_id""".stripMargin
 
+  /** TIME-BOUNDED FUNNEL — [[signupFunnel]] with conversion windows, the
+    * form a growth team actually ships: the click must land within
+    * `clickWindowUs` of the signup and the purchase within
+    * `purchaseWindowUs` of that click, so stale conversions stop counting
+    * and the funnel becomes comparable across cohorts. Same
+    * conditional-min shape (each stage's predicate depends on the
+    * previous stage's result) with an upper bound added to each step's
+    * band, plus the per-stage lag columns the window sizes are tuned
+    * from. Identical shuffle profile to the unbounded funnel: three
+    * keyed aggregations + two joins, all on user_id — one co-partitioned
+    * exchange end to end. */
+  def signupFunnelBounded(spark: SparkSession, dir: String,
+      clickWindowUs: Long = 24L * 3600 * 1000000,
+      purchaseWindowUs: Long = 72L * 3600 * 1000000): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tus"), col("event_type"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("tus").as("signup_tus"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(signups, "user_id")
+      .filter(col("tus") >= col("signup_tus") &&
+        col("tus") <= col("signup_tus") + clickWindowUs)
+      .groupBy("user_id").agg(min("tus").as("click_tus"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .join(clicks, "user_id")
+      .filter(col("tus") >= col("click_tus") &&
+        col("tus") <= col("click_tus") + purchaseWindowUs)
+      .groupBy("user_id").agg(min("tus").as("purchase_tus"))
+    signups
+      .join(clicks.select(col("user_id"), col("click_tus")), Seq("user_id"), "left")
+      .join(purchases.select(col("user_id"), col("purchase_tus")), Seq("user_id"), "left")
+      .withColumn("stage",
+        (lit(1L) + when(col("click_tus").isNotNull, 1L).otherwise(0L)
+          + when(col("purchase_tus").isNotNull, 1L).otherwise(0L)))
+      .withColumn("click_lag_us", col("click_tus") - col("signup_tus"))
+      .withColumn("purchase_lag_us", col("purchase_tus") - col("click_tus"))
+      .orderBy("user_id")
+  }
+
+  def signupFunnelBoundedOracle(
+      clickWindowUs: Long = 24L * 3600 * 1000000,
+      purchaseWindowUs: Long = 72L * 3600 * 1000000): String =
+    s"""WITH s AS (
+       |  SELECT user_id, min(epoch_us(ts)) AS signup_tus
+       |  FROM events WHERE event_type = 'signup' GROUP BY user_id
+       |), c AS (
+       |  SELECT e.user_id, min(epoch_us(e.ts)) AS click_tus
+       |  FROM events e JOIN s ON e.user_id = s.user_id
+       |  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s.signup_tus
+       |    AND epoch_us(e.ts) <= s.signup_tus + $clickWindowUs
+       |  GROUP BY e.user_id
+       |), p AS (
+       |  SELECT e.user_id, min(epoch_us(e.ts)) AS purchase_tus
+       |  FROM events e JOIN c ON e.user_id = c.user_id
+       |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.click_tus
+       |    AND epoch_us(e.ts) <= c.click_tus + $purchaseWindowUs
+       |  GROUP BY e.user_id
+       |)
+       |SELECT s.user_id, s.signup_tus, c.click_tus, p.purchase_tus,
+       |  CAST(1 + (CASE WHEN c.click_tus IS NOT NULL THEN 1 ELSE 0 END)
+       |    + (CASE WHEN p.purchase_tus IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage,
+       |  c.click_tus - s.signup_tus AS click_lag_us,
+       |  p.purchase_tus - c.click_tus AS purchase_lag_us
+       |FROM s LEFT JOIN c ON s.user_id = c.user_id
+       |LEFT JOIN p ON s.user_id = p.user_id
+       |ORDER BY s.user_id""".stripMargin
+
+  /** A/B SAMPLE-RATIO-MISMATCH check — the first experiment-hygiene gate:
+    * users are deterministically assigned to two variants by the shared
+    * md5 mix ([[TextAnalysis.mixedHashOf]] — content-independent, stable
+    * across reruns/partitionings, the same reason the data splits hash),
+    * and the table reports per-variant distinct users and event volume
+    * plus the one-degree chi-square SRM statistic in exact half-up micro
+    * units (expected 50/50 ⇒ χ² = (u₀−u₁)²/(u₀+u₁)). `srm_flag` trips at
+    * the 95 % critical value 3.841459; a tripped flag means the
+    * assignment or logging pipeline is dropping one arm's users and every
+    * downstream metric is suspect. The squared delta widens through
+    * DECIMAL(38,0) before the micro scaling, so the statistic is exact
+    * past the ~3·10⁶-user-delta point where int64 would wrap. Shuffle
+    * profile: one distinct-user fold on (variant, user), then a 2-group
+    * rollup; the 1-row totals recombine by broadcast. */
+  def abSrm(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .withColumn("variant", pmod(TextAnalysis.mixedHashOf("ab|", col("user_id")), lit(2)).cast("bigint"))
+    val per = ev.groupBy("variant")
+      .agg(count_distinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+    val tot = per.agg(
+      sum(when(col("variant") === 0, col("n_users")).otherwise(0L)).as("u0"),
+      sum(when(col("variant") === 1, col("n_users")).otherwise(0L)).as("u1"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("srm_chi2_micro", expr(
+        """CAST(((CAST(u0 AS DECIMAL(38,0)) - u1) * (CAST(u0 AS DECIMAL(38,0)) - u1) * 1000000
+          |  + (u0 + u1) div 2) div (u0 + u1) AS BIGINT)""".stripMargin))
+      .withColumn("srm_flag", col("srm_chi2_micro") >= 3841459L)
+      .select("variant", "n_users", "n_events", "srm_chi2_micro", "srm_flag")
+      .orderBy("variant")
+  }
+
+  val abSrmOracle: String = {
+    val h = graft.operators.TextAnalysis.mixedHashSql("ab|", "user_id")
+    s"""WITH assigned AS (
+       |  SELECT user_id, ($h) % 2 AS variant FROM events
+       |), per AS (
+       |  SELECT variant, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       |    CAST(count(*) AS BIGINT) AS n_events
+       |  FROM assigned
+       |  GROUP BY variant
+       |), tot AS (
+       |  SELECT CAST(sum(CASE WHEN variant = 0 THEN n_users ELSE 0 END) AS BIGINT) AS u0,
+       |         CAST(sum(CASE WHEN variant = 1 THEN n_users ELSE 0 END) AS BIGINT) AS u1
+       |  FROM per
+       |)
+       |SELECT variant, n_users, n_events,
+       |  CAST(((CAST(u0 AS HUGEINT) - u1) * (CAST(u0 AS HUGEINT) - u1) * 1000000
+       |    + (u0 + u1) // 2) // (u0 + u1) AS BIGINT) AS srm_chi2_micro,
+       |  CAST(((CAST(u0 AS HUGEINT) - u1) * (CAST(u0 AS HUGEINT) - u1) * 1000000
+       |    + (u0 + u1) // 2) // (u0 + u1) AS BIGINT) >= 3841459 AS srm_flag
+       |FROM per, tot ORDER BY variant""".stripMargin
+  }
+
   /** Weekday × hour activity heatmap. Day-of-week numbering differs across
     * engines (Spark dayofweek is 1=Sunday, DuckDB dayofweek 0=Sunday), so
     * both sides use the ISO convention: Spark `weekday()+1` = DuckDB

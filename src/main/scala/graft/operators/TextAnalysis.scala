@@ -42,6 +42,49 @@ object TextAnalysis {
       |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS bpe_ish_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** TOKENIZER FERTILITY by (lang, source) — the chars-per-token and
+    * tokens-per-doc ratios (exact half-up milli) that convert byte/char
+    * budgets into token budgets per language slice: fertility is how a
+    * mixture owner discovers that a low-resource language costs 2× the
+    * tokens per char under a BPE-ish vocabulary and re-weights before
+    * training, and the denominator every per-language token-budget row in
+    * [[mixtureBudget]]-style planning divides by. Same whitespace and
+    * BPE-ish token definitions as [[tokenCounts]] (one regex dialect,
+    * Java∩RE2∩DuckDB). One scan, row-local counting, |lang|×|source|
+    * groups with map-side partials — the scan is the cost at any scale. */
+  def fertility(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("lang"), col("source"),
+        length(col("text")).cast("bigint").as("chars"),
+        sz(words).as("ws_toks"),
+        expr("regexp_count(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')")
+          .cast("bigint").as("bpe"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("chars").as("chars"),
+        sum("ws_toks").as("ws_tokens"), sum("bpe").as("bpe_tokens"))
+      .withColumn("chars_per_bpe_milli",
+        expr("(1000 * chars + bpe_tokens div 2) div bpe_tokens"))
+      .withColumn("bpe_per_doc_milli",
+        expr("(1000 * bpe_tokens + n_docs div 2) div n_docs"))
+      .orderBy("lang", "source")
+
+  val fertilityOracle: String =
+    """WITH per AS (
+      |  SELECT lang, source, length(text) AS chars,
+      |    len(string_split(text, ' ')) AS ws_toks,
+      |    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS bpe
+      |  FROM documents
+      |)
+      |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(chars) AS BIGINT) AS chars,
+      |  CAST(sum(ws_toks) AS BIGINT) AS ws_tokens,
+      |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+      |  CAST((1000 * CAST(sum(chars) AS BIGINT) + CAST(sum(bpe) AS BIGINT) // 2)
+      |    // CAST(sum(bpe) AS BIGINT) AS BIGINT) AS chars_per_bpe_milli,
+      |  CAST((1000 * CAST(sum(bpe) AS BIGINT) + CAST(count(*) AS BIGINT) // 2)
+      |    // CAST(count(*) AS BIGINT) AS BIGINT) AS bpe_per_doc_milli
+      |FROM per GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   /** READABILITY — integer-exact Flesch-Kincaid grade per document, the
     * classic audience-level filter in corpus curation (alongside Gopher
     * rules and quality scores). Heuristic counts, all from shared-dialect

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Fixtures, SparkSuite}
+
+/** Round-11 session-3 tables: bounded funnel, A/B SRM, tokenizer
+  * fertility. Each brute-forced from the raw fixture on the driver.
+  */
+class ExperimentHygieneSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  val dir = SparkSuite.Sf0001
+
+  test("bounded funnel: windows actually bind relative to the unbounded funnel") {
+    val free = EventOps.signupFunnel(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val bounded = EventOps.signupFunnelBounded(spark, dir).collect()
+    assert(bounded.map(_.getLong(0)).toSet == free.keySet, "signup population must not change")
+    bounded.foreach { r =>
+      val u = r.getLong(0)
+      assert(r.getLong(4) <= free(u), s"user $u gained a stage from adding windows")
+      // lag columns are consistent with the timestamps and the windows
+      if (!r.isNullAt(2)) {
+        assert(r.getLong(5) == r.getLong(2) - r.getLong(1))
+        assert(r.getLong(5) >= 0 && r.getLong(5) <= 24L * 3600 * 1000000)
+      } else assert(r.isNullAt(5))
+      if (!r.isNullAt(3)) {
+        assert(r.getLong(6) == r.getLong(3) - r.getLong(2))
+        assert(r.getLong(6) >= 0 && r.getLong(6) <= 72L * 3600 * 1000000)
+      } else assert(r.isNullAt(6))
+    }
+    // tight windows must strictly bind on this fixture (10-minute click window)
+    val tight = EventOps.signupFunnelBounded(spark, dir, clickWindowUs = 600L * 1000000)
+      .agg(sum("stage")).collect().head.getLong(0)
+    assert(tight < bounded.map(_.getLong(4)).sum, "a 10-minute window should cut stages")
+  }
+
+  test("A/B SRM: counts match a brute-force assignment; chi-square is the exact formula") {
+    val rows = EventOps.abSrm(spark, dir).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(rows.keySet == Set(0L, 1L))
+    // brute force the deterministic assignment through the same md5 mix
+    val ev = Fixtures.table(spark, dir, "events")
+      .withColumn("variant", pmod(TextAnalysis.mixedHashOf("ab|", col("user_id")), lit(2)))
+      .select(col("user_id"), col("variant")).collect()
+    val byVar = ev.groupBy(_.getLong(1))
+    val u = Map(0L -> byVar(0L).map(_.getLong(0)).distinct.length.toLong,
+      1L -> byVar(1L).map(_.getLong(0)).distinct.length.toLong)
+    val e = Map(0L -> byVar(0L).length.toLong, 1L -> byVar(1L).length.toLong)
+    val d = u(0L) - u(1L); val n = u(0L) + u(1L)
+    val chi = (d * d * 1000000L + n / 2) / n
+    Seq(0L, 1L).foreach { v =>
+      assert(rows(v) == ((u(v), e(v), chi, chi >= 3841459L)), s"variant $v: ${rows(v)}")
+    }
+    // both variants must actually be populated (a constant hash would pass
+    // the formula checks with one empty arm)
+    assert(u.values.forall(_ > 0))
+  }
+
+  test("fertility: ratios are the exact half-up milli of the summed counts") {
+    val rows = TextAnalysis.fertility(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val docs = Fixtures.table(spark, dir, "documents")
+      .select("lang", "source", "text").collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+    val bpeRe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]".r
+    rows.foreach { r =>
+      val grp = docs((r.getString(0), r.getString(1)))
+      val chars = grp.map(_.getString(2).length.toLong).sum
+      val ws = grp.map(_.getString(2).split(" ", -1).length.toLong).sum
+      val bpe = grp.map(g => bpeRe.findAllIn(g.getString(2)).length.toLong).sum
+      assert(r.getLong(2) == grp.length.toLong && r.getLong(3) == chars &&
+        r.getLong(4) == ws && r.getLong(5) == bpe,
+        s"counts for ${(r.getString(0), r.getString(1))}")
+      assert(r.getLong(6) == (1000 * chars + bpe / 2) / bpe)
+      assert(r.getLong(7) == (1000 * bpe + grp.length / 2) / grp.length)
+    }
+    assert(rows.map(_.getLong(2)).sum == docs.values.map(_.length.toLong).sum)
+  }
+}
