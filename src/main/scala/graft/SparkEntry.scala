@@ -340,6 +340,9 @@ object SparkEntry {
       // tokenizer fertility (round 11): chars-per-token / tokens-per-doc
       // milli ratios per (lang, source) — the byte→token budget converter
       "text_fertility" -> (TextAnalysis.fertility(_, _)),
+      // template-header screen (round 11): most common 5-word doc prefix
+      // per source + exact coverage permille (planted banner surfaces)
+      "text_boilerplate_prefix" -> (TextAnalysis.boilerplatePrefix(_, _)),
       "text_langid" -> (TextAnalysis.languageId(_, _)),
       "text_lang_confusion" -> (TextAnalysis.langConfusion(_, _)),
       "text_fingerprints" -> (TextAnalysis.fingerprints(_, _)),
@@ -501,6 +504,9 @@ object SparkEntry {
       // experiment hygiene (round 11): deterministic 50/50 assignment,
       // per-variant volumes, exact chi-square SRM gate at the 95% critical
       "events_ab_srm" -> (EventOps.abSrm(_, _)),
+      // pre-launch sizing (round 11): pooled variance of the per-user
+      // purchase metric + the two-sample MDE at alpha=5%/power 80%
+      "events_power_mde" -> (EventOps.powerMde(_, _)),
       "events_cohorts" -> (EventOps.cohortRetention(_, _)),
       "events_scd2" -> (EventOps.scd2(_, _)),
       // point-in-time join: facts to the SCD2 version valid at event time
@@ -760,6 +766,7 @@ object SparkEntry {
       "text_quality" -> TextAnalysis.qualityScoresOracle,
       "text_code_detect" -> TextAnalysis.codeDetectOracle,
       "text_fertility" -> TextAnalysis.fertilityOracle,
+      "text_boilerplate_prefix" -> TextAnalysis.boilerplatePrefixOracle,
       "text_langid" -> TextAnalysis.languageIdOracle,
       "text_lang_confusion" -> TextAnalysis.langConfusionOracle,
       "text_fingerprints" -> TextAnalysis.fingerprintsOracle,
@@ -866,6 +873,7 @@ object SparkEntry {
       "events_funnel" -> EventOps.signupFunnelOracle,
       "events_funnel_bounded" -> EventOps.signupFunnelBoundedOracle(),
       "events_ab_srm" -> EventOps.abSrmOracle,
+      "events_power_mde" -> EventOps.powerMdeOracle,
       "events_cohorts" -> EventOps.cohortRetentionOracle,
       "events_scd2" -> EventOps.scd2Oracle,
       "events_pit_join" -> EventOps.pitJoinOracle,

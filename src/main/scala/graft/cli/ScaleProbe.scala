@@ -320,7 +320,11 @@ object ScaleProbe {
       // fertility is a scan into |lang|×|source| groups
       ("funnel_bounded", d => graft.operators.EventOps.signupFunnelBounded(spark, d)),
       ("ab_srm", d => graft.operators.EventOps.abSrm(spark, d)),
-      ("fertility", d => graft.operators.TextAnalysis.fertility(spark, d)))
+      ("fertility", d => graft.operators.TextAnalysis.fertility(spark, d)),
+      // power/MDE rides ab_srm's user-keyed fold; boilerplate is one
+      // prefix projection into a distinct-prefix-sized rollup + window
+      ("power_mde", d => graft.operators.EventOps.powerMde(spark, d)),
+      ("boilerplate_prefix", d => graft.operators.TextAnalysis.boilerplatePrefix(spark, d)))
     val allBuilds = (if (family == "ppj") ppjBuilds
       else if (doDocs) docBuilds else Seq.empty) ++
       (if (doEmb) embBuilds else Seq.empty) ++

@@ -295,6 +295,105 @@ object EventOps {
        |FROM per, tot ORDER BY variant""".stripMargin
   }
 
+  /** z_{0.025} + z_{0.20} for the classic α=5 %, power=80 % two-sample
+    * design — written ONCE and interpolated into both engines' plans so
+    * the constant cannot drift. */
+  private val PowerZ = "2.801585219"
+
+  /** EXPERIMENT POWER / MDE — the pre-launch sizing read that pairs with
+    * [[abSrm]]: under the same deterministic 50/50 assignment, the
+    * per-user purchase-value metric's pooled variance and the two-sample
+    * MINIMUM DETECTABLE EFFECT at α=5 %/power 80 %
+    * (MDE = (z_{α/2}+z_β)·√(s²·(1/n₀+1/n₁))). An experimenter reads this
+    * row to learn the smallest lift this user volume can resolve — and
+    * whether the planned test is a waste of traffic. Accumulation is
+    * exact: values quantize to micro units and fold as DECIMAL(38,0)
+    * sums/sums-of-squares (per-user totals square to ~10¹⁸ — past int64
+    * on real corpora), and only the final variance/MDE divisions and the
+    * correctly-rounded IEEE sqrt run in doubles, so both engines emit
+    * bit-identical results. Shuffle profile: one user-keyed purchase
+    * fold, one distinct-user frame, a 2-group rollup, broadcast
+    * recombine — nothing after the per-user fold is corpus-sized. */
+  def powerMde(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val users = ev.select("user_id").distinct()
+      .withColumn("variant",
+        pmod(TextAnalysis.mixedHashOf("ab|", col("user_id")), lit(2)).cast("bigint"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(expr("CAST(floor(value * 1000000) AS DECIMAL(38,0))")).as("v_micro"))
+    val per = users.join(purch, Seq("user_id"), "left")
+      .select(col("variant"), coalesce(col("v_micro"), lit(0).cast("decimal(38,0)")).as("v"))
+    val byVar = per.groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"), sum(expr("v * v")).as("q"))
+    val one = byVar.agg(
+      sum(when(col("variant") === 0, col("n")).otherwise(0L)).as("n0"),
+      sum(when(col("variant") === 1, col("n")).otherwise(0L)).as("n1"),
+      sum(when(col("variant") === 0, col("s")).otherwise(lit(0).cast("decimal(38,0)"))).as("s0"),
+      sum(when(col("variant") === 1, col("s")).otherwise(lit(0).cast("decimal(38,0)"))).as("s1"),
+      sum(when(col("variant") === 0, col("q")).otherwise(lit(0).cast("decimal(38,0)"))).as("q0"),
+      sum(when(col("variant") === 1, col("q")).otherwise(lit(0).cast("decimal(38,0)"))).as("q1"))
+    // pooled variance as ONE exact integer division — a chained double
+    // expression differs in the last ulp between engines (observed:
+    // 5.036163093925622e16 vs ...617e16), so every emitted double must be
+    // a single IEEE op over exact integers: the variance numerator/
+    // denominator fold in DECIMAL(38,0) (fits to ~10⁷ users; past that
+    // the two-pass shifted-mean form takes over), and the MDE is one
+    // division + one sqrt + one constant multiply over that integer
+    one.withColumn("pooled_var_micro2", expr(
+        """CAST(((q0 * n0 - s0 * s0) * n1 + (q1 * n1 - s1 * s1) * n0)
+          |  div (CAST(n0 AS DECIMAL(38,0)) * n1 * (n0 + n1 - 2)) AS BIGINT)""".stripMargin))
+      .select(
+        col("n0"), col("n1"),
+        expr("CAST(s0 div n0 AS BIGINT)").as("mean0_micro"),
+        expr("CAST(s1 div n1 AS BIGINT)").as("mean1_micro"),
+        col("pooled_var_micro2"),
+        expr(s"""$PowerZ * sqrt(
+                |  CAST(pooled_var_micro2 AS DOUBLE) * (n0 + n1) / (n0 * n1))""".stripMargin)
+          .as("mde_micro"))
+  }
+
+  val powerMdeOracle: String = {
+    val h = graft.operators.TextAnalysis.mixedHashSql("ab|", "user_id")
+    s"""WITH users AS (
+       |  SELECT DISTINCT user_id FROM events
+       |), assigned AS (
+       |  SELECT user_id, ($h) % 2 AS variant FROM users
+       |), purch AS (
+       |  SELECT user_id, sum(CAST(floor(value * 1000000) AS HUGEINT)) AS v_micro
+       |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+       |), per AS (
+       |  SELECT a.variant, COALESCE(p.v_micro, 0) AS v
+       |  FROM assigned a LEFT JOIN purch p ON p.user_id = a.user_id
+       |), byvar AS (
+       |  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+       |    sum(v) AS s, sum(v * v) AS q
+       |  FROM per GROUP BY variant
+       |), one AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN variant = 0 THEN n ELSE 0 END) AS BIGINT) AS n0,
+       |    CAST(sum(CASE WHEN variant = 1 THEN n ELSE 0 END) AS BIGINT) AS n1,
+       |    sum(CASE WHEN variant = 0 THEN s ELSE 0 END) AS s0,
+       |    sum(CASE WHEN variant = 1 THEN s ELSE 0 END) AS s1,
+       |    sum(CASE WHEN variant = 0 THEN q ELSE 0 END) AS q0,
+       |    sum(CASE WHEN variant = 1 THEN q ELSE 0 END) AS q1
+       |  FROM byvar
+       |)
+       |, pooled AS (
+       |  SELECT n0, n1, s0, s1,
+       |    CAST(((q0 * n0 - s0 * s0) * n1 + (q1 * n1 - s1 * s1) * n0)
+       |      // (CAST(n0 AS HUGEINT) * n1 * (n0 + n1 - 2)) AS BIGINT) AS pooled_var_micro2
+       |  FROM one
+       |)
+       |SELECT n0, n1,
+       |  CAST(s0 // n0 AS BIGINT) AS mean0_micro,
+       |  CAST(s1 // n1 AS BIGINT) AS mean1_micro,
+       |  pooled_var_micro2,
+       |  $PowerZ * sqrt(
+       |    CAST(pooled_var_micro2 AS DOUBLE) * (n0 + n1) / (n0 * n1)) AS mde_micro
+       |FROM pooled""".stripMargin
+  }
+
   /** Weekday × hour activity heatmap. Day-of-week numbering differs across
     * engines (Spark dayofweek is 1=Sunday, DuckDB dayofweek 0=Sunday), so
     * both sides use the ISO convention: Spark `weekday()+1` = DuckDB

@@ -1742,6 +1742,68 @@ object TextAnalysis {
        |FROM rows_ ORDER BY filter_a, filter_b""".stripMargin
   }
 
+  // ----------------------------------------------- boilerplate prefixes
+  /** Deterministic boilerplate plant for the prefix screen (the
+    * [[codeRenderSql]] pattern): every doc_id % 5 == 0 doc gains a
+    * template header, the rest pass through. One expression string shared
+    * by both engines. */
+  private val boilerRenderSql: String =
+    """CASE WHEN doc_id % 5 = 0
+      |     THEN 'breaking news update follow us ' || text
+      |     ELSE text END""".stripMargin
+
+  /** BOILERPLATE-PREFIX DETECTOR — per source, the most common 5-word
+    * document PREFIX and its exact coverage permille: templated headers
+    * ("subscribe to...", scraper banners, licence preambles) shared by a
+    * large fraction of a source's docs are the classic near-dup mass that
+    * slips past document-level dedup (the prefix is identical, the body
+    * differs) and should be STRIPPED, not deduped. A coverage spike is
+    * the signal to add the prefix to the [[graft.operators.WebNormalize]]
+    * strip rules. Argmax is (count desc, gram asc) — deterministic.
+    * Scale shape: one row-local prefix projection, a (source, gram)
+    * partial-agg shuffle whose output is distinct-prefix-sized, then a
+    * |sources|-partition window — nothing after the first fold is
+    * corpus-sized. */
+  def boilerplatePrefix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = table(spark, dir, "documents")
+      .withColumn("r", expr(boilerRenderSql))
+      .select(col("source"),
+        array_join(slice(split(col("r"), " "), 1, 5), " ").as("prefix"))
+      .groupBy("source", "prefix").agg(count(lit(1)).as("gram_docs"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("gram_docs").desc, col("prefix"))
+    grams
+      .withColumn("n_docs", sum(col("gram_docs")).over(Window.partitionBy("source")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("prefix").as("top_prefix"), col("n_docs"),
+        col("gram_docs"),
+        expr("(gram_docs * 1000 + n_docs div 2) div n_docs").as("coverage_permille"))
+      .orderBy("source")
+  }
+
+  val boilerplatePrefixOracle: String = {
+    val render = boilerRenderSql.replace("\n", "\n  ")
+    s"""WITH rendered AS (
+       |  SELECT doc_id, source, $render AS r FROM documents
+       |), grams AS (
+       |  SELECT source,
+       |    array_to_string(string_split(r, ' ')[1:5], ' ') AS prefix,
+       |    CAST(count(*) AS BIGINT) AS gram_docs
+       |  FROM rendered GROUP BY source, prefix
+       |), ranked AS (
+       |  SELECT source, prefix, gram_docs,
+       |    CAST(sum(gram_docs) OVER (PARTITION BY source) AS BIGINT) AS n_docs,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY gram_docs DESC, prefix) AS rn
+       |  FROM grams
+       |)
+       |SELECT source, prefix AS top_prefix, n_docs, gram_docs,
+       |  (gram_docs * 1000 + n_docs // 2) // n_docs AS coverage_permille
+       |FROM ranked WHERE rn = 1 ORDER BY source""".stripMargin
+  }
+
   // --------------------------------------------- deterministic data splits
   /** Deterministic TRAIN/VAL/TEST assignment — hash of the doc IDENTITY
     * (never the text: editing a doc must not move it across splits), 100

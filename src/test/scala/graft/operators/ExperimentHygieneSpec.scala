@@ -58,6 +58,56 @@ class ExperimentHygieneSpec extends AnyFunSuite {
     assert(u.values.forall(_ > 0))
   }
 
+  test("power/MDE: pooled variance and MDE match a driver-side brute force") {
+    val r = EventOps.powerMde(spark, dir).collect().head
+    val ev = Fixtures.table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("value")).collect()
+    val users = ev.map(_.getLong(0)).distinct
+    val varOf = Fixtures.table(spark, dir, "events").select("user_id").distinct()
+      .withColumn("variant", pmod(TextAnalysis.mixedHashOf("ab|", col("user_id")), lit(2)))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val vMicro = ev.filter(_.getString(1) == "purchase")
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(e => math.floor(e.getDouble(2) * 1000000).toLong).sum).toMap
+    def stats(v: Long): (Long, BigInt, BigInt) = {
+      val xs = users.filter(u => varOf(u) == v).map(u => BigInt(vMicro.getOrElse(u, 0L)))
+      (xs.length.toLong, xs.sum, xs.map(x => x * x).sum)
+    }
+    val (n0, s0, q0) = stats(0L); val (n1, s1, q1) = stats(1L)
+    assert(r.getLong(0) == n0 && r.getLong(1) == n1)
+    assert(r.getLong(2) == (s0 / n0).toLong && r.getLong(3) == (s1 / n1).toLong)
+    // pooled variance is ONE exact integer division (cross-engine double
+    // chains differ in the last ulp); MDE is one division + sqrt over it
+    val num = (q0 * n0 - s0 * s0) * n1 + (q1 * n1 - s1 * s1) * n0
+    val den = BigInt(n0) * n1 * (n0 + n1 - 2)
+    val pooled = (num / den).toLong
+    assert(r.getLong(4) == pooled)
+    assert(r.getDouble(5) == 2.801585219 * math.sqrt(pooled.toDouble * (n0 + n1) / (n0 * n1)))
+    assert(pooled > 0, "fixture metric must have variance")
+  }
+
+  test("boilerplate prefix: the planted banner tops every source at ~200 permille") {
+    val rows = TextAnalysis.boilerplatePrefix(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val perSource = Fixtures.table(spark, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n"),
+        sum(when(col("doc_id") % 5 === 0, 1L).otherwise(0L)).as("planted"))
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    rows.foreach { r =>
+      val (n, planted) = perSource(r.getString(0))
+      // organic 5-word prefixes over a ~40-word vocabulary are ~unique, so
+      // the planted banner must win the argmax in any source carrying it
+      if (planted > 1) {
+        assert(r.getString(1) == "breaking news update follow us",
+          s"source ${r.getString(0)}: top prefix ${r.getString(1)}")
+        assert(r.getLong(3) == planted)
+      }
+      assert(r.getLong(2) == n)
+      assert(r.getLong(4) == (r.getLong(3) * 1000 + n / 2) / n)
+    }
+    assert(rows.exists(_.getString(1) == "breaking news update follow us"))
+  }
+
   test("fertility: ratios are the exact half-up milli of the summed counts") {
     val rows = TextAnalysis.fertility(spark, dir).collect()
     assert(rows.nonEmpty)
