@@ -84,7 +84,12 @@ object PlansDump {
     "events_attribution",      // user-keyed interval join + conversion windows
     "ann_sq8_topk",            // int8 ADC screen, float rerank on survivors
     "embedding_corr_dims",     // row-local pair products, d^2-group shuffle
-    "docs_release_report")     // audit joins on broadcast sets, 1-row branches
+    "docs_release_report",     // audit joins on broadcast sets, 1-row branches
+    "ann_filtered_topk",       // pre-filter search: label equi-key broadcast join
+    "ann_filtered_ivf",        // post-filter probe + exact-twin hit join
+    "docs_filter_agreement",   // four keep pipelines folded once to 1 row
+    "events_ab_srm",           // distinct fold + 2-group rollup + 1-row recombine
+    "events_power_mde")        // DECIMAL micro sums, one-division variance
 
   /** Plan-audit overrides: these queries' gated implementations read
     * memoized materialized stages (the shared-pipeline design — see

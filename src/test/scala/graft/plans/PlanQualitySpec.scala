@@ -757,6 +757,32 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(aggs.size >= 2, "expected partial and final HashAggregate for the source rollup")
   }
 
+  test("experiment tables: user-keyed folds only; recombines stay 1-row broadcasts") {
+    for (df <- Seq(graft.operators.EventOps.abSrm(spark, SparkSuite.Sf0001),
+        graft.operators.EventOps.powerMde(spark, SparkSuite.Sf0001),
+        graft.operators.EventOps.signupFunnelBounded(spark, SparkSuite.Sf0001))) {
+      df.collect()
+      val names = nodes(df).map(_.nodeName)
+      assert(!names.exists(_.contains("CartesianProduct")),
+        s"experiment table regressed to a cartesian: ${names.distinct.mkString(",")}")
+      // the only nested-loop join allowed is the 1-row totals recombine
+      assert(names.count(_.contains("BroadcastNestedLoop")) <= 1,
+        s"unexpected nested-loop joins: ${names.distinct.mkString(",")}")
+      val aggs = names.filter(_.contains("HashAggregate"))
+      assert(aggs.size >= 2, "expected partial+final aggregation")
+    }
+  }
+
+  test("boilerplate prefix: scan prunes to 3 columns; fold is partial+final before the window") {
+    val df = graft.operators.TextAnalysis.boilerplatePrefix(spark, SparkSuite.Sf0001)
+    val scan = scans(df).head
+    assert(scan.requiredSchema.fieldNames.toSet == Set("doc_id", "source", "text"),
+      s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}")
+    val names = nodes(df).map(_.nodeName)
+    assert(names.count(_.contains("HashAggregate")) >= 2,
+      "the (source, prefix) fold must combine map-side before its shuffle")
+  }
+
   test("filter agreement: the 6 output rows reuse the single folded row, not the corpus") {
     val df = graft.operators.TextAnalysis.filterAgreement(spark, SparkSuite.Sf0001)
     df.collect()
