@@ -507,6 +507,9 @@ object SparkEntry {
       // pre-launch sizing (round 11): pooled variance of the per-user
       // purchase metric + the two-sample MDE at alpha=5%/power 80%
       "events_power_mde" -> (EventOps.powerMde(_, _)),
+      // CUPED (round 11): pre/post covariance adjustment theta + exact
+      // permille variance reduction from pre-period data
+      "events_cuped" -> (EventOps.cuped(_, _)),
       "events_cohorts" -> (EventOps.cohortRetention(_, _)),
       "events_scd2" -> (EventOps.scd2(_, _)),
       // point-in-time join: facts to the SCD2 version valid at event time
@@ -874,6 +877,7 @@ object SparkEntry {
       "events_funnel_bounded" -> EventOps.signupFunnelBoundedOracle(),
       "events_ab_srm" -> EventOps.abSrmOracle,
       "events_power_mde" -> EventOps.powerMdeOracle,
+      "events_cuped" -> EventOps.cupedOracle,
       "events_cohorts" -> EventOps.cohortRetentionOracle,
       "events_scd2" -> EventOps.scd2Oracle,
       "events_pit_join" -> EventOps.pitJoinOracle,

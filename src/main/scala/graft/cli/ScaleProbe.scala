@@ -324,7 +324,10 @@ object ScaleProbe {
       // power/MDE rides ab_srm's user-keyed fold; boilerplate is one
       // prefix projection into a distinct-prefix-sized rollup + window
       ("power_mde", d => graft.operators.EventOps.powerMde(spark, d)),
-      ("boilerplate_prefix", d => graft.operators.TextAnalysis.boilerplatePrefix(spark, d)))
+      ("boilerplate_prefix", d => graft.operators.TextAnalysis.boilerplatePrefix(spark, d)),
+      // CUPED rides the same user-keyed conditional fold into a 1-row
+      // exact moment aggregate
+      ("cuped", d => graft.operators.EventOps.cuped(spark, d)))
     val allBuilds = (if (family == "ppj") ppjBuilds
       else if (doDocs) docBuilds else Seq.empty) ++
       (if (doEmb) embBuilds else Seq.empty) ++

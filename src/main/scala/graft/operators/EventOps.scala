@@ -394,6 +394,88 @@ object EventOps {
        |FROM pooled""".stripMargin
   }
 
+  /** CUPED VARIANCE REDUCTION — the third leg of the experiment stack
+    * (with [[abSrm]] and [[powerMde]]): split the event range at its
+    * exact midpoint into pre/post periods, fold each user's purchase
+    * value per period in MILLI units (quantization chosen so every raw
+    * moment below stays inside DECIMAL(38,0)/int128), and report the
+    * CUPED adjustment θ = cov(pre,post)/var(pre) plus the variance
+    * reduction it buys, ρ² (Deng et al., WSDM 2013). The moments
+    * (n·Sxy−SxSy, n·Sxx−Sx², n·Syy−Sy²) are exact integers; θ is ONE
+    * IEEE division of two of them, and ρ² is a mul/mul/div chain over
+    * them with NO add/sub in double space — an addition there invites an
+    * engine-side FMA fusion and a last-ulp cross-engine split (the
+    * `powerMde` lesson), while squaring in integer space overflows
+    * DECIMAL(38) once the corpus grows (observed at the 20× probe). An
+    * experimenter reads this row to learn how much pre-period data
+    * shrinks their confidence intervals — ρ² = 0.30 means 30 % less
+    * variance, i.e. 30 % less traffic for the same power. Shuffle
+    * profile: one user-keyed conditional fold, one 1-row moment
+    * aggregate. */
+  def cuped(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"))
+    val mid = ev.agg(expr("(min(tus) + max(tus)) div 2").as("mid_tus"))
+    val per = ev.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "purchase" && col("tus") < col("mid_tus"),
+          expr("CAST(floor(value * 1000) AS DECIMAL(38,0))")).otherwise(lit(0).cast("decimal(38,0)"))).as("x"),
+        sum(when(col("event_type") === "purchase" && col("tus") >= col("mid_tus"),
+          expr("CAST(floor(value * 1000) AS DECIMAL(38,0))")).otherwise(lit(0).cast("decimal(38,0)"))).as("y"))
+    per.agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"),
+        sum(expr("y * y")).as("syy"))
+      .select(
+        col("n"),
+        expr("CAST(sx div n AS BIGINT)").as("mean_pre_milli"),
+        expr("CAST(sy div n AS BIGINT)").as("mean_post_milli"),
+        expr("""CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+               |ELSE CAST((n * sxy - sx * sy) AS DOUBLE)
+               |  / CAST((n * sxx - sx * sx) AS DOUBLE) END""".stripMargin).as("theta"),
+        // ρ² squares the covariance — integer squaring overflows
+        // DECIMAL(38) once the corpus grows (observed at the 20× probe),
+        // so the ratio runs as a SHORT double chain over the exact
+        // moments: mul/mul/div only, no add/sub, so no engine can fuse an
+        // FMA and the chain is bit-identical cross-engine
+        expr("""CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+               |ELSE CAST((n * sxy - sx * sy) AS DOUBLE) * CAST((n * sxy - sx * sy) AS DOUBLE)
+               |  / (CAST((n * sxx - sx * sx) AS DOUBLE) * CAST((n * syy - sy * sy) AS DOUBLE)) END""".stripMargin)
+          .as("rho2"))
+  }
+
+  val cupedOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, value, epoch_us(ts) AS tus FROM events
+      |), mid AS (
+      |  SELECT (min(tus) + max(tus)) // 2 AS mid_tus FROM ev
+      |), per AS (
+      |  SELECT user_id,
+      |    sum(CASE WHEN event_type = 'purchase' AND tus < mid_tus
+      |        THEN CAST(floor(value * 1000) AS HUGEINT) ELSE 0 END) AS x,
+      |    sum(CASE WHEN event_type = 'purchase' AND tus >= mid_tus
+      |        THEN CAST(floor(value * 1000) AS HUGEINT) ELSE 0 END) AS y
+      |  FROM ev, mid GROUP BY user_id
+      |), m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    sum(x) AS sx, sum(y) AS sy,
+      |    sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      |  FROM per
+      |)
+      |SELECT n,
+      |  CAST(sx // n AS BIGINT) AS mean_pre_milli,
+      |  CAST(sy // n AS BIGINT) AS mean_post_milli,
+      |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+      |  ELSE CAST((n * sxy - sx * sy) AS DOUBLE)
+      |    / CAST((n * sxx - sx * sx) AS DOUBLE) END AS theta,
+      |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+      |  ELSE CAST((n * sxy - sx * sy) AS DOUBLE) * CAST((n * sxy - sx * sy) AS DOUBLE)
+      |    / (CAST((n * sxx - sx * sx) AS DOUBLE) * CAST((n * syy - sy * sy) AS DOUBLE)) END
+      |    AS rho2
+      |FROM m""".stripMargin
+
   /** Weekday × hour activity heatmap. Day-of-week numbering differs across
     * engines (Spark dayofweek is 1=Sunday, DuckDB dayofweek 0=Sunday), so
     * both sides use the ISO convention: Spark `weekday()+1` = DuckDB

@@ -108,6 +108,37 @@ class ExperimentHygieneSpec extends AnyFunSuite {
     assert(rows.exists(_.getString(1) == "breaking news update follow us"))
   }
 
+  test("CUPED: theta and variance reduction match exact BigInt moments") {
+    val r = EventOps.cuped(spark, dir).collect().head
+    val ev = Fixtures.table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts").cast("timestamp")).as("tus")).collect()
+    val mid = (ev.map(_.getLong(3)).min + ev.map(_.getLong(3)).max) / 2
+    val users = ev.map(_.getLong(0)).distinct
+    def tot(pre: Boolean): Map[Long, BigInt] = ev
+      .filter(e => e.getString(1) == "purchase" && (if (pre) e.getLong(3) < mid else e.getLong(3) >= mid))
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(e => BigInt(math.floor(e.getDouble(2) * 1000).toLong)).sum).toMap
+    val (px, py) = (tot(pre = true), tot(pre = false))
+    val xs = users.map(u => px.getOrElse(u, BigInt(0)))
+    val ys = users.map(u => py.getOrElse(u, BigInt(0)))
+    val n = BigInt(users.length)
+    val (sx, sy) = (xs.sum, ys.sum)
+    val (sxx, syy) = (xs.map(v => v * v).sum, ys.map(v => v * v).sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    assert(r.getLong(0) == n.toLong)
+    assert(r.getLong(1) == (sx / n).toLong && r.getLong(2) == (sy / n).toLong)
+    val covN = n * sxy - sx * sy
+    val varPreN = n * sxx - sx * sx
+    val varPostN = n * syy - sy * sy
+    assert(r.getDouble(3) == covN.toDouble / varPreN.toDouble)
+    assert(r.getDouble(4) == covN.toDouble * covN.toDouble
+      / (varPreN.toDouble * varPostN.toDouble))
+    // the pre-period must actually predict the post-period on this fixture
+    assert(r.getDouble(4) > 0, "zero variance reduction means the periods are disconnected")
+    assert(r.getDouble(4) <= 1.0)
+  }
+
   test("fertility: ratios are the exact half-up milli of the summed counts") {
     val rows = TextAnalysis.fertility(spark, dir).collect()
     assert(rows.nonEmpty)
