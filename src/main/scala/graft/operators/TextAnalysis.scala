@@ -657,7 +657,7 @@ object TextAnalysis {
   /** [[mixedHash]] over an arbitrary key expression — the shard-write
     * content hash folds (doc_id ‖ pos ‖ offset ‖ text) through the same
     * md5-then-fold mix. */
-  private[operators] def mixedHashOf(prefix: String, key: Column): Column =
+  private[graft] def mixedHashOf(prefix: String, key: Column): Column =
     rollingHash(md5(concat(lit(prefix), key.cast("string"))))
 
   /** DuckDB twin of [[mixedHash]]. */
