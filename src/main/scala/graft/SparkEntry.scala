@@ -540,6 +540,9 @@ object SparkEntry {
       // frame-energy VAD over the same decode seam (round 11): voiced
       // frames, longest voiced run, exact speech permille per clip
       "multimodal_audio_vad" -> (Multimodal.audioVad(_, _)),
+      // luminance histogram + exposure screens through the real ImageIO
+      // decode (round 11): planted dark/bright frames must flag
+      "multimodal_image_histogram" -> (Multimodal.imageHistogramProfile(_, _)),
       "multimodal_image_dhash" -> (Multimodal.imageDHashProfile(_, _)),
       "dedup_image_groups" -> (Multimodal.imageDupGroups(_, _)),
       // data-quality validation rules (the north-star surface)
@@ -893,6 +896,7 @@ object SparkEntry {
       "multimodal_tiles" -> Multimodal.tilePlanOracle(),
       "multimodal_audio_profile" -> Multimodal.audioProfileOracle,
       "multimodal_audio_vad" -> Multimodal.audioVadOracle,
+      "multimodal_image_histogram" -> Multimodal.imageHistogramProfileOracle,
       "multimodal_image_dhash" -> Multimodal.imageDHashProfileOracle,
       "dedup_image_groups" -> Multimodal.imageDupGroupsOracle,
       "quality_checks" -> graft.quality.QualitySuite.oracle)

@@ -327,7 +327,9 @@ object ScaleProbe {
       ("boilerplate_prefix", d => graft.operators.TextAnalysis.boilerplatePrefix(spark, d)),
       // CUPED rides the same user-keyed conditional fold into a 1-row
       // exact moment aggregate
-      ("cuped", d => graft.operators.EventOps.cuped(spark, d)))
+      ("cuped", d => graft.operators.EventOps.cuped(spark, d)),
+      // per-doc decode seam, fixed-width exit — the audio_vad band
+      ("image_histogram", d => graft.operators.Multimodal.imageHistogramProfile(spark, d)))
     val allBuilds = (if (family == "ppj") ppjBuilds
       else if (doDocs) docBuilds else Seq.empty) ++
       (if (doEmb) embBuilds else Seq.empty) ++

@@ -18,6 +18,14 @@ import graft.Fixtures.table
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache: every read/write
+  // creates a temp file, and at 32 concurrent decode threads the
+  // filesystem becomes the bottleneck — measured as a 1.18 scaling
+  // exponent on the histogram probe (10→20× corpus) that dropped back to
+  // ~linear with the memory cache. Payloads here are KB-sized byte
+  // arrays; buffering them in memory is strictly better at any scale.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** A media row: opaque payload + typed metadata. */
   case class MediaRecord(doc_id: Long, payload: Array[Byte], media_type: String,
       width: Int, height: Int)
@@ -409,6 +417,113 @@ object Multimodal {
       |)
       |SELECT dhash, count(*) AS n_docs, min(doc_id) AS keeper
       |FROM hashes GROUP BY dhash ORDER BY keeper""".stripMargin
+
+  // -------------------------------------------------- luminance histogram
+  /** Integer luminance histogram over the decoded raster: per pixel,
+    * gray = 299r+587g+114b (the ITU integer weights, 0..255000), binned
+    * into 4 equal bands by `gray div 64000`. Returns the counts plus the
+    * exact gray sum — everything an exposure screen needs, computed in
+    * the decode seam so only (id, 7 ints) exits it. */
+  case class ImgHist(nPx: Long, b0: Long, b1: Long, b2: Long, b3: Long, graySum: Long)
+
+  def grayHistogram(payload: Array[Byte]): ImgHist = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"payload (${payload.length} bytes) is not a decodable image")
+    val w = img.getWidth; val h = img.getHeight
+    val bins = new Array[Long](4)
+    var graySum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val gray = 299L * ((p >>> 16) & 0xff) + 587L * ((p >>> 8) & 0xff) + 114L * (p & 0xff)
+        bins((gray / 64000L).toInt) += 1
+        graySum += gray
+        x += 1
+      }
+      y += 1
+    }
+    ImgHist(w.toLong * h, bins(0), bins(1), bins(2), bins(3), graySum)
+  }
+
+  /** [[synthPng]]'s exposure variant: doc_id % 9 == 0 renders a constant
+    * DARK frame (v=16), % 9 == 1 a constant BRIGHT frame (v=240), the
+    * rest the usual gradient — so the exposure screen has planted
+    * positives in both directions and the oracle still predicts every
+    * pixel closed-form. */
+  private[operators] def synthExposurePng(docId: Long): Array[Byte] = {
+    val w = 18 + (docId % 10).toInt; val h = 16 + (docId % 7).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = if (docId % 9 == 0) 16
+        else if (docId % 9 == 1) 240
+        else ((docId * 7 + x * 13 + y * 29) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** IMAGE EXPOSURE PROFILE, driver-gated end to end: deterministic PNG
+    * per doc (dark/bright plants among gradients) through the REAL
+    * ImageIO decode + [[grayHistogram]] integer binning, emitting the
+    * luminance histogram, exact mean gray (milli-units), and the
+    * under-/over-exposure screens (≥ 700 ‰ of pixels in the extreme
+    * band) an image-curation pipeline drops on. The oracle re-derives
+    * every pixel from the synthesis formula in SQL, so a regression in
+    * the codec path, the ITU weights, the bin boundaries, or the
+    * thresholds breaks 500 rows at once. 100 TB shape: identical to
+    * [[imageDHashProfile]] — per-partition decode, fixed-width exit. */
+  def imageHistogramProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = table(spark, dir, "documents").select(col("doc_id")).as[Long]
+    ids.map { id =>
+        val g = grayHistogram(synthExposurePng(id))
+        (id, g.nPx, g.b0, g.b1, g.b2, g.b3, g.graySum)
+      }
+      .toDF("doc_id", "n_px", "b0", "b1", "b2", "b3", "gray_sum")
+      .select(col("doc_id"), col("n_px"), col("b0"), col("b1"), col("b2"), col("b3"),
+        expr("gray_sum div n_px").as("mean_gray_milli"),
+        (col("b0") * 1000 >= col("n_px") * 700).as("under_exposed"),
+        (col("b3") * 1000 >= col("n_px") * 700).as("over_exposed"))
+      .orderBy("doc_id")
+  }
+
+  val imageHistogramProfileOracle: String =
+    """WITH dims AS (
+      |  SELECT doc_id, 18 + doc_id % 10 AS w, 16 + doc_id % 7 AS h FROM documents
+      |), px AS (
+      |  SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
+      |  FROM (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM dims)
+      |), g AS (
+      |  SELECT doc_id,
+      |    1000 * (CASE WHEN doc_id % 9 = 0 THEN 16
+      |                 WHEN doc_id % 9 = 1 THEN 240
+      |                 ELSE (doc_id * 7 + x * 13 + y * 29) % 256 END) AS gray
+      |  FROM px
+      |), agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_px,
+      |    CAST(sum(CASE WHEN gray // 64000 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+      |    CAST(sum(CASE WHEN gray // 64000 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+      |    CAST(sum(CASE WHEN gray // 64000 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+      |    CAST(sum(CASE WHEN gray // 64000 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+      |    CAST(sum(gray) AS BIGINT) AS gray_sum
+      |  FROM g GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_px, b0, b1, b2, b3,
+      |  gray_sum // n_px AS mean_gray_milli,
+      |  b0 * 1000 >= n_px * 700 AS under_exposed,
+      |  b3 * 1000 >= n_px * 700 AS over_exposed
+      |FROM agg ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------ WAV audio decode
   /** Real AUDIO bytes through the decode seam: parse a RIFF/WAVE PCM
