@@ -214,6 +214,9 @@ object SparkEntry {
       // the post-filter strategy on the unfiltered IVF index, each hit
       // flagged against the exact filtered answer (filtered recall)
       "ann_filtered_ivf" -> ((s, d) => Similarity.filteredIvfTopK(s, d)),
+      // the filtered-search knob table: survivors/hits/recall per nprobe
+      // (returned < gt_n at low nprobe is the starvation signal)
+      "ann_filtered_sweep" -> ((s, d) => Similarity.filteredNprobeSweep(s, d)),
       // 2-D skyline via per-size min + suffix-min over the size domain
       "q_pareto_frontier" -> (RelationalExt.paretoFrontier(_, _)),
       // exact weighted percentiles via grouped-value two-level prefix sums
@@ -501,6 +504,8 @@ object SparkEntry {
       // time-bounded funnel (round 11): conversion windows per stage plus
       // the per-stage lag columns the windows are tuned from
       "events_funnel_bounded" -> (EventOps.signupFunnelBounded(_, _)),
+      // signup-week cohort conversion matrix over the bounded funnel
+      "events_funnel_cohorts" -> (EventOps.funnelCohorts(_, _)),
       // experiment hygiene (round 11): deterministic 50/50 assignment,
       // per-variant volumes, exact chi-square SRM gate at the 95% critical
       "events_ab_srm" -> (EventOps.abSrm(_, _)),
@@ -659,6 +664,7 @@ object SparkEntry {
       "ann_matryoshka_overlap" -> Similarity.matryoshkaOverlapOracle(),
       "ann_filtered_topk" -> Similarity.filteredTopKOracle(),
       "ann_filtered_ivf" -> Similarity.filteredIvfTopKOracle(),
+      "ann_filtered_sweep" -> Similarity.filteredNprobeSweepOracle(),
       "q_pareto_frontier" -> RelationalExt.paretoFrontierOracle,
       "profile_weighted_percentiles" -> ProfileQueries.weightedPercentilesOracle(),
       "docs_pps_sample" -> TextAnalysis.ppsSampleOracle(),
@@ -878,6 +884,7 @@ object SparkEntry {
       "events_deletion_impact" -> EventOps.deletionImpactOracle,
       "events_funnel" -> EventOps.signupFunnelOracle,
       "events_funnel_bounded" -> EventOps.signupFunnelBoundedOracle(),
+      "events_funnel_cohorts" -> EventOps.funnelCohortsOracle,
       "events_ab_srm" -> EventOps.abSrmOracle,
       "events_power_mde" -> EventOps.powerMdeOracle,
       "events_cuped" -> EventOps.cupedOracle,

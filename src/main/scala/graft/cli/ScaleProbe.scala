@@ -230,7 +230,9 @@ object ScaleProbe {
       // label-filtered scan (selectivity fixed ⇒ linear in corpus); the
       // post-filter leg rides the IVF probe + the bounded exact twin
       ("filtered_topk", d => graft.operators.Similarity.filteredTopK(spark, d)),
-      ("filtered_ivf", d => graft.operators.Similarity.filteredIvfTopK(spark, d)))
+      ("filtered_ivf", d => graft.operators.Similarity.filteredIvfTopK(spark, d)),
+      // 4 probe legs + 5 bounded exact twins — must track the legs
+      ("filtered_sweep", d => graft.operators.Similarity.filteredNprobeSweep(spark, d)))
     val profBuilds = Seq[(String, String => DataFrame)](
       ("sketch_profile", d => graft.profile.ProfileQueries.sketchProfile(spark, d, "lineitem")),
       ("full_profile",   d => graft.profile.ProfileQueries.fullProfile(spark, d, "lineitem")))

@@ -394,6 +394,39 @@ object EventOps {
        |FROM pooled""".stripMargin
   }
 
+  /** FUNNEL COHORT MATRIX — the bounded funnel rolled to signup-week
+    * cohorts: per epoch week index, signups and the exact permille that
+    * reached stage 2 (clicked inside the window) and stage 3 (purchased)
+    * — the growth team's week-over-week conversion read, comparable
+    * ACROSS cohorts precisely because the stage windows are bounded
+    * ([[signupFunnelBounded]]). Epoch-week integers avoid the
+    * cross-engine date-truncation dialect entirely. One extra
+    * |weeks|-group rollup over the funnel's per-user frame. */
+  def funnelCohorts(spark: SparkSession, dir: String): DataFrame =
+    signupFunnelBounded(spark, dir)
+      .withColumn("week_idx", expr("signup_tus div 604800000000"))
+      .groupBy("week_idx")
+      .agg(count(lit(1)).as("signups"),
+        sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("clicked"),
+        sum(when(col("stage") === 3, 1L).otherwise(0L)).as("purchased"))
+      .withColumn("click_permille",
+        expr("(clicked * 1000 + signups div 2) div signups"))
+      .withColumn("purchase_permille",
+        expr("(purchased * 1000 + signups div 2) div signups"))
+      .orderBy("week_idx")
+
+  def funnelCohortsOracle: String =
+    s"""WITH f AS (${signupFunnelBoundedOracle()})
+       |SELECT signup_tus // 604800000000 AS week_idx,
+       |  CAST(count(*) AS BIGINT) AS signups,
+       |  CAST(sum(CASE WHEN stage >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS clicked,
+       |  CAST(sum(CASE WHEN stage = 3 THEN 1 ELSE 0 END) AS BIGINT) AS purchased,
+       |  (CAST(sum(CASE WHEN stage >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1000
+       |    + CAST(count(*) AS BIGINT) // 2) // CAST(count(*) AS BIGINT) AS click_permille,
+       |  (CAST(sum(CASE WHEN stage = 3 THEN 1 ELSE 0 END) AS BIGINT) * 1000
+       |    + CAST(count(*) AS BIGINT) // 2) // CAST(count(*) AS BIGINT) AS purchase_permille
+       |FROM f GROUP BY week_idx ORDER BY week_idx""".stripMargin
+
   /** CUPED VARIANCE REDUCTION — the third leg of the experiment stack
     * (with [[abSrm]] and [[powerMde]]): split the event range at its
     * exact midpoint into pre/post periods, fold each user's purchase

@@ -549,6 +549,47 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** FILTERED-SEARCH NPROBE SWEEP — the knob table for the post-filter
+    * strategy ([[filteredIvfTopK]]): per probe count, survivors returned
+    * (the starvation signal — a query that cannot fill k under the
+    * filter shows up as returned < gt_n), exact hits against the
+    * filtered ground truth, and half-up recall permille. The production
+    * read: walk down the column until recall clears the bar; if returned
+    * starves before it does, post-filtering cannot serve this predicate
+    * and the index needs label partitioning. Each leg is the already-
+    * gated probe; the ground-truth denominator is computed from the
+    * exact twin, not assumed to be numQueries·k. */
+  def filteredNprobeSweep(spark: SparkSession, dir: String, numQueries: Int = 8,
+      k: Int = 3): DataFrame = {
+    val gtN = filteredTopK(spark, dir, numQueries, k).agg(count(lit(1)).as("gt_n"))
+    Seq(1, 2, 4, 8).map { np =>
+      filteredIvfTopK(spark, dir, numQueries, k, nprobe = np)
+        .agg(count(lit(1)).as("returned"), sum("hit").as("hits"))
+        .select(lit(np.toLong).as("nprobe"), col("returned"), col("hits"))
+    }.reduce(_ unionAll _)
+      .crossJoin(broadcast(gtN))
+      .withColumn("recall_permille", expr("(hits * 1000 + gt_n div 2) div gt_n"))
+      .select("nprobe", "returned", "hits", "gt_n", "recall_permille")
+      .orderBy("nprobe")
+  }
+
+  def filteredNprobeSweepOracle(numQueries: Int = 8, k: Int = 3): String = {
+    def cfg(np: Int): String =
+      s"""SELECT CAST($np AS BIGINT) AS nprobe,
+         |  CAST(count(*) AS BIGINT) AS returned,
+         |  CAST(sum(hit) AS BIGINT) AS hits
+         |FROM (${filteredIvfTopKOracle(numQueries, k, nprobe = np)}) t""".stripMargin
+    s"""WITH gt AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS gt_n
+       |  FROM (${filteredTopKOracle(numQueries, k)}) t
+       |)
+       |SELECT nprobe, returned, hits, gt_n,
+       |  (hits * 1000 + gt_n // 2) // gt_n AS recall_permille
+       |FROM (
+       |(${Seq(1, 2, 4, 8).map(cfg).mkString(")\nUNION ALL\n(")})
+       |), gt ORDER BY nprobe""".stripMargin
+  }
+
   def filteredIvfTopKOracle(numQueries: Int = 8, k: Int = 3,
       nCentroids: Int = 16, nprobe: Int = 4): String =
     s"""WITH ${ivfAssignCtes(nCentroids, nprobe, s"vec_id < $numQueries")}, fcands AS (

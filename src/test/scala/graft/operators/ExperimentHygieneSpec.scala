@@ -108,6 +108,23 @@ class ExperimentHygieneSpec extends AnyFunSuite {
     assert(rows.exists(_.getString(1) == "breaking news update follow us"))
   }
 
+  test("funnel cohorts: rollup conserves the bounded funnel's per-user rows") {
+    val funnel = EventOps.signupFunnelBounded(spark, dir).collect()
+      .map(r => (r.getLong(1) / 604800000000L, r.getLong(4)))
+    val rows = EventOps.funnelCohorts(spark, dir).collect()
+    assert(rows.map(_.getLong(1)).sum == funnel.length.toLong)
+    rows.foreach { r =>
+      val wk = r.getLong(0)
+      val cohort = funnel.filter(_._1 == wk)
+      assert(r.getLong(1) == cohort.length.toLong)
+      assert(r.getLong(2) == cohort.count(_._2 >= 2).toLong)
+      assert(r.getLong(3) == cohort.count(_._2 == 3).toLong)
+      assert(r.getLong(4) == (r.getLong(2) * 1000 + r.getLong(1) / 2) / r.getLong(1))
+      assert(r.getLong(5) == (r.getLong(3) * 1000 + r.getLong(1) / 2) / r.getLong(1))
+    }
+    assert(rows.length > 1, "fixture should span multiple signup weeks")
+  }
+
   test("CUPED: theta and variance reduction match exact BigInt moments") {
     val r = EventOps.cuped(spark, dir).collect().head
     val ev = Fixtures.table(spark, dir, "events")

@@ -39,6 +39,22 @@ class FilteredSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("nprobe sweep: recall is monotone in nprobe and the full probe recovers everything") {
+    val rows = Similarity.filteredNprobeSweep(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 8L))
+    val gtN = Similarity.filteredTopK(spark, dir).count()
+    rows.foreach { r =>
+      assert(r.getLong(3) == gtN)
+      assert(r.getLong(2) <= r.getLong(1), "hits cannot exceed returned rows")
+      assert(r.getLong(4) == (r.getLong(2) * 1000 + gtN / 2) / gtN)
+    }
+    val recalls = rows.map(_.getLong(4))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone in nprobe: ${recalls.mkString(",")}")
+    // the sweep must actually discriminate: nprobe=1 below nprobe=8
+    assert(recalls.head < recalls.last, s"sweep is flat: ${recalls.mkString(",")}")
+  }
+
   test("post-filter IVF: survivors pass the filter; hit flags match the exact answer") {
     val exact = Similarity.filteredTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
