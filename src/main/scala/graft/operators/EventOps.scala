@@ -436,9 +436,10 @@ object EventOps {
     * reduction it buys, ρ² (Deng et al., WSDM 2013). The moments
     * (n·Sxy−SxSy, n·Sxx−Sx², n·Syy−Sy²) are exact integers; θ is ONE
     * IEEE division of two of them, and ρ² is a mul/mul/div chain over
-    * them with NO add/sub in double space — an addition there invites an
-    * engine-side FMA fusion and a last-ulp cross-engine split (the
-    * `powerMde` lesson), while squaring in integer space overflows
+    * them with NO add/sub in double space — a chained add/sub there lets
+    * an engine reassociate or fuse the expression and split the engines
+    * by ulps (observed on `powerMde`'s first form, rebuilt as one exact
+    * integer division), while squaring in integer space overflows
     * DECIMAL(38) once the corpus grows (observed at the 20× probe). An
     * experimenter reads this row to learn how much pre-period data
     * shrinks their confidence intervals — ρ² = 0.30 means 30 % less
@@ -471,8 +472,8 @@ object EventOps {
         // ρ² squares the covariance — integer squaring overflows
         // DECIMAL(38) once the corpus grows (observed at the 20× probe),
         // so the ratio runs as a SHORT double chain over the exact
-        // moments: mul/mul/div only, no add/sub, so no engine can fuse an
-        // FMA and the chain is bit-identical cross-engine
+        // moments: mul/mul/div only, nothing an optimizer can
+        // reassociate, so the chain is bit-identical cross-engine
         expr("""CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
                |ELSE CAST((n * sxy - sx * sy) AS DOUBLE) * CAST((n * sxy - sx * sy) AS DOUBLE)
                |  / (CAST((n * sxx - sx * sx) AS DOUBLE) * CAST((n * syy - sy * sy) AS DOUBLE)) END""".stripMargin)
