@@ -217,6 +217,8 @@ object SparkEntry {
       // the filtered-search knob table: survivors/hits/recall per nprobe
       // (returned < gt_n at low nprobe is the starvation signal)
       "ann_filtered_sweep" -> ((s, d) => Similarity.filteredNprobeSweep(s, d)),
+      // MMR diversity re-rank of the exact top-k (unrolled greedy rounds)
+      "ann_mmr_diversify" -> ((s, d) => Similarity.mmrDiversify(s, d)),
       // 2-D skyline via per-size min + suffix-min over the size domain
       "q_pareto_frontier" -> (RelationalExt.paretoFrontier(_, _)),
       // exact weighted percentiles via grouped-value two-level prefix sums
@@ -665,6 +667,7 @@ object SparkEntry {
       "ann_filtered_topk" -> Similarity.filteredTopKOracle(),
       "ann_filtered_ivf" -> Similarity.filteredIvfTopKOracle(),
       "ann_filtered_sweep" -> Similarity.filteredNprobeSweepOracle(),
+      "ann_mmr_diversify" -> Similarity.mmrDiversifyOracle(),
       "q_pareto_frontier" -> RelationalExt.paretoFrontierOracle,
       "profile_weighted_percentiles" -> ProfileQueries.weightedPercentilesOracle(),
       "docs_pps_sample" -> TextAnalysis.ppsSampleOracle(),

@@ -232,7 +232,10 @@ object ScaleProbe {
       ("filtered_topk", d => graft.operators.Similarity.filteredTopK(spark, d)),
       ("filtered_ivf", d => graft.operators.Similarity.filteredIvfTopK(spark, d)),
       // 4 probe legs + 5 bounded exact twins — must track the legs
-      ("filtered_sweep", d => graft.operators.Similarity.filteredNprobeSweep(spark, d)))
+      ("filtered_sweep", d => graft.operators.Similarity.filteredNprobeSweep(spark, d)),
+      // candidate stage + a k2-per-query unrolled post-pass — must track
+      // the candidate scan
+      ("mmr_diversify", d => graft.operators.Similarity.mmrDiversify(spark, d)))
     val profBuilds = Seq[(String, String => DataFrame)](
       ("sketch_profile", d => graft.profile.ProfileQueries.sketchProfile(spark, d, "lineitem")),
       ("full_profile",   d => graft.profile.ProfileQueries.fullProfile(spark, d, "lineitem")))

@@ -506,6 +506,104 @@ object Similarity {
        |SELECT query_id, label, cand_id, rank, cos, n_eligible FROM ranked
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  // --------------------------------------------------- MMR diversification
+  /** MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein, SIGIR
+    * 1998) — the diversity pass a retrieval stack runs AFTER top-k: from
+    * each query's exact top-`kCand` candidates, greedily pick `kPick`
+    * maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) at λ = 0.5, ties to
+    * the smaller cand_id. Returns (query, round, pick, rel, mmr) — the
+    * de-redundified shortlist a RAG context builder actually wants when
+    * near-duplicate chunks crowd the raw top-k.
+    *
+    * Cross-engine determinism: every rel/sim is the strict-fold cosine
+    * both engines already agree on, and each MMR score is
+    * `0.5 · (rel − maxsim)` — ONE subtraction of two agreed doubles, one
+    * exact halving — so the per-round argmax can never flip between
+    * engines. The greedy recurrence unrolls `kPick` rounds (the
+    * [[graft.operators.Dedup]] PageRank-unroll precedent); every frame in
+    * it is numQueries·kCand-bounded, so the driver-side checkpoint per
+    * round is O(queries·k), never corpus-sized. At scale the candidate
+    * stage is whatever index produced the shortlist; MMR itself stays a
+    * k²-per-query post-pass. */
+  def mmrDiversify(spark: SparkSession, dir: String, numQueries: Int = 5,
+      kCand: Int = 10, kPick: Int = 5): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+    val cands = cosineTopK(spark, dir, numQueries, kCand)
+      .select(col("query_id"), col("cand_id"), col("cos").as("rel"))
+      .localCheckpoint(false) // tiny; reused by every round
+    val cv = e.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nn"))
+    val x = cands.join(cv, col("cand_id") === col("vec_id"))
+      .select(col("query_id"), col("cand_id").as("a"),
+        col("embedding").as("av"), col("nn").as("an"))
+    val y = cands.join(cv, col("cand_id") === col("vec_id"))
+      .select(col("query_id").as("qy"), col("cand_id").as("b"),
+        col("embedding").as("bv"), col("nn").as("bn"))
+    val sims = x.join(y, col("query_id") === col("qy") && col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        (dot(col("av"), col("bv")) / (col("an") * col("bn"))).as("sim"))
+      .localCheckpoint(false)
+    val w = Window.partitionBy("query_id")
+    def pickTop(df: DataFrame, round: Int): DataFrame =
+      df.withColumn("rn",
+          row_number().over(w.orderBy(col("mmr").desc, col("cand_id"))))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), lit(round.toLong).as("round"),
+          col("cand_id"), col("rel"), col("mmr"))
+    var sel = pickTop(cands.withColumn("mmr", lit(0.5) * col("rel")), 1)
+      .localCheckpoint(false)
+    for (r <- 2 to kPick) {
+      val msim = sims
+        .join(sel.select(col("query_id"), col("cand_id").as("b")), Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a").as("cand_id"))
+        .agg(max("sim").as("msim"))
+      val scored = cands
+        .join(sel.select("query_id", "cand_id"), Seq("query_id", "cand_id"), "left_anti")
+        .join(msim, Seq("query_id", "cand_id"))
+        .withColumn("mmr", lit(0.5) * (col("rel") - col("msim")))
+      sel = sel.unionByName(pickTop(scored, r)).localCheckpoint(false)
+    }
+    sel.orderBy("query_id", "round")
+  }
+
+  def mmrDiversifyOracle(numQueries: Int = 5, kCand: Int = 10,
+      kPick: Int = 5): String = {
+    val rounds = (2 to kPick).map { r =>
+      s"""score$r AS (
+         |  SELECT c.query_id, c.cand_id, c.rel,
+         |    0.5 * (c.rel - max(s.sim)) AS mmr
+         |  FROM cands c
+         |  JOIN sims s ON s.query_id = c.query_id AND s.a = c.cand_id
+         |  JOIN sel${r - 1} p ON p.query_id = s.query_id AND p.cand_id = s.b
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} m
+         |                    WHERE m.query_id = c.query_id AND m.cand_id = c.cand_id)
+         |  GROUP BY c.query_id, c.cand_id, c.rel
+         |), p$r AS (
+         |  SELECT query_id, CAST($r AS BIGINT) AS round, cand_id, rel, mmr FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY mmr DESC, cand_id) AS rn FROM score$r) WHERE rn = 1
+         |), sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM p$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cands AS (
+       |  SELECT query_id, cand_id, cos AS rel
+       |  FROM (${cosineTopKOracle(numQueries, kCand)}) t
+       |), sims AS (
+       |  SELECT c1.query_id, c1.cand_id AS a, c2.cand_id AS b,
+       |    ${cosSql("e1.embedding", "e2.embedding")} AS sim
+       |  FROM cands c1
+       |  JOIN cands c2 ON c2.query_id = c1.query_id AND c2.cand_id != c1.cand_id
+       |  JOIN embeddings e1 ON e1.vec_id = c1.cand_id
+       |  JOIN embeddings e2 ON e2.vec_id = c2.cand_id
+       |), sel1 AS (
+       |  SELECT query_id, CAST(1 AS BIGINT) AS round, cand_id, rel,
+       |    0.5 * rel AS mmr FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY 0.5 * rel DESC, cand_id) AS rn FROM cands) WHERE rn = 1
+       |),
+       |$rounds
+       |SELECT query_id, round, cand_id, rel, mmr FROM sel$kPick
+       |ORDER BY query_id, round""".stripMargin
+  }
+
   /** FILTERED IVF TOP-K — the POST-FILTER strategy on an unfiltered index:
     * probe the query's nprobe nearest cells of the shared seed-centroid
     * IVF ([[ivfAssign]] — the index does not know about the predicate),

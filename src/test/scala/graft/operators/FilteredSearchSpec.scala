@@ -55,6 +55,52 @@ class FilteredSearchSpec extends AnyFunSuite {
     assert(recalls.head < recalls.last, s"sweep is flat: ${recalls.mkString(",")}")
   }
 
+  test("MMR: driver-side greedy replay matches; diversity actually reorders the top-k") {
+    val cands = Similarity.cosineTopK(spark, dir, numQueries = 5, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val byQ = cands.groupBy(_._1)
+    // pairwise sims among each query's candidates, from the raw vectors
+    val vecs = Fixtures.table(spark, dir, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Long, b: Long): Double = {
+      val (va, vb) = (vecs(a), vecs(b))
+      val d = va.zip(vb).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(va.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(vb.map(x => x.toDouble * x.toDouble).sum)
+      d / (na * nb)
+    }
+    val expected = byQ.flatMap { case (q, cs) =>
+      var sel = List.empty[(Long, Long, Double, Double)] // (round, cand, rel, mmr)
+      for (r <- 1 to 5) {
+        val remaining = cs.filterNot(c => sel.exists(_._2 == c._2))
+        val scored = remaining.map { case (_, cand, rel) =>
+          val mmr = if (r == 1) 0.5 * rel
+          else 0.5 * (rel - sel.map(s => cos(cand, s._2)).max)
+          (cand, rel, mmr)
+        }
+        val best = scored.minBy { case (cand, _, mmr) => (-mmr, cand) }
+        sel = sel :+ ((r.toLong, best._1, best._2, best._3))
+      }
+      sel.map(s => (q, s._1) -> ((s._2, s._4)))
+    }
+    val got = Similarity.mmrDiversify(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(4)))).toMap
+    assert(got.keySet == expected.keySet)
+    // cosines here are recomputed driver-side with a different fold order,
+    // so compare picks exactly and scores to within float-fold tolerance
+    expected.foreach { case (k, (cand, mmr)) =>
+      assert(got(k)._1 == cand, s"pick at $k: got ${got(k)._1}, expected $cand")
+      assert(math.abs(got(k)._2 - mmr) < 1e-9, s"mmr at $k")
+    }
+    // MMR must actually diversify: some query's pick set differs from top-5-by-rel
+    val reordered = byQ.keys.count { q =>
+      val top5 = byQ(q).sortBy(c => (-c._3, c._2)).take(5).map(_._2).toSet
+      val picks = (1L to 5L).map(r => got((q, r))._1).toSet
+      picks != top5
+    }
+    assert(reordered > 0, "MMR never deviated from pure relevance — test is vacuous")
+  }
+
   test("post-filter IVF: survivors pass the filter; hit flags match the exact answer") {
     val exact = Similarity.filteredTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
