@@ -38,6 +38,9 @@ object SparkEntry {
       // the mergeable-HLL (hll_sketch_agg/hll_union) twin that replaces the
       // distinct-join at 100 TB, tolerance-gated in-query
       "profile_key_overlap" -> (ProfileQueries.keyOverlap(_, _)),
+      // ERD classification (round 11): relationship class + exact fanout
+      // per candidate key pair, one step past the overlap stats
+      "profile_erd_classes" -> ((s, d) => ProfileQueries.erdClasses(s, d)),
       "profile_key_overlap_sketch" -> (ProfileQueries.keyOverlapSketch(_, _)),
       // whole-catalog long-format profile (round 9): every table's numeric
       // columns in ONE job — the nightly profile-the-lake shape
@@ -517,6 +520,9 @@ object SparkEntry {
       // CUPED (round 11): pre/post covariance adjustment theta + exact
       // permille variance reduction from pre-period data
       "events_cuped" -> (EventOps.cuped(_, _)),
+      // the A/B readout (round 11): per-variant rates/means + observed
+      // lift judged against the MDE (can this experiment claim anything?)
+      "events_experiment_lift" -> (EventOps.experimentLift(_, _)),
       "events_cohorts" -> (EventOps.cohortRetention(_, _)),
       "events_scd2" -> (EventOps.scd2(_, _)),
       // point-in-time join: facts to the SCD2 version valid at event time
@@ -568,6 +574,7 @@ object SparkEntry {
       "profile_ndv_orders" -> ProfileQueries.ndvOracle("orders"),
       "profile_topk_values" -> ProfileQueries.topkValuesOracle,
       "profile_key_overlap" -> ProfileQueries.keyOverlapOracle,
+      "profile_erd_classes" -> ProfileQueries.erdClassesOracle,
       "profile_key_overlap_sketch" -> ProfileQueries.keyOverlapSketchOracle,
       "profile_catalog_long" -> ProfileQueries.catalogProfileOracle,
       // profile_fk_discovery intentionally has NO oracle entry (HLL
@@ -891,6 +898,7 @@ object SparkEntry {
       "events_ab_srm" -> EventOps.abSrmOracle,
       "events_power_mde" -> EventOps.powerMdeOracle,
       "events_cuped" -> EventOps.cupedOracle,
+      "events_experiment_lift" -> EventOps.experimentLiftOracle,
       "events_cohorts" -> EventOps.cohortRetentionOracle,
       "events_scd2" -> EventOps.scd2Oracle,
       "events_pit_join" -> EventOps.pitJoinOracle,

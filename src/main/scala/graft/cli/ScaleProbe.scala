@@ -333,6 +333,8 @@ object ScaleProbe {
       // CUPED rides the same user-keyed conditional fold into a 1-row
       // exact moment aggregate
       ("cuped", d => graft.operators.EventOps.cuped(spark, d)),
+      // lift = the ab_srm/power_mde fold + two 1-row broadcasts
+      ("experiment_lift", d => graft.operators.EventOps.experimentLift(spark, d)),
       // per-doc decode seam, fixed-width exit — the audio_vad band
       ("image_histogram", d => graft.operators.Multimodal.imageHistogramProfile(spark, d)))
     val allBuilds = (if (family == "ppj") ppjBuilds

@@ -427,6 +427,91 @@ object EventOps {
        |    + CAST(count(*) AS BIGINT) // 2) // CAST(count(*) AS BIGINT) AS purchase_permille
        |FROM f GROUP BY week_idx ORDER BY week_idx""".stripMargin
 
+  /** EXPERIMENT LIFT READOUT — the table the other three legs exist for:
+    * per variant, distinct users, buyers, exact half-up purchase-rate ppm
+    * and mean purchase value (micro), then the observed LIFT (mean₁ −
+    * mean₀ as ONE IEEE division of exact integer cross-products — no
+    * chained double arithmetic) judged against [[powerMde]]'s minimum
+    * detectable effect: `detectable = |lift| ≥ MDE` says whether this
+    * experiment CAN even claim the difference it shows, the first
+    * question asked of any A/B readout. All inputs are the same exact
+    * DECIMAL micro folds the other legs use, so the doubles compared are
+    * bit-identical across engines. Shuffle profile: the user-keyed fold
+    * + 2-group rollup, with two 1-row broadcasts recombining lift and
+    * MDE. */
+  def experimentLift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val users = ev.select("user_id").distinct()
+      .withColumn("variant",
+        pmod(TextAnalysis.mixedHashOf("ab|", col("user_id")), lit(2)).cast("bigint"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(expr("CAST(floor(value * 1000000) AS DECIMAL(38,0))")).as("v_micro"))
+    val per = users.join(purch, Seq("user_id"), "left")
+      .select(col("variant"),
+        coalesce(col("v_micro"), lit(0).cast("decimal(38,0)")).as("v"),
+        when(col("v_micro").isNotNull, 1L).otherwise(0L).as("bought"))
+    val byVar = per.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"), sum("bought").as("buyers"),
+        sum("v").as("s"))
+    val tot = byVar.agg(
+      sum(when(col("variant") === 0, col("n_users")).otherwise(0L)).as("n0"),
+      sum(when(col("variant") === 1, col("n_users")).otherwise(0L)).as("n1"),
+      sum(when(col("variant") === 0, col("s")).otherwise(lit(0).cast("decimal(38,0)"))).as("s0"),
+      sum(when(col("variant") === 1, col("s")).otherwise(lit(0).cast("decimal(38,0)"))).as("s1"))
+    val mde = powerMde(spark, dir).select(col("mde_micro"))
+    byVar
+      .withColumn("buy_rate_ppm",
+        expr("(buyers * 1000000 + n_users div 2) div n_users"))
+      .withColumn("mean_value_micro", expr("CAST(s div n_users AS BIGINT)"))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(mde))
+      .withColumn("lift_micro",
+        expr("CAST(s1 * n0 - s0 * n1 AS DOUBLE) / (CAST(n0 AS DECIMAL(38,0)) * n1)"))
+      .withColumn("detectable", abs(col("lift_micro")) >= col("mde_micro"))
+      .select("variant", "n_users", "buyers", "buy_rate_ppm",
+        "mean_value_micro", "lift_micro", "mde_micro", "detectable")
+      .orderBy("variant")
+  }
+
+  val experimentLiftOracle: String = {
+    val h = graft.operators.TextAnalysis.mixedHashSql("ab|", "user_id")
+    s"""WITH users AS (
+       |  SELECT DISTINCT user_id FROM events
+       |), assigned AS (
+       |  SELECT user_id, ($h) % 2 AS variant FROM users
+       |), purch AS (
+       |  SELECT user_id, sum(CAST(floor(value * 1000000) AS HUGEINT)) AS v_micro
+       |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+       |), per AS (
+       |  SELECT a.variant, COALESCE(p.v_micro, 0) AS v,
+       |    CASE WHEN p.v_micro IS NOT NULL THEN 1 ELSE 0 END AS bought
+       |  FROM assigned a LEFT JOIN purch p ON p.user_id = a.user_id
+       |), byvar AS (
+       |  SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+       |    CAST(sum(bought) AS BIGINT) AS buyers, sum(v) AS s
+       |  FROM per GROUP BY variant
+       |), tot AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN variant = 0 THEN n_users ELSE 0 END) AS BIGINT) AS n0,
+       |    CAST(sum(CASE WHEN variant = 1 THEN n_users ELSE 0 END) AS BIGINT) AS n1,
+       |    sum(CASE WHEN variant = 0 THEN s ELSE 0 END) AS s0,
+       |    sum(CASE WHEN variant = 1 THEN s ELSE 0 END) AS s1
+       |  FROM byvar
+       |), mde AS (
+       |  SELECT mde_micro FROM ($powerMdeOracle) t
+       |)
+       |SELECT variant, n_users, buyers,
+       |  (buyers * 1000000 + n_users // 2) // n_users AS buy_rate_ppm,
+       |  CAST(s // n_users AS BIGINT) AS mean_value_micro,
+       |  CAST(s1 * n0 - s0 * n1 AS DOUBLE)
+       |    / (CAST(n0 AS HUGEINT) * n1) AS lift_micro,
+       |  mde_micro,
+       |  abs(CAST(s1 * n0 - s0 * n1 AS DOUBLE)
+       |    / (CAST(n0 AS HUGEINT) * n1)) >= mde_micro AS detectable
+       |FROM byvar, tot, mde ORDER BY variant""".stripMargin
+  }
+
   /** CUPED VARIANCE REDUCTION — the third leg of the experiment stack
     * (with [[abSrm]] and [[powerMde]]): split the event range at its
     * exact midpoint into pre/post periods, fold each user's purchase

@@ -927,6 +927,72 @@ object ProfileQueries {
     frames.reduce(_ union _).orderBy("pk_table", "fk_table", "fk_col")
   }
 
+  // ───────────────────────── ERD relationship classes ─────────────────────
+
+  /** ERD RELATIONSHIP CLASSIFICATION — the catalog feature one step past
+    * [[keyOverlap]]'s joinability stats: for each candidate (pk, fk) pair,
+    * decide the RELATIONSHIP CLASS a schema diagram would draw. `weak`
+    * when fk-in-pk containment misses 995 ‰ (don't recommend the join);
+    * `one_to_one` when the fk side is also unique; `one_to_many`
+    * otherwise (with the exact half-up fan-out, rows per distinct key —
+    * the join-size multiplier an optimizer-or-human reads);
+    * `many_to_many` when even the pk side isn't unique. Built from the
+    * same DISTINCT-set overlap frame as [[keyOverlap]] plus two 1-row
+    * COUNT(*) broadcasts per pair — nothing new is corpus-sized, and the
+    * class thresholds are exact integer comparisons. */
+  def erdClasses(spark: SparkSession, dir: String): DataFrame = {
+    val frames = keyPairs.map { case (pt, pc, ft, fc) =>
+      val pkN = Fixtures.table(spark, dir, pt).agg(count(lit(1)).as("pk_rows"))
+      val fkN = Fixtures.table(spark, dir, ft).agg(count(lit(1)).as("fk_rows"))
+      exactOverlapFrame(spark, dir, pt, pc, ft, fc)
+        .crossJoin(broadcast(pkN)).crossJoin(broadcast(fkN))
+        .select(
+          lit(pt).as("pk_table"), lit(pc).as("pk_col"),
+          lit(ft).as("fk_table"), lit(fc).as("fk_col"),
+          col("pk_rows"), col("fk_rows"), col("ndv_pk"), col("ndv_fk"),
+          col("orphan_fk"),
+          when(col("ndv_fk") === 0, lit(null).cast("bigint"))
+            .otherwise(expr("(n_common * 1000 + ndv_fk div 2) div ndv_fk"))
+            .as("containment_pm"),
+          (col("ndv_pk") === col("pk_rows")).as("pk_unique"),
+          when(col("ndv_fk") === 0, lit(null).cast("bigint"))
+            .otherwise(expr("(fk_rows * 1000 + ndv_fk div 2) div ndv_fk"))
+            .as("fanout_milli"))
+        .withColumn("rel_class",
+          when(col("containment_pm").isNull || col("containment_pm") < 995, "weak")
+            .when(!col("pk_unique"), "many_to_many")
+            .when(col("fk_rows") === col("ndv_fk"), "one_to_one")
+            .otherwise("one_to_many"))
+    }
+    frames.reduce(_ unionAll _).orderBy("pk_table", "fk_table", "fk_col")
+  }
+
+  val erdClassesOracle: String = {
+    val selects = keyPairs.map { case (pt, pc, ft, fc) =>
+      overlapOracleBody(pt, pc, ft, fc,
+        s"""(SELECT CAST(count(*) AS BIGINT) FROM $pt) AS pk_rows,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $ft) AS fk_rows""".stripMargin)
+    }
+    s"""WITH base AS (
+       |${selects.mkString("", "\nUNION ALL\n", "")}
+       |), classed AS (
+       |  SELECT pk_table, pk_col, fk_table, fk_col, pk_rows, fk_rows,
+       |    ndv_pk, ndv_fk, orphan_fk,
+       |    CASE WHEN ndv_fk = 0 THEN NULL
+       |         ELSE (n_common * 1000 + ndv_fk // 2) // ndv_fk END AS containment_pm,
+       |    ndv_pk = pk_rows AS pk_unique,
+       |    CASE WHEN ndv_fk = 0 THEN NULL
+       |         ELSE (fk_rows * 1000 + ndv_fk // 2) // ndv_fk END AS fanout_milli
+       |  FROM base
+       |)
+       |SELECT *,
+       |  CASE WHEN containment_pm IS NULL OR containment_pm < 995 THEN 'weak'
+       |       WHEN NOT pk_unique THEN 'many_to_many'
+       |       WHEN fk_rows = ndv_fk THEN 'one_to_one'
+       |       ELSE 'one_to_many' END AS rel_class
+       |FROM classed ORDER BY pk_table, fk_table, fk_col""".stripMargin
+  }
+
   // ───────────── sketch-algebra FK discovery (no declared pair list) ──────
 
   /** Integral (key-shaped) profiled columns per table — the candidate space

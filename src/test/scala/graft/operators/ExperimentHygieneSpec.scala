@@ -108,6 +108,39 @@ class ExperimentHygieneSpec extends AnyFunSuite {
     assert(rows.exists(_.getString(1) == "breaking news update follow us"))
   }
 
+  test("experiment lift: rates/means from brute force; lift judged against the MDE") {
+    val rows = EventOps.experimentLift(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    val ev = Fixtures.table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("value")).collect()
+    val varOf = Fixtures.table(spark, dir, "events").select("user_id").distinct()
+      .withColumn("variant", pmod(TextAnalysis.mixedHashOf("ab|", col("user_id")), lit(2)))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val vMicro = ev.filter(_.getString(1) == "purchase")
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(e => math.floor(e.getDouble(2) * 1000000).toLong).sum).toMap
+    def stats(v: Long): (Long, Long, BigInt) = {
+      val us = varOf.keys.filter(u => varOf(u) == v).toSeq
+      (us.length.toLong, us.count(vMicro.contains).toLong,
+        us.map(u => BigInt(vMicro.getOrElse(u, 0L))).sum)
+    }
+    val (n0, b0, s0) = stats(0L); val (n1, b1, s1) = stats(1L)
+    val lift = (s1 * n0 - s0 * n1).toDouble / (BigInt(n0) * n1).toDouble
+    val mde = EventOps.powerMde(spark, dir).collect().head.getDouble(5)
+    Seq((0L, n0, b0, s0), (1L, n1, b1, s1)).zip(rows).foreach {
+      case ((v, n, b, s), r) =>
+        assert(r.getLong(0) == v && r.getLong(1) == n && r.getLong(2) == b)
+        assert(r.getLong(3) == (b * 1000000L + n / 2) / n)
+        assert(r.getLong(4) == (s / n).toLong)
+        assert(r.getDouble(5) == lift)
+        assert(r.getDouble(6) == mde)
+        assert(r.getBoolean(7) == (math.abs(lift) >= mde))
+    }
+    // the hash split carries no treatment, so the fixture's honest answer
+    // is "not detectable" — the table must actually say so
+    assert(!rows.head.getBoolean(7), "a null experiment read as detectable")
+  }
+
   test("funnel cohorts: rollup conserves the bounded funnel's per-user rows") {
     val funnel = EventOps.signupFunnelBounded(spark, dir).collect()
       .map(r => (r.getLong(1) / 604800000000L, r.getLong(4)))

@@ -54,6 +54,26 @@ class KeyOverlapSpec extends AnyFunSuite {
     assert(neg.isEmpty, s"200-key column read as contained in a 10-key column: $neg")
   }
 
+  test("ERD classes: TPC-H edges classify one_to_many with exact fanouts; weak on a broken pair") {
+    val rows = ProfileQueries.erdClasses(spark, dir).collect()
+    assert(rows.length == ProfileQueries.keyPairs.length)
+    rows.foreach { r =>
+      // the fixture's declared FK edges: full containment, unique pk side,
+      // non-unique fk side → every edge must read one_to_many
+      assert(r.getString(r.fieldIndex("rel_class")) == "one_to_many", r.toString)
+      assert(r.getLong(r.fieldIndex("containment_pm")) == 1000L)
+      assert(r.getLong(r.fieldIndex("orphan_fk")) == 0L)
+      assert(r.getBoolean(r.fieldIndex("pk_unique")))
+      val fanout = r.getLong(r.fieldIndex("fanout_milli"))
+      assert(fanout == (r.getLong(r.fieldIndex("fk_rows")) * 1000
+        + r.getLong(r.fieldIndex("ndv_fk")) / 2) / r.getLong(r.fieldIndex("ndv_fk")))
+      assert(fanout > 1000L, s"a real FK edge should fan out: $r")
+    }
+    // orders→lineitem fan-out is the TPC-H ~4 lines/order
+    val oli = rows.find(r => r.getString(0) == "orders").get
+    assert(oli.getLong(oli.fieldIndex("fanout_milli")) / 1000 == 4)
+  }
+
   test("sketch twin: every tolerance boolean holds and exact columns agree") {
     val exact = ProfileQueries.keyOverlap(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(2), r.getString(3)) ->
