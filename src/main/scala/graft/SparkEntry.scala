@@ -556,6 +556,9 @@ object SparkEntry {
       // luminance histogram + exposure screens through the real ImageIO
       // decode (round 11): planted dark/bright frames must flag
       "multimodal_image_histogram" -> (Multimodal.imageHistogramProfile(_, _)),
+      // shot-boundary detection over an 8-frame clip (round 11): exact
+      // TV gate on consecutive histograms; the planted cut must surface
+      "multimodal_shot_cuts" -> (Multimodal.shotCutProfile(_, _)),
       "multimodal_image_dhash" -> (Multimodal.imageDHashProfile(_, _)),
       "dedup_image_groups" -> (Multimodal.imageDupGroups(_, _)),
       // data-quality validation rules (the north-star surface)
@@ -915,6 +918,7 @@ object SparkEntry {
       "multimodal_audio_profile" -> Multimodal.audioProfileOracle,
       "multimodal_audio_vad" -> Multimodal.audioVadOracle,
       "multimodal_image_histogram" -> Multimodal.imageHistogramProfileOracle,
+      "multimodal_shot_cuts" -> Multimodal.shotCutProfileOracle,
       "multimodal_image_dhash" -> Multimodal.imageDHashProfileOracle,
       "dedup_image_groups" -> Multimodal.imageDupGroupsOracle,
       "quality_checks" -> graft.quality.QualitySuite.oracle)

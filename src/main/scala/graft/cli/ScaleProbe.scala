@@ -336,7 +336,9 @@ object ScaleProbe {
       // lift = the ab_srm/power_mde fold + two 1-row broadcasts
       ("experiment_lift", d => graft.operators.EventOps.experimentLift(spark, d)),
       // per-doc decode seam, fixed-width exit — the audio_vad band
-      ("image_histogram", d => graft.operators.Multimodal.imageHistogramProfile(spark, d)))
+      ("image_histogram", d => graft.operators.Multimodal.imageHistogramProfile(spark, d)),
+      // 8 decodes per doc, 3-int exit — 8x the histogram's decode volume
+      ("shot_cuts", d => graft.operators.Multimodal.shotCutProfile(spark, d)))
     val allBuilds = (if (family == "ppj") ppjBuilds
       else if (doDocs) docBuilds else Seq.empty) ++
       (if (doEmb) embBuilds else Seq.empty) ++

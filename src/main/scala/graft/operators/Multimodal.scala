@@ -525,6 +525,117 @@ object Multimodal {
       |  b3 * 1000 >= n_px * 700 AS over_exposed
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ shot-cut detect
+  /** SHOT-BOUNDARY DETECTION over a frame sequence: decode every frame,
+    * take its [[grayHistogram]], and flag a cut wherever the histogram
+    * L1 distance to the previous frame clears the total-variation gate
+    * (Σ|c_f − c_{f−1}| ≥ 2·tv‰·n_px — exact integers, no division).
+    * The classic first pass of video curation: shot boundaries segment a
+    * clip before frame sampling, and a clip with zero cuts in an hour is
+    * a static-camera screen. Computed row-locally in the decode seam —
+    * only (id, 3 ints) exit, frames never cross a shuffle. */
+  def shotCutStats(frames: Seq[Array[Byte]], tvPermille: Int = 400): (Long, Long, Long) = {
+    val hists = frames.map(grayHistogram)
+    require(hists.nonEmpty && hists.forall(_.nPx == hists.head.nPx),
+      "frames of one clip must share dimensions")
+    val n = hists.head.nPx
+    var cuts = 0L; var first = -1L
+    var f = 1
+    while (f < hists.size) {
+      val (a, b) = (hists(f - 1), hists(f))
+      val dist = math.abs(a.b0 - b.b0) + math.abs(a.b1 - b.b1) +
+        math.abs(a.b2 - b.b2) + math.abs(a.b3 - b.b3)
+      if (1000L * dist >= 2L * tvPermille * n) {
+        cuts += 1; if (first < 0) first = f.toLong
+      }
+      f += 1
+    }
+    (hists.size.toLong, cuts, first)
+  }
+
+  /** Deterministic 8-frame clip for doc d: gradient pattern
+    * p = (d·7 + x·13 + y·29 + f·11) mod 256 per frame, with a planted CUT
+    * at frame `2 + d % 5` — post-cut frames render `p mod 128` (dark-only
+    * histogram), so the total-variation gate must fire exactly once,
+    * exactly there. Closed-form per pixel, so the oracle recomputes every
+    * histogram without decoding. */
+  private[operators] def synthFrame(docId: Long, f: Int): Array[Byte] = {
+    val w = 18 + (docId % 10).toInt; val h = 16 + (docId % 7).toInt
+    val cutAt = 2 + (docId % 5).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = ((docId * 7 + x * 13 + y * 29 + f * 11) % 256).toInt
+        val v = if (f >= cutAt) p % 128 else p
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** SHOT-CUT PROFILE, driver-gated end to end: synthesize the 8-frame
+    * clip per doc, decode every frame through the real ImageIO path, and
+    * emit (frames, cuts, first cut) from the exact-integer TV gate. The
+    * oracle re-derives all 8 histograms per doc from the synthesis
+    * formula (dense 4-bin frames, consecutive-frame L1 join) — a planted
+    * cut that moves or a spurious cut anywhere breaks the hash. */
+  def shotCutProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = table(spark, dir, "documents").select(col("doc_id")).as[Long]
+    ids.map { id =>
+        val (nf, cuts, first) = shotCutStats((0 until 8).map(f => synthFrame(id, f)))
+        (id, nf, cuts, first)
+      }
+      .toDF("doc_id", "n_frames", "n_cuts", "first_cut")
+      .orderBy("doc_id")
+  }
+
+  val shotCutProfileOracle: String =
+    """WITH dims AS (
+      |  SELECT doc_id, 18 + doc_id % 10 AS w, 16 + doc_id % 7 AS h,
+      |         2 + doc_id % 5 AS cut_at
+      |  FROM documents
+      |), px AS (
+      |  SELECT doc_id, cut_at, f, x, unnest(generate_series(0, h - 1)) AS y
+      |  FROM (SELECT doc_id, h, cut_at, f, unnest(generate_series(0, w - 1)) AS x
+      |        FROM (SELECT doc_id, w, h, cut_at, unnest(generate_series(0, 7)) AS f
+      |              FROM dims))
+      |), v AS (
+      |  SELECT doc_id, f,
+      |    CASE WHEN f >= cut_at
+      |         THEN ((doc_id * 7 + x * 13 + y * 29 + f * 11) % 256) % 128
+      |         ELSE (doc_id * 7 + x * 13 + y * 29 + f * 11) % 256 END // 64 AS bin
+      |  FROM px
+      |), hist AS (
+      |  SELECT df.doc_id AS doc_id, df.f AS f, b.bin AS bin,
+      |    CAST(count(v.bin) AS BIGINT) AS c,
+      |    CAST(sum(count(v.bin)) OVER (PARTITION BY df.doc_id, df.f) AS BIGINT) AS n_px
+      |  FROM (SELECT DISTINCT doc_id, f FROM v) df
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS bin) b
+      |  LEFT JOIN v ON v.doc_id = df.doc_id AND v.f = df.f AND v.bin = b.bin
+      |  GROUP BY df.doc_id, df.f, b.bin
+      |), hist2 AS (SELECT doc_id, f, bin, c, n_px FROM hist),
+      |dist AS (
+      |  SELECT a.doc_id, a.f, sum(abs(a.c - b.c)) AS d, max(a.n_px) AS n_px
+      |  FROM hist2 a
+      |  JOIN hist2 b ON b.doc_id = a.doc_id AND b.f = a.f - 1 AND b.bin = a.bin
+      |  GROUP BY a.doc_id, a.f
+      |), cuts AS (
+      |  SELECT doc_id, f FROM dist WHERE 1000 * d >= 2 * 400 * n_px
+      |)
+      |SELECT d.doc_id, CAST(8 AS BIGINT) AS n_frames,
+      |  CAST(count(c.f) AS BIGINT) AS n_cuts,
+      |  COALESCE(CAST(min(c.f) AS BIGINT), -1) AS first_cut
+      |FROM dims d LEFT JOIN cuts c ON c.doc_id = d.doc_id
+      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------------------------------ WAV audio decode
   /** Real AUDIO bytes through the decode seam: parse a RIFF/WAVE PCM
     * payload (header walk + 16-bit little-endian samples — no codec

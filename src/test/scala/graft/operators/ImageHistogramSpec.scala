@@ -36,6 +36,30 @@ class ImageHistogramSpec extends AnyFunSuite {
     assert(red.graySum == 299L * 200 && red.b0 == 1)
   }
 
+  test("shot cuts: hand-built sequences hit the exact TV gate") {
+    val uniform = png(8, 8)((x, y) => (x * 32 + y * 4) % 256) // spread over all bins
+    val dark = png(8, 8)((x, y) => (x * 8 + y) % 128)         // bins 0-1 only
+    // uniform→uniform: no cut; uniform→dark: cut; dark→dark: no cut
+    val (nf, cuts, first) = Multimodal.shotCutStats(Seq(uniform, uniform, dark, dark))
+    assert((nf, cuts, first) == ((4L, 1L, 2L)))
+    // no frames distance under threshold: a single frame has no cuts
+    assert(Multimodal.shotCutStats(Seq(uniform)) == ((1L, 0L, -1L)))
+    // mismatched dimensions refuse loudly
+    intercept[IllegalArgumentException](
+      Multimodal.shotCutStats(Seq(uniform, png(9, 8)((_, _) => 0))))
+  }
+
+  test("shot-cut fixture: exactly one cut per clip, at the planted frame") {
+    val rows = Multimodal.shotCutProfile(spark, SparkSuite.Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == 8L)
+      assert(r.getLong(2) == 1L, s"doc $id: expected exactly the planted cut, got ${r.getLong(2)}")
+      assert(r.getLong(3) == 2 + id % 5, s"doc $id: cut at wrong frame")
+    }
+  }
+
   test("exposure fixture: exactly the planted dark/bright frames flag") {
     val rows = Multimodal.imageHistogramProfile(spark, SparkSuite.Sf0001).collect()
     assert(rows.nonEmpty)
