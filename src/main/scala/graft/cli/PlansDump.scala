@@ -89,7 +89,9 @@ object PlansDump {
     "ann_filtered_ivf",        // post-filter probe + exact-twin hit join
     "docs_filter_agreement",   // four keep pipelines folded once to 1 row
     "events_ab_srm",           // distinct fold + 2-group rollup + 1-row recombine
-    "events_power_mde")        // DECIMAL micro sums, one-division variance
+    "events_power_mde",        // DECIMAL micro sums, one-division variance
+    "profile_erd_classes",     // distinct-set folds + two 1-row count broadcasts
+    "events_experiment_lift")  // lift/MDE as broadcast 1-row recombines
 
   /** Plan-audit overrides: these queries' gated implementations read
     * memoized materialized stages (the shared-pipeline design — see
