@@ -34,7 +34,8 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.cli.ScaleProbe [baseSfDir] [outRoot] [factors] [reps] [family] [onlyBuilds]
   * `factors` is comma-separated (e.g. `1,10,20`; all ≤26 so letter rotations
-  * stay distinct); `family` is `docs`, `emb`, or `all` (default). Writes
+  * stay distinct); `family` is `docs`, `emb`, `prof`, `ppj`, `stats`, or
+  * `all` (default). Writes
   * corpora under outRoot (NOT /root/testdata) and prints a markdown table +
   * one JSON line for SCALE.md. The consecutive-pair exponent between the two
   * LARGEST factors is the asymptotic slope — the 1× point is fixed-overhead
