@@ -340,16 +340,22 @@ object EventOps {
     // denominator fold in DECIMAL(38,0) (fits to ~10⁷ users; past that
     // the two-pass shifted-mean form takes over), and the MDE is one
     // division + one sqrt + one constant multiply over that integer
+    // Degenerate-population guard: with an empty arm or ≤2 total users the
+    // pooled-variance denominator n0·n1·(n0+n1−2) is zero — Spark's
+    // non-ANSI division would silently NULL while DuckDB errors, so both
+    // engines gate explicitly and the row reads NULL loudly and identically.
     one.withColumn("pooled_var_micro2", expr(
-        """CAST(((q0 * n0 - s0 * s0) * n1 + (q1 * n1 - s1 * s1) * n0)
-          |  div (CAST(n0 AS DECIMAL(38,0)) * n1 * (n0 + n1 - 2)) AS BIGINT)""".stripMargin))
+        """CASE WHEN n0 = 0 OR n1 = 0 OR n0 + n1 <= 2 THEN NULL
+          |ELSE CAST(((q0 * n0 - s0 * s0) * n1 + (q1 * n1 - s1 * s1) * n0)
+          |  div (CAST(n0 AS DECIMAL(38,0)) * n1 * (n0 + n1 - 2)) AS BIGINT) END""".stripMargin))
       .select(
         col("n0"), col("n1"),
-        expr("CAST(s0 div n0 AS BIGINT)").as("mean0_micro"),
-        expr("CAST(s1 div n1 AS BIGINT)").as("mean1_micro"),
+        expr("CASE WHEN n0 = 0 THEN NULL ELSE CAST(s0 div n0 AS BIGINT) END").as("mean0_micro"),
+        expr("CASE WHEN n1 = 0 THEN NULL ELSE CAST(s1 div n1 AS BIGINT) END").as("mean1_micro"),
         col("pooled_var_micro2"),
-        expr(s"""$PowerZ * sqrt(
-                |  CAST(pooled_var_micro2 AS DOUBLE) * (n0 + n1) / (n0 * n1))""".stripMargin)
+        expr(s"""CASE WHEN n0 = 0 OR n1 = 0 OR n0 + n1 <= 2 THEN NULL
+                |ELSE $PowerZ * sqrt(
+                |  CAST(pooled_var_micro2 AS DOUBLE) * (n0 + n1) / (n0 * n1)) END""".stripMargin)
           .as("mde_micro"))
   }
 
@@ -381,16 +387,18 @@ object EventOps {
        |)
        |, pooled AS (
        |  SELECT n0, n1, s0, s1,
-       |    CAST(((q0 * n0 - s0 * s0) * n1 + (q1 * n1 - s1 * s1) * n0)
-       |      // (CAST(n0 AS HUGEINT) * n1 * (n0 + n1 - 2)) AS BIGINT) AS pooled_var_micro2
+       |    CASE WHEN n0 = 0 OR n1 = 0 OR n0 + n1 <= 2 THEN NULL
+       |    ELSE CAST(((q0 * n0 - s0 * s0) * n1 + (q1 * n1 - s1 * s1) * n0)
+       |      // (CAST(n0 AS HUGEINT) * n1 * (n0 + n1 - 2)) AS BIGINT) END AS pooled_var_micro2
        |  FROM one
        |)
        |SELECT n0, n1,
-       |  CAST(s0 // n0 AS BIGINT) AS mean0_micro,
-       |  CAST(s1 // n1 AS BIGINT) AS mean1_micro,
+       |  CASE WHEN n0 = 0 THEN NULL ELSE CAST(s0 // n0 AS BIGINT) END AS mean0_micro,
+       |  CASE WHEN n1 = 0 THEN NULL ELSE CAST(s1 // n1 AS BIGINT) END AS mean1_micro,
        |  pooled_var_micro2,
-       |  $PowerZ * sqrt(
-       |    CAST(pooled_var_micro2 AS DOUBLE) * (n0 + n1) / (n0 * n1)) AS mde_micro
+       |  CASE WHEN n0 = 0 OR n1 = 0 OR n0 + n1 <= 2 THEN NULL
+       |  ELSE $PowerZ * sqrt(
+       |    CAST(pooled_var_micro2 AS DOUBLE) * (n0 + n1) / (n0 * n1)) END AS mde_micro
        |FROM pooled""".stripMargin
   }
 
@@ -467,7 +475,11 @@ object EventOps {
       .crossJoin(broadcast(tot))
       .crossJoin(broadcast(mde))
       .withColumn("lift_micro",
-        expr("CAST(s1 * n0 - s0 * n1 AS DOUBLE) / (CAST(n0 AS DECIMAL(38,0)) * n1)"))
+        // Empty-arm guard: n0·n1 = 0 would NULL in Spark but ±inf under
+        // DuckDB's IEEE double division — gate both engines to NULL.
+        expr("""CASE WHEN n0 = 0 OR n1 = 0 THEN NULL
+               |ELSE CAST(s1 * n0 - s0 * n1 AS DOUBLE)
+               |  / (CAST(n0 AS DECIMAL(38,0)) * n1) END""".stripMargin))
       .withColumn("detectable", abs(col("lift_micro")) >= col("mde_micro"))
       .select("variant", "n_users", "buyers", "buy_rate_ppm",
         "mean_value_micro", "lift_micro", "mde_micro", "detectable")
@@ -504,11 +516,13 @@ object EventOps {
        |SELECT variant, n_users, buyers,
        |  (buyers * 1000000 + n_users // 2) // n_users AS buy_rate_ppm,
        |  CAST(s // n_users AS BIGINT) AS mean_value_micro,
-       |  CAST(s1 * n0 - s0 * n1 AS DOUBLE)
-       |    / (CAST(n0 AS HUGEINT) * n1) AS lift_micro,
+       |  CASE WHEN n0 = 0 OR n1 = 0 THEN NULL
+       |  ELSE CAST(s1 * n0 - s0 * n1 AS DOUBLE)
+       |    / (CAST(n0 AS HUGEINT) * n1) END AS lift_micro,
        |  mde_micro,
-       |  abs(CAST(s1 * n0 - s0 * n1 AS DOUBLE)
-       |    / (CAST(n0 AS HUGEINT) * n1)) >= mde_micro AS detectable
+       |  abs(CASE WHEN n0 = 0 OR n1 = 0 THEN NULL
+       |    ELSE CAST(s1 * n0 - s0 * n1 AS DOUBLE)
+       |      / (CAST(n0 AS HUGEINT) * n1) END) >= mde_micro AS detectable
        |FROM byvar, tot, mde ORDER BY variant""".stripMargin
   }
 
@@ -562,7 +576,22 @@ object EventOps {
         expr("""CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
                |ELSE CAST((n * sxy - sx * sy) AS DOUBLE) * CAST((n * sxy - sx * sy) AS DOUBLE)
                |  / (CAST((n * sxx - sx * sx) AS DOUBLE) * CAST((n * syy - sy * sy) AS DOUBLE)) END""".stripMargin)
-          .as("rho2"))
+          .as("rho2"),
+        // OVERFLOW SENTINEL: the raw moments n·Sxx etc. fit DECIMAL(38,0)
+        // only up to ~10⁷ users at this milli quantization (observed at
+        // the 20× probe); past that Spark silently NULLs while DuckDB's
+        // HUGEINT errors. Flag the approach to the bound VISIBLY, in
+        // double space (single IEEE multiplies over exact integers —
+        // bit-identical cross-engine), at 1e37 — one decade of margin
+        // below DECIMAL(38)'s ceiling.
+        expr("""greatest(
+               |  CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE),
+               |  CAST(n AS DOUBLE) * CAST(syy AS DOUBLE),
+               |  abs(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)),
+               |  CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE),
+               |  CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE),
+               |  abs(CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) >= 1e37""".stripMargin)
+          .as("moment_overflow_risk"))
   }
 
   val cupedOracle: String =
@@ -592,7 +621,15 @@ object EventOps {
       |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
       |  ELSE CAST((n * sxy - sx * sy) AS DOUBLE) * CAST((n * sxy - sx * sy) AS DOUBLE)
       |    / (CAST((n * sxx - sx * sx) AS DOUBLE) * CAST((n * syy - sy * sy) AS DOUBLE)) END
-      |    AS rho2
+      |    AS rho2,
+      |  greatest(
+      |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE),
+      |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE),
+      |    abs(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)),
+      |    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE),
+      |    CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE),
+      |    abs(CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) >= 1e37
+      |    AS moment_overflow_risk
       |FROM m""".stripMargin
 
   /** Weekday × hour activity heatmap. Day-of-week numbering differs across

@@ -943,25 +943,30 @@ object ProfileQueries {
   def erdClasses(spark: SparkSession, dir: String): DataFrame = {
     val frames = keyPairs.map { case (pt, pc, ft, fc) =>
       val pkN = Fixtures.table(spark, dir, pt).agg(count(lit(1)).as("pk_rows"))
-      val fkN = Fixtures.table(spark, dir, ft).agg(count(lit(1)).as("fk_rows"))
+      // fk_nn_rows counts only NON-NULL fk keys: NULL-key rows never join,
+      // so the fan-out (join-size multiplier) and the one-to-one test must
+      // read rows-that-can-join, not raw table cardinality.
+      val fkN = Fixtures.table(spark, dir, ft)
+        .agg(count(lit(1)).as("fk_rows"), count(col(fc)).as("fk_nn_rows"))
       exactOverlapFrame(spark, dir, pt, pc, ft, fc)
         .crossJoin(broadcast(pkN)).crossJoin(broadcast(fkN))
         .select(
           lit(pt).as("pk_table"), lit(pc).as("pk_col"),
           lit(ft).as("fk_table"), lit(fc).as("fk_col"),
-          col("pk_rows"), col("fk_rows"), col("ndv_pk"), col("ndv_fk"),
+          col("pk_rows"), col("fk_rows"), col("fk_nn_rows"),
+          col("ndv_pk"), col("ndv_fk"),
           col("orphan_fk"),
           when(col("ndv_fk") === 0, lit(null).cast("bigint"))
             .otherwise(expr("(n_common * 1000 + ndv_fk div 2) div ndv_fk"))
             .as("containment_pm"),
           (col("ndv_pk") === col("pk_rows")).as("pk_unique"),
           when(col("ndv_fk") === 0, lit(null).cast("bigint"))
-            .otherwise(expr("(fk_rows * 1000 + ndv_fk div 2) div ndv_fk"))
+            .otherwise(expr("(fk_nn_rows * 1000 + ndv_fk div 2) div ndv_fk"))
             .as("fanout_milli"))
         .withColumn("rel_class",
           when(col("containment_pm").isNull || col("containment_pm") < 995, "weak")
             .when(!col("pk_unique"), "many_to_many")
-            .when(col("fk_rows") === col("ndv_fk"), "one_to_one")
+            .when(col("fk_nn_rows") === col("ndv_fk"), "one_to_one")
             .otherwise("one_to_many"))
     }
     frames.reduce(_ unionAll _).orderBy("pk_table", "fk_table", "fk_col")
@@ -971,24 +976,25 @@ object ProfileQueries {
     val selects = keyPairs.map { case (pt, pc, ft, fc) =>
       overlapOracleBody(pt, pc, ft, fc,
         s"""(SELECT CAST(count(*) AS BIGINT) FROM $pt) AS pk_rows,
-           |  (SELECT CAST(count(*) AS BIGINT) FROM $ft) AS fk_rows""".stripMargin)
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $ft) AS fk_rows,
+           |  (SELECT CAST(count($fc) AS BIGINT) FROM $ft) AS fk_nn_rows""".stripMargin)
     }
     s"""WITH base AS (
        |${selects.mkString("", "\nUNION ALL\n", "")}
        |), classed AS (
-       |  SELECT pk_table, pk_col, fk_table, fk_col, pk_rows, fk_rows,
+       |  SELECT pk_table, pk_col, fk_table, fk_col, pk_rows, fk_rows, fk_nn_rows,
        |    ndv_pk, ndv_fk, orphan_fk,
        |    CASE WHEN ndv_fk = 0 THEN NULL
        |         ELSE (n_common * 1000 + ndv_fk // 2) // ndv_fk END AS containment_pm,
        |    ndv_pk = pk_rows AS pk_unique,
        |    CASE WHEN ndv_fk = 0 THEN NULL
-       |         ELSE (fk_rows * 1000 + ndv_fk // 2) // ndv_fk END AS fanout_milli
+       |         ELSE (fk_nn_rows * 1000 + ndv_fk // 2) // ndv_fk END AS fanout_milli
        |  FROM base
        |)
        |SELECT *,
        |  CASE WHEN containment_pm IS NULL OR containment_pm < 995 THEN 'weak'
        |       WHEN NOT pk_unique THEN 'many_to_many'
-       |       WHEN fk_rows = ndv_fk THEN 'one_to_one'
+       |       WHEN fk_nn_rows = ndv_fk THEN 'one_to_one'
        |       ELSE 'one_to_many' END AS rel_class
        |FROM classed ORDER BY pk_table, fk_table, fk_col""".stripMargin
   }

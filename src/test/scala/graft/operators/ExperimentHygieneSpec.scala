@@ -187,6 +187,32 @@ class ExperimentHygieneSpec extends AnyFunSuite {
     // the pre-period must actually predict the post-period on this fixture
     assert(r.getDouble(4) > 0, "zero variance reduction means the periods are disconnected")
     assert(r.getDouble(4) <= 1.0)
+    // the overflow sentinel must read FALSE far from the DECIMAL(38) bound
+    assert(!r.getBoolean(r.fieldIndex("moment_overflow_risk")))
+  }
+
+  test("degenerate population: one-user corpus yields NULL MDE/lift, not a crash or ±inf") {
+    // A single user lands in exactly one hash arm: the other arm is empty
+    // and n0+n1 <= 2, so every guarded statistic must read NULL in Spark
+    // (DuckDB's oracle CASE guards match — without them it would error on
+    // integer division by zero / return ±inf on double division).
+    val tmp = java.nio.file.Files.createTempDirectory("degenerate_ab").toString
+    import spark.implicits._
+    Seq((1L, "2024-01-01 00:00:00", 7L, "purchase", 5.0, "{}"),
+        (2L, "2024-01-02 00:00:00", 7L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val mde = EventOps.powerMde(spark, tmp).collect().head
+    assert(mde.getLong(0) + mde.getLong(1) == 1L, "one user, one arm")
+    assert(mde.isNullAt(mde.fieldIndex("pooled_var_micro2")))
+    assert(mde.isNullAt(mde.fieldIndex("mde_micro")))
+    val lift = EventOps.experimentLift(spark, tmp).collect()
+    assert(lift.nonEmpty)
+    lift.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("lift_micro")))
+      assert(r.isNullAt(r.fieldIndex("detectable")))
+    }
   }
 
   test("fertility: ratios are the exact half-up milli of the summed counts") {
