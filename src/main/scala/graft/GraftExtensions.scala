@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.misraGries)
     ext.injectFunction(GraftExtensions.multiLiteralMatches)
     ext.injectFunction(GraftExtensions.cmsEstimate)
+    ext.injectFunction(GraftExtensions.bpeTokenCount)
     ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)
   }
 }
@@ -39,7 +40,7 @@ object GraftExtensions {
     * construction time). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Seq(vecDot, rollingHash, minhashSig, simhashWords, vecL2Sq, signLshBuckets, doubleBits,
-        misraGries, multiLiteralMatches, cmsEstimate).foreach { case (fid, i, b) =>
+        misraGries, multiLiteralMatches, cmsEstimate, bpeTokenCount).foreach { case (fid, i, b) =>
       org.apache.spark.sql.graft.ColumnBridge.registerFunction(spark, fid, i, b)
     }
     if (!spark.experimental.extraOptimizations.contains(graft.plans.BandedRangeJoinRule))
@@ -145,6 +146,15 @@ object GraftExtensions {
         case other => throw new IllegalArgumentException(s"sign_lsh_buckets $what must be an integer literal, got $other")
       }
       SignLshBuckets(exprs(0), intLit(exprs(1), "tables"), intLit(exprs(2), "planesPerTable"))
+    })
+
+  val bpeTokenCount: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bpe_token_count"),
+    info("bpe_token_count",
+      "bpe_token_count(text) - BIGINT byte-pair-encoding token count of text under the built-in demo merge table (ordered-pass semantics; the Column API accepts a custom merges table)"),
+    (exprs: Seq[Expression]) => {
+      requireArity("bpe_token_count", exprs, Seq(1))
+      graft.functions.Bpe.BpeTokenCount(exprs(0), graft.functions.Bpe.DemoMerges)
     })
 
   val cmsEstimate: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

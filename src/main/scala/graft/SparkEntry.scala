@@ -348,6 +348,8 @@ object SparkEntry {
       // tokenizer fertility (round 11): chars-per-token / tokens-per-doc
       // milli ratios per (lang, source) — the byte→token budget converter
       "text_fertility" -> (TextAnalysis.fertility(_, _)),
+      "text_tokenize_bpe" -> (TextAnalysis.tokenizeBpe(_, _)),
+      "text_bpe_train" -> (TextAnalysis.bpeTrain(_, _)),
       // template-header screen (round 11): most common 5-word doc prefix
       // per source + exact coverage permille (planted banner surfaces)
       "text_boilerplate_prefix" -> (TextAnalysis.boilerplatePrefix(_, _)),
@@ -370,6 +372,7 @@ object SparkEntry {
       "text_substring_contamination" -> (TextAnalysis.substringContamination(_, _)),
       "text_repetition" -> (TextAnalysis.repetitionRatio(_, _)),
       "text_pack_sequences" -> (TextAnalysis.packSequences(_, _)),
+      "text_pack_sequences_bpe" -> (TextAnalysis.packSequencesBpe(_, _)),
       // the max-seq-len knob table (round 11): windows / tail pad /
       // boundary-straddling docs+tokens per candidate window length
       "text_packing_sweep" -> (TextAnalysis.packingSweep(_, _)),
@@ -791,6 +794,8 @@ object SparkEntry {
       "text_quality" -> TextAnalysis.qualityScoresOracle,
       "text_code_detect" -> TextAnalysis.codeDetectOracle,
       "text_fertility" -> TextAnalysis.fertilityOracle,
+      "text_tokenize_bpe" -> TextAnalysis.tokenizeBpeOracle,
+      "text_bpe_train" -> TextAnalysis.bpeTrainOracle(),
       "text_boilerplate_prefix" -> TextAnalysis.boilerplatePrefixOracle,
       "text_langid" -> TextAnalysis.languageIdOracle,
       "text_lang_confusion" -> TextAnalysis.langConfusionOracle,
@@ -805,6 +810,7 @@ object SparkEntry {
       "text_substring_contamination" -> TextAnalysis.substringContaminationOracle,
       "text_repetition" -> TextAnalysis.repetitionRatioOracle,
       "text_pack_sequences" -> TextAnalysis.packSequencesOracle,
+      "text_pack_sequences_bpe" -> TextAnalysis.packSequencesBpeOracle,
       "text_packing_sweep" -> TextAnalysis.packingSweepOracle,
       "text_build_spans" -> TextAnalysis.buildSpanStageOracle,
       "text_dup_spans" -> TextAnalysis.dupSpansOracle,

@@ -85,6 +85,180 @@ object TextAnalysis {
       |    // CAST(count(*) AS BIGINT) AS BIGINT) AS bpe_per_doc_milli
       |FROM per GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  // ------------------------------------------------------------- real BPE
+  /** REAL-BPE TOKENIZATION TABLE by (lang, source) — [[fertility]] re-based
+    * on actual byte-pair merges ([[graft.functions.Bpe]]) instead of the
+    * BPE-ish regex: per slice, document count, chars, real BPE tokens,
+    * alpha words, regex-dialect tokens, and the two knobs a mixture owner
+    * reads — subwords-per-word (true tokenizer fertility, exact half-up
+    * milli) and chars-per-BPE-token. The merge loop runs in ONE codegen'd
+    * native expression per row ([[graft.functions.Bpe.BpeTokenCount]],
+    * executor-local word cache); the oracle replays the identical merge
+    * table as a literal `replace` chain per word. One column-pruned scan,
+    * |lang|×|source| groups with map-side partials — the 100 TB cost is
+    * the scan. */
+  def tokenizeBpe(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("lang"), col("source"),
+        length(col("text")).cast("bigint").as("chars"),
+        graft.functions.Bpe.bpe_token_count(col("text")).as("bpe"),
+        expr("regexp_count(text, '([a-zA-Z]+)')").cast("bigint").as("alpha_w"),
+        expr("regexp_count(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')")
+          .cast("bigint").as("seg"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("chars").as("chars"),
+        sum("bpe").as("bpe_tokens"), sum("alpha_w").as("alpha_words"),
+        sum("seg").as("regex_tokens"))
+      // alpha-subword tokens = bpe_tokens − non-alpha tokens, and non-alpha
+      // tokens = regex_tokens − alpha_words (each non-alpha segment is 1
+      // token under both counters)
+      .withColumn("subword_per_word_milli",
+        expr("""CASE WHEN alpha_words = 0 THEN NULL
+               |ELSE (1000 * (bpe_tokens - (regex_tokens - alpha_words))
+               |  + alpha_words div 2) div alpha_words END""".stripMargin))
+      .withColumn("chars_per_bpe_milli",
+        expr("""CASE WHEN bpe_tokens = 0 THEN NULL
+               |ELSE (1000 * chars + bpe_tokens div 2) div bpe_tokens END""".stripMargin))
+      .orderBy("lang", "source")
+
+  val tokenizeBpeOracle: String =
+    s"""WITH ${graft.functions.Bpe.bpePerDocCtes()},
+       |per AS (
+       |  SELECT d.lang, d.source, length(d.text) AS chars,
+       |    COALESCE(b.bpe, 0) AS bpe,
+       |    len(regexp_extract_all(d.text, '[a-zA-Z]+')) AS alpha_w,
+       |    len(regexp_extract_all(d.text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS seg
+       |  FROM documents d LEFT JOIN bpe b ON b.doc_id = d.doc_id
+       |), g AS (
+       |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(chars) AS BIGINT) AS chars,
+       |    CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+       |    CAST(sum(alpha_w) AS BIGINT) AS alpha_words,
+       |    CAST(sum(seg) AS BIGINT) AS regex_tokens
+       |  FROM per GROUP BY lang, source
+       |)
+       |SELECT *,
+       |  CASE WHEN alpha_words = 0 THEN NULL
+       |  ELSE (1000 * (bpe_tokens - (regex_tokens - alpha_words))
+       |    + alpha_words // 2) // alpha_words END AS subword_per_word_milli,
+       |  CASE WHEN bpe_tokens = 0 THEN NULL
+       |  ELSE (1000 * chars + bpe_tokens // 2) // bpe_tokens END AS chars_per_bpe_milli
+       |FROM g ORDER BY lang, source""".stripMargin
+
+  /** BPE TRAINER — learn `k` merges from the corpus by iterated most-
+    * frequent-adjacent-pair counting (Sennrich et al., ACL 2016), fully
+    * DISTRIBUTED and fully ORACLE-GATED: the vocabulary lives as a
+    * (word-rep, freq) DataFrame (never collected — classic BPE training
+    * cost is one corpus→word-frequency aggregation, after which each
+    * iteration touches only the vocab table), each iteration explodes
+    * adjacent symbol pairs from the `<sym>` delimited rep, sums freq-
+    * weighted counts, takes the deterministic argmax (count DESC, then
+    * lexicographic pair — the only driver traffic is that 1 row), and
+    * applies the merge as a literal `replace` on the rep column. The
+    * DuckDB oracle replays training EXACTLY with k unrolled CTE levels
+    * (pair-count → 1-row argmax → replace), so the learned table is
+    * hash-gated end-to-end, not just spec'd.
+    *
+    * 100 TB shape: the corpus scan is the cost; vocab is bounded by
+    * |distinct words| (≈10⁷ rows, KBs each), so the k iterations are
+    * negligible at any corpus size. k is small here to keep the unrolled
+    * oracle tractable; production trainers run the same loop to 32k. */
+  def bpeTrain(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import spark.implicits._
+    var vocab = table(spark, dir, "documents")
+      .select(explode(expr("regexp_extract_all(text, '([a-zA-Z]+)', 1)")).as("w"))
+      .groupBy("w").agg(count(lit(1)).cast("bigint").as("cnt"))
+      .select(expr("regexp_replace(w, '(.)', '<$1>')").as("rep"), col("cnt"))
+      .cache()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var rank = 1
+    while (rank <= k) {
+      val best = vocab
+        .select(col("cnt"), expr("regexp_extract_all(rep, '<([^<>]+)>', 1)").as("syms"))
+        .select(col("cnt"), explode(expr(
+          """zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1),
+            |  (x, y) -> struct(x AS l, y AS r))""".stripMargin)).as("pr"))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum("cnt").as("pair_count"))
+        .orderBy(desc("pair_count"), asc("l"), asc("r"))
+        .limit(1).collect()(0)
+      val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
+      learned += ((rank.toLong, l, r, l + r, c))
+      val next = vocab
+        .withColumn("rep", expr(s"replace(rep, '<$l><$r>', '<$l$r>')"))
+        .cache()
+      next.count() // materialize before unpersisting the parent
+      vocab.unpersist()
+      vocab = next
+      rank += 1
+    }
+    vocab.unpersist()
+    learned.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("merge_rank")
+  }
+
+  def bpeTrainOracle(k: Int = 8): String = {
+    val base =
+      """w0 AS (
+        |  SELECT regexp_replace(w, '(.)', '<\1>', 'g') AS rep, cnt FROM (
+        |    SELECT t.tok AS w, CAST(count(*) AS BIGINT) AS cnt
+        |    FROM documents d,
+        |      unnest(regexp_extract_all(d.text, '[a-zA-Z]+')) AS t(tok)
+        |    GROUP BY t.tok)
+        |)""".stripMargin
+    val levels = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT pr[1] AS l, pr[2] AS r, CAST(sum(cnt) AS BIGINT) AS pair_count
+         |  FROM (SELECT cnt, regexp_extract_all(rep, '<([^<>]+)>', 1) AS syms
+         |        FROM w${i - 1}),
+         |    unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS u(pr)
+         |  GROUP BY l, r
+         |  ORDER BY pair_count DESC, l, r LIMIT 1
+         |), w$i AS (
+         |  SELECT replace(rep, '<'||l||'><'||r||'>', '<'||l||r||'>') AS rep, cnt
+         |  FROM w${i - 1}, p$i
+         |)""".stripMargin
+    }
+    val rows = (1 to k).map(i =>
+      s"SELECT $i AS merge_rank, l AS lhs, r AS rhs, l||r AS merged, pair_count FROM p$i")
+    s"""WITH $base,
+       |${levels.mkString(",\n")}
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** [[packSequences]] re-based on REAL BPE token counts — the pack-then-
+    * chunk window assignment a training pipeline actually runs once a real
+    * tokenizer exists (whitespace counts overestimate sequence budget by
+    * the fertility factor). Same per-lang partition-local cumsum plan; the
+    * only change is the token counter, still one codegen'd expression in
+    * the scan projection. */
+  def packSequencesBpe(spark: SparkSession, dir: String, window: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        graft.functions.Bpe.bpe_token_count(col("text")).as("tokens"))
+      .withColumn("stream_end", sum(col("tokens")).over(w))
+      .withColumn("stream_offset", col("stream_end") - col("tokens"))
+      .withColumn("window_id", expr(s"stream_offset div $window"))
+      .select("doc_id", "lang", "tokens", "stream_offset", "window_id")
+      .orderBy("doc_id")
+  }
+
+  val packSequencesBpeOracle: String =
+    s"""WITH ${graft.functions.Bpe.bpePerDocCtes()}
+       |SELECT doc_id, lang, tokens,
+       |  CAST(sum(tokens) OVER w - tokens AS BIGINT) AS stream_offset,
+       |  CAST((sum(tokens) OVER w - tokens) // 2048 AS BIGINT) AS window_id
+       |FROM (
+       |  SELECT d.doc_id, d.lang, COALESCE(b.bpe, 0) AS tokens
+       |  FROM documents d LEFT JOIN bpe b ON b.doc_id = d.doc_id
+       |)
+       |WINDOW w AS (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+       |ORDER BY doc_id""".stripMargin
+
   /** READABILITY — integer-exact Flesch-Kincaid grade per document, the
     * classic audience-level filter in corpus curation (alongside Gopher
     * rules and quality scores). Heuristic counts, all from shared-dialect

@@ -142,4 +142,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // eps*n < 1 -> exact
     assert(rows.getAs[Long]("ex") == 40L && rows.getAs[Long]("ey") == 9L)
   }
+
+  test("SQL bpe_token_count applies the demo merge table") {
+    val r = spark.sql(
+      "SELECT bpe_token_count('the thing 42!') AS n, bpe_token_count(CAST(NULL AS STRING)) AS z")
+      .collect()(0)
+    // the->1, thing->[th,ing]=2, 42->1, !->1
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.isNullAt(1))
+    // arity guard raises the standard analysis error, not an index crash
+    val err = intercept[Exception](spark.sql("SELECT bpe_token_count()").collect())
+    assert(err.getMessage.toLowerCase.contains("parameter") ||
+      err.getMessage.contains("WRONG_NUM_ARGS"), s"unexpected: ${err.getMessage}")
+  }
 }

@@ -783,6 +783,32 @@ class PlanQualitySpec extends AnyFunSuite {
       "the (source, prefix) fold must combine map-side before its shuffle")
   }
 
+  test("bpe tokenize: pruned 3-column scan, codegen'd merge loop, partial+final agg") {
+    val df = graft.operators.TextAnalysis.tokenizeBpe(spark, SparkSuite.Sf0001)
+    df.collect() // AQE: codegen spans exist only in the executed plan
+    val scan = scans(df).head
+    assert(scan.requiredSchema.fieldNames.toSet == Set("lang", "source", "text"),
+      s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}")
+    val names = nodes(df).map(_.nodeName)
+    // the native expression must not force an interpreted projection seam
+    assert(names.exists(_.contains("WholeStageCodegen")),
+      s"BPE expression fell out of codegen: ${names.distinct.mkString(",")}")
+    assert(names.count(_.contains("HashAggregate")) >= 2,
+      "the (lang, source) fold must combine map-side before its shuffle")
+  }
+
+  test("bpe packing: per-lang window sorts partition-local (no global sort exchange)") {
+    val df = graft.operators.TextAnalysis.packSequencesBpe(spark, SparkSuite.Sf0001)
+    val names = nodes(df).map(_.nodeName)
+    // exactly the lang hash-partition exchange plus the presentation sort's
+    // range exchange — a third exchange means the cumsum went global
+    assert(names.count(_.contains("Exchange")) <= 2,
+      s"unexpected exchanges: ${names.filter(_.contains("Exchange")).mkString(",")}")
+    val scan = scans(df).head
+    assert(scan.requiredSchema.fieldNames.toSet == Set("doc_id", "lang", "text"),
+      s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}")
+  }
+
   test("filter agreement: the 6 output rows reuse the single folded row, not the corpus") {
     val df = graft.operators.TextAnalysis.filterAgreement(spark, SparkSuite.Sf0001)
     df.collect()
