@@ -32,10 +32,17 @@ import org.apache.spark.sql.functions._
   * replication would stack every copy of a vector into the same SemDeDup
   * cell and measure a quadratic data-shape change, not engine scaling).
   *
+  * The SNIPS family scales a different axis: the corpus stays FIXED (base
+  * fixture, written once per factor dir for parity) while the automaton's
+  * PATTERN COUNT grows 1000×factor — the claim under test is that
+  * [[graft.functions.MultiLiteral.MultiLiteralCount]]'s per-row cost is
+  * O(chars + matches), independent of K, so the expected exponent is ~0
+  * (the old `filter(snips, contains)` loop would read ~1.0: K scans/row).
+  *
   * Usage: runMain graft.cli.ScaleProbe [baseSfDir] [outRoot] [factors] [reps] [family] [onlyBuilds]
   * `factors` is comma-separated (e.g. `1,10,20`; all ≤26 so letter rotations
-  * stay distinct); `family` is `docs`, `emb`, `prof`, `ppj`, `stats`, or
-  * `all` (default). Writes
+  * stay distinct); `family` is `docs`, `emb`, `prof`, `ppj`, `stats`,
+  * `snips`, or `all` (default; `snips` runs only when named). Writes
   * corpora under outRoot (NOT /root/testdata) and prints a markdown table +
   * one JSON line for SCALE.md. The consecutive-pair exponent between the two
   * LARGEST factors is the asymptotic slope — the 1× point is fixed-overhead
@@ -123,7 +130,8 @@ object ScaleProbe {
       else Set.empty
     require(factors.forall(f => f >= 1 && f <= 26) && factors == factors.sorted,
       "factors must be ascending and ≤26 (letter rotations must stay distinct)")
-    require(Set("docs", "emb", "prof", "ppj", "stats", "all")(family), s"unknown family: $family")
+    require(Set("docs", "emb", "prof", "ppj", "stats", "snips", "all")(family),
+      s"unknown family: $family")
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -137,6 +145,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val sizes = factors
+    val doSnips = family == "snips"
     val doDocs = family == "docs" || family == "ppj" || family == "all"
     val doEmb = family == "emb" || family == "all"
     val doProf = family == "prof" || family == "all"
@@ -192,6 +201,14 @@ object ScaleProbe {
         replicateLineitem(baseLi2, s).repartition(spark.sparkContext.defaultParallelism)
           .write.mode("overwrite").parquet(s"$outRoot/x$s/lineitem.parquet")
         baseCust.write.mode("overwrite").parquet(s"$outRoot/x$s/customer.parquet")
+      }
+    }
+    if (doSnips) {
+      // corpus FIXED across factors — the probe axis is pattern count
+      val base = spark.read.parquet(s"$baseDir/documents.parquet")
+      sizes.foreach { s =>
+        base.repartition(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(s"$outRoot/x$s/documents.parquet")
       }
     }
     spark.range(1000000L).selectExpr("sum(id)").collect() // JVM warm-up
@@ -340,7 +357,25 @@ object ScaleProbe {
       ("image_histogram", d => graft.operators.Multimodal.imageHistogramProfile(spark, d)),
       // 8 decodes per doc, 3-int exit — 8x the histogram's decode volume
       ("shot_cuts", d => graft.operators.Multimodal.shotCutProfile(spark, d)))
-    val allBuilds = (if (family == "ppj") ppjBuilds
+    // K = 1000 × factor patterns: half real 60-char snippets from the
+    // corpus, the rest deterministic absent literals — per-row automaton
+    // cost is O(chars) either way, and absent patterns are the adversarial
+    // case for the fail-link walk
+    val snipsBuilds = Seq[(String, String => DataFrame)](
+      ("substring_screen_snips", d => {
+        val k = d.substring(d.lastIndexOf('x') + 1).toInt * 1000
+        val corpus = spark.read.parquet(s"$d/documents.parquet")
+        val real = corpus.filter(length(col("text")) >= 81)
+          .select(substring(col("text"), 21, 60).as("s")).distinct()
+          .orderBy("s").limit(k / 2).collect().map(_.getString(0))
+        val synth = (real.length until k).map(i => f"absent-snippet-$i%07d-" + "q" * 40)
+        val snips = (real ++ synth).toSeq
+        corpus.select(col("doc_id"),
+          graft.functions.MultiLiteral.multi_literal_count(col("text"), snips)
+            .cast("bigint").as("n_matched_snippets"))
+      }))
+    val allBuilds = (if (family == "snips") snipsBuilds
+      else if (family == "ppj") ppjBuilds
       else if (doDocs) docBuilds else Seq.empty) ++
       (if (doEmb) embBuilds else Seq.empty) ++
       (if (doProf) profBuilds else Seq.empty) ++

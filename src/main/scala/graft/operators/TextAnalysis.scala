@@ -1069,25 +1069,25 @@ object TextAnalysis {
     * copies drop only the first word), so every planted original must be
     * caught (recall-spec'd).
     *
-    * 100 TB shape: eval snippets are benchmark-sized → ONE distinct
-    * snippet array in a broadcast 1-row frame; the corpus pays one scan
-    * with |snippets| substring probes per row — row-local, no join at
-    * all (the same posture as [[graft.streaming.StreamingDecontaminate]]).
-    * If the snippet set grew to ~10⁵+ the per-row probe loop is the
-    * bottleneck and the right form is one Aho-Corasick automaton built
-    * driver-side and applied in a mapPartitions seam — documented, not
-    * shipped: no benchmark is that large. */
+    * 100 TB shape: eval snippets are benchmark-sized (|eval docs|/97 — a
+    * driver-bounded set like every benchmark suite, NOT corpus-bound), so
+    * they collect once and compile into ONE Aho-Corasick automaton
+    * ([[graft.functions.MultiLiteral.MultiLiteralCount]]) shipped with the
+    * expression: the corpus pays a single O(chars + matches) pass per row,
+    * INDEPENDENT of the snippet count — at 10⁴–10⁵ snippets the old
+    * per-row `filter(snips, contains)` loop is a 10⁴× blowup, the
+    * automaton is flat (ScaleProbe `substring_screen_snips` pins the
+    * exponent). Row-local, no join at all. */
   def substringContamination(spark: SparkSession, dir: String): DataFrame = {
     val corpus = Dedup.corpusWithNearDups(spark, dir)
-    val snips = corpus
+    val snips: Seq[String] = corpus
       .filter(col("doc_id") >= Dedup.IdOffset && col("doc_id") % 97 === 0 &&
         length(col("text")) >= 80)
       .select(substring(col("text"), 21, 60).as("snippet")).distinct()
-      .agg(sort_array(collect_set(col("snippet"))).as("snips"))
+      .orderBy("snippet").collect().map(_.getString(0)).toSeq
     corpus.filter(col("doc_id") < Dedup.IdOffset)
-      .crossJoin(broadcast(snips))
       .select(col("doc_id"),
-        size(filter(col("snips"), s => contains(col("text"), s)))
+        graft.functions.MultiLiteral.multi_literal_count(col("text"), snips)
           .cast("bigint").as("n_matched_snippets"))
       .filter(col("n_matched_snippets") > 0L)
       .orderBy("doc_id")

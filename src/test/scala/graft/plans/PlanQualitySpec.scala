@@ -596,20 +596,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(names.exists(_.contains("Window")), "expected the per-vector argmin window")
   }
 
-  test("substring screen: the only BNLJ is the 1-row snippet broadcast; corpus scans once") {
+  test("substring screen: zero joins — the automaton probe is row-local") {
     val df = graft.operators.TextAnalysis.substringContamination(spark, SparkSuite.Sf0001)
     df.collect()
-    val ns = nodes(df)
-    val names = ns.map(_.nodeName)
-    // the snippet array rides a 1-row broadcast; any OTHER nested-loop /
-    // cartesian would mean the row-local probe regressed to a pair scan
-    assert(!names.exists(_.contains("CartesianProduct")), names.distinct.mkString(","))
-    val bnlj = ns.filter(_.nodeName.contains("BroadcastNestedLoop"))
-    assert(bnlj.size <= 1, s"extra nested-loop joins: ${names.distinct.mkString(",")}")
-    // two corpus materializations (snippet aggregate + probe scan), each
-    // a 2-scan union by corpusWithNearDups construction — anything above
-    // 4 means a leg re-derives the corpus instead of reusing its plan
-    assert(scans(df).count(_.metadata.get("Location").exists(_.contains("documents"))) <= 4,
+    val names = nodes(df).map(_.nodeName)
+    // snippets compile into ONE Aho-Corasick expression at build time
+    // (r12, VERDICT r11 #4) — the probe plan must contain NO join of any
+    // kind: a join reappearing means the screen regressed to the old
+    // snippet-broadcast contains-loop (O(K) scans per row)
+    assert(!names.exists(n => n.contains("Join") || n.contains("CartesianProduct")),
+      s"substring screen grew a join: ${names.distinct.mkString(",")}")
+    // the probe side is corpusWithNearDups' 2-scan union — more means a
+    // leg re-derives the corpus
+    assert(scans(df).count(_.metadata.get("Location").exists(_.contains("documents"))) <= 2,
       "substring screen re-scans the corpus")
   }
 
