@@ -155,14 +155,35 @@ object OperatorsIndex {
     sb.toString
   }
 
+  /** The README's query-count line, derived from the same rows as
+    * OPERATORS.md — the generator stamps it so the README cannot drift
+    * (VERDICT r11 #5). Matches/overwrites any `N named queries …` line. */
+  def readmeCountLine(rows: Seq[Row]): String =
+    s"${rows.size} named queries (${rows.count(_.gate == "oracle")} oracle-gated " +
+      s"+ ${rows.count(_.gate != "oracle")} justified rows-only) + their DuckDB " +
+      "oracle SQL — per-query index: OPERATORS.md"
+
+  def stampReadme(srcRoot: String, rows: Seq[Row]): Boolean = {
+    val readme = Paths.get(srcRoot, "README.md")
+    if (!Files.exists(readme)) return false
+    val txt = read(readme)
+    val patched = txt.replaceAll("""\d+ named queries[^\n]*""",
+      java.util.regex.Matcher.quoteReplacement(readmeCountLine(rows)))
+    val changed = patched != txt
+    if (changed) Files.write(readme, patched.getBytes(StandardCharsets.UTF_8))
+    changed
+  }
+
   def main(args: Array[String]): Unit = {
     val out = args.lift(0).getOrElse("OPERATORS.md")
     val srcRoot = args.lift(1).getOrElse(".")
     val rows = buildRows(srcRoot)
     Files.write(Paths.get(out), render(rows).getBytes(StandardCharsets.UTF_8))
+    val stamped = stampReadme(srcRoot, rows)
     println(s"[operators] wrote ${rows.size} rows to $out " +
       s"(${rows.count(_.gate == "oracle")} oracle, " +
       s"${rows.count(_.gate != "oracle")} rows-only, " +
-      s"${rows.count(_.scaleExp.isDefined)} scale-probed)")
+      s"${rows.count(_.scaleExp.isDefined)} scale-probed)" +
+      (if (stamped) "; README.md count line restamped" else "; README.md already current"))
   }
 }

@@ -30,6 +30,13 @@ class OperatorsIndexSpec extends AnyFunSuite {
     assert(rows.count(_.gate != "oracle") == VerifySupport.rowsOnlyJustified.size)
   }
 
+  test("README's query-count line is current (regenerate with OperatorsIndex)") {
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    assert(readme.contains(OperatorsIndex.readmeCountLine(rows)),
+      "README count line stale — run `sbt 'runMain graft.cli.OperatorsIndex'`")
+  }
+
   test("scale exponents attach to probed methods") {
     // the probe builds that call a SparkEntry-registered method must surface
     // in at least this many rows (several builds cover non-query stages)
