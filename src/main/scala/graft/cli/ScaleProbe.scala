@@ -51,18 +51,18 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  private val ReplicaSpacing = 10000000L // > Dedup.IdOffset + any fixture id
-  private val Lower = "abcdefghijklmnopqrstuvwxyz"
-  private val Upper = Lower.toUpperCase
+  private[cli] val ReplicaSpacing = 10000000L // > Dedup.IdOffset + any fixture id
+  private[cli] val Lower = "abcdefghijklmnopqrstuvwxyz"
+  private[cli] val Upper = Lower.toUpperCase
 
-  private def rotated(s: String, k: Int): String = {
+  private[cli] def rotated(s: String, k: Int): String = {
     val n = s.length
     val r = ((k % n) + n) % n
     s.substring(r) + s.substring(0, r)
   }
 
   /** `factor` deterministic replicas of the base documents table. */
-  private def replicate(base: DataFrame, factor: Int): DataFrame =
+  private[cli] def replicate(base: DataFrame, factor: Int): DataFrame =
     (0 until factor).map { k =>
       base.select(
         (col("doc_id") + lit(k * ReplicaSpacing)).as("doc_id"),
@@ -74,7 +74,7 @@ object ScaleProbe {
 
   /** `factor` deterministic replicas of the embeddings table: ids shifted,
     * labels offset, dimensions cyclically rotated by k (see Scaladoc). */
-  private def replicateEmb(base: DataFrame, factor: Int): DataFrame =
+  private[cli] def replicateEmb(base: DataFrame, factor: Int): DataFrame =
     (0 until factor).map { k =>
       base.select(
         (col("vec_id") + lit(k * ReplicaSpacing)).as("vec_id"),
@@ -91,7 +91,7 @@ object ScaleProbe {
     * (facts accumulate, dimension domains saturate). Row replication is the
     * RIGHT corpus here, unlike the dedup families: profile cost is per-row
     * scan + sketch update with no pairwise term to distort. */
-  private def replicateLineitem(base: DataFrame, factor: Int): DataFrame =
+  private[cli] def replicateLineitem(base: DataFrame, factor: Int): DataFrame =
     (0 until factor).map { k =>
       base.withColumn("l_orderkey", col("l_orderkey") + lit(k * ReplicaSpacing))
     }.reduce(_ unionAll _)
@@ -101,7 +101,7 @@ object ScaleProbe {
     * TYPE domains saturate, which is exactly the regime the rank-test /
     * Kendall / Gini scale claims rest on (their joins and windows run over
     * the grouped-VALUE frame, bounded by the domain, never by rows). */
-  private def replicateEvents(base: DataFrame, factor: Int): DataFrame =
+  private[cli] def replicateEvents(base: DataFrame, factor: Int): DataFrame =
     (0 until factor).map { k =>
       base.withColumn("event_id", col("event_id") + lit(k * ReplicaSpacing))
         .withColumn("user_id", col("user_id") + lit(k * ReplicaSpacing))

@@ -478,7 +478,7 @@ object EventOps {
         // Empty-arm guard: n0·n1 = 0 would NULL in Spark but ±inf under
         // DuckDB's IEEE double division — gate both engines to NULL.
         expr("""CASE WHEN n0 = 0 OR n1 = 0 THEN NULL
-               |ELSE CAST(s1 * n0 - s0 * n1 AS DOUBLE)
+               |ELSE CAST(CAST(s1 * n0 - s0 * n1 AS STRING) AS DOUBLE)
                |  / (CAST(n0 AS DECIMAL(38,0)) * n1) END""".stripMargin))
       .withColumn("detectable", abs(col("lift_micro")) >= col("mde_micro"))
       .select("variant", "n_users", "buyers", "buy_rate_ppm",
@@ -517,11 +517,11 @@ object EventOps {
        |  (buyers * 1000000 + n_users // 2) // n_users AS buy_rate_ppm,
        |  CAST(s // n_users AS BIGINT) AS mean_value_micro,
        |  CASE WHEN n0 = 0 OR n1 = 0 THEN NULL
-       |  ELSE CAST(s1 * n0 - s0 * n1 AS DOUBLE)
+       |  ELSE CAST(CAST(s1 * n0 - s0 * n1 AS VARCHAR) AS DOUBLE)
        |    / (CAST(n0 AS HUGEINT) * n1) END AS lift_micro,
        |  mde_micro,
        |  abs(CASE WHEN n0 = 0 OR n1 = 0 THEN NULL
-       |    ELSE CAST(s1 * n0 - s0 * n1 AS DOUBLE)
+       |    ELSE CAST(CAST(s1 * n0 - s0 * n1 AS VARCHAR) AS DOUBLE)
        |      / (CAST(n0 AS HUGEINT) * n1) END) >= mde_micro AS detectable
        |FROM byvar, tot, mde ORDER BY variant""".stripMargin
   }
@@ -565,17 +565,24 @@ object EventOps {
         col("n"),
         expr("CAST(sx div n AS BIGINT)").as("mean_pre_milli"),
         expr("CAST(sy div n AS BIGINT)").as("mean_post_milli"),
+        // Every DECIMAL→DOUBLE conversion routes THROUGH A STRING: once a
+        // moment exceeds 2^53, the direct int128→double cast is rounded
+        // differently by the two engines (observed at the 10× whole-suite
+        // run, round 12: ρ² split in the last ulp — Spark's
+        // BigDecimal.doubleValue vs DuckDB's HUGEINT static-cast), while
+        // string→double is CORRECTLY ROUNDED by spec in both (strtod /
+        // Double.parseDouble) and decimal→string is exact digits.
         expr("""CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-               |ELSE CAST((n * sxy - sx * sy) AS DOUBLE)
-               |  / CAST((n * sxx - sx * sx) AS DOUBLE) END""".stripMargin).as("theta"),
+               |ELSE CAST(CAST(n * sxy - sx * sy AS STRING) AS DOUBLE)
+               |  / CAST(CAST(n * sxx - sx * sx AS STRING) AS DOUBLE) END""".stripMargin).as("theta"),
         // ρ² squares the covariance — integer squaring overflows
         // DECIMAL(38) once the corpus grows (observed at the 20× probe),
         // so the ratio runs as a SHORT double chain over the exact
         // moments: mul/mul/div only, nothing an optimizer can
-        // reassociate, so the chain is bit-identical cross-engine
+        // reassociate, with each conversion string-routed as above
         expr("""CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
-               |ELSE CAST((n * sxy - sx * sy) AS DOUBLE) * CAST((n * sxy - sx * sy) AS DOUBLE)
-               |  / (CAST((n * sxx - sx * sx) AS DOUBLE) * CAST((n * syy - sy * sy) AS DOUBLE)) END""".stripMargin)
+               |ELSE CAST(CAST(n * sxy - sx * sy AS STRING) AS DOUBLE) * CAST(CAST(n * sxy - sx * sy AS STRING) AS DOUBLE)
+               |  / (CAST(CAST(n * sxx - sx * sx AS STRING) AS DOUBLE) * CAST(CAST(n * syy - sy * sy AS STRING) AS DOUBLE)) END""".stripMargin)
           .as("rho2"),
         // OVERFLOW SENTINEL: the raw moments n·Sxx etc. fit DECIMAL(38,0)
         // only up to ~10⁷ users at this milli quantization (observed at
@@ -616,11 +623,11 @@ object EventOps {
       |  CAST(sx // n AS BIGINT) AS mean_pre_milli,
       |  CAST(sy // n AS BIGINT) AS mean_post_milli,
       |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-      |  ELSE CAST((n * sxy - sx * sy) AS DOUBLE)
-      |    / CAST((n * sxx - sx * sx) AS DOUBLE) END AS theta,
+      |  ELSE CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) END AS theta,
       |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
-      |  ELSE CAST((n * sxy - sx * sy) AS DOUBLE) * CAST((n * sxy - sx * sy) AS DOUBLE)
-      |    / (CAST((n * sxx - sx * sx) AS DOUBLE) * CAST((n * syy - sy * sy) AS DOUBLE)) END
+      |  ELSE CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) * CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+      |    / (CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) * CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)) END
       |    AS rho2,
       |  greatest(
       |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE),
