@@ -455,7 +455,14 @@ object Dedup {
     * as production candidate generation (so the curve measures the policy
     * actually deployed), and only candidate pairs — never all pairs — are
     * Jaccard-scored. */
-  def bandingCurve(spark: SparkSession, dir: String): DataFrame = {
+  def bandingCurve(spark: SparkSession, dir: String): DataFrame =
+    // memoized: the 4-row curve is read twice per session (the curve query
+    // and [[bandingPick]]) — without the memo the pick re-pays the whole
+    // banded self-join sweep (~7 s at sf0.1 bench scale, round 12)
+    memoStage(spark, dir, "banding_curve")(bandingCurveBuild(spark, dir))
+      .orderBy("band_size")
+
+  private def bandingCurveBuild(spark: SparkSession, dir: String): DataFrame = {
     val configs = Seq((8, 1), (4, 2), (2, 4), (1, 8)) // (n_bands, band_size)
     val sig = sharedSignatures(spark, dir)
     val sets = memoStage(spark, dir, "curve_sets")(shingleSets(spark, dir))
