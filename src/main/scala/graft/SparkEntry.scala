@@ -186,6 +186,7 @@ object SparkEntry {
       "q_dynamic_partition_pruning" -> (PartitionedTables.dppJoin(_, _)),
       "dedup_banding_curve" -> ((s, d) => Dedup.bandingCurve(s, d)),
       "dedup_banding_pick" -> ((s, d) => Dedup.bandingPick(s, d)),
+      "dedup_banding_deployed" -> ((s, d) => Dedup.bandingDeployed(s, d)),
       // web front-door normalizers (round 10): URL canonicalization (the
       // per-row projection that keys crawl exact-dedup), dedup groups over
       // the canonical key, and HTML boilerplate strip + tag-density profile
@@ -351,6 +352,9 @@ object SparkEntry {
       "text_fertility" -> (TextAnalysis.fertility(_, _)),
       "text_tokenize_bpe" -> (TextAnalysis.tokenizeBpe(_, _)),
       "text_bpe_train" -> (TextAnalysis.bpeTrain(_, _)),
+      // train-then-tokenize (round 13): corpus → learned vocab → fertility
+      // ON the trained vocab, one gated run (train AND apply both replayed)
+      "text_tokenize_trained" -> ((s, d) => TextAnalysis.tokenizeTrained(s, d)),
       // template-header screen (round 11): most common 5-word doc prefix
       // per source + exact coverage permille (planted banner surfaces)
       "text_boilerplate_prefix" -> (TextAnalysis.boilerplatePrefix(_, _)),
@@ -457,6 +461,9 @@ object SparkEntry {
       // over the SAME kept set, in one long exact-integer report
       "docs_release_report" -> (TextAnalysis.releaseReport(_, _)),
       "pipeline_release_e2e" -> (TextAnalysis.pipelineReleaseE2e(_, _)),
+      // the release gate run TWICE across a corpus delta (round 13): both
+      // releases written + read back, the churn table from the artifacts
+      "pipeline_release_diff_e2e" -> (TextAnalysis.pipelineReleaseDiffE2e(_, _)),
       // release A -> B churn per source (round 11): bucket rule relaxed
       // + takedown purge applied, docs/tokens added/removed in one pass
       "docs_release_diff" -> (TextAnalysis.releaseDiff(_, _)),
@@ -664,6 +671,7 @@ object SparkEntry {
       "q_dynamic_partition_pruning" -> PartitionedTables.dppJoinOracle,
       "dedup_banding_curve" -> Dedup.bandingCurveOracle(),
       "dedup_banding_pick" -> Dedup.bandingPickOracle(),
+      "dedup_banding_deployed" -> Dedup.bandingDeployedOracle(),
       "text_url_canonicalize" -> WebNormalize.urlCanonicalizeOracle,
       "dedup_url_groups" -> WebNormalize.urlDedupGroupsOracle,
       "docs_html_strip" -> WebNormalize.htmlStripProfileOracle,
@@ -799,6 +807,7 @@ object SparkEntry {
       "text_fertility" -> TextAnalysis.fertilityOracle,
       "text_tokenize_bpe" -> TextAnalysis.tokenizeBpeOracle,
       "text_bpe_train" -> TextAnalysis.bpeTrainOracle(),
+      "text_tokenize_trained" -> TextAnalysis.tokenizeTrainedOracle(),
       "text_boilerplate_prefix" -> TextAnalysis.boilerplatePrefixOracle,
       "text_langid" -> TextAnalysis.languageIdOracle,
       "text_lang_confusion" -> TextAnalysis.langConfusionOracle,
@@ -875,6 +884,7 @@ object SparkEntry {
       "docs_shard_rebalance" -> TextAnalysis.shardRebalanceOracle(),
       "docs_release_report" -> TextAnalysis.releaseReportOracle,
       "pipeline_release_e2e" -> TextAnalysis.pipelineReleaseE2eOracle(),
+      "pipeline_release_diff_e2e" -> TextAnalysis.pipelineReleaseDiffE2eOracle(),
       "docs_release_diff" -> TextAnalysis.releaseDiffOracle,
       "docs_keep_ablation" -> TextAnalysis.keepAblationOracle,
       "dedup_threshold_sweep" -> Dedup.thresholdSweepOracle,

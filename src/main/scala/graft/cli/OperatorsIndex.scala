@@ -157,7 +157,9 @@ object OperatorsIndex {
 
   /** The README's query-count line, derived from the same rows as
     * OPERATORS.md — the generator stamps it so the README cannot drift
-    * (VERDICT r11 #5). Matches/overwrites any `N named queries …` line. */
+    * (VERDICT r11 #5). Only the full stamped line shape is rewritten —
+    * anchored on the trailing `OPERATORS.md` pointer — so unrelated prose
+    * that happens to say "N named queries" is never clobbered. */
   def readmeCountLine(rows: Seq[Row]): String =
     s"${rows.size} named queries (${rows.count(_.gate == "oracle")} oracle-gated " +
       s"+ ${rows.count(_.gate != "oracle")} justified rows-only) + their DuckDB " +
@@ -167,7 +169,8 @@ object OperatorsIndex {
     val readme = Paths.get(srcRoot, "README.md")
     if (!Files.exists(readme)) return false
     val txt = read(readme)
-    val patched = txt.replaceAll("""\d+ named queries[^\n]*""",
+    val patched = txt.replaceAll(
+      """\d+ named queries \(\d+ oracle-gated[^\n]*OPERATORS\.md""",
       java.util.regex.Matcher.quoteReplacement(readmeCountLine(rows)))
     val changed = patched != txt
     if (changed) Files.write(readme, patched.getBytes(StandardCharsets.UTF_8))

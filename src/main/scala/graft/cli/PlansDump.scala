@@ -91,7 +91,14 @@ object PlansDump {
     "events_ab_srm",           // distinct fold + 2-group rollup + 1-row recombine
     "events_power_mde",        // DECIMAL micro sums, one-division variance
     "profile_erd_classes",     // distinct-set folds + two 1-row count broadcasts
-    "events_experiment_lift")  // lift/MDE as broadcast 1-row recombines
+    "events_experiment_lift",  // lift/MDE as broadcast 1-row recombines
+    "text_tokenize_bpe",       // codegen'd native BPE merge loop in the scan
+    "text_bpe_train",          // vocab-bounded iterated pair argmax
+    "text_pack_sequences_bpe", // per-lang cumsum over real token counts
+    "dedup_banding_pick",      // memoized curve + 1-row argmax projection
+    "pipeline_release_e2e",    // shard WRITE + read-back sign-off composition
+    "pipeline_release_diff_e2e", // two releases written, id-keyed artifact diff
+    "text_tokenize_trained")   // train-then-apply: vocab join on the word key
 
   /** Plan-audit overrides: these queries' gated implementations read
     * memoized materialized stages (the shared-pipeline design — see

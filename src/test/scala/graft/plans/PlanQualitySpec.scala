@@ -808,6 +808,34 @@ class PlanQualitySpec extends AnyFunSuite {
       s"scan reads ${scan.requiredSchema.fieldNames.mkString(",")}")
   }
 
+  test("tokenize trained: word-keyed hash joins only; scans prune; folds are partial+final") {
+    val df = graft.operators.TextAnalysis.tokenizeTrained(spark, SparkSuite.Sf0001, k = 2)
+    val names = nodes(df).map(_.nodeName)
+    assert(!names.exists(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoopJoin")),
+      s"trained-vocab apply must join on the word key: ${names.distinct.mkString(",")}")
+    // every corpus scan prunes to the columns its branch needs (never text+all)
+    scans(df).foreach { s =>
+      assert(s.requiredSchema.fieldNames.toSet.subsetOf(Set("lang", "source", "text")),
+        s"scan reads ${s.requiredSchema.fieldNames.mkString(",")}")
+    }
+    assert(names.count(_.contains("HashAggregate")) >= 4,
+      "both the (lang,source,w) and (lang,source) folds must combine map-side")
+  }
+
+  test("release diff e2e: artifact diff is an id equi-join, never a product") {
+    val df = graft.operators.TextAnalysis.pipelineReleaseDiffE2e(spark, SparkSuite.Sf0001)
+    val names = nodes(df).map(_.nodeName)
+    assert(!names.exists(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoopJoin")),
+      s"full-outer id join degenerated: ${names.distinct.mkString(",")}")
+    // the read-back scans carry only the 4 diff columns, never the text
+    scans(df).foreach { s =>
+      assert(!s.requiredSchema.fieldNames.contains("text"),
+        s"artifact read-back drags the payload: ${s.requiredSchema.fieldNames.mkString(",")}")
+    }
+  }
+
   test("filter agreement: the 6 output rows reuse the single folded row, not the corpus") {
     val df = graft.operators.TextAnalysis.filterAgreement(spark, SparkSuite.Sf0001)
     df.collect()

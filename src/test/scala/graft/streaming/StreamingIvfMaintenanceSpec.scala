@@ -63,6 +63,24 @@ class StreamingIvfMaintenanceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("n_base = 0 guard: an arrivals-only state emits zeros, never NULLs") {
+    // the batch invariant (each centroid sits in its own cell) does not
+    // hold mid-stream: an arrivals-first feed reaches a state where some
+    // cell has n_base = 0 — the guarded projections must stay non-NULL
+    val centroids = StreamingIvfMaintenance.frozenCentroids(spark, dir)
+    val out = StreamingIvfMaintenance.maintenanceSelect(
+      spark.read.parquet(s"$dir/embeddings.parquet").filter(col("vec_id") >= 400),
+      centroids, 400L).collect()
+    assert(out.nonEmpty, "arrivals must land somewhere")
+    out.foreach { r =>
+      assert(!r.anyNull, s"guarded projections must not emit NULL: $r")
+      assert(r.getLong(r.fieldIndex("n_base")) == 0L)
+      assert(r.getLong(r.fieldIndex("growth_permille")) == 0L)
+      assert(r.getLong(r.fieldIndex("base_mean_micro")) == 0L)
+      assert(r.getLong(r.fieldIndex("drift_permille")) == 0L)
+    }
+  }
+
   test("degenerate: a single frozen centroid absorbs everything") {
     val centroids = StreamingIvfMaintenance.frozenCentroids(spark, dir, nCentroids = 1)
     val out = StreamingIvfMaintenance.maintenanceSelect(
