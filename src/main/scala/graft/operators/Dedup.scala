@@ -1540,17 +1540,21 @@ object Dedup {
     * partition and buffers combine by element-wise min, so a group's
     * signature never needs its members co-located or collected. */
   def groupSignatures(spark: SparkSession, dir: String): DataFrame =
-    // per-doc signatures come from the materialized shared stage (raw docs
-    // are its doc_id < IdOffset slice — same hasShingles filter, same
-    // native one-pass minhash), joined back to the doc table for the group
-    // key; then elementwise min per group: min over docs of (min over
-    // doc's shingles) = min over the group's shingle union — the same
-    // signature the shingle-explode + MinHashAgg form computes, but the
-    // shuffle carries one 8-element row per DOC instead of one row per
-    // SHINGLE (~500× fewer rows). MinHashAgg remains the general
-    // mergeable-sketch aggregate (spec-gated for partition invariance).
+    // per-doc signatures come from the materialized shared stage (same
+    // hasShingles filter, same native one-pass minhash); the INNER join
+    // back to the documents table both attaches the group key and selects
+    // exactly the raw (non-planted) docs — planted ids are absent from the
+    // table at any corpus factor. (An explicit `doc_id < IdOffset` filter
+    // used to sit here; the 10× whole-suite ledger caught it dropping
+    // replicas whose ids exceed the fixture offset while the oracle
+    // scanned the full table — round 13.) Then elementwise min per group:
+    // min over docs of (min over doc's shingles) = min over the group's
+    // shingle union — the same signature the shingle-explode + MinHashAgg
+    // form computes, but the shuffle carries one 8-element row per DOC
+    // instead of one row per SHINGLE (~500× fewer rows). MinHashAgg
+    // remains the general mergeable-sketch aggregate (spec-gated for
+    // partition invariance).
     sharedSignatures(spark, dir)
-      .filter(col("doc_id") < IdOffset)
       .join(table(spark, dir, "documents").select("doc_id", "lang"), "doc_id")
       .select(col("lang"), col("sig"))
       .groupBy("lang")

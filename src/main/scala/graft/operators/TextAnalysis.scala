@@ -190,7 +190,12 @@ object TextAnalysis {
 
   private def bpeTrainRun(spark: SparkSession, dir: String, k: Int)
       : (Seq[(Long, String, String, String, Long)], DataFrame) = {
-    var vocab = bpeVocab(spark, dir).cache()
+    // localCheckpoint, NOT cache: a cache materializes the data but each
+    // round's LOGICAL plan still nests the whole lineage, so analyzer/
+    // optimizer cost grows per round and the k axis goes super-linear —
+    // the round-13 bpek probe measured exponent 3.6 at k=16 under cache,
+    // 1.0 after the lineage cut (the PageRank/recursive-reach precedent)
+    var vocab = bpeVocab(spark, dir).localCheckpoint()
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     var rank = 1
     while (rank <= k) {
@@ -205,12 +210,11 @@ object TextAnalysis {
         .limit(1).collect()(0)
       val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
       learned += ((rank.toLong, l, r, l + r, c))
-      val next = vocab
+      // eager localCheckpoint materializes AND cuts lineage; the replaced
+      // parent's blocks are dropped once unreferenced (ContextCleaner)
+      vocab = vocab
         .withColumn("rep", expr(s"replace(rep, '<$l><$r>', '<$l$r>')"))
-        .cache()
-      next.count() // materialize before unpersisting the parent
-      vocab.unpersist()
-      vocab = next
+        .localCheckpoint()
       rank += 1
     }
     (learned.toSeq, vocab)
