@@ -390,6 +390,8 @@ object SparkEntry {
       "docs_mixture_expand" -> (TextAnalysis.mixtureExpand(_, _)),
       "docs_quality_prune" -> (TextAnalysis.qualityPrune(_, _)),
       "docs_ccnet_buckets" -> (TextAnalysis.unigramSurprisal(_, _)),
+      "docs_dsir_importance" -> (DataSelection.dsirImportance(_, _)),
+      "docs_dsir_select" -> (DataSelection.dsirSelect(_, _)),
       "docs_target_affinity" -> (TextAnalysis.targetAffinity(_, _)),
       "docs_train_split" -> (TextAnalysis.trainSplit(_, _)),
       "docs_split_leakage" -> (TextAnalysis.splitLeakage(_, _)),
@@ -833,6 +835,8 @@ object SparkEntry {
       "docs_mixture_expand" -> TextAnalysis.mixtureExpandOracle,
       "docs_quality_prune" -> TextAnalysis.qualityPruneOracle(),
       "docs_ccnet_buckets" -> TextAnalysis.unigramSurprisalOracle,
+      "docs_dsir_importance" -> DataSelection.dsirImportanceOracle,
+      "docs_dsir_select" -> DataSelection.dsirSelectOracle,
       "docs_target_affinity" -> TextAnalysis.targetAffinityOracle,
       "docs_train_split" -> TextAnalysis.trainSplitOracle,
       "docs_split_leakage" -> TextAnalysis.splitLeakageOracle,

@@ -409,6 +409,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!nodes(df).map(_.nodeName).exists(_.contains("CartesianProduct")))
   }
 
+  test("dsir: scoring joins the 512-bucket ratio table broadcast; selection windows per source") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // the un-checkpointed twin: the gated form's feature checkpoint
+    // collapses the fit/score subtrees this gate exists to audit
+    val df = graft.operators.DataSelection.dsirImportancePlan(spark, SparkSuite.Sf0001)
+    df.collect()
+    val names = nodes(df).map(_.nodeName)
+    assert(names.exists(_.contains("BroadcastHashJoin")),
+      s"bucket-ratio scoring must be a broadcast hash join: ${names.distinct.mkString(",")}")
+    assert(!names.exists(_.contains("CartesianProduct")))
+    // document scan is pruned to the three columns the features need
+    scans(df).foreach { s =>
+      val read = s.requiredSchema.fieldNames.toSet
+      assert(read.subsetOf(Set("doc_id", "source", "text")),
+        s"dsir reads more than it needs: $read")
+    }
+    val sel = graft.operators.DataSelection.dsirSelect(spark, SparkSuite.Sf0001)
+    sel.collect()
+    val windows = nodes(sel).collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "dsir selection rank lost its source partition — the whole pool would rank in one task"))
+  }
+
   test("target affinity: BNLJ only against the 1-row totals; feature scoring is a hash join") {
     val df = graft.operators.TextAnalysis.targetAffinity(spark, SparkSuite.Sf0001)
     assertBnljOnlyTinyBroadcasts(df, "target-affinity")
