@@ -576,7 +576,9 @@ object SparkEntry {
       "multimodal_image_dhash" -> (Multimodal.imageDHashProfile(_, _)),
       "dedup_image_groups" -> (Multimodal.imageDupGroups(_, _)),
       // data-quality validation rules (the north-star surface)
-      "quality_checks" -> (graft.quality.QualitySuite.run(_, _)))
+      "quality_checks" -> (graft.quality.QualitySuite.run(_, _)),
+      "quality_classifier_train" -> (QualityClassifier.classifierTrain(_, _)),
+      "quality_classifier_confusion" -> (QualityClassifier.classifierConfusion(_, _)))
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -945,6 +947,8 @@ object SparkEntry {
       "multimodal_shot_cuts" -> Multimodal.shotCutProfileOracle,
       "multimodal_image_dhash" -> Multimodal.imageDHashProfileOracle,
       "dedup_image_groups" -> Multimodal.imageDupGroupsOracle,
-      "quality_checks" -> graft.quality.QualitySuite.oracle)
+      "quality_checks" -> graft.quality.QualitySuite.oracle,
+      "quality_classifier_train" -> QualityClassifier.classifierTrainOracle,
+      "quality_classifier_confusion" -> QualityClassifier.classifierConfusionOracle)
   }
 }

@@ -2328,14 +2328,14 @@ object TextAnalysis {
   private[graft] def unigramSurprisalPlan(spark: SparkSession, dir: String): DataFrame =
     unigramSurprisalFrom(docTermTf(spark, dir))
 
-  private def docTermTf(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def docTermTf(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), explode(words).as("word"))
       .filter(col("word") =!= "")
       .groupBy("doc_id", "lang", "word")
       .agg(count(lit(1)).as("tf"))
 
-  private def unigramSurprisalFrom(docTerm: DataFrame): DataFrame = {
+  private[operators] def unigramSurprisalFrom(docTerm: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // per-language totals as a window over the vocab-sized freq table —
     // same lineage, so the corpus explode is not recomputed a third time

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+
+/** Property gates for the trained NB quality classifier — value-exactness is
+  * separately gated by the DuckDB oracles (`quality_classifier_train`,
+  * `quality_classifier_confusion`). These pin what the hash can't: the
+  * digest's rank discipline, full-corpus scoring coverage, the decision
+  * boundary, and the calibration direction (head reads more positive than
+  * middle, middle more than tail — the classifier must actually have
+  * distilled the LM policy it was trained on).
+  */
+class QualityClassifierSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  val dir = SparkSuite.Sf0001
+
+  test("digest: 25 ranked words per side, evidence ordered, sides straddle the boundary") {
+    val rows = QualityClassifier.classifierTrain(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(5)))
+    assert(rows.length == 50)
+    Seq("pos", "neg").foreach { side =>
+      val s = rows.filter(_._1 == side).sortBy(_._2)
+      assert(s.map(_._2).toSeq == (1L to 25L), s"$side ranks")
+      val ratios = s.map(_._4)
+      if (side == "pos") {
+        assert(ratios.zip(ratios.tail).forall { case (a, b) => a >= b },
+          "pos evidence must be rank-descending")
+        assert(ratios.head > 1000000L, "strongest positive word must favor pos")
+      } else {
+        assert(ratios.zip(ratios.tail).forall { case (a, b) => a <= b },
+          "neg evidence must be rank-ascending")
+        assert(ratios.head < 1000000L, "strongest negative word must favor neg")
+      }
+    }
+  }
+
+  test("confusion: full coverage, boundary-consistent means, calibration direction") {
+    val rows = QualityClassifier.classifierConfusion(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val nTokensDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(size(filter(split(col("text"), " "), w => w =!= "")) >= 1)
+      .count()
+    assert(rows.map(_._3).sum == nTokensDocs, "every tokenized doc is scored exactly once")
+    rows.foreach { case (b, p, _, mean) =>
+      if (p == "pos") assert(mean > 1000000L, s"$b/pos mean $mean")
+      else assert(mean <= 1000000L, s"$b/neg mean $mean")
+    }
+    // calibration: the positive-prediction share must fall monotonically
+    // head -> middle -> tail (the trained model reproduces its teacher's
+    // ordering on both the training bands and the held-out middle band)
+    def posShare(bucket: String): Double = {
+      val in = rows.filter(_._1 == bucket)
+      in.filter(_._2 == "pos").map(_._3).sum.toDouble / in.map(_._3).sum
+    }
+    assert(posShare("head") > posShare("middle"),
+      s"head ${posShare("head")} vs middle ${posShare("middle")}")
+    assert(posShare("middle") > posShare("tail"),
+      s"middle ${posShare("middle")} vs tail ${posShare("tail")}")
+  }
+}

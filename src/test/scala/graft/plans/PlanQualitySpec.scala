@@ -409,6 +409,34 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!nodes(df).map(_.nodeName).exists(_.contains("CartesianProduct")))
   }
 
+  test("nb classifier: vocab-keyed scoring join, BNLJ only against 1-row scalars") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.adaptive.BroadcastQueryStageExec
+    val df = graft.operators.QualityClassifier.classifierConfusion(spark, SparkSuite.Sf0001)
+    df.collect()
+    // each cross-recombine's IMMEDIATE build side is the 1-row scalar frame
+    // (the subtree below it legitimately contains vocab-sized hash-join
+    // broadcasts, so the deep-walk helper does not apply here)
+    nodes(df).collect { case b: BroadcastNestedLoopJoinExec => b }.foreach { b =>
+      // pre-order: the first stage under the build child is its top-level one
+      val buildTop = allNodes(b.right).collectFirst { case s: BroadcastQueryStageExec => s }
+        .orElse(allNodes(b.left).collectFirst { case s: BroadcastQueryStageExec => s })
+      assert(buildTop.nonEmpty, "nb-classifier BNLJ without a broadcast build side")
+      buildTop.foreach { s =>
+        val rows = s.getRuntimeStatistics.rowCount.getOrElse(BigInt(Long.MaxValue))
+        assert(rows <= 2, s"nb-classifier cross-recombine broadcasts $rows rows, not a scalar")
+      }
+    }
+    val names = nodes(df).map(_.nodeName)
+    assert(!names.exists(_.contains("CartesianProduct")))
+    // per-word scoring joins the vocab-sized ratio table by key, and the
+    // per-doc / per-bucket reductions carry map-side partials
+    assert(names.exists(n => n.contains("HashJoin") || n.contains("SortMergeJoin")),
+      s"expected a keyed scoring join: ${names.distinct.mkString(",")}")
+    assert(names.count(_.contains("HashAggregate")) >= 4,
+      s"scoring aggregates are not partial+final: ${names.distinct.mkString(",")}")
+  }
+
   test("dsir: scoring joins the 512-bucket ratio table broadcast; selection windows per source") {
     import org.apache.spark.sql.execution.window.WindowExec
     // the un-checkpointed twin: the gated form's feature checkpoint
