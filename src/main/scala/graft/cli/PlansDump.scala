@@ -98,7 +98,9 @@ object PlansDump {
     "dedup_banding_pick",      // memoized curve + 1-row argmax projection
     "pipeline_release_e2e",    // shard WRITE + read-back sign-off composition
     "pipeline_release_diff_e2e", // two releases written, id-keyed artifact diff
-    "text_tokenize_trained")   // train-then-apply: vocab join on the word key
+    "text_tokenize_trained",   // train-then-apply: vocab join on the word key
+    "docs_dsir_importance",    // hashed models: B-bucket broadcast scoring join
+    "quality_classifier_confusion") // NB distill: vocab-keyed rescore join
 
   /** Plan-audit overrides: these queries' gated implementations read
     * memoized materialized stages (the shared-pipeline design — see
@@ -110,6 +112,8 @@ object PlansDump {
       "dedup_minhash_pairs" -> (graft.operators.Dedup.minhashCandidatePairsPlan(_, _)),
       "text_dup_spans" -> (graft.operators.TextAnalysis.dupSpansPlan(_, _)),
       "docs_ccnet_buckets" -> (graft.operators.TextAnalysis.unigramSurprisalPlan(_, _)),
+      "docs_dsir_importance" -> (graft.operators.DataSelection.dsirImportancePlan(_, _)),
+      "quality_classifier_confusion" -> (graft.operators.QualityClassifier.classifierConfusionPlan(_, _)),
       // pins k: the gated form's auto-k count() is an eager action at
       // plan-construction time (ADVICE r7); plan shape is identical
       "semdedup" -> (graft.operators.Similarity.semDedupPlan(_, _)))

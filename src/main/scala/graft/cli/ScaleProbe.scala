@@ -141,7 +141,8 @@ object ScaleProbe {
       else Set.empty
     require(factors.forall(f => f >= 1 && f <= 26) && factors == factors.sorted,
       "factors must be ascending and ≤26 (letter rotations must stay distinct)")
-    require(Set("docs", "emb", "prof", "ppj", "stats", "snips", "bpe", "bpek", "all")(family),
+    require(Set("docs", "emb", "prof", "ppj", "stats", "snips", "bpe", "bpek",
+      "dsir", "nbq", "all")(family),
       s"unknown family: $family")
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
@@ -225,6 +226,27 @@ object ScaleProbe {
     if (family == "bpe") {
       // corpus axis under a FIXED vocabulary (unrotated replicas): the
       // trainer's scan must be ~linear and its k rounds corpus-independent
+      val base = spark.read.parquet(s"$baseDir/documents.parquet")
+      sizes.foreach { s =>
+        replicateUnrotated(base, s).repartition(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(s"$outRoot/x$s/documents.parquet")
+      }
+    }
+    if (family == "dsir") {
+      // ROTATED replicas: the vocabulary grows ×factor with the corpus —
+      // the STRESS fixture for DSIR's bucket-boundedness claim (the hashed
+      // model must stay NumBuckets rows no matter how many distinct
+      // n-grams exist; cost must track the scan, never the vocab)
+      val base = spark.read.parquet(s"$baseDir/documents.parquet")
+      sizes.foreach { s =>
+        replicate(base, s).repartition(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(s"$outRoot/x$s/documents.parquet")
+      }
+    }
+    if (family == "nbq") {
+      // UNROTATED replicas: vocab FIXED while rows grow — the production
+      // classifier regime (corpus ≫ vocab); the vocab-sized model table and
+      // its scoring join must be corpus-independent, cost = the scan
       val base = spark.read.parquet(s"$baseDir/documents.parquet")
       sizes.foreach { s =>
         replicateUnrotated(base, s).repartition(spark.sparkContext.defaultParallelism)
@@ -412,9 +434,21 @@ object ScaleProbe {
       ("bpe_train_kaxis", d =>
         graft.operators.TextAnalysis.bpeTrain(spark, d,
           d.substring(d.lastIndexOf('x') + 1).toInt)))
+    // data-selection probes (round 13): DSIR under rotated replicas (vocab
+    // grows ×k, the hashed model must stay bucket-bounded) and the NB
+    // classifier under unrotated replicas (vocab fixed, model join must be
+    // corpus-independent) — see the family corpus writers above
+    val dsirBuilds = Seq[(String, String => DataFrame)](
+      ("dsir_importance", d => graft.operators.DataSelection.dsirImportance(spark, d)),
+      ("dsir_select", d => graft.operators.DataSelection.dsirSelect(spark, d)))
+    val nbqBuilds = Seq[(String, String => DataFrame)](
+      ("nb_train", d => graft.operators.QualityClassifier.classifierTrain(spark, d)),
+      ("nb_confusion", d => graft.operators.QualityClassifier.classifierConfusion(spark, d)))
     val allBuilds = (if (family == "snips") snipsBuilds
       else if (family == "bpe") bpeBuilds
       else if (family == "bpek") bpekBuilds
+      else if (family == "dsir") dsirBuilds
+      else if (family == "nbq") nbqBuilds
       else if (family == "ppj") ppjBuilds
       else if (doDocs) docBuilds else Seq.empty) ++
       (if (doEmb) embBuilds else Seq.empty) ++

@@ -101,13 +101,7 @@ object QualityClassifier {
   def classifierConfusion(spark: SparkSession, dir: String): DataFrame = {
     val (docTerm, buckets) = pieces(spark, dir)
     val (ratios, scal) = fit(docTerm, buckets)
-    val scored = docTerm
-      .join(ratios.select("word", "ratio_micro"), Seq("word"), "left")
-      .crossJoin(broadcast(scal.select("unseen_micro")))
-      .withColumn("r", coalesce(col("ratio_micro"), col("unseen_micro")))
-      .groupBy("doc_id")
-      .agg(expr("CAST(sum(CAST(tf AS DECIMAL(38,0)) * r) div sum(tf) AS BIGINT)")
-        .as("score_micro"))
+    val scored = scoreByJoin(docTerm, ratios, scal)
     scored.join(buckets.select("doc_id", "bucket"), "doc_id")
       .withColumn("predicted", when(col("score_micro") > 1000000L, "pos").otherwise("neg"))
       .groupBy("bucket", "predicted")
@@ -115,6 +109,56 @@ object QualityClassifier {
         expr("CAST(sum(CAST(score_micro AS DECIMAL(38,0))) div count(1) AS BIGINT)")
           .as("mean_score_micro"))
       .orderBy("bucket", "predicted")
+  }
+
+  /** Un-checkpointed twin for plan audits ([[TextAnalysis.unigramSurprisalPlan]]
+    * pattern): the gated form's tokenize-once checkpoints collapse the
+    * upstream to RDD scans in explain output. */
+  private[graft] def classifierConfusionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val docTerm = TextAnalysis.docTermTf(spark, dir)
+    val buckets = TextAnalysis.unigramSurprisalFrom(docTerm)
+    val (ratios, scal) = fit(docTerm, buckets)
+    scoreByJoin(docTerm, ratios, scal)
+      .join(buckets.select("doc_id", "bucket"), "doc_id")
+      .withColumn("predicted", when(col("score_micro") > 1000000L, "pos").otherwise("neg"))
+      .groupBy("bucket", "predicted")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("CAST(sum(CAST(score_micro AS DECIMAL(38,0))) div count(1) AS BIGINT)")
+          .as("mean_score_micro"))
+      .orderBy("bucket", "predicted")
+  }
+
+  /** Per-doc scoring via the vocab-keyed JOIN shape (the scale path: the
+    * ratio table shuffles by word, never broadcasts with the corpus). */
+  private def scoreByJoin(docTerm: DataFrame, ratios: DataFrame,
+      scal: DataFrame): DataFrame =
+    docTerm
+      .join(ratios.select("word", "ratio_micro"), Seq("word"), "left")
+      .crossJoin(broadcast(scal.select("unseen_micro")))
+      .withColumn("r", coalesce(col("ratio_micro"), col("unseen_micro")))
+      .groupBy("doc_id")
+      .agg(expr("CAST(sum(CAST(tf AS DECIMAL(38,0)) * r) div sum(tf) AS BIGINT)")
+        .as("score_micro"))
+
+  /** Per-doc trained scores through the join shape — the referee frame the
+    * streaming twin's row-local map scoring is spec-compared against. */
+  private[graft] def perDocScores(spark: SparkSession, dir: String): DataFrame = {
+    val (docTerm, buckets) = pieces(spark, dir)
+    val (ratios, scal) = fit(docTerm, buckets)
+    scoreByJoin(docTerm, ratios, scal)
+  }
+
+  /** The trained model FROZEN as one broadcastable row: a word→ratio map
+    * plus the smoothed unseen fallback — the side input the streaming twin
+    * scores against (the StreamingIvfMaintenance frozen-centroid
+    * precedent). Vocab-bounded (Zipf), never corpus-sized. */
+  def modelRow(spark: SparkSession, dir: String): DataFrame = {
+    val (docTerm, buckets) = pieces(spark, dir)
+    val (ratios, scal) = fit(docTerm, buckets)
+    ratios
+      .agg(map_from_entries(collect_list(struct(col("word"), col("ratio_micro"))))
+        .as("model"))
+      .crossJoin(broadcast(scal.select("unseen_micro")))
   }
 
   /** Shared oracle chain: the full CCNet-tercile replay embedded as a
