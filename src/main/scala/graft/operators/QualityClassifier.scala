@@ -212,6 +212,17 @@ object QualityClassifier {
        |FROM ranked WHERE rank <= $DigestK
        |ORDER BY side, rank""".stripMargin
 
+  /** Per-doc trained scores as a standalone oracle query — the label CTE
+    * other oracles (the filter-agreement matrix) embed to re-derive the
+    * classifier's admit flag without drifting from the gated chain. */
+  val perDocScoresOracle: String =
+    s"""$oracleChain
+       |SELECT dt.doc_id,
+       |  CAST(sum(CAST(dt.tf AS HUGEINT) * coalesce(r.ratio_micro, scal.unseen_micro))
+       |    // sum(dt.tf) AS BIGINT) AS score_micro
+       |FROM dt LEFT JOIN ratio r ON r.word = dt.word CROSS JOIN scal
+       |GROUP BY dt.doc_id""".stripMargin
+
   val classifierConfusionOracle: String =
     s"""$oracleChain, scored AS (
        |  SELECT dt.doc_id,

@@ -1963,8 +1963,15 @@ object TextAnalysis {
         .select(col("doc_id"), (col("bucket") =!= "tail").as("ccnet")), "doc_id")
       .join(qualityPrune(spark, dir)
         .select(col("doc_id"), col("keep").as("prune")), "doc_id")
+      // the LEARNED filter joins the stack (round 13): the trained NB
+      // model's admit flag, so its redundancy against the hand-built
+      // filters is measured like any other pair (expect high kappa vs
+      // ccnet — it was distilled FROM those labels; the kappa says how
+      // faithfully)
+      .join(QualityClassifier.perDocScores(spark, dir)
+        .select(col("doc_id"), (col("score_micro") > 1000000L).as("nbc")), "doc_id")
 
-  private val filterNames = Seq("gopher", "quality", "ccnet", "prune")
+  private val filterNames = Seq("gopher", "quality", "ccnet", "prune", "nbc")
   private val filterPairs: Seq[(String, String)] =
     for { i <- filterNames.indices; j <- (i + 1) until filterNames.size }
       yield (filterNames(i), filterNames(j))
@@ -2035,9 +2042,12 @@ object TextAnalysis {
        |q AS (SELECT doc_id, passes_quality AS quality FROM ($qualityScoresOracle) t),
        |c AS (SELECT doc_id, bucket != 'tail' AS ccnet FROM ($unigramSurprisalOracle) t),
        |p AS (SELECT doc_id, keep AS prune FROM (${qualityPruneOracle()}) t),
+       |nb AS (SELECT doc_id, score_micro > 1000000 AS nbc
+       |       FROM (${QualityClassifier.perDocScoresOracle}) t),
        |wide AS (
-       |  SELECT g.doc_id, gopher, quality, ccnet, prune
+       |  SELECT g.doc_id, gopher, quality, ccnet, prune, nbc
        |  FROM g JOIN q USING (doc_id) JOIN c USING (doc_id) JOIN p USING (doc_id)
+       |    JOIN nb USING (doc_id)
        |), one AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
        |    $aggs

@@ -24,12 +24,15 @@ class FilterAgreementSpec extends AnyFunSuite {
       "ccnet" -> TextAnalysis.unigramSurprisal(spark, dir)
         .select(col("doc_id"), col("bucket")).collect()
         .map(r => r.getLong(0) -> Option(r.getString(1) != "tail")).toMap,
-      "prune" -> flags(TextAnalysis.qualityPrune(spark, dir), "keep"))
+      "prune" -> flags(TextAnalysis.qualityPrune(spark, dir), "keep"),
+      "nbc" -> QualityClassifier.perDocScores(spark, dir)
+        .select(col("doc_id"), (col("score_micro") > 1000000L).as("nbc")).collect()
+        .map(r => r.getLong(0) -> Option(r.getBoolean(1))).toMap)
     val ids = byName("quality").keySet
     assert(byName.values.forall(_.keySet == ids))
 
     val got = TextAnalysis.filterAgreement(spark, dir).collect()
-    assert(got.length == 6)
+    assert(got.length == 10)
     got.foreach { r =>
       val a = byName(r.getString(0)); val b = byName(r.getString(1))
       val n = ids.size.toLong
