@@ -145,6 +145,43 @@ object DataSelection {
       .orderBy("source")
   }
 
+  /** The fitted DSIR model FROZEN as one broadcastable row: the
+    * bucket→ratio map ([[NumBuckets]] entries at most) plus the
+    * all-unseen-bucket default ratio (tc=rc=0 under the same smoothing) —
+    * the side input the streaming admission twin scores against. Unlike
+    * the NB vocab map this is CONSTANT-bounded: 512 entries at any corpus
+    * size, the whole point of hashed features. */
+  def modelRow(spark: SparkSession, dir: String): DataFrame = {
+    val feats = featureCounts(spark, dir).localCheckpoint(false)
+    val default = feats.agg(
+      sum(when(col("tgt"), col("c")).otherwise(0L)).as("t_tot"),
+      sum(when(!col("tgt"), col("c")).otherwise(0L)).as("r_tot"))
+      .select(expr(
+        s"""CAST((CAST(1000000 AS DECIMAL(38,0)) * (r_tot + $NumBuckets))
+           | div (CAST(t_tot AS DECIMAL(38,0)) + $NumBuckets) AS BIGINT)"""
+          .stripMargin.replace("\n", "")).as("default_micro"))
+    bucketRatios(feats)
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("ratio_micro"))))
+        .as("model"))
+      .crossJoin(broadcast(default))
+  }
+
+  /** Per-source DEPLOYED thresholds — the weight of the last doc the batch
+    * selection kept in each stratum. Freezing these alongside the bucket
+    * model turns the rank-based batch policy into the threshold-based form
+    * a streaming gate (or a 1000-executor scan) actually deploys. */
+  def selectionThresholds(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = dsirPerDoc(featureCounts(spark, dir).localCheckpoint(false))
+    val rankW = Window.partitionBy("source")
+      .orderBy(col("weight_micro").desc, col("doc_id"))
+    perDoc
+      .withColumn("rnk", row_number().over(rankW).cast("bigint"))
+      .withColumn("n_raw", count(lit(1)).over(Window.partitionBy("source")))
+      .filter(expr("rnk <= (n_raw + 9) div 10"))
+      .groupBy("source")
+      .agg(min("weight_micro").as("threshold_micro"))
+  }
+
   /** Shared oracle CTE chain: documents → hashed feature counts → smoothed
     * bucket ratio table → per-raw-doc weights. Mirrors the Spark side
     * operation-for-operation (same hash, same smoothing, same `div`). */
