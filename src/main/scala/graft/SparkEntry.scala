@@ -392,6 +392,7 @@ object SparkEntry {
       "docs_ccnet_buckets" -> (TextAnalysis.unigramSurprisal(_, _)),
       "docs_dsir_importance" -> (DataSelection.dsirImportance(_, _)),
       "docs_dsir_select" -> (DataSelection.dsirSelect(_, _)),
+      "docs_dsir_deployed" -> (DataSelection.dsirDeployed(_, _)),
       "docs_target_affinity" -> (TextAnalysis.targetAffinity(_, _)),
       "docs_train_split" -> (TextAnalysis.trainSplit(_, _)),
       "docs_split_leakage" -> (TextAnalysis.splitLeakage(_, _)),
@@ -839,6 +840,7 @@ object SparkEntry {
       "docs_ccnet_buckets" -> TextAnalysis.unigramSurprisalOracle,
       "docs_dsir_importance" -> DataSelection.dsirImportanceOracle,
       "docs_dsir_select" -> DataSelection.dsirSelectOracle,
+      "docs_dsir_deployed" -> DataSelection.dsirDeployedOracle,
       "docs_target_affinity" -> TextAnalysis.targetAffinityOracle,
       "docs_train_split" -> TextAnalysis.trainSplitOracle,
       "docs_split_leakage" -> TextAnalysis.splitLeakageOracle,

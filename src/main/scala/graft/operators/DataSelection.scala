@@ -182,6 +182,41 @@ object DataSelection {
       .agg(min("weight_micro").as("threshold_micro"))
   }
 
+  /** DEPLOYMENT-CONSISTENCY table ([[graft.operators.Dedup]]'s
+    * `dedup_banding_deployed` precedent): per source, the calibrated
+    * threshold side by side with the rank-based selection it was frozen
+    * from — selected count, threshold-admitted count, boundary-tie mass,
+    * and the `consistent` gate (admitted ⊇ selected, excess bounded by
+    * ties−1). A drift between the rank policy and its deployed threshold
+    * form — the form the streaming gate and any 100 TB scan actually run —
+    * fails this row cross-engine. */
+  def dsirDeployed(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = dsirPerDoc(featureCounts(spark, dir).localCheckpoint(false))
+      .localCheckpoint(false) // feeds the threshold agg AND the admit count
+    val rankW = Window.partitionBy("source")
+      .orderBy(col("weight_micro").desc, col("doc_id"))
+    val ranked = perDoc
+      .withColumn("rnk", row_number().over(rankW).cast("bigint"))
+      .withColumn("n_raw", count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("sel", expr("rnk <= (n_raw + 9) div 10"))
+    val thr = ranked.groupBy("source").agg(
+      sum(when(col("sel"), 1L).otherwise(0L)).as("n_selected"),
+      min(when(col("sel"), col("weight_micro"))).as("threshold_micro"))
+    perDoc.join(broadcast(thr), Seq("source"))
+      .groupBy("source")
+      .agg(first("n_selected").as("n_selected"),
+        first("threshold_micro").as("threshold_micro"),
+        sum(when(col("weight_micro") >= col("threshold_micro"), 1L).otherwise(0L))
+          .as("n_admitted"),
+        sum(when(col("weight_micro") === col("threshold_micro"), 1L).otherwise(0L))
+          .as("boundary_ties"))
+      .withColumn("consistent", expr(
+        "n_admitted >= n_selected AND n_admitted - n_selected <= greatest(boundary_ties - 1, 0)"))
+      .select("source", "threshold_micro", "n_selected", "n_admitted",
+        "boundary_ties", "consistent")
+      .orderBy("source")
+  }
+
   /** Shared oracle CTE chain: documents → hashed feature counts → smoothed
     * bucket ratio table → per-raw-doc weights. Mirrors the Spark side
     * operation-for-operation (same hash, same smoothing, same `div`). */
@@ -228,6 +263,28 @@ object DataSelection {
   val dsirImportanceOracle: String =
     s"""$oracleChain
        |SELECT doc_id, source, n_feats, weight_micro FROM perdoc ORDER BY doc_id""".stripMargin
+
+  val dsirDeployedOracle: String =
+    s"""$oracleChain, ranked AS (
+       |  SELECT *,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY weight_micro DESC, doc_id) AS BIGINT) AS rnk,
+       |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_raw
+       |  FROM perdoc
+       |), thr AS (
+       |  SELECT source,
+       |    CAST(sum(CASE WHEN rnk <= (n_raw + 9) // 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       |    CAST(min(CASE WHEN rnk <= (n_raw + 9) // 10 THEN weight_micro END) AS BIGINT) AS threshold_micro
+       |  FROM ranked GROUP BY source
+       |)
+       |SELECT p.source, t.threshold_micro, t.n_selected,
+       |  CAST(sum(CASE WHEN p.weight_micro >= t.threshold_micro THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+       |  CAST(sum(CASE WHEN p.weight_micro = t.threshold_micro THEN 1 ELSE 0 END) AS BIGINT) AS boundary_ties,
+       |  (CAST(sum(CASE WHEN p.weight_micro >= t.threshold_micro THEN 1 ELSE 0 END) AS BIGINT) >= t.n_selected
+       |   AND CAST(sum(CASE WHEN p.weight_micro >= t.threshold_micro THEN 1 ELSE 0 END) AS BIGINT) - t.n_selected
+       |     <= greatest(CAST(sum(CASE WHEN p.weight_micro = t.threshold_micro THEN 1 ELSE 0 END) AS BIGINT) - 1, 0)) AS consistent
+       |FROM perdoc p JOIN thr t USING (source)
+       |GROUP BY p.source, t.threshold_micro, t.n_selected
+       |ORDER BY p.source""".stripMargin
 
   val dsirSelectOracle: String =
     s"""$oracleChain, ranked AS (

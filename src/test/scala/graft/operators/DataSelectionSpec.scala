@@ -60,6 +60,20 @@ class DataSelectionSpec extends AnyFunSuite {
       "the selected slice's mean weight must equal the top doc's weight")
   }
 
+  test("dsir deployed: threshold form is consistent with the rank selection everywhere") {
+    val rows = DataSelection.dsirDeployed(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(5), s"source ${r.getString(0)} deployed threshold drifted " +
+        s"from its rank selection: sel=${r.getLong(2)} adm=${r.getLong(3)} ties=${r.getLong(4)}")
+      assert(r.getLong(4) >= 1L, "the threshold doc itself must sit on the boundary")
+    }
+    // thresholds table agrees with the deployed view
+    val thr = DataSelection.selectionThresholds(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(thr(r.getString(0)) == r.getLong(1)))
+  }
+
   test("dsir select: exact ceil(n/10) per stratum, selected mean >= overall mean") {
     val perSource = DataSelection.dsirImportance(spark, dir).collect()
       .groupBy(_.getString(1)).map { case (s, rs) => s -> rs.length }
