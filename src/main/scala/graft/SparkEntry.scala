@@ -579,7 +579,8 @@ object SparkEntry {
       // data-quality validation rules (the north-star surface)
       "quality_checks" -> (graft.quality.QualitySuite.run(_, _)),
       "quality_classifier_train" -> (QualityClassifier.classifierTrain(_, _)),
-      "quality_classifier_confusion" -> (QualityClassifier.classifierConfusion(_, _)))
+      "quality_classifier_confusion" -> (QualityClassifier.classifierConfusion(_, _)),
+      "quality_classifier_drift" -> (QualityClassifier.classifierDrift(_, _)))
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -951,6 +952,7 @@ object SparkEntry {
       "dedup_image_groups" -> Multimodal.imageDupGroupsOracle,
       "quality_checks" -> graft.quality.QualitySuite.oracle,
       "quality_classifier_train" -> QualityClassifier.classifierTrainOracle,
-      "quality_classifier_confusion" -> QualityClassifier.classifierConfusionOracle)
+      "quality_classifier_confusion" -> QualityClassifier.classifierConfusionOracle,
+      "quality_classifier_drift" -> QualityClassifier.classifierDriftOracle())
   }
 }

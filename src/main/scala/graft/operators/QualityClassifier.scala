@@ -161,6 +161,91 @@ object QualityClassifier {
       .crossJoin(broadcast(scal.select("unseen_micro")))
   }
 
+  /** MODEL-REFRESH DRIFT (the `version_drift` / `pipeline_release_diff`
+    * discipline applied to the TRAINED MODEL): retrain the classifier on
+    * the corpus a curation pass would actually ship ([[TextAnalysis.qualityPrune]]'s
+    * keep set) under FROZEN labels, and emit the words whose evidence moved
+    * most — per word, both versions' class counts, both smoothed ratios,
+    * and the signed micro delta, top-k by |delta|. This is the governance
+    * read before a model refresh deploys: did removing 30% of the training
+    * docs change what "quality" looks like, and through which words?
+    * Labels are deliberately frozen (the tercile policy is v1's): the row
+    * isolates the effect of DATA removal on the model, not of a label
+    * policy change — refreshing both at once would confound the diff.
+    *
+    * 100 TB shape: the labeled (doc, word) tf frame is built ONCE and feeds
+    * both fits (lazy checkpoint); the keep filter joins doc-keyed BEFORE
+    * the word aggregate, so v2's fit costs one more vocab-sized aggregate,
+    * not a second tokenization; the diff join is vocab⨝vocab on the word
+    * key and the top-k is TakeOrdered. */
+  def classifierDrift(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val docTerm = TextAnalysis.docTermTf(spark, dir).localCheckpoint(false)
+    val buckets = TextAnalysis.unigramSurprisalFrom(docTerm).localCheckpoint(false)
+    val labeled = buckets.filter(col("bucket").isin("head", "tail"))
+      .select(col("doc_id"), (col("bucket") === "head").as("pos"))
+    val keep = TextAnalysis.qualityPrune(spark, dir)
+      .filter(col("keep")).select("doc_id")
+    val lab1 = docTerm.join(labeled, "doc_id").localCheckpoint(false)
+    val cls1 = lab1.groupBy("word").agg(
+      sum(when(col("pos"), col("tf")).otherwise(0L)).as("c_pos1"),
+      sum(when(!col("pos"), col("tf")).otherwise(0L)).as("c_neg1"))
+    val cls2 = lab1.join(keep, "doc_id").groupBy("word").agg(
+      sum(when(col("pos"), col("tf")).otherwise(0L)).as("c_pos2"),
+      sum(when(!col("pos"), col("tf")).otherwise(0L)).as("c_neg2"))
+    val s1 = cls1.agg(sum("c_pos1").as("tp1"), sum("c_neg1").as("tn1"),
+      count(lit(1)).as("v1"))
+    val s2 = cls2.agg(sum("c_pos2").as("tp2"), sum("c_neg2").as("tn2"),
+      count(lit(1)).as("v2"))
+    cls1.join(cls2, Seq("word"), "left")
+      .na.fill(0L, Seq("c_pos2", "c_neg2"))
+      .crossJoin(broadcast(s1)).crossJoin(broadcast(s2))
+      .withColumn("ratio_v1_micro", expr(
+        """CAST((CAST(1000000 AS DECIMAL(38,0)) * (c_pos1 + 1) * (tn1 + v1))
+          | div ((CAST(c_neg1 AS DECIMAL(38,0)) + 1) * (tp1 + v1)) AS BIGINT)"""
+          .stripMargin.replace("\n", "")))
+      .withColumn("ratio_v2_micro", expr(
+        """CAST((CAST(1000000 AS DECIMAL(38,0)) * (c_pos2 + 1) * (tn2 + v2))
+          | div ((CAST(c_neg2 AS DECIMAL(38,0)) + 1) * (tp2 + v2)) AS BIGINT)"""
+          .stripMargin.replace("\n", "")))
+      .withColumn("delta_micro", col("ratio_v2_micro") - col("ratio_v1_micro"))
+      .orderBy(abs(col("delta_micro")).desc, col("word"))
+      .limit(k)
+      .select("word", "c_pos1", "c_neg1", "c_pos2", "c_neg2",
+        "ratio_v1_micro", "ratio_v2_micro", "delta_micro")
+  }
+
+  def classifierDriftOracle(k: Int = 20): String =
+    s"""$oracleChain, keep2 AS (
+       |  SELECT doc_id FROM (${TextAnalysis.qualityPruneOracle()}) t WHERE keep
+       |), labdt AS (
+       |  SELECT dt.doc_id, dt.word, dt.tf, lab.pos FROM dt JOIN lab USING (doc_id)
+       |), cls2 AS (
+       |  SELECT word,
+       |    CAST(sum(CASE WHEN pos THEN tf ELSE 0 END) AS BIGINT) AS c_pos2,
+       |    CAST(sum(CASE WHEN NOT pos THEN tf ELSE 0 END) AS BIGINT) AS c_neg2
+       |  FROM labdt JOIN keep2 USING (doc_id) GROUP BY word
+       |), s2 AS (
+       |  SELECT CAST(sum(c_pos2) AS BIGINT) AS tp2,
+       |    CAST(sum(c_neg2) AS BIGINT) AS tn2,
+       |    CAST(count(*) AS BIGINT) AS v2
+       |  FROM cls2
+       |), diff AS (
+       |  SELECT c1.word, c1.c_pos AS c_pos1, c1.c_neg AS c_neg1,
+       |    coalesce(c2.c_pos2, 0) AS c_pos2, coalesce(c2.c_neg2, 0) AS c_neg2,
+       |    r.ratio_micro AS ratio_v1_micro,
+       |    CAST((CAST(1000000 AS HUGEINT) * (coalesce(c2.c_pos2, 0) + 1) * (s2.tn2 + s2.v2))
+       |      // ((CAST(coalesce(c2.c_neg2, 0) AS HUGEINT) + 1) * (s2.tp2 + s2.v2)) AS BIGINT)
+       |      AS ratio_v2_micro
+       |  FROM cls c1
+       |  LEFT JOIN cls2 c2 USING (word)
+       |  JOIN ratio r USING (word)
+       |  CROSS JOIN s2
+       |)
+       |SELECT word, c_pos1, c_neg1, c_pos2, c_neg2, ratio_v1_micro, ratio_v2_micro,
+       |  ratio_v2_micro - ratio_v1_micro AS delta_micro
+       |FROM diff
+       |ORDER BY abs(ratio_v2_micro - ratio_v1_micro) DESC, word LIMIT $k""".stripMargin
+
   /** Shared oracle chain: the full CCNet-tercile replay embedded as a
     * derived table (ONE copy of that policy —
     * [[TextAnalysis.unigramSurprisalOracle]] verbatim, so the label side can

@@ -37,6 +37,22 @@ class QualityClassifierSpec extends AnyFunSuite {
     }
   }
 
+  test("drift: retrained counts are subsets, deltas exact, order by |delta|") {
+    val rows = QualityClassifier.classifierDrift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.length == 20)
+    rows.foreach { case (w, cp1, cn1, cp2, cn2, r1, r2, d) =>
+      // the keep set is a subset of the v1 training set: counts only shrink
+      assert(cp2 <= cp1 && cn2 <= cn1, s"$w: pruned counts grew")
+      assert(d == r2 - r1, s"$w: delta not exact")
+    }
+    val absDeltas = rows.map(r => math.abs(r._8))
+    assert(absDeltas.zip(absDeltas.tail).forall { case (a, b) => a >= b },
+      "rows not ordered by |delta| descending")
+    assert(absDeltas.head > 0L, "pruning 30% of training docs must move some evidence")
+  }
+
   test("confusion: full coverage, boundary-consistent means, calibration direction") {
     val rows = QualityClassifier.classifierConfusion(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
