@@ -43,23 +43,44 @@ object QualityClassifier {
 
   private val DigestK = 25
 
-  /** (doc_id, word) tf frame + CCNet buckets, built once and shared. */
+  /** (doc_id, word) tf frame + CCNet buckets — MATERIALIZED once per
+    * (session, dir) via [[StageMemo]]: five consumers share them (train,
+    * confusion, drift, the per-doc referee/filter-matrix scores, and the
+    * frozen model row), and at 100 TB this IS the persisted tokenize-once
+    * artifact every classifier refresh reads. */
   private def pieces(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val docTerm = TextAnalysis.docTermTf(spark, dir).localCheckpoint(false)
-    val buckets = TextAnalysis.unigramSurprisalFrom(docTerm).localCheckpoint(false)
+    val docTerm = StageMemo(spark, dir, "nb_docterm")(TextAnalysis.docTermTf(spark, dir))
+    val buckets = StageMemo(spark, dir, "nb_buckets")(
+      TextAnalysis.unigramSurprisalFrom(docTerm))
     (docTerm, buckets)
+  }
+
+  /** Vocab-sized class-count table (word, c_pos, c_neg) — memoized: the
+    * fit's one aggregate, shared by every model consumer and the drift
+    * row's v1 side. */
+  private def classCounts(spark: SparkSession, dir: String,
+      docTerm: DataFrame, buckets: DataFrame): DataFrame =
+    StageMemo(spark, dir, "nb_cls")(classCountsPlan(docTerm, buckets))
+
+  /** Un-memoized class counts — the plan twin's form (a memoized stage
+    * collapses to an RDD scan in explain output). */
+  private def classCountsPlan(docTerm: DataFrame, buckets: DataFrame): DataFrame = {
+    val labeled = buckets
+      .filter(col("bucket").isin("head", "tail"))
+      .select(col("doc_id"), (col("bucket") === "head").as("pos"))
+    docTerm.join(labeled, "doc_id")
+      .groupBy("word")
+      .agg(sum(when(col("pos"), col("tf")).otherwise(0L)).as("c_pos"),
+        sum(when(!col("pos"), col("tf")).otherwise(0L)).as("c_neg"))
   }
 
   /** Vocab-sized model: word, c_pos, c_neg plus the 1-row scalar frame
     * (tot_pos, tot_neg, v, unseen_micro). */
-  private def fit(docTerm: DataFrame, buckets: DataFrame): (DataFrame, DataFrame) = {
-    val labeled = buckets
-      .filter(col("bucket").isin("head", "tail"))
-      .select(col("doc_id"), (col("bucket") === "head").as("pos"))
-    val cls = docTerm.join(labeled, "doc_id")
-      .groupBy("word")
-      .agg(sum(when(col("pos"), col("tf")).otherwise(0L)).as("c_pos"),
-        sum(when(!col("pos"), col("tf")).otherwise(0L)).as("c_neg"))
+  private def fit(spark: SparkSession, dir: String,
+      docTerm: DataFrame, buckets: DataFrame): (DataFrame, DataFrame) =
+    fitFrom(classCounts(spark, dir, docTerm, buckets))
+
+  private def fitFrom(cls: DataFrame): (DataFrame, DataFrame) = {
     val scal = cls.agg(
       sum("c_pos").as("tot_pos"), sum("c_neg").as("tot_neg"),
       count(lit(1)).as("v"))
@@ -78,7 +99,7 @@ object QualityClassifier {
     * and ratios. TakeOrdered (orderBy+limit) before the 25-row rank window. */
   def classifierTrain(spark: SparkSession, dir: String): DataFrame = {
     val (docTerm, buckets) = pieces(spark, dir)
-    val (ratios, _) = fit(docTerm, buckets)
+    val (ratios, _) = fit(spark, dir, docTerm, buckets)
     def side(name: String, ordered: DataFrame): DataFrame = {
       val w = Window.partitionBy("side").orderBy(
         if (name == "pos") col("ratio_micro").desc else col("ratio_micro").asc,
@@ -100,7 +121,7 @@ object QualityClassifier {
     * Rows: (bucket, predicted) with doc count and exact mean score. */
   def classifierConfusion(spark: SparkSession, dir: String): DataFrame = {
     val (docTerm, buckets) = pieces(spark, dir)
-    val (ratios, scal) = fit(docTerm, buckets)
+    val (ratios, scal) = fit(spark, dir, docTerm, buckets)
     val scored = scoreByJoin(docTerm, ratios, scal)
     scored.join(buckets.select("doc_id", "bucket"), "doc_id")
       .withColumn("predicted", when(col("score_micro") > 1000000L, "pos").otherwise("neg"))
@@ -117,7 +138,7 @@ object QualityClassifier {
   private[graft] def classifierConfusionPlan(spark: SparkSession, dir: String): DataFrame = {
     val docTerm = TextAnalysis.docTermTf(spark, dir)
     val buckets = TextAnalysis.unigramSurprisalFrom(docTerm)
-    val (ratios, scal) = fit(docTerm, buckets)
+    val (ratios, scal) = fitFrom(classCountsPlan(docTerm, buckets))
     scoreByJoin(docTerm, ratios, scal)
       .join(buckets.select("doc_id", "bucket"), "doc_id")
       .withColumn("predicted", when(col("score_micro") > 1000000L, "pos").otherwise("neg"))
@@ -144,7 +165,7 @@ object QualityClassifier {
     * streaming twin's row-local map scoring is spec-compared against. */
   private[graft] def perDocScores(spark: SparkSession, dir: String): DataFrame = {
     val (docTerm, buckets) = pieces(spark, dir)
-    val (ratios, scal) = fit(docTerm, buckets)
+    val (ratios, scal) = fit(spark, dir, docTerm, buckets)
     scoreByJoin(docTerm, ratios, scal)
   }
 
@@ -154,7 +175,7 @@ object QualityClassifier {
     * precedent). Vocab-bounded (Zipf), never corpus-sized. */
   def modelRow(spark: SparkSession, dir: String): DataFrame = {
     val (docTerm, buckets) = pieces(spark, dir)
-    val (ratios, scal) = fit(docTerm, buckets)
+    val (ratios, scal) = fit(spark, dir, docTerm, buckets)
     ratios
       .agg(map_from_entries(collect_list(struct(col("word"), col("ratio_micro"))))
         .as("model"))
@@ -179,17 +200,15 @@ object QualityClassifier {
     * not a second tokenization; the diff join is vocab⨝vocab on the word
     * key and the top-k is TakeOrdered. */
   def classifierDrift(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val docTerm = TextAnalysis.docTermTf(spark, dir).localCheckpoint(false)
-    val buckets = TextAnalysis.unigramSurprisalFrom(docTerm).localCheckpoint(false)
+    val (docTerm, buckets) = pieces(spark, dir)
     val labeled = buckets.filter(col("bucket").isin("head", "tail"))
       .select(col("doc_id"), (col("bucket") === "head").as("pos"))
     val keep = TextAnalysis.qualityPrune(spark, dir)
       .filter(col("keep")).select("doc_id")
-    val lab1 = docTerm.join(labeled, "doc_id").localCheckpoint(false)
-    val cls1 = lab1.groupBy("word").agg(
-      sum(when(col("pos"), col("tf")).otherwise(0L)).as("c_pos1"),
-      sum(when(!col("pos"), col("tf")).otherwise(0L)).as("c_neg1"))
-    val cls2 = lab1.join(keep, "doc_id").groupBy("word").agg(
+    // v1 side IS the memoized fit's class-count table
+    val cls1 = classCounts(spark, dir, docTerm, buckets)
+      .select(col("word"), col("c_pos").as("c_pos1"), col("c_neg").as("c_neg1"))
+    val cls2 = docTerm.join(labeled, "doc_id").join(keep, "doc_id").groupBy("word").agg(
       sum(when(col("pos"), col("tf")).otherwise(0L)).as("c_pos2"),
       sum(when(!col("pos"), col("tf")).otherwise(0L)).as("c_neg2"))
     val s1 = cls1.agg(sum("c_pos1").as("tp1"), sum("c_neg1").as("tn1"),
