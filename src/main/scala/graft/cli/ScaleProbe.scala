@@ -443,7 +443,8 @@ object ScaleProbe {
       ("dsir_select", d => graft.operators.DataSelection.dsirSelect(spark, d)))
     val nbqBuilds = Seq[(String, String => DataFrame)](
       ("nb_train", d => graft.operators.QualityClassifier.classifierTrain(spark, d)),
-      ("nb_confusion", d => graft.operators.QualityClassifier.classifierConfusion(spark, d)))
+      ("nb_confusion", d => graft.operators.QualityClassifier.classifierConfusion(spark, d)),
+      ("nb_drift", d => graft.operators.QualityClassifier.classifierDrift(spark, d)))
     val allBuilds = (if (family == "snips") snipsBuilds
       else if (family == "bpe") bpeBuilds
       else if (family == "bpek") bpekBuilds
