@@ -105,13 +105,22 @@ object DataSelection {
         expr("CAST(sum(CAST(c AS DECIMAL(38,0)) * ratio_micro) div sum(c) AS BIGINT)")
           .as("weight_micro"))
 
-  /** `feats` feeds BOTH the model fit and the scoring join — without the
-    * checkpoint Spark executes the corpus explode + feature aggregate twice
-    * as separate physical subtrees (the [[TextAnalysis.unigramSurprisal]]
-    * lesson: lazy localCheckpoint, materialized on first use). */
+  /** Feature counts MATERIALIZED once per (session, dir) via [[StageMemo]]
+    * (the classifier-family discipline): they feed the model fit and the
+    * scoring join inside each query, AND four sibling queries (importance,
+    * select, deployed, thresholds) — at 100 TB this is the persisted
+    * featurize-once artifact a selection pass reads. */
+  private def feats(spark: SparkSession, dir: String): DataFrame =
+    StageMemo(spark, dir, "dsir_feats")(featureCounts(spark, dir))
+
+  /** Per-raw-doc weights, memoized one level up from [[feats]]: every
+    * consumer (ranking, thresholds, deployment gate) reads the same
+    * materialized weight table. */
+  private def perDocMemo(spark: SparkSession, dir: String): DataFrame =
+    StageMemo(spark, dir, "dsir_perdoc")(dsirPerDoc(feats(spark, dir)))
+
   def dsirImportance(spark: SparkSession, dir: String): DataFrame =
-    dsirPerDoc(featureCounts(spark, dir).localCheckpoint(false))
-      .orderBy("doc_id")
+    perDocMemo(spark, dir).orderBy("doc_id")
 
   /** Un-checkpointed twin for plan audits ([[TextAnalysis.unigramSurprisalPlan]]
     * pattern): the gated form's checkpoint collapses the upstream to an RDD
@@ -123,7 +132,7 @@ object DataSelection {
     * (weight_micro desc, doc_id) within each source, with the selected
     * slice's mean weight and feature-mass share. All integer-exact. */
   def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
-    val perDoc = dsirPerDoc(featureCounts(spark, dir).localCheckpoint(false))
+    val perDoc = perDocMemo(spark, dir)
     val rankW = Window.partitionBy("source")
       .orderBy(col("weight_micro").desc, col("doc_id"))
     perDoc
@@ -152,15 +161,15 @@ object DataSelection {
     * the NB vocab map this is CONSTANT-bounded: 512 entries at any corpus
     * size, the whole point of hashed features. */
   def modelRow(spark: SparkSession, dir: String): DataFrame = {
-    val feats = featureCounts(spark, dir).localCheckpoint(false)
-    val default = feats.agg(
+    val fs = feats(spark, dir)
+    val default = fs.agg(
       sum(when(col("tgt"), col("c")).otherwise(0L)).as("t_tot"),
       sum(when(!col("tgt"), col("c")).otherwise(0L)).as("r_tot"))
       .select(expr(
         s"""CAST((CAST(1000000 AS DECIMAL(38,0)) * (r_tot + $NumBuckets))
            | div (CAST(t_tot AS DECIMAL(38,0)) + $NumBuckets) AS BIGINT)"""
           .stripMargin.replace("\n", "")).as("default_micro"))
-    bucketRatios(feats)
+    bucketRatios(fs)
       .agg(map_from_entries(collect_list(struct(col("bucket"), col("ratio_micro"))))
         .as("model"))
       .crossJoin(broadcast(default))
@@ -171,7 +180,7 @@ object DataSelection {
     * model turns the rank-based batch policy into the threshold-based form
     * a streaming gate (or a 1000-executor scan) actually deploys. */
   def selectionThresholds(spark: SparkSession, dir: String): DataFrame = {
-    val perDoc = dsirPerDoc(featureCounts(spark, dir).localCheckpoint(false))
+    val perDoc = perDocMemo(spark, dir)
     val rankW = Window.partitionBy("source")
       .orderBy(col("weight_micro").desc, col("doc_id"))
     perDoc
@@ -191,7 +200,7 @@ object DataSelection {
     * form — the form the streaming gate and any 100 TB scan actually run —
     * fails this row cross-engine. */
   def dsirDeployed(spark: SparkSession, dir: String): DataFrame = {
-    val perDoc = dsirPerDoc(featureCounts(spark, dir).localCheckpoint(false))
+    val perDoc = perDocMemo(spark, dir)
       .localCheckpoint(false) // feeds the threshold agg AND the admit count
     val rankW = Window.partitionBy("source")
       .orderBy(col("weight_micro").desc, col("doc_id"))
