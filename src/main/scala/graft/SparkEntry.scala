@@ -390,6 +390,8 @@ object SparkEntry {
       "docs_mixture_expand" -> (TextAnalysis.mixtureExpand(_, _)),
       "docs_quality_prune" -> (TextAnalysis.qualityPrune(_, _)),
       "docs_ccnet_buckets" -> (TextAnalysis.unigramSurprisal(_, _)),
+      "docs_bigram_buckets" -> (TextAnalysis.bigramSurprisal(_, _)),
+      "docs_lm_order_agreement" -> (TextAnalysis.lmOrderAgreement(_, _)),
       "docs_dsir_importance" -> (DataSelection.dsirImportance(_, _)),
       "docs_dsir_select" -> (DataSelection.dsirSelect(_, _)),
       "docs_dsir_deployed" -> (DataSelection.dsirDeployed(_, _)),
@@ -839,6 +841,8 @@ object SparkEntry {
       "docs_mixture_expand" -> TextAnalysis.mixtureExpandOracle,
       "docs_quality_prune" -> TextAnalysis.qualityPruneOracle(),
       "docs_ccnet_buckets" -> TextAnalysis.unigramSurprisalOracle,
+      "docs_bigram_buckets" -> TextAnalysis.bigramSurprisalOracle,
+      "docs_lm_order_agreement" -> TextAnalysis.lmOrderAgreementOracle,
       "docs_dsir_importance" -> DataSelection.dsirImportanceOracle,
       "docs_dsir_select" -> DataSelection.dsirSelectOracle,
       "docs_dsir_deployed" -> DataSelection.dsirDeployedOracle,

@@ -2410,6 +2410,156 @@ object TextAnalysis {
       |       ELSE 'tail' END AS bucket
       |FROM ranked ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------- bigram LM quality buckets (order-2)
+  /** BIGRAM (order-2) MODEL-QUALITY bucketing — the step from
+    * [[unigramSurprisal]]'s bag-of-words scorer toward the n-gram KenLM the
+    * published CCNet pipeline actually runs (Wenzek et al. 2020;
+    * Heafield 2011 for the model family): each document is scored against a
+    * per-language CONDITIONAL model p(w₂|w₁) fit on the corpus itself, so
+    * word-order damage (shuffled text, boilerplate splices, spun content)
+    * that a unigram model cannot see lands in the tail. Same exact-integer
+    * discipline: add-1-smoothed inverse conditional probability in
+    * micro-units, `inv_micro(w₁,w₂) = 10⁶·(c(w₁·)+V_lang) div (c(w₁,w₂)+1)`
+    * with prefix counts c(w₁·) and the language's second-word vocabulary
+    * V_lang as the smoothing mass; a doc's score is its pair-frequency-
+    * weighted mean (integral `div`), and terciles cut per language with the
+    * same integer rank rule. Single-word docs have no pairs and are
+    * excluded on both engines (the conditional model says nothing about
+    * them — [[unigramSurprisal]] still covers them).
+    *
+    * 100 TB shape: ONE (doc, pair) tf shuffle (the pair-tokenize-once
+    * artifact, checkpoint-shared between fit and scoring); the bigram
+    * frequency table is pair-vocabulary-sized (Zipf-bounded, shuffled on
+    * (lang, w₁, w₂) — never broadcast), prefix counts reduce from it, and
+    * the per-language tercile windows are partitioned exactly like the
+    * unigram form. */
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    bigramSurprisalFrom(docPairTf(spark, dir).localCheckpoint(false))
+
+  /** Un-checkpointed twin for plan audits ([[unigramSurprisalPlan]]). */
+  private[graft] def bigramSurprisalPlan(spark: SparkSession, dir: String): DataFrame =
+    bigramSurprisalFrom(docPairTf(spark, dir))
+
+  private def docPairTf(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), posexplode(words).as(Seq("pos", "w1")),
+        words.as("ts"))
+      .filter(col("pos") < size(col("ts")) - 1)
+      .select(col("doc_id"), col("lang"), col("w1"),
+        col("ts").getItem(col("pos") + 1).as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .groupBy("doc_id", "lang", "w1", "w2")
+      .agg(count(lit(1)).as("tf"))
+
+  private def bigramSurprisalFrom(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bigFreq = pairs.groupBy("lang", "w1", "w2").agg(sum("tf").as("c12"))
+      // prefix counts and the second-word vocabulary as windows over the
+      // pair-vocab-sized frequency table (the unigramSurprisal totals
+      // pattern: same lineage, no third corpus pass)
+      .withColumn("c1", sum("c12").over(Window.partitionBy("lang", "w1")))
+    val vlang = bigFreq.select(col("lang"), col("w2")).distinct()
+      .groupBy("lang").agg(count(lit(1)).as("v_lang"))
+    val scored = pairs
+      .join(bigFreq, Seq("lang", "w1", "w2"))
+      .join(broadcast(vlang), Seq("lang"))
+      .withColumn("inv_micro", expr(
+        "(CAST(1000000 AS DECIMAL(38,0)) * (c1 + v_lang)) div (c12 + 1)"))
+      .groupBy("doc_id", "lang")
+      .agg(expr("sum(CAST(tf AS DECIMAL(38,0)) * inv_micro)").as("sum_inv"),
+        sum("tf").as("n_pairs"))
+      .withColumn("score_micro", expr("CAST(sum_inv div n_pairs AS BIGINT)"))
+    val w = Window.partitionBy("lang").orderBy(col("score_micro"), col("doc_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .withColumn("n_lang", count(lit(1)).over(Window.partitionBy("lang")))
+      .withColumn("bucket",
+        when(col("rnk") * 10 <= col("n_lang") * 3, "head")
+          .when(col("rnk") * 10 <= col("n_lang") * 7, "middle")
+          .otherwise("tail"))
+      .select("doc_id", "lang", "n_pairs", "score_micro", "bucket")
+      .orderBy("doc_id")
+  }
+
+  val bigramSurprisalOracle: String =
+    """WITH dp AS (
+      |  SELECT doc_id, lang, w1, w2, CAST(count(*) AS BIGINT) AS tf FROM (
+      |    SELECT doc_id, lang, ts[i] AS w1, ts[i + 1] AS w2
+      |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS ts,
+      |            unnest(range(1, len(string_split(text, ' ')))) AS i
+      |          FROM documents))
+      |  WHERE w1 <> '' AND w2 <> ''
+      |  GROUP BY doc_id, lang, w1, w2
+      |), bf AS (
+      |  SELECT lang, w1, w2, CAST(sum(tf) AS BIGINT) AS c12 FROM dp
+      |  GROUP BY lang, w1, w2
+      |), pf AS (
+      |  SELECT lang, w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bf GROUP BY lang, w1
+      |), vl AS (
+      |  SELECT lang, CAST(count(DISTINCT w2) AS BIGINT) AS v_lang FROM bf GROUP BY lang
+      |), scored AS (
+      |  SELECT dp.doc_id, dp.lang,
+      |    CAST(sum(dp.tf) AS BIGINT) AS n_pairs,
+      |    CAST(sum(CAST(dp.tf AS HUGEINT) *
+      |        ((CAST(1000000 AS HUGEINT) * (pf.c1 + vl.v_lang)) // (bf.c12 + 1)))
+      |      // sum(dp.tf) AS BIGINT) AS score_micro
+      |  FROM dp
+      |  JOIN bf ON bf.lang = dp.lang AND bf.w1 = dp.w1 AND bf.w2 = dp.w2
+      |  JOIN pf ON pf.lang = dp.lang AND pf.w1 = dp.w1
+      |  JOIN vl ON vl.lang = dp.lang
+      |  GROUP BY dp.doc_id, dp.lang
+      |), ranked AS (
+      |  SELECT doc_id, lang, n_pairs, score_micro,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY score_micro, doc_id) AS BIGINT) AS rnk,
+      |    count(*) OVER (PARTITION BY lang) AS n_lang
+      |  FROM scored
+      |)
+      |SELECT doc_id, lang, n_pairs, score_micro,
+      |  CASE WHEN rnk * 10 <= n_lang * 3 THEN 'head'
+      |       WHEN rnk * 10 <= n_lang * 7 THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM ranked ORDER BY doc_id""".stripMargin
+
+  /** MODEL-ORDER AGREEMENT — the 3×3 confusion between the unigram and
+    * bigram LM terciles: which documents the order-2 model re-ranks, with
+    * both mean scores per cell. A doc in (head, tail) reads fluent
+    * word-by-word but incoherent in sequence — the band a unigram-only
+    * pipeline ships by mistake; the off-diagonal mass is the measured
+    * value of upgrading the model order. Covers docs with ≥1 pair (the
+    * conditional model's domain). */
+  def lmOrderAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val uni = unigramSurprisal(spark, dir)
+      .select(col("doc_id"), col("bucket").as("bucket_uni"),
+        col("score_micro").as("uni_micro"))
+    val bi = bigramSurprisal(spark, dir)
+      .select(col("doc_id"), col("bucket").as("bucket_bi"),
+        col("score_micro").as("bi_micro"))
+    uni.join(bi, "doc_id")
+      .groupBy("bucket_uni", "bucket_bi")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("CAST(sum(CAST(uni_micro AS DECIMAL(38,0))) div count(1) AS BIGINT)")
+          .as("mean_uni_micro"),
+        expr("CAST(sum(CAST(bi_micro AS DECIMAL(38,0))) div count(1) AS BIGINT)")
+          .as("mean_bi_micro"))
+      .orderBy("bucket_uni", "bucket_bi")
+  }
+
+  val lmOrderAgreementOracle: String =
+    s"""WITH uni AS (
+       |  SELECT doc_id, bucket AS bucket_uni, score_micro AS uni_micro
+       |  FROM ($unigramSurprisalOracle) t
+       |), bi AS (
+       |  SELECT doc_id, bucket AS bucket_bi, score_micro AS bi_micro
+       |  FROM ($bigramSurprisalOracle) t
+       |)
+       |SELECT bucket_uni, bucket_bi,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CAST(uni_micro AS HUGEINT)) // count(*) AS BIGINT) AS mean_uni_micro,
+       |  CAST(sum(CAST(bi_micro AS HUGEINT)) // count(*) AS BIGINT) AS mean_bi_micro
+       |FROM uni JOIN bi USING (doc_id)
+       |GROUP BY bucket_uni, bucket_bi
+       |ORDER BY bucket_uni, bucket_bi""".stripMargin
+
   // ----------------------------------- target-domain affinity (DSIR-shaped)
   /** DSIR-shaped TARGET-DOMAIN data selection (Xie et al. 2023,
     * arXiv:2302.03169): score every raw document by how much its hashed

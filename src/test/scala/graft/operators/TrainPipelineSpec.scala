@@ -175,6 +175,51 @@ class TrainPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram buckets: per-language terciles, and word-order damage lands in the tail") {
+    val rows = TextAnalysis.bigramSurprisal(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getString(4)))
+    rows.groupBy(_._2).foreach { case (lang, docs) =>
+      val byScore = docs.sortBy(d => (d._3, d._1))
+      val buckets = byScore.map(_._4)
+      assert(buckets.takeWhile(_ == "head").length == buckets.count(_ == "head"),
+        s"$lang: head docs are not the lowest-surprisal prefix")
+      assert(buckets.count(_ == "head") == (3 * docs.length) / 10, s"$lang head size")
+    }
+    // the property the unigram model CANNOT see: scramble a fluent doc's
+    // word order — identical bag, so the unigram score ties exactly; the
+    // conditional model must score the scramble strictly worse
+    val fluent = "the quick brown fox jumps over the lazy dog"
+    val scrambled = "dog the over quick lazy fox brown jumps the"
+    val docs2 = (1 to 8).map(i => (i.toLong, fluent, "en")) ++
+      Seq((100L, fluent, "en"), (101L, scrambled, "en"))
+    val tmp = java.nio.file.Files.createTempDirectory("bigram_order").toString
+    spark.createDataFrame(docs2).toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val uni = TextAnalysis.unigramSurprisal(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val bi = TextAnalysis.bigramSurprisal(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(uni(100L) == uni(101L), "unigram must be blind to word order (same bag)")
+    assert(bi(101L) > bi(100L),
+      s"bigram must score the scramble worse: ${bi(100L)} vs ${bi(101L)}")
+  }
+
+  test("lm order agreement: full pair-domain coverage, cells partition the docs") {
+    val rows = TextAnalysis.lmOrderAgreement(spark, dir).collect()
+    val total = rows.map(_.getLong(2)).sum
+    val withPairs = TextAnalysis.bigramSurprisal(spark, dir).count()
+    assert(total == withPairs, "every doc with >=1 pair sits in exactly one cell")
+    // bigram mean must be monotone in the bigram bucket within each uni bucket
+    rows.groupBy(_.getString(0)).foreach { case (u, cells) =>
+      val byBi = cells.sortBy(_.getString(1)) // head, middle, tail
+      val means = byBi.map(_.getLong(4))
+      assert(means.zip(means.tail).forall { case (a, b) => a <= b },
+        s"uni=$u: bigram means not monotone across bigram buckets: ${means.toSeq}")
+    }
+  }
+
   test("ccnet buckets: tiny strata degrade sanely (n=1 lands tail, n=4 splits 1/1/2)") {
     // the integer cut rule at small n: head = floor(3n/10), middle up to
     // floor(7n/10) — a 1-doc language is all tail (conservative: nothing

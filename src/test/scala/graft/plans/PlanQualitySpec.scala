@@ -409,6 +409,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!nodes(df).map(_.nodeName).exists(_.contains("CartesianProduct")))
   }
 
+  test("bigram buckets: rank and prefix windows stay partitioned (lang / lang,w1)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = graft.operators.TextAnalysis.bigramSurprisalPlan(spark, SparkSuite.Sf0001)
+    df.collect()
+    val windows = nodes(df).collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "a bigram-surprisal window lost its partition — whole corpus in one task"))
+    assert(!nodes(df).map(_.nodeName).exists(_.contains("CartesianProduct")))
+  }
+
   test("nb classifier: vocab-keyed scoring join, BNLJ only against 1-row scalars") {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     import org.apache.spark.sql.execution.adaptive.BroadcastQueryStageExec
