@@ -142,7 +142,7 @@ object ScaleProbe {
     require(factors.forall(f => f >= 1 && f <= 26) && factors == factors.sorted,
       "factors must be ascending and ≤26 (letter rotations must stay distinct)")
     require(Set("docs", "emb", "prof", "ppj", "stats", "snips", "bpe", "bpek",
-      "dsir", "nbq", "all")(family),
+      "dsir", "nbq", "lm", "all")(family),
       s"unknown family: $family")
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
@@ -237,6 +237,16 @@ object ScaleProbe {
       // the STRESS fixture for DSIR's bucket-boundedness claim (the hashed
       // model must stay NumBuckets rows no matter how many distinct
       // n-grams exist; cost must track the scan, never the vocab)
+      val base = spark.read.parquet(s"$baseDir/documents.parquet")
+      sizes.foreach { s =>
+        replicate(base, s).repartition(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(s"$outRoot/x$s/documents.parquet")
+      }
+    }
+    if (family == "lm") {
+      // ROTATED replicas: the PAIR vocabulary grows ×factor with the
+      // corpus — the stress axis for the bigram LM's pair-vocab-keyed
+      // joins (Zipf-bounded per replica; cost must track the scan)
       val base = spark.read.parquet(s"$baseDir/documents.parquet")
       sizes.foreach { s =>
         replicate(base, s).repartition(spark.sparkContext.defaultParallelism)
@@ -445,11 +455,15 @@ object ScaleProbe {
       ("nb_train", d => graft.operators.QualityClassifier.classifierTrain(spark, d)),
       ("nb_confusion", d => graft.operators.QualityClassifier.classifierConfusion(spark, d)),
       ("nb_drift", d => graft.operators.QualityClassifier.classifierDrift(spark, d)))
+    val lmBuilds = Seq[(String, String => DataFrame)](
+      ("bigram_buckets", d => graft.operators.TextAnalysis.bigramSurprisal(spark, d)),
+      ("lm_order_agreement", d => graft.operators.TextAnalysis.lmOrderAgreement(spark, d)))
     val allBuilds = (if (family == "snips") snipsBuilds
       else if (family == "bpe") bpeBuilds
       else if (family == "bpek") bpekBuilds
       else if (family == "dsir") dsirBuilds
       else if (family == "nbq") nbqBuilds
+      else if (family == "lm") lmBuilds
       else if (family == "ppj") ppjBuilds
       else if (doDocs) docBuilds else Seq.empty) ++
       (if (doEmb) embBuilds else Seq.empty) ++
