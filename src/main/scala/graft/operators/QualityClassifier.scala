@@ -50,8 +50,9 @@ object QualityClassifier {
     * artifact every classifier refresh reads. */
   private def pieces(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docTerm = StageMemo(spark, dir, "nb_docterm")(TextAnalysis.docTermTf(spark, dir))
-    val buckets = StageMemo(spark, dir, "nb_buckets")(
-      TextAnalysis.unigramSurprisalFrom(docTerm))
+    // same key as TextAnalysis.sharedUnigramBuckets — the whole LM/classifier
+    // stack shares ONE tokenize-once + bucket artifact per (session, dir)
+    val buckets = TextAnalysis.sharedUnigramBuckets(spark, dir)
     (docTerm, buckets)
   }
 

@@ -2326,12 +2326,11 @@ object TextAnalysis {
     * and within a language the rank is range-partitionable exactly like
     * [[packSequences]]' prefix sums). */
   def unigramSurprisal(spark: SparkSession, dir: String): DataFrame =
-    // docTerm feeds BOTH the LM fit (freq) and the scoring join; without
-    // the checkpoint Spark executes the corpus explode + tf aggregate
-    // twice as separate physical subtrees (the embeddingNearDups norm
-    // precedent: lazy localCheckpoint, materialized on first use). At
-    // scale this IS the "tokenize once" artifact every LM fit persists.
-    unigramSurprisalFrom(docTermTf(spark, dir).localCheckpoint(false))
+    // the memoized tokenize-once + bucket artifact (round 13: the stage is
+    // shared with the bigram LM and the trained classifier family — see
+    // [[sharedUnigramBuckets]]); at scale this IS the persisted artifact
+    // every LM fit reads, and its consumers must not re-tokenize per query
+    sharedUnigramBuckets(spark, dir).orderBy("doc_id")
 
   /** Un-checkpointed twin for plan audits ([[dupSpansPlan]] pattern):
     * the gated form's checkpoint collapses the upstream to an RDD scan. */
@@ -2434,7 +2433,17 @@ object TextAnalysis {
     * the per-language tercile windows are partitioned exactly like the
     * unigram form. */
   def bigramSurprisal(spark: SparkSession, dir: String): DataFrame =
-    bigramSurprisalFrom(docPairTf(spark, dir).localCheckpoint(false))
+    StageMemo(spark, dir, "lm_bi_buckets")(
+      bigramSurprisalFrom(docPairTf(spark, dir).localCheckpoint(false)))
+
+  /** The unigram tercile frame MATERIALIZED once per (session, dir) —
+    * shared by [[lmOrderAgreement]] and the classifier family
+    * ([[QualityClassifier]] uses the same stage keys, so the whole
+    * LM/classifier stack reads ONE tokenize-once + bucket artifact). */
+  private[operators] def sharedUnigramBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docTerm = StageMemo(spark, dir, "nb_docterm")(docTermTf(spark, dir))
+    StageMemo(spark, dir, "nb_buckets")(unigramSurprisalFrom(docTerm))
+  }
 
   /** Un-checkpointed twin for plan audits ([[unigramSurprisalPlan]]). */
   private[graft] def bigramSurprisalPlan(spark: SparkSession, dir: String): DataFrame =
@@ -2528,7 +2537,7 @@ object TextAnalysis {
     * value of upgrading the model order. Covers docs with ≥1 pair (the
     * conditional model's domain). */
   def lmOrderAgreement(spark: SparkSession, dir: String): DataFrame = {
-    val uni = unigramSurprisal(spark, dir)
+    val uni = sharedUnigramBuckets(spark, dir)
       .select(col("doc_id"), col("bucket").as("bucket_uni"),
         col("score_micro").as("uni_micro"))
     val bi = bigramSurprisal(spark, dir)
