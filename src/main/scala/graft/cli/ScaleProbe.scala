@@ -232,21 +232,12 @@ object ScaleProbe {
           .write.mode("overwrite").parquet(s"$outRoot/x$s/documents.parquet")
       }
     }
-    if (family == "dsir") {
-      // ROTATED replicas: the vocabulary grows ×factor with the corpus —
-      // the STRESS fixture for DSIR's bucket-boundedness claim (the hashed
-      // model must stay NumBuckets rows no matter how many distinct
-      // n-grams exist; cost must track the scan, never the vocab)
-      val base = spark.read.parquet(s"$baseDir/documents.parquet")
-      sizes.foreach { s =>
-        replicate(base, s).repartition(spark.sparkContext.defaultParallelism)
-          .write.mode("overwrite").parquet(s"$outRoot/x$s/documents.parquet")
-      }
-    }
-    if (family == "lm") {
-      // ROTATED replicas: the PAIR vocabulary grows ×factor with the
-      // corpus — the stress axis for the bigram LM's pair-vocab-keyed
-      // joins (Zipf-bounded per replica; cost must track the scan)
+    if (Set("dsir", "lm")(family)) {
+      // ROTATED replicas: the (pair-)vocabulary grows ×factor with the
+      // corpus — the STRESS fixture for both families' boundedness claims:
+      // DSIR's hashed model must stay NumBuckets rows no matter how many
+      // distinct n-grams exist, and the LM's (pair-)vocab-keyed joins must
+      // track the scan (Zipf-bounded per replica), never the vocab
       val base = spark.read.parquet(s"$baseDir/documents.parquet")
       sizes.foreach { s =>
         replicate(base, s).repartition(spark.sparkContext.defaultParallelism)

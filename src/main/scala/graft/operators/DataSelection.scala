@@ -200,8 +200,10 @@ object DataSelection {
     * form — the form the streaming gate and any 100 TB scan actually run —
     * fails this row cross-engine. */
   def dsirDeployed(spark: SparkSession, dir: String): DataFrame = {
+    // perDocMemo is already an eagerly-materialized StageMemo artifact —
+    // both consumers (the threshold agg and the admit count) re-read that
+    // RDD scan, so no further checkpoint is needed here
     val perDoc = perDocMemo(spark, dir)
-      .localCheckpoint(false) // feeds the threshold agg AND the admit count
     val rankW = Window.partitionBy("source")
       .orderBy(col("weight_micro").desc, col("doc_id"))
     val ranked = perDoc

@@ -212,8 +212,9 @@ class TrainPipelineSpec extends AnyFunSuite {
     val withPairs = TextAnalysis.bigramSurprisal(spark, dir).count()
     assert(total == withPairs, "every doc with >=1 pair sits in exactly one cell")
     // bigram mean must be monotone in the bigram bucket within each uni bucket
+    val bucketRank = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
     rows.groupBy(_.getString(0)).foreach { case (u, cells) =>
-      val byBi = cells.sortBy(_.getString(1)) // head, middle, tail
+      val byBi = cells.sortBy(r => bucketRank(r.getString(1)))
       val means = byBi.map(_.getLong(4))
       assert(means.zip(means.tail).forall { case (a, b) => a <= b },
         s"uni=$u: bigram means not monotone across bigram buckets: ${means.toSeq}")
