@@ -392,6 +392,8 @@ object SparkEntry {
       "docs_ccnet_buckets" -> (TextAnalysis.unigramSurprisal(_, _)),
       "docs_bigram_buckets" -> (TextAnalysis.bigramSurprisal(_, _)),
       "docs_lm_order_agreement" -> (TextAnalysis.lmOrderAgreement(_, _)),
+      "docs_ccnet_deployed" -> (TextAnalysis.ccnetDeployed(_, _)),
+      "docs_bigram_deployed" -> (TextAnalysis.bigramDeployed(_, _)),
       "docs_dsir_importance" -> (DataSelection.dsirImportance(_, _)),
       "docs_dsir_select" -> (DataSelection.dsirSelect(_, _)),
       "docs_dsir_deployed" -> (DataSelection.dsirDeployed(_, _)),
@@ -843,6 +845,8 @@ object SparkEntry {
       "docs_ccnet_buckets" -> TextAnalysis.unigramSurprisalOracle,
       "docs_bigram_buckets" -> TextAnalysis.bigramSurprisalOracle,
       "docs_lm_order_agreement" -> TextAnalysis.lmOrderAgreementOracle,
+      "docs_ccnet_deployed" -> TextAnalysis.ccnetDeployedOracle,
+      "docs_bigram_deployed" -> TextAnalysis.bigramDeployedOracle,
       "docs_dsir_importance" -> DataSelection.dsirImportanceOracle,
       "docs_dsir_select" -> DataSelection.dsirSelectOracle,
       "docs_dsir_deployed" -> DataSelection.dsirDeployedOracle,

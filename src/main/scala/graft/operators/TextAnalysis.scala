@@ -2367,7 +2367,22 @@ object TextAnalysis {
       .agg(expr("sum(CAST(tf AS DECIMAL(38,0)) * rarity_micro)").as("sum_rarity"),
         sum("tf").as("n_tokens"))
       .withColumn("score_micro", expr("sum_rarity div n_tokens"))
+      .select("doc_id", "lang", "n_tokens", "score_micro")
+    tercileBucketsOf(scored).orderBy("doc_id")
+  }
+
+  /** The per-language integer tercile cut shared by every LM bucketer
+    * ([[unigramSurprisal]], [[bigramSurprisal]]): rank within language by
+    * (score, doc_id), rnk·10 ≤ n·3 → head, ≤ 7 → middle. This rank window
+    * is the CALIBRATION side of the policy — at 100 TB it runs once over a
+    * bounded calibration sample to freeze the per-language score
+    * boundaries; the production scan classifies with
+    * [[classifyByThreshold]] (broadcast boundaries, no window), and
+    * [[lmDeployedFrom]] GATES the two forms' equivalence cross-engine. */
+  private def tercileBucketsOf(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("lang").orderBy(col("score_micro"), col("doc_id"))
+    val outCols = scored.columns :+ "bucket"
     scored
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .withColumn("n_lang", count(lit(1)).over(Window.partitionBy("lang")))
@@ -2375,8 +2390,7 @@ object TextAnalysis {
         when(col("rnk") * 10 <= col("n_lang") * 3, "head")
           .when(col("rnk") * 10 <= col("n_lang") * 7, "middle")
           .otherwise("tail"))
-      .select("doc_id", "lang", "n_tokens", "score_micro", "bucket")
-      .orderBy("doc_id")
+      .select(outCols.head, outCols.tail: _*)
   }
 
   val unigramSurprisalOracle: String =
@@ -2478,16 +2492,8 @@ object TextAnalysis {
       .agg(expr("sum(CAST(tf AS DECIMAL(38,0)) * inv_micro)").as("sum_inv"),
         sum("tf").as("n_pairs"))
       .withColumn("score_micro", expr("CAST(sum_inv div n_pairs AS BIGINT)"))
-    val w = Window.partitionBy("lang").orderBy(col("score_micro"), col("doc_id"))
-    scored
-      .withColumn("rnk", row_number().over(w).cast("bigint"))
-      .withColumn("n_lang", count(lit(1)).over(Window.partitionBy("lang")))
-      .withColumn("bucket",
-        when(col("rnk") * 10 <= col("n_lang") * 3, "head")
-          .when(col("rnk") * 10 <= col("n_lang") * 7, "middle")
-          .otherwise("tail"))
-      .select("doc_id", "lang", "n_pairs", "score_micro", "bucket")
-      .orderBy("doc_id")
+      .select("doc_id", "lang", "n_pairs", "score_micro")
+    tercileBucketsOf(scored).orderBy("doc_id")
   }
 
   val bigramSurprisalOracle: String =
@@ -2568,6 +2574,136 @@ object TextAnalysis {
        |FROM uni JOIN bi USING (doc_id)
        |GROUP BY bucket_uni, bucket_bi
        |ORDER BY bucket_uni, bucket_bi""".stripMargin
+
+  // ------------------------------------- LM tercile DEPLOYED threshold form
+  /** Per-language tercile score BOUNDARIES frozen from a bucketed LM frame:
+    * the max score inside the rank-assigned head (head/middle cut) and
+    * inside head∪middle (middle/tail cut), plus the rank-side counts the
+    * consistency gate compares against. |languages| rows — trivially
+    * broadcastable, the LM analog of [[DataSelection.selectionThresholds]]. */
+  private def lmThresholds(buckets: DataFrame): DataFrame =
+    buckets.groupBy("lang").agg(
+      max(when(col("bucket") === "head", col("score_micro"))).as("head_thr_micro"),
+      max(when(col("bucket") =!= "tail", col("score_micro"))).as("mid_thr_micro"),
+      sum(when(col("bucket") === "head", 1L).otherwise(0L)).as("n_head_rank"),
+      sum(when(col("bucket") =!= "tail", 1L).otherwise(0L)).as("n_headmid_rank"))
+
+  /** The DEPLOYED classification path: scan + broadcast boundary join +
+    * CASE — the form a 1000-executor pass over 10¹³ documents actually
+    * runs. No window, no per-language sort, no shuffle of the corpus at
+    * all beyond the scan itself (the boundary table is |languages| rows).
+    * A language with no head docs (1-doc stratum) carries NULL boundaries;
+    * NULL comparisons fall through to the next CASE arm on both engines,
+    * so such docs classify tail — exactly what the rank rule assigned. */
+  private[operators] def classifyByThreshold(scored: DataFrame, thr: DataFrame): DataFrame =
+    scored.join(broadcast(thr), Seq("lang"))
+      .withColumn("bucket_thr",
+        when(col("score_micro") <= col("head_thr_micro"), "head")
+          .when(col("score_micro") <= col("mid_thr_micro"), "middle")
+          .otherwise("tail"))
+
+  /** DEPLOYMENT-CONSISTENCY table for an LM tercile family
+    * ([[DataSelection.dsirDeployed]]'s discipline, the
+    * `profile_histogram_depth` boundary-broadcast precedent): per language,
+    * the frozen score boundaries side by side with the rank policy they
+    * were calibrated from — rank-side vs threshold-side head and
+    * head∪middle counts, boundary-tie mass at each cut, the per-doc
+    * agreement count, and the `consistent` gate (threshold admits ⊇ rank
+    * picks at each cut, excess bounded by ties−1; ties are docs sharing
+    * the boundary score, which the deterministic doc_id tie-break may
+    * split across the rank cut but a score threshold never can).
+    *
+    * WHY this exists: the rank window in [[tercileBucketsOf]] is a
+    * per-language global sort — correct, but with realistic language skew
+    * (~2 dominant languages) it is a single-task bottleneck at 100×. The
+    * deployed form this table gates is the production plan: calibrate the
+    * two boundary scores per language (on a bounded sample at scale),
+    * broadcast them, classify in a pure scan. A drift between the rank
+    * policy and its threshold form fails this row cross-engine. */
+  private def lmDeployedFrom(buckets: DataFrame): DataFrame = {
+    val cls = classifyByThreshold(buckets, lmThresholds(buckets))
+    cls.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        first("head_thr_micro").as("head_thr_micro"),
+        first("mid_thr_micro").as("mid_thr_micro"),
+        first("n_head_rank").as("n_head_rank"),
+        sum(when(col("bucket_thr") === "head", 1L).otherwise(0L)).as("n_head_thr"),
+        sum(when(col("score_micro") === col("head_thr_micro"), 1L).otherwise(0L))
+          .as("head_ties"),
+        first("n_headmid_rank").as("n_headmid_rank"),
+        sum(when(col("bucket_thr") =!= "tail", 1L).otherwise(0L)).as("n_headmid_thr"),
+        sum(when(col("score_micro") === col("mid_thr_micro"), 1L).otherwise(0L))
+          .as("mid_ties"),
+        sum(when(col("bucket") === col("bucket_thr"), 1L).otherwise(0L)).as("n_agree"))
+      .withColumn("consistent", expr(
+        "n_head_thr >= n_head_rank AND n_head_thr - n_head_rank <= greatest(head_ties - 1, 0)" +
+          " AND n_headmid_thr >= n_headmid_rank" +
+          " AND n_headmid_thr - n_headmid_rank <= greatest(mid_ties - 1, 0)"))
+      .select("lang", "n_docs", "head_thr_micro", "mid_thr_micro",
+        "n_head_rank", "n_head_thr", "head_ties",
+        "n_headmid_rank", "n_headmid_thr", "mid_ties", "n_agree", "consistent")
+      .orderBy("lang")
+  }
+
+  /** [[unigramSurprisal]]'s (CCNet tercile) deployed-threshold gate. Reads
+    * the memoized bucket artifact twice (boundary calibration + the
+    * threshold re-classification) — never re-tokenizes. */
+  def ccnetDeployed(spark: SparkSession, dir: String): DataFrame =
+    lmDeployedFrom(sharedUnigramBuckets(spark, dir))
+
+  /** [[bigramSurprisal]]'s deployed-threshold gate. */
+  def bigramDeployed(spark: SparkSession, dir: String): DataFrame =
+    lmDeployedFrom(bigramSurprisal(spark, dir))
+
+  /** The deployed CLASSIFY lineage alone, for plan audits: built from the
+    * materialized bucket artifact, so its explain must show scan +
+    * broadcast join only — any Window/Sort-per-language here would mean
+    * the production path regressed to the calibration plan. */
+  private[graft] def ccnetDeployedClassifyPlan(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = sharedUnigramBuckets(spark, dir)
+    classifyByThreshold(buckets, lmThresholds(buckets))
+  }
+
+  private def lmDeployedOracleFrom(surprisalOracle: String): String =
+    s"""WITH b AS (
+       |  SELECT lang, doc_id, score_micro, bucket FROM ($surprisalOracle) t
+       |), thr AS (
+       |  SELECT lang,
+       |    max(CASE WHEN bucket = 'head' THEN score_micro END) AS head_thr_micro,
+       |    max(CASE WHEN bucket != 'tail' THEN score_micro END) AS mid_thr_micro,
+       |    CAST(sum(CASE WHEN bucket = 'head' THEN 1 ELSE 0 END) AS BIGINT) AS n_head_rank,
+       |    CAST(sum(CASE WHEN bucket != 'tail' THEN 1 ELSE 0 END) AS BIGINT) AS n_headmid_rank
+       |  FROM b GROUP BY lang
+       |), cls AS (
+       |  SELECT b.lang, b.score_micro, b.bucket,
+       |    CASE WHEN b.score_micro <= t.head_thr_micro THEN 'head'
+       |         WHEN b.score_micro <= t.mid_thr_micro THEN 'middle'
+       |         ELSE 'tail' END AS bucket_thr,
+       |    t.head_thr_micro, t.mid_thr_micro, t.n_head_rank, t.n_headmid_rank
+       |  FROM b JOIN thr t USING (lang)
+       |), agg AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |    head_thr_micro, mid_thr_micro, n_head_rank,
+       |    CAST(sum(CASE WHEN bucket_thr = 'head' THEN 1 ELSE 0 END) AS BIGINT) AS n_head_thr,
+       |    CAST(sum(CASE WHEN score_micro = head_thr_micro THEN 1 ELSE 0 END) AS BIGINT) AS head_ties,
+       |    n_headmid_rank,
+       |    CAST(sum(CASE WHEN bucket_thr != 'tail' THEN 1 ELSE 0 END) AS BIGINT) AS n_headmid_thr,
+       |    CAST(sum(CASE WHEN score_micro = mid_thr_micro THEN 1 ELSE 0 END) AS BIGINT) AS mid_ties,
+       |    CAST(sum(CASE WHEN bucket = bucket_thr THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+       |  FROM cls
+       |  GROUP BY lang, head_thr_micro, mid_thr_micro, n_head_rank, n_headmid_rank
+       |)
+       |SELECT lang, n_docs, head_thr_micro, mid_thr_micro,
+       |  n_head_rank, n_head_thr, head_ties,
+       |  n_headmid_rank, n_headmid_thr, mid_ties, n_agree,
+       |  (n_head_thr >= n_head_rank
+       |   AND n_head_thr - n_head_rank <= greatest(head_ties - 1, 0)
+       |   AND n_headmid_thr >= n_headmid_rank
+       |   AND n_headmid_thr - n_headmid_rank <= greatest(mid_ties - 1, 0)) AS consistent
+       |FROM agg ORDER BY lang""".stripMargin
+
+  val ccnetDeployedOracle: String = lmDeployedOracleFrom(unigramSurprisalOracle)
+  val bigramDeployedOracle: String = lmDeployedOracleFrom(bigramSurprisalOracle)
 
   // ----------------------------------- target-domain affinity (DSIR-shaped)
   /** DSIR-shaped TARGET-DOMAIN data selection (Xie et al. 2023,

@@ -221,6 +221,58 @@ class TrainPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("lm deployed gates: threshold form reproduces the rank policy per language") {
+    Seq(TextAnalysis.ccnetDeployed(spark, dir) -> TextAnalysis.unigramSurprisal(spark, dir),
+      TextAnalysis.bigramDeployed(spark, dir) -> TextAnalysis.bigramSurprisal(spark, dir))
+      .foreach { case (deployedDf, bucketsDf) =>
+        val deployed = deployedDf.collect()
+        assert(deployed.nonEmpty)
+        deployed.foreach { r =>
+          assert(r.getBoolean(11), s"lang ${r.getString(0)}: rank/threshold drift: $r")
+        }
+        // the frozen boundaries must be the max score inside each rank band
+        val buckets = bucketsDf.collect()
+          .map(r => (r.getString(1), r.getLong(3), r.getString(4)))
+        deployed.foreach { r =>
+          val lang = r.getString(0)
+          val headMax = buckets.collect { case (l, s, "head") if l == lang => s }
+          if (headMax.nonEmpty) assert(r.getLong(2) == headMax.max,
+            s"$lang: head boundary != max rank-head score")
+          val hmMax = buckets.collect { case (l, s, b) if l == lang && b != "tail" => s }
+          if (hmMax.nonEmpty) assert(r.getLong(3) == hmMax.max,
+            s"$lang: middle boundary != max rank-head∪middle score")
+        }
+      }
+  }
+
+  test("lm deployed classify path is window-free (scan + broadcast boundaries only)") {
+    val plan = TextAnalysis.ccnetDeployedClassifyPlan(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"deployed classify path regressed to the calibration rank window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"boundary table not broadcast:\n$plan")
+  }
+
+  test("lm deployed: a 1-doc language carries NULL boundaries and classifies tail") {
+    val docs = Seq((1L, "lone doc words here", "solo")) ++
+      (10 to 19).map(i => (i.toLong, s"w$i common words and more text here", "big"))
+    val tmp = java.nio.file.Files.createTempDirectory("lm_deployed_tiny").toString
+    spark.createDataFrame(docs).toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextAnalysis.ccnetDeployed(spark, tmp).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val solo = rows("solo")
+    assert(solo.isNullAt(2) && solo.isNullAt(3), "1-doc stratum must freeze NULL boundaries")
+    assert(solo.getLong(5) == 0L && solo.getLong(8) == 0L,
+      "NULL boundaries must admit nothing into head/middle")
+    assert(solo.getLong(10) == 1L && solo.getBoolean(11),
+      "the lone doc classifies tail on both forms — gate must hold")
+    assert(rows("big").getBoolean(11))
+  }
+
   test("ccnet buckets: tiny strata degrade sanely (n=1 lands tail, n=4 splits 1/1/2)") {
     // the integer cut rule at small n: head = floor(3n/10), middle up to
     // floor(7n/10) — a 1-doc language is all tail (conservative: nothing
