@@ -394,6 +394,9 @@ object SparkEntry {
       "docs_lm_order_agreement" -> (TextAnalysis.lmOrderAgreement(_, _)),
       "docs_ccnet_deployed" -> (TextAnalysis.ccnetDeployed(_, _)),
       "docs_bigram_deployed" -> (TextAnalysis.bigramDeployed(_, _)),
+      "docs_trigram_buckets" -> (TextAnalysis.trigramSurprisal(_, _)),
+      "docs_trigram_backoff" -> (TextAnalysis.trigramBackoff(_, _)),
+      "docs_lm_order_agreement3" -> (TextAnalysis.lmOrderAgreement3(_, _)),
       "docs_dsir_importance" -> (DataSelection.dsirImportance(_, _)),
       "docs_dsir_select" -> (DataSelection.dsirSelect(_, _)),
       "docs_dsir_deployed" -> (DataSelection.dsirDeployed(_, _)),
@@ -847,6 +850,9 @@ object SparkEntry {
       "docs_lm_order_agreement" -> TextAnalysis.lmOrderAgreementOracle,
       "docs_ccnet_deployed" -> TextAnalysis.ccnetDeployedOracle,
       "docs_bigram_deployed" -> TextAnalysis.bigramDeployedOracle,
+      "docs_trigram_buckets" -> TextAnalysis.trigramSurprisalOracle,
+      "docs_trigram_backoff" -> TextAnalysis.trigramBackoffOracle,
+      "docs_lm_order_agreement3" -> TextAnalysis.lmOrderAgreement3Oracle,
       "docs_dsir_importance" -> DataSelection.dsirImportanceOracle,
       "docs_dsir_select" -> DataSelection.dsirSelectOracle,
       "docs_dsir_deployed" -> DataSelection.dsirDeployedOracle,

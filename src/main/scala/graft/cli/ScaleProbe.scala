@@ -448,7 +448,9 @@ object ScaleProbe {
       ("nb_drift", d => graft.operators.QualityClassifier.classifierDrift(spark, d)))
     val lmBuilds = Seq[(String, String => DataFrame)](
       ("bigram_buckets", d => graft.operators.TextAnalysis.bigramSurprisal(spark, d)),
-      ("lm_order_agreement", d => graft.operators.TextAnalysis.lmOrderAgreement(spark, d)))
+      ("lm_order_agreement", d => graft.operators.TextAnalysis.lmOrderAgreement(spark, d)),
+      ("trigram_buckets", d => graft.operators.TextAnalysis.trigramSurprisal(spark, d)),
+      ("trigram_backoff", d => graft.operators.TextAnalysis.trigramBackoff(spark, d)))
     val allBuilds = (if (family == "snips") snipsBuilds
       else if (family == "bpe") bpeBuilds
       else if (family == "bpek") bpekBuilds

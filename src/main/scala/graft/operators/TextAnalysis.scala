@@ -2705,6 +2705,245 @@ object TextAnalysis {
   val ccnetDeployedOracle: String = lmDeployedOracleFrom(unigramSurprisalOracle)
   val bigramDeployedOracle: String = lmDeployedOracleFrom(bigramSurprisalOracle)
 
+  // --------------------------- trigram LM with stupid backoff (order-3)
+  /** TRIGRAM (order-3) MODEL-QUALITY bucketing with STUPID BACKOFF
+    * (Brants et al. 2007, "Large Language Models in Machine Translation"
+    * §4; the model family CCNet's KenLM approximates at order 5) — the
+    * next rung of the model-order ladder after [[bigramSurprisal]].
+    * Backoff only means anything when the scorer can meet n-grams the
+    * model never saw, so unlike the self-scored unigram/bigram forms this
+    * one fits on the deterministic [[trainSplit]] 80% and scores the
+    * HELD-OUT 20%: unseen trigrams in eval text genuinely fall through the
+    * backoff chain. Score per trigram occurrence, exact integer micro
+    * units (inv = 10⁶/S, α = 0.4 at each backoff step):
+    *   level 0  c₁₂₃ > 0:  S = c₁₂₃/c₁₂        → inv = (10⁶·c₁₂) div c₁₂₃
+    *   level 1  c₂₃ > 0:   S = 0.4·c₂₃/c₂      → inv = (25·10⁵·c₂) div c₂₃
+    *   level 2  c₃ > 0:    S = 0.16·c₃/N_lang  → inv = (625·10⁴·N) div c₃
+    *   level 3  unseen:    S = 0.064/N_lang    → inv = 15625·10³·N
+    * All context counts derive from the ONE trigram count table
+    * (c₁₂ = Σ_w₃ c₁₂₃, c₂₃ = Σ_w₁ c₁₂₃, …) so fit is a single corpus
+    * pass; a doc's score is the tf-weighted mean inv (integral `div`) and
+    * terciles cut per language with [[tercileBucketsOf]]. Docs in a
+    * language with zero train docs are outside the model's domain and
+    * excluded (inner join on the per-language total), as are docs with
+    * fewer than 3 tokens.
+    *
+    * 100 TB shape: ONE (doc, trigram) tf shuffle memoized for fit and
+    * scoring; every model table is n-gram-vocabulary-sized and joined
+    * KEYED on its gram (never broadcast — the trigram vocab grows with
+    * the corpus, the `lm` probe family's stress axis); only the
+    * |languages|-row totals broadcast. The tercile window carries the
+    * same calibration-side caveat as the other LM bucketers. */
+  def trigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    StageMemo(spark, dir, "lm_tri_buckets")(
+      tercileBucketsOf(trigramDocScores(trigramScoredMemo(spark, dir))))
+      .orderBy("doc_id")
+
+  /** Un-checkpointed twin for plan audits ([[bigramSurprisalPlan]]). */
+  private[graft] def trigramSurprisalPlan(spark: SparkSession, dir: String): DataFrame =
+    tercileBucketsOf(trigramDocScores(trigramScoredOcc(docTriTf(spark, dir))))
+      .orderBy("doc_id")
+
+  private def docTriTf(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .withColumn("is_train", mixedHash("split|") % 100 < 80)
+      .select(col("doc_id"), col("lang"), col("is_train"),
+        posexplode(words).as(Seq("pos", "w1")), words.as("ts"))
+      .filter(col("pos") < size(col("ts")) - 2)
+      .select(col("doc_id"), col("lang"), col("is_train"), col("w1"),
+        col("ts").getItem(col("pos") + 1).as("w2"),
+        col("ts").getItem(col("pos") + 2).as("w3"))
+      .filter(col("w1") =!= "" && col("w2") =!= "" && col("w3") =!= "")
+      .groupBy("doc_id", "lang", "is_train", "w1", "w2", "w3")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Eval-side trigram occurrences with their backoff level and integer
+    * inverse score attached — the memoized stage [[trigramSurprisal]] (doc
+    * aggregate) and [[trigramBackoff]] (level mass) both read. */
+  private def trigramScoredMemo(spark: SparkSession, dir: String): DataFrame = {
+    val occ = StageMemo(spark, dir, "lm_tri_occ")(docTriTf(spark, dir))
+    StageMemo(spark, dir, "lm_tri_scored")(trigramScoredOcc(occ))
+  }
+
+  private def trigramScoredOcc(triOcc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // fit side: every context count reduces from the one trigram table
+    // (prefix counts as windows over gram-vocab rows — the bigram c1
+    // pattern; no second corpus pass)
+    val t3 = triOcc.filter(col("is_train"))
+      .groupBy("lang", "w1", "w2", "w3").agg(sum("tf").as("c123"))
+      .withColumn("c12", sum("c123").over(Window.partitionBy("lang", "w1", "w2")))
+    val b23 = t3.groupBy("lang", "w2", "w3").agg(sum("c123").as("c23"))
+      .withColumn("c2", sum("c23").over(Window.partitionBy("lang", "w2")))
+    val u3 = t3.groupBy("lang", "w3").agg(sum("c123").as("c3"))
+    val nl = t3.groupBy("lang").agg(sum("c123").as("n_lang"))
+    triOcc.filter(!col("is_train"))
+      .join(t3, Seq("lang", "w1", "w2", "w3"), "left")
+      .join(b23, Seq("lang", "w2", "w3"), "left")
+      .join(u3, Seq("lang", "w3"), "left")
+      .join(broadcast(nl), Seq("lang"))
+      .withColumn("backoff_level",
+        when(col("c123").isNotNull, 0L).when(col("c23").isNotNull, 1L)
+          .when(col("c3").isNotNull, 2L).otherwise(3L))
+      // level 0 implies c12 non-null (c12 = Σ_w3 c123 >= c123); widen every
+      // product through DECIMAL(38,0) (10⁶·N_lang wraps int64 past ~9·10¹²
+      // train tokens — the unigramSurprisal precedent)
+      .withColumn("inv_micro",
+        when(col("c123").isNotNull,
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * c12) div c123"))
+          .when(col("c23").isNotNull,
+            expr("(CAST(2500000 AS DECIMAL(38,0)) * c2) div c23"))
+          .when(col("c3").isNotNull,
+            expr("(CAST(6250000 AS DECIMAL(38,0)) * n_lang) div c3"))
+          .otherwise(expr("CAST(CAST(15625000 AS DECIMAL(38,0)) * n_lang AS BIGINT)")))
+      .select("doc_id", "lang", "tf", "backoff_level", "inv_micro")
+  }
+
+  private def trigramDocScores(scoredOcc: DataFrame): DataFrame =
+    scoredOcc.groupBy("doc_id", "lang")
+      .agg(sum("tf").as("n_trigrams"),
+        expr("CAST(sum(CAST(tf AS DECIMAL(38,0)) * inv_micro) div sum(tf) AS BIGINT)")
+          .as("score_micro"))
+      .select("doc_id", "lang", "n_trigrams", "score_micro")
+
+  /** BACKOFF-LEVEL MASS per language — how much of the held-out trigram
+    * volume the order-3 model answered directly (level 0) vs handed down
+    * the chain: the direct observable of whether the model order is
+    * earning its vocabulary cost (a corpus where level 0 carries ~no mass
+    * is telling you to ship the bigram model). Occurrence-weighted, exact
+    * integer micro shares. */
+  def trigramBackoff(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    trigramScoredMemo(spark, dir)
+      .groupBy("lang", "backoff_level")
+      .agg(sum("tf").as("n_occ"))
+      // per-language totals over the ≤ 4·|languages|-row level table
+      .withColumn("lang_occ", sum("n_occ").over(Window.partitionBy("lang")))
+      .withColumn("share_micro",
+        expr("(CAST(n_occ AS DECIMAL(38,0)) * 1000000) div lang_occ"))
+      .select("lang", "backoff_level", "n_occ", "share_micro")
+      .orderBy("lang", "backoff_level")
+  }
+
+  /** MODEL-ORDER AGREEMENT, order 2 vs 3 — [[lmOrderAgreement]] one rung
+    * up: the 3×3 confusion between bigram and trigram terciles over the
+    * trigram model's domain (held-out docs with ≥1 trigram in a language
+    * the model saw). The off-diagonal mass is what the order upgrade
+    * re-ranks — the measured case for (or against) the next order. */
+  def lmOrderAgreement3(spark: SparkSession, dir: String): DataFrame = {
+    val bi = bigramSurprisal(spark, dir)
+      .select(col("doc_id"), col("bucket").as("bucket_bi"),
+        col("score_micro").as("bi_micro"))
+    val tri = trigramSurprisal(spark, dir)
+      .select(col("doc_id"), col("bucket").as("bucket_tri"),
+        col("score_micro").as("tri_micro"))
+    bi.join(tri, "doc_id")
+      .groupBy("bucket_bi", "bucket_tri")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("CAST(sum(CAST(bi_micro AS DECIMAL(38,0))) div count(1) AS BIGINT)")
+          .as("mean_bi_micro"),
+        expr("CAST(sum(CAST(tri_micro AS DECIMAL(38,0))) div count(1) AS BIGINT)")
+          .as("mean_tri_micro"))
+      .orderBy("bucket_bi", "bucket_tri")
+  }
+
+  /** Shared oracle chain: split-tagged trigram occurrences → train-side
+    * count tables → held-out occurrences scored down the backoff chain.
+    * Mirrors the Spark side operation-for-operation (same hash split,
+    * same α = 0.4 integer constants, same `//`). */
+  private def trigramOracleChain: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS ts,
+       |    (${splitHashSql("doc_id").linesIterator.mkString("\n|    ")}) < 80 AS is_train
+       |  FROM documents
+       |), tri AS (
+       |  SELECT doc_id, lang, is_train, w1, w2, w3, CAST(count(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, lang, is_train, ts[i] AS w1, ts[i + 1] AS w2, ts[i + 2] AS w3
+       |    FROM (SELECT doc_id, lang, is_train, ts,
+       |            unnest(range(1, len(ts) - 1)) AS i FROM d))
+       |  WHERE w1 <> '' AND w2 <> '' AND w3 <> ''
+       |  GROUP BY doc_id, lang, is_train, w1, w2, w3
+       |), t3 AS (
+       |  SELECT lang, w1, w2, w3, CAST(sum(tf) AS BIGINT) AS c123
+       |  FROM tri WHERE is_train GROUP BY lang, w1, w2, w3
+       |), p12 AS (
+       |  SELECT lang, w1, w2, CAST(sum(c123) AS BIGINT) AS c12 FROM t3 GROUP BY lang, w1, w2
+       |), b23 AS (
+       |  SELECT lang, w2, w3, CAST(sum(c123) AS BIGINT) AS c23 FROM t3 GROUP BY lang, w2, w3
+       |), p2 AS (
+       |  SELECT lang, w2, CAST(sum(c23) AS BIGINT) AS c2 FROM b23 GROUP BY lang, w2
+       |), u3 AS (
+       |  SELECT lang, w3, CAST(sum(c123) AS BIGINT) AS c3 FROM t3 GROUP BY lang, w3
+       |), nl AS (
+       |  SELECT lang, CAST(sum(c123) AS BIGINT) AS n_lang FROM t3 GROUP BY lang
+       |), scored_occ AS (
+       |  SELECT e.doc_id, e.lang, e.tf,
+       |    CASE WHEN t3.c123 IS NOT NULL THEN 0
+       |         WHEN b23.c23 IS NOT NULL THEN 1
+       |         WHEN u3.c3 IS NOT NULL THEN 2
+       |         ELSE 3 END AS backoff_level,
+       |    CASE WHEN t3.c123 IS NOT NULL
+       |           THEN (CAST(1000000 AS HUGEINT) * p12.c12) // t3.c123
+       |         WHEN b23.c23 IS NOT NULL
+       |           THEN (CAST(2500000 AS HUGEINT) * p2.c2) // b23.c23
+       |         WHEN u3.c3 IS NOT NULL
+       |           THEN (CAST(6250000 AS HUGEINT) * nl.n_lang) // u3.c3
+       |         ELSE CAST(15625000 AS HUGEINT) * nl.n_lang
+       |    END AS inv_micro
+       |  FROM (SELECT * FROM tri WHERE NOT is_train) e
+       |  JOIN nl ON nl.lang = e.lang
+       |  LEFT JOIN t3 ON t3.lang = e.lang AND t3.w1 = e.w1 AND t3.w2 = e.w2 AND t3.w3 = e.w3
+       |  LEFT JOIN p12 ON p12.lang = e.lang AND p12.w1 = e.w1 AND p12.w2 = e.w2
+       |  LEFT JOIN b23 ON b23.lang = e.lang AND b23.w2 = e.w2 AND b23.w3 = e.w3
+       |  LEFT JOIN p2 ON p2.lang = e.lang AND p2.w2 = e.w2
+       |  LEFT JOIN u3 ON u3.lang = e.lang AND u3.w3 = e.w3
+       |), tri_scored AS (
+       |  SELECT doc_id, lang, CAST(sum(tf) AS BIGINT) AS n_trigrams,
+       |    CAST(sum(CAST(tf AS HUGEINT) * inv_micro) // sum(tf) AS BIGINT) AS score_micro
+       |  FROM scored_occ GROUP BY doc_id, lang
+       |)""".stripMargin
+
+  // def: composes trigramOracleChain (itself built from mixedHashSql)
+  def trigramSurprisalOracle: String =
+    s"""$trigramOracleChain, ranked AS (
+       |  SELECT doc_id, lang, n_trigrams, score_micro,
+       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY score_micro, doc_id) AS BIGINT) AS rnk,
+       |    count(*) OVER (PARTITION BY lang) AS n_lang
+       |  FROM tri_scored
+       |)
+       |SELECT doc_id, lang, n_trigrams, score_micro,
+       |  CASE WHEN rnk * 10 <= n_lang * 3 THEN 'head'
+       |       WHEN rnk * 10 <= n_lang * 7 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM ranked ORDER BY doc_id""".stripMargin
+
+  def trigramBackoffOracle: String =
+    s"""$trigramOracleChain, lvl AS (
+       |  SELECT lang, CAST(backoff_level AS BIGINT) AS backoff_level,
+       |    CAST(sum(tf) AS BIGINT) AS n_occ
+       |  FROM scored_occ GROUP BY lang, backoff_level
+       |)
+       |SELECT lang, backoff_level, n_occ,
+       |  CAST((CAST(n_occ AS HUGEINT) * 1000000)
+       |    // (sum(n_occ) OVER (PARTITION BY lang)) AS BIGINT) AS share_micro
+       |FROM lvl ORDER BY lang, backoff_level""".stripMargin
+
+  def lmOrderAgreement3Oracle: String =
+    s"""WITH bi AS (
+       |  SELECT doc_id, bucket AS bucket_bi, score_micro AS bi_micro
+       |  FROM ($bigramSurprisalOracle) t
+       |), tri3 AS (
+       |  SELECT doc_id, bucket AS bucket_tri, score_micro AS tri_micro
+       |  FROM ($trigramSurprisalOracle) t
+       |)
+       |SELECT bucket_bi, bucket_tri,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CAST(bi_micro AS HUGEINT)) // count(*) AS BIGINT) AS mean_bi_micro,
+       |  CAST(sum(CAST(tri_micro AS HUGEINT)) // count(*) AS BIGINT) AS mean_tri_micro
+       |FROM bi JOIN tri3 USING (doc_id)
+       |GROUP BY bucket_bi, bucket_tri
+       |ORDER BY bucket_bi, bucket_tri""".stripMargin
+
   // ----------------------------------- target-domain affinity (DSIR-shaped)
   /** DSIR-shaped TARGET-DOMAIN data selection (Xie et al. 2023,
     * arXiv:2302.03169): score every raw document by how much its hashed

@@ -221,6 +221,93 @@ class TrainPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("trigram lm: held-out domain is exact and backoff shares partition the mass") {
+    // domain: held-out (bucket >= 80) docs with >= 1 trigram in a language
+    // the train split saw
+    val split = TextAnalysis.trainSplit(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        size(split_part_free(col("text"))).as("n_words")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val trainLangs = docs.filter(d => split(d._1) == "train").map(_._2).toSet
+    val expected = docs.filter { case (id, lang, nw) =>
+      split(id) != "train" && trainLangs(lang) &&
+        // >= 1 non-empty trigram needs >= 3 words (fixture text has no
+        // empty tokens between words)
+        nw >= 3
+    }.map(_._1).toSet
+    val got = TextAnalysis.trigramSurprisal(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"domain drift: missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+
+    val backoff = TextAnalysis.trigramBackoff(spark, dir).collect()
+    backoff.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      val shares = rows.map(_.getLong(3))
+      // floors of exact micro shares: sum within 4 of 10^6 (<= 4 levels)
+      assert(shares.sum <= 1000000L && shares.sum > 1000000L - 4,
+        s"$lang: backoff shares don't partition the mass: ${shares.toSeq}")
+      assert(rows.map(_.getLong(1)).distinct.length == rows.length)
+    }
+  }
+
+  // the fixture text never contains empty tokens, so a plain split is the
+  // tokenizer the operators use
+  private def split_part_free(c: org.apache.spark.sql.Column) = split(c, " ")
+
+  test("trigram lm: scrambled held-out text scores worse than verbatim train text") {
+    // the split is a pure identity hash, so membership is knowable before
+    // the corpus content is chosen: write ids 1..60, read the split, then
+    // give one held-out doc the train template and another a scramble
+    val ids = (1L to 60L)
+    val tmpPre = java.nio.file.Files.createTempDirectory("tri_pre").toString
+    spark.createDataFrame(ids.map(i => (i, "x", "xx"))).toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmpPre/documents.parquet")
+    val split = TextAnalysis.trainSplit(spark, tmpPre).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val eval2 = ids.filter(split(_) != "train").take(2)
+    assert(eval2.length == 2, "need two held-out ids among 1..60")
+    val template = "the quick brown fox jumps over the lazy dog"
+    val scramble = "dog the over quick lazy fox jumps brown the"
+    val docs = ids.map { i =>
+      val text =
+        if (i == eval2.head) template
+        else if (i == eval2(1)) scramble
+        else template
+      (i, text, "xx")
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("tri_scramble").toString
+    spark.createDataFrame(docs).toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val scores = TextAnalysis.trigramSurprisal(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(scores(eval2.head) < scores(eval2(1)),
+      s"scramble must score worse: ${scores(eval2.head)} vs ${scores(eval2(1))}")
+    // the verbatim doc's trigrams are all train-seen (level 0 only for it);
+    // the scramble must push mass down the backoff chain
+    val lvl = TextAnalysis.trigramBackoff(spark, tmp).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(lvl.getOrElse(0L, 0L) > 0L && lvl.keys.exists(_ > 0L),
+      s"backoff chain unused: $lvl")
+  }
+
+  test("lm order agreement3 covers exactly the trigram model's domain") {
+    val cells = TextAnalysis.lmOrderAgreement3(spark, dir).collect()
+    val total = cells.map(_.getLong(2)).sum
+    val triDocs = TextAnalysis.trigramSurprisal(spark, dir).count()
+    assert(total == triDocs,
+      s"every trigram-scored doc sits in exactly one cell: $total != $triDocs")
+    // trigram mean must be monotone in the trigram bucket within each bigram bucket
+    val bucketRank = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    cells.groupBy(_.getString(0)).foreach { case (b, rows) =>
+      val means = rows.sortBy(r => bucketRank(r.getString(1))).map(_.getLong(4))
+      assert(means.zip(means.tail).forall { case (a, c) => a <= c },
+        s"bi=$b: trigram means not monotone: ${means.toSeq}")
+    }
+  }
+
   test("lm deployed gates: threshold form reproduces the rank policy per language") {
     Seq(TextAnalysis.ccnetDeployed(spark, dir) -> TextAnalysis.unigramSurprisal(spark, dir),
       TextAnalysis.bigramDeployed(spark, dir) -> TextAnalysis.bigramSurprisal(spark, dir))
