@@ -384,6 +384,7 @@ object SparkEntry {
       "text_build_spans" -> (TextAnalysis.buildSpanStage(_, _)),
       "text_dup_spans" -> (TextAnalysis.dupSpans(_, _)),
       "text_span_mask" -> (TextAnalysis.spanMask(_, _)),
+      "text_paragraph_dedup" -> (TextAnalysis.paragraphDedup(_, _)),
       "text_novelty" -> (TextAnalysis.ngramNovelty(_, _)),
       "docs_shuffle_shards" -> (TextAnalysis.shuffleShards(_, _)),
       "docs_mixture_budget" -> (TextAnalysis.mixtureBudget(_, _)),
@@ -840,6 +841,7 @@ object SparkEntry {
       "text_build_spans" -> TextAnalysis.buildSpanStageOracle,
       "text_dup_spans" -> TextAnalysis.dupSpansOracle,
       "text_span_mask" -> TextAnalysis.spanMaskOracle,
+      "text_paragraph_dedup" -> TextAnalysis.paragraphDedupOracle,
       "text_novelty" -> TextAnalysis.ngramNoveltyOracle,
       "docs_shuffle_shards" -> TextAnalysis.shuffleShardsOracle(),
       "docs_mixture_budget" -> TextAnalysis.mixtureBudgetOracle,

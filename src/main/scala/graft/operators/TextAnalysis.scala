@@ -1536,6 +1536,72 @@ object TextAnalysis {
       |GROUP BY s.doc_id
       |ORDER BY s.doc_id""".stripMargin
 
+  // ------------------------------------------------- paragraph-level dedup
+  /** PARAGRAPH-GRANULARITY DEDUP (RefinedWeb / Penedo et al. 2023 §3.3
+    * dedup unit; MassiveText's repetition cuts work at the same grain) —
+    * between doc-level exact/near dedup and [[dupSpans]]' 5-gram spans:
+    * segment each document into paragraphs, fingerprint each paragraph,
+    * and report per doc how much of it is boilerplate shared with OTHER
+    * documents, plus the keep/cut manifest row (cut when more than half
+    * the paragraphs are cross-doc duplicates). The fixture corpus carries
+    * no explicit separators, so the segmenter is the deterministic
+    * [[ParaWords]]-word block (full blocks only — a trailing fragment is
+    * not a paragraph); a newline split is the same MapReduce shape with a
+    * different one-expression segmenter.
+    *
+    * 100 TB shape: segmentation and fingerprinting are row-local
+    * expressions (no explode of text past the 16 B md5 per block); the
+    * duplicate screen is ONE shuffle keyed on the block hash (distinct-doc
+    * count over hash-sized rows), one keyed join back, one per-doc
+    * aggregate. Full text never crosses the wire — the [[Dedup]] funnel
+    * discipline. Alignment caveat (spec-pinned): a boilerplate block
+    * shifted off the W-word grid is NOT matched — the shingled
+    * [[dupSpans]] path is the shift-robust complement. */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val paras = table(spark, dir, "documents")
+      .filter(size(words) >= ParaWords)
+      .selectExpr("doc_id",
+        s"""posexplode(transform(sequence(0, CAST(size(split(text, ' ')) / $ParaWords AS INT) - 1),
+           |  i -> md5(array_join(slice(split(text, ' '), i * $ParaWords + 1, $ParaWords), ' '))))
+           |  AS (para_id, phash)"""
+          .stripMargin.replace("\n", ""))
+    val freq = paras.groupBy("phash")
+      .agg(countDistinct("doc_id").as("n_docs"))
+    paras.join(freq, Seq("phash"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_paras"))
+      .withColumn("dup_micro",
+        expr("(CAST(n_dup_paras AS DECIMAL(38,0)) * 1000000) div n_paras"))
+      .withColumn("keep", col("dup_micro") <= 500000L)
+      .select("doc_id", "n_paras", "n_dup_paras", "dup_micro", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** Paragraph block width (words). */
+  private[operators] val ParaWords = 8
+
+  val paragraphDedupOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+       |), paras AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(ts[(i * $ParaWords + 1):(i * $ParaWords + $ParaWords)], ' ')) AS phash
+       |  FROM (SELECT doc_id, ts, unnest(range(0, len(ts) // $ParaWords)) AS i FROM d)
+       |), freq AS (
+       |  SELECT phash, count(DISTINCT doc_id) AS n_docs FROM paras GROUP BY phash
+       |), per AS (
+       |  SELECT p.doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_paras,
+       |    CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras
+       |  FROM paras p JOIN freq f USING (phash)
+       |  GROUP BY p.doc_id
+       |)
+       |SELECT doc_id, n_paras, n_dup_paras,
+       |  CAST((CAST(n_dup_paras AS HUGEINT) * 1000000) // n_paras AS BIGINT) AS dup_micro,
+       |  (CAST(n_dup_paras AS HUGEINT) * 1000000) // n_paras <= 500000 AS keep
+       |FROM per ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------- span masking
   /** POSITIONAL mask for exact substring dedup — the step after
     * [[dupSpans]] detection: for each doc, how many token POSITIONS are

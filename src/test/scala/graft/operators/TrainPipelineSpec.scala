@@ -221,6 +221,36 @@ class TrainPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("paragraph dedup: planted boilerplate block is caught, shifted copy pins the alignment caveat") {
+    val boiler = (1 to 8).map(j => s"b$j").mkString(" ")
+    def filler(i: Int, n: Int) = (1 to n).map(j => s"u${i}w$j").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler ${filler(1, 8)}"), // boilerplate + unique: half dup
+      (2L, s"$boiler ${filler(2, 8)}"),
+      (3L, s"$boiler ${filler(3, 8)}"),
+      (4L, s"$boiler ${filler(4, 8)}"),
+      (5L, s"shift $boiler ${filler(5, 7)}"), // off the 8-word grid: NOT matched
+      (6L, s"$boiler $boiler"), // pure boilerplate: cut
+      (7L, filler(7, 16)), (8L, filler(8, 16)))
+    val tmp = java.nio.file.Files.createTempDirectory("para_dedup").toString
+    spark.createDataFrame(docs).toDF("doc_id", "text")
+      .withColumn("lang", lit("xx")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.paragraphDedup(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    (1L to 4L).foreach { i =>
+      assert(out(i) == ((2L, 1L, 500000L, true)), s"doc $i: ${out(i)}")
+    }
+    // the documented recall limit of fixed-grid segmentation: a 1-word
+    // shift moves every block off the grid (dupSpans is the shift-robust
+    // complement)
+    assert(out(5L)._2 == 0L && out(5L)._4, s"shifted: ${out(5L)}")
+    assert(out(6L) == ((2L, 2L, 1000000L, false)), s"pure boilerplate: ${out(6L)}")
+    Seq(7L, 8L).foreach(i => assert(out(i)._2 == 0L && out(i)._4))
+  }
+
   test("trigram lm: held-out domain is exact and backoff shares partition the mass") {
     // domain: held-out (bucket >= 80) docs with >= 1 trigram in a language
     // the train split saw
