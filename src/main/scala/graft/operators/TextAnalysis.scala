@@ -3105,13 +3105,19 @@ object TextAnalysis {
     * operators a user runs piecemeal — near-dup keep-list survivor
     * ([[Dedup.dedupKeepList]]), per-source quality pruning
     * ([[qualityPrune]]), CCNet tercile ([[unigramSurprisal]], tail
-    * dropped) — and the conjunction `final_keep`. This is the table the
-    * actual training-shard write filters on, and the audit trail for "why
-    * is doc X (not) in the run".
+    * dropped), and the TRAINED classifier's verdict
+    * ([[QualityClassifier.perDocScores]] under the engine's decision rule
+    * `score_micro > 10⁶` — the distill-then-deploy loop closed: the model
+    * the terciles trained now votes on admission alongside them) — and
+    * the conjunction `final_keep`. This is the table the actual
+    * training-shard write filters on, and the audit trail for "why is
+    * doc X (not) in the run".
     *
-    * 100 TB shape: three equi-joins of per-doc decision tables (8-16 B
+    * 100 TB shape: four equi-joins of per-doc decision tables (8-16 B
     * keys + flags) onto the corpus projection — each input is itself
-    * scale-audited; the composition adds no new corpus scan. The manifest
+    * scale-audited, and the classifier score reads the SAME memoized
+    * tokenize-once artifact the tercile side built (no new corpus scan
+    * from adding the fourth gate). The manifest
     * MATERIALIZES once per (session, dir) via [[StageMemo]] — it is the
     * table a production run writes to disk, and both gated consumers
     * (this query and [[manifestRollup]]) read the same build instead of
@@ -3124,6 +3130,8 @@ object TextAnalysis {
       .select(col("doc_id"), col("keep").as("keep_quality"))
     val buckets = unigramSurprisal(spark, dir)
       .select(col("doc_id"), col("bucket"))
+    val classifier = QualityClassifier.perDocScores(spark, dir)
+      .select(col("doc_id"), (col("score_micro") > 1000000L).as("keep_classifier"))
     docs
       .join(dedupKeep, "doc_id")
       .join(quality, "doc_id")
@@ -3131,12 +3139,17 @@ object TextAnalysis {
       // filter out) but must still get a manifest row — it lands in tail
       // (dropped WITH an audit trail, never silently vanished)
       .join(buckets, Seq("doc_id"), "left")
+      // LEFT for the same reason: no tokens → no classifier score → the
+      // model abstains and the gate is a drop vote
+      .join(classifier, Seq("doc_id"), "left")
       .withColumn("bucket", coalesce(col("bucket"), lit("tail")))
       .withColumn("keep_bucket", col("bucket") =!= "tail")
+      .withColumn("keep_classifier", coalesce(col("keep_classifier"), lit(false)))
       .withColumn("final_keep",
-        col("keep_dedup") && col("keep_quality") && col("keep_bucket"))
+        col("keep_dedup") && col("keep_quality") && col("keep_bucket") &&
+          col("keep_classifier"))
       .select("doc_id", "lang", "source", "keep_dedup", "keep_quality",
-        "bucket", "keep_bucket", "final_keep")
+        "bucket", "keep_bucket", "keep_classifier", "final_keep")
   }
 
   private def sharedManifest(spark: SparkSession, dir: String): DataFrame =
@@ -3159,17 +3172,24 @@ object TextAnalysis {
        |  SELECT * FROM (
        |${unigramSurprisalOracle.linesIterator.map("    " + _).mkString("\n")}
        |  ) bk
+       |), nbsc AS (
+       |  SELECT * FROM (
+       |${QualityClassifier.perDocScoresOracle.linesIterator.map("    " + _).mkString("\n")}
+       |  ) sc
        |)
        |SELECT d.doc_id, d.lang, d.source,
        |  k.keep = 1 AS keep_dedup,
        |  q.keep AS keep_quality,
        |  coalesce(b.bucket, 'tail') AS bucket,
        |  coalesce(b.bucket, 'tail') != 'tail' AS keep_bucket,
-       |  (k.keep = 1 AND q.keep AND coalesce(b.bucket, 'tail') != 'tail') AS final_keep
+       |  coalesce(n.score_micro > 1000000, FALSE) AS keep_classifier,
+       |  (k.keep = 1 AND q.keep AND coalesce(b.bucket, 'tail') != 'tail'
+       |   AND coalesce(n.score_micro > 1000000, FALSE)) AS final_keep
        |FROM documents d
        |JOIN keep_list k ON k.doc_id = d.doc_id
        |JOIN quality q ON q.doc_id = d.doc_id
        |LEFT JOIN buckets b ON b.doc_id = d.doc_id
+       |LEFT JOIN nbsc n ON n.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
   // --------------------------------------------- manifest per-source rollup
@@ -3621,29 +3641,33 @@ object TextAnalysis {
   /** KEEP-RULE ABLATION (round 11) — the question right after "what did
     * cleaning cut" ([[manifestRollup]]) is "WHICH rule cut it, and what
     * would relaxing it buy": per manifest keep-rule (dedup / quality /
-    * bucket), how many docs it blocks at all, how many it is the SOLE
-    * blocker of (exactly the docs recovered if that one rule were
+    * bucket / classifier), how many docs it blocks at all, how many it is
+    * the SOLE blocker of (exactly the docs recovered if that one rule were
     * dropped), and the resulting keep count without it. One conditional
     * aggregate over the shared manifest — flags only, no corpus re-scan;
-    * output is 3 rows regardless of scale. */
+    * output is 4 rows regardless of scale. */
   def keepAblation(spark: SparkSession, dir: String): DataFrame =
     sharedManifest(spark, dir)
       .agg(
         sum(when(col("final_keep"), 1L).otherwise(0L)).as("kept"),
         sum(when(!col("keep_dedup"), 1L).otherwise(0L)).as("dedup_blocked"),
-        sum(when(!col("keep_dedup") && col("keep_quality") && col("keep_bucket"), 1L)
-          .otherwise(0L)).as("dedup_sole"),
+        sum(when(!col("keep_dedup") && col("keep_quality") && col("keep_bucket") &&
+          col("keep_classifier"), 1L).otherwise(0L)).as("dedup_sole"),
         sum(when(!col("keep_quality"), 1L).otherwise(0L)).as("quality_blocked"),
-        sum(when(!col("keep_quality") && col("keep_dedup") && col("keep_bucket"), 1L)
-          .otherwise(0L)).as("quality_sole"),
+        sum(when(!col("keep_quality") && col("keep_dedup") && col("keep_bucket") &&
+          col("keep_classifier"), 1L).otherwise(0L)).as("quality_sole"),
         sum(when(!col("keep_bucket"), 1L).otherwise(0L)).as("bucket_blocked"),
-        sum(when(!col("keep_bucket") && col("keep_dedup") && col("keep_quality"), 1L)
-          .otherwise(0L)).as("bucket_sole"))
+        sum(when(!col("keep_bucket") && col("keep_dedup") && col("keep_quality") &&
+          col("keep_classifier"), 1L).otherwise(0L)).as("bucket_sole"),
+        sum(when(!col("keep_classifier"), 1L).otherwise(0L)).as("classifier_blocked"),
+        sum(when(!col("keep_classifier") && col("keep_dedup") && col("keep_quality") &&
+          col("keep_bucket"), 1L).otherwise(0L)).as("classifier_sole"))
       .selectExpr(
-        """stack(3,
-          |  'dedup',   dedup_blocked,   dedup_sole,   kept + dedup_sole,
-          |  'quality', quality_blocked, quality_sole, kept + quality_sole,
-          |  'bucket',  bucket_blocked,  bucket_sole,  kept + bucket_sole
+        """stack(4,
+          |  'dedup',      dedup_blocked,      dedup_sole,      kept + dedup_sole,
+          |  'quality',    quality_blocked,    quality_sole,    kept + quality_sole,
+          |  'bucket',     bucket_blocked,     bucket_sole,     kept + bucket_sole,
+          |  'classifier', classifier_blocked, classifier_sole, kept + classifier_sole
           |) AS (rule, n_blocked, n_sole_blocked, n_kept_if_dropped)""".stripMargin)
       .orderBy("rule")
 
@@ -3657,11 +3681,13 @@ object TextAnalysis {
        |  SELECT
        |    CAST(sum(CASE WHEN final_keep THEN 1 ELSE 0 END) AS BIGINT) AS kept,
        |    CAST(sum(CASE WHEN NOT keep_dedup THEN 1 ELSE 0 END) AS BIGINT) AS dedup_blocked,
-       |    CAST(sum(CASE WHEN NOT keep_dedup AND keep_quality AND keep_bucket THEN 1 ELSE 0 END) AS BIGINT) AS dedup_sole,
+       |    CAST(sum(CASE WHEN NOT keep_dedup AND keep_quality AND keep_bucket AND keep_classifier THEN 1 ELSE 0 END) AS BIGINT) AS dedup_sole,
        |    CAST(sum(CASE WHEN NOT keep_quality THEN 1 ELSE 0 END) AS BIGINT) AS quality_blocked,
-       |    CAST(sum(CASE WHEN NOT keep_quality AND keep_dedup AND keep_bucket THEN 1 ELSE 0 END) AS BIGINT) AS quality_sole,
+       |    CAST(sum(CASE WHEN NOT keep_quality AND keep_dedup AND keep_bucket AND keep_classifier THEN 1 ELSE 0 END) AS BIGINT) AS quality_sole,
        |    CAST(sum(CASE WHEN NOT keep_bucket THEN 1 ELSE 0 END) AS BIGINT) AS bucket_blocked,
-       |    CAST(sum(CASE WHEN NOT keep_bucket AND keep_dedup AND keep_quality THEN 1 ELSE 0 END) AS BIGINT) AS bucket_sole
+       |    CAST(sum(CASE WHEN NOT keep_bucket AND keep_dedup AND keep_quality AND keep_classifier THEN 1 ELSE 0 END) AS BIGINT) AS bucket_sole,
+       |    CAST(sum(CASE WHEN NOT keep_classifier THEN 1 ELSE 0 END) AS BIGINT) AS classifier_blocked,
+       |    CAST(sum(CASE WHEN NOT keep_classifier AND keep_dedup AND keep_quality AND keep_bucket THEN 1 ELSE 0 END) AS BIGINT) AS classifier_sole
        |  FROM manifest
        |)
        |SELECT rule, n_blocked, n_sole_blocked, n_kept_if_dropped FROM (
@@ -3671,6 +3697,8 @@ object TextAnalysis {
        |  SELECT 'quality', quality_blocked, quality_sole, kept + quality_sole FROM s
        |  UNION ALL
        |  SELECT 'bucket', bucket_blocked, bucket_sole, kept + bucket_sole FROM s
+       |  UNION ALL
+       |  SELECT 'classifier', classifier_blocked, classifier_sole, kept + classifier_sole FROM s
        |) ORDER BY rule""".stripMargin
 
   // ----------------------------------------------- corpus release report
