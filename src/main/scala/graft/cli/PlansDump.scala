@@ -100,7 +100,32 @@ object PlansDump {
     "pipeline_release_diff_e2e", // two releases written, id-keyed artifact diff
     "text_tokenize_trained",   // train-then-apply: vocab join on the word key
     "docs_dsir_importance",    // hashed models: B-bucket broadcast scoring join
-    "quality_classifier_confusion") // NB distill: vocab-keyed rescore join
+    "quality_classifier_confusion", // NB distill: vocab-keyed rescore join
+    // round-14 completeness sweep: every query whose clean steady-state
+    // exceeded 2 s in the committed clean bench artifact is audited here
+    // (OperatorsIndexSpec gates the list against the artifact), plus the
+    // round's new plan families
+    "docs_bigram_buckets",     // (lang,w1,w2) pair-vocab joins + per-lang window
+    "docs_lm_order_agreement", // two LM bucketings joined on doc_id, 9-cell agg
+    "docs_trigram_buckets",    // train-split fit, 5 gram-keyed joins, backoff CASE
+    "docs_ccnet_deployed",     // DEPLOYED classify: scan + broadcast boundaries, no window
+    "text_paragraph_dedup",    // row-local block hashing, one phash-keyed shuffle
+    "docs_training_manifest",  // 4-gate conjunction: flag joins on 8 B keys
+    "profile_pk_discovery",    // derivation over the fused whole-catalog profiles
+    "dedup_audit_sample",      // boundary-band sample over the shared pair graph
+    "docs_curriculum_order",   // manifest x quality join + per-shard rank
+    "embedding_top_pc",        // Gram-matrix power iteration, d^2 state
+    "dedup_weights",           // cluster-rep weights over the shared CC labels
+    "multimodal_shot_cuts",    // frame-pair hamming over sampled frame hashes
+    "text_build_spans",        // the materialized 5-gram span stage itself
+    "dedup_cluster_sizes_gate", // CC label rollup + recursive-CTE cross-check
+    "dedup_simhash_pairs",     // 30-bit simhash block keys, exact ham verify
+    "docs_dsir_deployed",      // rank->threshold consistency gate, broadcast thr
+    "dedup_keep_best",         // quality-keyed keep-best over dup groups
+    "ann_compression_sweep",   // PQ/SQ8/matryoshka variants in one recall frame
+    "dedup_kcore",             // iterated degree-peel over checkpointed edges
+    "text_span_mask",          // dup-span position explode + interval union fold
+    "dedup_quality_bias")      // keep/cut quality contrast over dup groups
 
   /** Plan-audit overrides: these queries' gated implementations read
     * memoized materialized stages (the shared-pipeline design — see
@@ -112,6 +137,11 @@ object PlansDump {
       "dedup_minhash_pairs" -> (graft.operators.Dedup.minhashCandidatePairsPlan(_, _)),
       "text_dup_spans" -> (graft.operators.TextAnalysis.dupSpansPlan(_, _)),
       "docs_ccnet_buckets" -> (graft.operators.TextAnalysis.unigramSurprisalPlan(_, _)),
+      "docs_bigram_buckets" -> (graft.operators.TextAnalysis.bigramSurprisalPlan(_, _)),
+      "docs_trigram_buckets" -> (graft.operators.TextAnalysis.trigramSurprisalPlan(_, _)),
+      // the audit target is the PRODUCTION classify lineage (broadcast
+      // boundaries, window-free) — the gated row is the consistency table
+      "docs_ccnet_deployed" -> (graft.operators.TextAnalysis.ccnetDeployedClassifyPlan(_, _)),
       "docs_dsir_importance" -> (graft.operators.DataSelection.dsirImportancePlan(_, _)),
       "quality_classifier_confusion" -> (graft.operators.QualityClassifier.classifierConfusionPlan(_, _)),
       // pins k: the gated form's auto-k count() is an eager action at

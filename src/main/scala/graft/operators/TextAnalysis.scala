@@ -2410,25 +2410,32 @@ object TextAnalysis {
       .groupBy("doc_id", "lang", "word")
       .agg(count(lit(1)).as("tf"))
 
-  private[operators] def unigramSurprisalFrom(docTerm: DataFrame): DataFrame = {
+  /** Per-(lang, word) inverse-probability rarity in exact integer micro
+    * units — the unigram LM itself, shared by the batch scorer and the
+    * frozen-model builders ([[lmModelRow]]). Vocab-sized (Zipf-bounded);
+    * per-language totals as a window over the freq table, so the corpus
+    * explode is not recomputed for a totals broadcast (the targetAffinity
+    * lesson; the window is partitioned by lang over vocabulary rows, never
+    * corpus rows). */
+  private def langRarityFrom(docTerm: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // per-language totals as a window over the vocab-sized freq table —
-    // same lineage, so the corpus explode is not recomputed a third time
-    // for a totals broadcast (the targetAffinity lesson; the window is
-    // partitioned by lang over vocabulary rows, never corpus rows)
-    val langFreq = docTerm.groupBy("lang", "word")
+    docTerm.groupBy("lang", "word")
       .agg(sum("tf").as("lang_freq"))
       .withColumn("lang_tokens", sum("lang_freq").over(Window.partitionBy("lang")))
-    // widen the inverse-probability products: 10⁶ · lang_tokens wraps
-    // int64 once a language passes ~9·10¹² tokens (a 100 TB corpus is
-    // ~10¹³), so both the rarity and the tf-weighted sum run in
-    // DECIMAL(38,0)/HUGEINT — the tfidf precedent; the final mean stays
-    // int64-exact while a doc's mean inverse-probability < 2⁶³ micro
-    // (violated only by a doc of pure hapaxes in a 10¹³-token language)
-    val scored = docTerm
-      .join(langFreq, Seq("lang", "word"))
+      // widen the inverse-probability products: 10⁶ · lang_tokens wraps
+      // int64 once a language passes ~9·10¹² tokens (a 100 TB corpus is
+      // ~10¹³), so both the rarity and the tf-weighted sum run in
+      // DECIMAL(38,0)/HUGEINT — the tfidf precedent; the final mean stays
+      // int64-exact while a doc's mean inverse-probability < 2⁶³ micro
+      // (violated only by a doc of pure hapaxes in a 10¹³-token language)
       .withColumn("rarity_micro",
         expr("(CAST(1000000 AS DECIMAL(38,0)) * lang_tokens) div lang_freq"))
+  }
+
+  private[operators] def unigramSurprisalFrom(docTerm: DataFrame): DataFrame = {
+    val scored = docTerm
+      .join(langRarityFrom(docTerm).select("lang", "word", "rarity_micro"),
+        Seq("lang", "word"))
       .groupBy("doc_id", "lang")
       .agg(expr("sum(CAST(tf AS DECIMAL(38,0)) * rarity_micro)").as("sum_rarity"),
         sum("tf").as("n_tokens"))
@@ -2728,6 +2735,31 @@ object TextAnalysis {
   private[graft] def ccnetDeployedClassifyPlan(spark: SparkSession, dir: String): DataFrame = {
     val buckets = sharedUnigramBuckets(spark, dir)
     classifyByThreshold(buckets, lmThresholds(buckets))
+  }
+
+  /** The unigram LM FROZEN as one broadcastable row: a "lang|word" →
+    * rarity_micro map ([[QualityClassifier.modelRow]]'s discipline —
+    * vocab-bounded by Zipf, never corpus-sized). The side input the
+    * streaming tercile gate scores against. */
+  def lmModelRow(spark: SparkSession, dir: String): DataFrame = {
+    val docTerm = StageMemo(spark, dir, "nb_docterm")(docTermTf(spark, dir))
+    langRarityFrom(docTerm)
+      .agg(map_from_entries(collect_list(struct(
+        concat(col("lang"), lit("|"), col("word")), col("rarity_micro")))).as("model"))
+  }
+
+  /** Per-language DEPLOYMENT side-table: the two frozen tercile boundaries
+    * ([[lmThresholds]]'s cuts, calibrated from the rank policy) plus the
+    * language's token total (the hapax-equivalent fallback mass a scorer
+    * assigns to a word the model never saw: rarity = 10⁶·lang_tokens div 1,
+    * i.e. frequency-1 treatment — the add-0 analog of the classifier's
+    * unseen ratio). |languages| rows, broadcast. */
+  def lmBoundaries(spark: SparkSession, dir: String): DataFrame = {
+    val docTerm = StageMemo(spark, dir, "nb_docterm")(docTermTf(spark, dir))
+    val toks = docTerm.groupBy("lang").agg(sum("tf").as("lang_tokens"))
+    lmThresholds(sharedUnigramBuckets(spark, dir))
+      .join(toks, Seq("lang"))
+      .select("lang", "head_thr_micro", "mid_thr_micro", "lang_tokens")
   }
 
   private def lmDeployedOracleFrom(surprisalOracle: String): String =

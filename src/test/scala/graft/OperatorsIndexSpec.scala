@@ -52,6 +52,35 @@ class OperatorsIndexSpec extends AnyFunSuite {
       s"PLANS.md carries stale sections: ${(headers -- graft.cli.PlansDump.Flagship).mkString(",")}")
   }
 
+  test("Flagship is complete: every >2s clean-bench query has a committed plan audit") {
+    // VERDICT r13 #2: the PLANS.md gate guarded the list's consistency but
+    // not its completeness — the round's heaviest new queries never joined
+    // Flagship. Cross-check against the newest committed clean-box bench
+    // artifact: any query that costs > 2 s steady-state is exactly the kind
+    // whose 100 TB plan a reviewer must be able to read.
+    val artifacts = new java.io.File(".").listFiles()
+      .filter(f => f.getName.matches("BENCH_r\\d+_clean_full\\.json"))
+      .sortBy(_.getName)
+    assert(artifacts.nonEmpty, "no clean bench artifact committed")
+    val text = new String(java.nio.file.Files.readAllBytes(
+      artifacts.last.toPath), "UTF-8")
+    // the flat {"name": seconds, ...} "queries" object ONLY — the artifact
+    // carries further per-query maps after it (query_load), so the parse
+    // must stop at the object's closing brace
+    val q = """"([a-z0-9_]+)"\s*:\s*([0-9.]+)""".r
+    val afterKey = text.split("\"queries\"\\s*:\\s*\\{")(1)
+    val inQueries = afterKey.take(afterKey.indexOf('}'))
+    val flagship = graft.cli.PlansDump.Flagship.toSet
+    val offenders = q.findAllMatchIn(inQueries)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .filter { case (name, sec) =>
+        sec > 2.0 && SparkEntry.queries.contains(name) && !flagship(name)
+      }.map { case (n, s) => s"$n=$s" }.toSeq
+    assert(offenders.isEmpty,
+      s"${artifacts.last.getName}: >2s queries missing from PlansDump.Flagship: " +
+        offenders.mkString(", "))
+  }
+
   test("scale exponents attach to probed methods") {
     // the probe builds that call a SparkEntry-registered method must surface
     // in at least this many rows (several builds cover non-query stages)
