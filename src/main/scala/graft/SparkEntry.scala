@@ -396,6 +396,7 @@ object SparkEntry {
       "docs_ccnet_deployed" -> (TextAnalysis.ccnetDeployed(_, _)),
       "docs_bigram_deployed" -> (TextAnalysis.bigramDeployed(_, _)),
       "docs_trigram_buckets" -> (TextAnalysis.trigramSurprisal(_, _)),
+      "docs_trigram_deployed" -> (TextAnalysis.trigramDeployed(_, _)),
       "docs_trigram_backoff" -> (TextAnalysis.trigramBackoff(_, _)),
       "docs_lm_order_agreement3" -> (TextAnalysis.lmOrderAgreement3(_, _)),
       "docs_dsir_importance" -> (DataSelection.dsirImportance(_, _)),
@@ -853,6 +854,7 @@ object SparkEntry {
       "docs_ccnet_deployed" -> TextAnalysis.ccnetDeployedOracle,
       "docs_bigram_deployed" -> TextAnalysis.bigramDeployedOracle,
       "docs_trigram_buckets" -> TextAnalysis.trigramSurprisalOracle,
+      "docs_trigram_deployed" -> TextAnalysis.trigramDeployedOracle,
       "docs_trigram_backoff" -> TextAnalysis.trigramBackoffOracle,
       "docs_lm_order_agreement3" -> TextAnalysis.lmOrderAgreement3Oracle,
       "docs_dsir_importance" -> DataSelection.dsirImportanceOracle,

@@ -2728,6 +2728,13 @@ object TextAnalysis {
   def bigramDeployed(spark: SparkSession, dir: String): DataFrame =
     lmDeployedFrom(bigramSurprisal(spark, dir))
 
+  /** [[trigramSurprisal]]'s deployed-threshold gate — the order-3 bucketer
+    * carries the same calibration-side rank window as its lower-order
+    * siblings, so it ships with the same certified threshold form from
+    * day one (defined with the trigram family below). */
+  def trigramDeployed(spark: SparkSession, dir: String): DataFrame =
+    lmDeployedFrom(trigramSurprisal(spark, dir))
+
   /** The deployed CLASSIFY lineage alone, for plan audits: built from the
     * materialized bucket artifact, so its explain must show scan +
     * broadcast join only — any Window/Sort-per-language here would mean
@@ -3014,6 +3021,9 @@ object TextAnalysis {
        |       WHEN rnk * 10 <= n_lang * 7 THEN 'middle'
        |       ELSE 'tail' END AS bucket
        |FROM ranked ORDER BY doc_id""".stripMargin
+
+  // def: composes trigramSurprisalOracle (itself a def)
+  def trigramDeployedOracle: String = lmDeployedOracleFrom(trigramSurprisalOracle)
 
   def trigramBackoffOracle: String =
     s"""$trigramOracleChain, lvl AS (

@@ -340,7 +340,8 @@ class TrainPipelineSpec extends AnyFunSuite {
 
   test("lm deployed gates: threshold form reproduces the rank policy per language") {
     Seq(TextAnalysis.ccnetDeployed(spark, dir) -> TextAnalysis.unigramSurprisal(spark, dir),
-      TextAnalysis.bigramDeployed(spark, dir) -> TextAnalysis.bigramSurprisal(spark, dir))
+      TextAnalysis.bigramDeployed(spark, dir) -> TextAnalysis.bigramSurprisal(spark, dir),
+      TextAnalysis.trigramDeployed(spark, dir) -> TextAnalysis.trigramSurprisal(spark, dir))
       .foreach { case (deployedDf, bucketsDf) =>
         val deployed = deployedDf.collect()
         assert(deployed.nonEmpty)
