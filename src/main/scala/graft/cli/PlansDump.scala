@@ -108,6 +108,7 @@ object PlansDump {
     "docs_bigram_buckets",     // (lang,w1,w2) pair-vocab joins + per-lang window
     "docs_lm_order_agreement", // two LM bucketings joined on doc_id, 9-cell agg
     "docs_trigram_buckets",    // train-split fit, 5 gram-keyed joins, backoff CASE
+    "docs_lm_order_agreement3", // order-2 x order-3 buckets joined on doc_id
     "docs_ccnet_deployed",     // DEPLOYED classify: scan + broadcast boundaries, no window
     "text_paragraph_dedup",    // row-local block hashing, one phash-keyed shuffle
     "docs_training_manifest",  // 4-gate conjunction: flag joins on 8 B keys
@@ -125,7 +126,15 @@ object PlansDump {
     "ann_compression_sweep",   // PQ/SQ8/matryoshka variants in one recall frame
     "dedup_kcore",             // iterated degree-peel over checkpointed edges
     "text_span_mask",          // dup-span position explode + interval union fold
-    "dedup_quality_bias")      // keep/cut quality contrast over dup groups
+    "dedup_quality_bias",      // keep/cut quality contrast over dup groups
+    "dedup_impact_by_source",  // per-source dup-mass rollup over the pair graph
+    "dedup_funnel",            // stage-by-stage survivor accounting, one pass
+    "ann_pq_distortion",       // codebook fit + per-vector quantization error
+    "ann_nprobe_sweep",        // one IVF build, nprobe grid as union branches
+    "dedup_cluster_lang_purity", // CC labels x lang entropy rollup
+    "ann_mmr_diversify",       // top-k + greedy re-rank over a k-sized frame
+    "profile_weighted_percentiles", // two-level weighted prefix sums
+    "ann_filtered_sweep")      // selectivity grid over one filtered index
 
   /** Plan-audit overrides: these queries' gated implementations read
     * memoized materialized stages (the shared-pipeline design — see

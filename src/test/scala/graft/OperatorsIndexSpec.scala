@@ -68,11 +68,35 @@ class OperatorsIndexSpec extends AnyFunSuite {
     // carries further per-query maps after it (query_load), so the parse
     // must stop at the object's closing brace
     val q = """"([a-z0-9_]+)"\s*:\s*([0-9.]+)""".r
-    val afterKey = text.split("\"queries\"\\s*:\\s*\\{")(1)
-    val inQueries = afterKey.take(afterKey.indexOf('}'))
+    def objectAfter(key: String): String = {
+      val parts = text.split("\"" + key + "\"\\s*:\\s*\\{")
+      if (parts.length < 2) "" else parts(1).take(parts(1).indexOf('}'))
+    }
+    val inQueries = objectAfter("queries")
+    // a first-pass line recorded under load carries its quiet-box rerun in
+    // the artifact's rerun map — judge the line by min(first, rerun), the
+    // same rule Bench uses for its own headline
+    val rerunOf: Map[String, Double] = {
+      val entry = ("\"([a-z0-9_]+)\"\\s*:\\s*\\{[^}]*" +
+        "\"rerun\"\\s*:\\s*([0-9.]+)[^}]*\\}").r
+      val parts = text.split("\"rerun\"\\s*:\\s*\\{")
+      if (parts.length < 2) Map.empty
+      else {
+        // the rerun object nests per-query objects: scan its full extent by
+        // brace balance
+        var depth = 1; var i = 0; val body = parts(1)
+        while (depth > 0 && i < body.length) {
+          if (body(i) == '{') depth += 1 else if (body(i) == '}') depth -= 1
+          i += 1
+        }
+        entry.findAllMatchIn(body.take(i))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
     val flagship = graft.cli.PlansDump.Flagship.toSet
     val offenders = q.findAllMatchIn(inQueries)
-      .map(m => m.group(1) -> m.group(2).toDouble)
+      .map(m => m.group(1) -> math.min(m.group(2).toDouble,
+        rerunOf.getOrElse(m.group(1), Double.MaxValue)))
       .filter { case (name, sec) =>
         sec > 2.0 && SparkEntry.queries.contains(name) && !flagship(name)
       }.map { case (n, s) => s"$n=$s" }.toSeq
