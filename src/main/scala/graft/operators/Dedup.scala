@@ -46,23 +46,39 @@ object Dedup {
        |UNION ALL
        |SELECT doc_id + $IdOffset AS doc_id, substr(text, strpos(text, ' ') + 1) AS text FROM documents""".stripMargin
 
-  /** Exact dedup: duplicate groups keyed by md5(text) — empty on the raw
-    * corpus (sanity: the pipeline must NOT invent dups), demonstrated
-    * against the derived corpus where each doc pairs with nothing (the
-    * perturbed copies differ) — so this returns groups only when texts
-    * truly collide. */
-  def exactDupGroups(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "documents")
+  /** Offset for PLANTED exact copies — disjoint from [[IdOffset]]'s
+    * near-dup band so the two derived corpora can never alias. */
+  private[graft] val ExactCopyOffset = 2000000L
+
+  /** Exact dedup: duplicate groups keyed by md5(text), gated over a
+    * derived corpus with PLANTED byte-identical copies (every 3rd doc is
+    * re-emitted verbatim under a shifted id) — the raw fixture carries no
+    * exact dups, so the raw-table gate passed on 0 rows and couldn't
+    * discriminate (VERDICT r14 #3; the `profile_null_patterns` planted-view
+    * precedent). Docs NOT in the planted set must appear in no group —
+    * the grouping is still run over the full union, so an over-grouping
+    * bug (hashing the wrong column, dropping the filter) surfaces as
+    * extra rows, and an under-grouping bug as missing ones. */
+  def exactDupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents").select("doc_id", "text")
+    d.unionAll(d.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + ExactCopyOffset).as("doc_id"), col("text")))
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
       .select("keep_id", "n_copies")
       .orderBy("keep_id")
+  }
 
   val exactDupGroupsOracle: String =
-    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
-      |FROM documents GROUP BY md5(text) HAVING count(*) > 1
-      |ORDER BY keep_id""".stripMargin
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $ExactCopyOffset AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+       |)
+       |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+       |FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+       |ORDER BY keep_id""".stripMargin
 
   /** Exact dedup, keep-first policy: the surviving doc_ids after hashing the
     * full corpus (including planted copies of identical texts if any). */

@@ -41,6 +41,15 @@ import org.apache.spark.sql.functions._
   */
 object QualityClassifier {
 
+  /** The engine's classifier ADMISSION RULE, `score_micro > DecisionMicro`
+    * (mean per-word evidence favors the positive class — 10⁶ is the
+    * neutral-evidence point of the micro-unit ratio scale). ONE named
+    * constant (ADVICE r14): the rule gates the training manifest, the
+    * confusion/agreement tables, the streaming twin, and their oracles —
+    * a threshold change must move all of them together or the gated form
+    * drifts away from its oracle. */
+  val DecisionMicro = 1000000L
+
   private val DigestK = 25
 
   /** (doc_id, word) tf frame + CCNet buckets — MATERIALIZED once per
@@ -125,7 +134,7 @@ object QualityClassifier {
     val (ratios, scal) = fit(spark, dir, docTerm, buckets)
     val scored = scoreByJoin(docTerm, ratios, scal)
     scored.join(buckets.select("doc_id", "bucket"), "doc_id")
-      .withColumn("predicted", when(col("score_micro") > 1000000L, "pos").otherwise("neg"))
+      .withColumn("predicted", when(col("score_micro") > DecisionMicro, "pos").otherwise("neg"))
       .groupBy("bucket", "predicted")
       .agg(count(lit(1)).as("n_docs"),
         expr("CAST(sum(CAST(score_micro AS DECIMAL(38,0))) div count(1) AS BIGINT)")
@@ -142,7 +151,7 @@ object QualityClassifier {
     val (ratios, scal) = fitFrom(classCountsPlan(docTerm, buckets))
     scoreByJoin(docTerm, ratios, scal)
       .join(buckets.select("doc_id", "bucket"), "doc_id")
-      .withColumn("predicted", when(col("score_micro") > 1000000L, "pos").otherwise("neg"))
+      .withColumn("predicted", when(col("score_micro") > DecisionMicro, "pos").otherwise("neg"))
       .groupBy("bucket", "predicted")
       .agg(count(lit(1)).as("n_docs"),
         expr("CAST(sum(CAST(score_micro AS DECIMAL(38,0))) div count(1) AS BIGINT)")
@@ -337,7 +346,7 @@ object QualityClassifier {
        |  GROUP BY dt.doc_id
        |)
        |SELECT b.bucket,
-       |  CASE WHEN s.score_micro > 1000000 THEN 'pos' ELSE 'neg' END AS predicted,
+       |  CASE WHEN s.score_micro > $DecisionMicro THEN 'pos' ELSE 'neg' END AS predicted,
        |  CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(CAST(s.score_micro AS HUGEINT)) // count(*) AS BIGINT) AS mean_score_micro
        |FROM scored s JOIN buckets b USING (doc_id)

@@ -2035,7 +2035,7 @@ object TextAnalysis {
       // ccnet — it was distilled FROM those labels; the kappa says how
       // faithfully)
       .join(QualityClassifier.perDocScores(spark, dir)
-        .select(col("doc_id"), (col("score_micro") > 1000000L).as("nbc")), "doc_id")
+        .select(col("doc_id"), (col("score_micro") > QualityClassifier.DecisionMicro).as("nbc")), "doc_id")
 
   private val filterNames = Seq("gopher", "quality", "ccnet", "prune", "nbc")
   private val filterPairs: Seq[(String, String)] =
@@ -2108,7 +2108,7 @@ object TextAnalysis {
        |q AS (SELECT doc_id, passes_quality AS quality FROM ($qualityScoresOracle) t),
        |c AS (SELECT doc_id, bucket != 'tail' AS ccnet FROM ($unigramSurprisalOracle) t),
        |p AS (SELECT doc_id, keep AS prune FROM (${qualityPruneOracle()}) t),
-       |nb AS (SELECT doc_id, score_micro > 1000000 AS nbc
+       |nb AS (SELECT doc_id, score_micro > ${QualityClassifier.DecisionMicro} AS nbc
        |       FROM (${QualityClassifier.perDocScoresOracle}) t),
        |wide AS (
        |  SELECT g.doc_id, gopher, quality, ccnet, prune, nbc
@@ -2744,15 +2744,19 @@ object TextAnalysis {
     classifyByThreshold(buckets, lmThresholds(buckets))
   }
 
-  /** The unigram LM FROZEN as one broadcastable row: a "lang|word" →
+  /** The unigram LM FROZEN as one broadcastable row: a struct(lang, word) →
     * rarity_micro map ([[QualityClassifier.modelRow]]'s discipline —
     * vocab-bounded by Zipf, never corpus-sized). The side input the
-    * streaming tercile gate scores against. */
+    * streaming tercile gate scores against. The key is a STRUCT, not a
+    * `lang|word` concat (ADVICE r14): the concat encoding was only
+    * injective while `lang` never contained '|' — a collision would abort
+    * `map_from_entries` (duplicate key) or silently mis-score under
+    * LAST_WIN; the struct key is injective for any alphabet. */
   def lmModelRow(spark: SparkSession, dir: String): DataFrame = {
     val docTerm = StageMemo(spark, dir, "nb_docterm")(docTermTf(spark, dir))
     langRarityFrom(docTerm)
       .agg(map_from_entries(collect_list(struct(
-        concat(col("lang"), lit("|"), col("word")), col("rarity_micro")))).as("model"))
+        struct(col("lang"), col("word")).as("k"), col("rarity_micro")))).as("model"))
   }
 
   /** Per-language DEPLOYMENT side-table: the two frozen tercile boundaries
@@ -3173,7 +3177,7 @@ object TextAnalysis {
     val buckets = unigramSurprisal(spark, dir)
       .select(col("doc_id"), col("bucket"))
     val classifier = QualityClassifier.perDocScores(spark, dir)
-      .select(col("doc_id"), (col("score_micro") > 1000000L).as("keep_classifier"))
+      .select(col("doc_id"), (col("score_micro") > QualityClassifier.DecisionMicro).as("keep_classifier"))
     docs
       .join(dedupKeep, "doc_id")
       .join(quality, "doc_id")
@@ -3224,9 +3228,9 @@ object TextAnalysis {
        |  q.keep AS keep_quality,
        |  coalesce(b.bucket, 'tail') AS bucket,
        |  coalesce(b.bucket, 'tail') != 'tail' AS keep_bucket,
-       |  coalesce(n.score_micro > 1000000, FALSE) AS keep_classifier,
+       |  coalesce(n.score_micro > ${QualityClassifier.DecisionMicro}, FALSE) AS keep_classifier,
        |  (k.keep = 1 AND q.keep AND coalesce(b.bucket, 'tail') != 'tail'
-       |   AND coalesce(n.score_micro > 1000000, FALSE)) AS final_keep
+       |   AND coalesce(n.score_micro > ${QualityClassifier.DecisionMicro}, FALSE)) AS final_keep
        |FROM documents d
        |JOIN keep_list k ON k.doc_id = d.doc_id
        |JOIN quality q ON q.doc_id = d.doc_id

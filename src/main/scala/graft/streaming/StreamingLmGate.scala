@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Streaming CCNet-TERCILE GATE — the micro-batch twin of the
   * `docs_ccnet_deployed` CLASSIFY path, deployed the way a firehose deploys
   * a quality bucketer: the unigram LM frozen as one broadcast map row
-  * ([[graft.operators.TextAnalysis.lmModelRow]] — "lang|word" →
+  * ([[graft.operators.TextAnalysis.lmModelRow]] — struct(lang, word) →
   * rarity_micro, vocab-bounded by Zipf) plus the per-language tercile score
   * boundaries the batch rank policy calibrated
   * ([[graft.operators.TextAnalysis.lmBoundaries]]). Arriving documents are
@@ -48,7 +48,7 @@ object StreamingLmGate {
       .withColumn("score_micro", expr(
         """CAST(aggregate(ws, CAST(0 AS DECIMAL(38,0)),
           | (acc, w) -> acc + coalesce(
-          |   element_at(model, concat(lang, '|', w)),
+          |   element_at(model, named_struct('lang', lang, 'word', w)),
           |   (CAST(1000000 AS DECIMAL(38,0)) * lang_tokens) div 1),
           | acc -> acc) div size(ws) AS BIGINT)""".stripMargin.replace("\n", "")))
       .withColumn("bucket",

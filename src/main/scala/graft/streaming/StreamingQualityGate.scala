@@ -53,6 +53,6 @@ object StreamingQualityGate {
     scoreProjection(df, model)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("score_micro") > 1000000L, 1L).otherwise(0L)).as("n_pred_pos"),
+        sum(when(col("score_micro") > graft.operators.QualityClassifier.DecisionMicro, 1L).otherwise(0L)).as("n_pred_pos"),
         sum(col("score_micro")).as("sum_score_micro"))
 }

@@ -58,9 +58,12 @@ class OperatorsIndexSpec extends AnyFunSuite {
     // Flagship. Cross-check against the newest committed clean-box bench
     // artifact: any query that costs > 2 s steady-state is exactly the kind
     // whose 100 TB plan a reviewer must be able to read.
+    // newest = highest ROUND NUMBER, not lexicographic name (ADVICE r14:
+    // "BENCH_r9…" would outrank "BENCH_r14…" under a name sort)
+    val round = "BENCH_r(\\d+)_clean_full\\.json".r
     val artifacts = new java.io.File(".").listFiles()
       .filter(f => f.getName.matches("BENCH_r\\d+_clean_full\\.json"))
-      .sortBy(_.getName)
+      .sortBy(f => round.findFirstMatchIn(f.getName).get.group(1).toInt)
     assert(artifacts.nonEmpty, "no clean bench artifact committed")
     val text = new String(java.nio.file.Files.readAllBytes(
       artifacts.last.toPath), "UTF-8")
@@ -73,6 +76,16 @@ class OperatorsIndexSpec extends AnyFunSuite {
       if (parts.length < 2) "" else parts(1).take(parts(1).indexOf('}'))
     }
     val inQueries = objectAfter("queries")
+    // loud-failure guard (ADVICE r14): a key rename or format drift would
+    // make objectAfter return "" and the gate pass while checking nothing —
+    // pin the parsed per-query count to the artifact's own n_queries field
+    val nQueries = """"n_queries"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(text).map(_.group(1).toInt)
+      .getOrElse(fail(s"${artifacts.last.getName}: no n_queries field — format drift"))
+    val parsedCount = q.findAllMatchIn(inQueries).size
+    assert(parsedCount == nQueries,
+      s"${artifacts.last.getName}: parsed $parsedCount query lines but artifact " +
+        s"declares n_queries=$nQueries — queries-object parse went vacuous")
     // a first-pass line recorded under load carries its quiet-box rerun in
     // the artifact's rerun map — judge the line by min(first, rerun), the
     // same rule Bench uses for its own headline

@@ -26,7 +26,7 @@ class FilterAgreementSpec extends AnyFunSuite {
         .map(r => r.getLong(0) -> Option(r.getString(1) != "tail")).toMap,
       "prune" -> flags(TextAnalysis.qualityPrune(spark, dir), "keep"),
       "nbc" -> QualityClassifier.perDocScores(spark, dir)
-        .select(col("doc_id"), (col("score_micro") > 1000000L).as("nbc")).collect()
+        .select(col("doc_id"), (col("score_micro") > QualityClassifier.DecisionMicro).as("nbc")).collect()
         .map(r => r.getLong(0) -> Option(r.getBoolean(1))).toMap)
     val ids = byName("quality").keySet
     assert(byName.values.forall(_.keySet == ids))

@@ -550,7 +550,7 @@ class TrainPipelineSpec extends AnyFunSuite {
     val quality = TextAnalysis.qualityPrune(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
     val nbKeep = QualityClassifier.perDocScores(spark, dir).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1) > 1000000L)).toMap
+      .map(r => r.getLong(0) -> (r.getLong(1) > QualityClassifier.DecisionMicro)).toMap
     rows.foreach { case (id, d, q, _, _, c, _) =>
       assert(d == dedupKeep(id), s"doc $id dedup flag diverges from dedupKeepList")
       assert(q == quality(id), s"doc $id quality flag diverges from qualityPrune")
