@@ -589,7 +589,9 @@ object SparkEntry {
       "quality_checks" -> (graft.quality.QualitySuite.run(_, _)),
       "quality_classifier_train" -> (QualityClassifier.classifierTrain(_, _)),
       "quality_classifier_confusion" -> (QualityClassifier.classifierConfusion(_, _)),
-      "quality_classifier_drift" -> (QualityClassifier.classifierDrift(_, _)))
+      "quality_classifier_drift" -> (QualityClassifier.classifierDrift(_, _)),
+      "docs_classifier_auc" -> (QualityClassifier.classifierAuc(_, _)),
+      "docs_classifier_calibration" -> (QualityClassifier.classifierCalibration(_, _)))
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -971,6 +973,8 @@ object SparkEntry {
       "quality_checks" -> graft.quality.QualitySuite.oracle,
       "quality_classifier_train" -> QualityClassifier.classifierTrainOracle,
       "quality_classifier_confusion" -> QualityClassifier.classifierConfusionOracle,
-      "quality_classifier_drift" -> QualityClassifier.classifierDriftOracle())
+      "quality_classifier_drift" -> QualityClassifier.classifierDriftOracle(),
+      "docs_classifier_auc" -> QualityClassifier.classifierAucOracle,
+      "docs_classifier_calibration" -> QualityClassifier.classifierCalibrationOracle)
   }
 }

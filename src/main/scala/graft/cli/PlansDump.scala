@@ -110,8 +110,9 @@ object PlansDump {
     "docs_trigram_buckets",    // train-split fit, 5 gram-keyed joins, backoff CASE
     "docs_lm_order_agreement3", // order-2 x order-3 buckets joined on doc_id
     "docs_ccnet_deployed",     // DEPLOYED classify: scan + broadcast boundaries, no window
-    "text_paragraph_dedup",    // row-local block hashing, one phash-keyed shuffle
-    "docs_training_manifest",  // 4-gate conjunction: flag joins on 8 B keys
+    "text_paragraph_dedup",    // ONE segmentation: per-(phash,doc) counts + phash window
+    "docs_training_manifest",  // 5-gate conjunction: flag joins on 8 B keys
+    "docs_classifier_auc",     // grouped-midrank U over distinct (lang, score) rows
     "profile_pk_discovery",    // derivation over the fused whole-catalog profiles
     "dedup_audit_sample",      // boundary-band sample over the shared pair graph
     "docs_curriculum_order",   // manifest x quality join + per-shard rank
@@ -153,6 +154,8 @@ object PlansDump {
       "docs_ccnet_deployed" -> (graft.operators.TextAnalysis.ccnetDeployedClassifyPlan(_, _)),
       "docs_dsir_importance" -> (graft.operators.DataSelection.dsirImportancePlan(_, _)),
       "quality_classifier_confusion" -> (graft.operators.QualityClassifier.classifierConfusionPlan(_, _)),
+      "docs_classifier_auc" -> (graft.operators.QualityClassifier.classifierAucPlan(_, _)),
+      "text_paragraph_dedup" -> (graft.operators.TextAnalysis.paragraphDedupPlan(_, _)),
       // pins k: the gated form's auto-k count() is an eager action at
       // plan-construction time (ADVICE r7); plan shape is identical
       "semdedup" -> (graft.operators.Similarity.semDedupPlan(_, _)))

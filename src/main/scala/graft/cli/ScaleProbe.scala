@@ -445,7 +445,12 @@ object ScaleProbe {
     val nbqBuilds = Seq[(String, String => DataFrame)](
       ("nb_train", d => graft.operators.QualityClassifier.classifierTrain(spark, d)),
       ("nb_confusion", d => graft.operators.QualityClassifier.classifierConfusion(spark, d)),
-      ("nb_drift", d => graft.operators.QualityClassifier.classifierDrift(spark, d)))
+      ("nb_drift", d => graft.operators.QualityClassifier.classifierDrift(spark, d)),
+      // round 15: the evaluation battery rides the same unrotated-replica
+      // axis — the AUC rank window runs over the grouped score-VALUE
+      // domain per language, so its cost must track the scan, not n²
+      ("nb_auc", d => graft.operators.QualityClassifier.classifierAuc(spark, d)),
+      ("nb_calibration", d => graft.operators.QualityClassifier.classifierCalibration(spark, d)))
     val lmBuilds = Seq[(String, String => DataFrame)](
       ("bigram_buckets", d => graft.operators.TextAnalysis.bigramSurprisal(spark, d)),
       ("lm_order_agreement", d => graft.operators.TextAnalysis.lmOrderAgreement(spark, d)),
@@ -473,7 +478,7 @@ object ScaleProbe {
     val best = sizes.map { s =>
       val dir = s"$outRoot/x$s"
       s -> (1 to reps).map { _ =>
-        graft.operators.Dedup.clearSharedStages()
+        graft.operators.StageMemo.releaseAll()
         builds.map { case (name, mk) => name -> timeIt(noop(mk(dir))) }.toMap
       }.reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
     }.toMap

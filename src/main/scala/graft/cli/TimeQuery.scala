@@ -37,7 +37,7 @@ object TimeQuery {
     if (names.length == 1) {
       val fn = graft.SparkEntry.queries(name)
       (1 to reps).foreach { i =>
-        graft.operators.Dedup.clearSharedStages()
+        graft.operators.StageMemo.releaseAll()
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         println(f"rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
@@ -47,7 +47,7 @@ object TimeQuery {
       // build; reps ≥ 2 time fully-memoized reads even for the
       // build-owning query. Tag the lines so the two aren't misread as
       // measuring the same thing (ADVICE r8).
-      graft.operators.Dedup.clearSharedStages()
+      graft.operators.StageMemo.releaseAll()
       (1 to reps).foreach { i =>
         val tag = if (i == 1) " (build)" else " (memoized)"
         names.foreach { n =>

@@ -352,4 +352,166 @@ object QualityClassifier {
        |FROM scored s JOIN buckets b USING (doc_id)
        |GROUP BY b.bucket, predicted
        |ORDER BY b.bucket, predicted""".stripMargin
+
+  // --------------------------------------------------- ROC-AUC (exact)
+  /** EXACT ROC-AUC of the trained scores against their own proxy tercile
+    * labels, PER LANGUAGE (VERDICT r14 #5) — the measured quality number
+    * for the model [[TextAnalysis.trainingManifest]] now gates admission
+    * on: the probability that a random head-labeled doc outscores a random
+    * tail-labeled doc under the trained model, ties counting half, as an
+    * exact integer micro-fraction. Uses the engine's Mann–Whitney
+    * machinery ([[graft.operators.EventOps.weekendRankTest]]'s
+    * grouped-midrank trick): over DISTINCT (lang, score) rows,
+    * `midrank₂ = 2·below + cnt + 1`, `2U = Σ_pos midrank₂ − n_pos·(n_pos+1)`,
+    * and `auc_micro = 10⁶·U / (n_pos·n_neg)` by floor division — no libm,
+    * both engines bit-identical. A language whose labels are one-sided
+    * (no head or no tail docs) is excluded: AUC is undefined there.
+    *
+    * This is IN-SAMPLE AUC by design: it measures the distillation
+    * residual — how separably the closed-form fit ranks its own proxy
+    * labels (1.0 would mean the bag-of-words model can linearly shatter
+    * the tercile cut; the gap from 1.0 is what the manifest's gate #4
+    * actually costs/filters). Held-out behavior is the drift and
+    * agreement rows' job.
+    *
+    * 100 TB shape: scoring reuses the memoized tokenize-once artifact and
+    * the vocab-keyed ratio join; the rank window runs per LANGUAGE over
+    * the grouped score-VALUE frame (score domain ≪ docs), never a global
+    * sort. u2 is computed in DECIMAL(38,0) (2U ≤ 2·n_pos·n_neg wraps
+    * int64 past ~3·10⁹ labeled docs per language) and floored back to
+    * BIGINT only at output. */
+  def classifierAuc(spark: SparkSession, dir: String): DataFrame = {
+    val (docTerm, buckets) = pieces(spark, dir)
+    val (ratios, scal) = fit(spark, dir, docTerm, buckets)
+    aucFrom(scoreByJoin(docTerm, ratios, scal), buckets)
+  }
+
+  /** Un-checkpointed twin for plan audits (the [[classifierConfusionPlan]]
+    * pattern): the gated form's memoized stages collapse to RDD scans in
+    * explain output. */
+  private[graft] def classifierAucPlan(spark: SparkSession, dir: String): DataFrame = {
+    val docTerm = TextAnalysis.docTermTf(spark, dir)
+    val buckets = TextAnalysis.unigramSurprisalFrom(docTerm)
+    val (ratios, scal) = fitFrom(classCountsPlan(docTerm, buckets))
+    aucFrom(scoreByJoin(docTerm, ratios, scal), buckets)
+  }
+
+  private def aucFrom(scored: DataFrame, buckets: DataFrame): DataFrame = {
+    val labeled = scored
+      .join(buckets.filter(col("bucket").isin("head", "tail"))
+        .select("doc_id", "lang", "bucket"), "doc_id")
+    val grp = labeled.groupBy(col("lang"), col("score_micro").as("s"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("bucket") === "head", 1L).otherwise(0L)).as("pos_cnt"))
+    val w = Window.partitionBy("lang").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grp
+      .withColumn("below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("midrank2", lit(2L) * col("below") + col("cnt") + 1)
+      .groupBy("lang")
+      .agg(sum(col("cnt")).as("n"),
+        sum(col("pos_cnt")).as("n_pos"),
+        sum(col("pos_cnt").cast("decimal(38,0)") * col("midrank2")).as("sum_mr2"))
+      .filter(col("n_pos") > 0 && col("n") > col("n_pos"))
+      .select(col("lang"), col("n_pos"), (col("n") - col("n_pos")).as("n_neg"),
+        expr("CAST(sum_mr2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1) AS BIGINT)").as("u2"),
+        expr("""CAST(((sum_mr2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)) * 1000000)
+               | div (CAST(2 AS DECIMAL(38,0)) * n_pos * (n - n_pos)) AS BIGINT)"""
+          .stripMargin.replace("\n", "")).as("auc_micro"))
+      .orderBy("lang")
+  }
+
+  val classifierAucOracle: String =
+    s"""$oracleChain, scored AS (
+       |  SELECT dt.doc_id,
+       |    CAST(sum(CAST(dt.tf AS HUGEINT) * coalesce(r.ratio_micro, scal.unseen_micro))
+       |      // sum(dt.tf) AS BIGINT) AS score_micro
+       |  FROM dt LEFT JOIN ratio r ON r.word = dt.word CROSS JOIN scal
+       |  GROUP BY dt.doc_id
+       |), labeled AS (
+       |  SELECT b.lang, s.score_micro AS s, b.bucket = 'head' AS pos
+       |  FROM scored s JOIN buckets b USING (doc_id)
+       |  WHERE b.bucket IN ('head', 'tail')
+       |), grp AS (
+       |  SELECT lang, s, count(*) AS cnt,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos_cnt
+       |  FROM labeled GROUP BY lang, s
+       |), mr AS (
+       |  SELECT lang, cnt, pos_cnt,
+       |    2 * COALESCE(sum(cnt) OVER (PARTITION BY lang ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt + 1 AS midrank2
+       |  FROM grp
+       |), agg AS (
+       |  SELECT lang, CAST(sum(cnt) AS BIGINT) AS n,
+       |    CAST(sum(pos_cnt) AS BIGINT) AS n_pos,
+       |    sum(CAST(pos_cnt AS HUGEINT) * midrank2) AS sum_mr2
+       |  FROM mr GROUP BY lang
+       |)
+       |SELECT lang, n_pos, n - n_pos AS n_neg,
+       |  CAST(sum_mr2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS BIGINT) AS u2,
+       |  CAST(((sum_mr2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000)
+       |    // (2 * CAST(n_pos AS HUGEINT) * (n - n_pos)) AS BIGINT) AS auc_micro
+       |FROM agg WHERE n_pos > 0 AND n > n_pos
+       |ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------- calibration bins
+  /** Score-bin geometry for [[classifierCalibration]]: the tf-weighted
+    * MEAN likelihood ratio concentrates near the neutral point 10⁶ (a
+    * doc's words mostly carry mild evidence), so wide bins collapse the
+    * table — fixed 25 000-micro bins across the ±~10% band around
+    * neutral, both ends clamped open (≤ 10 rows at any corpus size).
+    * [[DecisionMicro]] sits exactly on a bin edge, so the table reads
+    * directly against the admission rule. */
+  private[operators] val CalibrationBinMicro = 25000L
+  private[operators] val CalibrationMinBin = 36L // 900 000 micro
+  private[operators] val CalibrationMaxBin = 45L // 1 125 000 micro
+
+  /** CALIBRATION TABLE (VERDICT r14 #5's second half) — the trained
+    * score's reliability read: labeled docs bucketed into fixed
+    * [[CalibrationBinMicro]]-wide score bins, each bin reporting how many
+    * docs landed there, how many were actually head-labeled, and the
+    * exact micro-fraction — a well-calibrated monotone model shows
+    * pos_micro rising with the bin. Bounded output (≤ 9 rows) from one
+    * conditional aggregate over the labeled-score frame; everything
+    * integer-exact. */
+  def classifierCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val (docTerm, buckets) = pieces(spark, dir)
+    val (ratios, scal) = fit(spark, dir, docTerm, buckets)
+    scoreByJoin(docTerm, ratios, scal)
+      .join(buckets.filter(col("bucket").isin("head", "tail"))
+        .select("doc_id", "bucket"), "doc_id")
+      .withColumn("bin",
+        least(greatest(expr(s"score_micro div $CalibrationBinMicro"),
+          lit(CalibrationMinBin)), lit(CalibrationMaxBin)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("bucket") === "head", 1L).otherwise(0L)).as("n_pos"),
+        expr("CAST(sum(CAST(score_micro AS DECIMAL(38,0))) div count(1) AS BIGINT)")
+          .as("mean_score_micro"))
+      .withColumn("pos_micro", expr("(n_pos * 1000000) div n_docs"))
+      .select((col("bin") * CalibrationBinMicro).as("bin_lo_micro"),
+        col("n_docs"), col("n_pos"), col("pos_micro"), col("mean_score_micro"))
+      .orderBy("bin_lo_micro")
+  }
+
+  val classifierCalibrationOracle: String =
+    s"""$oracleChain, scored AS (
+       |  SELECT dt.doc_id,
+       |    CAST(sum(CAST(dt.tf AS HUGEINT) * coalesce(r.ratio_micro, scal.unseen_micro))
+       |      // sum(dt.tf) AS BIGINT) AS score_micro
+       |  FROM dt LEFT JOIN ratio r ON r.word = dt.word CROSS JOIN scal
+       |  GROUP BY dt.doc_id
+       |), binned AS (
+       |  SELECT least(greatest(s.score_micro // $CalibrationBinMicro, $CalibrationMinBin), $CalibrationMaxBin) AS bin,
+       |    s.score_micro, b.bucket = 'head' AS pos
+       |  FROM scored s JOIN buckets b USING (doc_id)
+       |  WHERE b.bucket IN ('head', 'tail')
+       |)
+       |SELECT CAST(bin * $CalibrationBinMicro AS BIGINT) AS bin_lo_micro,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  CAST((sum(CASE WHEN pos THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS pos_micro,
+       |  CAST(sum(CAST(score_micro AS HUGEINT)) // count(*) AS BIGINT) AS mean_score_micro
+       |FROM binned GROUP BY bin
+       |ORDER BY bin_lo_micro""".stripMargin
 }

@@ -16,6 +16,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * downstream analytic against it, rather than re-hashing the corpus per
   * question.
   *
+  * ==Bounded residency (VERDICT r14 #1)==
+  * GC-managed release turned out not to bound anything in practice: the
+  * memo itself holds the strong reference for process lifetime, and even
+  * after [[clear]] the ContextCleaner only frees blocks after a full GC
+  * enqueues the weak refs (its own periodic GC defaults to 30 min — longer
+  * than a whole bench run). Round 14 measured the cost: the LM family's
+  * new memoized stages stayed resident across the remaining ~300 bench
+  * queries, tripled JVM GC time, and taxed every later family ~16%. So the
+  * memo now supports EXPLICIT release: [[beginQuery]] attributes reads to
+  * the declared query names, [[lastReaders]] derives each stage's final
+  * consumer from an observed run order, and [[release]] / [[releaseAll]]
+  * drop entries AND eagerly unpersist their checkpoint blocks (safe: a
+  * released stage simply rebuilds for any later consumer — same contract
+  * as a fresh session). Bench releases each stage right after its last
+  * consumer's timed run; steady-state memory is then one family's working
+  * set, not the whole suite's history.
+  *
   * ==Immutable-dir contract==
   * A memoized stage is pinned to the FILES AS READ at build time: if data
   * under `dir` is rewritten or appended mid-session, every consumer of the
@@ -54,6 +71,12 @@ private[graft] object StageMemo {
     // context are dead — evict them so cycled sessions don't pin stopped
     // contexts' plans/RDDs for process lifetime
     stageCache.keys.filter(_._1 != ck).foreach(stageCache.remove)
+    val q = currentQuery.get()
+    if (q != null)
+      readLog.updateWith(normalize(stage)) {
+        case Some(rs) => Some(rs + q)
+        case None     => Some(Set(q))
+      }
     // TrieMap.getOrElseUpdate is atomic per key; the eager checkpoint job
     // runs under the winning Memo's own lazy-val lock, so two stages build
     // concurrently while two callers of the SAME stage still share one build
@@ -61,8 +84,69 @@ private[graft] object StageMemo {
       new Memo(() => build.localCheckpoint(true))).df
   }
 
-  /** Test/bench hook: drop every memoized stage (blocks are then freed by
-    * the ContextCleaner once the returned DataFrames go unreferenced). */
+  /** Test/bench hook: drop every memoized stage WITHOUT unpersisting
+    * (blocks are then freed by the ContextCleaner once the returned
+    * DataFrames go unreferenced and a GC runs) — kept for the dir-mutation
+    * specs, where a caller may still hold a frame built on the old files.
+    * Bench paths want [[releaseAll]] instead. */
   def clear(): Unit =
     stageCache.clear()
+
+  // ------------------------------------------------ bounded residency
+
+  /** Query attribution for [[lastReaders]]: the name set by [[beginQuery]]
+    * is recorded against every stage read until the next beginQuery. */
+  private val currentQuery =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** normalized stage name → declared queries observed reading it. */
+  private val readLog =
+    scala.collection.concurrent.TrieMap.empty[String, Set[String]]
+
+  /** Stage names can embed dir-dependent numerics (`embed_pairs_<maxId>`);
+    * attribution learned at the warmup SF must transfer to the measured
+    * SF, so reader bookkeeping drops a trailing numeric suffix. */
+  private def normalize(stage: String): String =
+    stage.replaceAll("_[0-9]+$", "")
+
+  /** Marks the query whose stage reads should be attributed to `name`. */
+  def beginQuery(name: String): Unit = currentQuery.set(name)
+
+  /** Each observed stage's LAST consumer under `queryOrder` (the order the
+    * caller runs queries in). A stage read only outside any beginQuery
+    * window, or by a query not in the order, keeps no entry — it is then
+    * never auto-released. */
+  def lastReaders(queryOrder: Seq[String]): Map[String, String] =
+    readLog.toMap.flatMap { case (stage, readers) =>
+      queryOrder.reverseIterator.find(readers).map(stage -> _)
+    }
+
+  /** Releases every resident stage whose last consumer (per `lastReader`,
+    * from [[lastReaders]]) is `query`: the entry is removed AND its
+    * checkpoint blocks are unpersisted NOW — not left to a GC that may
+    * never run during the process. A later (unattributed) consumer simply
+    * rebuilds the stage. */
+  def releaseAfter(query: String, lastReader: Map[String, String]): Unit =
+    stageCache.keys
+      .filter(k => lastReader.get(normalize(k._3)).contains(query))
+      .foreach(k => stageCache.remove(k).foreach(unpersist))
+
+  /** Drops EVERY memoized stage and eagerly unpersists its blocks — the
+    * bench/CLI reset (safe there: queries re-derive every frame from the
+    * memo on each invocation, so no stale reference can survive). */
+  def releaseAll(): Unit =
+    stageCache.keys.foreach(k => stageCache.remove(k).foreach(unpersist))
+
+  /** Frees a released stage's checkpoint blocks. The checkpointed Dataset's
+    * plan root is the LogicalRDD wrapping the persisted RDD; unpersist on
+    * it is idempotent and safe against the ContextCleaner. Lineage was
+    * truncated at checkpoint time, so the RDD must never be acted on again
+    * — guaranteed here because the memo entry is removed first and every
+    * consumer re-enters through [[apply]]. */
+  private def unpersist(m: Memo): Unit =
+    try m.df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+    }
+    catch { case _: Throwable => () }
 }

@@ -1557,25 +1557,45 @@ object TextAnalysis {
     * discipline. Alignment caveat (spec-pinned): a boilerplate block
     * shifted off the W-word grid is NOT matched — the shingled
     * [[dupSpans]] path is the shift-robust complement. */
-  def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
+    sharedParagraphVerdicts(spark, dir).orderBy("doc_id")
+
+  /** The per-doc paragraph verdict, MATERIALIZED once per (session, dir):
+    * round 15 wires the keep/cut verdict into [[trainingManifest]] as keep
+    * gate #5, so the gated `text_paragraph_dedup` row and the manifest
+    * family read ONE build instead of re-segmenting the corpus each
+    * (VERDICT r14 #4). Tiny: five ints per doc. */
+  private[operators] def sharedParagraphVerdicts(spark: SparkSession,
+      dir: String): DataFrame =
+    StageMemo(spark, dir, "para_dedup")(paragraphDedupPlan(spark, dir))
+
+  /** Un-memoized twin for plan audits, and the single-segmentation form
+    * (VERDICT r14 #4: the r14 shape fed one `paras` projection into BOTH
+    * the hash-frequency aggregate and the join-back, so the transform/
+    * slice/md5 projection over every document ran in two jobs). Here the
+    * corpus segments ONCE: per-(phash, doc_id) instance counts first (the
+    * only aggregate that touches exploded rows), then the cross-doc
+    * screen as a count over the phash partition of that GROUPED frame —
+    * grouped rows are bounded by docs-containing-the-hash, so the window
+    * is per-key work, never a per-language/global sort. */
+  private[graft] def paragraphDedupPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val paras = table(spark, dir, "documents")
       .filter(size(words) >= ParaWords)
       .selectExpr("doc_id",
-        s"""posexplode(transform(sequence(0, CAST(size(split(text, ' ')) / $ParaWords AS INT) - 1),
+        s"""explode(transform(sequence(0, CAST(size(split(text, ' ')) / $ParaWords AS INT) - 1),
            |  i -> md5(array_join(slice(split(text, ' '), i * $ParaWords + 1, $ParaWords), ' '))))
-           |  AS (para_id, phash)"""
+           |  AS phash"""
           .stripMargin.replace("\n", ""))
-    val freq = paras.groupBy("phash")
-      .agg(countDistinct("doc_id").as("n_docs"))
-    paras.join(freq, Seq("phash"))
+    paras.groupBy("phash", "doc_id").agg(count(lit(1)).as("k"))
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy("phash")))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_paras"),
-        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_paras"))
+      .agg(sum("k").as("n_paras"),
+        sum(when(col("n_docs") >= 2, col("k")).otherwise(0L)).as("n_dup_paras"))
       .withColumn("dup_micro",
         expr("(CAST(n_dup_paras AS DECIMAL(38,0)) * 1000000) div n_paras"))
       .withColumn("keep", col("dup_micro") <= 500000L)
       .select("doc_id", "n_paras", "n_dup_paras", "dup_micro", "keep")
-      .orderBy("doc_id")
   }
 
   /** Paragraph block width (words). */
@@ -3151,19 +3171,24 @@ object TextAnalysis {
     * operators a user runs piecemeal — near-dup keep-list survivor
     * ([[Dedup.dedupKeepList]]), per-source quality pruning
     * ([[qualityPrune]]), CCNet tercile ([[unigramSurprisal]], tail
-    * dropped), and the TRAINED classifier's verdict
+    * dropped), the TRAINED classifier's verdict
     * ([[QualityClassifier.perDocScores]] under the engine's decision rule
-    * `score_micro > 10⁶` — the distill-then-deploy loop closed: the model
-    * the terciles trained now votes on admission alongside them) — and
+    * `score_micro > [[QualityClassifier.DecisionMicro]]` — the
+    * distill-then-deploy loop closed: the model the terciles trained now
+    * votes on admission alongside them), and (round 15, gate #5) the
+    * PARAGRAPH boilerplate screen ([[paragraphDedup]]'s keep — cut when
+    * more than half a doc's blocks are cross-document duplicates) — and
     * the conjunction `final_keep`. This is the table the actual
     * training-shard write filters on, and the audit trail for "why is
     * doc X (not) in the run".
     *
-    * 100 TB shape: four equi-joins of per-doc decision tables (8-16 B
+    * 100 TB shape: five equi-joins of per-doc decision tables (8-16 B
     * keys + flags) onto the corpus projection — each input is itself
-    * scale-audited, and the classifier score reads the SAME memoized
-    * tokenize-once artifact the tercile side built (no new corpus scan
-    * from adding the fourth gate). The manifest
+    * scale-audited, the classifier score reads the SAME memoized
+    * tokenize-once artifact the tercile side built, and the paragraph
+    * verdict is the memoized [[sharedParagraphVerdicts]] stage the gated
+    * `text_paragraph_dedup` row also reads (ONE segmentation pass serves
+    * both). The manifest
     * MATERIALIZES once per (session, dir) via [[StageMemo]] — it is the
     * table a production run writes to disk, and both gated consumers
     * (this query and [[manifestRollup]]) read the same build instead of
@@ -3178,6 +3203,8 @@ object TextAnalysis {
       .select(col("doc_id"), col("bucket"))
     val classifier = QualityClassifier.perDocScores(spark, dir)
       .select(col("doc_id"), (col("score_micro") > QualityClassifier.DecisionMicro).as("keep_classifier"))
+    val paragraph = sharedParagraphVerdicts(spark, dir)
+      .select(col("doc_id"), col("keep").as("keep_paragraph"))
     docs
       .join(dedupKeep, "doc_id")
       .join(quality, "doc_id")
@@ -3188,14 +3215,22 @@ object TextAnalysis {
       // LEFT for the same reason: no tokens → no classifier score → the
       // model abstains and the gate is a drop vote
       .join(classifier, Seq("doc_id"), "left")
+      // LEFT, but abstain-to-KEEP (round 15, gate #5): a doc shorter than
+      // one full block yields no paragraph row — the boilerplate screen
+      // has NO duplication evidence against it, so it must not vote to
+      // drop (contrast the classifier above: having no tokens IS a
+      // quality signal; having no full 8-word block is not a duplication
+      // signal — short docs are already the bucket/classifier gates' job)
+      .join(paragraph, Seq("doc_id"), "left")
       .withColumn("bucket", coalesce(col("bucket"), lit("tail")))
       .withColumn("keep_bucket", col("bucket") =!= "tail")
       .withColumn("keep_classifier", coalesce(col("keep_classifier"), lit(false)))
+      .withColumn("keep_paragraph", coalesce(col("keep_paragraph"), lit(true)))
       .withColumn("final_keep",
         col("keep_dedup") && col("keep_quality") && col("keep_bucket") &&
-          col("keep_classifier"))
+          col("keep_classifier") && col("keep_paragraph"))
       .select("doc_id", "lang", "source", "keep_dedup", "keep_quality",
-        "bucket", "keep_bucket", "keep_classifier", "final_keep")
+        "bucket", "keep_bucket", "keep_classifier", "keep_paragraph", "final_keep")
   }
 
   private def sharedManifest(spark: SparkSession, dir: String): DataFrame =
@@ -3222,6 +3257,10 @@ object TextAnalysis {
        |  SELECT * FROM (
        |${QualityClassifier.perDocScoresOracle.linesIterator.map("    " + _).mkString("\n")}
        |  ) sc
+       |), para AS (
+       |  SELECT * FROM (
+       |${paragraphDedupOracle.linesIterator.map("    " + _).mkString("\n")}
+       |  ) pg
        |)
        |SELECT d.doc_id, d.lang, d.source,
        |  k.keep = 1 AS keep_dedup,
@@ -3229,13 +3268,16 @@ object TextAnalysis {
        |  coalesce(b.bucket, 'tail') AS bucket,
        |  coalesce(b.bucket, 'tail') != 'tail' AS keep_bucket,
        |  coalesce(n.score_micro > ${QualityClassifier.DecisionMicro}, FALSE) AS keep_classifier,
+       |  coalesce(p.keep, TRUE) AS keep_paragraph,
        |  (k.keep = 1 AND q.keep AND coalesce(b.bucket, 'tail') != 'tail'
-       |   AND coalesce(n.score_micro > ${QualityClassifier.DecisionMicro}, FALSE)) AS final_keep
+       |   AND coalesce(n.score_micro > ${QualityClassifier.DecisionMicro}, FALSE)
+       |   AND coalesce(p.keep, TRUE)) AS final_keep
        |FROM documents d
        |JOIN keep_list k ON k.doc_id = d.doc_id
        |JOIN quality q ON q.doc_id = d.doc_id
        |LEFT JOIN buckets b ON b.doc_id = d.doc_id
        |LEFT JOIN nbsc n ON n.doc_id = d.doc_id
+       |LEFT JOIN para p ON p.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
   // --------------------------------------------- manifest per-source rollup
@@ -3687,33 +3729,37 @@ object TextAnalysis {
   /** KEEP-RULE ABLATION (round 11) — the question right after "what did
     * cleaning cut" ([[manifestRollup]]) is "WHICH rule cut it, and what
     * would relaxing it buy": per manifest keep-rule (dedup / quality /
-    * bucket / classifier), how many docs it blocks at all, how many it is
-    * the SOLE blocker of (exactly the docs recovered if that one rule were
-    * dropped), and the resulting keep count without it. One conditional
-    * aggregate over the shared manifest — flags only, no corpus re-scan;
-    * output is 4 rows regardless of scale. */
+    * bucket / classifier / paragraph), how many docs it blocks at all,
+    * how many it is the SOLE blocker of (exactly the docs recovered if
+    * that one rule were dropped), and the resulting keep count without
+    * it. One conditional aggregate over the shared manifest — flags
+    * only, no corpus re-scan; output is 5 rows regardless of scale. */
   def keepAblation(spark: SparkSession, dir: String): DataFrame =
     sharedManifest(spark, dir)
       .agg(
         sum(when(col("final_keep"), 1L).otherwise(0L)).as("kept"),
         sum(when(!col("keep_dedup"), 1L).otherwise(0L)).as("dedup_blocked"),
         sum(when(!col("keep_dedup") && col("keep_quality") && col("keep_bucket") &&
-          col("keep_classifier"), 1L).otherwise(0L)).as("dedup_sole"),
+          col("keep_classifier") && col("keep_paragraph"), 1L).otherwise(0L)).as("dedup_sole"),
         sum(when(!col("keep_quality"), 1L).otherwise(0L)).as("quality_blocked"),
         sum(when(!col("keep_quality") && col("keep_dedup") && col("keep_bucket") &&
-          col("keep_classifier"), 1L).otherwise(0L)).as("quality_sole"),
+          col("keep_classifier") && col("keep_paragraph"), 1L).otherwise(0L)).as("quality_sole"),
         sum(when(!col("keep_bucket"), 1L).otherwise(0L)).as("bucket_blocked"),
         sum(when(!col("keep_bucket") && col("keep_dedup") && col("keep_quality") &&
-          col("keep_classifier"), 1L).otherwise(0L)).as("bucket_sole"),
+          col("keep_classifier") && col("keep_paragraph"), 1L).otherwise(0L)).as("bucket_sole"),
         sum(when(!col("keep_classifier"), 1L).otherwise(0L)).as("classifier_blocked"),
         sum(when(!col("keep_classifier") && col("keep_dedup") && col("keep_quality") &&
-          col("keep_bucket"), 1L).otherwise(0L)).as("classifier_sole"))
+          col("keep_bucket") && col("keep_paragraph"), 1L).otherwise(0L)).as("classifier_sole"),
+        sum(when(!col("keep_paragraph"), 1L).otherwise(0L)).as("paragraph_blocked"),
+        sum(when(!col("keep_paragraph") && col("keep_dedup") && col("keep_quality") &&
+          col("keep_bucket") && col("keep_classifier"), 1L).otherwise(0L)).as("paragraph_sole"))
       .selectExpr(
-        """stack(4,
+        """stack(5,
           |  'dedup',      dedup_blocked,      dedup_sole,      kept + dedup_sole,
           |  'quality',    quality_blocked,    quality_sole,    kept + quality_sole,
           |  'bucket',     bucket_blocked,     bucket_sole,     kept + bucket_sole,
-          |  'classifier', classifier_blocked, classifier_sole, kept + classifier_sole
+          |  'classifier', classifier_blocked, classifier_sole, kept + classifier_sole,
+          |  'paragraph',  paragraph_blocked,  paragraph_sole,  kept + paragraph_sole
           |) AS (rule, n_blocked, n_sole_blocked, n_kept_if_dropped)""".stripMargin)
       .orderBy("rule")
 
@@ -3727,13 +3773,15 @@ object TextAnalysis {
        |  SELECT
        |    CAST(sum(CASE WHEN final_keep THEN 1 ELSE 0 END) AS BIGINT) AS kept,
        |    CAST(sum(CASE WHEN NOT keep_dedup THEN 1 ELSE 0 END) AS BIGINT) AS dedup_blocked,
-       |    CAST(sum(CASE WHEN NOT keep_dedup AND keep_quality AND keep_bucket AND keep_classifier THEN 1 ELSE 0 END) AS BIGINT) AS dedup_sole,
+       |    CAST(sum(CASE WHEN NOT keep_dedup AND keep_quality AND keep_bucket AND keep_classifier AND keep_paragraph THEN 1 ELSE 0 END) AS BIGINT) AS dedup_sole,
        |    CAST(sum(CASE WHEN NOT keep_quality THEN 1 ELSE 0 END) AS BIGINT) AS quality_blocked,
-       |    CAST(sum(CASE WHEN NOT keep_quality AND keep_dedup AND keep_bucket AND keep_classifier THEN 1 ELSE 0 END) AS BIGINT) AS quality_sole,
+       |    CAST(sum(CASE WHEN NOT keep_quality AND keep_dedup AND keep_bucket AND keep_classifier AND keep_paragraph THEN 1 ELSE 0 END) AS BIGINT) AS quality_sole,
        |    CAST(sum(CASE WHEN NOT keep_bucket THEN 1 ELSE 0 END) AS BIGINT) AS bucket_blocked,
-       |    CAST(sum(CASE WHEN NOT keep_bucket AND keep_dedup AND keep_quality AND keep_classifier THEN 1 ELSE 0 END) AS BIGINT) AS bucket_sole,
+       |    CAST(sum(CASE WHEN NOT keep_bucket AND keep_dedup AND keep_quality AND keep_classifier AND keep_paragraph THEN 1 ELSE 0 END) AS BIGINT) AS bucket_sole,
        |    CAST(sum(CASE WHEN NOT keep_classifier THEN 1 ELSE 0 END) AS BIGINT) AS classifier_blocked,
-       |    CAST(sum(CASE WHEN NOT keep_classifier AND keep_dedup AND keep_quality AND keep_bucket THEN 1 ELSE 0 END) AS BIGINT) AS classifier_sole
+       |    CAST(sum(CASE WHEN NOT keep_classifier AND keep_dedup AND keep_quality AND keep_bucket AND keep_paragraph THEN 1 ELSE 0 END) AS BIGINT) AS classifier_sole,
+       |    CAST(sum(CASE WHEN NOT keep_paragraph THEN 1 ELSE 0 END) AS BIGINT) AS paragraph_blocked,
+       |    CAST(sum(CASE WHEN NOT keep_paragraph AND keep_dedup AND keep_quality AND keep_bucket AND keep_classifier THEN 1 ELSE 0 END) AS BIGINT) AS paragraph_sole
        |  FROM manifest
        |)
        |SELECT rule, n_blocked, n_sole_blocked, n_kept_if_dropped FROM (
@@ -3745,6 +3793,8 @@ object TextAnalysis {
        |  SELECT 'bucket', bucket_blocked, bucket_sole, kept + bucket_sole FROM s
        |  UNION ALL
        |  SELECT 'classifier', classifier_blocked, classifier_sole, kept + classifier_sole FROM s
+       |  UNION ALL
+       |  SELECT 'paragraph', paragraph_blocked, paragraph_sole, kept + paragraph_sole FROM s
        |) ORDER BY rule""".stripMargin
 
   // ----------------------------------------------- corpus release report

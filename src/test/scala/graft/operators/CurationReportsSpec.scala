@@ -86,22 +86,26 @@ class CurationReportsSpec extends AnyFunSuite {
 
   test("keep ablation matches a brute force over the manifest flags") {
     val m = TextAnalysis.trainingManifest(spark, dir)
-      .select("keep_dedup", "keep_quality", "keep_bucket", "keep_classifier")
-      .collect().map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
-    val kept = m.count(t => t._1 && t._2 && t._3 && t._4).toLong
+      .select("keep_dedup", "keep_quality", "keep_bucket", "keep_classifier",
+        "keep_paragraph")
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    val kept = m.count(t => t._1 && t._2 && t._3 && t._4 && t._5).toLong
     val abl = TextAnalysis.keepAblation(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    assert(abl.keySet == Set("dedup", "quality", "bucket", "classifier"))
-    def check(rule: String, fails: ((Boolean, Boolean, Boolean, Boolean)) => Boolean,
-        othersPass: ((Boolean, Boolean, Boolean, Boolean)) => Boolean): Unit = {
+    assert(abl.keySet == Set("dedup", "quality", "bucket", "classifier", "paragraph"))
+    type Flags = (Boolean, Boolean, Boolean, Boolean, Boolean)
+    def check(rule: String, fails: Flags => Boolean,
+        othersPass: Flags => Boolean): Unit = {
       val blocked = m.count(fails).toLong
       val sole = m.count(t => fails(t) && othersPass(t)).toLong
       assert(abl(rule) == ((blocked, sole, kept + sole)), s"rule=$rule")
     }
-    check("dedup", !_._1, t => t._2 && t._3 && t._4)
-    check("quality", !_._2, t => t._1 && t._3 && t._4)
-    check("bucket", !_._3, t => t._1 && t._2 && t._4)
-    check("classifier", !_._4, t => t._1 && t._2 && t._3)
+    check("dedup", !_._1, t => t._2 && t._3 && t._4 && t._5)
+    check("quality", !_._2, t => t._1 && t._3 && t._4 && t._5)
+    check("bucket", !_._3, t => t._1 && t._2 && t._4 && t._5)
+    check("classifier", !_._4, t => t._1 && t._2 && t._3 && t._5)
+    check("paragraph", !_._5, t => t._1 && t._2 && t._3 && t._4)
     // every rule must actually block something on the fixture, or the
     // ablation is reporting on a vacuous pipeline
     assert(abl.values.forall(_._1 > 0), "a keep rule blocks nothing")

@@ -76,4 +76,64 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(posShare("middle") > posShare("tail"),
       s"middle ${posShare("middle")} vs tail ${posShare("tail")}")
   }
+
+  test("auc: matches a brute-force pairwise count per language, better than chance") {
+    // independent referee: the labeled (lang, score, is_head) frame, then
+    // U counted literally over every (pos, neg) pair — wins 1, ties ½
+    // (kept in half-units so everything stays integer)
+    val labeled = QualityClassifier.perDocScores(spark, dir)
+      .join(TextAnalysis.unigramSurprisal(spark, dir)
+        .filter(col("bucket").isin("head", "tail"))
+        .select("doc_id", "lang", "bucket"), "doc_id")
+      .select("lang", "score_micro", "bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2) == "head"))
+    val rows = QualityClassifier.classifierAuc(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    rows.foreach { case (lang, nPos, nNeg, u2, auc) =>
+      val pos = labeled.filter(t => t._1 == lang && t._3).map(_._2)
+      val neg = labeled.filter(t => t._1 == lang && !t._3).map(_._2)
+      assert(nPos == pos.length.toLong && nNeg == neg.length.toLong, lang)
+      val bruteU2 = (for { p <- pos; n <- neg } yield {
+        if (p > n) 2L else if (p == n) 1L else 0L
+      }).sum
+      assert(u2 == bruteU2, s"$lang: grouped-midrank 2U $u2 != brute-force $bruteU2")
+      assert(auc == u2 * 1000000L / (2L * nPos * nNeg), s"$lang: auc not the exact floor")
+      assert(auc > 500000L,
+        s"$lang: in-sample AUC $auc at/below chance — the fit did not separate its own labels")
+    }
+    // every language with both label classes is present
+    val expected = labeled.groupBy(_._1).filter { case (_, ds) =>
+      ds.exists(_._3) && ds.exists(!_._3)
+    }.keySet
+    assert(rows.map(_._1).toSet == expected)
+  }
+
+  test("calibration: bins partition the labeled docs, fractions exact, direction holds") {
+    val rows = QualityClassifier.classifierCalibration(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val aucRows = QualityClassifier.classifierAuc(spark, dir).collect()
+    val nLabeled = aucRows.map(r => r.getLong(1) + r.getLong(2)).sum
+    assert(rows.map(_._2).sum == nLabeled, "bins must partition the labeled docs")
+    rows.foreach { case (lo, n, nPos, posMicro, mean) =>
+      assert(lo % QualityClassifier.CalibrationBinMicro == 0)
+      assert(nPos >= 0 && nPos <= n)
+      assert(posMicro == nPos * 1000000L / n, "pos fraction must be the exact floor")
+      // the clamped end bins collect the tails, so the mean can sit outside
+      // [lo, lo+width) only there
+      if (lo > QualityClassifier.CalibrationBinMicro * QualityClassifier.CalibrationMinBin &&
+        lo < QualityClassifier.CalibrationBinMicro * QualityClassifier.CalibrationMaxBin)
+        assert(mean >= lo && mean < lo + QualityClassifier.CalibrationBinMicro,
+          s"bin $lo mean $mean outside its own range")
+    }
+    val sorted = rows.sortBy(_._1)
+    // direction, robust to small-n end bins: the pooled positive rate of
+    // the above-decision bins must beat the pooled rate below
+    val (hi, lo) = sorted.partition(_._1 >= QualityClassifier.DecisionMicro)
+    def rate(xs: Array[(Long, Long, Long, Long, Long)]): Double =
+      xs.map(_._3).sum.toDouble / math.max(1L, xs.map(_._2).sum)
+    assert(rate(hi) > rate(lo),
+      s"calibration direction inverted: ${rate(hi)} vs ${rate(lo)}")
+  }
 }

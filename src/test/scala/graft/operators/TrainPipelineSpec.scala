@@ -420,7 +420,7 @@ class TrainPipelineSpec extends AnyFunSuite {
       .withColumn("n_chars", length(col("text")))
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val rows = TextAnalysis.trainingManifest(spark, tmp).collect()
-      .map(r => (r.getLong(0), r.getString(5), r.getBoolean(8)))
+      .map(r => (r.getLong(0), r.getString(5), r.getBoolean(9)))
     assert(rows.length == 3, s"manifest must cover every raw doc, got ${rows.length}")
     val empty = rows.find(_._1 == 0L).get
     assert(empty._2 == "tail" && !empty._3,
@@ -538,11 +538,12 @@ class TrainPipelineSpec extends AnyFunSuite {
   test("training manifest: flags agree with the piecemeal operators and final_keep is their conjunction") {
     val rows = TextAnalysis.trainingManifest(spark, dir).collect()
       .map(r => (r.getLong(0), r.getBoolean(3), r.getBoolean(4), r.getString(5),
-        r.getBoolean(6), r.getBoolean(7), r.getBoolean(8)))
+        r.getBoolean(6), r.getBoolean(7), r.getBoolean(8), r.getBoolean(9)))
     assert(rows.length == 500, "one manifest row per raw doc")
-    rows.foreach { case (_, d, q, bucket, b, c, f) =>
+    rows.foreach { case (_, d, q, bucket, b, c, pg, f) =>
       assert(b == (bucket != "tail"))
-      assert(f == (d && q && b && c), "final_keep must be the conjunction of the four gates")
+      assert(f == (d && q && b && c && pg),
+        "final_keep must be the conjunction of the five gates")
     }
     // flags must match the standalone operators doc-for-doc
     val dedupKeep = Dedup.dedupKeepList(spark, dir).collect()
@@ -551,15 +552,20 @@ class TrainPipelineSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
     val nbKeep = QualityClassifier.perDocScores(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1) > QualityClassifier.DecisionMicro)).toMap
-    rows.foreach { case (id, d, q, _, _, c, _) =>
+    val paraKeep = TextAnalysis.paragraphDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    rows.foreach { case (id, d, q, _, _, c, pg, _) =>
       assert(d == dedupKeep(id), s"doc $id dedup flag diverges from dedupKeepList")
       assert(q == quality(id), s"doc $id quality flag diverges from qualityPrune")
       assert(c == nbKeep.getOrElse(id, false),
         s"doc $id classifier flag diverges from perDocScores' decision rule")
+      // gate #5 abstains to KEEP for docs with no full paragraph block
+      assert(pg == paraKeep.getOrElse(id, true),
+        s"doc $id paragraph flag diverges from paragraphDedup's keep verdict")
     }
     // the pipeline must actually cut something on the planted fixture, but
     // never everything
-    val kept = rows.count(_._7)
+    val kept = rows.count(_._8)
     assert(kept > 0 && kept < rows.length, s"degenerate manifest: kept $kept of ${rows.length}")
   }
 
@@ -567,7 +573,7 @@ class TrainPipelineSpec extends AnyFunSuite {
     val rollup = TextAnalysis.manifestRollup(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
     val manifest = TextAnalysis.trainingManifest(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getString(2), r.getBoolean(8)))
+      .map(r => (r.getLong(0), r.getString(2), r.getBoolean(9)))
     val toks = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
