@@ -53,6 +53,7 @@ object PlansDump {
     "ann_hybrid_rrf",          // two TakeOrdered legs + legK-sized fusion join
     "profile_heavy_values_gate", // Misra-Gries partial+final, O(k) state
     "profile_catalog_long",    // whole lake, one DAG: fused scan + NDV per table
+    "profile_catalog_strings", // string-column twin: len/NDV/minmax per column
     "profile_corr_matrix",     // all pairwise correlations from one fused scan
     "q21_waiting_suppliers",   // EXISTS/NOT-EXISTS as semi+anti hash joins
     "dedup_prefix_join",       // prefix-filter exact join: rare-token index
@@ -155,6 +156,9 @@ object PlansDump {
       "docs_dsir_importance" -> (graft.operators.DataSelection.dsirImportancePlan(_, _)),
       "quality_classifier_confusion" -> (graft.operators.QualityClassifier.classifierConfusionPlan(_, _)),
       "docs_classifier_auc" -> (graft.operators.QualityClassifier.classifierAucPlan(_, _)),
+      "profile_catalog_long" -> (graft.profile.ProfileQueries.catalogProfilePlan(_, _)),
+      "profile_catalog_strings" -> (graft.profile.ProfileQueries.catalogStringProfilePlan(_, _)),
+      "profile_pk_discovery" -> (graft.profile.ProfileQueries.pkDiscoveryPlan(_, _)),
       "text_paragraph_dedup" -> (graft.operators.TextAnalysis.paragraphDedupPlan(_, _)),
       // pins k: the gated form's auto-k count() is an eager action at
       // plan-construction time (ADVICE r7); plan shape is identical
