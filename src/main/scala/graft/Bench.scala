@@ -209,7 +209,7 @@ object Bench {
       }
     case class Rerun(name: String, first: Double, rerun: Double, steady: Double,
                      ok: Boolean, load: Double, adjudicated: Boolean,
-                     fresh: Double = -1.0)
+                     fresh: Double = -1.0, freshAdj: Boolean = false)
     val sortedSlow = timed.filter(_._3).sortBy(-_._2)
     val rerunSet = sortedSlow.take(math.max(rerunK, sortedSlow.count(_._2 > slowSec)))
       .take(rerunMax)
@@ -279,6 +279,25 @@ object Bench {
       if (f > 0) firstPass(x.name) = x.copy(fresh = f,
         steady = if (x.steady > 0) math.min(x.steady, f) else f)
     }
+    // FRESH-JVM FALLBACK for lines the load gate never admitted (VERDICT
+    // r14 #2, observed at 10×: the bench's own reruns keep the 1-min
+    // loadavg above cpus/4 for minutes after each heavy line, so the gate
+    // re-closes faster than the budget drains and a heavy-suite run ends
+    // with DOZENS of unadjudicated lines). A forked fresh JVM's min-of-3
+    // only ever OVERSTATES plan cost — JVM cold-start, no memoized stages,
+    // whatever box load exists — so it is valid adjudication evidence on
+    // any box: if even the fork beats the in-suite first pass, the first
+    // pass was session/contention-inflated, and if it doesn't, the line's
+    // cost is confirmed from a state with no suite history at all.
+    val unadjFreshMax =
+      sys.env.get("SPARK_GRAFT_FRESH_UNADJ_MAX").flatMap(_.toIntOption).getOrElse(40)
+    firstPass.values.toSeq.filter(x => !x.adjudicated)
+      .sortBy(-_.first).take(unadjFreshMax).foreach { x =>
+        val f = Bench.freshJvmMin(x.name, sfDir)
+        if (f > 0) firstPass(x.name) = x.copy(fresh = f,
+          steady = if (x.steady > 0) math.min(x.steady, f) else f,
+          adjudicated = true, freshAdj = true)
+      }
     val reruns = firstPass.values.toSeq
     // headline per-query = best evidence available: min over first, rerun,
     // and (when forked) the fresh-JVM measurement — each only ever
@@ -292,9 +311,12 @@ object Bench {
     // build by design — min() keeps their honest number and they must NOT
     // be reported as load-contaminated (the symmetric max>2·min form
     // misfiled text_span_mask/docs_manifest_rollup exactly that way).
-    // Only an ADJUDICATED (low-load) rerun may issue the verdict.
+    // Only an ADJUDICATED rerun may issue the verdict — a low-load in-suite
+    // rerun, or (freshAdj) the forked fresh-JVM minimum, which is evidence
+    // regardless of load because it can only overstate.
     val loadContaminated = reruns.collect {
-      case x if x.adjudicated && x.first > 2.0 * x.rerun => x.name
+      case x if x.adjudicated && !x.freshAdj && x.first > 2.0 * x.rerun => x.name
+      case x if x.freshAdj && x.fresh > 0 && x.first > 2.0 * x.fresh => x.name
     }
     val unadjudicated = reruns.collect { case x if !x.adjudicated => x.name }
     val results = timed.map { case (n, s, _, _) => n -> rerunBest.getOrElse(n, s) }
@@ -311,7 +333,8 @@ object Bench {
     // cross-refs, and says so explicitly when it could not (load gate
     // never opened within the wait budget)
     val rerunJson = reruns.map { x =>
-      val freshField = if (x.fresh > 0) s""","fresh":${fmt(x.fresh)}""" else ""
+      val freshField = (if (x.fresh > 0) s""","fresh":${fmt(x.fresh)}""" else "") +
+        (if (x.freshAdj) ""","fresh_adjudicated":true""" else "")
       "\"" + x.name +
         s"""":{"first":${fmt(x.first)},"rerun":${fmt(x.rerun)},"steady":${fmt(x.steady)}$freshField,"rerun_ok":${x.ok},"rerun_load":${fmt(x.load)},"adjudicated":${x.adjudicated}}"""
     }.mkString("{", ",", "}")
