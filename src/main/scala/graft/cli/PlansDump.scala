@@ -136,7 +136,10 @@ object PlansDump {
     "dedup_cluster_lang_purity", // CC labels x lang entropy rollup
     "ann_mmr_diversify",       // top-k + greedy re-rank over a k-sized frame
     "profile_weighted_percentiles", // two-level weighted prefix sums
-    "ann_filtered_sweep")      // selectivity grid over one filtered index
+    "ann_filtered_sweep",      // selectivity grid over one filtered index
+    // round-15 completeness sweep (>2 s in BENCH_r15_clean_full)
+    "text_eval_burn",          // eval-gram burn-rate: broadcast grams, one scan
+    "dedup_cluster_sizes")     // size histogram over the memoized CC labels
 
   /** Plan-audit overrides: these queries' gated implementations read
     * memoized materialized stages (the shared-pipeline design — see
