@@ -205,6 +205,12 @@ object SparkEntry {
       "profile_cms_gate" -> ((s, d) => ProfileQueries.cmsGate(s, d)),
       // exact FD mining (A -> B) over orders; branches fused into one DAG
       "profile_fd_discovery_exact" -> ((s, d) => ProfileQueries.fdDiscovery(s, d)),
+      // the 100 TB path: one fused HLL sketch scan screens all pairs,
+      // exact branches run only for survivors (oracle = exact truth for
+      // ALL pairs, so a screen false-negative is a hash mismatch)
+      "profile_fd_discovery_screened" -> ((s, d) => ProfileQueries.fdDiscoveryScreened(s, d)),
+      // screen economics: pruned-something + key-FDs-survive, literal-gated
+      "profile_fd_screen_gate" -> ((s, d) => ProfileQueries.fdScreenGate(s, d)),
       // co-missingness: rows grouped by their full null bitmask
       "profile_null_patterns" -> ((s, d) => ProfileQueries.nullPatterns(s, d)),
       // PQ codebook quality: exact quantization error per subspace
@@ -591,6 +597,11 @@ object SparkEntry {
       "quality_classifier_confusion" -> (QualityClassifier.classifierConfusion(_, _)),
       "quality_classifier_drift" -> (QualityClassifier.classifierDrift(_, _)),
       "docs_classifier_auc" -> (QualityClassifier.classifierAuc(_, _)),
+      // held-out generalization: fit on the 80% hash-split train bucket,
+      // AUC on the never-seen 10% test bucket (VERDICT r15 #2)
+      "docs_classifier_auc_heldout" -> (QualityClassifier.classifierAucHeldout(_, _)),
+      // fixed-bin deployed twin of the AUC rank window (VERDICT r15 #5)
+      "docs_classifier_auc_binned" -> (QualityClassifier.classifierAucBinned(_, _)),
       "docs_classifier_calibration" -> (QualityClassifier.classifierCalibration(_, _)))
   }
 
@@ -701,6 +712,10 @@ object SparkEntry {
       "profile_fd_discovery_exact" -> ProfileQueries.fdDiscoveryOracle("orders",
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderdate", "o_orderpriority")),
+      "profile_fd_discovery_screened" -> ProfileQueries.fdDiscoveryScreenedOracle("orders",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")),
+      "profile_fd_screen_gate" -> ProfileQueries.fdScreenGateOracle(6),
       "profile_null_patterns" -> ProfileQueries.nullPatternsOracle,
       "ann_pq_distortion" -> Similarity.pqDistortionOracle(),
       "ann_ivf_cell_balance" -> Similarity.ivfCellBalanceOracle(),
@@ -975,6 +990,8 @@ object SparkEntry {
       "quality_classifier_confusion" -> QualityClassifier.classifierConfusionOracle,
       "quality_classifier_drift" -> QualityClassifier.classifierDriftOracle(),
       "docs_classifier_auc" -> QualityClassifier.classifierAucOracle,
+      "docs_classifier_auc_heldout" -> QualityClassifier.classifierAucHeldoutOracle,
+      "docs_classifier_auc_binned" -> QualityClassifier.classifierAucBinnedOracle,
       "docs_classifier_calibration" -> QualityClassifier.classifierCalibrationOracle)
   }
 }

@@ -65,6 +65,7 @@ object PlansDump {
     "q_pareto_frontier",       // domain-sized suffix-min + broadcast semi-join
     "text_collocations",       // vocab-keyed count joins + TakeOrdered
     "profile_fd_discovery_exact", // 30 grouped-agg branches in one DAG
+    "profile_fd_discovery_screened", // HLL screen -> survivor branches only (r16)
     "events_cusum_alarms",     // closed-form CUSUM: two per-type windows
     "events_lateness_profile", // two-level running max over arrival order
     "docs_quantile_normalize", // rank match + linear rank->value lookup
@@ -114,6 +115,7 @@ object PlansDump {
     "text_paragraph_dedup",    // ONE segmentation: per-(phash,doc) counts + phash window
     "docs_training_manifest",  // 5-gate conjunction: flag joins on 8 B keys
     "docs_classifier_auc",     // grouped-midrank U over distinct (lang, score) rows
+    "docs_classifier_auc_heldout", // train-bucket fit, test-slice scoring join (r16)
     "profile_pk_discovery",    // derivation over the fused whole-catalog profiles
     "dedup_audit_sample",      // boundary-band sample over the shared pair graph
     "docs_curriculum_order",   // manifest x quality join + per-shard rank

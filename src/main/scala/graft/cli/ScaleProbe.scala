@@ -334,6 +334,13 @@ object ScaleProbe {
       // equi-join + per-conversion windows — both must stay ~linear
       ("cdc_chunks", d => graft.operators.Dedup.cdcChunks(spark, d)),
       ("attribution", d => graft.operators.EventOps.attribution(spark, d)),
+      // round 16: FD mining over orders — the exact form is k(k−1) grouped
+      // branches (each ~linear, so the family exponent is ~1 with a k²
+      // constant); the SCREENED form is one fused HLL sketch scan plus
+      // exact branches for survivors only — same ~1 exponent, and the
+      // constant-factor gap between the two rows IS the screen's value
+      ("fd_exact", d => graft.profile.ProfileQueries.fdDiscovery(spark, d)),
+      ("fd_screened", d => graft.profile.ProfileQueries.fdDiscoveryScreened(spark, d)),
       // batch 5: the distributed part is one lead window + a (cur,nxt)
       // count; the k^2 eigensolve is domain-bounded driver work
       ("markov_stationary", d => graft.operators.EventOps.markovStationary(spark, d)),
@@ -450,7 +457,13 @@ object ScaleProbe {
       // axis — the AUC rank window runs over the grouped score-VALUE
       // domain per language, so its cost must track the scan, not n²
       ("nb_auc", d => graft.operators.QualityClassifier.classifierAuc(spark, d)),
-      ("nb_calibration", d => graft.operators.QualityClassifier.classifierCalibration(spark, d)))
+      ("nb_calibration", d => graft.operators.QualityClassifier.classifierCalibration(spark, d)),
+      // round 16: held-out AUC adds one vocab-sized train-fit aggregate and
+      // scores only the 10% test slice; the binned twin replaces the
+      // distinct-score rank window with the fixed ≤10-bin one — both must
+      // track nb_auc's slope (the corpus scan), never exceed it
+      ("nb_auc_heldout", d => graft.operators.QualityClassifier.classifierAucHeldout(spark, d)),
+      ("nb_auc_binned", d => graft.operators.QualityClassifier.classifierAucBinned(spark, d)))
     val lmBuilds = Seq[(String, String => DataFrame)](
       ("bigram_buckets", d => graft.operators.TextAnalysis.bigramSurprisal(spark, d)),
       ("lm_order_agreement", d => graft.operators.TextAnalysis.lmOrderAgreement(spark, d)),

@@ -17,6 +17,10 @@ object TimeQuery {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
+    // self-identifying header: when invoked via plain `java` (Bench's
+    // fresh-JVM fork) there is no sbt "running (fork) …" echo, so log
+    // parsers (tools/adjudicate_bench.py) key off THIS line (ADVICE r15)
+    println(s"timequery $name @ $sfDir")
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()

@@ -50,25 +50,37 @@ object Dedup {
     * near-dup band so the two derived corpora can never alias. */
   private[graft] val ExactCopyOffset = 2000000L
 
-  /** Exact dedup: duplicate groups keyed by md5(text), gated over a
-    * derived corpus with PLANTED byte-identical copies (every 3rd doc is
-    * re-emitted verbatim under a shifted id) — the raw fixture carries no
-    * exact dups, so the raw-table gate passed on 0 rows and couldn't
+  /** Derived FIXTURE corpus with PLANTED byte-identical copies (every 3rd
+    * doc re-emitted verbatim under a shifted id) — the raw fixture carries
+    * no exact dups, so a raw-table dedup gate passed on 0 rows and couldn't
     * discriminate (VERDICT r14 #3; the `profile_null_patterns` planted-view
-    * precedent). Docs NOT in the planted set must appear in no group —
-    * the grouping is still run over the full union, so an over-grouping
-    * bug (hashing the wrong column, dropping the filter) surfaces as
-    * extra rows, and an under-grouping bug as missing ones. */
-  def exactDupGroups(spark: SparkSession, dir: String): DataFrame = {
+    * precedent). The planting lives HERE, in the derived-corpus helper,
+    * never inside the dedup operator itself (ADVICE r15): a caller running
+    * [[exactDupGroupsOf]] on a real corpus gets a faithful report. */
+  private[graft] def corpusWithExactCopies(spark: SparkSession, dir: String): DataFrame = {
     val d = table(spark, dir, "documents").select("doc_id", "text")
     d.unionAll(d.filter(col("doc_id") % 3 === 0)
-        .select((col("doc_id") + ExactCopyOffset).as("doc_id"), col("text")))
+      .select((col("doc_id") + ExactCopyOffset).as("doc_id"), col("text")))
+  }
+
+  /** Exact dedup: duplicate groups keyed by md5(text) — a FAITHFUL report
+    * of its input corpus (doc_id, text): no rows are added or dropped
+    * before hashing. Docs with a unique text appear in no group, so an
+    * over-grouping bug (hashing the wrong column, dropping the filter)
+    * surfaces as extra rows and an under-grouping bug as missing ones. */
+  def exactDupGroupsOf(corpus: DataFrame): DataFrame =
+    corpus
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
       .select("keep_id", "n_copies")
       .orderBy("keep_id")
-  }
+
+  /** The GATED form: [[exactDupGroupsOf]] over the planted-copy corpus
+    * ([[corpusWithExactCopies]]) so the gate discriminates (167 groups at
+    * sf0.01, oracle unchanged since r15). */
+  def exactDupGroups(spark: SparkSession, dir: String): DataFrame =
+    exactDupGroupsOf(corpusWithExactCopies(spark, dir))
 
   val exactDupGroupsOracle: String =
     s"""WITH corpus AS (

@@ -421,18 +421,12 @@ object QualityClassifier {
       .orderBy("lang")
   }
 
-  val classifierAucOracle: String =
-    s"""$oracleChain, scored AS (
-       |  SELECT dt.doc_id,
-       |    CAST(sum(CAST(dt.tf AS HUGEINT) * coalesce(r.ratio_micro, scal.unseen_micro))
-       |      // sum(dt.tf) AS BIGINT) AS score_micro
-       |  FROM dt LEFT JOIN ratio r ON r.word = dt.word CROSS JOIN scal
-       |  GROUP BY dt.doc_id
-       |), labeled AS (
-       |  SELECT b.lang, s.score_micro AS s, b.bucket = 'head' AS pos
-       |  FROM scored s JOIN buckets b USING (doc_id)
-       |  WHERE b.bucket IN ('head', 'tail')
-       |), grp AS (
+  /** Shared Mann–Whitney tail: grouped midranks → per-language U → AUC
+    * micro-fraction. Expects a `labeled(lang, s, pos)` CTE upstream; every
+    * AUC oracle (in-sample, held-out, binned) appends this, so the rank
+    * algebra exists in exactly one copy. */
+  private val aucTailSql: String =
+    s""", grp AS (
        |  SELECT lang, s, count(*) AS cnt,
        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos_cnt
        |  FROM labeled GROUP BY lang, s
@@ -454,6 +448,136 @@ object QualityClassifier {
        |FROM agg WHERE n_pos > 0 AND n > n_pos
        |ORDER BY lang""".stripMargin
 
+  val classifierAucOracle: String =
+    s"""$oracleChain, scored AS (
+       |  SELECT dt.doc_id,
+       |    CAST(sum(CAST(dt.tf AS HUGEINT) * coalesce(r.ratio_micro, scal.unseen_micro))
+       |      // sum(dt.tf) AS BIGINT) AS score_micro
+       |  FROM dt LEFT JOIN ratio r ON r.word = dt.word CROSS JOIN scal
+       |  GROUP BY dt.doc_id
+       |), labeled AS (
+       |  SELECT b.lang, s.score_micro AS s, b.bucket = 'head' AS pos
+       |  FROM scored s JOIN buckets b USING (doc_id)
+       |  WHERE b.bucket IN ('head', 'tail')
+       |)$aucTailSql""".stripMargin
+
+  // --------------------------------------------- held-out ROC-AUC (r16)
+  /** TRAIN-split class counts: the fit's aggregate restricted to the
+    * deterministic hash-split 80 % bucket — a pure hash projection folded
+    * into the label join (no second tokenization, one extra vocab-sized
+    * aggregate), memoized beside the full-corpus fit. */
+  private def classCountsTrain(spark: SparkSession, dir: String,
+      docTerm: DataFrame, buckets: DataFrame): DataFrame =
+    StageMemo(spark, dir, "nb_cls_tr") {
+      val labeledTrain = buckets
+        .filter(col("bucket").isin("head", "tail"))
+        .filter(TextAnalysis.mixedHash("split|") % 100 < 80)
+        .select(col("doc_id"), (col("bucket") === "head").as("pos"))
+      docTerm.join(labeledTrain, "doc_id")
+        .groupBy("word")
+        .agg(sum(when(col("pos"), col("tf")).otherwise(0L)).as("c_pos"),
+          sum(when(!col("pos"), col("tf")).otherwise(0L)).as("c_neg"))
+    }
+
+  /** HELD-OUT ROC-AUC (VERDICT r15 #2): the classifier re-fit on ONLY the
+    * deterministic hash-split TRAIN docs ([[TextAnalysis.trainSplit]]'s
+    * 80 % bucket — the trigram-backoff fit-on-train cadence) and scored on
+    * ONLY the TEST docs (the 10 % bucket the fit never saw), Mann–Whitney
+    * AUC'd per language against the frozen proxy terciles. The
+    * generalization number beside [[classifierAuc]]'s in-sample
+    * distillation residual: the training manifest admits documents on this
+    * model family's verdict, so its held-out ranking power is a gated
+    * artifact, not an assumption. Labels stay the full-corpus terciles ON
+    * PURPOSE (the [[classifierDrift]] frozen-label discipline) — the row
+    * isolates fit-set reduction, not label-policy change.
+    *
+    * 100 TB shape: same memoized tokenize-once artifact feeds both fits;
+    * the train filter is a hash projection inside the class-count
+    * aggregate; scoring's vocab-keyed join runs over the 10 % test slice
+    * only; the rank window keeps the grouped-score-value bound (and
+    * [[classifierAucBinned]] is the fixed-bin twin of that window). */
+  def classifierAucHeldout(spark: SparkSession, dir: String): DataFrame = {
+    val (docTerm, buckets) = pieces(spark, dir)
+    val (ratios, scal) = fitFrom(classCountsTrain(spark, dir, docTerm, buckets))
+    val testIds = buckets
+      .filter(TextAnalysis.mixedHash("split|") % 100 >= 90)
+      .select("doc_id")
+    aucFrom(scoreByJoin(docTerm.join(testIds, "doc_id"), ratios, scal), buckets)
+  }
+
+  val classifierAucHeldoutOracle: String =
+    s"""$oracleChain, sb100 AS (
+       |  SELECT doc_id,
+       |    ${TextAnalysis.mixedHashSql("split|", "doc_id").linesIterator.mkString("\n|    ")} % 100 AS sb
+       |  FROM documents
+       |), lab_tr AS (
+       |  SELECT l.doc_id, l.pos FROM lab l JOIN sb100 USING (doc_id) WHERE sb100.sb < 80
+       |), cls_tr AS (
+       |  SELECT dt.word,
+       |    CAST(sum(CASE WHEN pos THEN tf ELSE 0 END) AS BIGINT) AS c_pos,
+       |    CAST(sum(CASE WHEN NOT pos THEN tf ELSE 0 END) AS BIGINT) AS c_neg
+       |  FROM dt JOIN lab_tr USING (doc_id) GROUP BY dt.word
+       |), scal_tr AS (
+       |  SELECT CAST(sum(c_pos) AS BIGINT) AS tot_pos,
+       |    CAST(sum(c_neg) AS BIGINT) AS tot_neg,
+       |    CAST(count(*) AS BIGINT) AS v,
+       |    CAST((CAST(1000000 AS HUGEINT) * (sum(c_neg) + count(*)))
+       |      // (sum(c_pos) + count(*)) AS BIGINT) AS unseen_micro
+       |  FROM cls_tr
+       |), ratio_tr AS (
+       |  SELECT word,
+       |    CAST((CAST(1000000 AS HUGEINT) * (c_pos + 1) * (tot_neg + v))
+       |      // ((CAST(c_neg AS HUGEINT) + 1) * (tot_pos + v)) AS BIGINT) AS ratio_micro
+       |  FROM cls_tr, scal_tr
+       |), scored AS (
+       |  SELECT dt.doc_id,
+       |    CAST(sum(CAST(dt.tf AS HUGEINT) * coalesce(r.ratio_micro, s.unseen_micro))
+       |      // sum(dt.tf) AS BIGINT) AS score_micro
+       |  FROM dt JOIN sb100 USING (doc_id)
+       |  LEFT JOIN ratio_tr r ON r.word = dt.word CROSS JOIN scal_tr s
+       |  WHERE sb100.sb >= 90
+       |  GROUP BY dt.doc_id
+       |), labeled AS (
+       |  SELECT b.lang, s.score_micro AS s, b.bucket = 'head' AS pos
+       |  FROM scored s JOIN buckets b USING (doc_id)
+       |  WHERE b.bucket IN ('head', 'tail')
+       |)$aucTailSql""".stripMargin
+
+  /** BINNED deployed twin of [[classifierAuc]] (VERDICT r15 #5): the same
+    * Mann–Whitney midrank algebra, but ranks run over the FIXED
+    * [[CalibrationBinMicro]] calibration bins instead of distinct score
+    * values — the per-language window then touches ≤ 10 rows at ANY
+    * corpus size (on a genuinely diverse corpus the distinct-score domain
+    * grows with the corpus, making [[aucFrom]]'s window a wide-sort seam;
+    * this is the bounded production form, the `classifyByThreshold`
+    * cadence). Ties inside a bin count half, so the binned AUC is the
+    * exact AUC of the coarsened score — a documented lower-resolution
+    * statistic, not an approximation with hidden error. */
+  def classifierAucBinned(spark: SparkSession, dir: String): DataFrame = {
+    val (docTerm, buckets) = pieces(spark, dir)
+    val (ratios, scal) = fit(spark, dir, docTerm, buckets)
+    val binned = scoreByJoin(docTerm, ratios, scal)
+      .withColumn("score_micro",
+        least(greatest(expr(s"score_micro div $CalibrationBinMicro"),
+          lit(CalibrationMinBin)), lit(CalibrationMaxBin)))
+    aucFrom(binned, buckets)
+  }
+
+  val classifierAucBinnedOracle: String =
+    s"""$oracleChain, scored AS (
+       |  SELECT dt.doc_id,
+       |    CAST(sum(CAST(dt.tf AS HUGEINT) * coalesce(r.ratio_micro, scal.unseen_micro))
+       |      // sum(dt.tf) AS BIGINT) AS score_micro
+       |  FROM dt LEFT JOIN ratio r ON r.word = dt.word CROSS JOIN scal
+       |  GROUP BY dt.doc_id
+       |), labeled AS (
+       |  SELECT b.lang,
+       |    least(greatest(s.score_micro // $CalibrationBinMicro, $CalibrationMinBin), $CalibrationMaxBin) AS s,
+       |    b.bucket = 'head' AS pos
+       |  FROM scored s JOIN buckets b USING (doc_id)
+       |  WHERE b.bucket IN ('head', 'tail')
+       |)$aucTailSql""".stripMargin
+
   // ------------------------------------------------- calibration bins
   /** Score-bin geometry for [[classifierCalibration]]: the tf-weighted
     * MEAN likelihood ratio concentrates near the neutral point 10⁶ (a
@@ -471,7 +595,8 @@ object QualityClassifier {
     * [[CalibrationBinMicro]]-wide score bins, each bin reporting how many
     * docs landed there, how many were actually head-labeled, and the
     * exact micro-fraction — a well-calibrated monotone model shows
-    * pos_micro rising with the bin. Bounded output (≤ 9 rows) from one
+    * pos_micro rising with the bin. Bounded output (≤ 10 rows: clamped
+    * bins 36..45 inclusive) from one
     * conditional aggregate over the labeled-score frame; everything
     * integer-exact. */
   def classifierCalibration(spark: SparkSession, dir: String): DataFrame = {

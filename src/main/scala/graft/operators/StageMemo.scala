@@ -77,10 +77,25 @@ private[graft] object StageMemo {
         case Some(rs) => Some(rs + q)
         case None     => Some(Set(q))
       }
+    // REBUILD VISIBILITY (ADVICE r15): a build of a stage that was already
+    // released this tracking window means some consumer ran AFTER the
+    // stage's inferred last reader — e.g. two distinct stages aliasing
+    // under normalize(), or warm-SF attribution not transferring — and its
+    // cost lands inside that consumer's timed line. Count it so the bench
+    // artifact can surface the inflation instead of hiding it.
+    val key = (ck, dir, stage)
+    if (!stageCache.contains(key) && releasedStages.contains(normalize(stage))) {
+      rebuildCounter.incrementAndGet()
+      val reader = Option(q).getOrElse("<unattributed>")
+      rebuilds.updateWith(normalize(stage)) {
+        case Some(rs) => Some(rs + reader)
+        case None     => Some(Set(reader))
+      }
+    }
     // TrieMap.getOrElseUpdate is atomic per key; the eager checkpoint job
     // runs under the winning Memo's own lazy-val lock, so two stages build
     // concurrently while two callers of the SAME stage still share one build
-    stageCache.getOrElseUpdate((ck, dir, stage),
+    stageCache.getOrElseUpdate(key,
       new Memo(() => build.localCheckpoint(true))).df
   }
 
@@ -129,13 +144,45 @@ private[graft] object StageMemo {
   def releaseAfter(query: String, lastReader: Map[String, String]): Unit =
     stageCache.keys
       .filter(k => lastReader.get(normalize(k._3)).contains(query))
-      .foreach(k => stageCache.remove(k).foreach(unpersist))
+      .foreach { k =>
+        releasedStages.put(normalize(k._3), ())
+        stageCache.remove(k).foreach(unpersist)
+      }
 
   /** Drops EVERY memoized stage and eagerly unpersists its blocks — the
     * bench/CLI reset (safe there: queries re-derive every frame from the
     * memo on each invocation, so no stale reference can survive). */
   def releaseAll(): Unit =
-    stageCache.keys.foreach(k => stageCache.remove(k).foreach(unpersist))
+    stageCache.keys.foreach { k =>
+      releasedStages.put(normalize(k._3), ())
+      stageCache.remove(k).foreach(unpersist)
+    }
+
+  // ------------------------------------------------ rebuild visibility
+
+  /** Normalized names of stages released since [[resetRebuildTracking]];
+    * a later build of one of these is a REBUILD, logged in [[rebuilds]]
+    * against the query it billed (ADVICE r15: aliasing under [[normalize]]
+    * or non-transferring warm-SF attribution would otherwise silently
+    * inflate a later query's timed line). */
+  private val releasedStages =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+  private val rebuilds =
+    scala.collection.concurrent.TrieMap.empty[String, Set[String]]
+  private val rebuildCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Starts a fresh rebuild-tracking window (bench calls this right after
+    * the warmup's [[releaseAll]], so EXPECTED timed-run first builds don't
+    * count as rebuilds — only post-release rebuilds do). */
+  def resetRebuildTracking(): Unit = {
+    releasedStages.clear(); rebuilds.clear(); rebuildCounter.set(0L)
+  }
+
+  /** Total rebuilds of previously-released stages in this window. */
+  def rebuildCount: Long = rebuildCounter.get()
+
+  /** normalized stage → queries whose timed window absorbed a rebuild. */
+  def rebuildLog: Map[String, Set[String]] = rebuilds.toMap
 
   /** Frees a released stage's checkpoint blocks. The checkpointed Dataset's
     * plan root is the LogicalRDD wrapping the persisted RDD; unpersist on

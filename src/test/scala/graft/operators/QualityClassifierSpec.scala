@@ -110,6 +110,54 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(rows.map(_._1).toSet == expected)
   }
 
+  test("held-out auc: test-slice coverage exact, scores from the train-only fit") {
+    val rows = QualityClassifier.classifierAucHeldout(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty, "the 10% test bucket must contain labeled docs at sf0.001")
+    // per-language counts must be exactly the labeled docs of the hash TEST
+    // bucket (label policy frozen at the full-corpus terciles)
+    val expected = TextAnalysis.unigramSurprisal(spark, dir)
+      .filter(col("bucket").isin("head", "tail"))
+      .filter(TextAnalysis.mixedHash("split|") % 100 >= 90)
+      .groupBy("lang").agg(count(lit(1)).as("n"),
+        sum(when(col("bucket") === "head", 1L).otherwise(0L)).as("np"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { case (lang, nPos, nNeg, u2, auc) =>
+      val (n, np) = expected(lang)
+      assert(nPos == np && nPos + nNeg == n, s"$lang: test-slice coverage drift")
+      assert(u2 >= 0L && u2 <= 2L * nPos * nNeg, s"$lang: U out of range")
+      assert(auc == u2 * 1000000L / (2L * nPos * nNeg), s"$lang: auc not the exact floor")
+    }
+    // exactly the test-bucket languages with both classes appear
+    assert(rows.map(_._1).toSet ==
+      expected.filter { case (_, (n, np)) => np > 0 && n > np }.keySet)
+  }
+
+  test("binned auc: equals brute-force AUC of the bin-coarsened scores") {
+    import QualityClassifier.{CalibrationBinMicro, CalibrationMinBin, CalibrationMaxBin}
+    def bin(s: Long): Long =
+      math.min(math.max(s / CalibrationBinMicro, CalibrationMinBin), CalibrationMaxBin)
+    val labeled = QualityClassifier.perDocScores(spark, dir)
+      .join(TextAnalysis.unigramSurprisal(spark, dir)
+        .filter(col("bucket").isin("head", "tail"))
+        .select("doc_id", "lang", "bucket"), "doc_id")
+      .select("lang", "score_micro", "bucket").collect()
+      .map(r => (r.getString(0), bin(r.getLong(1)), r.getString(2) == "head"))
+    val rows = QualityClassifier.classifierAucBinned(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, nPos, nNeg, u2, auc) =>
+      val pos = labeled.filter(t => t._1 == lang && t._3).map(_._2)
+      val neg = labeled.filter(t => t._1 == lang && !t._3).map(_._2)
+      assert(nPos == pos.length.toLong && nNeg == neg.length.toLong, lang)
+      val bruteU2 = (for { p <- pos; n <- neg } yield {
+        if (p > n) 2L else if (p == n) 1L else 0L
+      }).sum
+      assert(u2 == bruteU2, s"$lang: binned 2U $u2 != brute-force $bruteU2")
+      assert(auc == u2 * 1000000L / (2L * nPos * nNeg), s"$lang: auc not the exact floor")
+    }
+  }
+
   test("calibration: bins partition the labeled docs, fractions exact, direction holds") {
     val rows = QualityClassifier.classifierCalibration(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -71,4 +71,27 @@ class StageMemoSpec extends AnyFunSuite {
       "releaseAfter(q3) must free every stage normalizing to memo_spec_b")
     StageMemo.releaseAll()
   }
+
+  test("rebuilds of released stages are counted against the billing query (ADVICE r15)") {
+    StageMemo.releaseAll()
+    StageMemo.resetRebuildTracking()
+    def read(stage: String) = StageMemo(spark, "/tmp", stage) {
+      spark.range(10).withColumnRenamed("id", "v")
+    }.count()
+    StageMemo.beginQuery("qa"); read("memo_spec_rb")
+    assert(StageMemo.rebuildCount == 0, "a first build is not a rebuild")
+    StageMemo.releaseAfter("qa", Map("memo_spec_rb" -> "qa"))
+    // a consumer arriving AFTER the stage's inferred last reader: the
+    // rebuild must be visible, attributed to the query that paid for it
+    StageMemo.beginQuery("qb"); read("memo_spec_rb")
+    assert(StageMemo.rebuildCount == 1)
+    assert(StageMemo.rebuildLog.get("memo_spec_rb").contains(Set("qb")))
+    // the tracking window resets cleanly (bench opens it post-warmup)
+    StageMemo.resetRebuildTracking()
+    assert(StageMemo.rebuildCount == 0 && StageMemo.rebuildLog.isEmpty)
+    StageMemo.beginQuery("qc"); read("memo_spec_rb")
+    assert(StageMemo.rebuildCount == 0,
+      "after a reset, a build of a never-since-released stage is not a rebuild")
+    StageMemo.releaseAll()
+  }
 }

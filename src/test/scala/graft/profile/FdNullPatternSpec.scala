@@ -22,6 +22,39 @@ class FdNullPatternSpec extends AnyFunSuite {
     assert(!bad.getAs[Boolean]("holds"))
   }
 
+  test("fd screen: screened verdicts == exact verdicts, branches only for survivors") {
+    val dir = SparkSuite.Sf0001
+    val exact = ProfileQueries.fdDiscovery(spark, dir).collect()
+      .map(r => (r.getAs[String]("det"), r.getAs[String]("dep")) ->
+        r.getAs[Boolean]("holds")).toMap
+    val scr = ProfileQueries.fdDiscoveryScreened(spark, dir)
+    val srows = scr.collect()
+    assert(srows.length == 30)
+    // no false negatives: every pair's screened verdict (sketch-pruned ⇒
+    // false, survivor ⇒ exact branch) must equal the exact truth
+    srows.foreach { r =>
+      val k = (r.getAs[String]("det"), r.getAs[String]("dep"))
+      assert(r.getAs[Boolean]("holds") == exact(k), s"verdict drift at $k")
+    }
+    // the screen prunes, and every key-determined pair survives it
+    val surv = ProfileQueries.fdScreenSurvivors(spark, dir, "orders")
+    assert(surv.size < 30, "the screen must actually prune")
+    val survSet = surv.toSet
+    Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+      "o_orderpriority").foreach(c => assert(survSet(("o_orderkey", c))))
+    // PLAN GATE (VERDICT r15 #1): the screened DAG carries exactly the
+    // survivors' exact branches (groupBy + 1-row rollup each), never all 30
+    val aggs = scr.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.size == 2 * surv.size,
+      s"expected ${2 * surv.size} aggregate nodes (2 per survivor), got ${aggs.size}")
+    val gate = ProfileQueries.fdScreenGate(spark, dir).collect().head
+    assert(gate.getAs[Long]("n_pairs") == 30L)
+    assert(gate.getAs[Boolean]("screen_pruned"))
+    assert(gate.getAs[Boolean]("key_fds_survive"))
+  }
+
   test("null patterns: 4-bit masks partitioning all rows") {
     val rows = ProfileQueries.nullPatterns(spark, SparkSuite.Sf0001).collect()
     assert(rows.nonEmpty)

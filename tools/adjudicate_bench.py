@@ -29,15 +29,17 @@ def qjson(pairs):
 
 
 def parse_timequery_log(path):
-    """name -> min rep seconds. The log interleaves sbt noise; each
-    TimeQuery invocation prints '[timequery] <name> @ <dir>' style? No —
-    it prints bare 'rep i: X s' lines, so we key off the runMain echo."""
+    """name -> min rep seconds. Keys off EITHER invocation marker: sbt's
+    'running (fork) graft.cli.TimeQuery <name> …' echo, or TimeQuery's own
+    'timequery <name> @ <dir>' header (present since r16 — a plain-java
+    invocation like Bench.freshJvmMin emits no sbt echo; ADVICE r15)."""
     mins = {}
     current = None
-    run_re = re.compile(r"running \(fork\) graft\.cli\.TimeQuery ([a-z0-9_]+) ")
+    run_res = [re.compile(r"running \(fork\) graft\.cli\.TimeQuery ([a-z0-9_]+) "),
+               re.compile(r"^timequery ([a-z0-9_]+) @ ")]
     rep_re = re.compile(r"rep \d+: ([0-9.]+) s")
     for line in open(path):
-        m = run_re.search(line)
+        m = next((m for r in run_res if (m := r.search(line))), None)
         if m:
             current = m.group(1)
             continue
@@ -58,6 +60,8 @@ def render_full(d):
         '"rerun":' + render_rerun(d["rerun"]),
         '"load_contaminated":' + json.dumps(d["load_contaminated"], separators=(",", ":")),
         '"unadjudicated":' + json.dumps(d["unadjudicated"], separators=(",", ":")),
+        '"memo_rebuilds":' + json.dumps(d.get("memo_rebuilds", {}),
+                                        separators=(",", ":"), sort_keys=True),
         f'"rerun_load_gate":{fmt(d["rerun_load_gate"])}',
         f'"data_warm":{str(d["data_warm"]).lower()}',
         f'"jvm":{{"code_cache_used_mb":{d["jvm"]["code_cache_used_mb"]},"code_cache_max_mb":{d["jvm"]["code_cache_max_mb"]},"gc_sec":{fmt(d["jvm"]["gc_sec"])}}}',
@@ -75,6 +79,8 @@ def render_rerun(rr):
             fields.append(f'"fresh":{fmt(x["fresh"])}')
         if x.get("fresh_adjudicated"):
             fields.append('"fresh_adjudicated":true')
+        if x.get("rebuilt_stages"):
+            fields.append('"rebuilt_stages":true')
         fields += [f'"rerun_ok":{str(x["rerun_ok"]).lower()}',
                    f'"rerun_load":{fmt(x["rerun_load"])}',
                    f'"adjudicated":{str(x["adjudicated"]).lower()}']
@@ -87,6 +93,7 @@ def render_detail(d):
     adj = (f'"rerun":{render_rerun(d["rerun"])},'
            f'"load_contaminated":{json.dumps(d["load_contaminated"], separators=(",", ":"))},'
            f'"unadjudicated":{json.dumps(d["unadjudicated"], separators=(",", ":"))},'
+           f'"memo_rebuilds":{json.dumps(d.get("memo_rebuilds", {}), separators=(",", ":"), sort_keys=True)},'
            f'"rerun_load_gate":{fmt(d["rerun_load_gate"])},'
            f'"data_warm":{str(d["data_warm"]).lower()},'
            f'"jvm":{{"code_cache_used_mb":{d["jvm"]["code_cache_used_mb"]},"code_cache_max_mb":{d["jvm"]["code_cache_max_mb"]},"gc_sec":{fmt(d["jvm"]["gc_sec"])}}}')
