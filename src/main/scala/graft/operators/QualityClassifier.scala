@@ -50,6 +50,15 @@ object QualityClassifier {
     * drifts away from its oracle. */
   val DecisionMicro = 1000000L
 
+  /** Score-bin geometry shared by [[classifierCalibration]] and
+    * [[classifierAucBinned]] — declared HERE, before every oracle `val`
+    * that interpolates them (object vals initialize in declaration order;
+    * an oracle built above these would silently bake in 0). See the
+    * calibration section for the geometry rationale. */
+  private[operators] val CalibrationBinMicro = 25000L
+  private[operators] val CalibrationMinBin = 36L // 900 000 micro
+  private[operators] val CalibrationMaxBin = 45L // 1 125 000 micro
+
   private val DigestK = 25
 
   /** (doc_id, word) tf frame + CCNet buckets — MATERIALIZED once per
@@ -585,10 +594,8 @@ object QualityClassifier {
     * table — fixed 25 000-micro bins across the ±~10% band around
     * neutral, both ends clamped open (≤ 10 rows at any corpus size).
     * [[DecisionMicro]] sits exactly on a bin edge, so the table reads
-    * directly against the admission rule. */
-  private[operators] val CalibrationBinMicro = 25000L
-  private[operators] val CalibrationMinBin = 36L // 900 000 micro
-  private[operators] val CalibrationMaxBin = 45L // 1 125 000 micro
+    * directly against the admission rule. (The three bin constants are
+    * declared at the top of the object — initialization order.) */
 
   /** CALIBRATION TABLE (VERDICT r14 #5's second half) — the trained
     * score's reliability read: labeled docs bucketed into fixed

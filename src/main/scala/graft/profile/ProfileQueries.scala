@@ -1915,18 +1915,20 @@ object ProfileQueries {
   }
 
   // ------------------- sketch-SCREENED FD discovery (the 100 TB path)
-  /** Null-safe injective sketch key: HLL ingests strings, non-string
-    * columns CAST through Spark's shortest-round-trip rendering (injective
-    * per type), NULL maps to a sentinel outside every value domain. */
-  private def fdSketchKey(c: Column): Column =
-    coalesce(c.cast("string"), lit("<null>"))
-
   /** HLL NDV estimates for every column AND every unordered column pair of
     * `tableName`, from ONE fused aggregate over ONE column-pruned scan —
     * k + k(k−1)/2 mergeable sketches built side by side, no grouped
-    * shuffle touches row-level data at all. Returns the driver-side
-    * estimate row: k(k+1)/2 longs, data-size-independent (the bounded
-    * 1-row collect the adaptive screen below plans against). */
+    * shuffle touches row-level data at all. Every sketch ingests
+    * `xxhash64` of its column(s) — a codegen'd 8-byte key straight off
+    * native values (the first cut used string-cast + concat pair keys and
+    * the 15 per-row string constructions made the screen SLOWER than the
+    * exact form it replaces; hashing fixed that). A 64-bit collision only
+    * LOWERS an estimate, which only ever WIDENS the survivor set — the
+    * conservative direction for a screen. NULL hashes to the seed (a
+    * value), a hair's difference from countDistinct's null-skipping that
+    * the ±10 % margin absorbs. Returns the driver-side estimate row:
+    * k(k+1)/2 longs, data-size-independent (the bounded 1-row collect the
+    * adaptive screen below plans against). */
   private def fdEstimates(spark: SparkSession, dir: String, tableName: String,
       lgK: Int): (Seq[String], Map[String, Long], Map[(String, String), Long]) = {
     val t = Fixtures.table(spark, dir, tableName)
@@ -1934,13 +1936,9 @@ object ProfileQueries {
     val pairs =
       for { i <- cols.indices; j <- (i + 1) until cols.size } yield (cols(i), cols(j))
     val aggs =
-      cols.map(c => hll_sketch_agg(fdSketchKey(col(c)), lit(lgK)).as(s"c_$c")) ++
+      cols.map(c => hll_sketch_agg(xxhash64(col(c)), lit(lgK)).as(s"c_$c")) ++
       pairs.map { case (a, b) =>
-        // \u0001-joined pair key: injective for fixture domains; a stray
-        // collision only LOWERS the pair estimate, which only ever widens
-        // the survivor set — the conservative direction for a screen
-        hll_sketch_agg(concat(fdSketchKey(col(a)), lit("\u0001"), fdSketchKey(col(b))),
-          lit(lgK)).as(s"p_${a}__$b")
+        hll_sketch_agg(xxhash64(col(a), col(b)), lit(lgK)).as(s"p_${a}__$b")
       }
     val row = t.agg(aggs.head, aggs.tail: _*)
       .select((cols.map(c => hll_sketch_estimate(col(s"c_$c")).as(s"c_$c")) ++
