@@ -167,7 +167,20 @@ object PlansDump {
       "text_paragraph_dedup" -> (graft.operators.TextAnalysis.paragraphDedupPlan(_, _)),
       // pins k: the gated form's auto-k count() is an eager action at
       // plan-construction time (ADVICE r7); plan shape is identical
-      "semdedup" -> (graft.operators.Similarity.semDedupPlan(_, _)))
+      "semdedup" -> (graft.operators.Similarity.semDedupPlan(_, _)),
+      // r16: covariance sums are memoized stages shared with top_pc — the
+      // audit target is the full scan+pair-product lineage
+      "embedding_corr_dims" -> (graft.operators.Similarity.dimCorrMatrixPlan(_, _)))
+
+  /** The AQE-finalized formatted plan of one declared query (or its
+    * [[planOnly]] audit twin) — shared by the PLANS.md dump and the
+    * per-query plan files ([[PlanFiles]], the r16 before/after artifacts). */
+  private[cli] def planFor(spark: org.apache.spark.sql.SparkSession,
+      name: String, dir: String): String = {
+    val df = planOnly.getOrElse(name, SparkEntry.queries(name))(spark, dir)
+    df.collect() // let AQE finalize the executed plan
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
 
   def main(args: Array[String]): Unit = {
     // positional: PlansDump [sfDir] [outFile] — echo what was resolved so a
@@ -182,10 +195,7 @@ object PlansDump {
     sb.append(s"Generated against `$dir` (`graft.cli.PlansDump`). One query per\n")
     sb.append("plan family; regenerate after any planner-visible change.\n")
     Flagship.foreach { name =>
-      val df = planOnly.getOrElse(name, SparkEntry.queries(name))(spark, dir)
-      df.collect() // let AQE finalize the executed plan
-      val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
-      sb.append(s"\n## $name\n\n```\n$plan```\n")
+      sb.append(s"\n## $name\n\n```\n${planFor(spark, name, dir)}```\n")
     }
     Files.write(Paths.get(out), sb.toString.getBytes(StandardCharsets.UTF_8))
     println(s"[plans] wrote ${Flagship.size} plans to $out")

@@ -704,18 +704,20 @@ object Dedup {
     * deduplicate; docs outside the verified graph survive unconditionally.
     * Two joins against the materialized cluster labels — no corpus
     * re-hashing. */
-  def dedupKeepList(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = corpusWithNearDups(spark, dir).select("doc_id")
-    val clusters = dedupClusters(spark, dir)
-    val keepers = clusters.groupBy("cluster_id").agg(min("doc_id").as("keep_id"))
-    corpus.join(clusters, Seq("doc_id"), "left")
-      .join(keepers, Seq("cluster_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
-        when(col("keep_id").isNull || col("keep_id") === col("doc_id"), 1L)
-          .otherwise(0L).as("keep"))
-      .orderBy("doc_id")
-  }
+  def dedupKeepList(spark: SparkSession, dir: String): DataFrame =
+    // memoized (r16): read by four declared queries (keep list, impact,
+    // weights, quality bias) — (doc_id, cluster_id, keep) is 3 longs/row
+    memoStage(spark, dir, "keep_list") {
+      val corpus = corpusWithNearDups(spark, dir).select("doc_id")
+      val clusters = dedupClusters(spark, dir)
+      val keepers = clusters.groupBy("cluster_id").agg(min("doc_id").as("keep_id"))
+      corpus.join(clusters, Seq("doc_id"), "left")
+        .join(keepers, Seq("cluster_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          when(col("keep_id").isNull || col("keep_id") === col("doc_id"), 1L)
+            .otherwise(0L).as("keep"))
+    }.orderBy("doc_id")
 
   /** DEDUP IMPACT BY SOURCE — the curation report a data owner reads after
     * a dedup pass: per source, how many docs the keep-one-per-cluster
@@ -2047,15 +2049,24 @@ object Dedup {
     * oracle computes the same components by recursive-CTE transitive
     * closure + min over reachable ids. */
   def dedupClusters(spark: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
-    val pairs = sharedVerifiedPairs(spark, dir).select("id_a", "id_b")
-    // symmetrized edges: a cheap union-projection over the materialized
-    // pair-graph blocks, re-read per propagation round — no extra persist
-    val edges = pairs
-      .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-    val seed = edges.select(col("id_a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-    val result = propagateMinLabels(edges, seed, maxIters)
-    result.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
+    // memoized (r16): the CC fixpoint is an EAGER driver loop (one join +
+    // one count per round) that SEVEN declared queries re-ran end to end
+    // (keep list/weights/impact/bias/funnel/sizes/gate — the gate even
+    // twice, via labels AND the histogram). Labels are |graph nodes| rows
+    // of two longs; build once per (session, dir), release after the last
+    // consumer. This is also the production shape: cluster once, answer
+    // every downstream question from the label table.
+    val labels = memoStage(spark, dir, s"cc_labels_$maxIters") {
+      val pairs = sharedVerifiedPairs(spark, dir).select("id_a", "id_b")
+      // symmetrized edges: a cheap union-projection over the materialized
+      // pair-graph blocks, re-read per propagation round — no extra persist
+      val edges = pairs
+        .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      val seed = edges.select(col("id_a").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id"))
+      propagateMinLabels(edges, seed, maxIters)
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
   }
 
   /** Cluster-SIZE distribution of the near-dup graph — "is duplication a

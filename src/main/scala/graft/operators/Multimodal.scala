@@ -252,19 +252,45 @@ object Multimodal {
     val gw = 9; val gh = 8
     val sums = Array.ofDim[Long](gw, gh)
     val counts = Array.ofDim[Long](gw, gh)
-    var y = 0
-    while (y < h) {
-      val gy = math.min(gh - 1, y * gh / h)
-      var x = 0
-      while (x < w) {
-        val gx = math.min(gw - 1, x * gw / w)
-        val p = img.getRGB(x, y)
-        val gray = 299L * ((p >>> 16) & 0xff) + 587L * ((p >>> 8) & 0xff) + 114L * (p & 0xff)
-        sums(gx)(gy) += gray
-        counts(gx)(gy) += 1
-        x += 1
-      }
-      y += 1
+    // same TYPE_3BYTE_BGR fast path as [[grayHistogram]] (r16): the
+    // decoded bytes ARE what getRGB reassembles for this raster type, so
+    // the box sums are bit-identical without a ColorModel call per pixel
+    img.getRaster.getDataBuffer match {
+      case db: java.awt.image.DataBufferByte
+          if img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR &&
+            db.getData.length == w * h * 3 =>
+        val d = db.getData
+        var y = 0
+        while (y < h) {
+          val gy = math.min(gh - 1, y * gh / h)
+          val row = y * w * 3
+          var x = 0
+          while (x < w) {
+            val gx = math.min(gw - 1, x * gw / w)
+            val i = row + x * 3
+            val gray = 114L * (d(i) & 0xff) + 587L * (d(i + 1) & 0xff) +
+              299L * (d(i + 2) & 0xff) // bytes are B,G,R
+            sums(gx)(gy) += gray
+            counts(gx)(gy) += 1
+            x += 1
+          }
+          y += 1
+        }
+      case _ =>
+        var y = 0
+        while (y < h) {
+          val gy = math.min(gh - 1, y * gh / h)
+          var x = 0
+          while (x < w) {
+            val gx = math.min(gw - 1, x * gw / w)
+            val p = img.getRGB(x, y)
+            val gray = 299L * ((p >>> 16) & 0xff) + 587L * ((p >>> 8) & 0xff) + 114L * (p & 0xff)
+            sums(gx)(gy) += gray
+            counts(gx)(gy) += 1
+            x += 1
+          }
+          y += 1
+        }
     }
     var hash = 0L
     var gy = 0
@@ -432,17 +458,39 @@ object Multimodal {
     val w = img.getWidth; val h = img.getHeight
     val bins = new Array[Long](4)
     var graySum = 0L
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val p = img.getRGB(x, y)
-        val gray = 299L * ((p >>> 16) & 0xff) + 587L * ((p >>> 8) & 0xff) + 114L * (p & 0xff)
-        bins((gray / 64000L).toInt) += 1
-        graySum += gray
-        x += 1
-      }
-      y += 1
+    // Fast path for the raster type ImageIO's BMP/PNG decoders actually
+    // produce (TYPE_3BYTE_BGR, no alpha): read the decoded bytes straight
+    // off the DataBuffer — for that type `getRGB` assembles exactly these
+    // bytes per pixel (no color management happens post-decode), so the
+    // histogram is bit-identical while skipping a ColorModel call per
+    // pixel (r16, guide §1.2 per-task work: the per-pixel getRGB was the
+    // hot loop of every decode-seam query).
+    img.getRaster.getDataBuffer match {
+      case db: java.awt.image.DataBufferByte
+          if img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR &&
+            db.getData.length == w * h * 3 =>
+        val d = db.getData
+        var i = 0
+        while (i < d.length) {
+          val gray = 114L * (d(i) & 0xff) + 587L * (d(i + 1) & 0xff) +
+            299L * (d(i + 2) & 0xff) // bytes are B,G,R
+          bins((gray / 64000L).toInt) += 1
+          graySum += gray
+          i += 3
+        }
+      case _ =>
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val gray = 299L * ((p >>> 16) & 0xff) + 587L * ((p >>> 8) & 0xff) + 114L * (p & 0xff)
+            bins((gray / 64000L).toInt) += 1
+            graySum += gray
+            x += 1
+          }
+          y += 1
+        }
     }
     ImgHist(w.toLong * h, bins(0), bins(1), bins(2), bins(3), graySum)
   }
@@ -562,26 +610,36 @@ object Multimodal {
   private[operators] def synthFrame(docId: Long, f: Int): Array[Byte] = {
     val w = 18 + (docId % 10).toInt; val h = 16 + (docId % 7).toInt
     val cutAt = 2 + (docId % 5).toInt
-    val img = new java.awt.image.BufferedImage(w, h,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var y = 0
-    while (y < h) {
+    // Hand-rolled 24-bit BMP (a fully specified public container): the
+    // previous BufferedImage + ImageIO encode built the SAME bytes through
+    // a per-pixel ColorModel call and a fresh ImageWriter/stream stack per
+    // frame — at 8 frames/doc the fixture synthesis, not the measured
+    // decode, dominated the bench line (r16, guide §1.2). The decode side
+    // still goes through the real ImageIO path in [[grayHistogram]];
+    // BMP stores raw bottom-up BGR rows, so the decoded raster is
+    // unchanged pixel for pixel.
+    val rowBytes = w * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val dataSize = (rowBytes + pad) * h
+    val size = 54 + dataSize
+    val buf = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    buf.putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = h - 1 // bottom-up row order
+    while (y >= 0) {
       var x = 0
       while (x < w) {
         val p = ((docId * 7 + x * 13 + y * 29 + f * 11) % 256).toInt
-        val v = if (f >= cutAt) p % 128 else p
-        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        val v = (if (f >= cutAt) p % 128 else p).toByte
+        buf.put(v).put(v).put(v)
         x += 1
       }
-      y += 1
+      var i = 0
+      while (i < pad) { buf.put(0.toByte); i += 1 }
+      y -= 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    // BMP, not PNG: equally lossless for TYPE_INT_RGB (the decoded raster
-    // is still the formula) but ~3x cheaper to encode — at 8 frames/doc
-    // the fixture synthesis otherwise dominates the bench line, charging
-    // the operator for work a binary-column read never does
-    javax.imageio.ImageIO.write(img, "bmp", bos)
-    bos.toByteArray
+    buf.array()
   }
 
   /** SHOT-CUT PROFILE, driver-gated end to end: synthesize the 8-frame

@@ -2172,6 +2172,18 @@ object Similarity {
   private val AccumDimThreshold = 256
 
   private def covarianceSums(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // memoized (r16, guide §2.4/§5): the marginal and pair-sum frames are
+    // tiny (≤ d and d(d−1)/2 rows) but each costs a full corpus scan +
+    // pair-product aggregation — and BOTH [[dimCorrMatrix]] and
+    // [[topPrincipalComponent]] need them. One build per (session, dir);
+    // the bench releases the stages after their last consumer.
+    val (margPlan, pairsPlan) = covarianceSumsPlan(spark, dir)
+    (StageMemo(spark, dir, "cov_marg")(margPlan),
+      StageMemo(spark, dir, "cov_pairs")(pairsPlan))
+  }
+
+  /** Un-memoized twin for plan audits (PlansDump). */
+  private[graft] def covarianceSumsPlan(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val e = table(spark, dir, "embeddings")
       .select(col("vec_id"),
@@ -2201,6 +2213,13 @@ object Similarity {
     (marg, pairs)
   }
 
+  /** Declarative [[dimCorrMatrix]] twin for PlansDump (the memoized form's
+    * own plan is two checkpoint scans + the join). */
+  private[graft] def dimCorrMatrixPlan(spark: SparkSession, dir: String): DataFrame = {
+    val (marg, pairs) = covarianceSumsPlan(spark, dir)
+    dimCorrFrom(marg, pairs)
+  }
+
   /** The d > [[AccumDimThreshold]] pair-sum form (also forced via
     * `-Dgraft.covariance.accumulate=true` for the equality spec): ONE
     * packed 128-bit upper-triangle buffer per partition
@@ -2216,6 +2235,10 @@ object Similarity {
 
   def dimCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
     val (marg, pairs) = covarianceSums(spark, dir)
+    dimCorrFrom(marg, pairs)
+  }
+
+  private def dimCorrFrom(marg: DataFrame, pairs: DataFrame): DataFrame = {
     val mi = marg.select(col("dim").as("dim_i"), col("s").cast("double").as("si"),
       col("q").cast("double").as("qi"))
     val mj = marg.select(col("dim").as("dim_j"), col("s").cast("double").as("sj"),

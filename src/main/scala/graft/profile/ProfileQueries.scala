@@ -1894,12 +1894,24 @@ object ProfileQueries {
   def fdDiscovery(spark: SparkSession, dir: String,
       tableName: String = "orders"): DataFrame = {
     val t = Fixtures.table(spark, dir, tableName)
-    val frames = for {
-      a <- t.columns.toSeq; b <- t.columns.toSeq if a != b
-    } yield t.groupBy(col(a)).agg(countDistinct(col(b)).as("cnt"))
-      .agg(count(lit(1)).as("n_groups"), max(col("cnt")).as("max_ndv"))
-      .select(lit(a).as("det"), lit(b).as("dep"), col("n_groups"),
-        col("max_ndv"), (col("max_ndv") === 1).as("holds"))
+    // ONE branch per DETERMINANT, not per directed pair (r16, guide §2.4):
+    // all k−1 countDistincts for a determinant ride one grouped aggregate
+    // (Catalyst's multi-distinct Expand), so the table is scanned k times
+    // instead of k(k−1) and the DAG carries k exchanges instead of k(k−1)
+    // — same rows, same oracle (the per-pair values are independent of
+    // which branch computes them). At 100 TB that is 6 table passes, not
+    // 30. Measured at sf0.1: 4.4 s → see OPTIMIZATION_r16.md.
+    val frames = t.columns.toSeq.map { a =>
+      val deps = t.columns.toSeq.filterNot(_ == a)
+      val aggs = deps.map(b => countDistinct(col(b)).as(s"cnt_$b"))
+      val rolled = t.groupBy(col(a)).agg(aggs.head, aggs.tail: _*)
+        .agg(count(lit(1)).as("n_groups"),
+          deps.map(b => max(col(s"cnt_$b")).as(s"max_$b")): _*)
+      rolled.select(col("n_groups"), explode(array(deps.map(b =>
+          struct(lit(b).as("dep"), col(s"max_$b").as("max_ndv"))): _*)).as("x"))
+        .select(lit(a).as("det"), col("x.dep").as("dep"), col("n_groups"),
+          col("x.max_ndv").as("max_ndv"), (col("x.max_ndv") === 1).as("holds"))
+    }
     frames.reduce(_.union(_)).orderBy("det", "dep")
   }
 
@@ -1990,11 +2002,20 @@ object ProfileQueries {
     val cols = t.columns.toSeq
     val survivors = fdScreenSurvivors(spark, dir, tableName, lgK, marginPm)
     val surv = survivors.toSet
-    val exact = survivors.map { case (a, b) =>
-      t.groupBy(col(a)).agg(countDistinct(col(b)).as("cnt"))
-        .agg(max(col("cnt")).as("max_ndv"))
-        .select(lit(a).as("det"), lit(b).as("dep"),
-          (col("max_ndv") === 1).as("holds"))
+    // survivors fused PER DETERMINANT (r16, same shape as [[fdDiscovery]]):
+    // one grouped aggregate carries every surviving dep's countDistinct, so
+    // the exact pass scans the table once per surviving determinant, not
+    // once per surviving pair
+    val exact = survivors.groupBy(_._1).toSeq.sortBy(_._1).map { case (a, ps) =>
+      val deps = ps.map(_._2)
+      val aggs = deps.map(b => countDistinct(col(b)).as(s"cnt_$b"))
+      val maxes = deps.map(b => max(col(s"cnt_$b")).as(s"max_$b"))
+      t.groupBy(col(a)).agg(aggs.head, aggs.tail: _*)
+        .agg(maxes.head, maxes.tail: _*)
+        .select(explode(array(deps.map(b =>
+            struct(lit(b).as("dep"), col(s"max_$b").as("max_ndv"))): _*)).as("x"))
+        .select(lit(a).as("det"), col("x.dep").as("dep"),
+          (col("x.max_ndv") === 1).as("holds"))
     }
     val pruned = (for { a <- cols; b <- cols if a != b && !surv((a, b)) } yield (a, b))
       .toDF("det", "dep").withColumn("holds", lit(false))

@@ -53,10 +53,13 @@ class OuterProductAggSpec extends AnyFunSuite {
 
   test("dimCorrMatrix is bit-identical under the accumulator form") {
     val dir = SparkSuite.Sf0001
-    val default = graft.operators.Similarity.dimCorrMatrix(spark, dir).collect().toSeq
+    // the un-memoized plan twin: the gated form memoizes covariance sums
+    // (r16), which would hand the second run the FIRST run's frames and
+    // make this comparison vacuous
+    val default = graft.operators.Similarity.dimCorrMatrixPlan(spark, dir).collect().toSeq
     System.setProperty("graft.covariance.accumulate", "true")
     try {
-      val accum = graft.operators.Similarity.dimCorrMatrix(spark, dir).collect().toSeq
+      val accum = graft.operators.Similarity.dimCorrMatrixPlan(spark, dir).collect().toSeq
       assert(accum == default, "accumulator form diverged from the explode form")
     } finally System.clearProperty("graft.covariance.accumulate")
   }

@@ -9,8 +9,15 @@ class FdNullPatternSpec extends AnyFunSuite {
   lazy val spark = SparkSuite.spark
 
   test("fd discovery: the primary key determines every other column") {
-    val rows = ProfileQueries.fdDiscovery(spark, SparkSuite.Sf0001).collect()
+    val df = ProfileQueries.fdDiscovery(spark, SparkSuite.Sf0001)
+    val rows = df.collect()
     assert(rows.length == 30) // 6 columns, all directed pairs
+    // r16 plan gate: one fused branch per determinant — 6 scans, not 30
+    val scans = df.queryExecution.optimizedPlan.collectLeaves().count {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _ => false
+    }
+    assert(scans == 6, s"expected 6 table scans (one per determinant), got $scans")
     val fromKey = rows.filter(_.getAs[String]("det") == "o_orderkey")
     assert(fromKey.length == 5 && fromKey.forall(_.getAs[Boolean]("holds")))
     // o_orderkey is unique: n_groups from the key == row count
@@ -42,13 +49,17 @@ class FdNullPatternSpec extends AnyFunSuite {
     val survSet = surv.toSet
     Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
       "o_orderpriority").foreach(c => assert(survSet(("o_orderkey", c))))
-    // PLAN GATE (VERDICT r15 #1): the screened DAG carries exactly the
-    // survivors' exact branches (groupBy + 1-row rollup each), never all 30
-    val aggs = scr.queryExecution.optimizedPlan.collect {
-      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    // PLAN GATE (VERDICT r15 #1, tightened r16): the screened DAG scans the
+    // table exactly ONCE per surviving DETERMINANT (all of a determinant's
+    // surviving deps fused into one grouped aggregate) — never once per
+    // pair, never all 30
+    val nDet = surv.map(_._1).distinct.size
+    val scans = scr.queryExecution.optimizedPlan.collectLeaves().count {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _ => false
     }
-    assert(aggs.size == 2 * surv.size,
-      s"expected ${2 * surv.size} aggregate nodes (2 per survivor), got ${aggs.size}")
+    assert(scans == nDet,
+      s"expected $nDet table scans (one per surviving determinant), got $scans")
     val gate = ProfileQueries.fdScreenGate(spark, dir).collect().head
     assert(gate.getAs[Long]("n_pairs") == 30L)
     assert(gate.getAs[Boolean]("screen_pruned"))
