@@ -63,11 +63,13 @@ object DataSelection {
       .select(col("doc_id"), col("source"), col("tgt"), explode(col("ts")).as("f"))
       .filter(col("f") =!= "")
     val big = d
+      .filter(size(col("ts")) >= 2)
+      // row-local pair structs (r16): the posexplode form carried the
+      // whole token array per output row — see TextAnalysis.collocations
+      .select(col("doc_id"), col("source"), col("tgt"), explode(expr(
+        "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))")).as("p"))
       .select(col("doc_id"), col("source"), col("tgt"),
-        posexplode(col("ts")).as(Seq("pos", "w1")), col("ts"))
-      .filter(col("pos") < size(col("ts")) - 1)
-      .select(col("doc_id"), col("source"), col("tgt"), col("w1"),
-        col("ts").getItem(col("pos") + 1).as("w2"))
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
       .filter(col("w1") =!= "" && col("w2") =!= "")
       .select(col("doc_id"), col("source"), col("tgt"),
         concat(col("w1"), lit(" "), col("w2")).as("f"))

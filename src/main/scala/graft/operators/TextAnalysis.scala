@@ -1026,8 +1026,17 @@ object TextAnalysis {
       // ≥2 chars: Spark's sequence(1, len-1) runs DESCENDING for len<2
       // (step is inferred), where DuckDB's generate_series returns empty
       .filter(length(col("text")) >= 2)
-      .withColumn("i", explode(sequence(lit(1), length(col("text")) - 1)))
-      .select(col("lang"), expr("substring(text, i, 2)").as("bigram"))
+      // r16: one codepoint split + row-local pair concat instead of an
+      // explode carrying `text` with substring(text, i, 2) per position —
+      // substring scans i codepoints to find its start, making the loop
+      // O(len²) per doc, and the Generate carried the whole text per row.
+      // Java's zero-width regex split advances per CODE POINT, so
+      // split(text, '') yields codepoint chars and cs[i]||cs[i+1] is
+      // exactly substring(text, i+1, 2) for any unicode input
+      // (probe-verified equal bigram counts on the fixture).
+      .select(col("lang"), split(col("text"), "").as("cs"))
+      .select(col("lang"), explode(expr(
+        "transform(sequence(0, size(cs) - 2), i -> concat(cs[i], cs[i + 1]))")).as("bigram"))
       .groupBy("lang", "bigram").agg(count(lit(1)).as("cnt"))
       .withColumn("rank", row_number().over(w).cast("bigint"))
       .filter(col("rank") <= 10)
@@ -2557,12 +2566,14 @@ object TextAnalysis {
     bigramSurprisalFrom(docPairTf(spark, dir))
 
   private def docPairTf(spark: SparkSession, dir: String): DataFrame =
+    // row-local pair structs (r16): the posexplode form carried the whole
+    // token array per output row — see [[collocations]]; identical pairs
     table(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), posexplode(words).as(Seq("pos", "w1")),
-        words.as("ts"))
-      .filter(col("pos") < size(col("ts")) - 1)
-      .select(col("doc_id"), col("lang"), col("w1"),
-        col("ts").getItem(col("pos") + 1).as("w2"))
+      .select(col("doc_id"), col("lang"), words.as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))")).as("p"))
+      .select(col("doc_id"), col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
       .filter(col("w1") =!= "" && col("w2") =!= "")
       .groupBy("doc_id", "lang", "w1", "w2")
       .agg(count(lit(1)).as("tf"))
@@ -2874,14 +2885,17 @@ object TextAnalysis {
       .orderBy("doc_id")
 
   private def docTriTf(spark: SparkSession, dir: String): DataFrame =
+    // row-local trigram structs (r16): the posexplode form carried the
+    // whole token array per output row — see [[collocations]]
     table(spark, dir, "documents")
       .withColumn("is_train", mixedHash("split|") % 100 < 80)
+      .select(col("doc_id"), col("lang"), col("is_train"), words.as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), col("lang"), col("is_train"), explode(expr(
+        """transform(sequence(0, size(ts) - 3),
+          |  i -> struct(ts[i] AS w1, ts[i + 1] AS w2, ts[i + 2] AS w3))""".stripMargin)).as("p"))
       .select(col("doc_id"), col("lang"), col("is_train"),
-        posexplode(words).as(Seq("pos", "w1")), words.as("ts"))
-      .filter(col("pos") < size(col("ts")) - 2)
-      .select(col("doc_id"), col("lang"), col("is_train"), col("w1"),
-        col("ts").getItem(col("pos") + 1).as("w2"),
-        col("ts").getItem(col("pos") + 2).as("w3"))
+        col("p.w1").as("w1"), col("p.w2").as("w2"), col("p.w3").as("w3"))
       .filter(col("w1") =!= "" && col("w2") =!= "" && col("w3") =!= "")
       .groupBy("doc_id", "lang", "is_train", "w1", "w2", "w3")
       .agg(count(lit(1)).as("tf"))
@@ -3106,8 +3120,12 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val docTf = table(spark, dir, "documents")
       .filter(length(col("text")) >= 2)
-      .withColumn("i", explode(sequence(lit(1), length(col("text")) - 1)))
-      .select(col("doc_id"), col("source"), expr("substring(text, i, 2)").as("bigram"))
+      // codepoint split + row-local pair concat (r16) — the
+      // [[charBigrams]] rewrite: kills the O(len²) substring scans and
+      // the text column carried through the Generate
+      .select(col("doc_id"), col("source"), split(col("text"), "").as("cs"))
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(0, size(cs) - 2), i -> concat(cs[i], cs[i + 1]))")).as("bigram"))
       .groupBy("doc_id", "source", "bigram")
       .agg(count(lit(1)).as("tf"))
     val counts = docTf
@@ -4772,14 +4790,23 @@ object TextAnalysis {
     * TakeOrderedAndProject — no global sort anywhere. */
   def collocations(spark: SparkSession, dir: String, minCount: Int = 20,
       k: Int = 30): DataFrame = {
-    val toks = table(spark, dir, "documents")
-      .select(col("doc_id"), posexplode(words).as(Seq("pos", "w1")), words.as("toks"))
-      .filter(col("w1") =!= "")
-    val uni = toks.groupBy(col("w1").as("w")).agg(count(lit(1)).as("c"))
-    val big = toks
-      .filter(col("pos") < size(col("toks")) - 1)
-      .select(col("w1"), col("toks").getItem(col("pos") + 1).as("w2"))
-      .filter(col("w2") =!= "")
+    // r16 (guide §2.3, project before the explode): the previous form
+    // carried the WHOLE token array through posexplode so w2 could be
+    // looked up by position — the Generate materialized the array once
+    // per output row (measured 9× the bare explode at sf0.1). Pairs are
+    // now generated ROW-LOCALLY as 2-structs; each exploded row carries
+    // 2 words, never the document. Same pair multiset (probe-verified
+    // equal counts), same oracle.
+    val docs = table(spark, dir, "documents")
+    val uni = docs.select(explode(words).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val big = docs.select(words.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i + 1] AS w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
       .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
       .filter(col("c_xy") >= minCount)
     val totals = uni.agg(sum(col("c")).as("n1")).crossJoin(
