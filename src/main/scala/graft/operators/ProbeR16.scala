@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TEMPORARY round-16 measurement probe (not part of the engine; deleted
+  * before round close). Times the banding-curve build's internal stages in
+  * isolation with the noop sink, per guide §1.4. */
+object ProbeR16 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    def time(label: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"probe $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+
+    // plan-dump mode: write un-memoized build plans for the stages under
+    // optimization to plans/r16/<name>_<suffix>.txt and exit
+    if (args.length > 1 && args(1).startsWith("plans:")) {
+      val suffix = args(1).stripPrefix("plans:")
+      def dump(name: String)(df: DataFrame): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"/root/repo/plans/r16/${name}_$suffix.txt"),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      dump("banding_curve_build")(Dedup.bandingCurveBuild(spark, sfDir))
+      dump("scored_stage_build")(Dedup.scoredCandidatesBuild(spark, sfDir))
+      dump("span_table_build")(TextAnalysis.dupSpansPlan(spark, sfDir))
+      spark.stop()
+      return
+    }
+
+    if (args.length > 1 && args(1) == "scored") {
+      // decompose the scored-stage build (dedup_audit_sample's line)
+      time("warmup_noop")(spark.range(1000).toDF())
+      time("signatures_build")(Dedup.sharedSignatures(spark, sfDir))
+      time("candidates_build")(Dedup.sharedCandidatePairs(spark, sfDir))
+      time("scored_build")(Dedup.scoredCandidatesBuild(spark, sfDir))
+      val sets0 = Dedup.corpusWithNearDups(spark, sfDir)
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), array_distinct(Dedup.shingles(col("text"))).as("shd"))
+      // variant: no eager checkpoint — derive (shd, sig) per join side
+      val docsNoCkpt = sets0.join(Dedup.sharedSignatures(spark, sfDir), "doc_id")
+      val scoredNoCkpt = Dedup.sharedCandidatePairs(spark, sfDir)
+        .join(docsNoCkpt.select(col("doc_id").as("id_a"), col("shd").as("sh_a"), col("sig").as("sig_a")), "id_a")
+        .join(docsNoCkpt.select(col("doc_id").as("id_b"), col("shd").as("sh_b"), col("sig").as("sig_b")), "id_b")
+        .withColumn("n_match",
+          aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (a, x) => a + x))
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard",
+          col("inter").cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+        .select("id_a", "id_b", "n_match", "jaccard")
+      time("scored_no_ckpt")(scoredNoCkpt)
+      time("scored_no_ckpt_rep2")(scoredNoCkpt)
+      println("scored rows: " + Dedup.scoredCandidatesBuild(spark, sfDir).count())
+      spark.stop()
+      return
+    }
+
+    if (args.length > 1 && args(1) == "span") {
+      time("warmup_noop")(spark.range(1000).toDF())
+      val ws = split(col("text"), " ")
+      val base = Dedup.corpusWithNearDups(spark, sfDir).filter(size(ws) >= 5)
+      val grams = transform(sequence(lit(1), size(ws) - 4),
+        i => md5(concat_ws(" ", (0 until 5).map(o => element_at(ws, i + o)): _*)))
+      val oldForm = base.select(col("doc_id"), explode(grams).as("g")).distinct()
+      val newForm = base.select(col("doc_id"), explode(array_distinct(grams)).as("g"))
+      time("span_old")(oldForm)
+      time("span_old_rep2")(oldForm)
+      time("span_new")(newForm)
+      time("span_new_rep2")(newForm)
+      println("old rows: " + oldForm.count() + " new rows: " + newForm.count())
+      spark.stop()
+      return
+    }
+
+    if (args.length > 1 && args(1) == "cands") {
+      time("warmup_noop")(spark.range(1000).toDF())
+      time("signatures_build")(Dedup.sharedSignatures(spark, sfDir))
+      val sig = Dedup.sharedSignatures(spark, sfDir)
+      val bands = (0 until 4).map { b =>
+        val parts = (0 until 2).map(j => element_at(col("sig"), b * 2 + j + 1))
+        struct(lit(b).as("band"), md5(concat(parts: _*)).as("band_hash"))
+      }
+      val bandDf = sig.select(col("doc_id"), explode(array(bands: _*)).as("bh"))
+        .select(col("doc_id"), col("bh.band").as("band"), col("bh.band_hash").as("band_hash"))
+      time("band_frame")(bandDf)
+      println("band rows: " + bandDf.count())
+      import org.apache.spark.sql.expressions.Window
+      val ranked = bandDf.withColumn("rn",
+        row_number().over(Window.partitionBy(col("band"), col("band_hash")).orderBy("doc_id")))
+      time("ranked")(ranked)
+      val dense = ranked.filter(col("rn") <= Dedup.MaxBucket)
+      val a = dense.select(col("band"), col("band_hash"), col("doc_id").as("id_a"), col("rn").as("rn_a"))
+      val b = dense.select(col("band"), col("band_hash"), col("doc_id").as("id_b"), col("rn").as("rn_b"))
+      val densePairs = a.join(b, Seq("band", "band_hash"))
+        .filter(col("rn_a") < col("rn_b")).select("id_a", "id_b")
+      time("dense_pairs")(densePairs)
+      time("dense_pairs_rep2")(densePairs)
+      println("dense pair rows: " + densePairs.count())
+      val full = Dedup.sharedCandidatePairs(spark, sfDir)
+      time("full_capped_build")(full)
+      time("full_capped_read")(full)
+      spark.stop()
+      return
+    }
+
+    // corpus + shingles
+    val corpus = Dedup.corpusWithNearDups(spark, sfDir)
+    time("corpus_scan")(corpus)
+    val shSets = corpus
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), array_distinct(Dedup.shingles(col("text"))).as("shd"))
+    time("shingle_sets")(shSets)
+    time("shingle_sets_rep2")(shSets)
+    // signature build (memoized; first call pays)
+    time("signatures_build")(Dedup.sharedSignatures(spark, sfDir))
+    time("signatures_read")(Dedup.sharedSignatures(spark, sfDir))
+    // the sweep's band frame + capped pairs
+    val configs = Seq((8, 1), (4, 2), (2, 4), (1, 8))
+    val sig = Dedup.sharedSignatures(spark, sfDir)
+    val allBands = configs.flatMap { case (nb, r) =>
+      (0 until nb).map { b =>
+        val parts = (0 until r).map(j => element_at(col("sig"), b * r + j + 1))
+        struct(lit(nb.toLong).as("n_bands"), lit(r.toLong).as("band_size"),
+          lit(b).as("band"), md5(concat(parts: _*)).as("band_hash"))
+      }
+    }
+    val bandDf = sig.select(col("doc_id"), explode(array(allBands: _*)).as("bh"))
+      .select(col("doc_id"), col("bh.n_bands").as("n_bands"),
+        col("bh.band_size").as("band_size"), col("bh.band").as("band"),
+        col("bh.band_hash").as("band_hash"))
+    time("band_frame")(bandDf)
+    val cands = Dedup.cappedBucketPairs(bandDf,
+      Seq("n_bands", "band_size", "band", "band_hash"), tag = "probe_sweep",
+      keep = Seq("n_bands", "band_size"))
+    time("capped_pairs")(cands)
+    time("capped_pairs_rep2")(cands)
+    println("cands count: " + cands.count())
+    val uniq = cands.select("id_a", "id_b").distinct()
+    println("uniq pair count: " + uniq.count())
+    val scoredUniq = uniq
+      .join(shSets.select(col("doc_id").as("id_a"), col("shd").as("sh_a")), "id_a")
+      .join(shSets.select(col("doc_id").as("id_b"), col("shd").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .select("id_a", "id_b", "jaccard")
+    time("scored_uniq")(scoredUniq)
+    time("scored_uniq_rep2")(scoredUniq)
+    // variant: union via sizes (sa + sb - inter), no array_union allocation
+    val sized = shSets.select(col("doc_id"), col("shd"), size(col("shd")).as("sz"))
+    val scoredUniq2 = uniq
+      .join(sized.select(col("doc_id").as("id_a"), col("shd").as("sh_a"), col("sz").as("sa")), "id_a")
+      .join(sized.select(col("doc_id").as("id_b"), col("shd").as("sh_b"), col("sz").as("sb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sa") + col("sb") - col("inter")).cast("double"))
+      .select("id_a", "id_b", "jaccard")
+    time("scored_uniq_sized")(scoredUniq2)
+    time("scored_uniq_sized_rep2")(scoredUniq2)
+    // equality check of the two forms
+    val diff = scoredUniq.as("x").join(scoredUniq2.as("y"), Seq("id_a", "id_b"))
+      .filter(col("x.jaccard") =!= col("y.jaccard")).count()
+    println("jaccard mismatch rows: " + diff)
+    // selectivity of the certain J<0.5 length bound: J <= min/max
+    val withSz = uniq
+      .join(sized.select(col("doc_id").as("id_a"), col("sz").as("sa")), "id_a")
+      .join(sized.select(col("doc_id").as("id_b"), col("sz").as("sb")), "id_b")
+    val nSkip = withSz.filter(least(col("sa"), col("sb")) * 2 <
+      greatest(col("sa"), col("sb"))).count()
+    println(s"pairs certainly J<0.5 by length ratio: $nSkip of 328146")
+    // verdict-only scoring: intersect computed only for plausible pairs
+    val scoredVerdict = withSz
+      .join(sized.select(col("doc_id").as("id_a"), col("shd").as("sh_a")), "id_a")
+      .join(sized.select(col("doc_id").as("id_b"), col("shd").as("sh_b")), "id_b")
+      .withColumn("is_true",
+        when(least(col("sa"), col("sb")) * 2 < greatest(col("sa"), col("sb")), lit(false))
+          .otherwise {
+            val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+            inter.cast("double") / (col("sa") + col("sb") - inter).cast("double") >= 0.5
+          })
+      .select("id_a", "id_b", "is_true")
+    time("scored_verdict")(scoredVerdict)
+    time("scored_verdict_rep2")(scoredVerdict)
+    spark.stop()
+  }
+}

@@ -1450,12 +1450,16 @@ object TextAnalysis {
     * trade [[Dedup.sharedSignatures]] documents for shingle sets). */
   private def spanTable(spark: SparkSession, dir: String): DataFrame = {
     val ws = split(col("text"), " ")
+    // row-local distinct BEFORE the explode: a doc's duplicate 5-grams
+    // dedup inside array_distinct, so every emitted (doc_id, g) row is
+    // already unique and the former global .distinct() — a full shuffle +
+    // two HashAggregates over the span family's largest intermediate — is
+    // gone (guide §2.4; the [[Dedup.shingleSets]]/rankedShingleToks shape)
     Dedup.corpusWithNearDups(spark, dir)
       .filter(size(ws) >= 5)
-      .select(col("doc_id"), explode(
+      .select(col("doc_id"), explode(array_distinct(
         transform(sequence(lit(1), size(ws) - 4),
-          i => md5(concat_ws(" ", (0 until 5).map(o => element_at(ws, i + o)): _*)))).as("g"))
-      .distinct()
+          i => md5(concat_ws(" ", (0 until 5).map(o => element_at(ws, i + o)): _*))))).as("g"))
   }
 
   /** The distinct (doc, 5-gram-hash) SPAN TABLE, materialized once per
