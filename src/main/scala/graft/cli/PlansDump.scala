@@ -170,7 +170,14 @@ object PlansDump {
       "semdedup" -> (graft.operators.Similarity.semDedupPlan(_, _)),
       // r16: covariance sums are memoized stages shared with top_pc — the
       // audit target is the full scan+pair-product lineage
-      "embedding_corr_dims" -> (graft.operators.Similarity.dimCorrMatrixPlan(_, _)))
+      "embedding_corr_dims" -> (graft.operators.Similarity.dimCorrMatrixPlan(_, _)),
+      // r16: these materialize a shared derived frame once (lazy
+      // localCheckpoint) because several plan branches read it — the audit
+      // target is the full lineage that materialization runs
+      "profile_gini_lineitem" -> (graft.profile.ProfileQueries.giniProfilePlan(_, _)),
+      "profile_weighted_percentiles" -> (graft.profile.ProfileQueries.weightedPercentilesPlan(_, _)),
+      "q_market_basket" -> (graft.operators.RelationalExt.marketBasketPlan(_, _)),
+      "events_max_concurrency" -> (graft.operators.EventOps.maxConcurrencyPlan(_, _)))
 
   /** The AQE-finalized formatted plan of one declared query (or its
     * [[planOnly]] audit twin) — shared by the PLANS.md dump and the

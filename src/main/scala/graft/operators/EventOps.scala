@@ -2073,7 +2073,16 @@ object EventOps {
     * happens. Hours with no change points carry no row (documented:
     * concurrency is constant through such hours, equal to the last
     * reported running value). */
-  def maxConcurrency(spark: SparkSession, dir: String): DataFrame = {
+  def maxConcurrency(spark: SparkSession, dir: String): DataFrame =
+    maxConcurrencyOf(spark, dir, materialize = true)
+
+  /** Un-materialized twin for the PLANS.md audit: the full sessionize →
+    * sweep lineage the one-time delta materialization runs. */
+  private[graft] def maxConcurrencyPlan(spark: SparkSession, dir: String): DataFrame =
+    maxConcurrencyOf(spark, dir, materialize = false)
+
+  private def maxConcurrencyOf(spark: SparkSession, dir: String,
+      materialize: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy("tus")
     val gapUs = 30L * 60 * 1000000
@@ -2088,11 +2097,20 @@ object EventOps {
         sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("user_id", "sess_id")
       .agg(min(col("tus")).as("s_tus"), max(col("tus")).as("e_tus"))
-    // endpoint deltas; end is inclusive, so the -1 lands at end+1us
-    val deltas = sessions.select(col("s_tus").as("tus"), lit(1L).as("d"))
-      .union(sessions.select((col("e_tus") + 1).as("tus"), lit(-1L).as("d")))
-      .groupBy("tus").agg(sum(col("d")).as("d"))
+    // endpoint deltas; end is inclusive, so the -1 lands at end+1us.
+    // BOTH endpoints explode from one session row (r16): the former
+    // `select(+1) union select(−1)` fed the sessionize pipeline into two
+    // plan branches, and Spark has no cross-branch CSE — the scan, the
+    // per-user windows and the session aggregate all ran TWICE (plan:
+    // 2 parquet scans). The change-point frame is then materialized once
+    // (lazy localCheckpoint, distinct-timestamp-bounded rows) because the
+    // bucket-offset branch and the sweep branch both read it.
+    val deltas0 = sessions.select(explode(array(
+        struct(col("s_tus").as("tus"), lit(1L).as("d")),
+        struct((col("e_tus") + 1).as("tus"), lit(-1L).as("d")))).as("ev"))
+      .groupBy(col("ev.tus").as("tus")).agg(sum(col("ev.d")).as("d"))
       .withColumn("bucket", expr(s"tus div $hourUs"))
+    val deltas = if (materialize) deltas0.localCheckpoint(false) else deltas0
     val wLocal = Window.partitionBy("bucket").orderBy("tus")
       .rowsBetween(Window.unboundedPreceding, 0)
     val wBucket = Window.orderBy("bucket")
@@ -2415,11 +2433,15 @@ object EventOps {
       countDistinct(col("user_id")).as("n_users"),
       mins.map(m => sum((col("gap") > m * 60000000L).cast("long"))
         .as(s"brk_$m")): _*)
-    val frames = mins.map { m =>
-      agg.select(lit(m).as("gap_minutes"),
-        (col("n_users") + col(s"brk_$m")).as("n_sessions"))
-    }
-    frames.reduce(_.union(_)).orderBy("gap_minutes")
+    // all four sweep rows explode from the ONE aggregate row (r16): the
+    // former per-config union fed `agg` into four plan branches, and with
+    // no cross-branch CSE the scan + per-user lag window ran FOUR times
+    agg.select(explode(array(mins.map(m =>
+        struct(lit(m).as("gap_minutes"),
+          (col("n_users") + col(s"brk_$m")).as("n_sessions"))): _*)).as("r"))
+      .select(col("r.gap_minutes").as("gap_minutes"),
+        col("r.n_sessions").as("n_sessions"))
+      .orderBy("gap_minutes")
   }
 
   val sessionGapSweepOracle: String = {

@@ -28,6 +28,25 @@ object ProbeR16 {
       println(f"probe $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
 
+    // executed-plan mode: dump the DECLARED query's AQE-finalized plan
+    // (not the planOnly audit twin) — `exec:<suffix>:<q1,q2,...>`
+    if (args.length > 1 && args(1).startsWith("exec:")) {
+      val parts = args(1).split(":", 3)
+      val (suffix, names) = (parts(1), parts(2).split(",").toSeq)
+      names.foreach { name =>
+        val df = graft.SparkEntry.queries(name)(spark, sfDir)
+        df.collect()
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"/root/repo/plans/r16/${name}_exec_$suffix.txt"),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        println(s"exec plan $name -> ${name}_exec_$suffix.txt")
+      }
+      spark.stop()
+      return
+    }
+
     // plan-dump mode: write un-memoized build plans for the stages under
     // optimization to plans/r16/<name>_<suffix>.txt and exit
     if (args.length > 1 && args(1).startsWith("plans:")) {

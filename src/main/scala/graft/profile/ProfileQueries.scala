@@ -1218,18 +1218,40 @@ object ProfileQueries {
     * (≈ domain/10⁴ rows) see a single-partition window. A naive
     * `Window.orderBy(cents)` collapses the whole distinct-value frame to
     * one task (measured 4-6 s at sf0.1; this form ~1 s). */
-  def giniOf(df: DataFrame, column: String): DataFrame = {
+  def giniOf(df: DataFrame, column: String): DataFrame =
+    giniOfImpl(df, column, materialize = true)
+
+  /** Un-materialized twin for the PLANS.md audit: the full grouped-frame
+    * lineage the one-time materialization runs. */
+  private[graft] def giniOfPlan(df: DataFrame, column: String): DataFrame =
+    giniOfImpl(df, column, materialize = false)
+
+  private[graft] def giniProfilePlan(spark: SparkSession, dir: String): DataFrame =
+    giniOfPlan(Fixtures.table(spark, dir, "lineitem"), "l_extendedprice")
+
+  private[graft] def weightedPercentilesPlan(spark: SparkSession, dir: String): DataFrame =
+    weightedPercentilesOfPlan(Fixtures.table(spark, dir, "lineitem"),
+      "l_extendedprice", "l_quantity")
+
+  private def giniOfImpl(df: DataFrame, column: String,
+      materialize: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // keys, counts, and prefix sums stay BIGINT through the shuffle and
     // windows (8 B keys, codegen'd hash agg + long-sum windows — decimal
     // keys here cost 3-4x in BigDecimal hash/compare/add); DECIMAL enters
     // only at the final per-row terms, where c·cb can exceed 2^63 at
     // extreme row counts
-    val grp = df
+    val grp0 = df
       .filter(col(column).isNotNull)
       .groupBy(floor(col(column) * 100 + 0.5).cast("bigint").as("cents"))
       .agg(count(lit(1)).as("c"))
       .withColumn("bucket", expr("cents div 10000"))
+    // the bucket-offset branch and the per-row contribution branch both
+    // read the grouped frame, and Spark has no cross-branch CSE — without
+    // materialization the scan + group-by ran twice (r16; plan: 2 scans
+    // → 1). Value-domain-bounded rows (distinct cents), so the lazy
+    // localCheckpoint is tiny at any corpus size.
+    val grp = if (materialize) grp0.localCheckpoint(false) else grp0
     val wLocal = Window.partitionBy("bucket").orderBy("cents")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wBucket = Window.orderBy("bucket")
@@ -1572,13 +1594,28 @@ object ProfileQueries {
     * on synthetic weight distributions: unit weights reduce to the plain
     * lower percentile; a dominant weight owns every quantile). */
   def weightedPercentilesOf(df: DataFrame, valueCol: String,
-      weightCol: String): DataFrame = {
+      weightCol: String): DataFrame =
+    weightedPercentilesImpl(df, valueCol, weightCol, materialize = true)
+
+  /** Un-materialized twin for the PLANS.md audit: the full grouped-frame
+    * lineage the one-time materialization runs. */
+  private[graft] def weightedPercentilesOfPlan(df: DataFrame, valueCol: String,
+      weightCol: String): DataFrame =
+    weightedPercentilesImpl(df, valueCol, weightCol, materialize = false)
+
+  private def weightedPercentilesImpl(df: DataFrame, valueCol: String,
+      weightCol: String, materialize: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grp = df
+    val grp0 = df
       .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
       .groupBy(floor(col(valueCol) * 100 + 0.5).cast("bigint").as("cents"))
       .agg(sum(floor(col(weightCol) * 100 + 0.5).cast("bigint")).as("w"))
       .withColumn("bucket", expr("cents div 10000"))
+    // three plan branches read the grouped frame (bucket offsets, the
+    // cumulative join, and the total-weight aggregate) and Spark has no
+    // cross-branch CSE — without materialization the scan + group-by ran
+    // three times (r16; plan: 3 scans → 1). Distinct-cents rows only.
+    val grp = if (materialize) grp0.localCheckpoint(false) else grp0
     val wLocal = Window.partitionBy("bucket").orderBy("cents")
       .rowsBetween(Window.unboundedPreceding, 0)
     val wBucket = Window.orderBy("bucket")
@@ -1590,7 +1627,10 @@ object ProfileQueries {
       .withColumn("local", sum(col("w")).over(wLocal))
       .join(broadcast(offsets), col("bucket") === col("ob"))
       .withColumn("cw", col("bucket_offset") + col("local"))
-    cum.crossJoin(broadcast(cum.agg(max(col("cw")).as("tw"))))
+    // total weight = Σw over the grouped frame — the same integer as the
+    // former max(cw) (the inclusive cumulative weight of the last row)
+    // without re-running the window+join lineage a second time
+    cum.crossJoin(broadcast(grp.agg(sum(col("w")).as("tw"))))
       .agg(
         max(col("tw")).as("total_weight"),
         (min(when(col("cw") * 4 >= col("tw"), col("cents"))).cast("double") / 100).as("wp25"),
