@@ -93,6 +93,26 @@ object ProbeR16 {
       return
     }
 
+    if (args.length > 1 && args(1) == "sketch") {
+      time("warmup_noop")(spark.range(1000).toDF())
+      val q = graft.profile.ProfileQueries.sketchProfile(spark, sfDir, "lineitem")
+      time("sketch_asis")(q)
+      time("sketch_asis_rep2")(q)
+      // repartitioned variant: parallelize the per-row sketch updates
+      val df0 = graft.Fixtures.table(spark, sfDir, "lineitem")
+        .repartition(spark.sparkContext.defaultParallelism)
+      val q2 = graft.profile.ProfileQueries.sketchProfileFrom(df0, "lineitem")
+      time("sketch_repart")(q2)
+      time("sketch_repart_rep2")(q2)
+      val r1 = q.collect()(0)
+      val r2 = q2.collect()(0)
+      val n = r1.schema.fieldNames
+      val diffs = n.filter(f => r1.getAs[Any](f) != r2.getAs[Any](f))
+      println("fields differing under repartition: " + diffs.mkString(","))
+      spark.stop()
+      return
+    }
+
     if (args.length > 1 && args(1) == "span") {
       time("warmup_noop")(spark.range(1000).toDF())
       val ws = split(col("text"), " ")

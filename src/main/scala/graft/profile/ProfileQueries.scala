@@ -128,6 +128,22 @@ object ProfileQueries {
     * the exchange at the true distinct-pair volume, and the final per-column
     * counts are 1-row — the plan that survives both scale and a contended
     * scheduler. */
+  /** Spread a CPU-bound whole-table aggregate across cores when the input
+    * parquet reads as fewer splits than the session's parallelism — the
+    * single-row-group local fixture reads as ONE scan task, serializing
+    * all per-row sketch/aggregate work on one core (guide §2.5: input
+    * skew from an unsplittable file → repartition after the read). No-op
+    * (no shuffle node at all) when the scan already yields at least
+    * core-count splits, so at production scale the input's own
+    * partitioning wins and nothing changes. Only safe for ORDER-
+    * INDEPENDENT aggregates (count/min/max/decimal sums/exact NDV;
+    * sketches are tolerance-gated by contract) — callers with ordered
+    * double accumulation must not use it. */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   private[profile] def ndvFrame(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "ndvFrame needs at least one column")
     // pairs are keyed by a column ORDINAL (int), not the name string — the
@@ -388,10 +404,13 @@ object ProfileQueries {
     * tolerance-gated against the EXACT [[fullProfile]] numbers in
     * `SketchProfileSpec`, alongside a plan gate (no Expand, single scan). */
   def sketchProfile(spark: SparkSession, dir: String, tableName: String,
+      lgK: Int = 12, kllK: Int = 400): DataFrame =
+    sketchProfileFrom(spread(Fixtures.table(spark, dir, tableName)), tableName, lgK, kllK)
+
+  private[graft] def sketchProfileFrom(df: DataFrame, tableName: String,
       lgK: Int = 12, kllK: Int = 400): DataFrame = {
     val numCols = Fixtures.numericCols(tableName)
     val tCols = Fixtures.temporalCols.getOrElse(tableName, Seq.empty)
-    val df = Fixtures.table(spark, dir, tableName)
     val schema = df.schema
     def hllIn(c: String): Column = schema(c).dataType match {
       case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
@@ -474,7 +493,9 @@ object ProfileQueries {
           sum(when(col(c).cast("double") <= q, 1L).otherwise(0L)).as(s"hi${pct}_$c"))
       }
     }
-    val ranks = df
+    // the rank-check scan is pure per-row CPU (6 counters per numeric
+    // column) — spread it across cores on the single-split fixture
+    val ranks = spread(df)
       .crossJoin(broadcast(sk.select(numCols.flatMap(c =>
         Seq(25, 50, 75).map(pct => col(s"q${pct}_$c"))): _*)))
       .agg(rankAggs.head, rankAggs.tail: _*)
@@ -636,7 +657,7 @@ object ProfileQueries {
         sum(d(c)).cast("double").as(s"s_$c"),
         sum(d(c) * d(c)).cast("double").as(s"q_$c"))) ++
       corrPairs.map { case (a, b) => sum(d(a) * d(b)).cast("double").as(s"p_${a}_$b") }
-    Fixtures.table(spark, dir, "lineitem")
+    spread(Fixtures.table(spark, dir, "lineitem"))
       .agg(aggs.head, aggs.tail: _*)
       .select(explode(array(corrPairs.map { case (a, b) =>
         struct(lit(a).as("col_x"), lit(b).as("col_y"), col("n"),
