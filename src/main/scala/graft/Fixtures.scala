@@ -40,6 +40,20 @@ object Fixtures {
     else df
   }
 
+  /** Spread a CPU-bound derivation across cores when the input parquet
+    * reads as fewer splits than the session's parallelism — the local
+    * single-row-group fixtures read as ONE scan task, serializing every
+    * downstream explode/partial-aggregate on one core (guide §2.5: input
+    * skew from an unsplittable file → repartition after the read). No-op
+    * (no shuffle node) when the scan already yields core-count splits, so
+    * at production split counts nothing changes. Round-robin repartition
+    * is deterministic (sort-before-repartition), so results are
+    * partitioning-independent for any deterministic derivation. */
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   val allTables: Seq[String] = Seq(
     "customer", "documents", "embeddings", "events", "lineitem",
     "nation", "orders", "part", "region", "supplier")

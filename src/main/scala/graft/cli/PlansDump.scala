@@ -175,6 +175,7 @@ object PlansDump {
       // localCheckpoint) because several plan branches read it — the audit
       // target is the full lineage that materialization runs
       "profile_gini_lineitem" -> (graft.profile.ProfileQueries.giniProfilePlan(_, _)),
+      "docs_target_affinity" -> (graft.operators.TextAnalysis.targetAffinityPlan(_, _)),
       "profile_weighted_percentiles" -> (graft.profile.ProfileQueries.weightedPercentilesPlan(_, _)),
       "q_market_basket" -> (graft.operators.RelationalExt.marketBasketPlan(_, _)),
       "events_max_concurrency" -> (graft.operators.EventOps.maxConcurrencyPlan(_, _)))

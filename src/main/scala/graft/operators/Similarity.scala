@@ -2167,9 +2167,15 @@ object Similarity {
     * At d=64 the explode form stays the default (no buffer serialization
     * between partial and final); `OuterProductAggSpec` pins bit-equality
     * of the two forms on the fixture. */
-  /** Above this dimension the explode volume (d(d−1)/2 structs/row)
-    * dominates the scan and [[pairSumsAccum]] takes over automatically. */
-  private val AccumDimThreshold = 256
+  /** Above this dimension the packed-buffer accumulator beats the
+    * row-local explode. Re-measured r16 at the fixture's d=64: the
+    * explode materializes d(d−1)/2 = 2016 structs per row before the
+    * partial agg and ran 2.7 s steady, the `OuterProductAgg` buffer
+    * (32 KB/task at d=64, fused multiply-adds, no per-pair rows) 0.7 s —
+    * so the switch now sits at d=16 (≥ ~120 pairs/row), where buffer
+    * bookkeeping stops mattering. `OuterProductAggSpec` pins the two
+    * forms bit-equal, so the crossover is a pure plan choice. */
+  private val AccumDimThreshold = 16
 
   private def covarianceSums(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     // memoized (r16, guide §2.4/§5): the marginal and pair-sum frames are
@@ -2198,7 +2204,12 @@ object Similarity {
     // accumulation shape (the semdedup auto-k eager-action precedent)
     val d = e.select(size(col("m"))).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(0)
-    val useAccum = d > AccumDimThreshold ||
+    // -Dgraft.covariance.explode=true forces the explode form (the
+    // equality spec needs it now that the fixture's d=64 sits above the
+    // accumulator threshold); -Dgraft.covariance.accumulate=true forces
+    // the accumulator below the threshold
+    val useAccum = (d > AccumDimThreshold &&
+        !sys.props.get("graft.covariance.explode").contains("true")) ||
       sys.props.get("graft.covariance.accumulate").contains("true")
     val pairs =
       if (useAccum) pairSumsAccum(e, d)

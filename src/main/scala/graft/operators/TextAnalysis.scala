@@ -2437,7 +2437,9 @@ object TextAnalysis {
     unigramSurprisalFrom(docTermTf(spark, dir))
 
   private[operators] def docTermTf(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "documents")
+    // spread (r16): the single-split fixture scan otherwise runs the
+    // tokenize explode AND the partial aggregation on one core
+    graft.Fixtures.spread(table(spark, dir, "documents"))
       .select(col("doc_id"), col("lang"), explode(words).as("word"))
       .filter(col("word") =!= "")
       .groupBy("doc_id", "lang", "word")
@@ -2571,8 +2573,9 @@ object TextAnalysis {
 
   private def docPairTf(spark: SparkSession, dir: String): DataFrame =
     // row-local pair structs (r16): the posexplode form carried the whole
-    // token array per output row — see [[collocations]]; identical pairs
-    table(spark, dir, "documents")
+    // token array per output row — see [[collocations]]; identical pairs.
+    // spread (r16): single-split scan ⇒ one-core explode otherwise
+    graft.Fixtures.spread(table(spark, dir, "documents"))
       .select(col("doc_id"), col("lang"), words.as("ts"))
       .filter(size(col("ts")) >= 2)
       .select(col("doc_id"), col("lang"), explode(expr(
@@ -2890,8 +2893,9 @@ object TextAnalysis {
 
   private def docTriTf(spark: SparkSession, dir: String): DataFrame =
     // row-local trigram structs (r16): the posexplode form carried the
-    // whole token array per output row — see [[collocations]]
-    table(spark, dir, "documents")
+    // whole token array per output row — see [[collocations]].
+    // spread (r16): single-split scan ⇒ one-core explode otherwise
+    graft.Fixtures.spread(table(spark, dir, "documents"))
       .withColumn("is_train", mixedHash("split|") % 100 < 80)
       .select(col("doc_id"), col("lang"), col("is_train"), words.as("ts"))
       .filter(size(col("ts")) >= 3)
@@ -3120,9 +3124,21 @@ object TextAnalysis {
     * for a totals broadcast (measured: 5.2 s → the 2-pass form below at
     * sf0.1; the unpartitioned window is safe HERE precisely because its
     * input is ≤ charset² rows, never corpus-sized). */
-  def targetAffinity(spark: SparkSession, dir: String): DataFrame = {
+  def targetAffinity(spark: SparkSession, dir: String): DataFrame =
+    targetAffinityImpl(spark, dir, materialize = true)
+
+  /** Un-materialized twin for the PLANS.md audit (full tf lineage). */
+  private[graft] def targetAffinityPlan(spark: SparkSession, dir: String): DataFrame =
+    targetAffinityImpl(spark, dir, materialize = false)
+
+  private def targetAffinityImpl(spark: SparkSession, dir: String,
+      materialize: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docTf = table(spark, dir, "documents")
+    // spread (r16): single-split scan ⇒ one-core explode otherwise; lazy
+    // checkpoint because the fit branch (counts) AND the scoring branch
+    // both read the tf table — Spark has no cross-branch CSE, so the
+    // corpus explode+group otherwise runs twice (the batch-4 finding)
+    val docTf0 = graft.Fixtures.spread(table(spark, dir, "documents"))
       .filter(length(col("text")) >= 2)
       // codepoint split + row-local pair concat (r16) — the
       // [[charBigrams]] rewrite: kills the O(len²) substring scans and
@@ -3132,6 +3148,7 @@ object TextAnalysis {
         "transform(sequence(0, size(cs) - 2), i -> concat(cs[i], cs[i + 1]))")).as("bigram"))
       .groupBy("doc_id", "source", "bigram")
       .agg(count(lit(1)).as("tf"))
+    val docTf = if (materialize) docTf0.localCheckpoint(false) else docTf0
     val counts = docTf
       .groupBy("bigram")
       .agg(

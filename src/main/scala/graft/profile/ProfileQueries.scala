@@ -139,10 +139,7 @@ object ProfileQueries {
     * INDEPENDENT aggregates (count/min/max/decimal sums/exact NDV;
     * sketches are tolerance-gated by contract) — callers with ordered
     * double accumulation must not use it. */
-  private def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
-  }
+  private def spread(df: DataFrame): DataFrame = Fixtures.spread(df)
 
   private[profile] def ndvFrame(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "ndvFrame needs at least one column")

@@ -55,12 +55,17 @@ class OuterProductAggSpec extends AnyFunSuite {
     val dir = SparkSuite.Sf0001
     // the un-memoized plan twin: the gated form memoizes covariance sums
     // (r16), which would hand the second run the FIRST run's frames and
-    // make this comparison vacuous
-    val default = graft.operators.Similarity.dimCorrMatrixPlan(spark, dir).collect().toSeq
+    // make this comparison vacuous. Both forms are FORCED explicitly —
+    // the fixture's d=64 sits above the accumulator threshold since r16,
+    // so the un-forced default would compare accum against itself.
+    System.setProperty("graft.covariance.explode", "true")
+    val explodeForm =
+      try graft.operators.Similarity.dimCorrMatrixPlan(spark, dir).collect().toSeq
+      finally System.clearProperty("graft.covariance.explode")
     System.setProperty("graft.covariance.accumulate", "true")
     try {
       val accum = graft.operators.Similarity.dimCorrMatrixPlan(spark, dir).collect().toSeq
-      assert(accum == default, "accumulator form diverged from the explode form")
+      assert(accum == explodeForm, "accumulator form diverged from the explode form")
     } finally System.clearProperty("graft.covariance.accumulate")
   }
 }
