@@ -3,9 +3,13 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** TEMPORARY round-16 measurement probe (not part of the engine; deleted
-  * before round close). Times the banding-curve build's internal stages in
-  * isolation with the noop sink, per guide §1.4. */
+/** Round-16 optimization probe (dev tool, not part of any query path):
+  * times operator-internal stages in isolation with the noop sink (guide
+  * §1.4) and dumps the build/executed plans the `plans/r16/` artifacts
+  * cite. Modes: (no arg) banding-curve stage decomposition;
+  * `scored` / `cands` / `span` / `sketch` sub-stage probes;
+  * `plans:<suffix>` un-memoized build-plan dump;
+  * `exec:<suffix>:<q1,...>` executed declared-query plan dump. */
 object ProbeR16 {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
