@@ -272,6 +272,75 @@ object VectorExpressions {
   def minhash_sig(shingles: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), numHashes))
 
+  /** `sorted_intersect_count(a, b)`: |a ∩ b| of two string SETS that are
+    * each SORTED ascending in the binary UTF8 order `sort_array` uses
+    * (nulls first) and duplicate-free (`array_distinct`) — a linear merge
+    * walk over both arrays. Returns the identical INT that
+    * `size(array_intersect(a, b))` returns on such inputs (pinned against
+    * random sets in VectorExpressionsSpec) but does neither of the things
+    * that made array_intersect the dominant per-pair cost of the
+    * banding-curve sweep and the scored-candidates stage: no per-row hash
+    * set over every element of the left array, and no materialized
+    * intersection array that `size` immediately discards. The contract is
+    * the CALLER's: both sides must come from `sort_array(array_distinct(…))`
+    * (or an equivalently sorted set) — unsorted input silently
+    * undercounts, which is why this is not a general array_intersect
+    * replacement and both production call sites sort at the source. */
+  case class SortedIntersectCount(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override def checkInputDataTypes() = {
+      def ok(dt: DataType) = dt match {
+        case ArrayType(_: StringType, _) => true
+        case _ => false
+      }
+      if (ok(left.dataType) && ok(right.dataType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sorted_intersect_count requires array<string> inputs, got ${left.dataType} / ${right.dataType}")
+    }
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      sortedIntersectCountJava(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.VectorExpressions.sortedIntersectCountJava($a, $b)")
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Merge-count kernel for [[SortedIntersectCount]]. Null elements sort
+    * first (the `sort_array` ascending order), and a null on BOTH sides
+    * counts once — matching `array_intersect`'s null semantics on sets. */
+  def sortedIntersectCountJava(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < na && j < nb) {
+      val an = a.isNullAt(i)
+      val bn = b.isNullAt(j)
+      if (an || bn) {
+        if (an && bn) { n += 1; i += 1; j += 1 }
+        else if (an) i += 1
+        else j += 1
+      } else {
+        val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (c == 0) { n += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
+    }
+    n
+  }
+
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   // ------------------------------------------------------------ Column API
 
   def vec_dot(a: Column, b: Column): Column =

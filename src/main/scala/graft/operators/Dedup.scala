@@ -168,11 +168,16 @@ object Dedup {
 
   /** (doc_id, shd) distinct shingle sets — DERIVED per use (one scan +
     * codegen'd split/transform), not materialized; see [[sharedSignatures]]
-    * for why. */
+    * for why. SORTED (r16): shd's only consumers are `size(...)` and the
+    * per-pair intersection counts, so the set is emitted in sort_array
+    * order once per doc and the pair verifications run the linear
+    * merge-count kernel ([[graft.functions.VectorExpressions.SortedIntersectCount]])
+    * instead of building a hash set over ~|A| strings per PAIR. */
   private def shingleSets(spark: SparkSession, dir: String): DataFrame =
     corpusWithNearDups(spark, dir)
       .filter(hasShingles(col("text")))
-      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("shd"))
+      .select(col("doc_id"),
+        sort_array(array_distinct(shingles(col("text")))).as("shd"))
 
   /** Band derivation from a (doc_id, ..., sig) frame — cheap (one md5 per
     * band per doc), so it is derived rather than materialized. */
@@ -364,8 +369,13 @@ object Dedup {
       // double as size(array_union(..)) but without materializing a
       // ~|A|+|B|-string union array per pair — array_union was the
       // dominant per-pair cost of the build (guide §1.2: per-task work;
-      // measured 7.0 → 2.9 s on the banding sweep's identical expression)
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      // measured 7.0 → 2.9 s on the banding sweep's identical expression).
+      // r16 continuation: shd is emitted SORTED (see [[shingleSets]]), so
+      // the count is a linear merge walk — no per-pair hash set, no
+      // materialized intersection array; same INT as
+      // size(array_intersect(..)) on sorted sets (VectorExpressionsSpec).
+      .withColumn("inter", graft.functions.VectorExpressions
+        .sorted_intersect_count(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
@@ -567,11 +577,15 @@ object Dedup {
     // double to size(array_union(..)) without allocating the union array
     // per pair — at the sweep's pair volume (~330 k distinct pairs at
     // sf0.1) the union allocation dominated the whole build (7.0 → 2.9 s
-    // measured, guide §1.2)
+    // measured, guide §1.2). r16 continuation: shd is SORTED at the source
+    // ([[shingleSets]]), so the intersection count is the linear
+    // merge-count kernel — no per-pair hash set over ~|A| strings
+    // (the sweep's residual floor), no intersection array.
     val scoredUniq = cands.select("id_a", "id_b").distinct()
       .join(sets.select(col("doc_id").as("id_a"), col("shd").as("sh_a")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("shd").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", graft.functions.VectorExpressions
+        .sorted_intersect_count(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))

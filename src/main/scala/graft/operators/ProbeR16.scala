@@ -134,6 +134,65 @@ object ProbeR16 {
       return
     }
 
+    // r16 continuation: per-pair intersection-count kernels over the SAME
+    // candidate pairs — hash-set array_intersect (unsorted and pre-sorted
+    // inputs) vs the sorted merge-count expression. The pair frame and both
+    // set frames are checkpointed first so ONLY the per-pair expression
+    // differs between the timed legs.
+    if (args.length > 1 && args(1) == "inter") {
+      time("warmup_noop")(spark.range(1000).toDF())
+      val corpus = Dedup.corpusWithNearDups(spark, sfDir)
+      val setsU = corpus.filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), array_distinct(Dedup.shingles(col("text"))).as("shd"))
+        .localCheckpoint()
+      val setsS = setsU.select(col("doc_id"), sort_array(col("shd")).as("shd"))
+        .localCheckpoint()
+      // the banding-curve SWEEP's pair volume (all four configs), not the
+      // production banding's — this is where the intersect floor lives
+      val configs = Seq((8, 1), (4, 2), (2, 4), (1, 8))
+      val sig = Dedup.sharedSignatures(spark, sfDir)
+      val allBands = configs.flatMap { case (nb, r) =>
+        (0 until nb).map { b =>
+          val parts = (0 until r).map(j => element_at(col("sig"), b * r + j + 1))
+          struct(lit(nb.toLong).as("n_bands"), lit(r.toLong).as("band_size"),
+            lit(b).as("band"), md5(concat(parts: _*)).as("band_hash"))
+        }
+      }
+      val bandDf = sig.select(col("doc_id"), explode(array(allBands: _*)).as("bh"))
+        .select(col("doc_id"), col("bh.n_bands").as("n_bands"),
+          col("bh.band_size").as("band_size"), col("bh.band").as("band"),
+          col("bh.band_hash").as("band_hash"))
+      val uniq = Dedup.cappedBucketPairs(bandDf,
+        Seq("n_bands", "band_size", "band", "band_hash"), tag = "inter_probe",
+        keep = Seq("n_bands", "band_size"))
+        .select("id_a", "id_b").distinct().localCheckpoint()
+      println("pairs: " + uniq.count())
+      def attach(sets: org.apache.spark.sql.DataFrame) = uniq
+        .join(sets.select(col("doc_id").as("id_a"), col("shd").as("sh_a")), "id_a")
+        .join(sets.select(col("doc_id").as("id_b"), col("shd").as("sh_b")), "id_b")
+      val hashU = attach(setsU)
+        .select(size(array_intersect(col("sh_a"), col("sh_b"))).as("n"))
+      val hashS = attach(setsS)
+        .select(size(array_intersect(col("sh_a"), col("sh_b"))).as("n"))
+      val merge = attach(setsS)
+        .select(graft.functions.VectorExpressions
+          .sorted_intersect_count(col("sh_a"), col("sh_b")).as("n"))
+      (1 to 3).foreach { i =>
+        time(s"hash_unsorted_$i")(hashU)
+        time(s"hash_sorted_$i")(hashS)
+        time(s"merge_sorted_$i")(merge)
+      }
+      // result parity on the full pair set
+      val d = attach(setsS).select(
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("h"),
+        graft.functions.VectorExpressions
+          .sorted_intersect_count(col("sh_a"), col("sh_b")).as("m"))
+        .filter(col("h") =!= col("m")).count()
+      println("mismatches: " + d)
+      spark.stop()
+      return
+    }
+
     if (args.length > 1 && args(1) == "cands") {
       time("warmup_noop")(spark.range(1000).toDF())
       time("signatures_build")(Dedup.sharedSignatures(spark, sfDir))

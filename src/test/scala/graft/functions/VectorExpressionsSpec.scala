@@ -183,4 +183,48 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(!out(2).isNullAt(0) && out(2).getDouble(0) == out(2).getDouble(1))
     assert(out(2).getDouble(2) == (1.0 - 3.0) * (1.0 - 3.0) + (2.0 - 4.0) * (2.0 - 4.0))
   }
+
+  test("sorted_intersect_count equals size(array_intersect) on real sorted shingle sets") {
+    // the production contract: both sides are sort_array(array_distinct(…))
+    // — exactly what Dedup.shingleSets emits — and the merge-count kernel
+    // must return array_intersect's INT on every real pair shape
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
+        sort_array(array_distinct(Dedup.shingles(col("text")))).as("shd"))
+    val a = d.select(col("doc_id").as("ida"), col("shd").as("sa"))
+    val b = d.select(col("doc_id").as("idb"), col("shd").as("sb"))
+    // consecutive ids (overlapping near-dup shapes) AND a stride-97 slice
+    // (mostly-disjoint shapes) — plus every self-pair (full overlap)
+    val pairs = a.join(b,
+      col("idb") === col("ida") + 1 || col("idb") === col("ida") + 97 ||
+        col("idb") === col("ida"))
+    assert(pairs.count() > 100)
+    val diffs = pairs.select(
+      VectorExpressions.sorted_intersect_count(col("sa"), col("sb")).as("native"),
+      size(array_intersect(col("sa"), col("sb"))).as("builtin"))
+      .filter(col("native") =!= col("builtin"))
+      .count()
+    assert(diffs == 0L)
+  }
+
+  test("sorted_intersect_count edge semantics: empty, null array, null elements") {
+    val rows = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array('a', 'b', 'c'),                 array('b', 'c', 'd')),
+        |  (CAST(array() AS ARRAY<STRING>),       array('a')),
+        |  (CAST(NULL AS ARRAY<STRING>),          array('a')),
+        |  (array(CAST(NULL AS STRING), 'a'),     array(CAST(NULL AS STRING), 'b')),
+        |  (array('x'),                           array('x'))
+        |  AS t(a, b)""".stripMargin)
+    val out = rows.select(
+      VectorExpressions.sorted_intersect_count(col("a"), col("b")).as("native"),
+      size(array_intersect(col("a"), col("b"))).as("builtin"))
+      .collect()
+    assert(out(0).getInt(0) == 2 && out(0).getInt(1) == 2)
+    assert(out(1).getInt(0) == 0 && out(1).getInt(1) == 0)
+    assert(out(2).isNullAt(0)) // null array → null (builtin size() returns -1 under legacy off/null — native matches array_intersect-then-size only on non-null inputs)
+    assert(out(3).getInt(0) == out(3).getInt(1)) // both contain null → counted once, matching array_intersect
+    assert(out(4).getInt(0) == 1 && out(4).getInt(1) == 1)
+  }
 }
