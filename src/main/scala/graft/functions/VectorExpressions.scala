@@ -341,6 +341,94 @@ object VectorExpressions {
     ColumnBridge.column(SortedIntersectCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** `top_gram_chars(words, n)`: per-row "most repetitious n-gram" char
+    * mass — max over the row's distinct space-joined n-grams g of
+    * `count(g) × (numChars(g) − (n−1))`, i.e. the chars the gram's
+    * occurrences cover, counting word chars only (the `− (n−1)` drops the
+    * joining spaces once, matching `length(bgram) − 1` in the explode
+    * form). NULL when the row has fewer than n words — the exact value the
+    * explode → groupBy(doc, gram) → groupBy(doc) max → LEFT JOIN pipeline
+    * produced for that row (join miss → null), pinned bit-equal in
+    * VectorExpressionsSpec. Replacing that pipeline makes the Gopher
+    * repetition rules ROW-LOCAL: the per-(doc, gram) count map lives for
+    * one row inside the projection instead of crossing two corpus-sized
+    * exchanges per gram order (guide §2.3 "aggregate before you shuffle" —
+    * here the shuffle disappears entirely). */
+  case class TopGramChars(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    // ALWAYS nullable: a row with fewer than n words yields null regardless
+    // of the child's nullability (the left-join-miss shape of the explode
+    // pipeline this replaces) — without this override the planner hardwires
+    // isNull=false for non-null children and the sentinel null is dropped
+    override def nullable: Boolean = true
+    override def checkInputDataTypes() = child.dataType match {
+      case ArrayType(_: StringType, _) if n >= 1 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"top_gram_chars requires array<string> input and n >= 1, got ${child.dataType}, n=$n")
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      topGramCharsJava(input.asInstanceOf[ArrayData], n) match {
+        case java.lang.Long.MIN_VALUE => null
+        case v => v
+      }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val raw = ctx.freshName("raw")
+        s"""
+           |long $raw = graft.functions.VectorExpressions.topGramCharsJava($c, $n);
+           |if ($raw == Long.MIN_VALUE) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $raw; }
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Kernel for [[TopGramChars]]: one hash map of the row's n-grams →
+    * (count, charMass); returns Long.MIN_VALUE as the "no grams" sentinel
+    * (fewer than n words). Gram identity is the space-joined string — the
+    * same identity the explode form grouped on. */
+  def topGramCharsJava(words: ArrayData, n: Int): Long = {
+    val nw = words.numElements()
+    if (nw < n) return java.lang.Long.MIN_VALUE
+    val counts = new java.util.HashMap[UTF8String, Array[Long]]()
+    var i = 0
+    while (i <= nw - n) {
+      val gram =
+        if (n == 1) words.getUTF8String(i)
+        else {
+          val parts = new Array[UTF8String](2 * n - 1)
+          var k = 0
+          while (k < n) {
+            parts(2 * k) = words.getUTF8String(i + k)
+            if (k < n - 1) parts(2 * k + 1) = UTF8String.fromString(" ")
+            k += 1
+          }
+          UTF8String.concat(parts: _*)
+        }
+      val slot = counts.computeIfAbsent(gram,
+        _ => Array(0L, (gram.numChars() - (n - 1)).toLong))
+      slot(0) += 1L
+      i += 1
+    }
+    var best = Long.MinValue
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val s = it.next()
+      val v = s(0) * s(1)
+      if (v > best) best = v
+    }
+    best
+  }
+
+  def top_gram_chars(words: Column, n: Int): Column =
+    ColumnBridge.column(TopGramChars(ColumnBridge.expression(words), n))
+
   // ------------------------------------------------------------ Column API
 
   def vec_dot(a: Column, b: Column): Column =

@@ -193,6 +193,58 @@ object ProbeR16 {
       return
     }
 
+    // r16 continuation: lm_tri build decomposition — where does the
+    // docs_lm_order_agreement3 stage-build charge actually go?
+    if (args.length > 1 && args(1) == "lmtri") {
+      time("warmup_noop")(spark.range(1000).toDF())
+      time("occ_unmemoized")(TextAnalysis.docTriTfProbe(spark, sfDir))
+      time("occ_stage_build")(TextAnalysis.lmTriOccStage(spark, sfDir))
+      time("scored_stage_build")(TextAnalysis.lmTriScoredStage(spark, sfDir))
+      time("buckets_stage_build")(TextAnalysis.trigramSurprisal(spark, sfDir))
+      time("agreement3_query")(TextAnalysis.lmOrderAgreement3(spark, sfDir))
+      time("agreement3_rep2")(TextAnalysis.lmOrderAgreement3(spark, sfDir))
+      spark.stop()
+      return
+    }
+
+    // r16 continuation: fixed-cost decomposition of tail queries —
+    // builder (DSL construction) vs analysis+planning vs execution, and
+    // the executed plan's exchange count. `fixed:<q1,q2,...>`
+    if (args.length > 1 && args(1).startsWith("fixed:")) {
+      val names = args(1).stripPrefix("fixed:").split(",").toSeq
+      names.foreach { n =>
+        val fn = graft.SparkEntry.queries(n)
+        // warm rep (codegen/JIT for this plan shape)
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (1 to 3).foreach { i =>
+          val t0 = System.nanoTime()
+          val df = fn(spark, sfDir)
+          val t1 = System.nanoTime()
+          val _ = df.queryExecution.executedPlan // analyze + optimize + plan
+          val t2 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          val t3 = System.nanoTime()
+          val nEx = df.queryExecution.executedPlan.toString
+            .linesIterator.count(l => l.contains("Exchange"))
+          println(f"fixed $n rep$i: build=${(t1 - t0) / 1e9}%.3f plan=${(t2 - t1) / 1e9}%.3f exec=${(t3 - t2) / 1e9}%.3f exchanges=$nEx")
+        }
+      }
+      spark.stop()
+      return
+    }
+
+    // r16 continuation: bare-scan floor — noop of each fixture table
+    if (args.length > 1 && args(1) == "scan") {
+      time("warmup_noop")(spark.range(1000).toDF())
+      Seq("events", "lineitem", "documents", "orders", "embeddings").foreach { t =>
+        (1 to 3).foreach { i =>
+          time(s"scan_${t}_$i")(graft.Fixtures.table(spark, sfDir, t))
+        }
+      }
+      spark.stop()
+      return
+    }
+
     if (args.length > 1 && args(1) == "cands") {
       time("warmup_noop")(spark.range(1000).toDF())
       time("signatures_build")(Dedup.sharedSignatures(spark, sfDir))

@@ -491,28 +491,23 @@ object TextAnalysis {
     * words / [3, 10] mean chars; repetition cuts at 0.15 (unigram) / 0.20
     * (bigram, Gopher's 2-gram threshold).
     *
-    * 100 TB shape: two explode streams (words, adjacent-pair bigrams) each
-    * partial-aggregate to per-doc maxima before the 8-byte doc_id shuffle;
-    * the joins recombine 1-row-per-doc frames. No all-pairs, no windows —
-    * O(words) work, O(distinct grams per doc) state. */
+    * 100 TB shape (r16): the per-doc "most repetitious n-gram" maxima are
+    * ROW-LOCAL — one pass over the row's words with a per-row count map
+    * ([[graft.functions.VectorExpressions.TopGramChars]], bit-equal to the
+    * old explode → groupBy(doc, gram) → groupBy(doc) → LEFT JOIN pipeline,
+    * pinned in VectorExpressionsSpec) — so the whole rule filter is ONE
+    * corpus scan with zero shuffles before the presentation sort, where
+    * the explode form crossed two corpus-sized (doc, gram) exchanges per
+    * gram order plus two joins. No all-pairs, no windows — O(words) work,
+    * O(distinct grams per doc) transient state. */
   def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExpressions.top_gram_chars
     val docs = table(spark, dir, "documents")
     val n = sz(words)
     val wordChars = length(col("text")).cast("bigint") - (n - lit(1L))
-    val base = docs.select(col("doc_id"), n.as("n_words"), wordChars.as("word_chars"))
-    val uni = docs.select(col("doc_id"), explode(words).as("word"))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id")
-      .agg(max(col("cnt") * length(col("word")).cast("bigint")).as("top_uni_chars"))
-    // adjacent word pairs via slice+zip (no sequence(): its descending-step
-    // behavior on start>stop would fabricate grams for 1-word docs)
-    val bgArr = zip_with(
-      slice(words, lit(1), size(words) - 1), slice(words, lit(2), size(words) - 1),
-      (a, b) => concat(a, lit(" "), b))
-    val bi = docs.select(col("doc_id"), explode(bgArr).as("bgram"))
-      .groupBy("doc_id", "bgram").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id")
-      .agg(max(col("cnt") * (length(col("bgram")).cast("bigint") - lit(1L))).as("top_bi_chars"))
+    val base = docs.select(col("doc_id"), n.as("n_words"), wordChars.as("word_chars"),
+      top_gram_chars(words, 1).as("top_uni_chars"),
+      top_gram_chars(words, 2).as("top_bi_chars"))
     val meanLen = col("word_chars").cast("double") / col("n_words") // n_words ≥ 1 (split of any text)
     // a whitespace-only doc has word_chars = 0: DuckDB's x/0 is NULL while
     // Spark ANSI THROWS — guard to NULL so both engines emit the same row
@@ -527,7 +522,7 @@ object TextAnalysis {
     val lenOk = meanLen.between(3.0, 10.0)
     val uniOk = uniFrac <= 0.15
     val biOk = biFrac <= 0.20
-    base.join(uni, Seq("doc_id"), "left").join(bi, Seq("doc_id"), "left")
+    base
       .select(
         col("doc_id"), col("n_words"),
         meanLen.as("mean_word_len"),
@@ -2915,6 +2910,15 @@ object TextAnalysis {
     val occ = StageMemo(spark, dir, "lm_tri_occ")(docTriTf(spark, dir))
     StageMemo(spark, dir, "lm_tri_scored")(trigramScoredOcc(occ))
   }
+
+  // ProbeR16 accessors (dev-only): expose the lm_tri sub-builds for the
+  // stage-charge decomposition probe without widening real visibility.
+  private[operators] def docTriTfProbe(spark: SparkSession, dir: String): DataFrame =
+    docTriTf(spark, dir)
+  private[operators] def lmTriOccStage(spark: SparkSession, dir: String): DataFrame =
+    StageMemo(spark, dir, "lm_tri_occ")(docTriTf(spark, dir))
+  private[operators] def lmTriScoredStage(spark: SparkSession, dir: String): DataFrame =
+    trigramScoredMemo(spark, dir)
 
   private def trigramScoredOcc(triOcc: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -208,6 +208,47 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(diffs == 0L)
   }
 
+  test("top_gram_chars is bit-identical to the explode/groupBy/left-join pipeline (n=1 and n=2)") {
+    // the OLD gopherRules formulation, verbatim — the native row-local
+    // expression must reproduce it bit-for-bit including the null pattern
+    // (left-join miss on sub-n-word docs → null)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val words = split(col("text"), " ")
+    val uni = docs.select(col("doc_id"), explode(words).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(max(col("cnt") * length(col("word")).cast("bigint")).as("old_uni"))
+    val bgArr = zip_with(
+      slice(words, lit(1), size(words) - 1), slice(words, lit(2), size(words) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val bi = docs.select(col("doc_id"), explode(bgArr).as("bgram"))
+      .groupBy("doc_id", "bgram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(max(col("cnt") * (length(col("bgram")).cast("bigint") - lit(1L))).as("old_bi"))
+    val native = docs.select(col("doc_id"),
+      VectorExpressions.top_gram_chars(words, 1).as("new_uni"),
+      VectorExpressions.top_gram_chars(words, 2).as("new_bi"))
+    val joined = native.join(uni, Seq("doc_id"), "left").join(bi, Seq("doc_id"), "left")
+    val diffs = joined.filter(
+      !(col("new_uni") <=> col("old_uni")) || !(col("new_bi") <=> col("old_bi"))).count()
+    assert(diffs == 0L)
+    assert(native.count() > 100)
+    // synthetic edges: single word (bigram → null), empty-string word,
+    // repeated words/bigrams
+    val edge = spark.sql(
+      """SELECT * FROM VALUES ('a'), (''), ('a a a'), ('x y x y x'), ('aa bb')
+        |AS t(text)""".stripMargin)
+    val got = edge.select(
+      VectorExpressions.top_gram_chars(split(col("text"), " "), 1).as("u"),
+      VectorExpressions.top_gram_chars(split(col("text"), " "), 2).as("b"))
+      .collect()
+    assert(got(0).getLong(0) == 1L && got(0).isNullAt(1)) // 'a': uni 1×1, no bigram
+    assert(got(1).getLong(0) == 0L && got(1).isNullAt(1)) // '': one empty word, 0 chars
+    assert(got(2).getLong(0) == 3L && got(2).getLong(1) == 2 * 2L) // 'a a a': uni a×3×1, bi 'a a'×2×(3-1)
+    assert(got(3).getLong(0) == 3L && got(3).getLong(1) == 2 * 2L) // 'x y x y x'
+    assert(got(4).getLong(0) == 2L && got(4).getLong(1) == 1 * 4L) // 'aa bb'
+  }
+
   test("sorted_intersect_count edge semantics: empty, null array, null elements") {
     val rows = spark.sql(
       """SELECT * FROM VALUES
