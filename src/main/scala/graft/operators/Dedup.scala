@@ -2539,6 +2539,35 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Probe-only variant of [[containmentJoinPairs]] (ProbeR16 `contain`):
+    * identical candidates, but verification attaches each doc's SORTED
+    * distinct-token array and merge-counts the overlap row-locally
+    * ([[graft.functions.VectorExpressions.SortedIntersectCount]]) instead
+    * of the explode-join-count. Same rows bit-for-bit (the probe asserts
+    * it); kept separate until measurement decides which form ships. */
+  private[operators] def containmentJoinPairsArr(spark: SparkSession, dir: String, t10: Int = 9): DataFrame = {
+    val ranked = rankedShingleToks(spark, dir)
+    val aPref = ranked
+      .filter(col("rn") <= col("sz") - expr(s"($t10 * sz + 9) div 10") + 1)
+      .select(col("doc_id").as("id_a"), col("tok"), col("sz").as("sa"))
+    val cands = aPref
+      .join(ranked.select(col("doc_id").as("id_b"), col("tok"), col("sz").as("sb")), "tok")
+      .filter(col("id_a") =!= col("id_b") &&
+        col("sb") * 10 >= col("sa") * t10)
+      .select("id_a", "id_b", "sa", "sb").distinct()
+    val sets = ranked.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("tok"))).as("s"))
+    cands
+      .join(sets.select(col("doc_id").as("id_a"), col("s").as("s_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("s").as("s_b")), "id_b")
+      .withColumn("inter", graft.functions.VectorExpressions
+        .sorted_intersect_count(col("s_a"), col("s_b")).cast("bigint"))
+      .filter(col("inter") * 10 >= col("sa") * t10)
+      .select(col("id_a"), col("id_b"), col("sa"), col("sb"), col("inter"),
+        (col("inter").cast("double") / col("sa").cast("double")).as("containment"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Brute-force ordered-pairs twin — recall 1.0 is the claim, so the
     * naive join IS the gate. */
   def containmentJoinPairsOracle(t10: Int = 9): String =

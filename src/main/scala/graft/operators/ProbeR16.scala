@@ -233,6 +233,25 @@ object ProbeR16 {
       return
     }
 
+    // r16 continuation: containment-join verification variants — the
+    // relational explode-join-count vs attaching SORTED token arrays to
+    // each candidate pair and merge-counting row-locally.
+    if (args.length > 1 && args(1) == "contain") {
+      time("warmup_noop")(spark.range(1000).toDF())
+      time("asis_full_1")(Dedup.containmentJoinPairs(spark, sfDir))
+      time("asis_full_2")(Dedup.containmentJoinPairs(spark, sfDir))
+      time("arr_full_1")(Dedup.containmentJoinPairsArr(spark, sfDir))
+      time("arr_full_2")(Dedup.containmentJoinPairsArr(spark, sfDir))
+      time("asis_full_3")(Dedup.containmentJoinPairs(spark, sfDir))
+      time("arr_full_3")(Dedup.containmentJoinPairsArr(spark, sfDir))
+      val a = Dedup.containmentJoinPairs(spark, sfDir).collect()
+      val b = Dedup.containmentJoinPairsArr(spark, sfDir).collect()
+      println("rows asis=" + a.length + " arr=" + b.length +
+        " equal=" + (a.map(_.toString).toSeq == b.map(_.toString).toSeq))
+      spark.stop()
+      return
+    }
+
     // r16 continuation: bare-scan floor — noop of each fixture table
     if (args.length > 1 && args(1) == "scan") {
       time("warmup_noop")(spark.range(1000).toDF())

@@ -948,10 +948,25 @@ object Similarity {
       .filter(col("rn") === 1).select("vec_id", "sub", "code", "d")
   }
 
+  /** The PQ code table MATERIALIZED once per (session, dir, nCodes, m) —
+    * r16 continuation: every PQ consumer (pqTopK, ivfPqTopK, pqDistortion,
+    * and both compression-sweep legs through them) re-derived the full
+    * corpus encode (posexplode × nCodes codeword join, the |vecs|·m·nCodes
+    * intermediate) per call, and pqTopK derived it TWICE (codes + its own
+    * subDists). The argmin table is |vecs|·m rows of 4 ints — exactly the
+    * persisted-index shape a production ANN store reads — so it is the
+    * natural memo stage; the per-query ADC tables stay derived (their
+    * vec_id < numQueries filter pushes to the scan, so they never pay the
+    * corpus encode). */
+  private def pqCodesMemo(spark: SparkSession, dir: String,
+      nCodes: Int = 16, m: Int = 8): DataFrame =
+    StageMemo(spark, dir, s"ann_pq_codes_${nCodes}_$m")(
+      pqCodes(spark, dir, nCodes, m))
+
   def pqTopK(spark: SparkSession, dir: String, numQueries: Int = 5, k: Int = 3,
       nCodes: Int = 16, m: Int = 8): DataFrame = {
     val subDists = pqSubDists(spark, dir, nCodes, m)
-    val codes = pqCodes(spark, dir, nCodes, m).select("vec_id", "sub", "code")
+    val codes = pqCodesMemo(spark, dir, nCodes, m).select("vec_id", "sub", "code")
     // ADC tables: the query's integer distance to every codeword
     val tables = subDists.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("sub"), col("code"), col("d").as("td"))
@@ -976,9 +991,10 @@ object Similarity {
     * assignments back to their own distances. */
   def pqDistortion(spark: SparkSession, dir: String,
       nCodes: Int = 16, m: Int = 8): DataFrame = {
-    val subDists = pqSubDists(spark, dir, nCodes, m)
-    val codes = pqCodes(spark, dir, nCodes, m).select("vec_id", "sub", "code")
-    codes.join(subDists, Seq("vec_id", "sub", "code"))
+    // the argmin row already carries its own distance — joining the code
+    // table back to a SECOND full subDists derivation retrieved the same
+    // `d` the window kept (r16 continuation: read the memoized codes)
+    pqCodesMemo(spark, dir, nCodes, m)
       .groupBy("sub")
       .agg(count(lit(1)).as("n_vectors"),
         sum(col("d")).as("total_dist"),
@@ -1076,7 +1092,7 @@ object Similarity {
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("cand_id"))
     val subDists = pqSubDists(spark, dir, nCodes, m)
-    val codes = pqCodes(spark, dir, nCodes, m)
+    val codes = pqCodesMemo(spark, dir, nCodes, m)
       .select(col("vec_id").as("cand_id"), col("sub"), col("code"))
     val tables = subDists.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("sub"), col("code"), col("d").as("td"))
