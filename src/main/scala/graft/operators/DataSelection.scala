@@ -56,6 +56,11 @@ object DataSelection {
     * dropped on both sides of a bigram (the [[TextAnalysis.collocations]]
     * convention), md5-prefix-hashed into [[NumBuckets]] buckets. */
   private def featureCounts(spark: SparkSession, dir: String): DataFrame = {
+    // NO spread here (r16 continuation): probed — repartitioning the scan
+    // before the two explodes measured WORSE (6.1-6.4 → 6.9-7.7 s on the
+    // feats build line, two same-hour A/B passes): the union's two map
+    // legs already overlap and the added corpus exchange costs more than
+    // the parallelism buys (the batch-5 ndvFrame/fullProfile shape).
     val d = table(spark, dir, "documents")
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("ts"),
         col("source").isin(TargetSources: _*).as("tgt"))

@@ -252,6 +252,23 @@ object ProbeR16 {
       return
     }
 
+    // r16 continuation: fd-discovery scan sharing — 9 per-determinant
+    // branches each rescan orders vs one within-query localCheckpoint
+    if (args.length > 1 && args(1) == "fd") {
+      time("warmup_noop")(spark.range(1000).toDF())
+      import graft.profile.ProfileQueries
+      (1 to 3).foreach { i =>
+        time(s"fd_asis_$i")(ProfileQueries.fdDiscovery(spark, sfDir))
+        time(s"fd_ckpt_$i")(ProfileQueries.fdDiscoveryCkpt(spark, sfDir))
+      }
+      val a = ProfileQueries.fdDiscovery(spark, sfDir).collect()
+      val b = ProfileQueries.fdDiscoveryCkpt(spark, sfDir).collect()
+      println("rows asis=" + a.length + " ckpt=" + b.length +
+        " equal=" + (a.map(_.toString).toSeq == b.map(_.toString).toSeq))
+      spark.stop()
+      return
+    }
+
     // r16 continuation: bare-scan floor — noop of each fixture table
     if (args.length > 1 && args(1) == "scan") {
       time("warmup_noop")(spark.range(1000).toDF())

@@ -923,6 +923,11 @@ object Similarity {
     * core of PQ encoding and ADC table construction. */
   private def pqSubDists(spark: SparkSession, dir: String,
       nCodes: Int, m: Int): DataFrame = {
+    // NO spread (r16 continuation, probed): repartitioning the embeddings
+    // scan before the posexplode × codeword join measured WORSE on the PQ
+    // build legs (5.3-5.7 → 6.0-6.2 s distortion line, same-hour A/B) —
+    // the broadcast join + partial agg pipeline is already overlapped and
+    // the exchange costs more than the parallelism buys.
     val e = table(spark, dir, "embeddings")
     val subDim = 64 / m
     val dims = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))

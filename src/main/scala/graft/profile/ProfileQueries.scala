@@ -1973,6 +1973,26 @@ object ProfileQueries {
     frames.reduce(_.union(_)).orderBy("det", "dep")
   }
 
+  /** Probe-only variant (ProbeR16 `fd`): the branches read ONE
+    * within-query localCheckpoint of the table instead of nine parquet
+    * scans. Kept separate until measurement decides which form ships. */
+  private[graft] def fdDiscoveryCkpt(spark: SparkSession, dir: String,
+      tableName: String = "orders"): DataFrame = {
+    val t = Fixtures.table(spark, dir, tableName).localCheckpoint(true)
+    val frames = t.columns.toSeq.map { a =>
+      val deps = t.columns.toSeq.filterNot(_ == a)
+      val aggs = deps.map(b => countDistinct(col(b)).as(s"cnt_$b"))
+      val rolled = t.groupBy(col(a)).agg(aggs.head, aggs.tail: _*)
+        .agg(count(lit(1)).as("n_groups"),
+          deps.map(b => max(col(s"cnt_$b")).as(s"max_$b")): _*)
+      rolled.select(col("n_groups"), explode(array(deps.map(b =>
+          struct(lit(b).as("dep"), col(s"max_$b").as("max_ndv"))): _*)).as("x"))
+        .select(lit(a).as("det"), col("x.dep").as("dep"), col("n_groups"),
+          col("x.max_ndv").as("max_ndv"), (col("x.max_ndv") === 1).as("holds"))
+    }
+    frames.reduce(_.union(_)).orderBy("det", "dep")
+  }
+
   def fdDiscoveryOracle(tableName: String = "orders",
       columns: Seq[String]): String = {
     val branches = for {
