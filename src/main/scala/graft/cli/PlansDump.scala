@@ -47,7 +47,7 @@ object PlansDump {
     "docs_ccnet_buckets",      // (lang,word) freq join + per-language rank window
     "docs_target_affinity",    // bounded feature table broadcast, two linear scans
     "embedding_label_outliers", // (label,dim) sums broadcast + TakeOrdered top-k
-    "docs_gopher_rules",       // two explode streams, per-doc maxima before the shuffle
+    "docs_gopher_rules",       // row-local repetition maxima: one scan, no pre-sort shuffle (r16)
     "docs_cluster_safe_split", // cluster-label join + pure hash projection
     "profile_key_overlap_sketch", // HLL union algebra: one scan/side, no key join
     "ann_hybrid_rrf",          // two TakeOrdered legs + legK-sized fusion join
