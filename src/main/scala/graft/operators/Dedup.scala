@@ -311,10 +311,25 @@ object Dedup {
     val ranked = buckets.withColumn("rn",
       row_number().over(Window.partitionBy(keyCols: _*).orderBy("doc_id")))
     val dense = ranked.filter(col("rn") <= MaxBucket)
-    val a = dense.select(keyCols :+ col("doc_id").as("id_a") :+ col("rn").as("rn_a"): _*)
-    val b = dense.select(keyCols :+ col("doc_id").as("id_b") :+ col("rn").as("rn_b"): _*)
-    val densePairs = a.join(b, keys)
-      .filter(col("rn_a") < col("rn_b"))
+    // dense-bucket pairs enumerate ROW-LOCALLY from one collected doc list
+    // per bucket (r16 continuation): the former dense⨝dense self-join
+    // planned the whole band lineage twice and re-sorted both sides; the
+    // groupBy here rides the window's existing hash partitioning (no new
+    // exchange), and per-group state is BOUNDED BY THE CAP (≤ MaxBucket
+    // ids), so the collect is safe at any scale — the unbounded-hub risk
+    // that forbids collecting raw buckets doesn't apply post-cap. ids are
+    // sorted ascending, so (ids[j], ids[i]) for j<i reproduces exactly the
+    // rn_a < rn_b ⟺ id_a < id_b pairs of the join form.
+    val denseIds = dense.groupBy(keyCols: _*)
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2) // sequence(1, 0) would DESCEND (gopher note)
+    val densePairs = denseIds
+      .select(keep.map(col) :+ explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  i -> transform(sequence(0, i - 1),
+          |    j -> struct(ids[j] AS id_a, ids[i] AS id_b))))"""
+          .stripMargin.replace("\n", " "))).as("p"): _*)
+      .select(keep.map(col) :+ col("p.id_a").as("id_a") :+ col("p.id_b").as("id_b"): _*)
       .select(outCols.head, outCols.tail: _*)
     val rep = ranked.filter(col("rn") === 1)
       .select(keyCols :+ col("doc_id").as("id_a"): _*)
