@@ -337,7 +337,13 @@ object VectorExpressions {
     n
   }
 
-  def sorted_intersect_count(a: Column, b: Column): Column =
+  /** private[graft] (ADVICE r16): the kernel silently undercounts on
+    * unsorted or non-distinct input — the contract is the CALLER's
+    * (`sort_array(array_distinct(…))` at the source, as both production
+    * call sites do). Restricting visibility keeps a future external caller
+    * from wiring it to raw arrays and getting wrong Jaccards with no error
+    * (the [[Dedup.fdDiscoveryCkpt]]-style probe-guard pattern). */
+  private[graft] def sorted_intersect_count(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
@@ -399,6 +405,16 @@ object VectorExpressions {
     val counts = new java.util.HashMap[UTF8String, Array[Long]]()
     var i = 0
     while (i <= nw - n) {
+      // skip windows containing a null word (ADVICE r16): getUTF8String is
+      // null for a null element (and UTF8String.concat propagates null), so
+      // the gram would NPE below — and the explode pipeline this replaces
+      // never counted null grams either (length(null) is null, ignored by
+      // max). Unreachable from split() output; latent-input hardening only.
+      var hasNull = false
+      var k0 = 0
+      while (k0 < n) { if (words.isNullAt(i + k0)) hasNull = true; k0 += 1 }
+      if (hasNull) { i += 1 }
+      else {
       val gram =
         if (n == 1) words.getUTF8String(i)
         else {
@@ -415,6 +431,7 @@ object VectorExpressions {
         _ => Array(0L, (gram.numChars() - (n - 1)).toLong))
       slot(0) += 1L
       i += 1
+      }
     }
     var best = Long.MinValue
     val it = counts.values().iterator()

@@ -31,16 +31,43 @@ class BenchContractSpec extends AnyFunSuite {
     assert(node.get("n_queries").asInt() == 322)
     assert(node.get("n_errors").asInt() == 7)
     assert(node.get("errors").size() == 3) // truncated head, count is separate
-    assert(node.get("queries").size() == 3)
-    assert(node.get("queries_omitted").asInt() == 319)
+    // byte-budgeted queries map (VERDICT r16 #2): even at this worst case
+    // (40-char names) at least 20 per-query entries ride the final line,
+    // and the count + omitted always reconcile to n_queries
+    assert(node.get("queries").size() >= 20)
+    assert(node.get("queries").size() + node.get("queries_omitted").asInt() == 322)
     assert(node.get("full").asText() == "bench_full.json")
+  }
+
+  test("queries map holds the SLOWEST entries (driver compares round-over-round on these)") {
+    val node = mapper.readTree(line)
+    val vals = {
+      val it = node.get("queries").elements()
+      val b = Seq.newBuilder[Double]
+      while (it.hasNext) b += it.next().asDouble()
+      b.result()
+    }
+    // times are i * 0.917: the included minimum must beat every excluded
+    // value, i.e. the map holds exactly the top-K by time
+    val k = vals.size
+    assert(vals.min > (322 - k) * 0.917 - 1e-9,
+      s"expected only the slowest $k lines, got min ${vals.min}")
   }
 
   test("final line fits the driver tail window with margin") {
     // ~2048-byte tail minus sbt trailer (~100 B) minus the newline: require
-    // a hard ceiling far below it so name growth can't creep back over
-    assert(line.getBytes("UTF-8").length <= 700,
+    // a hard ceiling below it so name growth can't creep back over
+    assert(line.getBytes("UTF-8").length <= 1800,
       s"compact total line is ${line.getBytes("UTF-8").length} B: $line")
+  }
+
+  test("realistic name lengths carry at least 25 per-query entries") {
+    val typical = (1 to 387).map(i => (f"dedup_banding_curve_$i%03d", i * 0.31))
+    val l = Bench.compactTotalLine(272.912, typical, Seq.empty, loadJson,
+      jvmJson, dataWarm = true, "/root/testdata/sf0.1")
+    val node = mapper.readTree(l)
+    assert(node.get("queries").size() >= 25, s"only ${node.get("queries").size()} entries: $l")
+    assert(l.getBytes("UTF-8").length <= 1800)
   }
 
   test("single line, no embedded newlines") {

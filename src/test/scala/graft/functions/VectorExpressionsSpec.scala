@@ -249,6 +249,28 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(got(4).getLong(0) == 2L && got(4).getLong(1) == 1 * 4L) // 'aa bb'
   }
 
+  test("top_gram_chars skips windows containing a null word (ADVICE r16: the old pipeline never counted null grams)") {
+    // arrays with null ELEMENTS are unreachable from split() output but the
+    // kernel previously NPE'd on them (getUTF8String(null element) → null →
+    // gram.numChars() throws). A null word now voids every window it sits
+    // in — the same rows the explode pipeline dropped (length(null) is
+    // null, ignored by max) — and an all-null array yields the no-grams
+    // sentinel (null out).
+    val rows = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array('a', CAST(NULL AS STRING), 'a', 'a')),
+        |  (array(CAST(NULL AS STRING))),
+        |  (array(CAST(NULL AS STRING), CAST(NULL AS STRING)))
+        |  AS t(ws)""".stripMargin)
+    val got = rows.select(
+      VectorExpressions.top_gram_chars(col("ws"), 1).as("u"),
+      VectorExpressions.top_gram_chars(col("ws"), 2).as("b")).collect()
+    assert(got(0).getLong(0) == 3L)     // 'a' ×3 (null skipped), 1 char
+    assert(got(0).getLong(1) == 2L)     // only window ('a','a') survives: 1×(3−1)
+    assert(got(1).isNullAt(0) && got(1).isNullAt(1)) // every window null-voided
+    assert(got(2).isNullAt(0) && got(2).isNullAt(1))
+  }
+
   test("sorted_intersect_count edge semantics: empty, null array, null elements") {
     val rows = spark.sql(
       """SELECT * FROM VALUES
