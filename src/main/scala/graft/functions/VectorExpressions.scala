@@ -341,8 +341,8 @@ object VectorExpressions {
     * unsorted or non-distinct input — the contract is the CALLER's
     * (`sort_array(array_distinct(…))` at the source, as both production
     * call sites do). Restricting visibility keeps a future external caller
-    * from wiring it to raw arrays and getting wrong Jaccards with no error
-    * (the [[Dedup.fdDiscoveryCkpt]]-style probe-guard pattern). */
+    * from wiring it to raw arrays and getting wrong Jaccards with no
+    * error. */
   private[graft] def sorted_intersect_count(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -445,6 +445,100 @@ object VectorExpressions {
 
   def top_gram_chars(words: Column, n: Int): Column =
     ColumnBridge.column(TopGramChars(ColumnBridge.expression(words), n))
+
+  /** `gram_tfs(words, n)`: the row's distinct word n-grams with their
+    * term frequencies, as `array<struct<w1…wn: string, tf: bigint>>` in
+    * first-occurrence order. Replaces the
+    * `explode(n-gram structs) → groupBy(doc_id, …, w1…wn) → count`
+    * pipeline for PER-DOCUMENT tf tables: the count is a row-local fact
+    * (every gram of a document lives in its source row), so aggregating it
+    * through a corpus-sized exchange shuffles data to compute something
+    * each row already knows (guide §2.3 "aggregate before you shuffle" —
+    * here the tf aggregation disappears from the plan entirely, the same
+    * move as [[TopGramChars]]). Identical rows: exploding this array
+    * yields exactly the distinct (gram, count) pairs the groupBy produced,
+    * and downstream filters on the word fields drop the same rows either
+    * way.
+    *
+    * Null-word windows are skipped — their grams were dropped downstream
+    * by every caller's `w =!= ""` filter anyway (null predicate), and the
+    * gram identity below cannot represent them. private[graft]: gram
+    * identity is the space-joined window, injective only while words
+    * contain no spaces (true for every `split(text, ' ')` caller). */
+  case class GramTfs(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(
+      org.apache.spark.sql.types.StructType(
+        (1 to n).map(i => org.apache.spark.sql.types.StructField(
+          s"w$i", StringType, nullable = true)) :+
+          org.apache.spark.sql.types.StructField("tf", LongType, nullable = false)),
+      containsNull = false)
+    override def checkInputDataTypes() = child.dataType match {
+      case ArrayType(_: StringType, _) if n >= 1 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"gram_tfs requires array<string> input and n >= 1, got ${child.dataType}, n=$n")
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      gramTfsJava(input.asInstanceOf[ArrayData], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.VectorExpressions.gramTfsJava($c, $n)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Kernel for [[GramTfs]]: one insertion-ordered map over the row's
+    * n-gram windows (key = space-joined window; first-occurrence position
+    * kept so output words are slices of the input, not copies). */
+  def gramTfsJava(words: ArrayData, n: Int): ArrayData = {
+    val nw = words.numElements()
+    val out = new java.util.ArrayList[InternalRow]()
+    if (nw >= n) {
+      // key → [firstPos, count]
+      val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+      var i = 0
+      while (i <= nw - n) {
+        var hasNull = false
+        var k = 0
+        while (k < n) { if (words.isNullAt(i + k)) hasNull = true; k += 1 }
+        if (!hasNull) {
+          val key =
+            if (n == 1) words.getUTF8String(i)
+            else {
+              val parts = new Array[UTF8String](2 * n - 1)
+              var j = 0
+              while (j < n) {
+                parts(2 * j) = words.getUTF8String(i + j)
+                if (j < n - 1) parts(2 * j + 1) = UTF8String.fromString(" ")
+                j += 1
+              }
+              UTF8String.concat(parts: _*)
+            }
+          val slot = counts.computeIfAbsent(key, _ => Array(i.toLong, 0L))
+          slot(1) += 1L
+        }
+        i += 1
+      }
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val s = it.next()
+        val pos = s(0).toInt
+        val row = new Array[Any](n + 1)
+        var k = 0
+        while (k < n) { row(k) = words.getUTF8String(pos + k); k += 1 }
+        row(n) = s(1)
+        out.add(InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(row)))
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  private[graft] def gram_tfs(words: Column, n: Int): Column =
+    ColumnBridge.column(GramTfs(ColumnBridge.expression(words), n))
 
   // ------------------------------------------------------------ Column API
 

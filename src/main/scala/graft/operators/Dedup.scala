@@ -2483,7 +2483,7 @@ object Dedup {
     * consumers (prefix sides, verify sides) from re-exploding the corpus
     * (measured 2x end-to-end at sf0.1); lazy so plan-only consumers
     * (PlansDump) still build without running a job. */
-  private def rankedShingleToks(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def rankedShingleToks(spark: SparkSession, dir: String): DataFrame =
     // memoized per (session, dir) so the Jaccard and containment joins —
     // and back-to-back bench reps — share ONE tokenize+rank+checkpoint;
     // the checkpoint inside stays LAZY, so memo construction runs no job
@@ -2548,35 +2548,6 @@ object Dedup {
     cands.join(ta, "id_a").join(tb, Seq("id_b", "tok"))
       .groupBy("id_a", "id_b", "sa", "sb")
       .agg(count(lit(1)).as("inter"))
-      .filter(col("inter") * 10 >= col("sa") * t10)
-      .select(col("id_a"), col("id_b"), col("sa"), col("sb"), col("inter"),
-        (col("inter").cast("double") / col("sa").cast("double")).as("containment"))
-      .orderBy("id_a", "id_b")
-  }
-
-  /** Probe-only variant of [[containmentJoinPairs]] (ProbeR16 `contain`):
-    * identical candidates, but verification attaches each doc's SORTED
-    * distinct-token array and merge-counts the overlap row-locally
-    * ([[graft.functions.VectorExpressions.SortedIntersectCount]]) instead
-    * of the explode-join-count. Same rows bit-for-bit (the probe asserts
-    * it); kept separate until measurement decides which form ships. */
-  private[operators] def containmentJoinPairsArr(spark: SparkSession, dir: String, t10: Int = 9): DataFrame = {
-    val ranked = rankedShingleToks(spark, dir)
-    val aPref = ranked
-      .filter(col("rn") <= col("sz") - expr(s"($t10 * sz + 9) div 10") + 1)
-      .select(col("doc_id").as("id_a"), col("tok"), col("sz").as("sa"))
-    val cands = aPref
-      .join(ranked.select(col("doc_id").as("id_b"), col("tok"), col("sz").as("sb")), "tok")
-      .filter(col("id_a") =!= col("id_b") &&
-        col("sb") * 10 >= col("sa") * t10)
-      .select("id_a", "id_b", "sa", "sb").distinct()
-    val sets = ranked.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("tok"))).as("s"))
-    cands
-      .join(sets.select(col("doc_id").as("id_a"), col("s").as("s_a")), "id_a")
-      .join(sets.select(col("doc_id").as("id_b"), col("s").as("s_b")), "id_b")
-      .withColumn("inter", graft.functions.VectorExpressions
-        .sorted_intersect_count(col("s_a"), col("s_b")).cast("bigint"))
       .filter(col("inter") * 10 >= col("sa") * t10)
       .select(col("id_a"), col("id_b"), col("sa"), col("sb"), col("inter"),
         (col("inter").cast("double") / col("sa").cast("double")).as("containment"))

@@ -2433,12 +2433,17 @@ object TextAnalysis {
 
   private[operators] def docTermTf(spark: SparkSession, dir: String): DataFrame =
     // spread (r16): the single-split fixture scan otherwise runs the
-    // tokenize explode AND the partial aggregation on one core
+    // tokenize AND the per-row counting on one core.
+    // row-local tf (r17, guide §2.3/§2.4): a document's term frequencies
+    // are a fact of ONE row, so the explode → groupBy(doc, word) corpus
+    // shuffle computed something each row already knew — gram_tfs emits
+    // the distinct (word, tf) pairs in-row and the exchange disappears
+    // from the plan (same rows: see [[graft.functions.VectorExpressions.GramTfs]]).
     graft.Fixtures.spread(table(spark, dir, "documents"))
-      .select(col("doc_id"), col("lang"), explode(words).as("word"))
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.VectorExpressions.gram_tfs(words, 1)).as("g"))
+      .select(col("doc_id"), col("lang"), col("g.w1").as("word"), col("g.tf").as("tf"))
       .filter(col("word") =!= "")
-      .groupBy("doc_id", "lang", "word")
-      .agg(count(lit(1)).as("tf"))
 
   /** Per-(lang, word) inverse-probability rarity in exact integer micro
     * units — the unigram LM itself, shared by the batch scorer and the
@@ -2447,7 +2452,7 @@ object TextAnalysis {
     * explode is not recomputed for a totals broadcast (the targetAffinity
     * lesson; the window is partitioned by lang over vocabulary rows, never
     * corpus rows). */
-  private def langRarityFrom(docTerm: DataFrame): DataFrame = {
+  private[operators] def langRarityFrom(docTerm: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     docTerm.groupBy("lang", "word")
       .agg(sum("tf").as("lang_freq"))
@@ -2566,26 +2571,24 @@ object TextAnalysis {
   private[graft] def bigramSurprisalPlan(spark: SparkSession, dir: String): DataFrame =
     bigramSurprisalFrom(docPairTf(spark, dir))
 
-  private def docPairTf(spark: SparkSession, dir: String): DataFrame =
-    // row-local pair structs (r16): the posexplode form carried the whole
-    // token array per output row — see [[collocations]]; identical pairs.
-    // spread (r16): single-split scan ⇒ one-core explode otherwise
+  private[operators] def docPairTf(spark: SparkSession, dir: String): DataFrame =
+    // row-local pair tf (r17, guide §2.3/§2.4 — the [[docTermTf]] move at
+    // order 2): the per-doc distinct (w1, w2, tf) triples come out of ONE
+    // row via gram_tfs, so the explode → groupBy(doc, w1, w2) corpus
+    // exchange is gone from the plan. spread (r16): single-split scan ⇒
+    // one-core tokenize otherwise.
     graft.Fixtures.spread(table(spark, dir, "documents"))
       .select(col("doc_id"), col("lang"), words.as("ts"))
       .filter(size(col("ts")) >= 2)
-      .select(col("doc_id"), col("lang"), explode(expr(
-        "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))")).as("p"))
-      .select(col("doc_id"), col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.VectorExpressions.gram_tfs(col("ts"), 2)).as("g"))
+      .select(col("doc_id"), col("lang"), col("g.w1").as("w1"),
+        col("g.w2").as("w2"), col("g.tf").as("tf"))
       .filter(col("w1") =!= "" && col("w2") =!= "")
-      .groupBy("doc_id", "lang", "w1", "w2")
-      .agg(count(lit(1)).as("tf"))
 
-  private def bigramSurprisalFrom(pairs: DataFrame): DataFrame = {
+  private[operators] def bigramSurprisalFrom(pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bigFreq = pairs.groupBy("lang", "w1", "w2").agg(sum("tf").as("c12"))
-      // prefix counts and the second-word vocabulary as windows over the
-      // pair-vocab-sized frequency table (the unigramSurprisal totals
-      // pattern: same lineage, no third corpus pass)
       .withColumn("c1", sum("c12").over(Window.partitionBy("lang", "w1")))
     val vlang = bigFreq.select(col("lang"), col("w2")).distinct()
       .groupBy("lang").agg(count(lit(1)).as("v_lang"))
@@ -2887,21 +2890,20 @@ object TextAnalysis {
       .orderBy("doc_id")
 
   private def docTriTf(spark: SparkSession, dir: String): DataFrame =
-    // row-local trigram structs (r16): the posexplode form carried the
-    // whole token array per output row — see [[collocations]].
-    // spread (r16): single-split scan ⇒ one-core explode otherwise
+    // row-local trigram tf (r17, guide §2.3/§2.4 — the [[docTermTf]] move
+    // at order 3): per-doc distinct (w1, w2, w3, tf) out of one row via
+    // gram_tfs; the explode → groupBy(doc, w1, w2, w3) corpus exchange is
+    // gone. spread (r16): single-split scan ⇒ one-core tokenize otherwise.
     graft.Fixtures.spread(table(spark, dir, "documents"))
       .withColumn("is_train", mixedHash("split|") % 100 < 80)
       .select(col("doc_id"), col("lang"), col("is_train"), words.as("ts"))
       .filter(size(col("ts")) >= 3)
-      .select(col("doc_id"), col("lang"), col("is_train"), explode(expr(
-        """transform(sequence(0, size(ts) - 3),
-          |  i -> struct(ts[i] AS w1, ts[i + 1] AS w2, ts[i + 2] AS w3))""".stripMargin)).as("p"))
       .select(col("doc_id"), col("lang"), col("is_train"),
-        col("p.w1").as("w1"), col("p.w2").as("w2"), col("p.w3").as("w3"))
+        explode(graft.functions.VectorExpressions.gram_tfs(col("ts"), 3)).as("g"))
+      .select(col("doc_id"), col("lang"), col("is_train"),
+        col("g.w1").as("w1"), col("g.w2").as("w2"), col("g.w3").as("w3"),
+        col("g.tf").as("tf"))
       .filter(col("w1") =!= "" && col("w2") =!= "" && col("w3") =!= "")
-      .groupBy("doc_id", "lang", "is_train", "w1", "w2", "w3")
-      .agg(count(lit(1)).as("tf"))
 
   /** Eval-side trigram occurrences with their backoff level and integer
     * inverse score attached — the memoized stage [[trigramSurprisal]] (doc
@@ -2920,7 +2922,7 @@ object TextAnalysis {
   private[operators] def lmTriScoredStage(spark: SparkSession, dir: String): DataFrame =
     trigramScoredMemo(spark, dir)
 
-  private def trigramScoredOcc(triOcc: DataFrame): DataFrame = {
+  private[operators] def trigramScoredOcc(triOcc: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // fit side: every context count reduces from the one trigram table
     // (prefix counts as windows over gram-vocab rows — the bigram c1
@@ -2954,7 +2956,7 @@ object TextAnalysis {
       .select("doc_id", "lang", "tf", "backoff_level", "inv_micro")
   }
 
-  private def trigramDocScores(scoredOcc: DataFrame): DataFrame =
+  private[operators] def trigramDocScores(scoredOcc: DataFrame): DataFrame =
     scoredOcc.groupBy("doc_id", "lang")
       .agg(sum("tf").as("n_trigrams"),
         expr("CAST(sum(CAST(tf AS DECIMAL(38,0)) * inv_micro) div sum(tf) AS BIGINT)")
@@ -3148,10 +3150,14 @@ object TextAnalysis {
       // [[charBigrams]] rewrite: kills the O(len²) substring scans and
       // the text column carried through the Generate
       .select(col("doc_id"), col("source"), split(col("text"), "").as("cs"))
-      .select(col("doc_id"), col("source"), explode(expr(
-        "transform(sequence(0, size(cs) - 2), i -> concat(cs[i], cs[i + 1]))")).as("bigram"))
-      .groupBy("doc_id", "source", "bigram")
-      .agg(count(lit(1)).as("tf"))
+      // row-local char-bigram tf (r17 — the [[docTermTf]] gram_tfs move):
+      // per-doc counts out of one row, no corpus (doc, bigram) exchange.
+      // (w1, w2) ↔ concat(w1, w2) is bijective here because split('') emits
+      // exactly one codepoint per element, so the counts are identical.
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.VectorExpressions.gram_tfs(col("cs"), 2)).as("g"))
+      .select(col("doc_id"), col("source"),
+        concat(col("g.w1"), col("g.w2")).as("bigram"), col("g.tf").as("tf"))
     val docTf = if (materialize) docTf0.localCheckpoint(false) else docTf0
     val counts = docTf
       .groupBy("bigram")

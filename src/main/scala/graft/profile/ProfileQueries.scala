@@ -1959,26 +1959,18 @@ object ProfileQueries {
     // — same rows, same oracle (the per-pair values are independent of
     // which branch computes them). At 100 TB that is 6 table passes, not
     // 30. Measured at sf0.1: 4.4 s → see OPTIMIZATION_r16.md.
-    val frames = t.columns.toSeq.map { a =>
-      val deps = t.columns.toSeq.filterNot(_ == a)
-      val aggs = deps.map(b => countDistinct(col(b)).as(s"cnt_$b"))
-      val rolled = t.groupBy(col(a)).agg(aggs.head, aggs.tail: _*)
-        .agg(count(lit(1)).as("n_groups"),
-          deps.map(b => max(col(s"cnt_$b")).as(s"max_$b")): _*)
-      rolled.select(col("n_groups"), explode(array(deps.map(b =>
-          struct(lit(b).as("dep"), col(s"max_$b").as("max_ndv"))): _*)).as("x"))
-        .select(lit(a).as("det"), col("x.dep").as("dep"), col("n_groups"),
-          col("x.max_ndv").as("max_ndv"), (col("x.max_ndv") === 1).as("holds"))
-    }
-    frames.reduce(_.union(_)).orderBy("det", "dep")
-  }
-
-  /** Probe-only variant (ProbeR16 `fd`): the branches read ONE
-    * within-query localCheckpoint of the table instead of nine parquet
-    * scans. Kept separate until measurement decides which form ships. */
-  private[graft] def fdDiscoveryCkpt(spark: SparkSession, dir: String,
-      tableName: String = "orders"): DataFrame = {
-    val t = Fixtures.table(spark, dir, tableName).localCheckpoint(true)
+    //
+    // PROBED AND REJECTED (r17, VERDICT r16 #4): the single-scan GROUPING
+    // SETS form — all k determinants through one Expand, all k
+    // countDistincts in one aggregate (scans k → 1,
+    // plans/r17/profile_fd_discovery_exact_groupingsets_rejected.txt).
+    // Oracle-identical but 3-4× SLOWER at sf0.1 (7.4-11.7 s fresh-JVM
+    // vs 2.5-2.8 s): the fused aggregate hashes (gid, c1…ck, dep) keys —
+    // an 8-column-wide tuple, k−1 of them null — across k·(k+1) Expand
+    // replicas in one pipeline, where the per-determinant branches hash a
+    // narrow (det, dep) pair each. The I/O the fusion saves is 5 extra
+    // column-pruned passes; the CPU it adds is every expanded row paying
+    // the wide-key hash. Revisit only where scan I/O dominates hash CPU.
     val frames = t.columns.toSeq.map { a =>
       val deps = t.columns.toSeq.filterNot(_ == a)
       val aggs = deps.map(b => countDistinct(col(b)).as(s"cnt_$b"))

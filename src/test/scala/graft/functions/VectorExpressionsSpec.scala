@@ -271,6 +271,36 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(got(2).isNullAt(0) && got(2).isNullAt(1))
   }
 
+  test("gram_tfs explode reproduces the explode→groupBy tf pipeline row-for-row (n=1,2,3)") {
+    val docs = spark.read.parquet(s"${SparkSuite.Sf0001}/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+    def oldTf(n: Int) = {
+      val pairsExpr = if (n == 1) "transform(ts, w -> struct(w AS w1))"
+        else s"transform(sequence(0, size(ts) - $n), i -> struct(" +
+          (1 to n).map(k => s"ts[i + ${k - 1}] AS w$k").mkString(", ") + "))"
+      docs.filter(size(col("ts")) >= n)
+        .select(col("doc_id"), explode(expr(pairsExpr)).as("p"))
+        .select(col("doc_id") +: (1 to n).map(k => col(s"p.w$k")): _*)
+        .groupBy("doc_id", (1 to n).map(k => s"w$k"): _*)
+        .agg(count(lit(1)).as("tf"))
+    }
+    def newTf(n: Int) =
+      docs.filter(size(col("ts")) >= n)
+        .select(col("doc_id"), explode(VectorExpressions.gram_tfs(col("ts"), n)).as("g"))
+        .select(col("doc_id") +: ((1 to n).map(k => col(s"g.w$k")) :+ col("g.tf")): _*)
+    (1 to 3).foreach { n =>
+      val old = oldTf(n)
+      val neu = newTf(n)
+      assert(neu.count() == old.count(), s"n=$n row count")
+      assert(neu.exceptAll(old).isEmpty && old.exceptAll(neu).isEmpty, s"n=$n rows differ")
+    }
+    // sub-n-word and null-array docs vanish identically (empty gram array)
+    val edge = spark.sql(
+      """SELECT * FROM VALUES (array('a')), (CAST(NULL AS ARRAY<STRING>))
+        |AS t(ts)""".stripMargin)
+    assert(edge.select(explode(VectorExpressions.gram_tfs(col("ts"), 2))).count() == 0)
+  }
+
   test("sorted_intersect_count edge semantics: empty, null array, null elements") {
     val rows = spark.sql(
       """SELECT * FROM VALUES

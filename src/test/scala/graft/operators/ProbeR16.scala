@@ -11,6 +11,60 @@ import org.apache.spark.sql.functions._
   * `plans:<suffix>` un-memoized build-plan dump;
   * `exec:<suffix>:<q1,...>` executed declared-query plan dump. */
 object ProbeR16 {
+
+  // Probe-only twins MOVED OUT of src/main (VERDICT r16 #7): these are
+  // measurement variants whose production forms live in Dedup /
+  // ProfileQueries; they ship no runtime path.
+  /** Probe-only variant of [[containmentJoinPairs]] (ProbeR16 `contain`):
+    * identical candidates, but verification attaches each doc's SORTED
+    * distinct-token array and merge-counts the overlap row-locally
+    * ([[graft.functions.VectorExpressions.SortedIntersectCount]]) instead
+    * of the explode-join-count. Same rows bit-for-bit (the probe asserts
+    * it); kept separate until measurement decides which form ships. */
+  private def containmentJoinPairsArr(spark: SparkSession, dir: String, t10: Int = 9): DataFrame = {
+    val ranked = Dedup.rankedShingleToks(spark, dir)
+    val aPref = ranked
+      .filter(col("rn") <= col("sz") - expr(s"($t10 * sz + 9) div 10") + 1)
+      .select(col("doc_id").as("id_a"), col("tok"), col("sz").as("sa"))
+    val cands = aPref
+      .join(ranked.select(col("doc_id").as("id_b"), col("tok"), col("sz").as("sb")), "tok")
+      .filter(col("id_a") =!= col("id_b") &&
+        col("sb") * 10 >= col("sa") * t10)
+      .select("id_a", "id_b", "sa", "sb").distinct()
+    val sets = ranked.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("tok"))).as("s"))
+    cands
+      .join(sets.select(col("doc_id").as("id_a"), col("s").as("s_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("s").as("s_b")), "id_b")
+      .withColumn("inter", graft.functions.VectorExpressions
+        .sorted_intersect_count(col("s_a"), col("s_b")).cast("bigint"))
+      .filter(col("inter") * 10 >= col("sa") * t10)
+      .select(col("id_a"), col("id_b"), col("sa"), col("sb"), col("inter"),
+        (col("inter").cast("double") / col("sa").cast("double")).as("containment"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Probe-only variant (ProbeR16 `fd`): the branches read ONE
+    * within-query localCheckpoint of the table instead of nine parquet
+    * scans. Kept separate until measurement decides which form ships. */
+  private def fdDiscoveryCkpt(spark: SparkSession, dir: String,
+      tableName: String = "orders"): DataFrame = {
+    val t = graft.Fixtures.table(spark, dir, tableName).localCheckpoint(true)
+    val frames = t.columns.toSeq.map { a =>
+      val deps = t.columns.toSeq.filterNot(_ == a)
+      val aggs = deps.map(b => countDistinct(col(b)).as(s"cnt_$b"))
+      val rolled = t.groupBy(col(a)).agg(aggs.head, aggs.tail: _*)
+        .agg(count(lit(1)).as("n_groups"),
+          deps.map(b => max(col(s"cnt_$b")).as(s"max_$b")): _*)
+      rolled.select(col("n_groups"), explode(array(deps.map(b =>
+          struct(lit(b).as("dep"), col(s"max_$b").as("max_ndv"))): _*)).as("x"))
+        .select(lit(a).as("det"), col("x.dep").as("dep"), col("n_groups"),
+          col("x.max_ndv").as("max_ndv"), (col("x.max_ndv") === 1).as("holds"))
+    }
+    frames.reduce(_.union(_)).orderBy("det", "dep")
+  }
+
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse(
@@ -240,12 +294,12 @@ object ProbeR16 {
       time("warmup_noop")(spark.range(1000).toDF())
       time("asis_full_1")(Dedup.containmentJoinPairs(spark, sfDir))
       time("asis_full_2")(Dedup.containmentJoinPairs(spark, sfDir))
-      time("arr_full_1")(Dedup.containmentJoinPairsArr(spark, sfDir))
-      time("arr_full_2")(Dedup.containmentJoinPairsArr(spark, sfDir))
+      time("arr_full_1")(containmentJoinPairsArr(spark, sfDir))
+      time("arr_full_2")(containmentJoinPairsArr(spark, sfDir))
       time("asis_full_3")(Dedup.containmentJoinPairs(spark, sfDir))
-      time("arr_full_3")(Dedup.containmentJoinPairsArr(spark, sfDir))
+      time("arr_full_3")(containmentJoinPairsArr(spark, sfDir))
       val a = Dedup.containmentJoinPairs(spark, sfDir).collect()
-      val b = Dedup.containmentJoinPairsArr(spark, sfDir).collect()
+      val b = containmentJoinPairsArr(spark, sfDir).collect()
       println("rows asis=" + a.length + " arr=" + b.length +
         " equal=" + (a.map(_.toString).toSeq == b.map(_.toString).toSeq))
       spark.stop()
@@ -259,10 +313,10 @@ object ProbeR16 {
       import graft.profile.ProfileQueries
       (1 to 3).foreach { i =>
         time(s"fd_asis_$i")(ProfileQueries.fdDiscovery(spark, sfDir))
-        time(s"fd_ckpt_$i")(ProfileQueries.fdDiscoveryCkpt(spark, sfDir))
+        time(s"fd_ckpt_$i")(fdDiscoveryCkpt(spark, sfDir))
       }
       val a = ProfileQueries.fdDiscovery(spark, sfDir).collect()
-      val b = ProfileQueries.fdDiscoveryCkpt(spark, sfDir).collect()
+      val b = fdDiscoveryCkpt(spark, sfDir).collect()
       println("rows asis=" + a.length + " ckpt=" + b.length +
         " equal=" + (a.map(_.toString).toSeq == b.map(_.toString).toSeq))
       spark.stop()

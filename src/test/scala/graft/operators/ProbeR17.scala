@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-17 optimization probe (dev tool, TEST tree — VERDICT r16 #7: probe
+  * code must not ship in src/main): times operator-internal stages in
+  * isolation with the noop sink (guide §1.4). Invoke with
+  * `sbt 'Test/runMain graft.operators.ProbeR17 <sfDir> <mode>'`.
+  *
+  * Modes:
+  *  - `lmbi`  — bigram LM chain decomposition (explode, tf agg, fit, score)
+  *  - `lmtri` — trigram LM chain decomposition
+  */
+object ProbeR17 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val mode = if (args.length > 1) args(1) else "lmbi"
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    def time(label: String, reps: Int = 3)(df: => DataFrame): Unit =
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"probe $label rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+
+    mode match {
+      case "lmbi" =>
+        val docs = graft.Fixtures.spread(
+          spark.read.parquet(s"$sfDir/documents.parquet"))
+        val raw = docs
+          .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ts"))
+          .filter(size(col("ts")) >= 2)
+          .select(col("doc_id"), col("lang"), explode(expr(
+            "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))")).as("p"))
+          .select(col("doc_id"), col("lang"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .filter(col("w1") =!= "" && col("w2") =!= "")
+        time("lmbi explode-only")(raw)
+        time("lmbi docPairTf (explode + tf agg)")(TextAnalysis.docPairTf(spark, sfDir))
+        val pairs = TextAnalysis.docPairTf(spark, sfDir).localCheckpoint(true)
+        println(s"pairs rows: ${pairs.count()}")
+        import org.apache.spark.sql.expressions.Window
+        val bigFreq = pairs.groupBy("lang", "w1", "w2").agg(sum("tf").as("c12"))
+          .withColumn("c1", sum("c12").over(Window.partitionBy("lang", "w1")))
+        time("lmbi bigFreq agg+window")(bigFreq)
+        time("lmbi full fit+score from ckpt pairs")(
+          TextAnalysis.bigramSurprisalFrom(pairs))
+      case "lmtri" =>
+        time("lmtri docTriTf (explode + tf agg)")(TextAnalysis.docTriTfProbe(spark, sfDir))
+        val occ = TextAnalysis.docTriTfProbe(spark, sfDir).localCheckpoint(true)
+        println(s"occ rows: ${occ.count()}")
+        time("lmtri scored from ckpt occ")(TextAnalysis.trigramScoredOcc(occ))
+        time("lmtri full (scored+docscores+buckets) from ckpt occ")(
+          TextAnalysis.trigramDocScores(TextAnalysis.trigramScoredOcc(occ)))
+      case other => sys.error(s"unknown probe mode: $other")
+    }
+    spark.stop()
+  }
+}
