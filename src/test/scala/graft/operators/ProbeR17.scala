@@ -64,6 +64,43 @@ object ProbeR17 {
         time("lmtri scored from ckpt occ")(TextAnalysis.trigramScoredOcc(occ))
         time("lmtri full (scored+docscores+buckets) from ckpt occ")(
           TextAnalysis.trigramDocScores(TextAnalysis.trigramScoredOcc(occ)))
+      case "catalog" =>
+        // VERDICT r16 #5: does the 10-table catalog DAG serialize
+        // table-by-table, and does driver-side job overlap (guide §2.6)
+        // recover the tail? A/B: one union action vs per-table
+        // localCheckpoint jobs submitted from a bounded pool, then union.
+        (1 to 3).foreach { i =>
+          val t0 = System.nanoTime()
+          graft.profile.ProfileQueries.catalogProfilePlan(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          println(f"probe catalog union-action rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        }
+        (1 to 3).foreach { i =>
+          val t0 = System.nanoTime()
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutor(pool)
+          val futs = graft.Fixtures.allTables.map { t =>
+            scala.concurrent.Future {
+              val cols = graft.Fixtures.numericCols(t)
+              graft.profile.ProfileQueries.fullProfile(spark, sfDir, t)
+                .select(explode(array(cols.map(c => struct(
+                  lit(t).as("tbl"), lit(c).as("col_name"),
+                  col("n_rows"), col(s"nulls_$c").as("n_nulls"),
+                  col(s"min_$c").cast("double").as("min_d"),
+                  col(s"max_$c").cast("double").as("max_d"),
+                  col(s"avg_$c").as("avg_d"),
+                  col(s"ndv_$c").as("ndv"))): _*)).as("p"))
+                .select("p.*")
+                .localCheckpoint(true)
+            }
+          }
+          val frames = futs.map(f =>
+            scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+          pool.shutdown()
+          frames.reduce(_ union _).write.format("noop").mode("overwrite").save()
+          println(f"probe catalog pooled-ckpt rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        }
       case other => sys.error(s"unknown probe mode: $other")
     }
     spark.stop()
