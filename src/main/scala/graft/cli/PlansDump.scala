@@ -178,7 +178,17 @@ object PlansDump {
       "docs_target_affinity" -> (graft.operators.TextAnalysis.targetAffinityPlan(_, _)),
       "profile_weighted_percentiles" -> (graft.profile.ProfileQueries.weightedPercentilesPlan(_, _)),
       "q_market_basket" -> (graft.operators.RelationalExt.marketBasketPlan(_, _)),
-      "events_max_concurrency" -> (graft.operators.EventOps.maxConcurrencyPlan(_, _)))
+      "events_max_concurrency" -> (graft.operators.EventOps.maxConcurrencyPlan(_, _)),
+      // r17: domain-bounded shared frames materialized once (lazy
+      // localCheckpoint) for their N reader branches — audit target is the
+      // full lineage; the executed plans (plans/r17/*_exec_after.txt) show
+      // the checkpoint reads
+      "events_transition_matrix" -> (graft.operators.EventOps.transitionMatrixPlan(_, _)),
+      "events_wavelet_energy" -> (graft.operators.EventOps.waveletEnergyPlan(_, _)),
+      "events_rolling_wau_sketch" -> (graft.operators.EventOps.rollingWauSketchGatePlan(_, _)),
+      "events_busy_window_sessions" -> (graft.operators.EventOps.busyWindowSessionsPlan(_, _)),
+      "text_source_tv_distance" -> (graft.operators.TextAnalysis.sourceTvDistancePlan(_, _)),
+      "dedup_fuzzy_names" -> (graft.operators.Dedup.fuzzyNamePairsPlan(_, _)))
 
   /** The AQE-finalized formatted plan of one declared query (or its
     * [[planOnly]] audit twin) — shared by the PLANS.md dump and the

@@ -2034,7 +2034,15 @@ object Dedup {
     * exact-dedup family's job. Like the other dedup demos the fixture
     * plants its own near-dups: every name's copy with the last character
     * replaced by 'q', distance 1 from its source. */
-  def fuzzyNamePairs(spark: SparkSession, dir: String): DataFrame = {
+  def fuzzyNamePairs(spark: SparkSession, dir: String): DataFrame =
+    fuzzyNamePairsImpl(spark, dir, materialize = true)
+
+  /** Un-materialized twin for plan audits. */
+  private[graft] def fuzzyNamePairsPlan(spark: SparkSession, dir: String): DataFrame =
+    fuzzyNamePairsImpl(spark, dir, materialize = false)
+
+  private def fuzzyNamePairsImpl(spark: SparkSession, dir: String,
+      materialize: Boolean): DataFrame = {
     val names = table(spark, dir, "part")
       .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("n_rows"))
     val perturbed = names.select(
@@ -2045,9 +2053,14 @@ object Dedup {
       .groupBy("name").agg(sum("n_rows").as("n_rows"))
       .withColumn("blk_len", length(col("name")))
       .withColumn("blk_word", expr("split_part(name, ' ', 1)"))
-    val a = all.select(col("blk_len"), col("blk_word"),
+    // distinct-name-sized, read by BOTH self-join sides (the r16
+    // scored-stage pattern) — without materialization the name
+    // aggregation + perturbation union ran once per side (r17; plan:
+    // 4 part scans → 1)
+    val allM = if (materialize) all.localCheckpoint(false) else all
+    val a = allM.select(col("blk_len"), col("blk_word"),
       col("name").as("name_a"), col("n_rows").as("rows_a"))
-    val b = all.select(col("blk_len"), col("blk_word"),
+    val b = allM.select(col("blk_len"), col("blk_word"),
       col("name").as("name_b"), col("n_rows").as("rows_b"))
     a.join(b, Seq("blk_len", "blk_word"))
       .filter(col("name_a") < col("name_b"))

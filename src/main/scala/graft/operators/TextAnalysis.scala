@@ -4522,11 +4522,24 @@ object TextAnalysis {
     * vocabulary score exactly 10⁶; near-identical mixes score ~0 — the
     * crawl-dialect / syndication fingerprint next to the near-dup
     * source-overlap matrix. */
-  def sourceTvDistance(spark: SparkSession, dir: String): DataFrame = {
-    val counts = table(spark, dir, "documents")
+  def sourceTvDistance(spark: SparkSession, dir: String): DataFrame =
+    sourceTvDistanceImpl(spark, dir, materialize = true)
+
+  /** Un-materialized twin for plan audits. */
+  private[graft] def sourceTvDistancePlan(spark: SparkSession, dir: String): DataFrame =
+    sourceTvDistanceImpl(spark, dir, materialize = false)
+
+  private def sourceTvDistanceImpl(spark: SparkSession, dir: String,
+      materialize: Boolean): DataFrame = {
+    val counts0 = table(spark, dir, "documents")
       .select(col("source"), explode(words).as("word"))
       .filter(col("word") =!= "")
       .groupBy("source", "word").agg(count(lit(1)).as("c"))
+    // (source × vocab)-bounded (Zipf), read by the totals branch AND both
+    // self-join sides — without materialization the corpus tokenize +
+    // explode + aggregate ran once per branch (r17; plan: 3 document
+    // scans → 1)
+    val counts = if (materialize) counts0.localCheckpoint(false) else counts0
     val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("n"))
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val a = counts.select(col("source").as("source_a"), col("word"), col("c").as("ca"))

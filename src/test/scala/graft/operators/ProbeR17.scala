@@ -101,6 +101,37 @@ object ProbeR17 {
           frames.reduce(_ union _).write.format("noop").mode("overwrite").save()
           println(f"probe catalog pooled-ckpt rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
         }
+      case "tail" =>
+        // flat-tail decomposition (VERDICT r16 #8): where do the ~0.5-1 s
+        // of a bounded-output tail query go? A/B the presentation sort
+        // shapes on a representative scan→groupBy→orderBy query.
+        val base = graft.Fixtures.table(spark, sfDir, "events")
+          .groupBy(date_trunc("hour", col("ts").cast("timestamp")).as("hour"))
+          .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+        time("tail agg only", 5)(base)
+        time("tail agg+orderBy", 5)(base.orderBy("hour"))
+        time("tail agg+coalesce1+sortWithin", 5)(
+          base.coalesce(1).sortWithinPartitions("hour"))
+        // a declared tail query end-to-end for reference
+        time("tail events_hourly declared", 5)(
+          graft.SparkEntry.queries("events_hourly")(spark, sfDir))
+      case m if m.startsWith("exec:") =>
+        // executed-plan dump (the ProbeR16 exec mode, r17 paths): run the
+        // DECLARED query and write its AQE-finalized executed plan —
+        // the after-evidence for lazy-checkpoint changes, whose unexecuted
+        // plan truncates at the checkpoint node
+        val parts = m.split(":", 3)
+        val (suffix, names) = (parts(1), parts(2).split(",").toSeq)
+        names.foreach { name =>
+          val df = graft.SparkEntry.queries(name)(spark, sfDir)
+          df.collect()
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"/root/repo/plans/r17/${name}_exec_$suffix.txt"),
+            df.queryExecution.explainString(
+              org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          println(s"exec plan $name -> ${name}_exec_$suffix.txt")
+        }
       case other => sys.error(s"unknown probe mode: $other")
     }
     spark.stop()
