@@ -31,6 +31,21 @@ class KCoreSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
+  test("nested peel: the 3-core of the 2-core equals the 3-core of the full graph (r17 sharedKCore shape)") {
+    import spark.implicits._
+    // K4 + triangle + pendant chains: distinct 2-core and 3-core layers
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val tri = Seq((10L, 11L), (11L, 12L), (10L, 12L), (4L, 10L))
+    val chain = Seq((12L, 20L), (20L, 21L), (21L, 22L))
+    val g = k4 ++ tri ++ chain
+    val fromScratch = core(g, 3)
+    val core2 = Dedup.kCoreOf(g.toDF("id_a", "id_b"), 2)
+    val from2core = Dedup.kCoreOf(core2, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(from2core == fromScratch)
+    assert(fromScratch == bruteKCore(g, 3))
+  }
+
   test("k-core: triangle with a pendant chain peels to the triangle at k=2") {
     // triangle 1-2-3 plus chain 3-4-5: peeling 5 exposes 4, which peels too
     val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
