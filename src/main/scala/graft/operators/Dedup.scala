@@ -2171,6 +2171,15 @@ object Dedup {
     * returning partially-propagated labels would merge-under — a wrong
     * cluster_id is worse than a loud abort.
     */
+  /** Rounds the LAST [[propagateMinLabels]] run took to converge — driver
+    * pacing visibility (VERDICT r16 #9): every round costs one
+    * localCheckpoint job + one count, so the fixture's round count IS the
+    * iteration budget a 100 TB run pays per clustering pass.
+    * `CcConvergenceSpec` pins it (≤ JumpAfter + O(log diameter)) so a
+    * regression in the jumping step can't silently multiply driver
+    * round-trips. Single-session test hook — not part of any query. */
+  @volatile private[graft] var lastConvergenceRounds: Int = -1
+
   private[operators] def propagateMinLabels(
       edges: DataFrame, seed: DataFrame, maxIters: Int): DataFrame = {
     var labels = seed.localCheckpoint()
@@ -2200,6 +2209,7 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    lastConvergenceRounds = i
     if (!converged)
       throw new IllegalStateException(
         s"dedupClusters did not converge in $maxIters iterations — component " +
